@@ -1,0 +1,168 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-role trichotomy of the reference engine
+  * (ref: shared/utils.py:48-73 `attributeType_segregation`):
+  * numerical = numeric dtypes, categorical = string, other = the rest.
+  * "Discrete" = categorical + integral (ref: quality_checker.py:1124-1126).
+  */
+object ColumnRole {
+  sealed trait Role
+  case object Numerical extends Role
+  case object Categorical extends Role
+  case object Other extends Role
+
+  def of(dt: DataType): Role = dt match {
+    case _: NumericType => Numerical
+    case StringType     => Categorical
+    case _              => Other
+  }
+
+  /** (numerical, categorical, other) column names, in schema order. */
+  def segregate(schema: StructType): (Seq[String], Seq[String], Seq[String]) = {
+    val grouped = schema.fields.groupBy(f => of(f.dataType))
+    def names(r: Role) = grouped.getOrElse(r, Array.empty[StructField]).map(_.name).toSeq
+    (names(Numerical), names(Categorical), names(Other))
+  }
+
+  def numericCols(df: DataFrame): Seq[String] = segregate(df.schema)._1
+  def categoricalCols(df: DataFrame): Seq[String] = segregate(df.schema)._2
+
+  /** categorical + integral types (ref "discrete"). */
+  def discreteCols(df: DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+      case f if Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType) => f.name
+    }.toSeq
+}
+
+/** Column-list resolution mirroring the reference's pipe-string /
+  * "all" / drop_cols convention (ref: stats_generator.py:69-79).
+  */
+object ColumnSelector {
+  /** Accepts "all", "col1|col2", or an explicit list; subtracts dropCols. */
+  def resolve(df: DataFrame, listOfCols: String, dropCols: Seq[String] = Nil): Seq[String] = {
+    val base =
+      if (listOfCols == "all") df.columns.toSeq
+      else listOfCols.split('|').map(_.trim).filter(_.nonEmpty).toSeq
+    val picked = base.distinct.filterNot(dropCols.contains)
+    val missing = picked.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in dataframe: ${missing.mkString(", ")}")
+    picked
+  }
+}
+
+/** Shared reshaping helpers (ref: shared/utils.py:6-45 melt/transpose). */
+object Reshape {
+
+  /** Unpivot `valueVars` into (idVars*, attribute, value) long form using
+    * the built-in `stack` generator (whole-stage-codegen friendly; the
+    * reference used create_map+explode, shared/utils.py:21-24).
+    * All value columns are cast to `valueType` first (stack requires a
+    * uniform type).
+    */
+  def melt(
+      df: DataFrame,
+      idVars: Seq[String],
+      valueVars: Seq[String],
+      attributeName: String = "attribute",
+      valueName: String = "value",
+      valueType: DataType = StringType): DataFrame = {
+    require(valueVars.nonEmpty, "melt needs at least one value column")
+    val stackArgs = valueVars
+      .map(c => s"'$c', `$c`")
+      .mkString(", ")
+    val casted = valueVars.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(valueType)))
+    casted.select(
+      idVars.map(col) :+
+        expr(s"stack(${valueVars.size}, $stackArgs) as (`$attributeName`, `$valueName`)"): _*)
+  }
+
+  /** Long → wide: groupBy(key).pivot(attribute).agg(first(value))
+    * (ref: shared/utils.py:28-45).
+    */
+  def transpose(df: DataFrame, keyCol: String, pivotCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol)).pivot(pivotCol).agg(first(col(valueCol)))
+
+  /** Balanced pairwise reduce — keeps plan depth O(log n) for n-ary
+    * union/join (ref: shared/utils.py:113-132).
+    */
+  def pairwiseReduce[A](xs: Seq[A])(f: (A, A) => A): A = {
+    require(xs.nonEmpty, "pairwiseReduce of empty seq")
+    var level = xs
+    while (level.size > 1)
+      level = level.grouped(2).map {
+        case Seq(a, b) => f(a, b)
+        case Seq(a)    => a
+      }.toSeq
+    level.head
+  }
+}
+
+/** Guaranteed-unpersist persist helper (ref tactic: explicit
+  * MEMORY_AND_DISK persists, SURVEY.md §4).
+  */
+object Caching {
+  def withPersisted[A](df: DataFrame)(body: DataFrame => A): A = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(p)
+    finally { p.unpersist(); () }
+  }
+}
+
+/** Loader for the driver-provided TPC-H-ish test tables (TESTDATA.md).
+  * events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+  * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and
+  * the loader converts the nano-longs back to (microsecond) timestamps.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def t(name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.name == "ts" && f.dataType == LongType =>
+        d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case (d, _) => d
+    }
+  }
+  def region = t("region")
+  def nation = t("nation")
+  def customer = t("customer")
+  def supplier = t("supplier")
+  def part = t("part")
+  def orders = t("orders")
+  def lineitem = t("lineitem")
+  def events = t("events")
+  def documents = t("documents")
+  def embeddings = t("embeddings")
+}
+
+/** Numeric-compat helpers shared by operators whose output is compared
+  * bit-for-bit against a DuckDB oracle. Doubles summed in different
+  * orders differ in final ulps, so money-style sums go through exact
+  * decimal arithmetic and only then (optionally) back to double.
+  */
+object NumExpr {
+  val Money: DecimalType = DecimalType(18, 4)
+
+  /** Exact sum: cast to decimal(18,4) first (sum is then exact and
+    * engine/order independent).
+    */
+  def dsum(c: Column): Column = sum(c.cast(Money))
+
+  /** Exact-decimal-sum mean, emitted as double: the decimal sum is exact,
+    * its double conversion is correctly rounded in both engines (scaled
+    * magnitudes stay < 2^53), and the final division is a single IEEE op.
+    */
+  def dmean(c: Column): Column = dsum(c).cast(DoubleType) / count(c)
+
+  /** Exact percentile (linear interpolation at p*(n-1), matching DuckDB's
+    * quantile_cont). Spark's `percentile` aggregate is exact, unlike
+    * percentile_approx.
+    */
+  def pct(c: Column, p: Double): Column = percentile(c, lit(p))
+
+  def round4(c: Column): Column = round(c, 4)
+}

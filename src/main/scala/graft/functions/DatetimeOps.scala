@@ -1,0 +1,199 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Datetime surface (ref: data_transformer/datetime.py, 2 012 LoC — thin
+  * wrappers over Spark SQL functions, all codegen'd; no UDFs anywhere).
+  */
+object DatetimeOps {
+
+  // ---- epoch <-> timestamp (ref: datetime.py:126-271)
+  def timestampToUnix(c: Column, precision: String = "s"): Column = precision match {
+    case "s"  => unix_timestamp(c)
+    case "ms" => unix_millis(c)
+    case p    => throw new IllegalArgumentException(s"unknown precision $p")
+  }
+  def unixToTimestamp(c: Column, precision: String = "s"): Column = precision match {
+    case "s"  => timestamp_seconds(c)
+    case "ms" => timestamp_millis(c)
+    case p    => throw new IllegalArgumentException(s"unknown precision $p")
+  }
+
+  // ---- tz / format (ref: datetime.py:272-549)
+  def timezoneConversion(c: Column, from: String, to: String): Column =
+    from_utc_timestamp(to_utc_timestamp(c, from), to)
+  def stringToTimestamp(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+  def timestampToString(c: Column, fmt: String): Column = date_format(c, fmt)
+  def dateformatConversion(c: Column, inFmt: String, outFmt: String): Column =
+    date_format(to_timestamp(c, inFmt), outFmt)
+
+  // ---- component extraction (ref: datetime.py:550-623)
+  val timeUnits: Seq[String] = Seq("year", "month", "dayofmonth", "dayofweek",
+    "dayofyear", "hour", "minute", "second", "weekofyear", "quarter")
+  def timeUnitExtract(c: Column, unit: String): Column = unit match {
+    case "year"       => year(c)
+    case "month"      => month(c)
+    case "dayofmonth" => dayofmonth(c)
+    case "dayofweek"  => dayofweek(c) // 1 = Sunday (Spark convention)
+    case "dayofyear"  => dayofyear(c)
+    case "hour"       => hour(c)
+    case "minute"     => minute(c)
+    case "second"     => second(c)
+    case "weekofyear" => weekofyear(c)
+    case "quarter"    => quarter(c)
+    case u => throw new IllegalArgumentException(s"unknown unit $u")
+  }
+
+  // ---- arithmetic (ref: datetime.py:624-922)
+  /** Difference t2 - t1 expressed in `unit` (seconds-based, double).
+    * Subtract in exact integer milliseconds FIRST, divide once — dividing
+    * each epoch separately would round twice on ~1e12-magnitude values
+    * and lose ~1e-7 s of precision.
+    */
+  def timeDiff(t1: Column, t2: Column, unit: String = "seconds"): Column = {
+    val secs = (unix_millis(t2.cast("timestamp")) -
+      unix_millis(t1.cast("timestamp"))) / 1000.0
+    unit match {
+      case "seconds" => secs
+      case "minutes" => secs / 60.0
+      case "hours"   => secs / 3600.0
+      case "days"    => secs / 86400.0
+      case "weeks"   => secs / (86400.0 * 7)
+      case u => throw new IllegalArgumentException(s"unknown unit $u")
+    }
+  }
+  def timeElapsed(c: Column, unit: String = "seconds"): Column =
+    timeDiff(c, current_timestamp(), unit)
+  def addingTimeUnits(c: Column, n: Int, unit: String): Column = unit match {
+    case "days"    => date_add(c, n).cast("timestamp")
+    case "months"  => add_months(c, n).cast("timestamp")
+    case "years"   => add_months(c, n * 12).cast("timestamp")
+    case "hours"   => timestamp_seconds(unix_timestamp(c) + n * 3600L)
+    case "minutes" => timestamp_seconds(unix_timestamp(c) + n * 60L)
+    case "seconds" => timestamp_seconds(unix_timestamp(c) + n.toLong)
+    case u => throw new IllegalArgumentException(s"unknown unit $u")
+  }
+  def timestampComparison(c: Column, other: Column, op: String): Column = op match {
+    case "greater"       => c > other
+    case "lesser"        => c < other
+    case "greaterEqual"  => c >= other
+    case "lesserEqual"   => c <= other
+    case o => throw new IllegalArgumentException(s"unknown comparator $o")
+  }
+
+  // ---- calendar flags (ref: datetime.py:923-1716)
+  def startOfMonth(c: Column): Column = trunc(c, "month")
+  def endOfMonth(c: Column): Column = last_day(c)
+  def isMonthStart(c: Column): Column = (dayofmonth(c) === 1).cast("int")
+  def isMonthEnd(c: Column): Column = (to_date(c) === last_day(c)).cast("int")
+  def startOfYear(c: Column): Column = trunc(c, "year")
+  def isYearStart(c: Column): Column = (dayofyear(c) === 1).cast("int")
+  def isYearEnd(c: Column): Column = ((month(c) === 12) && (dayofmonth(c) === 31)).cast("int")
+  def startOfQuarter(c: Column): Column = trunc(c, "quarter")
+  def isQuarterStart(c: Column): Column =
+    ((dayofmonth(c) === 1) && (month(c) - 1) % 3 === 0).cast("int")
+  def isQuarterEnd(c: Column): Column =
+    ((to_date(c) === last_day(c)) && (month(c) % 3 === 0)).cast("int")
+  def isYearFirstHalf(c: Column): Column = (month(c) <= 6).cast("int")
+  def isLeapYear(c: Column): Column = {
+    val y = year(c)
+    ((y % 4 === 0) && ((y % 100 =!= 0) || (y % 400 === 0))).cast("int")
+  }
+  def isWeekend(c: Column): Column = dayofweek(c).isin(1, 7).cast("int")
+  def isSelectedHour(c: Column, startHour: Int, endHour: Int): Column =
+    (if (startHour <= endHour) hour(c).between(startHour, endHour)
+     else hour(c) >= startHour || hour(c) <= endHour).cast("int")
+
+  /** ref: ts_analyzer.py:52-84 `daypart_cat` — chained `when`, not the
+    * reference's Python UDF.
+    */
+  def daypartCat(c: Column): Column = {
+    val h = hour(c)
+    when(h.between(0, 5), "late_hours")
+      .when(h.between(10, 16), "work_hours")
+      .when(h.between(20, 23), "early_hours")
+      .when(h.isin(7, 8, 9, 17, 18, 19), "commuting_hours")
+      .otherwise("other_hours")
+  }
+
+  // ---- grouped / windowed time aggregation (ref: datetime.py:1721-2012)
+
+  /** ref: datetime.py:1721-1821 `aggregator` — groupBy formatted time
+    * bucket; agg list maps to built-ins (median = exact percentile).
+    */
+  def aggregator(
+      df: DataFrame,
+      tsCol: String,
+      fmt: String,
+      valueCols: Seq[String],
+      aggs: Seq[String]): DataFrame = {
+    val exprs = for (c <- valueCols; a <- aggs) yield aggExpr(col(c), a).as(s"${a}_$c")
+    df.groupBy(date_format(col(tsCol), fmt).as("time_bucket"))
+      .agg(exprs.head, exprs.tail: _*)
+  }
+
+  private def aggExpr(c: Column, a: String): Column = a match {
+    case "count"          => count(c)
+    case "min"            => min(c)
+    case "max"            => max(c)
+    case "sum"            => sum(c)
+    case "mean"           => avg(c)
+    case "median"         => percentile(c, lit(0.5))
+    case "stddev"         => stddev_samp(c)
+    case "countDistinct"  => countDistinct(c)
+    case "sumDistinct"    => sum_distinct(c)
+    case "collect_list"   => collect_list(c)
+    case "collect_set"    => collect_set(c)
+    case x => throw new IllegalArgumentException(s"unknown agg $x")
+  }
+
+  /** ref: datetime.py:1824-1930 `window_aggregator` — expanding
+    * (unboundedPreceding→current) or rolling (−N+1→current) row frames
+    * over time order, optional partition.
+    */
+  def windowAggregator(
+      df: DataFrame,
+      valueCol: String,
+      orderCols: Seq[String],
+      partitionCols: Seq[String],
+      windowType: String = "expanding",
+      windowSize: Int = 3,
+      aggs: Seq[String] = Seq("sum"),
+      outputPrefix: String = ""): DataFrame = {
+    val base =
+      if (partitionCols.isEmpty) Window.orderBy(orderCols.map(col): _*)
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    val spec: WindowSpec = windowType match {
+      case "expanding" => base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      case "rolling"   => base.rowsBetween(-(windowSize - 1), Window.currentRow)
+      case t => throw new IllegalArgumentException(s"unknown window type $t")
+    }
+    aggs.foldLeft(df) { (d, a) =>
+      d.withColumn(s"$outputPrefix${a}_$valueCol", aggExpr(col(valueCol), a).over(spec))
+    }
+  }
+
+  /** ref: datetime.py:1933-2012 `lagged_ts` — lag(col, n) over time order,
+    * optionally with the time delta vs the lagged timestamp.
+    */
+  def laggedTs(
+      df: DataFrame,
+      valueCol: String,
+      orderCols: Seq[String],
+      partitionCols: Seq[String],
+      lagN: Int = 1,
+      tsDiffUnit: Option[String] = None): DataFrame = {
+    val w =
+      if (partitionCols.isEmpty) Window.orderBy(orderCols.map(col): _*)
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    val lagged = df.withColumn(s"${valueCol}_lag$lagN", lag(col(valueCol), lagN).over(w))
+    tsDiffUnit match {
+      case Some(unit) =>
+        lagged.withColumn(s"${valueCol}_lag${lagN}_diff",
+          timeDiff(col(s"${valueCol}_lag$lagN"), col(valueCol), unit))
+      case None => lagged
+    }
+  }
+}

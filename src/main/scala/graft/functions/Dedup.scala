@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard. Everything is expressed as shuffles on
+  * hashed keys — no driver-side pairwise loops — so the same plans run
+  * on 100 TB: candidate generation is hash-partitioned (LSH band
+  * buckets), and only candidate pairs ever meet in a join.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized-text hash: [fingerprint, dup_count,
+    * representative (min key)]. Hash-groupBy — one shuffle.
+    */
+  def exactDuplicates(df: DataFrame, textCol: String, keyCol: String): DataFrame =
+    df.select(col(keyCol), TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("dup_count"), min(col(keyCol)).as("representative"))
+      .filter(col("dup_count") > 1)
+
+  /** Keep one row per exact-duplicate group (first by key). */
+  def exactDedup(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(TextOps.fingerprint(col(textCol))).orderBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** (key, shingle) pairs: distinct word n-grams of the normalized text. */
+  def shingles(df: DataFrame, textCol: String, keyCol: String, n: Int = 3): DataFrame = {
+    val toks = split(TextOps.normalizeText(col(textCol)), " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    df.select(col(keyCol).as("key"), explode(array_distinct(grams)).as("shingle"))
+      .filter(length(col("shingle")) > 0)
+      .distinct()
+  }
+
+  /** MinHash signatures: h independent hash functions simulated as
+    * xxhash64(shingle, salt_i); one groupBy computes all h mins
+    * (single shuffle, h agg expressions).
+    * Output: key, sig_0 … sig_{h-1}.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 32): DataFrame = {
+    val aggs = (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"sig_$i"))
+    sh.groupBy("key").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the h signature values into `bands` bands of
+    * h/bands rows; docs sharing any band bucket become candidate pairs.
+    * The band bucket join is hash-partitioned — the scale path: no
+    * all-pairs comparison ever materializes.
+    * Returns candidate pairs (key_1 < key_2) with their verified word
+    * n-gram Jaccard similarity; filter by `threshold`.
+    */
+  def minhashNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sh = shingles(df, textCol, keyCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignatures(sh, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), hash(parts: _*).as("bucket"))
+    }
+    val buckets = sig
+      .select(col("key"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("key"), col("bb.band"), col("bb.bucket"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_1"), col("b.key").as("key_2"))
+      .distinct()
+    val jac = jaccardOfPairs(candidates, sh)
+    sh.unpersist()
+    jac.filter(col("jaccard") >= threshold)
+  }
+
+  /** Verified Jaccard for given candidate pairs against a (key, shingle)
+    * set frame: |A∩B| via join-count, |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def jaccardOfPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("key").agg(count(lit(1)).as("n"))
+    pairs
+      .join(sh.select(col("key").as("key_1"), col("shingle")), Seq("key_1"))
+      .join(sh.select(col("key").as("key_2"), col("shingle")), Seq("key_2", "shingle"))
+      .groupBy("key_1", "key_2")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("key", "key_1").withColumnRenamed("n", "n1"), "key_1")
+      .join(sizes.withColumnRenamed("key", "key_2").withColumnRenamed("n", "n2"), "key_2")
+      .select(col("key_1"), col("key_2"),
+        round(col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: tokens hashed with xxhash64, each bit
+    * votes ±1, sign of the vote sum sets the bit. One explode + one
+    * groupBy with 64 sum expressions — a single shuffle.
+    */
+  def simhash(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val toks = df.select(col(keyCol).as("key"),
+      explode(split(TextOps.normalizeText(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$i")
+    }
+    val agged = toks.groupBy("key").agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map { i =>
+      when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    agged.select(col("key"), bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-duplicates: candidates share at least one of four
+    * 16-bit chunks (guarantees recall for hamming distance <= 3), then
+    * exact hamming verify via bit_count(xor).
+    */
+  def simhashNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(df, textCol, keyCol)
+    val chunks = (0 until 4).map(i =>
+      struct(lit(i).as("chunk"),
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("val")))
+    val keyed = sig.select(col("key"), col("simhash"), explode(array(chunks: _*)).as("cc"))
+      .select(col("key"), col("simhash"), col("cc.chunk"), col("cc.val"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
+          col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_1"), col("b.key").as("key_2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard for all pairs inside a blocking key (e.g. same
+    * source/lang) — the quadratic fallback, kept partition-local by the
+    * blocking join key.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      blockCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, textCol, keyCol, n)
+      .join(df.select(col(keyCol).as("key"), col(blockCol).as("block")), "key")
+    val pairs = df.select(col(keyCol).as("key_1"), col(blockCol).as("block")).as("a")
+      .join(df.select(col(keyCol).as("key_2"), col(blockCol).as("block")).as("b"), "block")
+      .filter(col("key_1") < col("key_2"))
+      .select("key_1", "key_2")
+    jaccardOfPairs(pairs, sh.select("key", "shingle")).filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Attribute-association measures (ref: data_analyzer/association_evaluator.py).
+  * The reference runs one job per column with empty-partition windows for
+  * grand totals; here every attribute is handled in one melted plan, and
+  * grand totals live on the tiny post-aggregation frames only.
+  */
+object Association {
+
+  /** ref: association_evaluator.py:38-139 `correlation_matrix` — Pearson
+    * correlations, long form [attribute_1, attribute_2, corr]. All pairs
+    * in ONE scalar agg (no VectorAssembler round-trip; for very wide
+    * inputs switch to ml.stat.Correlation over an assembled vector).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+    val exprs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"corr__${a}__$b") }
+    val agg1 = df.agg(exprs.head, exprs.tail: _*)
+    val stackArgs = pairs.map { case (a, b) => s"'$a', '$b', round(`corr__${a}__$b`, 4)" }
+      .mkString(", ")
+    agg1.select(expr(
+      s"stack(${pairs.size}, $stackArgs) as (attribute_1, attribute_2, corr)"))
+  }
+
+  /** ref: association_evaluator.py:253-424 `IV_calculation`.
+    * Per attribute value/bin: WOE = ln(nonevent_pct / event_pct), with a
+    * +0.5-count smoothing fallback when either share is zero
+    * (ref :388-408); IV = Σ (nonevent_pct − event_pct) · WOE.
+    * All attributes in one melt + one shuffle; numeric attributes should
+    * be binned first (attribute_binning).
+    */
+  def ivCalculation(df: DataFrame, cols: Seq[String], event: Column): DataFrame = {
+    val stackArgs = cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+    val long = df
+      .withColumn("__evt", when(event, 1).otherwise(0))
+      .select(col("__evt"),
+        expr(s"stack(${cols.size}, $stackArgs) as (attribute, value)"))
+    val agg = long.groupBy("attribute", "value").agg(
+      count(when(col("__evt") === 0, 1)).as("label_0"),
+      count(when(col("__evt") === 1, 1)).as("label_1"))
+    val w = Window.partitionBy("attribute")
+    agg
+      .withColumn("t0", sum("label_0").over(w))
+      .withColumn("t1", sum("label_1").over(w))
+      .withColumn("nonevent_pcr", col("label_0") / col("t0"))
+      .withColumn("event_pcr", col("label_1") / col("t1"))
+      .withColumn("woe",
+        when(col("nonevent_pcr") =!= 0 && col("event_pcr") =!= 0,
+          log(col("nonevent_pcr") / col("event_pcr")))
+          .otherwise(log(((col("label_0") + 0.5) / col("t0")) /
+            ((col("label_1") + 0.5) / col("t1")))))
+      .groupBy("attribute")
+      .agg(round(sum((col("nonevent_pcr") - col("event_pcr")) * col("woe")), 4).as("iv"))
+  }
+
+  /** ref: association_evaluator.py:427-586 `IG_calculation`.
+    * IG = H(label) − Σ_bins segment_pct · H(label | bin), base-2 entropy;
+    * pure bins (event pct 0 or 1) contribute zero (the reference reaches
+    * the same result via null-valued log2 terms dropped by sum).
+    */
+  def igCalculation(df: DataFrame, cols: Seq[String], event: Column): DataFrame = {
+    val stackArgs = cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+    val long = df
+      .withColumn("__evt", when(event, 1).otherwise(0))
+      .select(col("__evt"),
+        expr(s"stack(${cols.size}, $stackArgs) as (attribute, value)"))
+    val agg = long.groupBy("attribute", "value").agg(
+      sum("__evt").as("event_count"),
+      count(lit(1)).as("total_count"))
+    val w = Window.partitionBy("attribute")
+    val withEntropy = agg
+      .withColumn("event_pct", col("event_count") / col("total_count"))
+      .withColumn("segment_pct", col("total_count") / sum("total_count").over(w))
+      .withColumn("entropy",
+        when(col("event_pct") === 0 || col("event_pct") === 1, 0.0)
+          .otherwise(-col("segment_pct") *
+            (col("event_pct") * log2(col("event_pct")) +
+              (lit(1) - col("event_pct")) * log2(lit(1) - col("event_pct")))))
+      .withColumn("total_event",
+        sum("event_count").over(w) / sum("total_count").over(w))
+      .withColumn("total_entropy",
+        when(col("total_event") === 0 || col("total_event") === 1, 0.0)
+          .otherwise(-(col("total_event") * log2(col("total_event")) +
+            (lit(1) - col("total_event")) * log2(lit(1) - col("total_event")))))
+    withEntropy
+      .groupBy("attribute")
+      .agg(round(first("total_entropy") - sum("entropy"), 4).as("ig"))
+  }
+}

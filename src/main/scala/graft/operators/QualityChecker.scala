@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.core.NumExpr
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality detections + treatments
+  * (ref: data_analyzer/quality_checker.py).
+  * Every detection returns a small metrics DataFrame; treatments return
+  * the treated data. Detections are single-pass aggregations; treatments
+  * are pure column expressions (no UDFs, codegen-friendly).
+  */
+object QualityChecker {
+
+  /** ref: quality_checker.py:49-149 `duplicate_detection` —
+    * metrics [metric, value]: total, unique, duplicate rows + pct over the
+    * chosen column subset.
+    */
+  def duplicateDetection(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import df.sparkSession.implicits._
+    val agg = df
+      .groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        sum(col("__n")).as("rows"),
+        count(lit(1)).as("uniq"),
+        sum(col("__n") - 1).as("dups"))
+      .collect()(0)
+    val rows = agg.getLong(0); val uniq = agg.getLong(1); val dups = agg.getLong(2)
+    Seq(
+      ("rows_count", rows.toDouble),
+      ("unique_rows_count", uniq.toDouble),
+      ("duplicate_rows", dups.toDouble),
+      ("duplicate_pct",
+        BigDecimal(dups.toDouble / rows).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    ).toDF("metric", "value")
+  }
+
+  /** Treatment side of duplicate_detection: keep one row per key subset. */
+  def dropDuplicatesOn(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Per-row null-column count as a pure expression (the reference used a
+    * Python UDF, quality_checker.py:248-251).
+    */
+  def nullCountExpr(cols: Seq[String]): Column =
+    cols.map(c => when(col(c).isNull, 1).otherwise(0)).reduce(_ + _)
+
+  /** ref: quality_checker.py:152-283 `nullRows_detection` — histogram of
+    * per-row null counts: [null_cols_count, row_count, row_pct,
+    * flagged(=1 if nullCols > threshold_fraction*width)].
+    */
+  def nullRowsDetection(df: DataFrame, cols: Seq[String], threshold: Double = 0.8): DataFrame = {
+    val width = cols.size
+    df.withColumn("null_cols_count", nullCountExpr(cols))
+      .groupBy("null_cols_count")
+      .agg(count(lit(1)).as("row_count"))
+      .withColumn("row_pct",
+        round(col("row_count") * lit(1.0) / sum(col("row_count")).over(), 4))
+      .withColumn("flagged",
+        when(col("null_cols_count") > lit(threshold * width), 1).otherwise(0))
+  }
+
+  /** Treatment: drop rows whose null-column fraction exceeds threshold. */
+  def nullRowsTreatment(df: DataFrame, cols: Seq[String], threshold: Double = 0.8): DataFrame =
+    df.filter(nullCountExpr(cols) <= lit(threshold * cols.size))
+
+  /** ref: quality_checker.py:1048-1182 `IDness_detection` — columns whose
+    * distinct/non-null ratio ≥ threshold are flagged (ID-like).
+    * Output: [attribute, unique_values, IDness, flagged].
+    */
+  def idnessDetection(df: DataFrame, cols: Seq[String], threshold: Double = 0.8): DataFrame =
+    StatsGenerator.measuresOfCardinality(df, cols)
+      .withColumn("flagged", when(col("IDness") >= threshold, 1).otherwise(0))
+
+  /** ref: quality_checker.py:1185-1339 `biasedness_detection` — columns
+    * whose mode covers ≥ threshold of non-null rows are flagged.
+    * Output: [attribute, mode, mode_pct, flagged].
+    */
+  def biasednessDetection(df: DataFrame, cols: Seq[String], threshold: Double = 0.8): DataFrame =
+    StatsGenerator.modeComputation(df, cols)
+      .select(col("attribute"), col("mode"), col("mode_pct"))
+      .withColumn("flagged", when(col("mode_pct") >= threshold, 1).otherwise(0))
+
+  /** Invalid-entry vocabulary of the reference
+    * (quality_checker.py:1504-1538): null-words, special-char-only, and
+    * ≥3-repeated-character runs.
+    */
+  val nullWords: Seq[String] =
+    Seq("", " ", "nan", "null", "na", "inf", "n/a", "not defined", "none", "undefined", "blank")
+  val repeatedCharRegex = "^(.)\\1\\1+$"
+  val specialCharsRegex = "^[^a-zA-Z0-9]+$"
+
+  /** ref: quality_checker.py:1342-1711 `invalidEntries_detection` — pure
+    * SQL predicate per category (the reference used an array-returning
+    * Python UDF); one aggregation pass over all columns.
+    * Output: [attribute, invalid_count, invalid_pct, null_word_count,
+    * special_char_count, repeated_char_count].
+    */
+  def invalidEntriesDetection(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def lowered(c: String) = lower(trim(col(c).cast(StringType)))
+    def isNullWord(c: String) = lowered(c).isin(nullWords: _*)
+    def isSpecial(c: String) = lowered(c).rlike(specialCharsRegex)
+    def isRepeat(c: String) = lowered(c).rlike(repeatedCharRegex)
+    def invalid(c: String) = isNullWord(c) || isSpecial(c) || isRepeat(c)
+    val exprs = cols.flatMap { c =>
+      Seq(
+        count(when(invalid(c), 1)).cast(LongType).as(s"invalid_count__$c"),
+        round(count(when(invalid(c), 1)) * lit(1.0) / count(col(c)), 4).as(s"invalid_pct__$c"),
+        count(when(isNullWord(c), 1)).cast(LongType).as(s"null_word_count__$c"),
+        count(when(isSpecial(c), 1)).cast(LongType).as(s"special_char_count__$c"),
+        count(when(isRepeat(c), 1)).cast(LongType).as(s"repeated_char_count__$c"))
+    }
+    val agg1 = df.agg(exprs.head, exprs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `invalid_count__$c`, `invalid_pct__$c`, `null_word_count__$c`, `special_char_count__$c`, `repeated_char_count__$c`"
+    }.mkString(", ")
+    agg1.select(expr(
+      s"stack(${cols.size}, $stackArgs) as (attribute, invalid_count, invalid_pct, null_word_count, special_char_count, repeated_char_count)"))
+  }
+
+  /** Treatment: replace invalid entries with null. */
+  def invalidEntriesTreatment(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def lowered(c: Column) = lower(trim(c.cast(StringType)))
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(
+          lowered(col(c)).isin(nullWords: _*) ||
+            lowered(col(c)).rlike(specialCharsRegex) ||
+            lowered(col(c)).rlike(repeatedCharRegex),
+          lit(null)).otherwise(col(c)))
+    }
+  }
+
+  final case class OutlierBounds(attribute: String, lower: Double, upper: Double)
+
+  /** ref: quality_checker.py:550-1045 `outlier_detection` — fit side.
+    * Three bound methods (percentile / mean±k·stddev / IQR fences); a
+    * value is an outlier iff ≥ minValidation methods agree; the combined
+    * bound is the n-th order statistic of the per-method bounds
+    * (ref :893-906). Bounds for all columns come from ONE aggregation
+    * (exact percentiles + moments); driver state is O(#cols).
+    */
+  def outlierBounds(
+      df: DataFrame,
+      cols: Seq[String],
+      pctileBounds: (Double, Double) = (0.05, 0.95),
+      stdevMult: Double = 3.0,
+      iqrMult: Double = 1.5,
+      minValidation: Int = 2): Seq[OutlierBounds] = {
+    val exprs = cols.flatMap { c =>
+      Seq(
+        NumExpr.pct(col(c), pctileBounds._1).as(s"pl__$c"),
+        NumExpr.pct(col(c), pctileBounds._2).as(s"pu__$c"),
+        NumExpr.pct(col(c), 0.25).as(s"q1__$c"),
+        NumExpr.pct(col(c), 0.75).as(s"q3__$c"),
+        avg(col(c)).as(s"mean__$c"),
+        stddev_samp(col(c)).as(s"sd__$c"))
+    }
+    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    cols.map { c =>
+      def g(p: String) = row.getAs[Double](s"${p}__$c")
+      val q1 = g("q1"); val q3 = g("q3"); val iqr = q3 - q1
+      val lowers = Seq(g("pl"), g("mean") - stdevMult * g("sd"), q1 - iqrMult * iqr).sorted
+      val uppers = Seq(g("pu"), g("mean") + stdevMult * g("sd"), q3 + iqrMult * iqr).sorted
+      // n-th order statistic: a point is outlier only if >= minValidation
+      // methods call it one  =>  lower = minValidation-th smallest lower,
+      // upper = minValidation-th largest upper.
+      OutlierBounds(c, lowers(minValidation - 1), uppers(uppers.size - minValidation))
+    }
+  }
+
+  /** Detection metrics: counts outside the combined bounds per column. */
+  def outlierDetection(
+      df: DataFrame,
+      cols: Seq[String],
+      pctileBounds: (Double, Double) = (0.05, 0.95),
+      stdevMult: Double = 3.0,
+      iqrMult: Double = 1.5,
+      minValidation: Int = 2): DataFrame = {
+    import df.sparkSession.implicits._
+    val bounds = outlierBounds(df, cols, pctileBounds, stdevMult, iqrMult, minValidation)
+    val exprs = bounds.flatMap { b =>
+      Seq(
+        count(when(col(b.attribute) < b.lower, 1)).cast(LongType).as(s"lower__${b.attribute}"),
+        count(when(col(b.attribute) > b.upper, 1)).cast(LongType).as(s"upper__${b.attribute}"))
+    }
+    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    bounds.map { b =>
+      (b.attribute,
+        row.getAs[Long](s"lower__${b.attribute}"),
+        row.getAs[Long](s"upper__${b.attribute}"))
+    }.toDF("attribute", "lower_outliers", "upper_outliers")
+  }
+
+  /** Treatment: clamp to bounds ("value"), null them, or drop rows. */
+  def outlierTreatment(
+      df: DataFrame,
+      bounds: Seq[OutlierBounds],
+      method: String = "value"): DataFrame = method match {
+    case "value" =>
+      bounds.foldLeft(df) { (d, b) =>
+        d.withColumn(b.attribute,
+          when(col(b.attribute) > b.upper, b.upper)
+            .when(col(b.attribute) < b.lower, b.lower)
+            .otherwise(col(b.attribute)))
+      }
+    case "null" =>
+      bounds.foldLeft(df) { (d, b) =>
+        d.withColumn(b.attribute,
+          when(col(b.attribute) > b.upper || col(b.attribute) < b.lower, lit(null))
+            .otherwise(col(b.attribute)))
+      }
+    case "row_removal" =>
+      bounds.foldLeft(df) { (d, b) =>
+        d.filter(col(b.attribute).isNull ||
+          (col(b.attribute) >= b.lower && col(b.attribute) <= b.upper))
+      }
+    case m => throw new IllegalArgumentException(s"unknown outlier treatment: $m")
+  }
+}

@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.core.{ColumnRole, NumExpr, Reshape}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Descriptive statistics (ref: data_analyzer/stats_generator.py).
+  *
+  * Design: the reference loops per column launching one Spark job each
+  * (e.g. measures_of_centralTendency stats_generator.py:485-494 — an
+  * anti-pattern per SURVEY.md §4). Here every measure is ONE distributed
+  * `agg` over all requested columns (a single scan + partial/final
+  * aggregation, no shuffle beyond the scalar agg), reshaped in-plan to the
+  * canonical long `[attribute, …]` metrics table via `stack`. Driver state
+  * is O(#columns).
+  */
+object StatsGenerator {
+
+  /** Reshape a 1-row aggregate frame with columns `<metric>__<col>` into
+    * long form (attribute, metric1, metric2, …) — stays in the plan, no
+    * collect.
+    */
+  private def longForm(agg1: DataFrame, cols: Seq[String], metrics: Seq[String]): DataFrame = {
+    val stackArgs = cols
+      .map(c => s"'$c', " + metrics.map(m => s"`${m}__$c`").mkString(", "))
+      .mkString(", ")
+    val outCols = (Seq("attribute") ++ metrics).map(m => s"`$m`").mkString(", ")
+    agg1.select(expr(s"stack(${cols.size}, $stackArgs) as ($outCols)"))
+  }
+
+  private def agg1(df: DataFrame, exprs: Seq[Column]): DataFrame =
+    df.agg(exprs.head, exprs.tail: _*)
+
+  /** ref: stats_generator.py:33-113 `global_summary` →
+    * [metric, value] with row/column counts and per-role column counts.
+    */
+  def globalSummary(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val (num, cat, other) = ColumnRole.segregate(df.schema)
+    val rows = df.count()
+    Seq(
+      ("rows_count", rows.toString),
+      ("columns_count", df.columns.length.toString),
+      ("numcols_count", num.size.toString),
+      ("catcols_count", cat.size.toString),
+      ("othercols_count", other.size.toString)
+    ).toDF("metric", "value")
+  }
+
+  /** ref: stats_generator.py:116-176 `missingCount_computation` —
+    * one pass of count() per column (the reference used summary("count") +
+    * transpose).  pct rounded 4.
+    */
+  def missingCount(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val exprs = Seq(count(lit(1)).cast(LongType).as("rows__total")) ++ cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).cast(LongType).as(s"missing_count__$c"),
+        round((count(lit(1)) - count(col(c))) * lit(1.0) / count(lit(1)), 4)
+          .as(s"missing_pct__$c"))
+    }
+    longForm(agg1(df, exprs), cols, Seq("missing_count", "missing_pct"))
+  }
+
+  /** ref: stats_generator.py:179-248 `nonzeroCount_computation` — the
+    * reference round-trips through mllib colStats; ours is pure SQL in the
+    * same single agg.
+    */
+  def nonzeroCount(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val exprs = cols.flatMap { c =>
+      val nz = count(when(col(c).isNotNull && col(c) =!= 0, 1)).cast(LongType)
+      Seq(
+        nz.as(s"nonzero_count__$c"),
+        round(nz * lit(1.0) / count(lit(1)), 4).as(s"nonzero_pct__$c"))
+    }
+    longForm(agg1(df, exprs), cols, Seq("nonzero_count", "nonzero_pct"))
+  }
+
+  /** ref: stats_generator.py:251-325 `measures_of_counts` — fill +
+    * missing + nonzero in one agg (the reference composes three jobs and a
+    * full_outer join).
+    */
+  def measuresOfCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val exprs = cols.flatMap { c =>
+      val fill = count(col(c)).cast(LongType)
+      val miss = (count(lit(1)) - count(col(c))).cast(LongType)
+      val nz = count(when(col(c).isNotNull && col(c) =!= 0, 1)).cast(LongType)
+      Seq(
+        fill.as(s"fill_count__$c"),
+        round(fill * lit(1.0) / count(lit(1)), 4).as(s"fill_pct__$c"),
+        miss.as(s"missing_count__$c"),
+        round(miss * lit(1.0) / count(lit(1)), 4).as(s"missing_pct__$c"),
+        nz.as(s"nonzero_count__$c"),
+        round(nz * lit(1.0) / count(lit(1)), 4).as(s"nonzero_pct__$c"))
+    }
+    longForm(agg1(df, exprs), cols,
+      Seq("fill_count", "fill_pct", "missing_count", "missing_pct", "nonzero_count", "nonzero_pct"))
+  }
+
+  /** ref: stats_generator.py:328-421 `mode_computation`, but batched: the
+    * reference runs groupBy(c).count().orderBy.limit(1) per column (N
+    * jobs); ours melts all columns and resolves every mode in a single
+    * shuffle + window. Ties break on the smaller value (deterministic,
+    * where the reference picks arbitrarily).
+    * Output: [attribute, mode, mode_count, mode_pct].
+    */
+  def modeComputation(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val long = Reshape.melt(df, Nil, cols).filter(col("value").isNotNull)
+    val counts = long.groupBy("attribute", "value").agg(count(lit(1)).as("mode_count"))
+    val w = Window.partitionBy("attribute").orderBy(col("mode_count").desc, col("value").asc)
+    val totals = long.groupBy("attribute").agg(count(lit(1)).as("__nonnull"))
+    counts
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(totals, Seq("attribute"))
+      .select(
+        col("attribute"),
+        col("value").as("mode"),
+        col("mode_count"),
+        round(col("mode_count") * lit(1.0) / col("__nonnull"), 4).as("mode_pct"))
+  }
+
+  /** ref: stats_generator.py:424-526 `measures_of_centralTendency` for
+    * numeric columns: mean (exact-decimal-sum) + exact median, one agg.
+    */
+  def centralTendency(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val exprs = cols.flatMap { c =>
+      Seq(
+        NumExpr.dmean(col(c)).as(s"mean__$c"),
+        NumExpr.pct(col(c), 0.5).as(s"median__$c"))
+    }
+    longForm(agg1(df, exprs), cols, Seq("mean", "median"))
+  }
+
+  /** ref: stats_generator.py:529-620 `uniqueCount_computation`.
+    * exact = countDistinct; approx = HLL++ `approx_count_distinct(rsd)` —
+    * the 100 TB path.
+    */
+  def uniqueCount(df: DataFrame, cols: Seq[String], approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
+    val exprs = cols.map { c =>
+      val u = if (approx) approx_count_distinct(col(c), rsd) else countDistinct(col(c))
+      u.cast(LongType).as(s"unique_values__$c")
+    }
+    longForm(agg1(df, exprs), cols, Seq("unique_values"))
+  }
+
+  /** ref: stats_generator.py:623-733 `measures_of_cardinality` — uniques +
+    * IDness = unique/non-null, one agg.
+    */
+  def measuresOfCardinality(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+    val exprs = cols.flatMap { c =>
+      val u = (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))).cast(LongType)
+      Seq(
+        u.as(s"unique_values__$c"),
+        round(u * lit(1.0) / count(col(c)), 4).as(s"IDness__$c"))
+    }
+    longForm(agg1(df, exprs), cols, Seq("unique_values", "IDness"))
+  }
+
+  /** ref: stats_generator.py:736-829 `measures_of_dispersion`: stddev,
+    * variance, cov (=sd/mean), IQR (exact), range. Single agg.
+    */
+  def measuresOfDispersion(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val exprs = cols.flatMap { c =>
+      val sd = stddev_samp(col(c))
+      Seq(
+        round(sd, 4).as(s"stddev__$c"),
+        round(var_samp(col(c)), 4).as(s"variance__$c"),
+        round(sd / NumExpr.dmean(col(c)), 4).as(s"cov__$c"),
+        round(NumExpr.pct(col(c), 0.75) - NumExpr.pct(col(c), 0.25), 4).as(s"IQR__$c"),
+        (max(col(c)) - min(col(c))).as(s"range__$c"))
+    }
+    longForm(agg1(df, exprs), cols, Seq("stddev", "variance", "cov", "IQR", "range"))
+  }
+
+  val percentilePoints: Seq[Double] = Seq(0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99)
+
+  /** ref: stats_generator.py:832-916 `measures_of_percentiles` — min, the
+    * 9 canonical percentiles (exact, linear interpolation), max. One agg;
+    * at 100 TB swap `percentile` for `percentile_approx` via `approx`.
+    */
+  def measuresOfPercentiles(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+    def p(c: String, q: Double): Column =
+      if (approx) percentile_approx(col(c), lit(q), lit(10000)) else NumExpr.pct(col(c), q)
+    val names = percentilePoints.map(q => f"pct_${(q * 100).toInt}%d")
+    val exprs = cols.flatMap { c =>
+      Seq(min(col(c)).cast(DoubleType).as(s"min__$c")) ++
+        percentilePoints.zip(names).map { case (q, n) => round(p(c, q), 4).as(s"${n}__$c") } ++
+        Seq(max(col(c)).cast(DoubleType).as(s"max__$c"))
+    }
+    longForm(agg1(df, exprs), cols, Seq("min") ++ names ++ Seq("max"))
+  }
+
+  /** ref: stats_generator.py:919-1011 `measures_of_shape` — population
+    * skewness g1 and excess kurtosis, batched (the reference batches too,
+    * :993-994).
+    */
+  def measuresOfShape(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val exprs = cols.flatMap { c =>
+      Seq(
+        round(skewness(col(c)), 4).as(s"skewness__$c"),
+        round(kurtosis(col(c)), 4).as(s"kurtosis__$c"))
+    }
+    longForm(agg1(df, exprs), cols, Seq("skewness", "kurtosis"))
+  }
+}

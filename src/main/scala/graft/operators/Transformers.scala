@@ -1,0 +1,334 @@
+package graft.operators
+
+import graft.core.NumExpr
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column transformers (ref: data_transformer/transformers.py).
+  * Fit state (cutoffs, means, category maps …) is computed in one
+  * distributed agg and carried as O(#cols · #bins) driver values or small
+  * broadcast-joined frames — never a per-row UDF.
+  */
+object Transformers {
+
+  // ---------------------------------------------------------------- binning
+
+  /** ref: transformers.py:87-291 `attribute_binning`.
+    * method "equal_range": cutoffs from min/max; "equal_frequency":
+    * cutoffs from exact/approx quantiles. Label = 1..binCount. The apply
+    * side is a pure expression (the reference used a per-row Python UDF
+    * `bucket_label`; a Bucketizer would also work but the expression keeps
+    * whole-stage codegen and needs no ml dependency).
+    */
+  def attributeBinning(
+      df: DataFrame,
+      cols: Seq[String],
+      method: String = "equal_range",
+      binCount: Int = 10,
+      approx: Boolean = false,
+      outputSuffix: String = "_binned"): DataFrame = {
+    require(binCount >= 2, "need at least 2 bins")
+    val cuts: Map[String, Seq[Double]] = method match {
+      case "equal_range" =>
+        val exprs = cols.flatMap(c => Seq(min(col(c)).cast(DoubleType).as(s"min__$c"),
+          max(col(c)).cast(DoubleType).as(s"max__$c")))
+        val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+        cols.map { c =>
+          val lo = row.getAs[Double](s"min__$c"); val hi = row.getAs[Double](s"max__$c")
+          c -> (1 until binCount).map(i => lo + (hi - lo) * i / binCount)
+        }.toMap
+      case "equal_frequency" =>
+        val probs = (1 until binCount).map(_.toDouble / binCount)
+        cols.map { c =>
+          val qs =
+            if (approx) df.stat.approxQuantile(c, probs.toArray, 0.01).toSeq
+            else {
+              val exprs = probs.map(p => NumExpr.pct(col(c), p))
+              df.agg(exprs.head, exprs.tail: _*).collect()(0)
+                .toSeq.map(_.asInstanceOf[Double])
+            }
+          c -> qs
+        }.toMap
+      case m => throw new IllegalArgumentException(s"unknown binning method: $m")
+    }
+    applyBinning(df, cuts, outputSuffix)
+  }
+
+  /** Bin with precomputed interior cutoffs: value in (-inf,c1]→1, …,
+    * (ck-1,inf)→k. Nulls stay null.
+    */
+  def applyBinning(df: DataFrame, cuts: Map[String, Seq[Double]], outputSuffix: String): DataFrame =
+    cuts.foldLeft(df) { case (d, (c, cs)) =>
+      d.withColumn(c + outputSuffix, binExpr(col(c), cs))
+    }
+
+  def binExpr(c: Column, cuts: Seq[Double]): Column = {
+    val base = cuts.zipWithIndex.foldLeft(when(c.isNull, lit(null))) {
+      case (acc, (cut, i)) => acc.when(c <= cut, i + 1)
+    }
+    base.otherwise(cuts.size + 1)
+  }
+
+  /** ref: transformers.py:294-425 `monotonic_binning` — search bin count
+    * from maxBins down to 2 until the bin-index vs event-rate relationship
+    * is strictly monotonic (the reference tests |Spearman| == 1 on the ≤20
+    * bin means — equivalent for ranked bin ids).
+    */
+  def monotonicBinning(
+      df: DataFrame,
+      colName: String,
+      labelCol: String,
+      event: Column,
+      maxBins: Int = 20,
+      outputSuffix: String = "_binned"): DataFrame = {
+    var k = maxBins
+    while (k > 2) {
+      val binned = attributeBinning(df, Seq(colName), "equal_frequency", k, approx = true,
+        outputSuffix = "__mb")
+      val rates = binned
+        .groupBy(col(colName + "__mb").as("bin"))
+        .agg(avg(when(event, 1.0).otherwise(0.0)).as("rate"))
+        .orderBy("bin")
+        .collect()
+        .map(_.getAs[Double]("rate"))
+      val mono = rates.sliding(2).forall(p => p(0) <= p(1)) ||
+        rates.sliding(2).forall(p => p(0) >= p(1))
+      if (mono) return attributeBinning(df, Seq(colName), "equal_frequency", k, approx = true,
+        outputSuffix = outputSuffix)
+      k -= 1
+    }
+    attributeBinning(df, Seq(colName), "equal_frequency", 2, approx = true, outputSuffix = outputSuffix)
+  }
+
+  // ---------------------------------------------------------------- scaling
+
+  /** ref: transformers.py:965-1099 `z_standardization` — one agg for all
+    * columns (the reference launched a job per column), then pure column
+    * arithmetic. Columns with ~zero stddev are skipped.
+    */
+  def zStandardization(df: DataFrame, cols: Seq[String], roundScale: Int = 4): DataFrame = {
+    val exprs = cols.flatMap(c =>
+      Seq(avg(col(c)).as(s"mean__$c"), stddev_samp(col(c)).as(s"sd__$c")))
+    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    cols.foldLeft(df) { (d, c) =>
+      val sd = row.getAs[Double](s"sd__$c")
+      if (sd.isNaN || sd < 1e-12) d
+      else d.withColumn(c, round((col(c) - row.getAs[Double](s"mean__$c")) / sd, roundScale))
+    }
+  }
+
+  /** ref: transformers.py:1102-1230 `IQR_standardization`:
+    * (x − P50) / (P75 − P25), exact percentiles in one agg.
+    */
+  def iqrStandardization(df: DataFrame, cols: Seq[String], roundScale: Int = 4): DataFrame = {
+    val exprs = cols.flatMap(c => Seq(
+      NumExpr.pct(col(c), 0.25).as(s"q1__$c"),
+      NumExpr.pct(col(c), 0.50).as(s"q2__$c"),
+      NumExpr.pct(col(c), 0.75).as(s"q3__$c")))
+    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    cols.foldLeft(df) { (d, c) =>
+      val iqr = row.getAs[Double](s"q3__$c") - row.getAs[Double](s"q1__$c")
+      if (iqr == 0 || iqr.isNaN) d
+      else d.withColumn(c, round((col(c) - row.getAs[Double](s"q2__$c")) / iqr, roundScale))
+    }
+  }
+
+  /** ref: transformers.py:1233-1366 `normalization` (min-max to [0,1]) —
+    * pure Catalyst arithmetic; the reference round-tripped through
+    * VectorAssembler + MinMaxScaler + an rdd re-zip.
+    */
+  def normalization(df: DataFrame, cols: Seq[String], roundScale: Int = 6): DataFrame = {
+    val exprs = cols.flatMap(c => Seq(min(col(c)).cast(DoubleType).as(s"min__$c"),
+      max(col(c)).cast(DoubleType).as(s"max__$c")))
+    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    cols.foldLeft(df) { (d, c) =>
+      val lo = row.getAs[Double](s"min__$c"); val hi = row.getAs[Double](s"max__$c")
+      if (hi == lo) d
+      else d.withColumn(c, round((col(c) - lo) / (hi - lo), roundScale))
+    }
+  }
+
+  // ---------------------------------------------------------------- encoding
+
+  /** ref: transformers.py:506-773 `cat_to_num_unsupervised`, label
+    * encoding by frequency (desc) or alphabetical order; deterministic
+    * tie-break on value. Encoding map is a small frame broadcast-joined
+    * back — no StringIndexer model object needed, same semantics.
+    */
+  def labelEncoding(
+      df: DataFrame,
+      cols: Seq[String],
+      order: String = "frequencyDesc",
+      outputSuffix: String = "_index"): DataFrame = {
+    cols.foldLeft(df) { (d, c) =>
+      val counts = d.filter(col(c).isNotNull).groupBy(col(c)).agg(count(lit(1)).as("__n"))
+      val w = order match {
+        case "frequencyDesc" => Window.orderBy(col("__n").desc, col(c).asc)
+        case "frequencyAsc"  => Window.orderBy(col("__n").asc, col(c).asc)
+        case "alphabetAsc"   => Window.orderBy(col(c).asc)
+        case "alphabetDesc"  => Window.orderBy(col(c).desc)
+        case o => throw new IllegalArgumentException(s"unknown order: $o")
+      }
+      val mapping = counts
+        .withColumn(c + outputSuffix, row_number().over(w) - 1)
+        .drop("__n")
+      d.join(broadcast(mapping), Seq(c), "left")
+    }
+  }
+
+  /** One-hot encoding without OneHotEncoder vectors: one 0/1 int column
+    * per observed category (deterministic alphabetical category order,
+    * cardinality-capped). ref: transformers.py:694-733.
+    */
+  def oneHotEncoding(df: DataFrame, cols: Seq[String], maxCategories: Int = 50): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      val cats = d.select(col(c)).filter(col(c).isNotNull).distinct()
+        .orderBy(col(c).asc).limit(maxCategories + 1).collect().map(_.get(0).toString)
+      require(cats.length <= maxCategories, s"$c exceeds $maxCategories categories")
+      cats.foldLeft(d) { (dd, v) =>
+        dd.withColumn(s"${c}_$v", when(col(c) === v, 1).otherwise(0))
+      }
+    }
+
+  /** ref: transformers.py:776-962 `cat_to_num_supervised` — target (mean)
+    * encoding: category → event rate n_event/(n_event+n_nonevent),
+    * rounded 4, broadcast-joined back.
+    */
+  def targetEncoding(
+      df: DataFrame,
+      cols: Seq[String],
+      event: Column,
+      outputSuffix: String = "_encoded"): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      val rates = d
+        .groupBy(col(c))
+        .agg(round(
+          count(when(event, 1)) * lit(1.0) / count(lit(1)), 4).as(c + outputSuffix))
+      d.join(broadcast(rates), Seq(c), "left")
+    }
+
+  /** ref: transformers.py:3489-3671 `outlier_categories` — keep the top
+    * (maxCategories−1) values by frequency (ties: value asc), map the rest
+    * to the literal "outlier_categories". Keep-list is O(maxCategories)
+    * driver state, applied with isin (broadcast literal).
+    */
+  def outlierCategories(
+      df: DataFrame,
+      cols: Seq[String],
+      maxCategories: Int = 10,
+      label: String = "outlier_categories"): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      val kept = d.filter(col(c).isNotNull)
+        .groupBy(col(c)).agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col(c).asc)
+        .limit(maxCategories - 1)
+        .collect().map(_.get(0).toString)
+      d.withColumn(c,
+        when(col(c).isNull, lit(null))
+          .when(col(c).isin(kept.toSeq: _*), col(c))
+          .otherwise(lit(label)))
+    }
+
+  // ---------------------------------------------------------------- math ops
+
+  /** ref: transformers.py:3171-3324 `feature_transformation` — the 24
+    * math ops, all built-in Catalyst functions.
+    */
+  def featureTransformation(c: Column, method: String, n: Double = 2.0): Column = method match {
+    case "ln"        => log(c)
+    case "log10"     => log10(c)
+    case "log2"      => log2(c)
+    case "exp"       => exp(c)
+    case "powOf2"    => pow(lit(2.0), c)
+    case "powOf10"   => pow(lit(10.0), c)
+    case "powOfN"    => pow(lit(n), c)
+    case "sqrt"      => sqrt(c)
+    case "cbrt"      => cbrt(c)
+    case "sq"        => pow(c, 2.0)
+    case "cb"        => pow(c, 3.0)
+    case "toPowerN"  => pow(c, n)
+    case "sin"       => sin(c)
+    case "cos"       => cos(c)
+    case "tan"       => tan(c)
+    case "asin"      => asin(c)
+    case "acos"      => acos(c)
+    case "atan"      => atan(c)
+    case "radians"   => radians(c)
+    case "modulus"   => c % n
+    case "factorial" => factorial(c.cast(IntegerType))
+    case "mulInv"    => lit(1.0) / c
+    case "floor"     => floor(c)
+    case "ceil"      => ceil(c)
+    case "roundN"    => round(c, n.toInt)
+    case m => throw new IllegalArgumentException(s"unknown transformation: $m")
+  }
+
+  /** ref: transformers.py:3327-3486 `boxcox_transformation` — for each
+    * candidate λ apply x^λ (ln x at λ=0) and keep the λ whose result looks
+    * most normal; normality scored by |skewness| (the reference used a KS
+    * test vs N(μ,σ) — same argmax intent, one agg for ALL λ here).
+    */
+  val boxcoxLambdas: Seq[Double] = Seq(1, 0, 0.5, -0.5, 2, -1, -2, 0.25, -0.25, 3, -3, 4, -4, 5, -5)
+
+  def boxcoxTransformation(df: DataFrame, cols: Seq[String]): (DataFrame, Map[String, Double]) = {
+    def tx(c: Column, lam: Double): Column =
+      if (lam == 0) log(c) else pow(c, lam)
+    val exprs = cols.flatMap { c =>
+      boxcoxLambdas.map(l => abs(skewness(tx(col(c), l))).as(s"skew__${c}__$l"))
+    }
+    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    val best = cols.map { c =>
+      val scored = boxcoxLambdas.map { l =>
+        val v = row.getAs[Double](s"skew__${c}__$l")
+        l -> (if (v.isNaN) Double.MaxValue else v)
+      }
+      c -> scored.minBy(_._2)._1
+    }.toMap
+    val out = cols.foldLeft(df)((d, c) => d.withColumn(c, tx(col(c), best(c))))
+    (out, best)
+  }
+
+  // ---------------------------------------------------------------- imputation
+
+  /** ref: transformers.py:1369-1674 `imputation_MMM` — numeric nulls →
+    * mean or exact median, categorical nulls → mode (deterministic
+    * tie-break). Fit = one agg (+ one melt-shuffle for modes); apply =
+    * coalesce with literals.
+    */
+  def imputationMMM(
+      df: DataFrame,
+      numCols: Seq[String],
+      catCols: Seq[String],
+      numMethod: String = "median"): DataFrame = {
+    val numFills: Map[String, Double] =
+      if (numCols.isEmpty) Map.empty
+      else {
+        val exprs = numCols.map { c =>
+          (if (numMethod == "mean") avg(col(c)) else NumExpr.pct(col(c), 0.5)).as(s"fill__$c")
+        }
+        val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+        numCols.map(c => c -> row.getAs[Double](s"fill__$c")).toMap
+      }
+    val catFills: Map[String, String] =
+      if (catCols.isEmpty) Map.empty
+      else StatsGenerator.modeComputation(df, catCols)
+        .select("attribute", "mode").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val afterNum = numFills.foldLeft(df) { case (d, (c, v)) =>
+      d.withColumn(c, coalesce(col(c), lit(v)))
+    }
+    catFills.foldLeft(afterNum) { case (d, (c, v)) =>
+      d.withColumn(c, coalesce(col(c), lit(v)))
+    }
+  }
+
+  /** ref: transformers.py:3674-3771 `expression_parser` — evaluate SQL
+    * expression strings as generated features f<i>.
+    */
+  def expressionParser(df: DataFrame, exprs: Seq[String], prefix: String = "f"): DataFrame =
+    exprs.zipWithIndex.foldLeft(df) { case (d, (e, i)) =>
+      d.withColumn(s"$prefix$i", expr(e))
+    }
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.operators.{Association, Drift, Transformers}
+import graft.queries.QueryPack._
+import org.apache.spark.sql.functions._
+
+/** Association / drift / stability analytics-kernel queries
+  * (SURVEY.md §2.11).
+  */
+object AnalyticsQueries {
+
+  private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  val qCorrelation = Q(
+    "q_correlation_matrix",
+    (s, dir) => Association.correlationMatrix(tables(s, dir).lineitem, corrCols),
+    Some {
+      val pairs = for (a <- corrCols; b <- corrCols if a < b) yield (a, b)
+      pairs.map { case (a, b) =>
+        s"SELECT '$a' AS attribute_1, '$b' AS attribute_2, round(corr($a, $b), 4) AS corr FROM lineitem"
+      }.mkString(" UNION ALL ")
+    })
+
+  private val driftCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+  private val splitDate = "TIMESTAMP '1997-07-01'"
+
+  val qDrift = Q(
+    "q_drift_statistics",
+    (s, dir) => {
+      val li = tables(s, dir).lineitem
+      val source = li.filter(col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      val target = li.filter(col("l_shipdate") >= lit("1997-07-01").cast("timestamp"))
+      Drift.driftStatistics(source, target, driftCols, binCount = 10)
+    },
+    Some {
+      val mmSelects = driftCols.flatMap(c => Seq(
+        s"CAST(min($c) AS DOUBLE) AS lo_$c", s"CAST(max($c) AS DOUBLE) AS hi_$c")).mkString(", ")
+      val longArms = driftCols.map { c =>
+        val bin = binCaseSql(c, s"lo_$c", s"hi_$c", 10)
+        s"""SELECT '$c' AS attribute, $bin AS bin, side FROM both_sides, mm"""
+      }
+      // `side` comes from a pre-tagged union of source/target rows
+      val armSql = driftCols.map { c =>
+        val bin = binCaseSql(c, s"lo_$c", s"hi_$c", 10)
+        s"SELECT '$c' AS attribute, $bin AS bin, side FROM tagged, mm"
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH tagged AS (
+        SELECT *, CASE WHEN l_shipdate < $splitDate THEN 's' ELSE 't' END AS side
+        FROM lineitem),
+      mm AS (SELECT $mmSelects FROM lineitem WHERE l_shipdate < $splitDate),
+      long AS ($armSql),
+      p AS (SELECT attribute, bin, CAST(count(*) AS DOUBLE) /
+              (SELECT count(*) FROM tagged WHERE side = 's') AS p
+            FROM long WHERE side = 's' GROUP BY attribute, bin),
+      q AS (SELECT attribute, bin, CAST(count(*) AS DOUBLE) /
+              (SELECT count(*) FROM tagged WHERE side = 't') AS q
+            FROM long WHERE side = 't' GROUP BY attribute, bin),
+      xy AS (
+        SELECT coalesce(p.attribute, q.attribute) AS attribute,
+               coalesce(p.bin, q.bin) AS bin,
+               CASE WHEN p.p IS NULL OR p.p = 0 THEN 0.0001 ELSE p.p END AS p,
+               CASE WHEN q.q IS NULL OR q.q = 0 THEN 0.0001 ELSE q.q END AS q
+        FROM p FULL OUTER JOIN q ON p.attribute = q.attribute AND p.bin = q.bin),
+      cums AS (
+        SELECT *, sum(p) OVER (PARTITION BY attribute ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+                  sum(q) OVER (PARTITION BY attribute ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_q,
+                  (p + q) / 2 AS m
+        FROM xy)
+      SELECT attribute,
+        round(sum((p - q) * ln(p / q)), 4) AS "PSI",
+        round(sqrt(sum(pow(sqrt(p) - sqrt(q), 2)) / 2), 4) AS "HD",
+        round((sum(p * ln(p / m)) + sum(q * ln(q / m))) / 2, 4) AS "JSD",
+        round(max(abs(cum_p - cum_q)), 4) AS "KS",
+        CASE WHEN round(sum((p - q) * ln(p / q)), 4) > 0.1 THEN 1 ELSE 0 END AS flagged
+      FROM cums GROUP BY attribute"""
+    })
+
+  /** Multi-period stability index over weekly splits of the events
+    * stream.
+    */
+  val qStability = Q(
+    "q_stability_index",
+    (s, dir) => {
+      val e = tables(s, dir).events
+      val periods = Seq(
+        e.filter(dayofmonth(col("ts")) <= 7),
+        e.filter(dayofmonth(col("ts")).between(8, 14)),
+        e.filter(dayofmonth(col("ts")).between(15, 21)),
+        e.filter(dayofmonth(col("ts")) >= 22))
+      Drift.stabilityIndex(periods, Seq("value"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT CASE WHEN day(ts) <= 7 THEN 0
+                    WHEN day(ts) <= 14 THEN 1
+                    WHEN day(ts) <= 21 THEN 2
+                    ELSE 3 END AS idx,
+               CAST(value AS DOUBLE) AS value
+        FROM events),
+      mu AS (SELECT idx, avg(value) AS mean, stddev_samp(value) AS sd FROM p GROUP BY idx),
+      kt AS (SELECT p.idx,
+               (sum(pow(value - mean, 4)) / count(*)) /
+                 pow(sum(pow(value - mean, 2)) / count(*), 2) AS kurt
+             FROM p JOIN mu ON p.idx = mu.idx GROUP BY p.idx),
+      stats AS (SELECT mu.idx, mu.mean, mu.sd, kt.kurt FROM mu JOIN kt ON mu.idx = kt.idx),
+      cv AS (
+        SELECT 'value' AS attribute,
+          round(abs(stddev_samp(mean) / avg(mean)), 4) AS cv_mean,
+          round(abs(stddev_samp(sd) / avg(sd)), 4) AS cv_stddev,
+          round(abs(stddev_samp(kurt) / avg(kurt)), 4) AS cv_kurtosis
+        FROM stats),
+      si AS (
+        SELECT *,
+          CASE WHEN cv_mean < 0.03 THEN 4 WHEN cv_mean < 0.1 THEN 3
+               WHEN cv_mean < 0.2 THEN 2 WHEN cv_mean < 0.5 THEN 1 ELSE 0 END AS mean_si,
+          CASE WHEN cv_stddev < 0.03 THEN 4 WHEN cv_stddev < 0.1 THEN 3
+               WHEN cv_stddev < 0.2 THEN 2 WHEN cv_stddev < 0.5 THEN 1 ELSE 0 END AS stddev_si,
+          CASE WHEN cv_kurtosis < 0.03 THEN 4 WHEN cv_kurtosis < 0.1 THEN 3
+               WHEN cv_kurtosis < 0.2 THEN 2 WHEN cv_kurtosis < 0.5 THEN 1 ELSE 0 END AS kurtosis_si
+        FROM cv)
+      SELECT attribute, cv_mean, cv_stddev, cv_kurtosis, mean_si, stddev_si, kurtosis_si,
+        round(mean_si * CAST(0.5 AS DOUBLE) + stddev_si * CAST(0.3 AS DOUBLE)
+              + kurtosis_si * CAST(0.2 AS DOUBLE), 4) AS stability_index
+      FROM si"""))
+
+  /** IV + IG over orders: one categorical attribute and one binned
+    * numeric attribute; event = order status 'F'.
+    */
+  private def binnedOrders(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Transformers.attributeBinning(tables(s, dir).orders, Seq("o_totalprice"), "equal_range", 10)
+
+  private val ivAttrSqlBase = {
+    val bin = binCaseSql("o_totalprice", "lo", "hi", 10)
+    s"""
+      WITH mm AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+                         CAST(max(o_totalprice) AS DOUBLE) AS hi FROM orders),
+      base AS (
+        SELECT 'o_orderpriority' AS attribute, o_orderpriority AS value,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS evt
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice_binned', CAST($bin AS VARCHAR),
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+        FROM orders, mm)"""
+  }
+
+  val qIv = Q(
+    "q_iv_calculation",
+    (s, dir) => Association.ivCalculation(binnedOrders(s, dir),
+      Seq("o_orderpriority", "o_totalprice_binned"), col("o_orderstatus") === "F"),
+    Some(ivAttrSqlBase + """,
+      agg AS (SELECT attribute, value,
+                count(CASE WHEN evt = 0 THEN 1 END) AS l0,
+                count(CASE WHEN evt = 1 THEN 1 END) AS l1
+              FROM base GROUP BY attribute, value),
+      tot AS (SELECT *,
+                CAST(sum(l0) OVER (PARTITION BY attribute) AS DOUBLE) AS t0,
+                CAST(sum(l1) OVER (PARTITION BY attribute) AS DOUBLE) AS t1
+              FROM agg)
+      SELECT attribute,
+        round(sum((l0 / t0 - l1 / t1) *
+          CASE WHEN l0 > 0 AND l1 > 0 THEN ln((l0 / t0) / (l1 / t1))
+               ELSE ln(((l0 + CAST(0.5 AS DOUBLE)) / t0) / ((l1 + CAST(0.5 AS DOUBLE)) / t1)) END), 4) AS iv
+      FROM tot GROUP BY attribute"""))
+
+  val qIg = Q(
+    "q_ig_calculation",
+    (s, dir) => Association.igCalculation(binnedOrders(s, dir),
+      Seq("o_orderpriority", "o_totalprice_binned"), col("o_orderstatus") === "F"),
+    Some(ivAttrSqlBase + """,
+      agg AS (SELECT attribute, value,
+                CAST(sum(evt) AS DOUBLE) AS event_count,
+                CAST(count(*) AS DOUBLE) AS total_count
+              FROM base GROUP BY attribute, value),
+      w AS (SELECT *,
+              event_count / total_count AS event_pct,
+              total_count / sum(total_count) OVER (PARTITION BY attribute) AS segment_pct,
+              sum(event_count) OVER (PARTITION BY attribute) /
+                sum(total_count) OVER (PARTITION BY attribute) AS total_event
+            FROM agg),
+      e AS (SELECT *,
+              CASE WHEN event_pct = 0 OR event_pct = 1 THEN 0.0
+                   ELSE -segment_pct * (event_pct * log2(event_pct)
+                        + (1 - event_pct) * log2(1 - event_pct)) END AS entropy,
+              CASE WHEN total_event = 0 OR total_event = 1 THEN 0.0
+                   ELSE -(total_event * log2(total_event)
+                        + (1 - total_event) * log2(1 - total_event)) END AS total_entropy
+            FROM w)
+      SELECT attribute, round(any_value(total_entropy) - sum(entropy), 4) AS ig
+      FROM e GROUP BY attribute"""))
+
+  def all: Seq[Q] = Seq(qCorrelation, qDrift, qStability, qIv, qIg)
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.queries.QueryPack._
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scan/join/aggregate flagships + ingest-surface queries. */
+object CoreQueries {
+
+  private val money = DecimalType(18, 4)
+  private def dec(c: String) = col(c).cast(money)
+
+  /** TPC-H Q1-flavoured pricing summary: predicate pushdown to parquet,
+    * one hash aggregate, exact decimal sums.
+    */
+  val q1 = Q(
+    "q_agg_pricing_summary",
+    (s, dir) => {
+      val li = tables(s, dir).lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).cast(DecimalType(38, 4)).as("sum_qty"),
+          sum(dec("l_extendedprice")).cast(DecimalType(38, 4)).as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast(money) - dec("l_discount")))
+            .cast(DecimalType(38, 8)).as("sum_disc_price"),
+          (sum(dec("l_quantity")).cast(DoubleType) / count(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus"""))
+
+  /** 5-table star join: fact-side shuffle joins + broadcast dims
+    * (nation/region are tiny — Catalyst broadcasts; we hint explicitly).
+    */
+  val qJoin = Q(
+    "q_join_revenue_nation",
+    (s, dir) => {
+      val t = tables(s, dir)
+      val joined = Ingest.joinDataset(
+        Seq(
+          t.lineitem.withColumnRenamed("l_orderkey", "k"),
+          t.orders.withColumnRenamed("o_orderkey", "k")), Seq("k"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      joined
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec("l_extendedprice") * (lit(1).cast(money) - dec("l_discount")))
+            .cast(DecimalType(38, 8)).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""
+      SELECT r_name, n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name"""))
+
+  /** Cardinality-driven type recommendation (ingest surface). */
+  val qRecommendType = Q(
+    "q_recommend_type",
+    (s, dir) => Ingest.recommendType(tables(s, dir).customer),
+    Some {
+      // threshold = min(0.01 * n, 100); numeric→categorical iff uniq <= thr;
+      // string→numerical iff fully castable and uniq > thr.
+      val numCols = Seq("c_custkey", "c_nationkey", "c_acctbal")
+      val catCols = Seq("c_name", "c_mktsegment")
+      val thr = "least(0.01 * (SELECT count(*) FROM customer), 100)"
+      val numSel = numCols.map(c =>
+        s"""SELECT '$c' AS attribute, 'numerical' AS current_type,
+            count(DISTINCT $c) AS unique_values,
+            CASE WHEN count(DISTINCT $c) <= $thr THEN 'categorical' ELSE 'numerical' END AS recommended_type
+            FROM customer""")
+      val catSel = catCols.map(c =>
+        s"""SELECT '$c' AS attribute, 'categorical' AS current_type,
+            count(DISTINCT $c) AS unique_values,
+            CASE WHEN count(CASE WHEN $c IS NOT NULL AND TRY_CAST($c AS DOUBLE) IS NULL THEN 1 END) = 0
+                  AND count(DISTINCT $c) > $thr
+              THEN 'numerical' ELSE 'categorical' END AS recommended_type
+            FROM customer""")
+      (numSel ++ catSel).mkString(" UNION ALL ")
+    })
+
+  /** SQL-expression features over lineitem rows (expression_parser). */
+  val qExpressionParser = Q(
+    "q_expression_parser",
+    (s, dir) => {
+      val li = tables(s, dir).lineitem
+      graft.operators.Transformers
+        .expressionParser(li, Seq(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8))",
+          "l_quantity * 2"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("f0"), col("f1"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS f0,
+        l_quantity * 2 AS f1
+      FROM lineitem"""))
+
+  def all: Seq[Q] = Seq(q1, qJoin, qRecommendType, qExpressionParser)
+}

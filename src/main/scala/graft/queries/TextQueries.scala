@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.functions.{Dedup, Similarity, TextOps}
+import graft.queries.QueryPack._
+import graft.sources.{Ingest, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline queries: text analysis, dedup, similarity
+  * search (builder-prompt first-class additions beyond the reference).
+  */
+object TextQueries {
+
+  private val normSql =
+    "trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+  val qTextStats = Q(
+    "q_text_stats",
+    (s, dir) => TextOps.textStats(tables(s, dir).documents, "text", "doc_id"),
+    Some {
+      val stops = TextOps.defaultStopwords.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH t AS (SELECT doc_id, text,
+          str_split($normSql, ' ') AS toks FROM documents)
+      SELECT doc_id,
+        length(text) AS n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(str_split_regex(trim(text), '\\s+')) END AS n_words,
+        round(CASE WHEN len(str_split_regex(trim(text), '\\s+')) = 0 THEN 0.0
+             ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                  / len(str_split_regex(trim(text), '\\s+')) END, 4) AS mean_word_len,
+        round(CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+                  / length(text) END, 4) AS punct_ratio,
+        round(CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                  / length(text) END, 4) AS upper_ratio,
+        round(CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(toks, x -> x IN ($stops))) AS DOUBLE) / len(toks) END, 4)
+          AS stopword_ratio
+      FROM t"""
+    })
+
+  val qTokenCounts = Q(
+    "q_token_counts",
+    (s, dir) => tables(s, dir).documents.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens_ws"),
+      TextOps.bpeishTokenCount(col("text")).as("n_tokens_bpe")),
+    Some("""
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(str_split_regex(trim(text), '\s+')) END AS n_tokens_ws,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) END AS n_tokens_bpe
+      FROM documents"""))
+
+  val qLangId = Q(
+    "q_lang_id",
+    (s, dir) => tables(s, dir).documents.select(
+      col("doc_id"),
+      TextOps.langId(col("text")).as("lang_pred")),
+    Some {
+      val langs = TextOps.langLexicon.toSeq.sortBy(_._1)
+      val scoreDefs = langs.map { case (lang, lex) =>
+        val inList = lex.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($inList))) AS s_$lang"
+      }.mkString(", ")
+      val greatest = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val whens = langs.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
+      s"""
+      WITH t AS (SELECT doc_id, str_split($normSql, ' ') AS toks FROM documents),
+      sc AS (SELECT doc_id, $scoreDefs FROM t),
+      mx AS (SELECT *, $greatest AS m FROM sc)
+      SELECT doc_id, CASE WHEN m = 0 THEN 'und' $whens ELSE 'und' END AS lang_pred
+      FROM mx"""
+    })
+
+  val qQualityScore = Q(
+    "q_quality_score",
+    (s, dir) => tables(s, dir).documents.select(
+      col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality")),
+    Some {
+      val stops = TextOps.defaultStopwords.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH t AS (SELECT doc_id, text, str_split($normSql, ' ') AS toks,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(str_split_regex(trim(text), '\\s+')) END AS words
+        FROM documents)
+      SELECT doc_id, round((
+          (CASE WHEN words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN length(text) = 0 OR
+                CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+                  / length(text) <= 0.2 THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN len(list_filter(toks, x -> x IN ($stops))) > 0 THEN 1.0 ELSE 0.0 END)
+        ) / 3, 4) AS quality
+      FROM t"""
+    })
+
+  val qFingerprint = Q(
+    "q_doc_fingerprint",
+    (s, dir) => tables(s, dir).documents.select(
+      col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fingerprint")),
+    Some(s"SELECT doc_id, md5($normSql) AS fingerprint FROM documents"))
+
+  /** Exact dedup over a deterministically duplicated corpus (the base
+    * table has no exact dups), exercising concatenate + hash-groupBy.
+    */
+  val qExactDedup = Q(
+    "q_exact_dedup",
+    (s, dir) => {
+      val d = tables(s, dir).documents
+      val doubled = Ingest.concatenateDataset(Seq(d, d.filter(col("doc_id") % 10 === 0)))
+      Dedup.exactDuplicates(doubled, "text", "doc_id")
+    },
+    Some(s"""
+      WITH all_docs AS (
+        SELECT * FROM documents
+        UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0)
+      SELECT md5($normSql) AS fingerprint, count(*) AS dup_count,
+             min(doc_id) AS representative
+      FROM all_docs GROUP BY 1 HAVING count(*) > 1"""))
+
+  /** MinHash-LSH near-dup detection over a corpus with planted
+    * near-duplicates (suffix-perturbed copies). Not SQL-expressible →
+    * rows-only check.
+    */
+  val qMinhashDedup = Q(
+    "q_minhash_neardup",
+    (s, dir) => {
+      val d = tables(s, dir).documents
+      val perturbed = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" perturbed suffix token")))
+      val corpus = Ingest.concatenateDataset(Seq(d, perturbed))
+      Dedup.minhashNearDuplicates(corpus, "text", "doc_id",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    },
+    None)
+
+  /** SimHash near-dup detection on the same planted corpus (rows-only). */
+  val qSimhashDedup = Q(
+    "q_simhash_neardup",
+    (s, dir) => {
+      val d = tables(s, dir).documents
+      val perturbed = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" zz")))
+      val corpus = Ingest.concatenateDataset(Seq(d, perturbed))
+      Dedup.simhashNearDuplicates(corpus, "text", "doc_id", maxHamming = 6)
+    },
+    None)
+
+  /** Brute-force cosine top-k over the embeddings table — exact oracle
+    * via unnest-zip in DuckDB.
+    */
+  val qCosineTopK = Q(
+    "q_cosine_topk",
+    (s, dir) => Similarity.bruteForceTopK(tables(s, dir).embeddings, "vec_id", "embedding", k = 3),
+    Some("""
+      WITH e AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+            FROM e GROUP BY vec_id),
+      d AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                   sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dt
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+            GROUP BY a.vec_id, b.vec_id),
+      c AS (SELECT d.vec_id, d.neighbor_id, d.dt / (na.nrm * nb.nrm) AS cos
+            FROM d JOIN n na ON d.vec_id = na.vec_id
+                   JOIN n nb ON d.neighbor_id = nb.vec_id),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM c)
+      SELECT vec_id, neighbor_id, round(cos, 4) AS cos, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 3"""))
+
+  /** SRP-LSH approximate top-k (bucketed self-join — the scale path);
+    * approximate by construction → rows-only check.
+    */
+  val qLshTopK = Q(
+    "q_lsh_topk",
+    (s, dir) => Similarity.lshTopK(tables(s, dir).embeddings, "vec_id", "embedding",
+      k = 3, numPlanes = 8),
+    None)
+
+  /** Stratified sample (engine-RNG-specific → rows-only). */
+  val qStratifiedSample = Q(
+    "q_stratified_sample",
+    (s, dir) => Sampling.dataSample(tables(s, dir).customer,
+      fraction = 0.5, method = "stratified", strataCols = Seq("c_mktsegment"),
+      stratifiedType = "population", seed = 42L),
+    None)
+
+  def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
+    qExactDedup, qMinhashDedup, qSimhashDedup, qCosineTopK, qLshTopK, qStratifiedSample)
+}

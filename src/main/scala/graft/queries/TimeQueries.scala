@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.functions.DatetimeOps
+import graft.queries.QueryPack._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Datetime / window operator queries (SURVEY.md §2.5/2.9). */
+object TimeQueries {
+
+  /** Component extraction. Spark's dayofweek is 1=Sunday; DuckDB's is
+    * 0=Sunday, hence the +1 on the oracle side. Extract outputs are cast
+    * long to match DuckDB's BIGINT.
+    */
+  val qDtExtract = Q(
+    "q_dt_extract",
+    (s, dir) => {
+      val o = tables(s, dir).orders
+      val d = col("o_orderdate")
+      o.select(
+        col("o_orderkey"),
+        DatetimeOps.timeUnitExtract(d, "year").cast(LongType).as("yr"),
+        DatetimeOps.timeUnitExtract(d, "month").cast(LongType).as("mo"),
+        DatetimeOps.timeUnitExtract(d, "dayofmonth").cast(LongType).as("dom"),
+        DatetimeOps.timeUnitExtract(d, "dayofweek").cast(LongType).as("dow"),
+        DatetimeOps.timeUnitExtract(d, "dayofyear").cast(LongType).as("doy"),
+        DatetimeOps.timeUnitExtract(d, "quarter").cast(LongType).as("qtr"))
+    },
+    Some("""
+      SELECT o_orderkey,
+        year(o_orderdate) AS yr,
+        month(o_orderdate) AS mo,
+        day(o_orderdate) AS dom,
+        dayofweek(o_orderdate) + 1 AS dow,
+        dayofyear(o_orderdate) AS doy,
+        quarter(o_orderdate) AS qtr
+      FROM orders"""))
+
+  val qCalendarFlags = Q(
+    "q_calendar_flags",
+    (s, dir) => {
+      val o = tables(s, dir).orders
+      val d = col("o_orderdate")
+      o.select(
+        col("o_orderkey"),
+        DatetimeOps.isWeekend(d).as("is_weekend"),
+        DatetimeOps.isMonthStart(d).as("is_month_start"),
+        DatetimeOps.isMonthEnd(d).as("is_month_end"),
+        DatetimeOps.isLeapYear(d).as("is_leap_year"),
+        DatetimeOps.isYearFirstHalf(d).as("is_h1"))
+    },
+    Some("""
+      SELECT o_orderkey,
+        CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END AS is_weekend,
+        CASE WHEN day(o_orderdate) = 1 THEN 1 ELSE 0 END AS is_month_start,
+        CASE WHEN CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE)) THEN 1 ELSE 0 END AS is_month_end,
+        CASE WHEN year(o_orderdate) % 4 = 0
+              AND (year(o_orderdate) % 100 <> 0 OR year(o_orderdate) % 400 = 0)
+             THEN 1 ELSE 0 END AS is_leap_year,
+        CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 0 END AS is_h1
+      FROM orders"""))
+
+  /** Timestamp arithmetic: +3 months (month-end clamped in both engines),
+    * day difference vs a fixed anchor.
+    */
+  val qDtArithmetic = Q(
+    "q_dt_arithmetic",
+    (s, dir) => {
+      val o = tables(s, dir).orders
+      val d = col("o_orderdate")
+      o.select(
+        col("o_orderkey"),
+        date_format(DatetimeOps.addingTimeUnits(d, 3, "months"), "yyyy-MM-dd").as("plus_3m"),
+        round(DatetimeOps.timeDiff(d, lit("2000-01-01").cast("timestamp"), "days"), 4)
+          .as("days_to_2000"))
+    },
+    Some("""
+      SELECT o_orderkey,
+        strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+        round(CAST(date_diff('millisecond', o_orderdate, TIMESTAMP '2000-01-01') AS DOUBLE)
+              / 1000 / 86400, 4) AS days_to_2000
+      FROM orders"""))
+
+  /** Grouped time aggregation: daily buckets over events. */
+  val qTsAggregatorFull = Q(
+    "q_ts_agg_daily",
+    (s, dir) => {
+      val e = tables(s, dir).events
+      e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_value"),
+          (sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType) / count(col("value")))
+            .as("mean_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS mean_value,
+        min(value) AS min_value,
+        max(value) AS max_value,
+        count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1"""))
+
+  /** Rolling + expanding window aggregation over per-user event streams.
+    * Exact decimal window sums keep both engines bit-identical.
+    */
+  val qWindowAggregator = Q(
+    "q_window_aggregator",
+    (s, dir) => {
+      val e = tables(s, dir).events
+        .withColumn("value", col("value").cast(DecimalType(18, 4)))
+      val rolled = DatetimeOps.windowAggregator(e, "value",
+        orderCols = Seq("ts", "event_id"), partitionCols = Seq("user_id"),
+        windowType = "rolling", windowSize = 3, aggs = Seq("sum"), outputPrefix = "rolling_")
+      val expanded = DatetimeOps.windowAggregator(rolled, "value",
+        orderCols = Seq("ts", "event_id"), partitionCols = Seq("user_id"),
+        windowType = "expanding", aggs = Seq("count"), outputPrefix = "expanding_")
+      expanded.select(
+        col("event_id"),
+        col("rolling_sum_value").cast(DecimalType(38, 4)).as("rolling_sum"),
+        col("expanding_count_value").as("expanding_count"))
+    },
+    Some("""
+      SELECT event_id,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS rolling_sum,
+        count(*) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS expanding_count
+      FROM events"""))
+
+  /** lag() + inter-event time difference per user. */
+  val qLaggedTs = Q(
+    "q_lagged_ts",
+    (s, dir) => {
+      val e = tables(s, dir).events
+      val lagged = DatetimeOps.laggedTs(e, "ts",
+        orderCols = Seq("ts", "event_id"), partitionCols = Seq("user_id"),
+        lagN = 1, tsDiffUnit = Some("seconds"))
+      lagged.select(
+        col("event_id"),
+        round(col("ts_lag1_diff"), 4).as("secs_since_prev"))
+    },
+    Some("""
+      SELECT event_id,
+        round(CAST(date_diff('millisecond',
+            lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+          AS DOUBLE) / 1000, 4) AS secs_since_prev
+      FROM events"""))
+
+  /** Daypart bucketing (chained when-expression, no UDF). */
+  val qDaypart = Q(
+    "q_daypart",
+    (s, dir) => tables(s, dir).events
+      .groupBy(DatetimeOps.daypartCat(col("ts")).as("daypart"))
+      .agg(count(lit(1)).as("n")),
+    Some("""
+      SELECT CASE
+          WHEN hour(ts) BETWEEN 0 AND 5 THEN 'late_hours'
+          WHEN hour(ts) BETWEEN 10 AND 16 THEN 'work_hours'
+          WHEN hour(ts) BETWEEN 20 AND 23 THEN 'early_hours'
+          WHEN hour(ts) IN (7, 8, 9, 17, 18, 19) THEN 'commuting_hours'
+          ELSE 'other_hours' END AS daypart,
+        count(*) AS n
+      FROM events GROUP BY 1"""))
+
+  def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
+    qWindowAggregator, qLaggedTs, qDaypart)
+}

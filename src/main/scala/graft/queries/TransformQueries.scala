@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.operators.Transformers
+import graft.queries.QueryPack._
+import org.apache.spark.sql.functions._
+
+/** Transformer operator queries (SURVEY.md §2.8). */
+object TransformQueries {
+
+  val qBinning = Q(
+    "q_binning_equal_range",
+    (s, dir) => Transformers
+      .attributeBinning(tables(s, dir).lineitem, Seq("l_quantity"), "equal_range", 10)
+      .groupBy(col("l_quantity_binned").as("bin"))
+      .agg(count(lit(1)).as("bin_count")),
+    Some {
+      val bin = binCaseSql("l_quantity", "lo", "hi", 10)
+      s"""
+      WITH mm AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS lo,
+                         CAST(max(l_quantity) AS DOUBLE) AS hi FROM lineitem)
+      SELECT $bin AS bin, count(*) AS bin_count
+      FROM lineitem, mm GROUP BY 1"""
+    })
+
+  val qBinningEqFreq = Q(
+    "q_binning_equal_frequency",
+    (s, dir) => Transformers
+      .attributeBinning(tables(s, dir).orders, Seq("o_totalprice"), "equal_frequency", 4)
+      .groupBy(col("o_totalprice_binned").as("bin"))
+      .agg(count(lit(1)).as("bin_count")),
+    Some {
+      val whens = (1 to 3)
+        .map(i => s"WHEN o_totalprice <= quantile_cont(o_totalprice, ${i * 0.25}) OVER () THEN $i")
+        .mkString(" ")
+      // quantile_cont as window is unsupported — use a CTE instead
+      s"""
+      WITH q AS (SELECT quantile_cont(o_totalprice, 0.25) AS c1,
+                        quantile_cont(o_totalprice, 0.50) AS c2,
+                        quantile_cont(o_totalprice, 0.75) AS c3 FROM orders)
+      SELECT CASE WHEN o_totalprice <= c1 THEN 1
+                  WHEN o_totalprice <= c2 THEN 2
+                  WHEN o_totalprice <= c3 THEN 3
+                  ELSE 4 END AS bin,
+             count(*) AS bin_count
+      FROM orders, q GROUP BY 1"""
+    })
+
+  val qMinMaxNorm = Q(
+    "q_minmax_normalization",
+    (s, dir) => Transformers
+      .normalization(tables(s, dir).lineitem, Seq("l_extendedprice"), roundScale = 6)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("scaled")),
+    Some("""
+      WITH mm AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+                         CAST(max(l_extendedprice) AS DOUBLE) AS hi FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+        round((l_extendedprice - lo) / (hi - lo), 6) AS scaled
+      FROM lineitem, mm"""))
+
+  val qZStandardization = Q(
+    "q_z_standardization",
+    (s, dir) => Transformers
+      .zStandardization(tables(s, dir).lineitem, Seq("l_quantity", "l_tax"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("z_quantity"), col("l_tax").as("z_tax")),
+    Some("""
+      WITH st AS (SELECT avg(l_quantity) AS m1, stddev_samp(l_quantity) AS s1,
+                         avg(l_tax) AS m2, stddev_samp(l_tax) AS s2 FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+        round((l_quantity - m1) / s1, 4) AS z_quantity,
+        round((l_tax - m2) / s2, 4) AS z_tax
+      FROM lineitem, st"""))
+
+  val qIqrStandardization = Q(
+    "q_iqr_standardization",
+    (s, dir) => Transformers
+      .iqrStandardization(tables(s, dir).lineitem, Seq("l_quantity"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").as("scaled")),
+    Some("""
+      WITH q AS (SELECT quantile_cont(l_quantity, 0.25) AS q1,
+                        quantile_cont(l_quantity, 0.50) AS q2,
+                        quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+        round((l_quantity - q2) / (q3 - q1), 4) AS scaled
+      FROM lineitem, q"""))
+
+  val qFeatureMath = Q(
+    "q_feature_math",
+    (s, dir) => {
+      val li = tables(s, dir).lineitem
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(Transformers.featureTransformation(col("l_extendedprice"), "ln"), 4).as("ln_price"),
+        round(Transformers.featureTransformation(col("l_quantity"), "sqrt"), 4).as("sqrt_qty"),
+        round(Transformers.featureTransformation(col("l_discount"), "sq"), 4).as("sq_discount"),
+        Transformers.featureTransformation(col("l_quantity"), "floor").as("floor_qty"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        round(ln(l_extendedprice), 4) AS ln_price,
+        round(sqrt(l_quantity), 4) AS sqrt_qty,
+        round(pow(l_discount, 2), 4) AS sq_discount,
+        floor(l_quantity) AS floor_qty
+      FROM lineitem"""))
+
+  val qOutlierCategories = Q(
+    "q_outlier_categories",
+    (s, dir) => Transformers
+      .outlierCategories(tables(s, dir).part, Seq("p_type"), maxCategories = 6)
+      .groupBy("p_type").agg(count(lit(1)).as("cat_count")),
+    Some("""
+      WITH kept AS (SELECT p_type FROM part GROUP BY p_type
+                    ORDER BY count(*) DESC, p_type ASC LIMIT 5)
+      SELECT CASE WHEN p_type IN (SELECT p_type FROM kept) THEN p_type
+                  ELSE 'outlier_categories' END AS p_type,
+             count(*) AS cat_count
+      FROM part GROUP BY 1"""))
+
+  val qTargetEncoding = Q(
+    "q_target_encoding",
+    (s, dir) => Transformers
+      .targetEncoding(tables(s, dir).customer, Seq("c_mktsegment"), col("c_acctbal") > 5000)
+      .select(col("c_mktsegment"), col("c_mktsegment_encoded"))
+      .distinct(),
+    Some("""
+      SELECT c_mktsegment,
+        round(CAST(count(CASE WHEN c_acctbal > 5000 THEN 1 END) AS DOUBLE) / count(*), 4)
+          AS c_mktsegment_encoded
+      FROM customer GROUP BY c_mktsegment"""))
+
+  val qLabelEncoding = Q(
+    "q_label_encoding",
+    (s, dir) => Transformers
+      .labelEncoding(tables(s, dir).orders, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("o_orderpriority_index"))
+      .distinct(),
+    Some("""
+      SELECT o_orderpriority,
+        CAST(row_number() OVER (ORDER BY cnt DESC, o_orderpriority ASC) - 1 AS INT)
+          AS o_orderpriority_index
+      FROM (SELECT o_orderpriority, count(*) AS cnt FROM orders
+            WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority)"""))
+
+  def all: Seq[Q] = Seq(qBinning, qBinningEqFreq, qMinMaxNorm, qZStandardization,
+    qIqrStandardization, qFeatureMath, qOutlierCategories, qTargetEncoding, qLabelEncoding)
+}

@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.core.Reshape
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Read/write/reshape ETL surface (ref: data_ingest/data_ingest.py).
+  * Everything is declarative DataFrame API so Catalyst keeps pushdown,
+  * pruning and join planning.
+  */
+object Ingest {
+
+  /** ref: data_ingest.py:23-51 `read_dataset`. */
+  def readDataset(
+      spark: SparkSession,
+      filePath: String,
+      fileType: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format(fileType).options(options).load(filePath)
+
+  /** ref: data_ingest.py:54-117 `write_dataset` — repartition if target
+    * partition count above current, else coalesce (avoids a shuffle on
+    * shrink, same rule as data_ingest.py:108-117).
+    */
+  def writeDataset(
+      df: DataFrame,
+      filePath: String,
+      fileType: String,
+      mode: String = "overwrite",
+      options: Map[String, String] = Map.empty,
+      repartitionTo: Option[Int] = None): Unit = {
+    val out = repartitionTo match {
+      case Some(n) =>
+        if (n > df.rdd.getNumPartitions) df.repartition(n) else df.coalesce(n)
+      case None => df
+    }
+    out.write.format(fileType).options(options).mode(mode).save(filePath)
+  }
+
+  /** ref: data_ingest.py:120-152 `concatenate_dataset`.
+    * method "name" = align by column name (unionByName);
+    * method "index" = positional union against the first frame's arity.
+    */
+  def concatenateDataset(dfs: Seq[DataFrame], method: String = "name"): DataFrame = {
+    require(dfs.nonEmpty, "concatenate of zero frames")
+    method match {
+      case "name" => Reshape.pairwiseReduce(dfs)(_ unionByName _)
+      case "index" =>
+        val arity = dfs.head.columns.length
+        require(dfs.forall(_.columns.length == arity), "positional union needs equal arity")
+        Reshape.pairwiseReduce(dfs)(_ union _)
+      case m => throw new IllegalArgumentException(s"unknown concat method: $m")
+    }
+  }
+
+  /** ref: data_ingest.py:155-198 `join_dataset` — n-ary equi-join on
+    * shared key(s), balanced pairwise so plan depth stays O(log n).
+    * Catalyst picks broadcast vs shuffle per pair; callers can pre-wrap
+    * small dims in `broadcast(...)`.
+    */
+  def joinDataset(dfs: Seq[DataFrame], keys: Seq[String], joinType: String = "inner"): DataFrame = {
+    require(dfs.size >= 2, "join needs at least two frames")
+    val allowed = Set("inner", "full", "left", "right", "left_semi", "left_anti")
+    require(allowed.contains(joinType), s"unsupported join type $joinType")
+    Reshape.pairwiseReduce(dfs)(_.join(_, keys, joinType))
+  }
+
+  /** ref: data_ingest.py:239-274. */
+  def selectColumn(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.distinct.map(col): _*)
+
+  /** ref: data_ingest.py:201-236. */
+  def deleteColumn(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.drop(cols.distinct: _*)
+
+  /** ref: data_ingest.py:277-319 — single `select`, not chained
+    * withColumnRenamed (one projection node).
+    */
+  def renameColumn(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    df.select(df.columns.map(c => col(c).as(mapping.getOrElse(c, c))).toSeq: _*)
+
+  /** ref: data_ingest.py:322-367. */
+  def recastColumn(df: DataFrame, casts: Map[String, String]): DataFrame =
+    df.select(df.columns.map { c =>
+      casts.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+    }.toSeq: _*)
+
+  /** ref: data_ingest.py:370-533 `recommend_type` — cardinality-driven
+    * numerical↔categorical recommendation. threshold =
+    * min(dynamicFrac * rows, staticCap); a numerical column below it is
+    * recommended categorical, a castable string column above it numerical.
+    * One distributed agg job for all columns.
+    */
+  def recommendType(
+      df: DataFrame,
+      dynamicFrac: Double = 0.01,
+      staticCap: Long = 100): DataFrame = {
+    import df.sparkSession.implicits._
+    val (num, cat, _) = graft.core.ColumnRole.segregate(df.schema)
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      (num ++ cat).map(c => countDistinct(col(c)).as(s"uniq__$c")) ++
+      // try_cast: ANSI-safe castability probe (plain cast throws under ANSI)
+      cat.map(c => count(when(col(c).isNotNull && expr(s"try_cast(`$c` as double)").isNull, 1))
+        .as(s"uncast__$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getAs[Long]("__n")
+    val threshold = math.min(dynamicFrac * n, staticCap.toDouble)
+    val recs =
+      num.map { c =>
+        val u = row.getAs[Long](s"uniq__$c")
+        (c, "numerical", u, if (u <= threshold) "categorical" else "numerical")
+      } ++
+      cat.map { c =>
+        val u = row.getAs[Long](s"uniq__$c")
+        val unCastable = row.getAs[Long](s"uncast__$c")
+        (c, "categorical", u, if (unCastable == 0 && u > threshold) "numerical" else "categorical")
+      }
+    recs.toDF("attribute", "current_type", "unique_values", "recommended_type")
+  }
+}
