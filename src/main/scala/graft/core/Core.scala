@@ -164,5 +164,12 @@ object NumExpr {
     */
   def pct(c: Column, p: Double): Column = percentile(c, lit(p))
 
+  /** Multi-point exact percentile: ONE aggregation buffer shared by all
+    * points (N separate percentile() calls would each materialize the
+    * column's value-count map — N× the memory and CPU).
+    */
+  def pcts(c: Column, ps: Seq[Double]): Column =
+    percentile(c, array(ps.map(lit): _*))
+
   def round4(c: Column): Column = round(c, 4)
 }

@@ -151,19 +151,18 @@ object QualityChecker {
       minValidation: Int = 2): Seq[OutlierBounds] = {
     val exprs = cols.flatMap { c =>
       Seq(
-        NumExpr.pct(col(c), pctileBounds._1).as(s"pl__$c"),
-        NumExpr.pct(col(c), pctileBounds._2).as(s"pu__$c"),
-        NumExpr.pct(col(c), 0.25).as(s"q1__$c"),
-        NumExpr.pct(col(c), 0.75).as(s"q3__$c"),
+        // all four points share one percentile buffer
+        NumExpr.pcts(col(c), Seq(pctileBounds._1, pctileBounds._2, 0.25, 0.75)).as(s"pcts__$c"),
         avg(col(c)).as(s"mean__$c"),
         stddev_samp(col(c)).as(s"sd__$c"))
     }
     val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
     cols.map { c =>
+      val ps = row.getAs[scala.collection.Seq[Double]](s"pcts__$c")
       def g(p: String) = row.getAs[Double](s"${p}__$c")
-      val q1 = g("q1"); val q3 = g("q3"); val iqr = q3 - q1
-      val lowers = Seq(g("pl"), g("mean") - stdevMult * g("sd"), q1 - iqrMult * iqr).sorted
-      val uppers = Seq(g("pu"), g("mean") + stdevMult * g("sd"), q3 + iqrMult * iqr).sorted
+      val pl = ps(0); val pu = ps(1); val q1 = ps(2); val q3 = ps(3); val iqr = q3 - q1
+      val lowers = Seq(pl, g("mean") - stdevMult * g("sd"), q1 - iqrMult * iqr).sorted
+      val uppers = Seq(pu, g("mean") + stdevMult * g("sd"), q3 + iqrMult * iqr).sorted
       // n-th order statistic: a point is outlier only if >= minValidation
       // methods call it one  =>  lower = minValidation-th smallest lower,
       // upper = minValidation-th largest upper.

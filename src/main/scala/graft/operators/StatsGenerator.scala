@@ -159,7 +159,8 @@ object StatsGenerator {
   }
 
   /** ref: stats_generator.py:736-829 `measures_of_dispersion`: stddev,
-    * variance, cov (=sd/mean), IQR (exact), range. Single agg.
+    * variance, cov (=sd/mean), IQR (exact), range. Single agg; the two
+    * quartiles share one percentile buffer.
     */
   def measuresOfDispersion(df: DataFrame, cols: Seq[String]): DataFrame = {
     val exprs = cols.flatMap { c =>
@@ -168,28 +169,45 @@ object StatsGenerator {
         round(sd, 4).as(s"stddev__$c"),
         round(var_samp(col(c)), 4).as(s"variance__$c"),
         round(sd / NumExpr.dmean(col(c)), 4).as(s"cov__$c"),
-        round(NumExpr.pct(col(c), 0.75) - NumExpr.pct(col(c), 0.25), 4).as(s"IQR__$c"),
+        NumExpr.pcts(col(c), Seq(0.25, 0.75)).as(s"q__$c"),
         (max(col(c)) - min(col(c))).as(s"range__$c"))
     }
-    longForm(agg1(df, exprs), cols, Seq("stddev", "variance", "cov", "IQR", "range"))
+    val extracted = agg1(df, exprs).select(
+      cols.flatMap { c =>
+        Seq(col(s"stddev__$c"), col(s"variance__$c"), col(s"cov__$c"),
+          round(element_at(col(s"q__$c"), 2) - element_at(col(s"q__$c"), 1), 4).as(s"IQR__$c"),
+          col(s"range__$c"))
+      }: _*)
+    longForm(extracted, cols, Seq("stddev", "variance", "cov", "IQR", "range"))
   }
 
   val percentilePoints: Seq[Double] = Seq(0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99)
 
   /** ref: stats_generator.py:832-916 `measures_of_percentiles` — min, the
-    * 9 canonical percentiles (exact, linear interpolation), max. One agg;
-    * at 100 TB swap `percentile` for `percentile_approx` via `approx`.
+    * 9 canonical percentiles (exact, linear interpolation), max. One agg
+    * and ONE percentile buffer per column (array form); at 100 TB swap in
+    * `percentile_approx` via `approx`.
     */
   def measuresOfPercentiles(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
-    def p(c: String, q: Double): Column =
-      if (approx) percentile_approx(col(c), lit(q), lit(10000)) else NumExpr.pct(col(c), q)
     val names = percentilePoints.map(q => f"pct_${(q * 100).toInt}%d")
     val exprs = cols.flatMap { c =>
-      Seq(min(col(c)).cast(DoubleType).as(s"min__$c")) ++
-        percentilePoints.zip(names).map { case (q, n) => round(p(c, q), 4).as(s"${n}__$c") } ++
-        Seq(max(col(c)).cast(DoubleType).as(s"max__$c"))
+      val arr =
+        if (approx) percentile_approx(col(c), array(percentilePoints.map(lit): _*), lit(10000))
+        else NumExpr.pcts(col(c), percentilePoints)
+      Seq(
+        min(col(c)).cast(DoubleType).as(s"min__$c"),
+        arr.as(s"pcts__$c"),
+        max(col(c)).cast(DoubleType).as(s"max__$c"))
     }
-    longForm(agg1(df, exprs), cols, Seq("min") ++ names ++ Seq("max"))
+    val extracted = agg1(df, exprs).select(
+      cols.flatMap { c =>
+        Seq(col(s"min__$c")) ++
+          names.zipWithIndex.map { case (n, i) =>
+            round(element_at(col(s"pcts__$c"), i + 1).cast(DoubleType), 4).as(s"${n}__$c")
+          } ++
+          Seq(col(s"max__$c"))
+      }: _*)
+    longForm(extracted, cols, Seq("min") ++ names ++ Seq("max"))
   }
 
   /** ref: stats_generator.py:919-1011 `measures_of_shape` — population

@@ -41,16 +41,16 @@ object Transformers {
         }.toMap
       case "equal_frequency" =>
         val probs = (1 until binCount).map(_.toDouble / binCount)
-        cols.map { c =>
-          val qs =
-            if (approx) df.stat.approxQuantile(c, probs.toArray, 0.01).toSeq
-            else {
-              val exprs = probs.map(p => NumExpr.pct(col(c), p))
-              df.agg(exprs.head, exprs.tail: _*).collect()(0)
-                .toSeq.map(_.asInstanceOf[Double])
-            }
-          c -> qs
-        }.toMap
+        if (approx) {
+          // one pass for ALL columns (GK sketches built together)
+          val qs = df.stat.approxQuantile(cols.toArray, probs.toArray, 0.01)
+          cols.zip(qs.map(_.toSeq)).toMap
+        } else {
+          // one agg, one shared percentile buffer per column
+          val exprs = cols.map(c => NumExpr.pcts(col(c), probs).as(s"q__$c"))
+          val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+          cols.map(c => c -> row.getAs[scala.collection.Seq[Double]](s"q__$c").toSeq).toMap
+        }
       case m => throw new IllegalArgumentException(s"unknown binning method: $m")
     }
     applyBinning(df, cuts, outputSuffix)
@@ -123,15 +123,13 @@ object Transformers {
     * (x − P50) / (P75 − P25), exact percentiles in one agg.
     */
   def iqrStandardization(df: DataFrame, cols: Seq[String], roundScale: Int = 4): DataFrame = {
-    val exprs = cols.flatMap(c => Seq(
-      NumExpr.pct(col(c), 0.25).as(s"q1__$c"),
-      NumExpr.pct(col(c), 0.50).as(s"q2__$c"),
-      NumExpr.pct(col(c), 0.75).as(s"q3__$c")))
+    val exprs = cols.map(c => NumExpr.pcts(col(c), Seq(0.25, 0.50, 0.75)).as(s"q__$c"))
     val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
     cols.foldLeft(df) { (d, c) =>
-      val iqr = row.getAs[Double](s"q3__$c") - row.getAs[Double](s"q1__$c")
+      val qs = row.getAs[scala.collection.Seq[Double]](s"q__$c")
+      val iqr = qs(2) - qs(0)
       if (iqr == 0 || iqr.isNaN) d
-      else d.withColumn(c, round((col(c) - row.getAs[Double](s"q2__$c")) / iqr, roundScale))
+      else d.withColumn(c, round((col(c) - qs(1)) / iqr, roundScale))
     }
   }
 

@@ -1,0 +1,59 @@
+package graft
+
+import graft.core._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class CoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, "a", 1.5, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+    (2L, "b", 2.5, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+  ).toDF("id", "name", "score", "ts")
+
+  test("ColumnRole segregates numeric / categorical / other") {
+    val (num, cat, other) = ColumnRole.segregate(df.schema)
+    assert(num == Seq("id", "score"))
+    assert(cat == Seq("name"))
+    assert(other == Seq("ts"))
+  }
+
+  test("discrete = categorical + integral") {
+    assert(ColumnRole.discreteCols(df) == Seq("id", "name"))
+  }
+
+  test("ColumnSelector resolves all/pipe/drop and rejects unknown") {
+    assert(ColumnSelector.resolve(df, "all") == Seq("id", "name", "score", "ts"))
+    assert(ColumnSelector.resolve(df, "id|score") == Seq("id", "score"))
+    assert(ColumnSelector.resolve(df, "all", dropCols = Seq("ts")) == Seq("id", "name", "score"))
+    intercept[IllegalArgumentException](ColumnSelector.resolve(df, "nope"))
+  }
+
+  test("melt produces long form; transpose inverts it") {
+    val long = Reshape.melt(df, Seq("id"), Seq("name", "score"))
+    assert(long.columns.toSeq == Seq("id", "attribute", "value"))
+    assert(long.count() == 4)
+    val wide = Reshape.transpose(long, "id", "attribute", "value")
+    assert(wide.columns.sorted.toSeq == Seq("id", "name", "score"))
+    assert(wide.count() == 2)
+  }
+
+  test("pairwiseReduce matches linear reduce") {
+    assert(Reshape.pairwiseReduce(Seq(1, 2, 3, 4, 5))(_ + _) == 15)
+    assert(Reshape.pairwiseReduce(Seq("a"))(_ + _) == "a")
+  }
+
+  test("NumExpr.dmean is the exact decimal mean") {
+    val d = Seq(1.0, 2.0, 4.0).toDF("x")
+    val m = d.agg(NumExpr.dmean(col("x"))).first().getDouble(0)
+    assert(m == 7.0 / 3)
+  }
+
+  test("NumExpr.pcts interpolates like quantile_cont") {
+    val d = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val r = d.agg(NumExpr.pcts(col("x"), Seq(0.5, 1.0))).first()
+      .getAs[scala.collection.Seq[Double]](0)
+    assert(r == Seq(2.5, 4.0))
+  }
+}

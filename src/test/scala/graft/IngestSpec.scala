@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources.{Ingest, Sampling}
+import graft.functions.DatetimeOps
+import org.apache.spark.sql.functions._
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("concatenate by name reorders columns; by index is positional") {
+    val a = Seq((1, "x")).toDF("id", "v")
+    val b = Seq(("y", 2)).toDF("v", "id")
+    assert(Ingest.concatenateDataset(Seq(a, b), "name").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    val c = Seq((3, "z")).toDF("id2", "v2")
+    assert(Ingest.concatenateDataset(Seq(a, c), "index").count() == 2)
+  }
+
+  test("n-ary join on shared key") {
+    val a = Seq((1, "a")).toDF("k", "x")
+    val b = Seq((1, "b")).toDF("k", "y")
+    val c = Seq((1, "c")).toDF("k", "z")
+    val j = Ingest.joinDataset(Seq(a, b, c), Seq("k"))
+    assert(j.columns.toSeq == Seq("k", "x", "y", "z") && j.count() == 1)
+    assert(Ingest.joinDataset(Seq(a, Seq((2, "b")).toDF("k", "y")), Seq("k"), "left_anti").count() == 1)
+  }
+
+  test("rename and recast are single projections") {
+    val d = Seq((1, "2.5")).toDF("a", "b")
+    val renamed = Ingest.renameColumn(d, Map("a" -> "id"))
+    assert(renamed.columns.toSeq == Seq("id", "b"))
+    val recast = Ingest.recastColumn(d, Map("b" -> "double"))
+    assert(recast.schema("b").dataType.typeName == "double")
+  }
+
+  test("recommendType flags low-cardinality numeric as categorical") {
+    // threshold = min(0.01*200, 100) = 2
+    val d = (1 to 200).map(i => (i, i % 2, s"v$i", i.toString)).toDF("id", "flag", "name", "digits")
+    val recs = Ingest.recommendType(d).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(recs("id") == "numerical")
+    assert(recs("flag") == "categorical")  // 2 uniques <= 2
+    assert(recs("name") == "categorical")  // not castable
+    assert(recs("digits") == "numerical")  // castable, 200 uniques > 2
+  }
+
+  test("stratified population sampling respects strata") {
+    val d = (1 to 1000).map(i => (i, if (i % 10 == 0) "rare" else "common")).toDF("id", "s")
+    val sampled = Sampling.dataSample(d, 0.5, "stratified", Seq("s"), "population", seed = 1)
+    val counts = sampled.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("common", 0L) > 300 && counts.getOrElse("common", 0L) < 600)
+    val balanced = Sampling.dataSample(d, 1.0, "stratified", Seq("s"), "balanced", seed = 1)
+    val bc = balanced.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bc("common") < 200) // equalized toward smallest stratum (100)
+  }
+
+  test("datetime wrappers: diff, add, flags") {
+    val d = Seq((
+      java.sql.Timestamp.valueOf("2024-01-06 00:00:00"), // a Saturday
+      java.sql.Timestamp.valueOf("2024-01-07 12:00:00")
+    )).toDF("t1", "t2")
+    val r = d.select(
+      DatetimeOps.timeDiff(col("t1"), col("t2"), "hours"),
+      DatetimeOps.isWeekend(col("t1")),
+      DatetimeOps.isLeapYear(col("t1")),
+      DatetimeOps.isMonthStart(col("t1"))).first()
+    assert(r.getDouble(0) == 36.0 && r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 0)
+  }
+
+  test("window aggregator rolling/expanding frames") {
+    val d = Seq((1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0))
+      .toDF("user", "seq", "v")
+    val rolled = DatetimeOps.windowAggregator(d, "v", Seq("seq"), Seq("user"),
+      "rolling", windowSize = 2, aggs = Seq("sum"))
+    val m = rolled.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(m((1, 3)) == 50.0 && m((1, 1)) == 10.0 && m((2, 1)) == 5.0)
+    val lagged = DatetimeOps.laggedTs(d, "v", Seq("seq"), Seq("user"), 1)
+    val lm = lagged.collect().map(r => (r.getInt(0), r.getInt(1)) -> Option(r.get(3))).toMap
+    assert(lm((1, 2)).contains(10.0) && lm((1, 1)).isEmpty)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.QualityChecker
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicateDetection metrics") {
+    val d = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
+    val m = QualityChecker.duplicateDetection(d, Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("rows_count") == 3.0 && m("unique_rows_count") == 2.0 && m("duplicate_rows") == 1.0)
+    assert(QualityChecker.dropDuplicatesOn(d, Seq("k", "v")).count() == 2)
+  }
+
+  test("nullRows histogram and treatment") {
+    val d = Seq(
+      (Some(1), Some("a")),
+      (None: Option[Int], None: Option[String]),
+      (Some(3), None: Option[String])
+    ).toDF("a", "b")
+    val h = QualityChecker.nullRowsDetection(d, Seq("a", "b"), threshold = 0.5).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h == Map(0 -> 1L, 1 -> 1L, 2 -> 1L))
+    assert(QualityChecker.nullRowsTreatment(d, Seq("a", "b"), 0.5).count() == 2)
+  }
+
+  test("invalid entries: null words, special chars, repeats") {
+    val d = Seq("ok", "NA", "###", "aaa", "fine", " null ").toDF("s")
+    val r = QualityChecker.invalidEntriesDetection(d, Seq("s")).collect()(0)
+    assert(r.getLong(r.fieldIndex("invalid_count")) == 4)
+    assert(r.getLong(r.fieldIndex("null_word_count")) == 2)
+    assert(r.getLong(r.fieldIndex("special_char_count")) == 1)
+    assert(r.getLong(r.fieldIndex("repeated_char_count")) == 2) // aaa and ### (overlapping categories)
+    val treated = QualityChecker.invalidEntriesTreatment(d, Seq("s"))
+    assert(treated.filter(col("s").isNull).count() == 4)
+  }
+
+  test("outlier bounds combine methods via order statistic; clamp treatment") {
+    val d = ((1 to 100).map(_.toDouble) :+ 1000.0).toDF("x")
+    val bounds = QualityChecker.outlierBounds(d, Seq("x"))
+    val b = bounds.head
+    assert(b.upper < 1000.0 && b.lower <= 6.0)
+    val clamped = QualityChecker.outlierTreatment(d, bounds, "value")
+    assert(clamped.agg(max(col("x"))).first().getDouble(0) == b.upper)
+    val dropped = QualityChecker.outlierTreatment(d, bounds, "row_removal")
+    assert(dropped.count() < 101)
+  }
+
+  test("idness and biasedness flags") {
+    val d = Seq(("a", "x"), ("b", "x"), ("c", "x"), ("d", "y")).toDF("id", "biased")
+    val idn = QualityChecker.idnessDetection(d, Seq("id"), 0.8).collect()(0)
+    assert(idn.getInt(idn.fieldIndex("flagged")) == 1)
+    val bia = QualityChecker.biasednessDetection(d, Seq("biased"), 0.7).collect()(0)
+    assert(bia.getInt(bia.fieldIndex("flagged")) == 1)
+  }
+}

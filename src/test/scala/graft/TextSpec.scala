@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts and normalization") {
+    val d = Seq("  Hello   World  ", "", "one two three").toDF("text")
+    val counts = d.select(TextOps.tokenCount(col("text"))).collect().map(_.getInt(0)).toSeq
+    assert(counts == Seq(2, 0, 3))
+    val norm = d.select(TextOps.normalizeText(col("text"))).first().getString(0)
+    assert(norm == "hello world")
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    val d = Seq(("A  B\tC", "a b c")).toDF("t1", "t2")
+    val r = d.select(TextOps.fingerprint(col("t1")) === TextOps.fingerprint(col("t2"))).first()
+    assert(r.getBoolean(0))
+  }
+
+  test("langId picks the dominant stopword profile") {
+    val d = Seq(
+      "the cat and the dog of the house is that it",
+      "el perro y la casa de los gatos se fue por que",
+      "xyzzy qwerty").toDF("text")
+    val langs = d.select(TextOps.langId(col("text"))).collect().map(_.getString(0)).toSeq
+    assert(langs == Seq("en", "es", "und"))
+  }
+
+  test("exact duplicates found via fingerprint groupBy") {
+    val d = Seq((1L, "same text here"), (2L, "Same   TEXT here"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val dups = Dedup.exactDuplicates(d, "text", "doc_id").collect()
+    assert(dups.length == 1 && dups(0).getLong(1) == 2 && dups(0).getLong(2) == 1L)
+    assert(Dedup.exactDedup(d, "text", "doc_id").count() == 2)
+  }
+
+  test("shingles produce distinct word n-grams") {
+    val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(d, "text", "doc_id", n = 2).collect().map(_.getString(1)).sorted
+    assert(sh.toSeq == Seq("a b", "b c", "c d"))
+  }
+
+  test("minhash LSH finds planted near-duplicates and verifies jaccard") {
+    val base = (" alpha beta gamma delta epsilon zeta eta theta iota kappa" * 5).trim
+    val d = Seq(
+      (1L, base), (2L, base + " perturbed"), (3L, "совершенно другой текст without overlap at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDuplicates(d, "text", "doc_id",
+      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.3).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) > 0.5)
+  }
+
+  test("simhash: identical texts at hamming 0, near texts close") {
+    val t = "one two three four five six seven eight nine ten"
+    val d = Seq((1L, t), (2L, t), (3L, t + " eleven")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDuplicates(d, "text", "doc_id", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(p => (p._1, p._2))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("brute-force cosine top-k ranks by similarity") {
+    val d = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(d, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1(1L) == 2L && top1(2L) == 1L)
+  }
+
+  test("LSH top-k recovers planted near-neighbours") {
+    // Random gaussian vectors are near-orthogonal — SRP-LSH recall on them
+    // is inherently weak. The guarantee that matters: genuinely-close
+    // pairs land in the same bucket. Plant 30 perturbed twins.
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 30).flatMap { i =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val twin = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, twin))
+    }
+    val d = vecs.toDF("vec_id", "embedding")
+    val approx = Similarity.lshTopK(d, "vec_id", "embedding", k = 1, numPlanes = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 30).count(i => approx.get(i.toLong * 2).contains(i.toLong * 2 + 1))
+    assert(hits >= 27, s"LSH twin recall too low: $hits/30")
+  }
+
+  test("quality score rewards normal prose") {
+    val d = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away to the hills",
+      "!!! ??? ###").toDF("text")
+    val scores = d.select(TextOps.qualityScore(col("text"))).collect().map(_.getDouble(0)).toSeq
+    assert(scores(0) == 1.0 && scores(1) < 0.5)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Transformers
+import org.apache.spark.sql.functions._
+
+class TransformSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("equal-range binning partitions the domain") {
+    val d = (1 to 100).map(_.toDouble).toDF("x")
+    val binned = Transformers.attributeBinning(d, Seq("x"), "equal_range", 4)
+    val counts = binned.groupBy("x_binned").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(1, 2, 3, 4))
+    assert(counts.values.sum == 100)
+    // nulls stay null
+    val withNull = Seq(Some(1.0), None).toDF("x")
+    val nb = Transformers.attributeBinning(withNull, Seq("x"), "equal_range", 2)
+    assert(nb.filter(col("x").isNull && col("x_binned").isNull).count() == 1)
+  }
+
+  test("equal-frequency binning balances counts") {
+    val d = (1 to 100).map(_.toDouble).toDF("x")
+    val binned = Transformers.attributeBinning(d, Seq("x"), "equal_frequency", 4)
+    val counts = binned.groupBy("x_binned").count().collect().map(_.getLong(1))
+    assert(counts.forall(c => c >= 24 && c <= 26))
+  }
+
+  test("z-standardization and min-max normalization") {
+    val d = Seq(0.0, 5.0, 10.0).toDF("x")
+    val z = Transformers.zStandardization(d, Seq("x")).collect().map(_.getDouble(0)).sorted
+    assert(z(1) == 0.0 && z(0) == -z(2))
+    val n = Transformers.normalization(d, Seq("x")).collect().map(_.getDouble(0)).sorted
+    assert(n.toSeq == Seq(0.0, 0.5, 1.0))
+  }
+
+  test("constant column is skipped by scalers") {
+    val d = Seq(3.0, 3.0).toDF("x")
+    assert(Transformers.zStandardization(d, Seq("x")).collect().map(_.getDouble(0)).toSeq == Seq(3.0, 3.0))
+    assert(Transformers.normalization(d, Seq("x")).collect().map(_.getDouble(0)).toSeq == Seq(3.0, 3.0))
+  }
+
+  test("label encoding orders by frequency then value") {
+    val d = Seq("b", "b", "a", "c", "c").toDF("cat")
+    val enc = Transformers.labelEncoding(d, Seq("cat")).select("cat", "cat_index")
+      .distinct().collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(enc == Map("b" -> 0, "c" -> 1, "a" -> 2))
+  }
+
+  test("target encoding emits event rates") {
+    val d = Seq(("a", 1), ("a", 0), ("b", 1), ("b", 1)).toDF("cat", "y")
+    val enc = Transformers.targetEncoding(d, Seq("cat"), col("y") === 1)
+      .select("cat", "cat_encoded").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(enc == Map("a" -> 0.5, "b" -> 1.0))
+  }
+
+  test("one-hot encoding emits 0/1 columns per category") {
+    val d = Seq("a", "b", "a").toDF("cat")
+    val oh = Transformers.oneHotEncoding(d, Seq("cat"))
+    assert(oh.columns.toSet == Set("cat", "cat_a", "cat_b"))
+    assert(oh.agg(sum(col("cat_a")), sum(col("cat_b"))).first().toSeq == Seq(2, 1))
+  }
+
+  test("outlier categories keeps top-k, relabels the rest") {
+    val d = Seq("x", "x", "x", "y", "y", "z", "w").toDF("cat")
+    val out = Transformers.outlierCategories(d, Seq("cat"), maxCategories = 3)
+      .groupBy("cat").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("x" -> 3L, "y" -> 2L, "outlier_categories" -> 2L))
+  }
+
+  test("imputation MMM fills numeric median and categorical mode; leaves non-nulls") {
+    val d = Seq(
+      (Some(1.0), Some("a")),
+      (Some(3.0), Some("a")),
+      (None: Option[Double], None: Option[String])
+    ).toDF("num", "cat")
+    val out = Transformers.imputationMMM(d, Seq("num"), Seq("cat")).collect()
+    assert(out.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+    assert(out.map(_.getDouble(0)).sum == 6.0) // filled with median 2.0
+    assert(out.count(_.getString(1) == "a") == 3)
+  }
+
+  test("boxcox picks the skew-minimizing lambda") {
+    val d = (1 to 200).map(i => math.exp(i / 40.0)).toDF("x")
+    val (_, lambdas) = Transformers.boxcoxTransformation(d, Seq("x"))
+    assert(lambdas("x") == 0.0) // log-normal-ish → ln
+  }
+
+  test("expressionParser evaluates SQL features") {
+    val d = Seq((2, 3)).toDF("a", "b")
+    val r = Transformers.expressionParser(d, Seq("a + b", "a * b")).collect()(0)
+    assert(r.getInt(r.fieldIndex("f0")) == 5 && r.getInt(r.fieldIndex("f1")) == 6)
+  }
+
+  test("feature transformations match math") {
+    val d = Seq(4.0).toDF("x")
+    def t(m: String) = d.select(Transformers.featureTransformation(col("x"), m)).first().getDouble(0)
+    assert(t("sqrt") == 2.0 && t("sq") == 16.0 && t("ln") == math.log(4.0))
+  }
+}
