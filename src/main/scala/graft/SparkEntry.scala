@@ -12,7 +12,7 @@ object SparkEntry {
   private def packs: Seq[Q] =
     CoreQueries.all ++ StatsQueries.all ++ QualityQueries.all ++
       TransformQueries.all ++ TimeQueries.all ++ AnalyticsQueries.all ++
-      TextQueries.all
+      TextQueries.all ++ GeoQueries.all ++ MLQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Geospatial surface (ref: data_transformer/geospatial.py + geo_utils.py).
+  * Distance/centroid/ROG math is pure Catalyst trig (codegen'd, no UDF —
+  * the reference wrapped everything in Python UDFs); geohash encode/decode
+  * and point-in-polygon are small deterministic Scala UDFs over pure
+  * functions, applied per-row with broadcast constants.
+  */
+object Geo {
+
+  val EarthRadiusKm = 6371.0088
+
+  // ------------------------------------------------------------- distances
+
+  /** ref: geo_utils.py:228 haversine — great-circle distance in km. */
+  def haversine(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    lit(2 * EarthRadiusKm) * atan2(sqrt(a), sqrt(lit(1) - a))
+  }
+
+  /** ref: geo_utils.py:325 euclidean distance on unit-sphere cartesian
+    * coordinates, scaled to km.
+    */
+  def euclideanKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val (x1, y1, z1) = cartesian(lat1, lon1)
+    val (x2, y2, z2) = cartesian(lat2, lon2)
+    lit(EarthRadiusKm) * sqrt(pow(x1 - x2, 2) + pow(y1 - y2, 2) + pow(z1 - z2, 2))
+  }
+
+  /** Unit-sphere cartesian (ref: geo_utils.py:161 from_latlon). */
+  def cartesian(lat: Column, lon: Column): (Column, Column, Column) = (
+    cos(radians(lat)) * cos(radians(lon)),
+    cos(radians(lat)) * sin(radians(lon)),
+    sin(radians(lat)))
+
+  // ------------------------------------------------------- format converts
+
+  /** Decimal degrees → degrees/minutes/seconds string (ref: geospatial.py:39). */
+  def ddToDms(dd0: Column): Column = {
+    val dd = dd0.cast("double") // decimal inputs would format seconds as "0.00"
+    val sign = when(dd < 0, "-").otherwise("")
+    val a = abs(dd)
+    val d = floor(a)
+    val m = floor((a - d) * 60)
+    val s = round((a - d - m / 60) * 3600, 2)
+    concat(sign, d.cast("int"), lit("°"), m.cast("int"), lit("'"), s, lit("\""))
+  }
+
+  def ddToRadians(dd: Column): Column = radians(dd)
+  def radiansToDd(r: Column): Column = degrees(r)
+
+  // ----------------------------------------------------------- geohash UDF
+
+  private val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Pure geohash encode (public algorithm; ref exposes the same op via
+    * the python geohash lib, geospatial.py:333).
+    */
+  def geohashEncode(lat: Double, lon: Double, precision: Int): String = {
+    var (latLo, latHi, lonLo, lonHi) = (-90.0, 90.0, -180.0, 180.0)
+    val sb = new StringBuilder
+    var isLon = true
+    var bit = 0
+    var ch = 0
+    while (sb.length < precision) {
+      if (isLon) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+        else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+        else { ch = ch << 1; latHi = mid }
+      }
+      isLon = !isLon
+      bit += 1
+      if (bit == 5) { sb.append(base32(ch)); bit = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  /** Geohash decode → (lat, lon) cell centre. */
+  def geohashDecode(gh: String): (Double, Double) = {
+    var (latLo, latHi, lonLo, lonHi) = (-90.0, 90.0, -180.0, 180.0)
+    var isLon = true
+    gh.foreach { c =>
+      val ch = base32.indexOf(c)
+      (4 to 0 by -1).foreach { b =>
+        val bit = (ch >> b) & 1
+        if (isLon) {
+          val mid = (lonLo + lonHi) / 2
+          if (bit == 1) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (bit == 1) latLo = mid else latHi = mid
+        }
+        isLon = !isLon
+      }
+    }
+    ((latLo + latHi) / 2, (lonLo + lonHi) / 2)
+  }
+
+  val geohashEncodeUdf = udf((lat: Double, lon: Double, p: Int) => geohashEncode(lat, lon, p))
+  val geohashDecodeLatUdf = udf((gh: String) => geohashDecode(gh)._1)
+  val geohashDecodeLonUdf = udf((gh: String) => geohashDecode(gh)._2)
+
+  /** ref: geospatial.py:653 geohash_precision_control — truncation. */
+  def geohashPrecisionControl(gh: Column, precision: Int): Column =
+    substring(gh, 1, precision)
+
+  // ----------------------------------------------------- polygon membership
+
+  /** Ray-casting point-in-polygon (ref: geo_utils.py:368-502), pure
+    * function applied via UDF with the polygon broadcast in the closure.
+    */
+  def pointInPolygon(lat: Double, lon: Double, poly: Seq[(Double, Double)]): Boolean = {
+    var inside = false
+    var j = poly.length - 1
+    var i = 0
+    while (i < poly.length) {
+      val (yi, xi) = poly(i)
+      val (yj, xj) = poly(j)
+      if (((yi > lat) != (yj > lat)) &&
+        (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  def inPolygonUdf(poly: Seq[(Double, Double)]) =
+    udf((lat: Double, lon: Double) => pointInPolygon(lat, lon, poly))
+
+  // --------------------------------------------------- centroid / ROG aggs
+
+  /** ref: geospatial.py:975-1098 centroid — mean unit-sphere cartesian per
+    * group, back to lat/lon via atan2. One groupBy, pure SQL.
+    */
+  def centroid(df: DataFrame, idCol: String, latCol: String, lonCol: String,
+      weight: Option[Column] = None): DataFrame = {
+    val (x, y, z) = cartesian(col(latCol), col(lonCol))
+    val w = weight.getOrElse(lit(1.0))
+    df.groupBy(col(idCol))
+      .agg(
+        (sum(x * w) / sum(w)).as("__x"),
+        (sum(y * w) / sum(w)).as("__y"),
+        (sum(z * w) / sum(w)).as("__z"))
+      .select(
+        col(idCol),
+        round(degrees(atan2(col("__z"), sqrt(pow(col("__x"), 2) + pow(col("__y"), 2)))), 4)
+          .as("centroid_lat"),
+        round(degrees(atan2(col("__y"), col("__x"))), 4).as("centroid_lon"))
+  }
+
+  /** ref: geospatial.py:1223-1334 rog_calculation — mean haversine
+    * distance to the group centroid (broadcast-joined back), km.
+    */
+  def radiusOfGyration(df: DataFrame, idCol: String, latCol: String, lonCol: String): DataFrame = {
+    val cent = centroid(df, idCol, latCol, lonCol)
+    df.join(broadcast(cent), Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(round(avg(
+        haversine(col(latCol), col(lonCol), col("centroid_lat"), col("centroid_lon"))), 4)
+        .as("rog_km"))
+  }
+}

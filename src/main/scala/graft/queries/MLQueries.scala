@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.functions.Multimodal
+import graft.operators.{LatentFeatures, Transformers}
+import graft.queries.QueryPack._
+import graft.workflow.Workflow
+import org.apache.spark.sql.functions._
+
+/** ML-backed transformers, multimodal plumbing, and the YAML workflow
+  * runner as driver-checkable queries.
+  */
+object MLQueries {
+
+  /** PCA latent features (numeric output depends on the eigensolver →
+    * rows-only check; semantics covered by unit tests).
+    */
+  val qPcaLatent = Q(
+    "q_pca_latent",
+    (s, dir) => LatentFeatures.pcaLatentFeatures(
+      tables(s, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      explainedVarianceCutoff = 0.8),
+    None)
+
+  /** ALS matrix-factorization imputation over a deterministically-nulled
+    * user×metric matrix derived from events (model-based → rows-only).
+    */
+  val qAlsImpute = Q(
+    "q_als_imputation",
+    (s, dir) => {
+      val e = tables(s, dir).events
+      val wide = e.groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(avg(col("value")))
+        .withColumn("click", when(col("user_id") % 5 === 0, lit(null)).otherwise(col("click")))
+      LatentFeatures.imputationMatrixFactorization(
+        wide, "user_id", Seq("click", "view", "purchase", "signup", "error"),
+        rank = 4, maxIter = 5)
+    },
+    None)
+
+  /** Auto-imputation harness: masks clean rows, compares candidate
+    * imputers by RMSE (seeded mask → rows-only).
+    */
+  val qAutoImputation = Q(
+    "q_auto_imputation",
+    (s, dir) => {
+      import s.implicits._
+      val (best, rmses) = LatentFeatures.autoImputation(
+        tables(s, dir).lineitem.select("l_quantity", "l_extendedprice"),
+        Seq("l_quantity", "l_extendedprice"))
+      rmses.toSeq.toDF("method", "rmse").withColumn("best", lit(best))
+    },
+    None)
+
+  /** Monotonic binning (event-rate monotone bin search; sketch-based →
+    * rows-only).
+    */
+  val qMonotonicBinning = Q(
+    "q_monotonic_binning",
+    (s, dir) => {
+      val o = tables(s, dir).orders
+      Transformers.monotonicBinning(o, "o_totalprice", "o_orderstatus",
+        col("o_orderstatus") === "F", maxBins = 10)
+        .groupBy("o_totalprice_binned").agg(count(lit(1)).as("n"))
+    },
+    None)
+
+  /** Box-Cox transformation (λ argmax by skewness — deterministic but the
+    * 15-λ argmax is unwieldy in SQL → rows-only).
+    */
+  val qBoxcox = Q(
+    "q_boxcox",
+    (s, dir) => {
+      val (out, _) = Transformers.boxcoxTransformation(
+        tables(s, dir).lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        Seq("l_extendedprice"))
+      out.select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 4).as("boxcox_price"))
+    },
+    None)
+
+  /** Multimodal plumbing: text → binary payload → partition-wise batched
+    * feature extraction (stubbed decode). n_bytes is oracle-checkable
+    * (UTF-8 byte length); the fake features are computed then pruned.
+    */
+  val qMultimodal = Q(
+    "q_multimodal_features",
+    (s, dir) => {
+      val docs = tables(s, dir).documents
+        .withColumn("payload", col("text").cast("binary"))
+      Multimodal.extractFeatures(docs, "doc_id", "payload", dim = 16)
+        .select(col("doc_id"), col("n_bytes"))
+    },
+    Some("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents"))
+
+  private val workflowYaml = (dir: String) => s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/orders.parquet"
+    file_type: parquet
+  delete_column: [o_orderdate]
+transformers:
+  attribute_binning:
+    list_of_cols: [o_totalprice]
+    method_type: equal_range
+    bin_size: 4
+  outlier_categories:
+    list_of_cols: [o_orderpriority]
+    max_category: 3
+"""
+
+  /** End-to-end YAML workflow: ETL → binning → category outliers. The
+    * oracle replays the same pipeline in SQL.
+    */
+  val qWorkflow = Q(
+    "q_workflow_pipeline",
+    (s, dir) => {
+      val (df, _) = Workflow.run(s, workflowYaml(dir))
+      df.groupBy(col("o_totalprice_binned").as("bin"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some {
+      val bin = binCaseSql("o_totalprice", "lo", "hi", 4)
+      s"""
+      WITH mm AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+                         CAST(max(o_totalprice) AS DOUBLE) AS hi FROM orders),
+      kept AS (SELECT o_orderpriority FROM orders GROUP BY o_orderpriority
+               ORDER BY count(*) DESC, o_orderpriority ASC LIMIT 2),
+      t AS (SELECT $bin AS bin,
+              CASE WHEN o_orderpriority IN (SELECT o_orderpriority FROM kept)
+                   THEN o_orderpriority ELSE 'outlier_categories' END AS o_orderpriority
+            FROM orders, mm)
+      SELECT bin, o_orderpriority, count(*) AS n FROM t GROUP BY bin, o_orderpriority"""
+    })
+
+  def all: Seq[Q] = Seq(qPcaLatent, qAlsImpute, qAutoImputation, qMonotonicBinning,
+    qBoxcox, qMultimodal, qWorkflow)
+}

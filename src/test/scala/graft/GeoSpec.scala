@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.Geo
+import org.apache.spark.sql.functions._
+
+class GeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("geohash encode matches public test vectors") {
+    assert(Geo.geohashEncode(57.64911, 10.40744, 11) == "u4pruydqqvj")
+    assert(Geo.geohashEncode(42.6, -5.6, 5) == "ezs42")
+    val (lat, lon) = Geo.geohashDecode("ezs42")
+    assert(math.abs(lat - 42.6) < 0.03 && math.abs(lon + 5.6) < 0.03)
+  }
+
+  test("haversine matches known city distance") {
+    // Paris (48.8566, 2.3522) — London (51.5074, -0.1278) ≈ 343.5 km
+    val d = Seq((48.8566, 2.3522, 51.5074, -0.1278)).toDF("lat1", "lon1", "lat2", "lon2")
+    val km = d.select(Geo.haversine(col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+      .first().getDouble(0)
+    assert(math.abs(km - 343.5) < 1.0)
+  }
+
+  test("centroid of symmetric points is their middle") {
+    val d = Seq(("g", 10.0, 20.0), ("g", -10.0, 20.0)).toDF("id", "lat", "lon")
+    val c = Geo.centroid(d, "id", "lat", "lon").first()
+    assert(math.abs(c.getDouble(1)) < 1e-6 && math.abs(c.getDouble(2) - 20.0) < 1e-6)
+  }
+
+  test("radius of gyration grows with spread") {
+    val tight = Seq(("g", 10.0, 10.0), ("g", 10.1, 10.1)).toDF("id", "lat", "lon")
+    val wide = Seq(("g", 0.0, 0.0), ("g", 20.0, 20.0)).toDF("id", "lat", "lon")
+    val rTight = Geo.radiusOfGyration(tight, "id", "lat", "lon").first().getDouble(1)
+    val rWide = Geo.radiusOfGyration(wide, "id", "lat", "lon").first().getDouble(1)
+    assert(rTight < 15 && rWide > 1000)
+  }
+
+  test("point-in-polygon ray casting") {
+    val triangle = Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0))
+    assert(Geo.pointInPolygon(2.0, 2.0, triangle))
+    assert(!Geo.pointInPolygon(8.0, 8.0, triangle))
+  }
+
+  test("dd to dms formatting") {
+    val d = Seq(30.25, -45.5).toDF("dd")
+    val dms = d.select(Geo.ddToDms(col("dd"))).collect().map(_.getString(0))
+    assert(dms(0) == "30°15'0.0\"" && dms(1) == "-45°30'0.0\"")
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.functions.Multimodal
+import graft.operators.LatentFeatures
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed aggregator over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val stream = input.toDF().toDF("ts", "value")
+    val agg = StreamingOps.streamingAggregator(stream, "ts", "value", "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("agg_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:45:00"), 3.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 11:15:00"), 10.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM agg_out ORDER BY window_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n_events") == 2 && rows(0).getAs[Double]("sum_value") == 4.0)
+      assert(rows(1).getAs[Double]("mean_value") == 10.0)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user stats") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val out = StreamingOps.runningUserStats(input.toDS())
+    val q = out.writeStream.format("memory").queryName("user_stats")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 2.0), (1L, 4.0), (2L, 10.0))
+      q.processAllAvailable()
+      input.addData((1L, 6.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT * FROM user_stats WHERE userId = 1 ORDER BY count DESC LIMIT 1").collect()(0)
+      assert(last.getAs[Long]("count") == 3 && last.getAs[Double]("mean") == 4.0)
+    } finally q.stop()
+  }
+
+  test("multimodal feature extraction is partition-wise and deterministic") {
+    val d = Seq((1L, "hello world"), (2L, ""), (3L, "abc"))
+      .toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+      .repartition(2)
+    val feats = Multimodal.extractFeatures(d, "doc_id", "payload", dim = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Float](2))).toMap
+    assert(feats(1L)._1 == 11L && feats(2L)._1 == 0L && feats(3L)._1 == 3L)
+    assert(feats(1L)._2.length == 4)
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(d, "doc_id", "payload", dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(again(1L) == feats(1L)._2)
+  }
+
+  test("frame sampling explodes deterministic byte slices") {
+    val d = Seq((1L, Array.range(0, 100).map(_.toByte))).toDF("id", "payload")
+    val frames = Multimodal.frameSampleStub(d, "payload", frames = 4).collect()
+    assert(frames.length == 4)
+    assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 1, 2, 3))
+  }
+
+  test("PCA latent features reduce dimensionality deterministically") {
+    val rnd = new scala.util.Random(3)
+    val d = (1 to 200).map { _ =>
+      val base = rnd.nextGaussian()
+      (base + 0.01 * rnd.nextGaussian(), 2 * base + 0.01 * rnd.nextGaussian(),
+        -base + 0.01 * rnd.nextGaussian())
+    }.toDF("a", "b", "c")
+    val out = LatentFeatures.pcaLatentFeatures(d, Seq("a", "b", "c"), 0.95)
+    // one strongly-correlated factor → a single latent survives
+    assert(out.columns.count(_.startsWith("latent_")) == 1)
+    assert(out.count() == 200)
+  }
+
+  test("ALS imputation fills masked cells near their true values") {
+    val users = (0 until 60).map { u =>
+      val base = (u % 6 + 1).toDouble
+      (u.toLong, base, base * 2, base * 3)
+    }
+    val d = users.toDF("uid", "m1", "m2", "m3")
+      .withColumn("m2", when(col("uid") % 7 === 0, lit(null)).otherwise(col("m2")))
+    val filled = LatentFeatures.imputationMatrixFactorization(
+      d, "uid", Seq("m1", "m2", "m3"), rank = 3, maxIter = 10)
+    assert(filled.filter(col("m2").isNull).count() == 0)
+    val err = filled.withColumn("true_m2", col("m1") * 2)
+      .filter(col("uid") % 7 === 0)
+      .agg(avg(abs(col("m2") - col("true_m2")))).first().getDouble(0)
+    assert(err < 1.5, s"ALS imputation error too high: $err")
+  }
+
+  test("auto-imputation prefers the better fill and reports RMSEs") {
+    val rnd = new scala.util.Random(11)
+    val d = (1 to 500).map(_ => rnd.nextGaussian() * 10 + 100).toDF("x")
+    val (best, rmses) = LatentFeatures.autoImputation(d, Seq("x"), nullPct = 0.2)
+    assert(rmses.keySet == Set("mean", "median"))
+    assert(rmses.values.forall(v => v > 0 && v < 30))
+    assert(Seq("mean", "median").contains(best))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.AutoDetect
+import graft.workflow.{FeastExporter, Workflow}
+import org.apache.spark.sql.functions._
+
+class WorkflowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("workflow runs ETL + transformers + write from YAML") {
+    val out = java.nio.file.Files.createTempDirectory("wf").toString
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/orders.parquet"
+    file_type: parquet
+  delete_column: [o_orderdate]
+  rename_column:
+    o_totalprice: price
+transformers:
+  attribute_binning:
+    list_of_cols: [price]
+    method_type: equal_range
+    bin_size: 5
+write_main:
+  file_path: "$out/final"
+  file_type: parquet
+"""
+    val (df, stages) = Workflow.run(spark, yaml)
+    assert(df.columns.contains("price_binned") && !df.columns.contains("o_orderdate"))
+    assert(stages.map(_.name) == Seq("read_dataset", "transformers", "write_main"))
+    assert(stages.forall(_.seconds >= 0))
+    val reread = spark.read.parquet(s"$out/final")
+    assert(reread.count() == df.count())
+  }
+
+  test("workflow quality stage imputes and dedups") {
+    val yaml = """
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/lineitem.parquet"
+    file_type: parquet
+  select_column: [l_orderkey, l_partkey, l_quantity]
+quality_checker:
+  duplicate_detection:
+    list_of_cols: [l_orderkey, l_partkey]
+    treatment: true
+"""
+    val (df, _) = Workflow.run(spark, yaml)
+    assert(df.groupBy("l_orderkey", "l_partkey").count()
+      .agg(max(col("count"))).first().getLong(0) == 1L)
+  }
+
+  test("feast exporter adds timestamps and generates a feature view") {
+    val d = Seq((1L, 2.5, "x")).toDF("id", "score", "tag")
+    val stamped = FeastExporter.addTimestampColumns(d)
+    assert(stamped.columns.contains("event_time") && stamped.columns.contains("created"))
+    val src = FeastExporter.generateFeatureView(stamped, "users", "id", "/data/users.parquet")
+    assert(src.contains("""Field(name="score", dtype=Float64)"""))
+    assert(src.contains("""Field(name="tag", dtype=String)"""))
+    assert(src.contains("join_keys=[\"id\"]"))
+    assert(!src.contains("name=\"event_time\""))
+  }
+
+  test("timestamp auto-detection infers formats from sampled distincts") {
+    val d = Seq(
+      ("2024-01-15", "15/01/2024", "notadate"),
+      ("2023-12-31", "31/12/2023", "alsonot")
+    ).toDF("iso", "euro", "junk")
+    val det = AutoDetect.detectTimestampColumns(d, Seq("iso", "euro", "junk"))
+      .map(x => x.attribute -> x.format).toMap
+    assert(det("iso").contains("yyyy-MM-dd"))
+    assert(det("euro").contains("dd/MM/yyyy"))
+    assert(det("junk").isEmpty)
+    val cast = AutoDetect.tsPreprocess(d, AutoDetect.detectTimestampColumns(d, Seq("iso", "euro")))
+    assert(cast.schema("iso").dataType.typeName == "timestamp")
+    assert(cast.select(year(col("euro"))).collect().map(_.getInt(0)).toSet == Set(2024, 2023))
+  }
+
+  test("geo auto-detection finds lat/lon/geohash columns") {
+    val d = Seq((48.8, 2.35, "u09tvw", 9999.0))
+      .toDF("latitude", "longitude", "geohash_cell", "balance")
+    val g = AutoDetect.detectGeoColumns(d)
+    assert(g.latCols == Seq("latitude"))
+    assert(g.lonCols == Seq("longitude"))
+    assert(g.geohashCols == Seq("geohash_cell"))
+  }
+}
