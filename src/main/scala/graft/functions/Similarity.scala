@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * Baseline: brute-force cosine top-k (block-nested self-join — exact).
   * Scale path: random-hyperplane LSH bucketing so the self-join only
   * happens inside buckets (recall/speed trade controlled by #planes).
-  * Dot products use `zip_with` + `aggregate` (codegen'd higher-order
-  * functions, no UDF).
+  * Dot products: a Catalyst higher-order-function form for expression
+  * contexts, and a tight-loop JVM UDF (identical numerics) for the
+  * per-pair scoring hot path.
   */
 object Similarity {
 
@@ -26,25 +27,91 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Tight-loop JVM dot product for the O(n²) pair-scoring hot path —
+    * same left-to-right double accumulation as `dot` (bit-identical
+    * results), ~an order of magnitude faster than interpreted
+    * higher-order-function evaluation per pair.
+    */
+  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
   /** Exact brute-force cosine top-k neighbours for every vector.
-    * Norms are precomputed once (no repeated per-pair norm work); the
-    * self-join is the O(n²) baseline — correct at any scale but meant
-    * for validation and small n. Output: vec_id, neighbor_id, cos (round
-    * 4), rank 1..k.
+    *
+    * The candidate set is broadcast ONCE as primitive arrays and each
+    * partition keeps a per-row top-k selection — no n²-row join, no
+    * window shuffle/sort over n² pairs (which dominated the naive plan).
+    * Numerics mirror the declarative form exactly: left-to-right double
+    * accumulation of float products, cos = dot/(‖a‖·‖b‖), ties broken on
+    * ascending neighbour id, HALF_UP rounding at 4 — so a SQL oracle
+    * computing the same formula hash-matches.
+    *
+    * Scale: broadcast holds to ~1e6×small-dim vectors; beyond that use
+    * lshTopK (bucketed self-join) or shard the candidate set.
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 5): DataFrame = {
-    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
-    val pairs = withNorm.as("a").join(withNorm.as("b"), col("a.id") =!= col("b.id"))
-      .select(
-        col("a.id").as("vec_id"),
-        col("b.id").as("neighbor_id"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .withColumn("cos", round(col("cos"), 4))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val all: Array[(Long, Array[Float])] = base.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bc = df.sparkSession.sparkContext.broadcast(all)
+
+    def norm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("neighbor_id", LongType),
+      StructField("cos", DoubleType), StructField("rank", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    base.mapPartitions { rows =>
+      val cand = bc.value
+      val candNorms = cand.map(c => norm(c._2))
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1).toArray
+        val nv = norm(v)
+        // top-k selection: (cos desc, neighbor_id asc)
+        val topIds = new Array[Long](k)
+        val topCos = new Array[Double](k)
+        var filled = 0
+        var ci = 0
+        while (ci < cand.length) {
+          val (cid, cv) = cand(ci)
+          if (cid != id) {
+            var s = 0.0; var j = 0
+            val n = math.min(v.length, cv.length)
+            while (j < n) { s += v(j).toDouble * cv(j).toDouble; j += 1 }
+            val cos = s / (nv * candNorms(ci))
+            // insertion position among current top
+            var pos = filled
+            while (pos > 0 && (topCos(pos - 1) < cos ||
+              (topCos(pos - 1) == cos && topIds(pos - 1) > cid))) pos -= 1
+            if (pos < k) {
+              val upto = math.min(filled, k - 1)
+              var m = upto
+              while (m > pos) { topCos(m) = topCos(m - 1); topIds(m) = topIds(m - 1); m -= 1 }
+              topCos(pos) = cos; topIds(pos) = cid
+              if (filled < k) filled += 1
+            }
+          }
+          ci += 1
+        }
+        (0 until filled).iterator.map { i =>
+          val rounded = BigDecimal(topCos(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Row(id, topIds(i), rounded, i + 1)
+        }
+      }
+    }(enc)
   }
+
+  private def RowEncoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d →
     * a value in [-1, 1) derived from a 64-bit mix of (seed, p, d).
@@ -97,7 +164,7 @@ object Similarity {
     val pairs = probes.as("a")
       .join(withNorm.as("b"), col("a.probe") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        (dotUdf(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .distinct()
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))

@@ -27,6 +27,10 @@ object TextOps {
   def normalizeText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Driver-side twin of normalizeText for plain strings. */
+  def normalizeTextString(s: String): String =
+    s.trim.toLowerCase.replaceAll("\\s+", " ")
+
   /** Stable 128-bit document fingerprint over normalized text. */
   def fingerprint(text: Column): Column = md5(normalizeText(text).cast("binary"))
 

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** KNN imputation with the reference's fit-small / apply-big contract
+  * (ref: transformers.py:1677-2019 imputation_sklearn — sklearn KNNImputer
+  * fit on a <=10k-row driver sample, applied distributed). JVM
+  * substitute: the sampled complete-case matrix is broadcast and each
+  * partition imputes its null cells from the k nearest neighbours
+  * (z-scaled euclidean distance over the observed dimensions, neighbour
+  * mean fill — same numerics as sklearn's nan_euclidean + uniform KNN).
+  */
+object KnnImputer {
+
+  def imputationKnn(
+      df: DataFrame,
+      cols: Seq[String],
+      k: Int = 5,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): DataFrame = {
+    val n = df.count()
+    val frac = math.min(1.0, sampleSize * 1.2 / math.max(1, n))
+    val complete = df.select(cols.map(c => col(c).cast("double")): _*).na.drop()
+    val sample: Array[Array[Double]] = complete
+      .sample(withReplacement = false, frac, seed).limit(sampleSize)
+      .collect().map(r => cols.indices.map(r.getDouble).toArray)
+    require(sample.nonEmpty, "KNN imputation needs at least one complete row")
+
+    // per-column scale for the distance metric (driver, O(#cols))
+    val statsRow = df.agg(
+      cols.flatMap(c => Seq(avg(col(c)).as(s"m__$c"), stddev_samp(col(c)).as(s"s__$c"))).head,
+      cols.flatMap(c => Seq(avg(col(c)).as(s"m__$c"), stddev_samp(col(c)).as(s"s__$c"))).tail: _*
+    ).collect()(0)
+    val scales = cols.map { c =>
+      val s = statsRow.getAs[Double](s"s__$c")
+      if (s.isNaN || s < 1e-12) 1.0 else s
+    }.toArray
+
+    val bcSample = df.sparkSession.sparkContext.broadcast(sample)
+    val bcScales = df.sparkSession.sparkContext.broadcast(scales)
+
+    val outSchema = StructType(df.schema.fields.map { f =>
+      if (cols.contains(f.name)) StructField(f.name, DoubleType, nullable = true) else f
+    })
+    val enc = RowEncoder.encoderFor(outSchema)
+    val colIdx = cols.map(df.schema.fieldIndex).toArray
+    val nCols = cols.size
+
+    df.mapPartitions { rows =>
+      val samp = bcSample.value
+      val sc = bcScales.value
+      rows.map { r =>
+        val vals = colIdx.map(i =>
+          if (r.isNullAt(i)) Double.NaN
+          else r.get(i) match {
+            case d: Double => d
+            case x: Number => x.doubleValue()
+          })
+        val filled =
+          if (!vals.exists(_.isNaN)) vals
+          else {
+            // k nearest complete rows by scaled euclidean over observed
+            // dims — bounded insertion top-k, no full sort, no boxing
+            val kk = math.min(k, samp.length)
+            val topIdx = new Array[Int](kk)
+            val topDist = Array.fill(kk)(Double.MaxValue)
+            var si = 0
+            while (si < samp.length) {
+              val s = samp(si)
+              var d = 0.0; var m = 0; var j = 0
+              while (j < nCols) {
+                if (!vals(j).isNaN) {
+                  val diff = (vals(j) - s(j)) / sc(j)
+                  d += diff * diff
+                  m += 1
+                }
+                j += 1
+              }
+              val dist = if (m == 0) Double.MaxValue else d * nCols / m
+              if (dist < topDist(kk - 1)) {
+                var pos = kk - 1
+                while (pos > 0 && topDist(pos - 1) > dist) {
+                  topDist(pos) = topDist(pos - 1); topIdx(pos) = topIdx(pos - 1); pos -= 1
+                }
+                topDist(pos) = dist; topIdx(pos) = si
+              }
+              si += 1
+            }
+            vals.zipWithIndex.map { case (v, j) =>
+              if (!v.isNaN) v
+              else {
+                var sum = 0.0; var t = 0
+                while (t < kk) { sum += samp(topIdx(t))(j); t += 1 }
+                sum / kk
+              }
+            }
+          }
+        val out = new Array[Any](r.length)
+        var i = 0
+        while (i < r.length) { out(i) = r.get(i); i += 1 }
+        colIdx.zipWithIndex.foreach { case (i, j) => out(i) = filled(j) }
+        Row.fromSeq(out.toIndexedSeq)
+      }
+    }(enc)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Multimodal
-import graft.operators.{LatentFeatures, Transformers}
+import graft.operators.{KnnImputer, LatentFeatures, Transformers}
 import graft.queries.QueryPack._
 import graft.workflow.Workflow
 import org.apache.spark.sql.functions._
@@ -135,6 +135,41 @@ transformers:
       SELECT bin, o_orderpriority, count(*) AS n FROM t GROUP BY bin, o_orderpriority"""
     })
 
+  /** Variable clustering over lineitem numerics (eigensolver-based →
+    * rows-only; block-recovery semantics covered by unit tests).
+    */
+  val qVarClus = Q(
+    "q_variable_clustering",
+    (s, dir) => graft.operators.VarClus.variableClustering(
+      tables(s, dir).lineitem,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey", "l_suppkey")),
+    None)
+
+  /** KNN imputation (fit-small/apply-big contract; neighbour averages →
+    * rows-only).
+    */
+  val qKnnImpute = Q(
+    "q_knn_imputation",
+    (s, dir) => {
+      val li = tables(s, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 13 === 0, lit(null)).otherwise(col("l_quantity")))
+      KnnImputer.imputationKnn(li, Seq("l_quantity", "l_extendedprice", "l_discount"),
+        k = 5, sampleSize = 2000)
+    },
+    None)
+
+  /** TF-IDF feature-recommender search over a corpus derived from the
+    * documents table (rows-only — ranking only meaningful as top-k).
+    */
+  val qFeatureRec = Q(
+    "q_feature_recommender",
+    (s, dir) => graft.functions.FeatureRecommender.search(
+      tables(s, dir).documents, "doc_id", "source", "text",
+      query = "spark table join query window", topK = 10),
+    None)
+
   def all: Seq[Q] = Seq(qPcaLatent, qAlsImpute, qAutoImputation, qMonotonicBinning,
-    qBoxcox, qMultimodal, qWorkflow)
+    qBoxcox, qMultimodal, qWorkflow, qVarClus, qKnnImpute, qFeatureRec)
 }

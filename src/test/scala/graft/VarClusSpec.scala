@@ -1,0 +1,69 @@
+package graft
+
+import breeze.linalg.{DenseMatrix => BDM}
+import graft.functions.FeatureRecommender
+import graft.operators.{KnnImputer, VarClus}
+import org.apache.spark.sql.functions._
+
+class VarClusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def blockData = {
+    val rnd = new scala.util.Random(5)
+    (1 to 400).map { _ =>
+      val f1 = rnd.nextGaussian(); val f2 = rnd.nextGaussian()
+      (f1 + 0.05 * rnd.nextGaussian(), f1 * 2 + 0.05 * rnd.nextGaussian(),
+        -f1 + 0.05 * rnd.nextGaussian(),
+        f2 + 0.05 * rnd.nextGaussian(), f2 * 3 + 0.05 * rnd.nextGaussian())
+    }.toDF("a1", "a2", "a3", "b1", "b2")
+  }
+
+  test("variable clustering separates correlated blocks") {
+    val out = VarClus.variableClustering(blockData, Seq("a1", "a2", "a3", "b1", "b2"))
+    val assign = out.collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+    assert(assign("a1") == assign("a2") && assign("a2") == assign("a3"))
+    assert(assign("b1") == assign("b2"))
+    assert(assign("a1") != assign("b1"))
+    val rsRatios = out.collect().map(_.getDouble(4))
+    assert(rsRatios.forall(r => r >= 0 && r < 0.2)) // tight clusters → low ratio
+  }
+
+  test("quartimax rotation preserves orthogonality and concentrates loadings") {
+    val loadings = BDM((0.7, 0.7), (0.7, -0.7), (0.6, 0.65))
+    val rot = VarClus.quartimax2(loadings)
+    // column norms preserved under rotation
+    val pre = (0 until 3).map(i => loadings(i, 0) * loadings(i, 0) + loadings(i, 1) * loadings(i, 1))
+    val post = (0 until 3).map(i => rot(i, 0) * rot(i, 0) + rot(i, 1) * rot(i, 1))
+    pre.zip(post).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // quartimax criterion did not decrease
+    def q(m: BDM[Double]) = (0 until m.rows).map(i =>
+      math.pow(m(i, 0), 4) + math.pow(m(i, 1), 4)).sum
+    assert(q(rot) >= q(loadings) - 1e-9)
+  }
+
+  test("KNN imputation fills nulls from close neighbours") {
+    val rnd = new scala.util.Random(9)
+    val rows = (1 to 300).map { _ =>
+      val x = rnd.nextDouble() * 10
+      (x, 2 * x + rnd.nextGaussian() * 0.1, 3 * x + rnd.nextGaussian() * 0.1)
+    }
+    val d = rows.toDF("x", "y", "z")
+      .withColumn("y", when(rand(1) < 0.1, lit(null)).otherwise(col("y")))
+    val filled = KnnImputer.imputationKnn(d, Seq("x", "y", "z"), k = 5)
+    assert(filled.filter(col("y").isNull).count() == 0)
+    val err = filled.agg(avg(abs(col("y") - col("x") * 2))).first().getDouble(0)
+    assert(err < 0.5, s"KNN fill error too high: $err")
+  }
+
+  test("feature recommender ranks by TF-IDF cosine") {
+    val corpus = Seq(
+      (1L, "customer_age", "age of the customer in years demographic"),
+      (2L, "txn_amount", "transaction amount in dollars payment value"),
+      (3L, "days_since_login", "days elapsed since the last customer login session")
+    ).toDF("id", "name", "description")
+    val top = FeatureRecommender.search(corpus, "id", "name", "description",
+      "transaction payment dollars", topK = 2).collect()
+    assert(top.head.getString(1) == "txn_amount")
+    assert(top.head.getDouble(2) > 0.3)
+  }
+}
