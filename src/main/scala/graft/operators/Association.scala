@@ -16,7 +16,12 @@ object Association {
     * in ONE scalar agg (no VectorAssembler round-trip; for very wide
     * inputs switch to ml.stat.Correlation over an assembled vector).
     */
-  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def correlationMatrix(
+      df0: DataFrame,
+      cols: Seq[String],
+      sampleCap: Option[Long] = None): DataFrame = {
+    // ref association_evaluator.py:43-44: opt-in sample cap (1M)
+    val df = QualityChecker.sampleCapped(df0, sampleCap)
     val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
     val exprs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"corr__${a}__$b") }
     val agg1 = df.agg(exprs.head, exprs.tail: _*)

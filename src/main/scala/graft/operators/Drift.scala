@@ -19,11 +19,15 @@ object Drift {
     * drift_detector.py:252-262 maps to saving the tiny p-frame.
     */
   def driftStatistics(
-      source: DataFrame,
-      target: DataFrame,
+      source0: DataFrame,
+      target0: DataFrame,
       cols: Seq[String],
       binCount: Int = 10,
-      threshold: Double = 0.1): DataFrame = {
+      threshold: Double = 0.1,
+      sampleCap: Option[Long] = Some(100000L)): DataFrame = {
+    // ref drift_detector.py:32,187-211: per-side sample cap (default 100k)
+    val source = QualityChecker.sampleCapped(source0, sampleCap)
+    val target = QualityChecker.sampleCapped(target0, sampleCap)
     val exprs = cols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"min__$c"),
       max(col(c)).cast("double").as(s"max__$c")))

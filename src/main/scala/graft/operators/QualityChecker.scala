@@ -133,7 +133,47 @@ object QualityChecker {
     }
   }
 
+  /** ref: quality_checker.py:286-547 `nullColumns_detection` — missing
+    * stats plus a treatment dispatcher: "row_removal" (drop rows with any
+    * null in cols), "column_removal" (drop cols above the missing-pct
+    * threshold), "MMM" (median/mode fill), "KNN" (fit-small/apply-big).
+    */
+  def nullColumnsDetection(
+      df: DataFrame,
+      cols: Seq[String],
+      treatment: String = "MMM",
+      threshold: Double = 0.5): DataFrame = treatment match {
+    case "row_removal" => df.na.drop(cols)
+    case "column_removal" =>
+      val stats = StatsGenerator.missingCount(df, cols).collect()
+      val toDrop = stats.filter(_.getAs[Double]("missing_pct") > threshold)
+        .map(_.getAs[String]("attribute"))
+      df.drop(toDrop.toIndexedSeq: _*)
+    case "MMM" =>
+      val (num, cat, _) = graft.core.ColumnRole.segregate(
+        df.select(cols.map(col): _*).schema)
+      Transformers.imputationMMM(df, num, cat)
+    case "KNN" =>
+      val (num, _, _) = graft.core.ColumnRole.segregate(
+        df.select(cols.map(col): _*).schema)
+      KnnImputer.imputationKnn(df, num)
+    case t => throw new IllegalArgumentException(s"unknown null treatment: $t")
+  }
+
   final case class OutlierBounds(attribute: String, lower: Double, upper: Double)
+
+  /** Detection-time sample cap (ref default 1M rows,
+    * quality_checker.py:569,831-837): bounds are fitted on a seeded
+    * sample once the input exceeds the cap — the knob that keeps fit cost
+    * constant at 100 TB.
+    */
+  def sampleCapped(df: DataFrame, cap: Option[Long], seed: Long = 42L): DataFrame =
+    cap match {
+      case Some(c) =>
+        val n = df.count()
+        if (n > c) df.sample(withReplacement = false, c.toDouble / n, seed) else df
+      case None => df
+    }
 
   /** ref: quality_checker.py:550-1045 `outlier_detection` — fit side.
     * Three bound methods (percentile / mean±k·stddev / IQR fences); a
@@ -143,12 +183,14 @@ object QualityChecker {
     * (exact percentiles + moments); driver state is O(#cols).
     */
   def outlierBounds(
-      df: DataFrame,
+      df0: DataFrame,
       cols: Seq[String],
       pctileBounds: (Double, Double) = (0.05, 0.95),
       stdevMult: Double = 3.0,
       iqrMult: Double = 1.5,
-      minValidation: Int = 2): Seq[OutlierBounds] = {
+      minValidation: Int = 2,
+      sampleCap: Option[Long] = Some(1000000L)): Seq[OutlierBounds] = {
+    val df = sampleCapped(df0, sampleCap)
     val exprs = cols.flatMap { c =>
       Seq(
         // all four points share one percentile buffer

@@ -170,7 +170,7 @@ object StatsGenerator {
         round(var_samp(col(c)), 4).as(s"variance__$c"),
         round(sd / NumExpr.dmean(col(c)), 4).as(s"cov__$c"),
         NumExpr.pcts(col(c), Seq(0.25, 0.75)).as(s"q__$c"),
-        (max(col(c)) - min(col(c))).as(s"range__$c"))
+        (max(col(c)) - min(col(c))).cast(DoubleType).as(s"range__$c"))
     }
     val extracted = agg1(df, exprs).select(
       cols.flatMap { c =>

@@ -48,6 +48,38 @@ class QualitySpec extends SparkSpec {
     assert(dropped.count() < 101)
   }
 
+  test("nullColumns treatment dispatcher") {
+    val d = Seq(
+      (Some(1.0), Some("a")),
+      (None: Option[Double], Some("b")),
+      (Some(3.0), None: Option[String])
+    ).toDF("num", "cat")
+    assert(QualityChecker.nullColumnsDetection(d, Seq("num", "cat"), "row_removal").count() == 1)
+    val mmm = QualityChecker.nullColumnsDetection(d, Seq("num", "cat"), "MMM")
+    assert(mmm.filter(col("num").isNull || col("cat").isNull).count() == 0)
+    // 1/3 ≈ 0.3333 missing per column: kept at 0.5, dropped at 0.2
+    assert(QualityChecker.nullColumnsDetection(d, Seq("num", "cat"),
+      "column_removal", threshold = 0.5).columns.toSeq == Seq("num", "cat"))
+    assert(QualityChecker.nullColumnsDetection(d, Seq("num", "cat"),
+      "column_removal", threshold = 0.2).columns.isEmpty)
+  }
+
+  test("basic report emits all stats sections") {
+    val d = Seq((1L, 2.5, "x"), (2L, 3.5, "y")).toDF("id", "v", "c")
+    val report = graft.operators.BasicReport.generate(d)
+    assert(report.keySet.contains("global_summary"))
+    assert(report.keySet.contains("measures_of_percentiles"))
+    assert(report.keySet.contains("mode_computation"))
+    assert(report("global_summary").count() == 5)
+  }
+
+  test("sampleCapped leaves small frames untouched and caps big ones") {
+    val d = (1 to 1000).map(_.toDouble).toDF("x")
+    assert(QualityChecker.sampleCapped(d, Some(5000L)).count() == 1000)
+    val capped = QualityChecker.sampleCapped(d, Some(100L)).count()
+    assert(capped > 50 && capped < 200)
+  }
+
   test("idness and biasedness flags") {
     val d = Seq(("a", "x"), ("b", "x"), ("c", "x"), ("d", "y")).toDF("id", "biased")
     val idn = QualityChecker.idnessDetection(d, Seq("id"), 0.8).collect()(0)
