@@ -270,13 +270,19 @@ object Transformers {
     */
   val boxcoxLambdas: Seq[Double] = Seq(1, 0, 0.5, -0.5, 2, -1, -2, 0.25, -0.25, 3, -3, 4, -4, 5, -5)
 
-  def boxcoxTransformation(df: DataFrame, cols: Seq[String]): (DataFrame, Map[String, Double]) = {
+  def boxcoxTransformation(
+      df: DataFrame,
+      cols: Seq[String],
+      fitSampleCap: Option[Long] = Some(100000L)): (DataFrame, Map[String, Double]) = {
     def tx(c: Column, lam: Double): Column =
       if (lam == 0) log(c) else pow(c, lam)
     val exprs = cols.flatMap { c =>
       boxcoxLambdas.map(l => abs(skewness(tx(col(c), l))).as(s"skew__${c}__$l"))
     }
-    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    // λ selection is a fit — sample-then-sketch like the reference's
+    // detection caps; the chosen λ is applied to the FULL data.
+    val fitDf = QualityChecker.sampleCapped(df, fitSampleCap)
+    val row = fitDf.agg(exprs.head, exprs.tail: _*).collect()(0)
     val best = cols.map { c =>
       val scored = boxcoxLambdas.map { l =>
         val v = row.getAs[Double](s"skew__${c}__$l")

@@ -25,15 +25,33 @@ import org.apache.spark.sql.functions._
 object VarClus {
 
   /** Pearson correlation matrix as a Breeze matrix (distributed compute,
-    * driver-held O(p²) result).
+    * driver-held O(p²) result). For narrow inputs all p(p−1)/2 pairs go
+    * into ONE codegen'd aggregation (single scan, no vector assembly);
+    * wide inputs fall back to ml.stat.Correlation's gramian path.
     */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): BDM[Double] = {
-    val assembled = new VectorAssembler()
-      .setInputCols(cols.toArray).setOutputCol("__v").setHandleInvalid("skip")
-      .transform(df.select(cols.map(c => col(c).cast("double")): _*))
-    val m = Correlation.corr(assembled, "__v").head
-      .getAs[org.apache.spark.ml.linalg.Matrix](0)
-    new BDM(m.numRows, m.numCols, m.toArray)
+    val p = cols.size
+    if (p <= 40) {
+      val pairs = for (i <- 0 until p; j <- (i + 1) until p) yield (i, j)
+      val exprs = pairs.map { case (i, j) =>
+        corr(col(cols(i)).cast("double"), col(cols(j)).cast("double")).as(s"c__${i}__$j")
+      }
+      val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+      val m = BDM.eye[Double](p)
+      pairs.foreach { case (i, j) =>
+        val v = row.getAs[Double](s"c__${i}__$j")
+        val r = if (v.isNaN) 0.0 else v
+        m(i, j) = r; m(j, i) = r
+      }
+      m
+    } else {
+      val assembled = new VectorAssembler()
+        .setInputCols(cols.toArray).setOutputCol("__v").setHandleInvalid("skip")
+        .transform(df.select(cols.map(c => col(c).cast("double")): _*))
+      val m = Correlation.corr(assembled, "__v").head
+        .getAs[org.apache.spark.ml.linalg.Matrix](0)
+      new BDM(m.numRows, m.numCols, m.toArray)
+    }
   }
 
   private final case class Eig(vals: BDV[Double], vecs: BDM[Double])

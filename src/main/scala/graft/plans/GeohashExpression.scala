@@ -1,0 +1,63 @@
+package graft.plans
+
+import graft.functions.Geo
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for geohash encoding — stays inside
+  * whole-stage codegen (a Scala UDF here would break the codegen span of
+  * any projection it appears in). The generated code calls the static
+  * encoder; null handling comes from TernaryExpression's null-safe
+  * wrapper.
+  *
+  * The reference exposes geohash via a Python UDF over the `geohash2`
+  * lib (ref: geospatial.py:333, geo_utils.py:51); this is the
+  * expression-level equivalent. Register with `GraftFunctions.register`
+  * and call as SQL `geohash_encode(lat, lon, precision)`.
+  */
+case class GeohashEncodeExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "geohash_encode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = first.dataType == DoubleType && second.dataType == DoubleType &&
+      third.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"geohash_encode expects (double, double, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+
+  override protected def nullSafeEval(lat: Any, lon: Any, precision: Any): Any =
+    UTF8String.fromString(Geo.geohashEncode(
+      lat.asInstanceOf[Double], lon.asInstanceOf[Double], precision.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, lon, p) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.plans.GeohashEncodeExpr.encode($lat, $lon, $p))")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object GeohashEncodeExpr {
+  /** Static entry point referenced by the generated code. */
+  def encode(lat: Double, lon: Double, precision: Int): String =
+    Geo.geohashEncode(lat, lon, precision)
+}
+
+/** Session-level registration of graft's native SQL functions. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "geohash_encode",
+      exprs => GeohashEncodeExpr(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+}

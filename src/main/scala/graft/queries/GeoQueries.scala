@@ -130,16 +130,18 @@ object GeoQueries {
              THEN 1 ELSE 0 END AS in_region
       FROM pts"""))
 
-  /** Geohash encode/truncate/decode round-trip (no DuckDB equivalent →
-    * rows-only; exactness is covered by unit tests with known vectors).
+  /** Geohash encode/truncate/decode round-trip via the NATIVE codegen'd
+    * expression (no DuckDB equivalent → rows-only; exactness is covered
+    * by unit tests with known vectors).
     */
   val qGeohash = Q(
     "q_geohash",
     (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       val pts = withPoints(tables(s, dir).customer)
       pts.select(
         col("c_custkey"),
-        Geo.geohashEncodeUdf(col("lat"), col("lon"), lit(7)).as("gh7"))
+        expr("geohash_encode(cast(lat as double), cast(lon as double), 7)").as("gh7"))
         .withColumn("gh4", Geo.geohashPrecisionControl(col("gh7"), 4))
         .withColumn("lat_rt", round(Geo.geohashDecodeLatUdf(col("gh7")), 2))
     },

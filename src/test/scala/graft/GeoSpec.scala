@@ -41,6 +41,18 @@ class GeoSpec extends SparkSpec {
     assert(!Geo.pointInPolygon(8.0, 8.0, triangle))
   }
 
+  test("native geohash_encode expression matches the pure function (codegen path)") {
+    graft.plans.GraftFunctions.register(spark)
+    val d = Seq((57.64911, 10.40744), (42.6, -5.6)).toDF("lat", "lon")
+    val out = d.selectExpr("geohash_encode(cast(lat as double), cast(lon as double), 5) AS gh")
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("u4pru", "ezs42"))
+    // null-safe
+    val n = spark.sql("SELECT geohash_encode(CAST(NULL AS DOUBLE), CAST(1.0 AS DOUBLE), 5)")
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("dd to dms formatting") {
     val d = Seq(30.25, -45.5).toDF("dd")
     val dms = d.select(Geo.ddToDms(col("dd"))).collect().map(_.getString(0))
