@@ -109,11 +109,12 @@ object StatsGenerator {
     val long = Reshape.melt(df, Nil, cols).filter(col("value").isNotNull)
     val counts = long.groupBy("attribute", "value").agg(count(lit(1)).as("mode_count"))
     val w = Window.partitionBy("attribute").orderBy(col("mode_count").desc, col("value").asc)
-    val totals = long.groupBy("attribute").agg(count(lit(1)).as("__nonnull"))
+    // non-null totals derive from the aggregated counts (window over the
+    // small post-agg frame) — a separate groupBy would re-scan the input
     counts
+      .withColumn("__nonnull", sum(col("mode_count")).over(Window.partitionBy("attribute")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .join(totals, Seq("attribute"))
       .select(
         col("attribute"),
         col("value").as("mode"),
