@@ -27,12 +27,15 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** (key, shingle) pairs: distinct word n-grams of the normalized text. */
+  /** (key, shingle) pairs: distinct word n-grams of the normalized text.
+    * Texts with fewer than n tokens produce no shingles.
+    */
   def shingles(df: DataFrame, textCol: String, keyCol: String, n: Int = 3): DataFrame = {
     val toks = split(TextOps.normalizeText(col(textCol)), " ")
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
     df.select(col(keyCol).as("key"), explode(array_distinct(grams)).as("shingle"))
       .filter(length(col("shingle")) > 0)
       .distinct()

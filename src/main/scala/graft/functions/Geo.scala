@@ -33,6 +33,52 @@ object Geo {
     lit(EarthRadiusKm) * sqrt(pow(x1 - x2, 2) + pow(y1 - y2, 2) + pow(z1 - z2, 2))
   }
 
+  /** ref: geo_utils.py:283 vincenty — iterative inverse geodesic on the
+    * WGS-84 ellipsoid (pure function + UDF; the iteration doesn't fit a
+    * closed-form Catalyst expression). Distance in km.
+    */
+  def vincentyKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val a = 6378137.0; val f = 1 / 298.257223563; val b = (1 - f) * a
+    val l = math.toRadians(lon2 - lon1)
+    val u1 = math.atan((1 - f) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1 - f) * math.tan(math.toRadians(lat2)))
+    val (sinU1, cosU1) = (math.sin(u1), math.cos(u1))
+    val (sinU2, cosU2) = (math.sin(u2), math.cos(u2))
+    var lambda = l
+    var iter = 0
+    var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+    var cosSqAlpha = 0.0; var cos2SigmaM = 0.0
+    var converged = false
+    while (iter < 100 && !converged) {
+      val sinL = math.sin(lambda); val cosL = math.cos(lambda)
+      sinSigma = math.sqrt(
+        math.pow(cosU2 * sinL, 2) +
+          math.pow(cosU1 * sinU2 - sinU1 * cosU2 * cosL, 2))
+      if (sinSigma == 0) return 0.0
+      cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinL / sinSigma
+      cosSqAlpha = 1 - sinAlpha * sinAlpha
+      cos2SigmaM = if (cosSqAlpha == 0) 0.0 else cosSigma - 2 * sinU1 * sinU2 / cosSqAlpha
+      val c = f / 16 * cosSqAlpha * (4 + f * (4 - 3 * cosSqAlpha))
+      val prev = lambda
+      lambda = l + (1 - c) * f * sinAlpha *
+        (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM)))
+      if (math.abs(lambda - prev) < 1e-12) converged = true
+      iter += 1
+    }
+    val uSq = cosSqAlpha * (a * a - b * b) / (b * b)
+    val bigA = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
+    val bigB = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
+    val deltaSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4 *
+      (cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM) -
+        bigB / 6 * cos2SigmaM * (-3 + 4 * sinSigma * sinSigma) * (-3 + 4 * cos2SigmaM * cos2SigmaM)))
+    b * bigA * (sigma - deltaSigma) / 1000.0
+  }
+
+  val vincentyUdf = udf((lat1: Double, lon1: Double, lat2: Double, lon2: Double) =>
+    vincentyKm(lat1, lon1, lat2, lon2))
+
   /** Unit-sphere cartesian (ref: geo_utils.py:161 from_latlon). */
   def cartesian(lat: Column, lon: Column): (Column, Column, Column) = (
     cos(radians(lat)) * cos(radians(lon)),

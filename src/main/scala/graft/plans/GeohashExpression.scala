@@ -61,3 +61,16 @@ object GraftFunctions {
       exprs => GeohashEncodeExpr(exprs(0), exprs(1), exprs(2)),
       "built-in")
 }
+
+/** SparkSessionExtensions hook — enables
+  * `spark.sql.extensions=graft.plans.GraftExtensions` so graft's native
+  * functions exist in every session without manual registration.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("geohash_encode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GeohashEncodeExpr].getName, "geohash_encode"),
+      (exprs: Seq[Expression]) => GeohashEncodeExpr(exprs(0), exprs(1), exprs(2))))
+}

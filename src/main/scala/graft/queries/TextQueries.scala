@@ -152,6 +152,36 @@ object TextQueries {
     },
     None)
 
+  /** Exact word-3-gram Jaccard for every intersecting same-language pair
+    * — fully SQL-expressible (lateral unnest + list slicing on the
+    * oracle side), so the whole LSH-free dedup path is hash-checked.
+    */
+  val qNgramJaccard = Q(
+    "q_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(
+      tables(s, dir).documents, "text", "doc_id", blockCol = "lang",
+      n = 3, threshold = 0.01),
+    Some(s"""
+      WITH norm AS (
+        SELECT doc_id, lang, str_split($normSql, ' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, lang,
+               array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+        FROM norm, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+      sh2 AS (SELECT * FROM sh WHERE length(shingle) > 0),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS key_1, b.doc_id AS key_2, count(*) AS i
+        FROM sh2 a JOIN sh2 b
+          ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT key_1, key_2,
+             round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+      FROM inter
+      JOIN sizes na ON key_1 = na.doc_id
+      JOIN sizes nb ON key_2 = nb.doc_id
+      WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.01"""))
+
   /** Brute-force cosine top-k over the embeddings table — exact oracle
     * via unnest-zip in DuckDB.
     */
@@ -196,5 +226,6 @@ object TextQueries {
     None)
 
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
-    qExactDedup, qMinhashDedup, qSimhashDedup, qCosineTopK, qLshTopK, qStratifiedSample)
+    qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qCosineTopK, qLshTopK,
+    qStratifiedSample)
 }

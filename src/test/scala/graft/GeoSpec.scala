@@ -35,6 +35,32 @@ class GeoSpec extends SparkSpec {
     assert(rTight < 15 && rWide > 1000)
   }
 
+  test("vincenty matches haversine within ellipsoidal correction") {
+    // Paris—London: vincenty (WGS-84) ≈ 343.9 km
+    val v = Geo.vincentyKm(48.8566, 2.3522, 51.5074, -0.1278)
+    assert(math.abs(v - 343.9) < 1.0)
+    assert(Geo.vincentyKm(10.0, 20.0, 10.0, 20.0) == 0.0)
+  }
+
+  test("feature stability estimation propagates moments through a formula") {
+    import graft.operators.StabilityEstimation
+    import graft.operators.StabilityEstimation.AttrStats
+    // stable base attributes → stable derived feature
+    val stable = Seq.fill(3)(Map("x" -> AttrStats(10.0, 1.0), "y" -> AttrStats(5.0, 0.5)))
+    val r1 = StabilityEstimation.featureStabilityEstimation(spark, "x + 2 * y", stable).first()
+    assert(r1.getAs[Double]("stability_index_lower_bound") == 4.0)
+    // f0 = mean propagation: f(10,5) = 20
+    val props = StabilityEstimation.propagate(spark, "x + 2 * y", stable)
+    assert(math.abs(props.head.mean - 20.0) < 1e-6)
+    assert(math.abs(props.head.stddev - math.sqrt(1.0 + 4 * 0.25)) < 1e-3)
+    // drifting means → low score
+    val drifting = Seq(
+      Map("x" -> AttrStats(10.0, 1.0)), Map("x" -> AttrStats(100.0, 1.0)),
+      Map("x" -> AttrStats(-50.0, 1.0)))
+    val r2 = StabilityEstimation.featureStabilityEstimation(spark, "x * 3", drifting).first()
+    assert(r2.getAs[Int]("mean_si") == 0)
+  }
+
   test("point-in-polygon ray casting") {
     val triangle = Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0))
     assert(Geo.pointInPolygon(2.0, 2.0, triangle))

@@ -53,6 +53,30 @@ class IngestSpec extends SparkSpec {
     assert(bc("common") < 200) // equalized toward smallest stratum (100)
   }
 
+  test("csv/json/parquet round-trips preserve data") {
+    val dir = java.nio.file.Files.createTempDirectory("fmt").toString
+    val d = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    for (fmt <- Seq("csv", "json", "parquet")) {
+      val opts = if (fmt == "csv") Map("header" -> "true", "inferSchema" -> "true") else Map.empty[String, String]
+      Ingest.writeDataset(d, s"$dir/$fmt", fmt, options = if (fmt == "csv") Map("header" -> "true") else Map.empty)
+      val back = Ingest.readDataset(spark, s"$dir/$fmt", fmt, opts)
+      assert(back.count() == 2, s"$fmt round-trip lost rows")
+      assert(back.columns.sorted.toSeq == Seq("id", "name", "score"), s"$fmt columns")
+    }
+  }
+
+  test("avro round-trip (bundled spark-avro)") {
+    val dir = java.nio.file.Files.createTempDirectory("avro").toString
+    val d = Seq((1L, "a")).toDF("id", "name")
+    try {
+      Ingest.writeDataset(d, s"$dir/avro", "avro")
+      assert(Ingest.readDataset(spark, s"$dir/avro", "avro").count() == 1)
+    } catch {
+      case e: Throwable if e.getMessage != null && e.getMessage.contains("avro") =>
+        cancel("spark-avro not bundled in this image: " + e.getMessage.take(100))
+    }
+  }
+
   test("datetime wrappers: diff, add, flags") {
     val d = Seq((
       java.sql.Timestamp.valueOf("2024-01-06 00:00:00"), // a Saturday
