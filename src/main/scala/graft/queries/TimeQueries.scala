@@ -170,6 +170,30 @@ object TimeQueries {
         count(*) AS n
       FROM events GROUP BY 1"""))
 
+  /** Regex timestamp auto-detection round-trip: format a date column to
+    * strings, auto-detect the format from a capped distinct sample, cast
+    * back — components must equal the originals (identity oracle).
+    */
+  val qTsAutodetect = Q(
+    "q_ts_autodetect",
+    (s, dir) => {
+      import graft.functions.AutoDetect
+      val o = tables(s, dir).orders
+        .withColumn("date_str", date_format(col("o_orderdate"), "dd/MM/yyyy"))
+      val det = AutoDetect.detectTimestampColumns(o, Seq("date_str"))
+      require(det.head.format.contains("dd/MM/yyyy"), s"detection failed: $det")
+      val cast = AutoDetect.tsPreprocess(o, det)
+      cast.select(
+        col("o_orderkey"),
+        year(col("date_str")).cast(LongType).as("yr"),
+        month(col("date_str")).cast(LongType).as("mo"),
+        dayofmonth(col("date_str")).cast(LongType).as("dom"))
+    },
+    Some("""
+      SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             day(o_orderdate) AS dom
+      FROM orders"""))
+
   def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
-    qWindowAggregator, qLaggedTs, qDaypart)
+    qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect)
 }

@@ -75,6 +75,57 @@ object StreamingOps {
       }
   }
 
+  final case class SessionState(start: Long, lastSeen: Long, count: Long)
+  final case class Session(userId: Long, startMs: Long, endMs: Long,
+      events: Long, durationSec: Double)
+
+  /** Event-time sessionization via flatMapGroupsWithState: a session
+    * closes once a later event for the key arrives more than `gapMs`
+    * after the last one (deterministic, event-time driven); with
+    * `useProcessingTimeout` an idle key's open session is also flushed by
+    * a processing-time timeout. State per key is O(1).
+    */
+  def sessionize(
+      events: Dataset[(Long, Long)], // (userId, eventTimeMs)
+      gapMs: Long = 30 * 60 * 1000L,
+      useProcessingTimeout: Boolean = false): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (useProcessingTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeoutConf) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start, s.lastSeen, s.count,
+              (s.lastSeen - s.start) / 1000.0))
+          } else {
+            val times = rows.map(_._2).toSeq.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = t, count = s.count + 1))
+                case Some(s) =>
+                  closed += Session(userId, s.start, s.lastSeen, s.count,
+                    (s.lastSeen - s.start) / 1000.0)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach(state.update)
+            if (useProcessingTimeout) state.setTimeoutDuration(gapMs)
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming drift monitor: per event-time window, bin `valueCol` with
     * precomputed source cutoffs (broadcast driver state, O(#bins)) and
     * emit per-bin frequencies — the q-side of PSI; join against the saved

@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.{Dedup, TextOps}
+import graft.operators.{Drift, QualityChecker, StatsGenerator, Transformers}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic properties (SURVEY.md §5 test plan): invariants that must
+  * hold for ANY input, checked over scalacheck-generated data (sampled
+  * manually — the scalatest/scalacheck bridge isn't on the offline
+  * classpath).
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val doublesGen: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.choose(-1000.0, 1000.0)).map(_.take(200))
+
+  test("binning partitions the domain: every value lands in exactly one bin 1..k") {
+    for ((xs, k) <- samples(doublesGen, 4).zip(Seq(2, 3, 5, 8))) {
+      val df = xs.toDF("x")
+      val binned = Transformers.attributeBinning(df, Seq("x"), "equal_range", k)
+      val bins = binned.select("x_binned").collect().map(_.getInt(0))
+      assert(bins.length == xs.length)
+      assert(bins.forall(b => b >= 1 && b <= k), s"bins out of range for k=$k")
+    }
+  }
+
+  test("imputation leaves non-null rows unchanged") {
+    for (xs <- samples(doublesGen, 3) if xs.size >= 3) {
+      val df = xs.zipWithIndex.map { case (x, i) =>
+        (i, if (i % 3 == 0) None else Some(x))
+      }.toDF("id", "x")
+      val out = Transformers.imputationMMM(df, Seq("x"), Nil)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      xs.zipWithIndex.foreach { case (x, i) =>
+        if (i % 3 != 0) assert(out(i) == x)
+        else assert(!out(i).isNaN)
+      }
+    }
+  }
+
+  test("PSI(p, p) = 0 for any distribution") {
+    for (xs <- samples(doublesGen, 3) if xs.distinct.size >= 3) {
+      val df = xs.toDF("x")
+      val r = Drift.driftStatistics(df, df, Seq("x"), binCount = 5).collect()(0)
+      assert(r.getDouble(r.fieldIndex("PSI")) == 0.0)
+      assert(r.getDouble(r.fieldIndex("KS")) == 0.0)
+    }
+  }
+
+  test("exact dedup is idempotent") {
+    val textGen = Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "Alpha ", " beta", "gamma"))
+      .map(_.take(30))
+    for (texts <- samples(textGen, 4)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Dedup.exactDedup(df, "text", "doc_id")
+      val twice = Dedup.exactDedup(once, "text", "doc_id")
+      assert(once.count() == twice.count())
+      val fps = once.select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
+      assert(fps.distinct.length == fps.length)
+    }
+  }
+
+  test("outlier clamp treatment is idempotent and bounded") {
+    for (xs <- samples(doublesGen, 3) if xs.distinct.size >= 10) {
+      val df = xs.toDF("x")
+      val bounds = QualityChecker.outlierBounds(df, Seq("x"))
+      val once = QualityChecker.outlierTreatment(df, bounds, "value")
+      val twice = QualityChecker.outlierTreatment(once, bounds, "value")
+      val a = once.select("x").collect().map(_.getDouble(0)).sorted.toSeq
+      val b = twice.select("x").collect().map(_.getDouble(0)).sorted.toSeq
+      assert(a == b)
+      assert(a.forall(v => v >= bounds.head.lower && v <= bounds.head.upper))
+    }
+  }
+
+  test("missing + fill counts always sum to row count") {
+    for (xs <- samples(doublesGen, 3)) {
+      val df = xs.zipWithIndex.map { case (x, i) =>
+        if (i % 4 == 0) (None: Option[Double]) else Some(x)
+      }.toDF("x")
+      val r = StatsGenerator.measuresOfCounts(df, Seq("x")).collect()(0)
+      assert(r.getLong(r.fieldIndex("fill_count")) + r.getLong(r.fieldIndex("missing_count"))
+        == xs.length)
+    }
+  }
+}

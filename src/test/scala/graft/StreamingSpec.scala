@@ -46,6 +46,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization closes sessions after the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val out = StreamingOps.sessionize(input.toDS(), gapMs = 10000L)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // two bursts 60s apart -> first session closes when the second arrives
+      input.addData((1L, 1000L), (1L, 3000L), (1L, 8000L))
+      q.processAllAvailable()
+      input.addData((1L, 70000L), (1L, 72000L))
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT * FROM sessions").collect()
+      assert(sessions.length == 1)
+      val s = sessions(0)
+      assert(s.getAs[Long]("startMs") == 1000L && s.getAs[Long]("endMs") == 8000L)
+      assert(s.getAs[Long]("events") == 3L)
+      assert(s.getAs[Double]("durationSec") == 7.0)
+    } finally q.stop()
+  }
+
+  test("salted join spreads hot keys and preserves results") {
+    import graft.sources.SkewJoin
+    val fact = ((1 to 900).map(_ => (1L, "hot")) ++ (1 to 100).map(i => (i.toLong + 1, "cold")))
+      .toDF("k", "tag")
+    val dim = (1 to 101).map(i => (i.toLong, s"dim_$i")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedJoin(fact, dim, Seq("k"), saltFactor = 4)
+      .groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted("dim_1") == 900L)
+  }
+
   test("multimodal feature extraction is partition-wise and deterministic") {
     val d = Seq((1L, "hello world"), (2L, ""), (3L, "abc"))
       .toDF("doc_id", "text")
