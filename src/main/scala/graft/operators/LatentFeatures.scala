@@ -35,8 +35,10 @@ object LatentFeatures {
       case 0 => cols.size
       case n => n
     })
-    val model = new PCA().setInputCol("__scaled").setOutputCol("__pca").setK(k).fit(scaled)
-    val out = model.transform(scaled)
+    // components are ordered by explained variance — projecting with the
+    // full model and slicing the first k coordinates equals refitting
+    // PCA(k), without a second fit pass
+    val out = full.transform(scaled)
       .withColumn("__arr", vector_to_array(col("__pca")))
     val withLatents = (0 until k).foldLeft(out) { (d, i) =>
       d.withColumn(s"latent_$i", round(element_at(col("__arr"), i + 1), 4))

@@ -77,6 +77,23 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables sort-merge join without a shuffle") {
+    spark.sql("DROP TABLE IF EXISTS bk_a")
+    spark.sql("DROP TABLE IF EXISTS bk_b")
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Ingest.writeBucketedTable(a, "bk_a", Seq("k"), 4, sortCols = Seq("k"))
+    Ingest.writeBucketedTable(b, "bk_b", Seq("k"), 4, sortCols = Seq("k"))
+    // force SMJ (tiny tables would broadcast) to prove bucket co-location
+    val joined = spark.table("bk_a").hint("merge").join(spark.table("bk_b"), "k")
+    assert(joined.count() == 1000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange"), s"bucketed join still shuffles:\n$plan")
+    assert(plan.contains("SortMergeJoin"))
+    spark.sql("DROP TABLE IF EXISTS bk_a")
+    spark.sql("DROP TABLE IF EXISTS bk_b")
+  }
+
   test("datetime wrappers: diff, add, flags") {
     val d = Seq((
       java.sql.Timestamp.valueOf("2024-01-06 00:00:00"), // a Saturday
