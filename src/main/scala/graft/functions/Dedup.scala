@@ -149,6 +149,30 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-duplicates: pairs above the similarity
+    * threshold from the ANN index (LSH buckets — the scale path), plus a
+    * representative assignment (every member points at the smallest id
+    * it is near — a single-pass approximation of connected components,
+    * exact for clique-shaped duplicate groups).
+    */
+  def embeddingNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      numPlanes: Int = 8): DataFrame = {
+    val pairs = Similarity.lshTopK(df, idCol, vecCol, k = 10, numPlanes = numPlanes)
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id"), col("neighbor_id"), col("cos"))
+    pairs
+      .groupBy("vec_id")
+      .agg(min(when(col("neighbor_id") < col("vec_id"), col("neighbor_id"))).as("rep0"),
+        max(col("cos")).as("max_cos"))
+      .select(col("vec_id"),
+        coalesce(col("rep0"), col("vec_id")).as("representative"),
+        col("max_cos"))
+  }
+
   /** Exact n-gram Jaccard for all pairs inside a blocking key (e.g. same
     * source/lang) — the quadratic fallback, kept partition-local by the
     * blocking join key.

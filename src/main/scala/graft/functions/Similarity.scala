@@ -137,6 +137,59 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF-style approximate top-k: a KMeans coarse quantizer (seeded,
+    * fitted on a sample) assigns every vector to its nearest centroid
+    * cell; queries probe their own cell plus the `nprobe−1` next-nearest
+    * cells, and candidates meet in a hash-partitioned cell join. The
+    * classic inverted-file trade: recall grows with nprobe, cost with
+    * cellCount. Scale path beyond the broadcast limit of bruteForceTopK.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      cellCount: Int = 16,
+      nprobe: Int = 3,
+      seed: Long = 42L,
+      fitSample: Int = 10000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("fv", array_to_vector(col("v").cast("array<double>")))
+    val km = new KMeans().setK(cellCount).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(base.limit(fitSample))
+    val centers = km.clusterCenters.map(_.toArray)
+    val bcCenters = df.sparkSession.sparkContext.broadcast(centers)
+    // per-vector: nprobe nearest cells (tiny per-row loop over centroids)
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val cs = bcCenters.value
+      cs.indices
+        .map { ci =>
+          var d = 0.0; var j = 0
+          val c = cs(ci)
+          while (j < c.length && j < v.length) {
+            val diff = v(j) - c(j); d += diff * diff; j += 1
+          }
+          (ci, d)
+        }
+        .sortBy(_._2).take(nprobe).map(_._1)
+    }
+    val assigned = km.transform(base).drop("fv")
+      .withColumn("nrm", l2norm(col("v")))
+    val probes = assigned.withColumn("probe", explode(probeUdf(col("v"))))
+    val pairs = probes.as("a")
+      .join(assigned.as("b"), col("a.probe") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
+        (dotUdf(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cos", round(col("cos"), 4))
+  }
+
   /** Approximate top-k: bucket with `numPlanes` sign bits, self-join
     * within buckets only (hash-partitioned — the 100 TB path), then rank.
     * Multi-probe: each vector also joins buckets at hamming distance 1

@@ -217,6 +217,31 @@ object TextQueries {
       k = 3, numPlanes = 8),
     None)
 
+  /** IVF (KMeans coarse quantizer + nprobe cells) approximate top-k —
+    * the inverted-file ANN scale path (rows-only).
+    */
+  val qIvfTopK = Q(
+    "q_ivf_topk",
+    (s, dir) => Similarity.ivfTopK(tables(s, dir).embeddings, "vec_id", "embedding",
+      k = 3, cellCount = 8, nprobe = 3),
+    None)
+
+  /** Embedding-cosine near-dup over a corpus with planted noisy copies
+    * (rows-only).
+    */
+  val qEmbeddingDedup = Q(
+    "q_embedding_neardup",
+    (s, dir) => {
+      val e = tables(s, dir).embeddings
+      val planted = e.filter(col("vec_id") % 5 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x * lit(1.0001f)))
+      Dedup.embeddingNearDuplicates(e.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.99)
+    },
+    None)
+
   /** Stratified sample (engine-RNG-specific → rows-only). */
   val qStratifiedSample = Q(
     "q_stratified_sample",
@@ -227,5 +252,5 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qCosineTopK, qLshTopK,
-    qStratifiedSample)
+    qIvfTopK, qEmbeddingDedup, qStratifiedSample)
 }

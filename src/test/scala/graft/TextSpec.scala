@@ -90,6 +90,32 @@ class TextSpec extends SparkSpec {
     assert(hits >= 27, s"LSH twin recall too low: $hits/30")
   }
 
+  test("IVF top-k recovers planted near-neighbours") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 30).flatMap { i =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val twin = base.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, twin))
+    }
+    val d = vecs.toDF("vec_id", "embedding")
+    val approx = Similarity.ivfTopK(d, "vec_id", "embedding", k = 1, cellCount = 6, nprobe = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 30).count(i => approx.get(i.toLong * 2).contains(i.toLong * 2 + 1))
+    assert(hits >= 27, s"IVF twin recall too low: $hits/30")
+  }
+
+  test("embedding near-dup finds planted noisy copies") {
+    val rnd = new scala.util.Random(17)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val noisy = base.take(10).map { case (id, v) => (id + 100, v.map(_ * 1.001f)) }
+    val d = (base ++ noisy).toDF("vec_id", "embedding")
+    val dups = Dedup.embeddingNearDuplicates(d, "vec_id", "embedding", threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 10).foreach { i =>
+      assert(dups.get(i.toLong + 100).contains(i.toLong), s"copy ${i + 100} not mapped to $i")
+    }
+  }
+
   test("quality score rewards normal prose") {
     val d = Seq(
       "the quick brown fox jumps over the lazy dog and runs far away to the hills",
