@@ -50,6 +50,14 @@ object Drift {
 
     val p = binnedLong(source, "p")
     val q = binnedLong(target, "q")
+    metricsFromFrequencies(p, q, threshold)
+  }
+
+  /** PSI/HD/JSD/KS from per-bin frequency frames [attribute, bin, p|q] —
+    * shared by the direct path and the persisted-source path
+    * (ModelStore.driftAgainstSavedSource).
+    */
+  def metricsFromFrequencies(p: DataFrame, q: DataFrame, threshold: Double): DataFrame = {
     val floor = 0.0001 // ref: drift_detector.py:269 — missing/zero bins
     val xy = p.join(q, Seq("attribute", "bin"), "full_outer")
       .withColumn("p", when(col("p").isNull || col("p") === 0, floor).otherwise(col("p")))
