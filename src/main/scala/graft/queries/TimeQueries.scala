@@ -194,6 +194,34 @@ object TimeQueries {
              day(o_orderdate) AS dom
       FROM orders"""))
 
+  /** Semi-structured extraction: parse the events.props JSON column with
+    * from_json and aggregate the typed field. The oracle reaches the
+    * same values by regex (avoids DuckDB's JSON extension dependency).
+    */
+  val qJsonExtract = Q(
+    "q_json_extract",
+    (s, dir) => {
+      val e = tables(s, dir).events
+      e.withColumn("k", from_json(col("props"),
+          StructType(Seq(StructField("k", IntegerType)))).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("k")).as("n_parsed"),
+          sum(col("k").cast(LongType)).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+    },
+    Some("""
+      SELECT event_type,
+        count(k) AS n_parsed,
+        CAST(sum(k) AS BIGINT) AS sum_k,
+        min(k) AS min_k,
+        max(k) AS max_k
+      FROM (SELECT event_type,
+              TRY_CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INT) AS k
+            FROM events)
+      GROUP BY event_type"""))
+
   def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
-    qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect)
+    qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract)
 }

@@ -59,6 +59,29 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("max")) == 100.0)
   }
 
+  test("approx cardinality (HLL) stays within 5% of exact") {
+    val d = (1 to 20000).map(i => (i % 5000).toLong).toDF("x")
+    val exact = StatsGenerator.uniqueCount(d, Seq("x")).collect()(0).getLong(1)
+    val approx = StatsGenerator.uniqueCount(d, Seq("x"), approx = true).collect()(0).getLong(1)
+    assert(exact == 5000L)
+    // rsd=0.05 is a standard deviation, not a bound — allow 3 sigma
+    assert(math.abs(approx - exact).toDouble / exact < 0.15, s"HLL off: $approx vs $exact")
+    val tight = StatsGenerator.uniqueCount(d, Seq("x"), approx = true, rsd = 0.01)
+      .collect()(0).getLong(1)
+    assert(math.abs(tight - exact).toDouble / exact < 0.03, s"HLL rsd=0.01 off: $tight")
+  }
+
+  test("approx percentiles (GK sketch) stay within 1% relative rank") {
+    val d = (1 to 10000).map(_.toDouble).toDF("x")
+    val exact = StatsGenerator.measuresOfPercentiles(d, Seq("x")).collect()(0)
+    val approx = StatsGenerator.measuresOfPercentiles(d, Seq("x"), approx = true).collect()(0)
+    Seq("pct_25", "pct_50", "pct_75").foreach { c =>
+      val e = exact.getDouble(exact.fieldIndex(c))
+      val a = approx.getDouble(approx.fieldIndex(c))
+      assert(math.abs(a - e) / 10000 < 0.01, s"$c: $a vs $e")
+    }
+  }
+
   test("globalSummary reports row and role counts") {
     val g = StatsGenerator.globalSummary(df).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
