@@ -204,6 +204,39 @@ object Geo {
         round(degrees(atan2(col("__y"), col("__x"))), 4).as("centroid_lon"))
   }
 
+  /** ref: geospatial_analyzer.py:390-733 geo cluster analysis — the
+    * reference runs MiniBatchKMeans with an elbow search on a capped
+    * pandas sample; here spark.ml KMeans on a seeded capped sample, k
+    * chosen by the largest second difference of WSSE (elbow), labels
+    * applied distributed. Returns (k, labeled frame).
+    */
+  def clusterAnalysis(
+      df: DataFrame,
+      latCol: String,
+      lonCol: String,
+      maxK: Int = 8,
+      sampleCap: Long = 100000L,
+      seed: Long = 42L): (Int, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.withColumn("__fv",
+      array_to_vector(array(col(latCol).cast("double"), col(lonCol).cast("double"))))
+    val fitDf = graft.operators.QualityChecker.sampleCapped(feat, Some(sampleCap), seed)
+    val costs = (2 to maxK).map { k =>
+      val m = new KMeans().setK(k).setSeed(seed)
+        .setFeaturesCol("__fv").setPredictionCol("__c").fit(fitDf)
+      k -> m.summary.trainingCost
+    }
+    val bestK =
+      if (costs.size < 3) costs.head._1
+      else costs.sliding(3).map { w =>
+        (w(1)._1, (w(0)._2 - w(1)._2) - (w(1)._2 - w(2)._2))
+      }.maxBy(_._2)._1
+    val model = new KMeans().setK(bestK).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("geo_cluster").fit(fitDf)
+    (bestK, model.transform(feat).drop("__fv"))
+  }
+
   /** ref: geospatial.py:1223-1334 rog_calculation — mean haversine
     * distance to the group centroid (broadcast-joined back), km.
     */

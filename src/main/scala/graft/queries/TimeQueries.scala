@@ -222,6 +222,28 @@ object TimeQueries {
             FROM events)
       GROUP BY event_type"""))
 
+  /** Format-conversion wrappers: ts→string and string-format→format. */
+  val qDtFormatConvert = Q(
+    "q_dt_format_convert",
+    (s, dir) => {
+      val o = tables(s, dir).orders
+      o.select(
+        col("o_orderkey"),
+        DatetimeOps.timestampToString(col("o_orderdate"), "yyyy/MM/dd").as("slash_fmt"),
+        DatetimeOps.dateformatConversion(
+          DatetimeOps.timestampToString(col("o_orderdate"), "yyyy/MM/dd"),
+          "yyyy/MM/dd", "MM-dd-yyyy").as("us_fmt"),
+        date_format(DatetimeOps.unixToTimestamp(
+          DatetimeOps.timestampToUnix(col("o_orderdate")), "s"), "yyyy-MM-dd")
+          .as("epoch_roundtrip"))
+    },
+    Some("""
+      SELECT o_orderkey,
+        strftime(o_orderdate, '%Y/%m/%d') AS slash_fmt,
+        strftime(strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d'), '%m-%d-%Y') AS us_fmt,
+        strftime(to_timestamp(epoch(o_orderdate)), '%Y-%m-%d') AS epoch_roundtrip
+      FROM orders"""))
+
   def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
-    qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract)
+    qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert)
 }

@@ -67,6 +67,17 @@ class GeoSpec extends SparkSpec {
     assert(!Geo.pointInPolygon(8.0, 8.0, triangle))
   }
 
+  test("geo cluster analysis recovers separated clusters via elbow") {
+    val rnd = new scala.util.Random(3)
+    val pts = Seq((0.0, 0.0), (40.0, 40.0), (-40.0, 70.0)).flatMap { case (clat, clon) =>
+      (1 to 100).map(_ => (clat + rnd.nextGaussian(), clon + rnd.nextGaussian()))
+    }
+    val d = pts.toDF("lat", "lon")
+    val (k, labeled) = Geo.clusterAnalysis(d, "lat", "lon", maxK = 6)
+    assert(k == 3, s"elbow picked $k")
+    assert(labeled.select("geo_cluster").distinct().count() == 3)
+  }
+
   test("native geohash_encode expression matches the pure function (codegen path)") {
     graft.plans.GraftFunctions.register(spark)
     val d = Seq((57.64911, 10.40744), (42.6, -5.6)).toDF("lat", "lon")
