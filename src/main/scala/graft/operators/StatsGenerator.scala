@@ -63,13 +63,22 @@ object StatsGenerator {
     longForm(agg1(df, exprs), cols, Seq("missing_count", "missing_pct"))
   }
 
+  /** Nonzero predicate only applies to numeric columns (matching the
+    * reference, which restricts nonzeroCount to numericals) — comparing
+    * a string column to 0 would throw under ANSI.
+    */
+  private def nonzeroExpr(df: DataFrame, c: String): Column =
+    if (ColumnRole.of(df.schema(c).dataType) == ColumnRole.Numerical)
+      count(when(col(c).isNotNull && col(c) =!= 0, 1)).cast(LongType)
+    else lit(null).cast(LongType)
+
   /** ref: stats_generator.py:179-248 `nonzeroCount_computation` — the
     * reference round-trips through mllib colStats; ours is pure SQL in the
     * same single agg.
     */
   def nonzeroCount(df: DataFrame, cols: Seq[String]): DataFrame = {
     val exprs = cols.flatMap { c =>
-      val nz = count(when(col(c).isNotNull && col(c) =!= 0, 1)).cast(LongType)
+      val nz = nonzeroExpr(df, c)
       Seq(
         nz.as(s"nonzero_count__$c"),
         round(nz * lit(1.0) / count(lit(1)), 4).as(s"nonzero_pct__$c"))
@@ -85,7 +94,7 @@ object StatsGenerator {
     val exprs = cols.flatMap { c =>
       val fill = count(col(c)).cast(LongType)
       val miss = (count(lit(1)) - count(col(c))).cast(LongType)
-      val nz = count(when(col(c).isNotNull && col(c) =!= 0, 1)).cast(LongType)
+      val nz = nonzeroExpr(df, c)
       Seq(
         fill.as(s"fill_count__$c"),
         round(fill * lit(1.0) / count(lit(1)), 4).as(s"fill_pct__$c"),

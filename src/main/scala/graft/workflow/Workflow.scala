@@ -82,14 +82,15 @@ object Workflow {
       }
     }
 
-    // ---- stats_generator (metrics only; attached to the stage result)
+    // ---- stats_generator (metrics attached to the stage result; written
+    // out when save_stats_path is configured — ref workflow save_stats)
     conf.get("stats_generator").foreach { v =>
       val sc = asConf(v)
       val cols = resolveCols(df, sc.getOrElse("list_of_cols", null),
         strings(sc.getOrElse("drop_cols", null)))
       val (num, cat, _) = graft.core.ColumnRole.segregate(
         df.select(cols.map(org.apache.spark.sql.functions.col): _*).schema)
-      timed("stats_generator", Map(
+      val metrics = Map(
         "global_summary" -> StatsGenerator.globalSummary(df),
         "measures_of_counts" -> StatsGenerator.measuresOfCounts(df, cols)) ++
         (if (num.nonEmpty) Map(
@@ -98,7 +99,14 @@ object Workflow {
           "percentiles" -> StatsGenerator.measuresOfPercentiles(df, num))
          else Map.empty) ++
         (if (cat.nonEmpty) Map("mode" -> StatsGenerator.modeComputation(df, cat))
-         else Map.empty)) { () }
+         else Map.empty)
+      timed("stats_generator", metrics) {
+        sc.get("save_stats_path").foreach { p =>
+          metrics.foreach { case (name, m) =>
+            m.coalesce(1).write.mode("overwrite").parquet(s"$p/$name")
+          }
+        }
+      }
     }
 
     // ---- quality_checker treatments

@@ -107,6 +107,34 @@ class IngestSpec extends SparkSpec {
     assert(r.getDouble(0) == 36.0 && r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 0)
   }
 
+  test("timezone conversion shifts wall-clock correctly") {
+    val d = Seq(java.sql.Timestamp.valueOf("2024-06-15 12:00:00")).toDF("t") // UTC session
+    val r = d.select(
+      date_format(DatetimeOps.timezoneConversion(col("t"), "UTC", "Asia/Tokyo"),
+        "yyyy-MM-dd HH:mm").as("tokyo"),
+      date_format(DatetimeOps.timezoneConversion(col("t"), "UTC", "America/New_York"),
+        "yyyy-MM-dd HH:mm").as("nyc")).first()
+    assert(r.getString(0) == "2024-06-15 21:00") // UTC+9
+    assert(r.getString(1) == "2024-06-15 08:00") // EDT, UTC-4
+  }
+
+  test("workflow writes stats tables when save_stats_path set") {
+    val out = java.nio.file.Files.createTempDirectory("stats").toString
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/customer.parquet"
+    file_type: parquet
+stats_generator:
+  list_of_cols: all
+  save_stats_path: "$out"
+"""
+    graft.workflow.Workflow.run(spark, yaml)
+    val counts = spark.read.parquet(s"$out/measures_of_counts")
+    assert(counts.count() == 5) // one row per customer column
+    assert(spark.read.parquet(s"$out/global_summary").count() == 5)
+  }
+
   test("window aggregator rolling/expanding frames") {
     val d = Seq((1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0))
       .toDF("user", "seq", "v")

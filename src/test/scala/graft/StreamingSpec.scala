@@ -46,6 +46,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality monitor counts nulls per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Option[Double])]
+    val stream = input.toDF().toDF("ts", "v")
+    val agg = StreamingOps.streamingQualityMonitor(stream, "ts", Seq("v"), "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("quality_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), Some(1.0)),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:45:00"), None),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:50:00"), None))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT * FROM quality_out").collect()(0)
+      assert(r.getAs[Long]("rows__v") == 3 && r.getAs[Long]("missing__v") == 2)
+    } finally q.stop()
+  }
+
+  test("streaming binned frequencies feed the drift q-side") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val stream = input.toDF().toDF("ts", "value")
+    val agg = StreamingOps.streamingBinnedFrequencies(stream, "ts", "value",
+      cuts = Seq(10.0, 20.0), "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("bins_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 5.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), 15.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:07:00"), 25.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:08:00"), 26.0))
+      q.processAllAvailable()
+      val bins = spark.sql("SELECT bin, n FROM bins_out").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(bins == Map(1 -> 1L, 2 -> 1L, 3 -> 2L))
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
