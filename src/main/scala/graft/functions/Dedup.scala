@@ -173,9 +173,11 @@ object Dedup {
         col("max_cos"))
   }
 
-  /** Exact n-gram Jaccard for all pairs inside a blocking key (e.g. same
-    * source/lang) — the quadratic fallback, kept partition-local by the
-    * blocking join key.
+  /** Exact n-gram Jaccard for every intersecting pair inside a blocking
+    * key (e.g. same source/lang). Intersections come straight from the
+    * shingle equi-join — only pairs that actually SHARE a shingle ever
+    * materialize (an explicit all-pairs × shingle-set join would blow up
+    * quadratically in block size before filtering).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -186,10 +188,17 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val sh = shingles(df, textCol, keyCol, n)
       .join(df.select(col(keyCol).as("key"), col(blockCol).as("block")), "key")
-    val pairs = df.select(col(keyCol).as("key_1"), col(blockCol).as("block")).as("a")
-      .join(df.select(col(keyCol).as("key_2"), col(blockCol).as("block")).as("b"), "block")
-      .filter(col("key_1") < col("key_2"))
-      .select("key_1", "key_2")
-    jaccardOfPairs(pairs, sh.select("key", "shingle")).filter(col("jaccard") >= threshold)
+    val sizes = sh.groupBy("key").agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.block") === col("b.block") && col("a.shingle") === col("b.shingle") &&
+          col("a.key") < col("b.key"))
+      .groupBy(col("a.key").as("key_1"), col("b.key").as("key_2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("key").as("key_1"), col("n").as("n1")), "key_1")
+      .join(sizes.select(col("key").as("key_2"), col("n").as("n2")), "key_2")
+      .select(col("key_1"), col("key_2"),
+        round(col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 }

@@ -126,6 +126,54 @@ object Similarity {
       (z.toDouble / Long.MaxValue.toDouble)
     }
 
+  /** Seeded Lloyd's k-means on a driver-held sample — the IVF coarse
+    * quantizer fit. Deterministic: initial centroids are evenly-strided
+    * sample points; 15 iterations or convergence.
+    */
+  def localKMeans(points: Array[Array[Double]], k: Int, seed: Long, iters: Int = 15): Array[Array[Double]] = {
+    require(points.nonEmpty, "kmeans needs data")
+    val dim = points.head.length
+    val kk = math.min(k, points.length)
+    val stride = math.max(1, points.length / kk)
+    var centers = Array.tabulate(kk)(i => points((i * stride) % points.length).clone())
+    var it = 0
+    var moved = true
+    while (it < iters && moved) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < kk) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val diff = p(j) - centers(ci)(j); d += diff * diff; j += 1 }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+      }
+      moved = false
+      val next = Array.tabulate(kk) { ci =>
+        if (counts(ci) == 0) centers(ci)
+        else {
+          val c = new Array[Double](dim)
+          var j = 0
+          while (j < dim) {
+            c(j) = sums(ci)(j) / counts(ci)
+            if (math.abs(c(j) - centers(ci)(j)) > 1e-9) moved = true
+            j += 1
+          }
+          c
+        }
+      }
+      centers = next
+      it += 1
+    }
+    centers
+  }
+
   /** Sign-bit signature of a vector against the hyperplanes → bucket id.
     * Vectors in the same bucket are likely neighbours (SRP-LSH).
     */
@@ -153,39 +201,75 @@ object Similarity {
       nprobe: Int = 3,
       seed: Long = 42L,
       fitSample: Int = 10000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("fv", array_to_vector(col("v").cast("array<double>")))
-    val km = new KMeans().setK(cellCount).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(base.limit(fitSample))
-    val centers = km.clusterCenters.map(_.toArray)
+    import df.sparkSession.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // coarse quantizer: Lloyd's iterations on a collected sample
+    // (fit-small/apply-big — a distributed KMeans run costs dozens of
+    // jobs for a centroid table that fits in a driver array)
+    val sample: Array[Array[Double]] = base
+      .limit(fitSample).collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val centers = localKMeans(sample, cellCount, seed)
     val bcCenters = df.sparkSession.sparkContext.broadcast(centers)
-    // per-vector: nprobe nearest cells (tiny per-row loop over centroids)
-    val probeUdf = udf { (v: Seq[Float]) =>
+
+    def nearestCells(v: Array[Float], n: Int): Array[Int] = {
       val cs = bcCenters.value
-      cs.indices
-        .map { ci =>
-          var d = 0.0; var j = 0
-          val c = cs(ci)
-          while (j < c.length && j < v.length) {
-            val diff = v(j) - c(j); d += diff * diff; j += 1
-          }
-          (ci, d)
-        }
-        .sortBy(_._2).take(nprobe).map(_._1)
+      cs.indices.map { ci =>
+        var d = 0.0; var j = 0; val c = cs(ci)
+        while (j < c.length && j < v.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
+        (ci, d)
+      }.sortBy(_._2).take(n).map(_._1).toArray
     }
-    val assigned = km.transform(base).drop("fv")
-      .withColumn("nrm", l2norm(col("v")))
-    val probes = assigned.withColumn("probe", explode(probeUdf(col("v"))))
-    val pairs = probes.as("a")
-      .join(assigned.as("b"), col("a.probe") === col("b.cell") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
-        (dotUdf(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .distinct()
+    def norm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+
+    // typed rows keyed by cell (members) / probed cell (queries); the
+    // heavy scoring runs inside cogroup with primitive arrays — the only
+    // per-row encoder cost is the 1-row-per-vector (+nprobe) shuffle,
+    // never per candidate pair
+    val members = base.map { r => (nearestCells(r.getSeq[Float](1).toArray, 1)(0),
+      r.getLong(0), r.getSeq[Float](1).toArray) }
+    val probers = base.flatMap { r =>
+      val v = r.getSeq[Float](1).toArray
+      nearestCells(v, nprobe).map(c => (c, r.getLong(0), v))
+    }
+    val partials = members.groupByKey(_._1).cogroup(probers.groupByKey(_._1)) {
+      (_, ms, ps) =>
+        val mArr = ms.map(m => (m._2, m._3)).toArray
+        val mNorms = mArr.map(m => norm(m._2))
+        ps.flatMap { case (_, pid, pv) =>
+          val pn = norm(pv)
+          val topIds = new Array[Long](k)
+          val topCos = new Array[Double](k)
+          var filled = 0
+          var ci = 0
+          while (ci < mArr.length) {
+            val (cid, cv) = mArr(ci)
+            if (cid != pid) {
+              var s = 0.0; var j = 0
+              val n = math.min(pv.length, cv.length)
+              while (j < n) { s += pv(j).toDouble * cv(j).toDouble; j += 1 }
+              val cos = s / (pn * mNorms(ci))
+              var pos = filled
+              while (pos > 0 && (topCos(pos - 1) < cos ||
+                (topCos(pos - 1) == cos && topIds(pos - 1) > cid))) pos -= 1
+              if (pos < k) {
+                var m = math.min(filled, k - 1)
+                while (m > pos) { topCos(m) = topCos(m - 1); topIds(m) = topIds(m - 1); m -= 1 }
+                topCos(pos) = cos; topIds(pos) = cid
+                if (filled < k) filled += 1
+              }
+            }
+            ci += 1
+          }
+          (0 until filled).map(i => (pid, topIds(i), topCos(i)))
+        }
+    }.toDF("vec_id", "neighbor_id", "cos")
+    // global top-k over the tiny per-cell partial top-k frame
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
+    partials.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .withColumn("cos", round(col("cos"), 4))
   }
@@ -218,7 +302,8 @@ object Similarity {
       .join(withNorm.as("b"), col("a.probe") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
         (dotUdf(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .distinct()
+    // no distinct needed: the probe flips are all distinct values, so a
+    // pair matches through at most one probe==bucket equality
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -244,6 +244,36 @@ object TimeQueries {
         strftime(to_timestamp(epoch(o_orderdate)), '%Y-%m-%d') AS epoch_roundtrip
       FROM orders"""))
 
+  /** ts_analyzer-style profile: daypart × weekday activity grid with
+    * exact means (ref: ts_analyzer.py — the stats behind its charts).
+    */
+  val qTsAnalyzer = Q(
+    "q_ts_analyzer",
+    (s, dir) => {
+      val e = tables(s, dir).events
+      e.groupBy(
+          DatetimeOps.daypartCat(col("ts")).as("daypart"),
+          dayofweek(col("ts")).cast(LongType).as("dow"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType) / count(col("value")))
+            .as("mean_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""
+      SELECT CASE
+          WHEN hour(ts) BETWEEN 0 AND 5 THEN 'late_hours'
+          WHEN hour(ts) BETWEEN 10 AND 16 THEN 'work_hours'
+          WHEN hour(ts) BETWEEN 20 AND 23 THEN 'early_hours'
+          WHEN hour(ts) IN (7, 8, 9, 17, 18, 19) THEN 'commuting_hours'
+          ELSE 'other_hours' END AS daypart,
+        dayofweek(ts) + 1 AS dow,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS mean_value,
+        count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1, 2"""))
+
   def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
-    qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert)
+    qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
+    qTsAnalyzer)
 }
