@@ -105,23 +105,18 @@ object Dedup {
         round(col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash per document: tokens hashed with xxhash64, each bit
-    * votes ±1, sign of the vote sum sets the bit. One explode + one
-    * groupBy with 64 sum expressions — a single shuffle.
+  /** 64-bit SimHash per document via the native vote-buffer aggregate
+    * (graft.plans.SimHashAgg — ONE TypedImperativeAggregate buffer per
+    * group instead of 64 separate sum() buffers). One explode + one
+    * shuffle.
     */
   def simhash(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
-    val toks = df.select(col(keyCol).as("key"),
-      explode(split(TextOps.normalizeText(col(textCol)), " ")).as("tok"))
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(keyCol).as("key"),
+        explode(split(TextOps.normalizeText(col(textCol)), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$i")
-    }
-    val agged = toks.groupBy("key").agg(votes.head, votes.tail: _*)
-    val bits = (0 until 64).map { i =>
-      when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    agged.select(col("key"), bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+      .groupBy("key")
+      .agg(expr("simhash_agg(tok)").as("simhash"))
   }
 
   /** SimHash near-duplicates: candidates share at least one of four

@@ -55,11 +55,16 @@ object GeohashEncodeExpr {
 
 /** Session-level registration of graft's native SQL functions. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geohash_encode",
       exprs => GeohashEncodeExpr(exprs(0), exprs(1), exprs(2)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_agg",
+      exprs => SimHashAgg(exprs.head).toAggregateExpression(),
+      "built-in")
+  }
 }
 
 /** SparkSessionExtensions hook — enables

@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native SimHash aggregate: one mutable 64-counter vote buffer per
+  * group (a TypedImperativeAggregate), versus the expression-level
+  * formulation that needs 64 separate sum() aggregate buffers per group.
+  * Each input token hashes to 64 bits; every bit votes ±1; the final
+  * signature takes the sign of each vote.
+  *
+  * Token hash = two 32-bit Murmur3 runs (seeds 42 / 0x9747b28c) packed
+  * into 64 bits — deterministic and partition-order independent (votes
+  * are commutative sums).
+  */
+case class SimHashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Int]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_agg"
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+  private def hash64(s: UTF8String): Long = {
+    val lo = Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+    val hi = Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 0x9747b28c)
+    (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+  }
+
+  override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = hash64(v.asInstanceOf[UTF8String])
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) buffer(i) += 1 else buffer(i) -= 1
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Int], other: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < 64) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Int]): Any = {
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (buffer(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  override def serialize(buffer: Array[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(64 * 4)
+    buffer.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getInt())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
