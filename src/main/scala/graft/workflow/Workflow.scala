@@ -166,6 +166,45 @@ object Workflow {
       }
     }
 
+    // ---- association_evaluator (metrics attached to the stage result)
+    conf.get("association_evaluator").foreach { v =>
+      val ac = asConf(v)
+      val metrics = scala.collection.mutable.Map.empty[String, DataFrame]
+      ac.get("correlation_matrix").foreach { d =>
+        val cols = resolveCols(df, asConf(d).getOrElse("list_of_cols", null))
+          .filter(graft.core.ColumnRole.numericCols(df).contains)
+        if (cols.size >= 2) metrics += "correlation_matrix" -> Association.correlationMatrix(df, cols)
+      }
+      ac.get("IV_calculation").foreach { d =>
+        val dd = asConf(d)
+        val label = dd("label_col").toString
+        val event = dd.getOrElse("event_label", "1").toString
+        val cols = resolveCols(df, dd.getOrElse("list_of_cols", null), Seq(label))
+        metrics += "IV_calculation" -> Association.ivCalculation(df, cols,
+          org.apache.spark.sql.functions.col(label) === event)
+      }
+      ac.get("IG_calculation").foreach { d =>
+        val dd = asConf(d)
+        val label = dd("label_col").toString
+        val event = dd.getOrElse("event_label", "1").toString
+        val cols = resolveCols(df, dd.getOrElse("list_of_cols", null), Seq(label))
+        metrics += "IG_calculation" -> Association.igCalculation(df, cols,
+          org.apache.spark.sql.functions.col(label) === event)
+      }
+      timed("association_evaluator", metrics.toMap) { () }
+    }
+
+    // ---- drift_detector (target = current df, source read from path)
+    conf.get("drift_detector").foreach { v =>
+      val dc = asConf(v)
+      val source = spark.read.parquet(dc("source_path").toString)
+      val cols = resolveCols(df, dc.getOrElse("list_of_cols", null))
+        .filter(graft.core.ColumnRole.numericCols(df).contains)
+      val bins = dc.getOrElse("bin_size", 10).toString.toInt
+      timed("drift_detector",
+        Map("drift_statistics" -> Drift.driftStatistics(source, df, cols, bins))) { () }
+    }
+
     // ---- checkpoint barrier (write + re-read, the reference's plan cut)
     conf.get("write_intermediate").foreach { v =>
       val wc = asConf(v)

@@ -51,6 +51,32 @@ quality_checker:
       .agg(max(col("count"))).first().getLong(0) == 1L)
   }
 
+  test("workflow association and drift stages emit metric tables") {
+    val yaml = """
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/orders.parquet"
+    file_type: parquet
+association_evaluator:
+  correlation_matrix:
+    list_of_cols: [o_orderkey, o_custkey, o_totalprice]
+  IV_calculation:
+    list_of_cols: [o_orderpriority]
+    label_col: o_orderstatus
+    event_label: F
+drift_detector:
+  source_path: "/root/testdata/sf0.001/orders.parquet"
+  list_of_cols: [o_totalprice]
+"""
+    val (_, stages) = Workflow.run(spark, yaml)
+    val byName = stages.map(s => s.name -> s).toMap
+    val assoc = byName("association_evaluator").metrics
+    assert(assoc("correlation_matrix").count() == 3)
+    assert(assoc("IV_calculation").count() == 1)
+    val drift = byName("drift_detector").metrics("drift_statistics").collect()(0)
+    assert(drift.getDouble(drift.fieldIndex("PSI")) == 0.0) // source == target
+  }
+
   test("feast exporter adds timestamps and generates a feature view") {
     val d = Seq((1L, 2.5, "x")).toDF("id", "score", "tag")
     val stamped = FeastExporter.addTimestampColumns(d)
