@@ -207,22 +207,32 @@ object Transformers {
       d.join(broadcast(rates), Seq(c), "left")
     }
 
-  /** ref: transformers.py:3489-3671 `outlier_categories` — keep the top
-    * (maxCategories−1) values by frequency (ties: value asc), map the rest
-    * to the literal "outlier_categories". Keep-list is O(maxCategories)
-    * driver state, applied with isin (broadcast literal).
+  /** ref: transformers.py:3489-3671 `outlier_categories` — keep the most
+    * frequent values (ties: value asc) up to BOTH limits: at most
+    * (maxCategories−1) values AND only while their cumulative share stays
+    * below `coverage` (ref :3593-3615 rank + running-coverage windows);
+    * everything else maps to the literal "outlier_categories". Keep-list
+    * is O(maxCategories) driver state applied with isin.
     */
   def outlierCategories(
       df: DataFrame,
       cols: Seq[String],
       maxCategories: Int = 10,
+      coverage: Double = 1.0,
       label: String = "outlier_categories"): DataFrame =
     cols.foldLeft(df) { (d, c) =>
-      val kept = d.filter(col(c).isNotNull)
+      val top = d.filter(col(c).isNotNull)
         .groupBy(col(c)).agg(count(lit(1)).as("__n"))
         .orderBy(col("__n").desc, col(c).asc)
         .limit(maxCategories - 1)
-        .collect().map(_.get(0).toString)
+        .collect().map(r => (r.get(0).toString, r.getLong(1)))
+      val total = d.filter(col(c).isNotNull).count().toDouble
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cumu = 0L
+      top.foreach { case (v, n) =>
+        // always keep the first value; then keep while prior coverage < target
+        if (kept.isEmpty || cumu < coverage * total) { kept += v; cumu += n }
+      }
       d.withColumn(c,
         when(col(c).isNull, lit(null))
           .when(col(c).isin(kept.toSeq: _*), col(c))

@@ -69,6 +69,14 @@ class TransformSpec extends SparkSpec {
     assert(out == Map("x" -> 3L, "y" -> 2L, "outlier_categories" -> 2L))
   }
 
+  test("outlier categories coverage threshold trims the keep list") {
+    val d = (Seq.fill(70)("x") ++ Seq.fill(20)("y") ++ Seq.fill(10)("z")).toDF("cat")
+    // x alone covers 0.70 >= 0.5 → only x kept despite maxCategories room
+    val out = Transformers.outlierCategories(d, Seq("cat"), maxCategories = 5, coverage = 0.5)
+      .groupBy("cat").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("x" -> 70L, "outlier_categories" -> 30L))
+  }
+
   test("imputation MMM fills numeric median and categorical mode; leaves non-nulls") {
     val d = Seq(
       (Some(1.0), Some("a")),
