@@ -98,12 +98,23 @@ object QualityChecker {
     * Output: [attribute, invalid_count, invalid_pct, null_word_count,
     * special_char_count, repeated_char_count].
     */
-  def invalidEntriesDetection(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def invalidEntriesDetection(
+      df: DataFrame,
+      cols: Seq[String],
+      userRegexes: Seq[String] = Nil,
+      whitelist: Seq[String] = Nil): DataFrame = {
     def lowered(c: String) = lower(trim(col(c).cast(StringType)))
     def isNullWord(c: String) = lowered(c).isin(nullWords: _*)
     def isSpecial(c: String) = lowered(c).rlike(specialCharsRegex)
     def isRepeat(c: String) = lowered(c).rlike(repeatedCharRegex)
-    def invalid(c: String) = isNullWord(c) || isSpecial(c) || isRepeat(c)
+    def isUser(c: String): Column = userRegexes
+      .map(re => lowered(c).rlike(re))
+      .foldLeft(lit(false))(_ || _)
+    // whitelisted values are never invalid (ref whitelist regexes,
+    // quality_checker.py:1504-1538)
+    def invalid(c: String) =
+      (isNullWord(c) || isSpecial(c) || isRepeat(c) || isUser(c)) &&
+        !lowered(c).isin(whitelist.map(_.toLowerCase): _*)
     val exprs = cols.flatMap { c =>
       Seq(
         count(when(invalid(c), 1)).cast(LongType).as(s"invalid_count__$c"),

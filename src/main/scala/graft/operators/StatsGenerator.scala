@@ -33,6 +33,16 @@ object StatsGenerator {
   private def agg1(df: DataFrame, exprs: Seq[Column]): DataFrame =
     df.agg(exprs.head, exprs.tail: _*)
 
+  /** Wide-table guard: hundreds of columns × several aggregates per
+    * column can exceed codegen limits (whole-stage codegen falls back or
+    * the generated method blows the JVM's 64KB limit). Above
+    * `chunkCols` columns, compute chunk-wise and union the long-form
+    * results — each chunk stays a single codegen-friendly scan.
+    */
+  def chunked(cols: Seq[String], chunkCols: Int = 60)(run: Seq[String] => DataFrame): DataFrame =
+    if (cols.size <= chunkCols) run(cols)
+    else cols.grouped(chunkCols).map(run).reduce(_ unionByName _)
+
   /** ref: stats_generator.py:33-113 `global_summary` →
     * [metric, value] with row/column counts and per-role column counts.
     */
@@ -53,14 +63,14 @@ object StatsGenerator {
     * one pass of count() per column (the reference used summary("count") +
     * transpose).  pct rounded 4.
     */
-  def missingCount(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val exprs = Seq(count(lit(1)).cast(LongType).as("rows__total")) ++ cols.flatMap { c =>
+  def missingCount(df: DataFrame, cols: Seq[String]): DataFrame = chunked(cols) { cs =>
+    val exprs = cs.flatMap { c =>
       Seq(
         (count(lit(1)) - count(col(c))).cast(LongType).as(s"missing_count__$c"),
         round((count(lit(1)) - count(col(c))) * lit(1.0) / count(lit(1)), 4)
           .as(s"missing_pct__$c"))
     }
-    longForm(agg1(df, exprs), cols, Seq("missing_count", "missing_pct"))
+    longForm(agg1(df, exprs), cs, Seq("missing_count", "missing_pct"))
   }
 
   /** Nonzero predicate only applies to numeric columns (matching the
@@ -76,22 +86,22 @@ object StatsGenerator {
     * reference round-trips through mllib colStats; ours is pure SQL in the
     * same single agg.
     */
-  def nonzeroCount(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val exprs = cols.flatMap { c =>
+  def nonzeroCount(df: DataFrame, cols: Seq[String]): DataFrame = chunked(cols) { cs =>
+    val exprs = cs.flatMap { c =>
       val nz = nonzeroExpr(df, c)
       Seq(
         nz.as(s"nonzero_count__$c"),
         round(nz * lit(1.0) / count(lit(1)), 4).as(s"nonzero_pct__$c"))
     }
-    longForm(agg1(df, exprs), cols, Seq("nonzero_count", "nonzero_pct"))
+    longForm(agg1(df, exprs), cs, Seq("nonzero_count", "nonzero_pct"))
   }
 
   /** ref: stats_generator.py:251-325 `measures_of_counts` — fill +
     * missing + nonzero in one agg (the reference composes three jobs and a
     * full_outer join).
     */
-  def measuresOfCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val exprs = cols.flatMap { c =>
+  def measuresOfCounts(df: DataFrame, cols: Seq[String]): DataFrame = chunked(cols) { cs =>
+    val exprs = cs.flatMap { c =>
       val fill = count(col(c)).cast(LongType)
       val miss = (count(lit(1)) - count(col(c))).cast(LongType)
       val nz = nonzeroExpr(df, c)
@@ -103,7 +113,7 @@ object StatsGenerator {
         nz.as(s"nonzero_count__$c"),
         round(nz * lit(1.0) / count(lit(1)), 4).as(s"nonzero_pct__$c"))
     }
-    longForm(agg1(df, exprs), cols,
+    longForm(agg1(df, exprs), cs,
       Seq("fill_count", "fill_pct", "missing_count", "missing_pct", "nonzero_count", "nonzero_pct"))
   }
 
@@ -134,46 +144,48 @@ object StatsGenerator {
   /** ref: stats_generator.py:424-526 `measures_of_centralTendency` for
     * numeric columns: mean (exact-decimal-sum) + exact median, one agg.
     */
-  def centralTendency(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val exprs = cols.flatMap { c =>
+  def centralTendency(df: DataFrame, cols: Seq[String]): DataFrame = chunked(cols) { cs =>
+    val exprs = cs.flatMap { c =>
       Seq(
         NumExpr.dmean(col(c)).as(s"mean__$c"),
         NumExpr.pct(col(c), 0.5).as(s"median__$c"))
     }
-    longForm(agg1(df, exprs), cols, Seq("mean", "median"))
+    longForm(agg1(df, exprs), cs, Seq("mean", "median"))
   }
 
   /** ref: stats_generator.py:529-620 `uniqueCount_computation`.
     * exact = countDistinct; approx = HLL++ `approx_count_distinct(rsd)` —
     * the 100 TB path.
     */
-  def uniqueCount(df: DataFrame, cols: Seq[String], approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
-    val exprs = cols.map { c =>
-      val u = if (approx) approx_count_distinct(col(c), rsd) else countDistinct(col(c))
-      u.cast(LongType).as(s"unique_values__$c")
+  def uniqueCount(df: DataFrame, cols: Seq[String], approx: Boolean = false, rsd: Double = 0.05): DataFrame =
+    chunked(cols) { cs =>
+      val exprs = cs.map { c =>
+        val u = if (approx) approx_count_distinct(col(c), rsd) else countDistinct(col(c))
+        u.cast(LongType).as(s"unique_values__$c")
+      }
+      longForm(agg1(df, exprs), cs, Seq("unique_values"))
     }
-    longForm(agg1(df, exprs), cols, Seq("unique_values"))
-  }
 
   /** ref: stats_generator.py:623-733 `measures_of_cardinality` — uniques +
     * IDness = unique/non-null, one agg.
     */
-  def measuresOfCardinality(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
-    val exprs = cols.flatMap { c =>
-      val u = (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))).cast(LongType)
-      Seq(
-        u.as(s"unique_values__$c"),
-        round(u * lit(1.0) / count(col(c)), 4).as(s"IDness__$c"))
+  def measuresOfCardinality(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame =
+    chunked(cols) { cs =>
+      val exprs = cs.flatMap { c =>
+        val u = (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))).cast(LongType)
+        Seq(
+          u.as(s"unique_values__$c"),
+          round(u * lit(1.0) / count(col(c)), 4).as(s"IDness__$c"))
+      }
+      longForm(agg1(df, exprs), cs, Seq("unique_values", "IDness"))
     }
-    longForm(agg1(df, exprs), cols, Seq("unique_values", "IDness"))
-  }
 
   /** ref: stats_generator.py:736-829 `measures_of_dispersion`: stddev,
     * variance, cov (=sd/mean), IQR (exact), range. Single agg; the two
     * quartiles share one percentile buffer.
     */
-  def measuresOfDispersion(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val exprs = cols.flatMap { c =>
+  def measuresOfDispersion(df: DataFrame, cols: Seq[String]): DataFrame = chunked(cols) { cs =>
+    val exprs = cs.flatMap { c =>
       val sd = stddev_samp(col(c))
       Seq(
         round(sd, 4).as(s"stddev__$c"),
@@ -183,12 +195,12 @@ object StatsGenerator {
         (max(col(c)) - min(col(c))).cast(DoubleType).as(s"range__$c"))
     }
     val extracted = agg1(df, exprs).select(
-      cols.flatMap { c =>
+      cs.flatMap { c =>
         Seq(col(s"stddev__$c"), col(s"variance__$c"), col(s"cov__$c"),
           round(element_at(col(s"q__$c"), 2) - element_at(col(s"q__$c"), 1), 4).as(s"IQR__$c"),
           col(s"range__$c"))
       }: _*)
-    longForm(extracted, cols, Seq("stddev", "variance", "cov", "IQR", "range"))
+    longForm(extracted, cs, Seq("stddev", "variance", "cov", "IQR", "range"))
   }
 
   val percentilePoints: Seq[Double] = Seq(0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99)
@@ -198,9 +210,10 @@ object StatsGenerator {
     * and ONE percentile buffer per column (array form); at 100 TB swap in
     * `percentile_approx` via `approx`.
     */
-  def measuresOfPercentiles(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+  def measuresOfPercentiles(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame =
+    chunked(cols) { cs =>
     val names = percentilePoints.map(q => f"pct_${(q * 100).toInt}%d")
-    val exprs = cols.flatMap { c =>
+    val exprs = cs.flatMap { c =>
       val arr =
         if (approx) percentile_approx(col(c), array(percentilePoints.map(lit): _*), lit(10000))
         else NumExpr.pcts(col(c), percentilePoints)
@@ -210,26 +223,26 @@ object StatsGenerator {
         max(col(c)).cast(DoubleType).as(s"max__$c"))
     }
     val extracted = agg1(df, exprs).select(
-      cols.flatMap { c =>
+      cs.flatMap { c =>
         Seq(col(s"min__$c")) ++
           names.zipWithIndex.map { case (n, i) =>
             round(element_at(col(s"pcts__$c"), i + 1).cast(DoubleType), 4).as(s"${n}__$c")
           } ++
           Seq(col(s"max__$c"))
       }: _*)
-    longForm(extracted, cols, Seq("min") ++ names ++ Seq("max"))
+    longForm(extracted, cs, Seq("min") ++ names ++ Seq("max"))
   }
 
   /** ref: stats_generator.py:919-1011 `measures_of_shape` — population
     * skewness g1 and excess kurtosis, batched (the reference batches too,
     * :993-994).
     */
-  def measuresOfShape(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val exprs = cols.flatMap { c =>
+  def measuresOfShape(df: DataFrame, cols: Seq[String]): DataFrame = chunked(cols) { cs =>
+    val exprs = cs.flatMap { c =>
       Seq(
         round(skewness(col(c)), 4).as(s"skewness__$c"),
         round(kurtosis(col(c)), 4).as(s"kurtosis__$c"))
     }
-    longForm(agg1(df, exprs), cols, Seq("skewness", "kurtosis"))
+    longForm(agg1(df, exprs), cs, Seq("skewness", "kurtosis"))
   }
 }

@@ -37,6 +37,13 @@ class QualitySpec extends SparkSpec {
     assert(treated.filter(col("s").isNull).count() == 4)
   }
 
+  test("invalid entries honours user regexes and whitelist") {
+    val d = Seq("ok", "XX-1", "XX-2", "NA", "keepme").toDF("s")
+    val r = QualityChecker.invalidEntriesDetection(d, Seq("s"),
+      userRegexes = Seq("^xx-\\d$", "^keepme$"), whitelist = Seq("keepme")).collect()(0)
+    assert(r.getLong(r.fieldIndex("invalid_count")) == 3) // XX-1, XX-2, NA; keepme whitelisted
+  }
+
   test("outlier bounds combine methods via order statistic; clamp treatment") {
     val d = ((1 to 100).map(_.toDouble) :+ 1000.0).toDF("x")
     val bounds = QualityChecker.outlierBounds(d, Seq("x"))

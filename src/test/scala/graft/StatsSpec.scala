@@ -82,6 +82,22 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("wide tables chunk into multiple aggregations with identical results") {
+    val n = 130
+    val row = org.apache.spark.sql.Row.fromSeq((0 until n).map(_.toDouble))
+    val schema = org.apache.spark.sql.types.StructType(
+      (0 until n).map(i => org.apache.spark.sql.types.StructField(s"c$i",
+        org.apache.spark.sql.types.DoubleType)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.List.of(row, row)), schema)
+    val out = StatsGenerator.missingCount(df, df.columns.toSeq)
+    assert(out.count() == n)
+    assert(out.filter($"missing_count" =!= 0).count() == 0)
+    val ct = StatsGenerator.centralTendency(df, df.columns.toSeq).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ct("c7") == 7.0 && ct("c129") == 129.0)
+  }
+
   test("globalSummary reports row and role counts") {
     val g = StatsGenerator.globalSummary(df).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
