@@ -171,7 +171,8 @@ object QualityChecker {
     case t => throw new IllegalArgumentException(s"unknown null treatment: $t")
   }
 
-  final case class OutlierBounds(attribute: String, lower: Double, upper: Double)
+  final case class OutlierBounds(attribute: String, lower: Double, upper: Double,
+      excluded: Boolean = false)
 
   /** Detection-time sample cap (ref default 1M rows,
     * quality_checker.py:569,831-837): bounds are fitted on a seeded
@@ -200,7 +201,9 @@ object QualityChecker {
       stdevMult: Double = 3.0,
       iqrMult: Double = 1.5,
       minValidation: Int = 2,
-      sampleCap: Option[Long] = Some(1000000L)): Seq[OutlierBounds] = {
+      sampleCap: Option[Long] = Some(1000000L),
+      detectionSide: String = "both"): Seq[OutlierBounds] = {
+    require(Set("both", "upper", "lower")(detectionSide), s"bad side $detectionSide")
     val df = sampleCapped(df0, sampleCap)
     val exprs = cols.flatMap { c =>
       Seq(
@@ -214,12 +217,22 @@ object QualityChecker {
       val ps = row.getAs[scala.collection.Seq[Double]](s"pcts__$c")
       def g(p: String) = row.getAs[Double](s"${p}__$c")
       val pl = ps(0); val pu = ps(1); val q1 = ps(2); val q3 = ps(3); val iqr = q3 - q1
-      val lowers = Seq(pl, g("mean") - stdevMult * g("sd"), q1 - iqrMult * iqr).sorted
-      val uppers = Seq(pu, g("mean") + stdevMult * g("sd"), q3 + iqrMult * iqr).sorted
-      // n-th order statistic: a point is outlier only if >= minValidation
-      // methods call it one  =>  lower = minValidation-th smallest lower,
-      // upper = minValidation-th largest upper.
-      OutlierBounds(c, lowers(minValidation - 1), uppers(uppers.size - minValidation))
+      if (pl == pu) {
+        // ref quality_checker skew skip: P_lower == P_upper ⇒ the
+        // distribution is a point mass / extreme skew — exclude
+        OutlierBounds(c, Double.NegativeInfinity, Double.PositiveInfinity, excluded = true)
+      } else {
+        val lowers = Seq(pl, g("mean") - stdevMult * g("sd"), q1 - iqrMult * iqr).sorted
+        val uppers = Seq(pu, g("mean") + stdevMult * g("sd"), q3 + iqrMult * iqr).sorted
+        // n-th order statistic: a point is outlier only if >= minValidation
+        // methods call it one  =>  lower = minValidation-th smallest lower,
+        // upper = minValidation-th largest upper.
+        val lo = if (detectionSide == "upper") Double.NegativeInfinity
+          else lowers(minValidation - 1)
+        val hi = if (detectionSide == "lower") Double.PositiveInfinity
+          else uppers(uppers.size - minValidation)
+        OutlierBounds(c, lo, hi)
+      }
     }
   }
 
@@ -230,9 +243,11 @@ object QualityChecker {
       pctileBounds: (Double, Double) = (0.05, 0.95),
       stdevMult: Double = 3.0,
       iqrMult: Double = 1.5,
-      minValidation: Int = 2): DataFrame = {
+      minValidation: Int = 2,
+      detectionSide: String = "both"): DataFrame = {
     import df.sparkSession.implicits._
-    val bounds = outlierBounds(df, cols, pctileBounds, stdevMult, iqrMult, minValidation)
+    val bounds = outlierBounds(df, cols, pctileBounds, stdevMult, iqrMult, minValidation,
+      detectionSide = detectionSide)
     val exprs = bounds.flatMap { b =>
       Seq(
         count(when(col(b.attribute) < b.lower, 1)).cast(LongType).as(s"lower__${b.attribute}"),
@@ -242,8 +257,9 @@ object QualityChecker {
     bounds.map { b =>
       (b.attribute,
         row.getAs[Long](s"lower__${b.attribute}"),
-        row.getAs[Long](s"upper__${b.attribute}"))
-    }.toDF("attribute", "lower_outliers", "upper_outliers")
+        row.getAs[Long](s"upper__${b.attribute}"),
+        if (b.excluded) 1 else 0)
+    }.toDF("attribute", "lower_outliers", "upper_outliers", "excluded_due_to_skewness")
   }
 
   /** Treatment: clamp to bounds ("value"), null them, or drop rows. */

@@ -97,7 +97,8 @@ object QualityQueries {
           FROM b)
         SELECT '$c' AS attribute,
           (SELECT count(CASE WHEN $c < lo THEN 1 END) FROM lineitem, cb) AS lower_outliers,
-          (SELECT count(CASE WHEN $c > hi THEN 1 END) FROM lineitem, cb) AS upper_outliers
+          (SELECT count(CASE WHEN $c > hi THEN 1 END) FROM lineitem, cb) AS upper_outliers,
+          0 AS excluded_due_to_skewness
         FROM cb)"""
     }.mkString(" UNION ALL ")))
 

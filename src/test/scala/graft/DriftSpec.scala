@@ -5,6 +5,46 @@ import graft.operators.Drift
 class DriftSpec extends SparkSpec {
   import spark.implicits._
 
+  test("golden parity: reference test_drift_detector values reproduce") {
+    // ref: src/test/anovos/drift_stability/test_drift_detector.py:8-45 —
+    // target = rand, source = rand + 1, equal-range 10 bins fitted on
+    // source; expected PSI/HD/JSD/KS for the shifted column: 7.6776,
+    // 0.7091, 0.3704, 0.4999; identical column: all zeros, not flagged.
+    val rand = Seq(0.34, -1.76, 0.32, -0.39, -0.67, 0.61, 1.03, 0.93, -0.84, -0.31)
+    val target = rand.toDF("b")
+    val source = rand.map(_ + 1).toDF("b")
+    val r = Drift.driftStatistics(source, target, Seq("b"), binCount = 10).collect()(0)
+    assert(r.getDouble(r.fieldIndex("PSI")) == 7.6776)
+    assert(r.getDouble(r.fieldIndex("HD")) == 0.7091)
+    assert(r.getDouble(r.fieldIndex("JSD")) == 0.3704)
+    assert(r.getDouble(r.fieldIndex("KS")) == 0.4999)
+    assert(r.getInt(r.fieldIndex("flagged")) == 1)
+
+    val same = Drift.driftStatistics(target, target, Seq("b"), binCount = 10).collect()(0)
+    Seq("PSI", "HD", "JSD", "KS").foreach(m =>
+      assert(same.getDouble(same.fieldIndex(m)) == 0.0))
+    assert(same.getInt(same.fieldIndex("flagged")) == 0)
+  }
+
+  test("golden parity: reference test_stability values reproduce") {
+    // ref: src/test/anovos/drift_stability/test_stability.py:13-80 —
+    // three 10-value periods; expected cv_mean 0.162, cv_stddev 0.62,
+    // cv_kurtosis 0.198, SIs (2, 0, 2), stability index 1.4 (3 d.p.).
+    val p1 = Seq(4.34, 4.76, 4.32, 3.39, 3.67, 4.61, 4.03, 4.93, 3.84, 3.31).toDF("a")
+    val p2 = Seq(6.34, 4.76, 6.32, 3.39, 5.67, 4.61, 6.03, 4.93, 5.84, 3.31).toDF("a")
+    val p3 = Seq(8.34, 4.76, 8.32, 3.39, 7.67, 4.61, 8.03, 4.93, 3.84, 3.31).toDF("a")
+    val r = Drift.stabilityIndex(Seq(p1, p2, p3), Seq("a")).collect()(0)
+    def g(c: String) = r.getDouble(r.fieldIndex(c))
+    // reference asserts at 3 decimal places (assert_almost_equal(..., 3))
+    assert(math.abs(g("cv_mean") - 0.162) < 1.5e-3, s"cv_mean ${g("cv_mean")}")
+    assert(math.abs(g("cv_stddev") - 0.62) < 5e-3, s"cv_stddev ${g("cv_stddev")}")
+    assert(math.abs(g("cv_kurtosis") - 0.198) < 1.5e-3, s"cv_kurtosis ${g("cv_kurtosis")}")
+    assert(r.getInt(r.fieldIndex("mean_si")) == 2)
+    assert(r.getInt(r.fieldIndex("stddev_si")) == 0)
+    assert(r.getInt(r.fieldIndex("kurtosis_si")) == 2)
+    assert(g("stability_index") == 1.4)
+  }
+
   test("drift of a distribution against itself is zero") {
     val d = (1 to 500).map(_.toDouble).toDF("x")
     val r = Drift.driftStatistics(d, d, Seq("x")).collect()(0)

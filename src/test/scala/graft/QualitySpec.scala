@@ -87,6 +87,21 @@ class QualitySpec extends SparkSpec {
     assert(capped > 50 && capped < 200)
   }
 
+  test("outlier detection sides and skewness exclusion") {
+    val d = ((1 to 100).map(_.toDouble) :+ 1000.0 :+ -1000.0).toDF("x")
+    val upper = QualityChecker.outlierBounds(d, Seq("x"), detectionSide = "upper").head
+    assert(upper.lower.isNegInfinity && upper.upper < 1000.0)
+    val lower = QualityChecker.outlierBounds(d, Seq("x"), detectionSide = "lower").head
+    assert(lower.upper.isPosInfinity && lower.lower > -1000.0)
+    // point-mass column is excluded
+    val pm = Seq.fill(50)(7.0).toDF("x")
+    val b = QualityChecker.outlierBounds(pm, Seq("x")).head
+    assert(b.excluded)
+    val metrics = QualityChecker.outlierDetection(pm, Seq("x")).collect()(0)
+    assert(metrics.getInt(metrics.fieldIndex("excluded_due_to_skewness")) == 1)
+    assert(metrics.getLong(metrics.fieldIndex("upper_outliers")) == 0)
+  }
+
   test("idness and biasedness flags") {
     val d = Seq(("a", "x"), ("b", "x"), ("c", "x"), ("d", "y")).toDF("id", "biased")
     val idn = QualityChecker.idnessDetection(d, Seq("id"), 0.8).collect()(0)

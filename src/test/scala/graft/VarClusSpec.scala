@@ -55,6 +55,31 @@ class VarClusSpec extends SparkSpec {
     assert(err < 0.5, s"KNN fill error too high: $err")
   }
 
+  test("golden parity: reference IV values on the income fixture") {
+    // ref: src/test/anovos/data_analyzer/test_association_evaluator.py:25-68
+    // — IV of the categorical attributes (binning-free path) on the
+    // reference's own income test dataset: relationship 1.6208,
+    // marital-status 1.3929 (round 4).
+    val fixture = "/root/reference/data/test_dataset/" +
+      "part-00000-3eb0f7bb-05c2-46ec-8913-23ba231d2734-c000.snappy.parquet"
+    assume(new java.io.File(fixture).exists())
+    val df = spark.read.parquet(fixture)
+    val iv = graft.operators.Association
+      .ivCalculation(df, Seq("relationship", "marital-status"),
+        org.apache.spark.sql.functions.col("income") === ">50K")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(iv("relationship") == 1.6208)
+    assert(iv("marital-status") == 1.3929)
+    // IG goldens from the same reference test (test_IG_calculation):
+    // relationship 0.1702, marital-status 0.1608
+    val ig = graft.operators.Association
+      .igCalculation(df, Seq("relationship", "marital-status"),
+        org.apache.spark.sql.functions.col("income") === ">50K")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ig("relationship") == 0.1702)
+    assert(ig("marital-status") == 0.1608)
+  }
+
   test("feature recommender ranks by TF-IDF cosine") {
     val corpus = Seq(
       (1L, "customer_age", "age of the customer in years demographic"),
