@@ -250,7 +250,57 @@ object TextQueries {
       stratifiedType = "population", seed = 42L),
     None)
 
+  /** Composed training-data pipeline: quality filter → exact dedup →
+    * per-language token statistics, all in one oracle-checked plan.
+    */
+  val qTextPipeline = Q(
+    "q_text_pipeline",
+    (s, dir) => {
+      val docs = tables(s, dir).documents
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .filter(col("quality") >= 0.66)
+      val deduped = Dedup.exactDedup(docs, "text", "doc_id")
+      deduped
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          (sum(col("n_tokens").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double") / count(lit(1))).as("mean_tokens"))
+    },
+    Some {
+      val stops = TextOps.defaultStopwords.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH scored AS (
+        SELECT *,
+          round((
+            (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(str_split_regex(trim(text), '\\s+')) END) BETWEEN 10 AND 100000
+              THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN length(text) = 0 OR
+                  CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+                    / length(text) <= 0.2 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN len(list_filter(str_split($normSql, ' '), x -> x IN ($stops))) > 0
+              THEN 1.0 ELSE 0.0 END)
+          ) / 3, 4) AS quality
+        FROM documents),
+      filtered AS (SELECT * FROM scored WHERE quality >= 0.66),
+      deduped AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
+          FROM filtered) WHERE rn = 1),
+      toks AS (SELECT lang,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(str_split_regex(trim(text), '\\s+')) END AS n_tokens
+        FROM deduped)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(sum(CAST(n_tokens AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_tokens
+      FROM toks GROUP BY lang"""
+    })
+
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qCosineTopK, qLshTopK,
-    qIvfTopK, qEmbeddingDedup, qStratifiedSample)
+    qIvfTopK, qEmbeddingDedup, qStratifiedSample, qTextPipeline)
 }

@@ -205,6 +205,20 @@ object Workflow {
         Map("drift_statistics" -> Drift.driftStatistics(source, df, cols, bins))) { () }
     }
 
+    // ---- report_preprocessing: the full BasicReport stats tables,
+    // optionally persisted (the reference's chart-feeding stage)
+    conf.get("report_preprocessing").foreach { v =>
+      val rc = asConf(v)
+      val report = BasicReport.generate(df)
+      timed("report_preprocessing", report) {
+        rc.get("save_path").foreach { p =>
+          report.foreach { case (name, m) =>
+            m.coalesce(1).write.mode("overwrite").parquet(s"$p/$name")
+          }
+        }
+      }
+    }
+
     // ---- checkpoint barrier (write + re-read, the reference's plan cut)
     conf.get("write_intermediate").foreach { v =>
       val wc = asConf(v)

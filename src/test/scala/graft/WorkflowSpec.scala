@@ -77,6 +77,22 @@ drift_detector:
     assert(drift.getDouble(drift.fieldIndex("PSI")) == 0.0) // source == target
   }
 
+  test("workflow report stage persists the basic report tables") {
+    val out = java.nio.file.Files.createTempDirectory("report").toString
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/customer.parquet"
+    file_type: parquet
+report_preprocessing:
+  save_path: "$out"
+"""
+    val (_, stages) = Workflow.run(spark, yaml)
+    assert(stages.exists(_.name == "report_preprocessing"))
+    assert(spark.read.parquet(s"$out/measures_of_percentiles").count() > 0)
+    assert(spark.read.parquet(s"$out/mode_computation").count() > 0)
+  }
+
   test("feast exporter adds timestamps and generates a feature view") {
     val d = Seq((1L, 2.5, "x")).toDF("id", "score", "tag")
     val stamped = FeastExporter.addTimestampColumns(d)
