@@ -28,13 +28,16 @@ object Ingest {
       fileType: String,
       mode: String = "overwrite",
       options: Map[String, String] = Map.empty,
-      repartitionTo: Option[Int] = None): Unit = {
+      repartitionTo: Option[Int] = None,
+      partitionBy: Seq[String] = Nil): Unit = {
     val out = repartitionTo match {
       case Some(n) =>
         if (n > df.rdd.getNumPartitions) df.repartition(n) else df.coalesce(n)
       case None => df
     }
-    out.write.format(fileType).options(options).mode(mode).save(filePath)
+    val w = out.write.format(fileType).options(options).mode(mode)
+    val pw = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    pw.save(filePath)
   }
 
   /** Bucketed managed-table write: pre-shuffles once at write time so

@@ -77,6 +77,18 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("partitioned writes enable partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("partw").toString
+    val d = (1 to 100).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "par")
+    Ingest.writeDataset(d, s"$dir/t", "parquet", partitionBy = Seq("par"))
+    assert(new java.io.File(s"$dir/t/par=even").exists())
+    val read = spark.read.parquet(s"$dir/t").filter(col("par") === "even")
+    assert(read.count() == 50)
+    // pruned scan reads only the one partition directory
+    val scanDesc = read.queryExecution.executedPlan.toString
+    assert(!scanDesc.contains("par=odd"))
+  }
+
   test("bucketed tables sort-merge join without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS bk_a")
     spark.sql("DROP TABLE IF EXISTS bk_b")
