@@ -71,6 +71,29 @@ class QualitySpec extends SparkSpec {
       "column_removal", threshold = 0.2).columns.isEmpty)
   }
 
+  test("golden parity: reference imputation_MMM null counts on the income fixture") {
+    // ref: src/test/anovos/data_transformer/test_transformers.py:424-458 —
+    // pre-imputation null counts (age 30, fnlwgt 8, hours-per-week 59,
+    // race 162, relationship 4); after MMM those hit 0 while untouched
+    // columns keep logfnl 10214 / education 258 nulls.
+    val fixture = "/root/reference/data/test_dataset/" +
+      "part-00001-3eb0f7bb-05c2-46ec-8913-23ba231d2734-c000.snappy.parquet"
+    assume(new java.io.File(fixture).exists())
+    val df = spark.read.parquet(fixture)
+    def nulls(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.filter(col(c).isNull).count()
+    assert(nulls(df, "age") == 30 && nulls(df, "fnlwgt") == 8 &&
+      nulls(df, "hours-per-week") == 59 && nulls(df, "race") == 162 &&
+      nulls(df, "relationship") == 4)
+    val imputed = graft.operators.Transformers.imputationMMM(df,
+      numCols = Seq("age", "fnlwgt", "hours-per-week"),
+      catCols = Seq("relationship", "race"))
+    Seq("age", "fnlwgt", "hours-per-week", "race", "relationship")
+      .foreach(c => assert(nulls(imputed, c) == 0, c))
+    assert(nulls(imputed, "logfnl") == 10214)
+    assert(nulls(imputed, "education") == 258)
+  }
+
   test("basic report emits all stats sections") {
     val d = Seq((1L, 2.5, "x"), (2L, 3.5, "y")).toDF("id", "v", "c")
     val report = graft.operators.BasicReport.generate(d)
