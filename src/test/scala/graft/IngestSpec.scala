@@ -147,6 +147,26 @@ stats_generator:
     assert(spark.read.parquet(s"$out/global_summary").count() == 5)
   }
 
+  test("datetime comparisons, selected hours, unit additions") {
+    val d = Seq((
+      java.sql.Timestamp.valueOf("2024-03-10 22:30:00"),
+      java.sql.Timestamp.valueOf("2024-03-11 02:00:00")
+    )).toDF("t1", "t2")
+    val r = d.select(
+      DatetimeOps.timestampComparison(col("t1"), col("t2"), "lesser"),
+      DatetimeOps.isSelectedHour(col("t1"), 21, 3),  // wrap-around window
+      DatetimeOps.isSelectedHour(col("t2"), 21, 3),
+      DatetimeOps.isSelectedHour(col("t1"), 9, 17),
+      date_format(DatetimeOps.addingTimeUnits(col("t1"), 90, "minutes"), "HH:mm"),
+      date_format(DatetimeOps.addingTimeUnits(col("t1"), 2, "hours"), "HH:mm")).first()
+    assert(r.getBoolean(0))
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 0)
+    assert(r.getString(4) == "00:00" && r.getString(5) == "00:30")
+    // time_elapsed is non-negative for past timestamps
+    val el = d.select(DatetimeOps.timeElapsed(col("t1"), "days")).first().getDouble(0)
+    assert(el > 0)
+  }
+
   test("window aggregator rolling/expanding frames") {
     val d = Seq((1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0))
       .toDF("user", "seq", "v")

@@ -71,6 +71,24 @@ class QualitySpec extends SparkSpec {
       "column_removal", threshold = 0.2).columns.isEmpty)
   }
 
+  test("golden parity: reference IDness scenario") {
+    // ref: test_quality_checker.py test_IDness_detection — education has
+    // 4 uniques over 4 non-nulls → IDness 1.0, flagged at threshold 1.0;
+    // income 3/3 → 1.0; age 4/4 → 1.0.
+    val d = Seq(
+      ("27520a", 51, Some(9000), "HS-grad"),
+      ("10a", 42, Some(7000), "Postgrad"),
+      ("11a", 35, None, "graduate"),
+      ("1100b", 23, Some(6000), "matric")
+    ).toDF("ifa", "age", "income", "education")
+    val r = QualityChecker.idnessDetection(d, Seq("age", "income", "education"), 1.0)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getInt(x.fieldIndex("flagged")))).toMap
+    assert(r("education") == ((4L, 1.0, 1)))
+    assert(r("income") == ((3L, 1.0, 1)))
+    assert(r("age") == ((4L, 1.0, 1)))
+  }
+
   test("golden parity: reference imputation_MMM null counts on the income fixture") {
     // ref: src/test/anovos/data_transformer/test_transformers.py:424-458 —
     // pre-imputation null counts (age 30, fnlwgt 8, hours-per-week 59,
