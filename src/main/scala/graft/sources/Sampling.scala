@@ -28,9 +28,18 @@ object Sampling {
       case "random" => df.sample(withReplacement = false, fraction, seed)
       case "stratified" =>
         require(strataCols.nonEmpty, "stratified sampling needs strata columns")
+        // ref data_sampling: strata columns whose cardinality would blow
+        // up the fraction map are skipped from the key (high-cardinality
+        // strata skipped); if none survive, degrade to random sampling
+        val perColCap = math.max(2, maxStrata / strataCols.size)
+        val cardExprs = strataCols.map(c => countDistinct(col(c)).as(c))
+        val cardRow = df.agg(cardExprs.head, cardExprs.tail: _*).collect()(0)
+        val usable = strataCols.filter(c => cardRow.getAs[Long](c) <= perColCap)
+        if (usable.isEmpty)
+          return df.sample(withReplacement = false, fraction, seed)
         val keyed = df.withColumn(
           "__stratum",
-          concat_ws(sep, strataCols.map(c => col(c).cast("string")): _*))
+          concat_ws(sep, usable.map(c => col(c).cast("string")): _*))
         val counts = keyed.groupBy("__stratum").count().collect()
         require(counts.length <= maxStrata,
           s"too many strata (${counts.length} > $maxStrata) — refusing driver-side fraction map")

@@ -51,6 +51,63 @@ quality_checker:
       .agg(max(col("count"))).first().getLong(0) == 1L)
   }
 
+  test("full-demo equivalent: complete pipeline over the reference income fixture") {
+    // mirrors the reference CI's full-demo run (.github/workflows/
+    // full-demo.yml): ETL → stats → quality treatments → transformers →
+    // association → final write, on the reference's own income dataset.
+    val fixture = "/root/reference/data/test_dataset/" +
+      "part-00000-3eb0f7bb-05c2-46ec-8913-23ba231d2734-c000.snappy.parquet"
+    assume(new java.io.File(fixture).exists())
+    val out = java.nio.file.Files.createTempDirectory("fulldemo").toString
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$fixture"
+    file_type: parquet
+  delete_column: [ifa]
+stats_generator:
+  list_of_cols: all
+  save_stats_path: "$out/stats"
+quality_checker:
+  duplicate_detection:
+    list_of_cols: all
+    treatment: true
+  imputation_MMM:
+    method: median
+  outlier_detection:
+    list_of_cols: [age, fnlwgt, hours-per-week]
+    treatment: true
+    treatment_method: value
+transformers:
+  attribute_binning:
+    list_of_cols: [age]
+    method_type: equal_range
+    bin_size: 10
+  cat_to_num_unsupervised:
+    list_of_cols: [sex]
+association_evaluator:
+  IV_calculation:
+    list_of_cols: [relationship, occupation]
+    label_col: income
+    event_label: ">50K"
+write_main:
+  file_path: "$out/final"
+  file_type: parquet
+"""
+    val (df, stages) = graft.workflow.Workflow.run(spark, yaml)
+    assert(stages.map(_.name).containsSlice(
+      Seq("read_dataset", "stats_generator", "quality_checker", "transformers",
+        "association_evaluator", "write_main")))
+    val finalDf = spark.read.parquet(s"$out/final")
+    assert(finalDf.count() > 15000)
+    assert(finalDf.columns.contains("age_binned") && finalDf.columns.contains("sex_index"))
+    // treatments applied: no nulls in imputed numerics, outliers clamped
+    assert(finalDf.filter(col("age").isNull).count() == 0)
+    val iv = stages.find(_.name == "association_evaluator").get
+      .metrics("IV_calculation").collect().map(r => r.getString(0)).toSet
+    assert(iv == Set("relationship", "occupation"))
+  }
+
   test("workflow association and drift stages emit metric tables") {
     val yaml = """
 input_dataset:
