@@ -46,6 +46,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark closes windows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val stream = input.toDF().toDF("ts", "value")
+    val agg = StreamingOps.streamingAggregator(stream, "ts", "value", "1 hour", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("append_out")
+      .outputMode("append").start()
+    try {
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1.0))
+      q.processAllAvailable()
+      // nothing emitted yet: window still open under the watermark
+      assert(spark.sql("SELECT * FROM append_out").count() == 0)
+      // an event far past the watermark closes the 10:00 window
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 5.0))
+      q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 15:00:00"), 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM append_out ORDER BY window_start").collect()
+      assert(rows.nonEmpty)
+      assert(rows(0).getAs[Double]("sum_value") == 1.0) // the closed 10:00 window
+    } finally q.stop()
+  }
+
   test("streaming quality monitor counts nulls per window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Option[Double])]
