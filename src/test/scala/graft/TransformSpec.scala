@@ -77,6 +77,26 @@ class TransformSpec extends SparkSpec {
     assert(out == Map("x" -> 70L, "outlier_categories" -> 30L))
   }
 
+  test("golden parity: reference label-encoding index ranges on the income fixture") {
+    // ref: test_transformers.py test_cat_to_num_unsupervised_with_label_encoding
+    // — frequencyDesc indices span 0..k-1: workclass 0..8,
+    // marital-status 0..6, relationship 0..7.
+    val fixture = "/root/reference/data/test_dataset/" +
+      "part-00001-3eb0f7bb-05c2-46ec-8913-23ba231d2734-c000.snappy.parquet"
+    assume(new java.io.File(fixture).exists())
+    val d = spark.read.parquet(fixture)
+    val enc = Transformers.labelEncoding(d, Seq("workclass", "relationship", "marital-status"))
+    val r = enc.agg(
+      min(col("workclass_index")), max(col("workclass_index")),
+      min(col("marital-status_index")), max(col("marital-status_index")),
+      min(col("relationship_index")), max(col("relationship_index"))).first()
+    assert(r.getInt(0) == 0 && r.getInt(1) == 8)
+    assert(r.getInt(2) == 0 && r.getInt(3) == 6)
+    assert(r.getInt(4) == 0 && r.getInt(5) == 7)
+    // null categories keep null indices
+    assert(enc.filter(col("workclass").isNull && col("workclass_index").isNotNull).count() == 0)
+  }
+
   test("imputation MMM fills numeric median and categorical mode; leaves non-nulls") {
     val d = Seq(
       (Some(1.0), Some("a")),
