@@ -19,21 +19,23 @@ object CoreQueries {
     (s, dir) => {
       val li = tables(s, dir).lineitem
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      // Sums are exact in decimal; the FINAL cast to double pins the textual
+      // form to match DuckDB's (decimal scale would render trailing zeros).
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec("l_quantity")).cast(DecimalType(38, 4)).as("sum_qty"),
-          sum(dec("l_extendedprice")).cast(DecimalType(38, 4)).as("sum_base_price"),
+          sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"),
+          sum(dec("l_extendedprice")).cast(DoubleType).as("sum_base_price"),
           sum(dec("l_extendedprice") * (lit(1).cast(money) - dec("l_discount")))
-            .cast(DecimalType(38, 8)).as("sum_disc_price"),
+            .cast(DoubleType).as("sum_disc_price"),
           (sum(dec("l_quantity")).cast(DoubleType) / count(col("l_quantity"))).as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
         count(*) AS count_order
       FROM lineitem
@@ -58,13 +60,13 @@ object CoreQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           sum(dec("l_extendedprice") * (lit(1).cast(money) - dec("l_discount")))
-            .cast(DecimalType(38, 8)).as("revenue"),
+            .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_items"))
     },
     Some("""
       SELECT r_name, n_name,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
         count(*) AS n_items
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -105,14 +107,14 @@ object CoreQueries {
       val li = tables(s, dir).lineitem
       graft.operators.Transformers
         .expressionParser(li, Seq(
-          "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8))",
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)",
           "l_quantity * 2"))
         .select(col("l_orderkey"), col("l_linenumber"), col("f0"), col("f1"))
     },
     Some("""
       SELECT l_orderkey, l_linenumber,
         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
-          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS f0,
+          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS f0,
         l_quantity * 2 AS f1
       FROM lineitem"""))
 

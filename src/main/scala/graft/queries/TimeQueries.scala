@@ -89,7 +89,7 @@ object TimeQueries {
       e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_value"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"),
           (sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType) / count(col("value")))
             .as("mean_value"),
           min(col("value")).as("min_value"),
@@ -99,7 +99,7 @@ object TimeQueries {
     Some("""
       SELECT strftime(ts, '%Y-%m-%d') AS day,
         count(*) AS n_events,
-        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS mean_value,
         min(value) AS min_value,
         max(value) AS max_value,
@@ -122,14 +122,14 @@ object TimeQueries {
         windowType = "expanding", aggs = Seq("count"), outputPrefix = "expanding_")
       expanded.select(
         col("event_id"),
-        col("rolling_sum_value").cast(DecimalType(38, 4)).as("rolling_sum"),
+        col("rolling_sum_value").cast(DoubleType).as("rolling_sum"),
         col("expanding_count_value").as("expanding_count"))
     },
     Some("""
       SELECT event_id,
         CAST(sum(CAST(value AS DECIMAL(18,4))) OVER
           (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS rolling_sum,
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum,
         count(*) OVER
           (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS expanding_count

@@ -100,7 +100,7 @@ object TransformQueries {
         round(ln(l_extendedprice), 4) AS ln_price,
         round(sqrt(l_quantity), 4) AS sqrt_qty,
         round(pow(l_discount, 2), 4) AS sq_discount,
-        floor(l_quantity) AS floor_qty
+        CAST(floor(l_quantity) AS BIGINT) AS floor_qty
       FROM lineitem"""))
 
   val qOutlierCategories = Q(

@@ -17,28 +17,29 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
-import decimal
-
 def canon(df):
+    # STRICT mirror of the driver's hash: no dtype coercion. Every value is
+    # rendered to its str() form (so Decimal('1.4000') != 1.4, int 12 != 12.0)
+    # and rows are sorted on the rendered strings. If this passes, the
+    # driver's hash_match passes; the round-1 version coerced Decimal->float
+    # and masked exactly the 6 hash failures the driver reported.
+    def render(v):
+        if v is None:
+            return "NULL"
+        try:
+            if pd.isna(v):
+                return "NULL"
+        except (TypeError, ValueError):
+            pass  # arrays/lists: not null
+        return str(v)
     df = df[sorted(df.columns)]
     for c in df.columns:
-        if df[c].dtype == object:
-            if df[c].map(lambda v: isinstance(v, decimal.Decimal)).any():
-                df[c] = df[c].astype(float)
-            else:
-                df[c] = df[c].astype(str)
+        df[c] = df[c].map(render)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
 def values_equal(a, b):
-    if pd.isna(a) and pd.isna(b):
-        return True
-    try:
-        if isinstance(a, float) or isinstance(b, float):
-            return float(a) == float(b)
-    except (TypeError, ValueError):
-        pass
-    return str(a) == str(b)
+    return a == b
 
 fails = []
 for name, sql in sorted(oracle.items()):
