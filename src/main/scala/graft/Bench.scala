@@ -20,10 +20,25 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query timings for humans (stderr, not the parsed line).
+    results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      System.err.println(f"[bench] $k%-28s ${v}%9.3f s")
+    }
+    // The driver captures only the LAST ~2000 chars of output and parses the
+    // JSON from that tail (round 1's 2.7 KB line was front-truncated there →
+    // "parsed": null). Emit a compact line: 3-decimal values, slowest
+    // queries first, trimmed so the whole line stays under 1800 chars.
+    def line(qs: Seq[(String, Double)], omitted: Int): String = {
+      val m = qs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m$om,"sf":"$sfDir"}"""
+    }
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    var keep = bySlowest.length
+    while (keep > 1 && line(bySlowest.take(keep), bySlowest.length - keep).length > 1800)
+      keep -= 1
+    println(line(bySlowest.take(keep), bySlowest.length - keep))
     spark.stop()
   }
 }

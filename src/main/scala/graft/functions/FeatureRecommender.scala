@@ -47,11 +47,12 @@ object FeatureRecommender {
       .withColumn("qw", col("qtf") * col("idf")))
 
     val docNorms = weighted.groupBy("id").agg(sqrt(sum(pow(col("w"), 2))).as("dnorm"))
+    // sum() is NULL when no query token is in the corpus vocabulary
+    // (empty join) — guard before getDouble or it NPEs
+    val qNormRow = qWeighted.agg(sum(pow(col("qw"), 2))).first()
     val qNorm = math.sqrt(
-      qWeighted.agg(sum(pow(col("qw"), 2))).first().getDouble(0) match {
-        case d if d > 0 => d
-        case _ => 1.0
-      })
+      if (qNormRow.isNullAt(0) || qNormRow.getDouble(0) <= 0) 1.0
+      else qNormRow.getDouble(0))
 
     weighted.join(qWeighted.select("token", "qw"), "token")
       .groupBy("id").agg(sum(col("w") * col("qw")).as("dot"))

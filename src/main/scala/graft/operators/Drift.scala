@@ -32,15 +32,21 @@ object Drift {
       min(col(c)).cast("double").as(s"min__$c"),
       max(col(c)).cast("double").as(s"max__$c")))
     val row = source.agg(exprs.head, exprs.tail: _*).collect()(0)
-    val cuts: Map[String, Seq[Double]] = cols.map { c =>
-      val lo = row.getAs[Double](s"min__$c"); val hi = row.getAs[Double](s"max__$c")
-      c -> (1 until binCount).map(i => lo + (hi - lo) * i / binCount)
+    val cuts: Map[String, Seq[Double]] = cols.flatMap { c =>
+      // all-null source column → NULL min/max: drop it from the drift set
+      (Transformers.optD(row, s"min__$c"), Transformers.optD(row, s"max__$c")) match {
+        case (Some(lo), Some(hi)) =>
+          Some(c -> (1 until binCount).map(i => lo + (hi - lo) * i / binCount))
+        case _ => None
+      }
     }.toMap
 
+    val kept = cols.filter(cuts.contains)
+    require(kept.nonEmpty, "driftStatistics: every requested column is all-null in the source")
     def binnedLong(df: DataFrame, freqName: String): DataFrame = {
       val b = Transformers.applyBinning(df, cuts, "__bin")
-      val stackArgs = cols.map(c => s"'$c', `${c}__bin`").mkString(", ")
-      b.select(expr(s"stack(${cols.size}, $stackArgs) as (attribute, bin)"))
+      val stackArgs = kept.map(c => s"'$c', `${c}__bin`").mkString(", ")
+      b.select(expr(s"stack(${kept.size}, $stackArgs) as (attribute, bin)"))
         .groupBy("attribute", "bin")
         .agg(count(lit(1)).as("__n"))
         .withColumn(freqName,

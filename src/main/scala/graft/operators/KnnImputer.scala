@@ -35,12 +35,16 @@ object KnnImputer {
       cols.flatMap(c => Seq(avg(col(c)).as(s"m__$c"), stddev_samp(col(c)).as(s"s__$c"))).tail: _*
     ).collect()(0)
     val scales = cols.map { c =>
-      val s = statsRow.getAs[Double](s"s__$c")
+      val s = Transformers.optD(statsRow, s"s__$c").getOrElse(Double.NaN)
       if (s.isNaN || s < 1e-12) 1.0 else s
     }.toArray
+    // sklearn KNNImputer fills rows with NO observed dimension from the
+    // column means — precompute them for that fallback
+    val means = cols.map(c => Transformers.optD(statsRow, s"m__$c").getOrElse(0.0)).toArray
 
     val bcSample = df.sparkSession.sparkContext.broadcast(sample)
     val bcScales = df.sparkSession.sparkContext.broadcast(scales)
+    val bcMeans = df.sparkSession.sparkContext.broadcast(means)
 
     val outSchema = StructType(df.schema.fields.map { f =>
       if (cols.contains(f.name)) StructField(f.name, DoubleType, nullable = true) else f
@@ -61,6 +65,7 @@ object KnnImputer {
           })
         val filled =
           if (!vals.exists(_.isNaN)) vals
+          else if (vals.forall(_.isNaN)) bcMeans.value.clone()
           else {
             // k nearest complete rows by scaled euclidean over observed
             // dims — bounded insertion top-k, no full sort, no boxing

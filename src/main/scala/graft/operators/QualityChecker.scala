@@ -182,7 +182,12 @@ object QualityChecker {
   def sampleCapped(df: DataFrame, cap: Option[Long], seed: Long = 42L): DataFrame =
     cap match {
       case Some(c) =>
-        val n = df.count()
+        // Catalyst's stats row-count estimate (free — parquet footers /
+        // CBO) instead of a full count() scan: at 100 TB the extra pass
+        // per fit dominates. The fraction only sizes the sample, so an
+        // estimate is fine; fall back to count() when stats are absent.
+        val n = df.queryExecution.optimizedPlan.stats.rowCount
+          .map(_.toLong).getOrElse(df.count())
         if (n > c) df.sample(withReplacement = false, c.toDouble / n, seed) else df
       case None => df
     }
@@ -216,6 +221,12 @@ object QualityChecker {
     cols.map { c =>
       val ps = row.getAs[scala.collection.Seq[Double]](s"pcts__$c")
       def g(p: String) = row.getAs[Double](s"${p}__$c")
+      // an all-null (or empty) column yields NULL aggregates — exclude it
+      // instead of NPE-ing on getAs[Double]
+      if (ps == null || row.isNullAt(row.fieldIndex(s"mean__$c")) ||
+          row.isNullAt(row.fieldIndex(s"sd__$c"))) {
+        OutlierBounds(c, Double.NegativeInfinity, Double.PositiveInfinity, excluded = true)
+      } else {
       val pl = ps(0); val pu = ps(1); val q1 = ps(2); val q3 = ps(3); val iqr = q3 - q1
       if (pl == pu) {
         // ref quality_checker skew skip: P_lower == P_upper ⇒ the
@@ -232,6 +243,7 @@ object QualityChecker {
         val hi = if (detectionSide == "lower") Double.PositiveInfinity
           else uppers(uppers.size - minValidation)
         OutlierBounds(c, lo, hi)
+      }
       }
     }
   }

@@ -13,6 +13,12 @@ import org.apache.spark.sql.types._
   */
 object Transformers {
 
+  /** Null-safe aggregate read: all-null input columns yield NULL
+    * aggregates, which `Row.getAs[Double]` would NPE on.
+    */
+  private[operators] def optD(row: org.apache.spark.sql.Row, field: String): Option[Double] =
+    Option(row.getAs[java.lang.Double](field)).map(_.doubleValue)
+
   // ---------------------------------------------------------------- binning
 
   /** ref: transformers.py:87-291 `attribute_binning`.
@@ -35,9 +41,13 @@ object Transformers {
         val exprs = cols.flatMap(c => Seq(min(col(c)).cast(DoubleType).as(s"min__$c"),
           max(col(c)).cast(DoubleType).as(s"max__$c")))
         val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
-        cols.map { c =>
-          val lo = row.getAs[Double](s"min__$c"); val hi = row.getAs[Double](s"max__$c")
-          c -> (1 until binCount).map(i => lo + (hi - lo) * i / binCount)
+        cols.flatMap { c =>
+          // all-null column → NULL min/max: skip it rather than NPE
+          (optD(row, s"min__$c"), optD(row, s"max__$c")) match {
+            case (Some(lo), Some(hi)) =>
+              Some(c -> (1 until binCount).map(i => lo + (hi - lo) * i / binCount))
+            case _ => None
+          }
         }.toMap
       case "equal_frequency" =>
         val probs = (1 until binCount).map(_.toDouble / binCount)
@@ -49,7 +59,8 @@ object Transformers {
           // one agg, one shared percentile buffer per column
           val exprs = cols.map(c => NumExpr.pcts(col(c), probs).as(s"q__$c"))
           val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
-          cols.map(c => c -> row.getAs[scala.collection.Seq[Double]](s"q__$c").toSeq).toMap
+          cols.flatMap(c => Option(row.getAs[scala.collection.Seq[Double]](s"q__$c"))
+            .map(qs => c -> qs.toSeq)).toMap
         }
       case m => throw new IllegalArgumentException(s"unknown binning method: $m")
     }
@@ -113,9 +124,11 @@ object Transformers {
       Seq(avg(col(c)).as(s"mean__$c"), stddev_samp(col(c)).as(s"sd__$c")))
     val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
     cols.foldLeft(df) { (d, c) =>
-      val sd = row.getAs[Double](s"sd__$c")
-      if (sd.isNaN || sd < 1e-12) d
-      else d.withColumn(c, round((col(c) - row.getAs[Double](s"mean__$c")) / sd, roundScale))
+      (optD(row, s"sd__$c"), optD(row, s"mean__$c")) match {
+        case (Some(sd), Some(mean)) if !sd.isNaN && sd >= 1e-12 =>
+          d.withColumn(c, round((col(c) - mean) / sd, roundScale))
+        case _ => d // all-null or constant column: leave untouched
+      }
     }
   }
 
@@ -126,10 +139,11 @@ object Transformers {
     val exprs = cols.map(c => NumExpr.pcts(col(c), Seq(0.25, 0.50, 0.75)).as(s"q__$c"))
     val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
     cols.foldLeft(df) { (d, c) =>
-      val qs = row.getAs[scala.collection.Seq[Double]](s"q__$c")
-      val iqr = qs(2) - qs(0)
-      if (iqr == 0 || iqr.isNaN) d
-      else d.withColumn(c, round((col(c) - qs(1)) / iqr, roundScale))
+      Option(row.getAs[scala.collection.Seq[Double]](s"q__$c")) match {
+        case Some(qs) if qs(2) - qs(0) != 0 && !(qs(2) - qs(0)).isNaN =>
+          d.withColumn(c, round((col(c) - qs(1)) / (qs(2) - qs(0)), roundScale))
+        case _ => d
+      }
     }
   }
 
@@ -142,9 +156,11 @@ object Transformers {
       max(col(c)).cast(DoubleType).as(s"max__$c")))
     val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
     cols.foldLeft(df) { (d, c) =>
-      val lo = row.getAs[Double](s"min__$c"); val hi = row.getAs[Double](s"max__$c")
-      if (hi == lo) d
-      else d.withColumn(c, round((col(c) - lo) / (hi - lo), roundScale))
+      (optD(row, s"min__$c"), optD(row, s"max__$c")) match {
+        case (Some(lo), Some(hi)) if hi != lo =>
+          d.withColumn(c, round((col(c) - lo) / (hi - lo), roundScale))
+        case _ => d
+      }
     }
   }
 
@@ -295,7 +311,7 @@ object Transformers {
     val row = fitDf.agg(exprs.head, exprs.tail: _*).collect()(0)
     val best = cols.map { c =>
       val scored = boxcoxLambdas.map { l =>
-        val v = row.getAs[Double](s"skew__${c}__$l")
+        val v = optD(row, s"skew__${c}__$l").getOrElse(Double.NaN)
         l -> (if (v.isNaN) Double.MaxValue else v)
       }
       c -> scored.minBy(_._2)._1

@@ -31,8 +31,12 @@ object Ingest {
       repartitionTo: Option[Int] = None,
       partitionBy: Seq[String] = Nil): Unit = {
     val out = repartitionTo match {
-      case Some(n) =>
-        if (n > df.rdd.getNumPartitions) df.repartition(n) else df.coalesce(n)
+      // repartition (not coalesce-if-smaller): probing df.rdd for the
+      // current partition count forces physical-plan materialization and
+      // defeats AQE; a round-robin shuffle to exactly n gives evenly
+      // sized output files, and AQE still coalesces the write if n is
+      // oversized.
+      case Some(n) => df.repartition(n)
       case None => df
     }
     val w = out.write.format(fileType).options(options).mode(mode)

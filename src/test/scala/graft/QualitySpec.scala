@@ -150,4 +150,14 @@ class QualitySpec extends SparkSpec {
     val bia = QualityChecker.biasednessDetection(d, Seq("biased"), 0.7).collect()(0)
     assert(bia.getInt(bia.fieldIndex("flagged")) == 1)
   }
+
+  test("all-null column is excluded from outlier bounds, not an NPE") {
+    val d = Seq((1.0, None: Option[Double]), (2.0, None), (3.0, None))
+      .toDF("x", "y")
+    val bounds = QualityChecker.outlierBounds(d, Seq("x", "y"))
+    assert(!bounds.find(_.attribute == "x").get.excluded)
+    assert(bounds.find(_.attribute == "y").get.excluded)
+    val metrics = QualityChecker.outlierDetection(d, Seq("y")).collect()(0)
+    assert(metrics.getInt(metrics.fieldIndex("excluded_due_to_skewness")) == 1)
+  }
 }

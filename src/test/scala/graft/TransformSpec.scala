@@ -126,4 +126,16 @@ class TransformSpec extends SparkSpec {
     def t(m: String) = d.select(Transformers.featureTransformation(col("x"), m)).first().getDouble(0)
     assert(t("sqrt") == 2.0 && t("sq") == 16.0 && t("ln") == math.log(4.0))
   }
+
+  test("all-null columns pass through scaling/binning fits untouched") {
+    val d = Seq((1.0, None: Option[Double]), (2.0, None), (3.0, None)).toDF("x", "y")
+    assert(Transformers.zStandardization(d, Seq("x", "y"))
+      .filter(col("y").isNull).count() == 3)
+    assert(Transformers.normalization(d, Seq("x", "y"))
+      .filter(col("y").isNull).count() == 3)
+    assert(Transformers.iqrStandardization(d, Seq("x", "y"))
+      .filter(col("y").isNull).count() == 3)
+    val binned = Transformers.attributeBinning(d, Seq("x", "y"), "equal_range", 2)
+    assert(binned.columns.contains("x_binned") && !binned.columns.contains("y_binned"))
+  }
 }
