@@ -82,38 +82,106 @@ object LatentFeatures {
     filledLong.groupBy(col(idCol)).pivot("attribute", cols).agg(first("rating"))
   }
 
+  /** MF imputation joined back onto the full frame. ALS with
+    * coldStartStrategy="drop" loses rows whose EVERY target column is
+    * null (no observed rating anchors the user factor) — a left join +
+    * column-mean fallback keeps them, mirroring sklearn-style imputers.
+    */
+  def imputationMFJoined(
+      df: DataFrame,
+      idCol: String,
+      cols: Seq[String]): DataFrame = {
+    val filled = cols.foldLeft(imputationMatrixFactorization(df, idCol, cols)) {
+      (d, c) => d.withColumnRenamed(c, s"__mf_$c")
+    }
+    val meanExprs = cols.map(c => avg(col(c)).as(s"m__$c"))
+    val meanRow = df.agg(meanExprs.head, meanExprs.tail: _*).first()
+    cols.foldLeft(df.join(filled, Seq(idCol), "left")) { (d, c) =>
+      val m = Transformers.optD(meanRow, s"m__$c").getOrElse(0.0)
+      d.withColumn(c, coalesce(col(s"__mf_$c"), col(c), lit(m)))
+        .drop(s"__mf_$c")
+    }
+  }
+
   /** ref: transformers.py:2260-2521 `auto_imputation` — mask a fraction
-    * of clean rows, run candidate imputers, pick the min-RMSE one.
-    * Candidates: MMM-mean, MMM-median (extend with MF when ids exist).
-    * Returns (bestMethod, rmse per method).
+    * of clean rows, run the candidate imputers, pick the one with the
+    * least Σ_attr RMSE/attr_mean (the reference's unit-free metric).
+    * Candidates match the reference's five: MMM-mean, MMM-median, KNN,
+    * regression (iterative), and MF when an id column is given; with a
+    * single numeric column only the two MMM methods run (ref behaviour).
+    * Returns (bestMethod, normalized error per method).
     */
   def autoImputation(
       df: DataFrame,
       cols: Seq[String],
       nullPct: Double = 0.1,
+      idCol: Option[String] = None,
       seed: Long = 42L): (String, Map[String, Double]) = {
     val clean = df.na.drop(cols)
-    // keep the originals, mask a seeded fraction, persist so every
-    // candidate sees the SAME mask (rand() re-evaluates per plan branch)
-    val masked = graft.core.Caching.withPersisted(
-      clean
-        .select(cols.map(col) ++ cols.map(c => col(c).as(s"__orig_$c")): _*)
-        .withColumn("__mask", rand(seed) < nullPct)) { m0 =>
-      val withNulls = cols.foldLeft(m0) { (d, c) =>
-        d.withColumn(c, when(col("__mask"), lit(null)).otherwise(col(c)))
-      }
-      val methods = Seq("mean", "median")
-      val rmses = methods.map { m =>
-        val imputed = Transformers.imputationMMM(withNulls, cols, Nil, numMethod = m)
-        val sqErr = cols
-          .map(c => sum(when(col("__mask"), pow(col(c) - col(s"__orig_$c"), 2)).otherwise(0.0)))
-          .reduce(_ + _)
-        val nMasked = sum(when(col("__mask"), 1).otherwise(0)) * cols.size
-        val row = imputed.agg((sqErr / nMasked).as("mse")).first()
-        m -> math.sqrt(row.getDouble(0))
-      }.toMap
-      (rmses.minBy(_._2)._1, rmses)
+    // keep the originals, mask a seeded fraction PER CELL (a per-row mask
+    // would null every attribute of the row at once, leaving MF/KNN/
+    // regression no observed dimension to predict from — the reference
+    // removes a % of values, not rows); persist so every candidate sees
+    // the SAME mask (rand() re-evaluates per plan branch)
+    val keep = idCol.toSeq.map(col) ++ cols.map(col) ++
+      cols.map(c => col(c).as(s"__orig_$c"))
+    val withMasks = cols.zipWithIndex.foldLeft(clean.select(keep: _*)) {
+      case (d, (c, i)) => d.withColumn(s"__mask_$c", rand(seed + i) < nullPct)
     }
-    masked
+    val result = graft.core.Caching.withPersisted(withMasks) { m0 =>
+      val withNulls = cols.foldLeft(m0) { (d, c) =>
+        d.withColumn(c, when(col(s"__mask_$c"), lit(null)).otherwise(col(c)))
+      }
+      val multi = cols.size >= 2
+      val candidates: Seq[(String, DataFrame => DataFrame)] =
+        Seq[(String, DataFrame => DataFrame)](
+          "mean" -> (d => Transformers.imputationMMM(d, cols, Nil, numMethod = "mean")),
+          "median" -> (d => Transformers.imputationMMM(d, cols, Nil, numMethod = "median"))) ++
+        (if (multi) Seq[(String, DataFrame => DataFrame)](
+          "KNN" -> (d => KnnImputer.imputationKnn(d, cols, seed = seed)),
+          "regression" -> (d => IterativeImputer.imputationIterative(d, cols, seed = seed)))
+         else Nil) ++
+        (if (multi && idCol.isDefined) Seq[(String, DataFrame => DataFrame)](
+          "MF" -> (d => imputationMFJoined(d, idCol.get, cols)))
+         else Nil)
+      val errors = candidates.map { case (m, f) =>
+        val imputed = f(withNulls)
+        // per-attribute masked MSE and original mean in ONE agg
+        val exprs = cols.flatMap(c => Seq(
+          avg(when(col(s"__mask_$c"), pow(col(c) - col(s"__orig_$c"), 2))).as(s"mse__$c"),
+          avg(col(s"__orig_$c")).as(s"mean__$c")))
+        val row = imputed.agg(exprs.head, exprs.tail: _*).first()
+        val err = cols.map { c =>
+          // NULL masked-MSE means the candidate lost/failed the masked
+          // rows — that is a failure, not a perfect score
+          val mse = Transformers.optD(row, s"mse__$c").getOrElse(Double.PositiveInfinity)
+          val mean = Transformers.optD(row, s"mean__$c").getOrElse(1.0)
+          math.sqrt(mse) / math.max(math.abs(mean), 1e-12)
+        }.sum
+        m -> err
+      }.toMap
+      (errors.minBy(_._2)._1, errors)
+    }
+    result
+  }
+
+  /** Treatment wrapper: choose the best candidate on masked clean rows,
+    * then impute the FULL frame with it (ref quality_checker.py:521-547
+    * "auto" treatment path).
+    */
+  def autoImputationApply(
+      df: DataFrame,
+      cols: Seq[String],
+      nullPct: Double = 0.1,
+      idCol: Option[String] = None,
+      seed: Long = 42L): (String, DataFrame) = {
+    val (best, _) = autoImputation(df, cols, nullPct, idCol, seed)
+    val imputed = best match {
+      case "mean" | "median" => Transformers.imputationMMM(df, cols, Nil, numMethod = best)
+      case "KNN" => KnnImputer.imputationKnn(df, cols, seed = seed)
+      case "regression" => IterativeImputer.imputationIterative(df, cols, seed = seed)
+      case "MF" => imputationMFJoined(df, idCol.get, cols)
+    }
+    (best, imputed)
   }
 }

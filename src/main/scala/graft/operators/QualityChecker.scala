@@ -153,7 +153,8 @@ object QualityChecker {
       df: DataFrame,
       cols: Seq[String],
       treatment: String = "MMM",
-      threshold: Double = 0.5): DataFrame = treatment match {
+      threshold: Double = 0.5,
+      idCol: Option[String] = None): DataFrame = treatment match {
     case "row_removal" => df.na.drop(cols)
     case "column_removal" =>
       val stats = StatsGenerator.missingCount(df, cols).collect()
@@ -168,6 +169,22 @@ object QualityChecker {
       val (num, _, _) = graft.core.ColumnRole.segregate(
         df.select(cols.map(col): _*).schema)
       KnnImputer.imputationKnn(df, num)
+    // ref quality_checker.py:521-547: the remaining treatment options
+    // delegate to the transformer-module imputers
+    case "regression" =>
+      val (num, _, _) = graft.core.ColumnRole.segregate(
+        df.select(cols.map(col): _*).schema)
+      IterativeImputer.imputationIterative(df, num)
+    case "MF" =>
+      val id = idCol.getOrElse(
+        throw new IllegalArgumentException("MF treatment needs idCol"))
+      val (num, _, _) = graft.core.ColumnRole.segregate(
+        df.select(cols.map(col): _*).schema)
+      LatentFeatures.imputationMFJoined(df, id, num)
+    case "auto" =>
+      val (num, _, _) = graft.core.ColumnRole.segregate(
+        df.select(cols.map(col): _*).schema)
+      LatentFeatures.autoImputationApply(df, num, idCol = idCol)._2
     case t => throw new IllegalArgumentException(s"unknown null treatment: $t")
   }
 

@@ -160,6 +160,22 @@ transformers:
     },
     None)
 
+  /** Iterative (round-robin ridge) imputation — the reference's
+    * imputation_sklearn method_type="regression" analog (model-based →
+    * rows-only; ImputerSpec carries the RMSE-quality assertions).
+    */
+  val qIterativeImputation = Q(
+    "q_iterative_imputation",
+    (s, dir) => {
+      val li = tables(s, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .withColumn("l_extendedprice",
+          when(col("l_orderkey") % 11 === 0, lit(null)).otherwise(col("l_extendedprice")))
+      graft.operators.IterativeImputer.imputationIterative(
+        li, Seq("l_quantity", "l_extendedprice", "l_discount"), sampleSize = 2000)
+    },
+    None)
+
   /** TF-IDF feature-recommender search over a corpus derived from the
     * documents table (rows-only — ranking only meaningful as top-k).
     */
@@ -171,5 +187,6 @@ transformers:
     None)
 
   def all: Seq[Q] = Seq(qPcaLatent, qAlsImpute, qAutoImputation, qMonotonicBinning,
-    qBoxcox, qMultimodal, qWorkflow, qVarClus, qKnnImpute, qFeatureRec)
+    qBoxcox, qMultimodal, qWorkflow, qVarClus, qKnnImpute, qIterativeImputation,
+    qFeatureRec)
 }
