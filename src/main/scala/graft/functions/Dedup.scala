@@ -65,28 +65,37 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 200): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = shingles(df, textCol, keyCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatures(sh, numHashes)
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), hash(parts: _*).as("bucket"))
     }
-    val buckets = sig
+    // degenerate-bucket cap: a bucket of m identical/boilerplate docs
+    // yields m²/2 candidate pairs — at 100 TB one such bucket stalls the
+    // stage. Docs in an oversized bucket are still reachable through
+    // their other (bands-1) band buckets; true exact duplicates belong
+    // in exactDedup anyway. The window partitions on the join key and
+    // both self-join sides are identical subplans, so Catalyst reuses
+    // ONE exchange for them (no persist needed — an explicit cache here
+    // measured slower than the ReusedExchange Spark already inserts).
+    val capped = sig
       .select(col("key"), explode(array(bandCols: _*)).as("bb"))
       .select(col("key"), col("bb.band"), col("bb.bucket"))
-    val candidates = buckets.as("a")
-      .join(buckets.as("b"),
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("__sz") <= maxBucketSize)
+      .drop("__sz")
+    val candidates = capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.key") < col("b.key"))
       .select(col("a.key").as("key_1"), col("b.key").as("key_2"))
       .distinct()
-    val jac = jaccardOfPairs(candidates, sh)
-    sh.unpersist()
-    jac.filter(col("jaccard") >= threshold)
+    jaccardOfPairs(candidates, sh).filter(col("jaccard") >= threshold)
   }
 
   /** Verified Jaccard for given candidate pairs against a (key, shingle)
@@ -180,9 +189,22 @@ object Dedup {
       keyCol: String,
       blockCol: String,
       n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxShingleDf: Long = 1000L): DataFrame = {
+    // stop-shingle skew guard: a shingle shared by m docs in a block
+    // ("of the …" boilerplate) contributes m²/2 join rows — at 100 TB one
+    // ubiquitous 3-gram makes the stage quadratic. Shingles with
+    // df > maxShingleDf are dropped (standard stop-shingle filtering), so
+    // the similarity is n-gram Jaccard over the non-stop shingle space —
+    // identical to plain Jaccard whenever no shingle exceeds the cap.
+    // The df window partitions on the self-join key, and the two join
+    // sides are identical subplans → Catalyst reuses one exchange for
+    // them (explicit persist measured slower than ReusedExchange).
     val sh = shingles(df, textCol, keyCol, n)
       .join(df.select(col(keyCol).as("key"), col(blockCol).as("block")), "key")
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("block", "shingle")))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df")
     val sizes = sh.groupBy("key").agg(count(lit(1)).as("n"))
     sh.as("a")
       .join(sh.as("b"),

@@ -53,9 +53,23 @@ object Similarity {
     * Scale: broadcast holds to ~1e6×small-dim vectors; beyond that use
     * lshTopK (bucketed self-join) or shard the candidate set.
     */
-  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 5): DataFrame = {
+  def bruteForceTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      maxCollectRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    // driver-collect guard: beyond ~1e6 vectors the broadcast OOMs the
+    // driver — fail over to the distributed exhaustive-probe IVF path,
+    // which is also exact (every query probes every cell, so every pair
+    // is scored once) but shuffles instead of collecting
+    val est = df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
+      .getOrElse(df.count())
+    if (est > maxCollectRows)
+      return ivfTopK(df, idCol, vecCol, k,
+        cellCount = math.max(16, math.sqrt(est.toDouble).toInt / 4), nprobe = Int.MaxValue)
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val all: Array[(Long, Array[Float])] = base.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -217,7 +231,7 @@ object Similarity {
         var d = 0.0; var j = 0; val c = cs(ci)
         while (j < c.length && j < v.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
         (ci, d)
-      }.sortBy(_._2).take(n).map(_._1).toArray
+      }.sortBy(_._2).take(math.min(n, cs.length)).map(_._1).toArray
     }
     def norm(v: Array[Float]): Double = {
       var s = 0.0; var i = 0

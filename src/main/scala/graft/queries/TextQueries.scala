@@ -168,7 +168,12 @@ object TextQueries {
         SELECT DISTINCT doc_id, lang,
                array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
         FROM norm, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
-      sh2 AS (SELECT * FROM sh WHERE length(shingle) > 0),
+      sh1 AS (SELECT * FROM sh WHERE length(shingle) > 0),
+      -- mirror the engine's stop-shingle df cap (df > 1000 dropped);
+      -- no fixture shingle comes close, so results are unchanged here
+      sh2 AS (SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY lang, shingle) AS df
+                FROM sh1) WHERE df <= 1000),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS key_1, b.doc_id AS key_2, count(*) AS i
@@ -182,13 +187,11 @@ object TextQueries {
       JOIN sizes nb ON key_2 = nb.doc_id
       WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.01"""))
 
-  /** Brute-force cosine top-k over the embeddings table — exact oracle
-    * via unnest-zip in DuckDB.
+  /** Exact cosine top-k oracle (unnest-zip in DuckDB) — shared by the
+    * driver-broadcast baseline AND the distributed exhaustive-probe IVF
+    * variant, which must produce identical results.
     */
-  val qCosineTopK = Q(
-    "q_cosine_topk",
-    (s, dir) => Similarity.bruteForceTopK(tables(s, dir).embeddings, "vec_id", "embedding", k = 3),
-    Some("""
+  private val cosineTopK3Sql = """
       WITH e AS (
         SELECT vec_id, unnest(embedding) AS x,
                unnest(range(1, len(embedding) + 1)) AS i
@@ -206,7 +209,26 @@ object TextQueries {
               (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
             FROM c)
       SELECT vec_id, neighbor_id, round(cos, 4) AS cos, CAST(rank AS INT) AS rank
-      FROM r WHERE rank <= 3"""))
+      FROM r WHERE rank <= 3"""
+
+  val qCosineTopK = Q(
+    "q_cosine_topk",
+    (s, dir) => Similarity.bruteForceTopK(tables(s, dir).embeddings, "vec_id", "embedding", k = 3),
+    Some(cosineTopK3Sql))
+
+  /** Exhaustive-probe IVF: every query probes every cell, so every pair
+    * is scored exactly once inside a hash-partitioned cogroup — same
+    * results as brute force with NO driver-side collect of the vector
+    * table. This is the oracle-checked distributed exact path; drop
+    * nprobe for the approximate scale configuration.
+    */
+  val qIvfExactTopK = Q(
+    "q_ivf_exact_topk",
+    (s, dir) => Similarity.ivfTopK(tables(s, dir).embeddings, "vec_id", "embedding",
+      k = 3, cellCount = 8, nprobe = 8)
+      .select(col("vec_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cos"), col("rank")),
+    Some(cosineTopK3Sql))
 
   /** SRP-LSH approximate top-k (bucketed self-join — the scale path);
     * approximate by construction → rows-only check.
@@ -301,6 +323,6 @@ object TextQueries {
     })
 
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
-    qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qCosineTopK, qLshTopK,
-    qIvfTopK, qEmbeddingDedup, qStratifiedSample, qTextPipeline)
+    qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qCosineTopK,
+    qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup, qStratifiedSample, qTextPipeline)
 }

@@ -104,6 +104,52 @@ class TextSpec extends SparkSpec {
     assert(hits >= 27, s"IVF twin recall too low: $hits/30")
   }
 
+  test("stop-shingle df cap removes ubiquitous shingles from the candidate join") {
+    // every doc shares the boilerplate "the quick brown"; pairs 1-2 also
+    // share real content
+    val boiler = "the quick brown"
+    val docs = (1 to 20).map(i => (i.toLong, s"$boiler unique tokens number $i here")) ++
+      Seq((100L, s"$boiler alpha beta gamma delta"), (101L, s"$boiler alpha beta gamma delta"))
+    val d = docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", "lang",
+      n = 3, threshold = 0.5, maxShingleDf = 5)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the boilerplate-only pairs are gone; the real near-dup pair remains
+    // with jaccard computed over NON-stop shingles only (here: identical
+    // remaining sets → 1.0)
+    assert(got == Set((100L, 101L)))
+    assert(pairs.collect().head.getDouble(2) == 1.0)
+  }
+
+  test("minhash bucket cap drops degenerate buckets but keeps near-dups reachable") {
+    // 30 identical docs form degenerate buckets in EVERY band; with the
+    // cap they produce no pairs (exactDedup territory), while a distinct
+    // near-dup pair below the cap is still found
+    val t = (1 to 40).map(i => s"token$i").mkString(" ")
+    val clones = (1 to 30).map(i => (i.toLong, "all work and no play makes a dull boy " * 4))
+    val pair = Seq((200L, t), (201L, t + " extra"))
+    val d = (clones ++ pair).toDF("doc_id", "text")
+    val res = Dedup.minhashNearDuplicates(d, "text", "doc_id",
+      threshold = 0.5, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res == Set((200L, 201L)))
+  }
+
+  test("exhaustive-probe IVF equals brute force exactly (distributed exact path)") {
+    val rnd = new scala.util.Random(23)
+    val d = (0 until 80).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val brute = Similarity.bruteForceTopK(d, "vec_id", "embedding", k = 3)
+      .collect().map(key).sortBy(t => (t._1, t._4))
+    val exact = Similarity.ivfTopK(d, "vec_id", "embedding", k = 3,
+      cellCount = 5, nprobe = 5)
+      .select("vec_id", "neighbor_id", "cos", "rank")
+      .collect().map(key).sortBy(t => (t._1, t._4))
+    assert(exact.toSeq == brute.toSeq)
+  }
+
   test("embedding near-dup finds planted noisy copies") {
     val rnd = new scala.util.Random(17)
     val base = (0 until 40).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
