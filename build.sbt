@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // deep iterative lineages (ALS) serialize recursively; the JDK default
+  // 512k-1m thread stack intermittently overflows under concurrent suites
+  "-Xss8m",
 )

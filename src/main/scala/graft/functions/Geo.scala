@@ -248,4 +248,102 @@ object Geo {
         haversine(col(latCol), col(lonCol), col("centroid_lat"), col("centroid_lon"))), 4)
         .as("rog_km"))
   }
+
+  // ------------------------------------------------- country membership
+
+  /** Approximate country bounding box: (lonMin, latMin, lonMax, latMax)
+    * in decimal degrees — OSM-derived public data, same convention as
+    * ref geo_utils.py:512-796 COUNTRY_BOUNDING_BOXES.
+    */
+  final case class CountryBox(
+      name: String, lonMin: Double, latMin: Double, lonMax: Double, latMax: Double)
+
+  /** 50 highest-traffic countries (extend by passing a custom map to the
+    * join variant). Containment test mirrors ref geo_utils.py:799-817
+    * point_in_country_approx: latMin <= lat <= latMax AND
+    * lonMin <= lon <= lonMax.
+    */
+  val countryBoundingBoxes: Map[String, CountryBox] = Map(
+    "AE" -> CountryBox("United Arab Emirates", 51.498, 22.6444, 56.3834, 26.2822),
+    "AR" -> CountryBox("Argentina", -73.5600329, -55.1850761, -53.6374515, -21.781168),
+    "AU" -> CountryBox("Australia", 72.2460938, -55.3228175, 168.2249543, -9.0882278),
+    "AT" -> CountryBox("Austria", 9.5307487, 46.3722761, 17.160776, 49.0205305),
+    "BE" -> CountryBox("Belgium", 2.3889137, 49.4969821, 6.408097, 51.5516667),
+    "BD" -> CountryBox("Bangladesh", 88.0075306, 20.3756582, 92.6804979, 26.6382534),
+    "BR" -> CountryBox("Brazil", -73.9830625, -33.8689056, -28.6341164, 5.2842873),
+    "CA" -> CountryBox("Canada", -141.00275, 41.6765556, -52.3231981, 83.3362128),
+    "CH" -> CountryBox("Switzerland", 5.9559113, 45.817995, 10.4922941, 47.8084648),
+    "CL" -> CountryBox("Chile", -109.6795789, -56.725, -66.0753474, -17.4983998),
+    "CN" -> CountryBox("China", 73.4997347, 8.8383436, 134.7754563, 53.5608154),
+    "CO" -> CountryBox("Colombia", -82.1243666, -4.2316872, -66.8511907, 16.0571269),
+    "CZ" -> CountryBox("Czechia", 12.0905901, 48.5518083, 18.859216, 51.0557036),
+    "DE" -> CountryBox("Germany", 5.8663153, 47.2701114, 15.0419319, 55.099161),
+    "DK" -> CountryBox("Denmark", 7.7153255, 54.4516667, 15.5530641, 57.9524297),
+    "EG" -> CountryBox("Egypt", 24.6499112, 22.0, 37.1153517, 31.8330854),
+    "ES" -> CountryBox("Spain", -18.3936845, 27.4335426, 4.5918885, 43.9933088),
+    "FI" -> CountryBox("Finland", 19.0832098, 59.4541578, 31.5867071, 70.0922939),
+    "FR" -> CountryBox("France", -5.4534286, 41.2632185, 9.8678344, 51.268318),
+    "GR" -> CountryBox("Greece", 19.2477876, 34.7006096, 29.7296986, 41.7488862),
+    "ID" -> CountryBox("Indonesia", 94.7717124, -11.2085669, 141.0194444, 6.2744496),
+    "IN" -> CountryBox("India", 68.1113787, 6.5546079, 97.395561, 35.6745457),
+    "IQ" -> CountryBox("Iraq", 38.7936719, 29.0585661, 48.8412702, 37.380932),
+    "IL" -> CountryBox("Israel", 34.2674994, 29.4533796, 35.8950234, 33.3356317),
+    "IT" -> CountryBox("Italy", 6.6272658, 35.2889616, 18.7844746, 47.0921462),
+    "JP" -> CountryBox("Japan", 122.7141754, 20.2145811, 154.205541, 45.7112046),
+    "KE" -> CountryBox("Kenya", 33.9098987, -4.8995204, 41.899578, 4.62),
+    "KR" -> CountryBox("Korea, Republic of", 124.354847, 32.9104556, 132.1467806, 38.623477),
+    "MA" -> CountryBox("Morocco", -17.2551456, 21.3365321, -0.998429, 36.0505269),
+    "MX" -> CountryBox("Mexico", -118.59919, 14.3886243, -86.493266, 32.7186553),
+    "MY" -> CountryBox("Malaysia", 105.3471939, -5.1076241, 120.3471939, 9.8923759),
+    "NG" -> CountryBox("Nigeria", 2.676932, 4.0690959, 14.678014, 13.885645),
+    "NL" -> CountryBox("Netherlands", 1.9193492, 50.7295671, 7.2274985, 53.7253321),
+    "NO" -> CountryBox("Norway", 4.0875274, 57.7590052, 31.7614911, 71.3848787),
+    "NZ" -> CountryBox("New Zealand", -179.059153, -52.8213687, 179.3643594, -29.0303303),
+    "PK" -> CountryBox("Pakistan", 60.872855, 23.5393916, 77.1203914, 37.084107),
+    "PE" -> CountryBox("Peru", -84.6356535, -20.1984472, -68.6519906, -0.0392818),
+    "PH" -> CountryBox("Philippines", 114.0952145, 4.2158064, 126.8072562, 21.3217806),
+    "PL" -> CountryBox("Poland", 14.1229707, 49.0020468, 24.145783, 55.0336963),
+    "PT" -> CountryBox("Portugal", -31.5575303, 29.8288021, -6.1891593, 42.1543112),
+    "RU" -> CountryBox("Russian Federation", 19.6389, 41.1850968, 180.0, 82.0586232),
+    "SA" -> CountryBox("Saudi Arabia", 34.4571718, 16.29, 55.6666851, 32.1543377),
+    "SG" -> CountryBox("Singapore", 103.6920359, 1.1304753, 104.0120359, 1.4504753),
+    "SE" -> CountryBox("Sweden", 10.5930952, 55.1331192, 24.1776819, 69.0599699),
+    "TH" -> CountryBox("Thailand", 97.3438072, 5.612851, 105.636812, 20.4648337),
+    "TR" -> CountryBox("Turkey", 25.6212891, 35.8076804, 44.8176638, 42.297),
+    "UA" -> CountryBox("Ukraine", 22.137059, 44.184598, 40.2275801, 52.3791473),
+    "US" -> CountryBox("United States of America", -125.0011, 24.9493, -66.9326, 49.5904),
+    "VN" -> CountryBox("Viet Nam", 102.14441, 8.1790665, 114.3337595, 23.393395),
+    "ZA" -> CountryBox("South Africa", 16.3335213, -47.1788335, 38.2898954, -22.1250301))
+
+  /** 1/0 flag (NULL on null coords) for one country — pure Catalyst
+    * expression, codegen'd; ref geo_utils.py:799 point_in_country_approx.
+    */
+  def locationInCountry(lat: Column, lon: Column, countryCode: String): Column = {
+    val b = countryBoundingBoxes.getOrElse(countryCode,
+      throw new IllegalArgumentException(s"unknown country code: $countryCode"))
+    when(lat.isNull || lon.isNull, lit(null))
+      .otherwise((lat.between(b.latMin, b.latMax) && lon.between(b.lonMin, b.lonMax))
+        .cast("int"))
+  }
+
+  /** All matching countries per point via a broadcast range join against
+    * the (tiny) box table — the 100 TB shape: the fact side streams, the
+    * 50-row dimension is broadcast, no shuffle. Points in no box are kept
+    * with a NULL country (left join).
+    */
+  def locationCountries(
+      df: DataFrame,
+      latCol: String,
+      lonCol: String,
+      boxes: Map[String, CountryBox] = countryBoundingBoxes): DataFrame = {
+    import df.sparkSession.implicits._
+    val boxDf = boxes.toSeq
+      .map { case (code, b) => (code, b.name, b.lonMin, b.latMin, b.lonMax, b.latMax) }
+      .toDF("country_code", "country_name", "__lon_min", "__lat_min", "__lon_max", "__lat_max")
+    df.join(broadcast(boxDf),
+        col(latCol) >= col("__lat_min") && col(latCol) <= col("__lat_max") &&
+          col(lonCol) >= col("__lon_min") && col(lonCol) <= col("__lon_max"),
+        "left")
+      .drop("__lon_min", "__lat_min", "__lon_max", "__lat_max")
+  }
 }

@@ -61,6 +61,13 @@ object LatentFeatures {
       regParam: Double = 0.01,
       seed: Long = 42L): DataFrame = {
     import df.sparkSession.implicits._
+    // ALS lineage grows per iteration; without a checkpoint dir its
+    // periodic checkpointing (interval 10) is skipped and closure
+    // serialization can StackOverflow on deep plans
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        System.getProperty("java.io.tmpdir", "/tmp") + "/graft-checkpoints")
     val itemIndex = cols.zipWithIndex.toMap
     val stackArgs = cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
     val long = df.select(col(idCol),

@@ -110,11 +110,7 @@ object QualityChecker {
     def isUser(c: String): Column = userRegexes
       .map(re => lowered(c).rlike(re))
       .foldLeft(lit(false))(_ || _)
-    // whitelisted values are never invalid (ref whitelist regexes,
-    // quality_checker.py:1504-1538)
-    def invalid(c: String) =
-      (isNullWord(c) || isSpecial(c) || isRepeat(c) || isUser(c)) &&
-        !lowered(c).isin(whitelist.map(_.toLowerCase): _*)
+    def invalid(c: String) = invalidPredicate(c, userRegexes, whitelist)
     val exprs = cols.flatMap { c =>
       Seq(
         count(when(invalid(c), 1)).cast(LongType).as(s"invalid_count__$c"),
@@ -131,16 +127,51 @@ object QualityChecker {
       s"stack(${cols.size}, $stackArgs) as (attribute, invalid_count, invalid_pct, null_word_count, special_char_count, repeated_char_count)"))
   }
 
-  /** Treatment: replace invalid entries with null. */
-  def invalidEntriesTreatment(df: DataFrame, cols: Seq[String]): DataFrame = {
-    def lowered(c: Column) = lower(trim(c.cast(StringType)))
-    cols.foldLeft(df) { (d, c) =>
-      d.withColumn(c,
-        when(
-          lowered(col(c)).isin(nullWords: _*) ||
-            lowered(col(c)).rlike(specialCharsRegex) ||
-            lowered(col(c)).rlike(repeatedCharRegex),
-          lit(null)).otherwise(col(c)))
+  /** The shared "is this value invalid" predicate: null-word, special
+    * chars, repeated chars, or a user regex — unless whitelisted
+    * (ref whitelist regexes, quality_checker.py:1504-1538).
+    */
+  private def invalidPredicate(
+      c: String, userRegexes: Seq[String], whitelist: Seq[String]): Column = {
+    val l = lower(trim(col(c).cast(StringType)))
+    val base = l.isin(nullWords: _*) || l.rlike(specialCharsRegex) ||
+      l.rlike(repeatedCharRegex) ||
+      userRegexes.map(l.rlike).foldLeft(lit(false))(_ || _)
+    base && !l.isin(whitelist.map(_.toLowerCase): _*)
+  }
+
+  /** Treatments (ref quality_checker.py:1620-1711): "null_replacement"
+    * nulls invalid entries; "MMM" nulls then mode/median-fills them;
+    * "column_removal" drops the offending columns. With a
+    * `treatmentThreshold`, only columns whose invalid_pct exceeds it are
+    * treated (one detection pass decides the column set).
+    */
+  def invalidEntriesTreatment(
+      df: DataFrame,
+      cols: Seq[String],
+      method: String = "null_replacement",
+      treatmentThreshold: Option[Double] = None,
+      userRegexes: Seq[String] = Nil,
+      whitelist: Seq[String] = Nil): DataFrame = {
+    val treatCols = treatmentThreshold match {
+      case None => cols
+      case Some(t) =>
+        invalidEntriesDetection(df, cols, userRegexes, whitelist)
+          .filter(col("invalid_pct") > t)
+          .collect().map(_.getString(0)).toSeq
+    }
+    def nulled(d: DataFrame): DataFrame = treatCols.foldLeft(d) { (dd, c) =>
+      dd.withColumn(c,
+        when(invalidPredicate(c, userRegexes, whitelist), lit(null)).otherwise(col(c)))
+    }
+    method match {
+      case "null_replacement" => nulled(df)
+      case "column_removal" => df.drop(treatCols: _*)
+      case "MMM" =>
+        val (num, cat, _) = graft.core.ColumnRole.segregate(
+          df.select(treatCols.map(col): _*).schema)
+        Transformers.imputationMMM(nulled(df), num, cat)
+      case m => throw new IllegalArgumentException(s"unknown invalid-entries treatment: $m")
     }
   }
 

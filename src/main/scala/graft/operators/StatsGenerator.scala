@@ -141,16 +141,25 @@ object StatsGenerator {
         round(col("mode_count") * lit(1.0) / col("__nonnull"), 4).as("mode_pct"))
   }
 
-  /** ref: stats_generator.py:424-526 `measures_of_centralTendency` for
-    * numeric columns: mean (exact-decimal-sum) + exact median, one agg.
+  /** ref: stats_generator.py:424-526 `measures_of_centralTendency` —
+    * full reference schema [attribute, mean, median, mode, mode_rows,
+    * mode_pct]: mean (exact-decimal-sum) + exact median in one agg,
+    * joined with the single-shuffle melt-based mode computation.
     */
-  def centralTendency(df: DataFrame, cols: Seq[String]): DataFrame = chunked(cols) { cs =>
-    val exprs = cs.flatMap { c =>
-      Seq(
-        NumExpr.dmean(col(c)).as(s"mean__$c"),
-        NumExpr.pct(col(c), 0.5).as(s"median__$c"))
+  def centralTendency(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val meanMedian = chunked(cols) { cs =>
+      val exprs = cs.flatMap { c =>
+        Seq(
+          NumExpr.dmean(col(c)).as(s"mean__$c"),
+          NumExpr.pct(col(c), 0.5).as(s"median__$c"))
+      }
+      longForm(agg1(df, exprs), cs, Seq("mean", "median"))
     }
-    longForm(agg1(df, exprs), cs, Seq("mean", "median"))
+    val modes = modeComputation(df, cols)
+      .withColumnRenamed("mode_count", "mode_rows")
+    meanMedian.join(modes, Seq("attribute"), "full_outer")
+      .select(col("attribute"), col("mean"), col("median"),
+        col("mode"), col("mode_rows"), col("mode_pct"))
   }
 
   /** ref: stats_generator.py:529-620 `uniqueCount_computation`.

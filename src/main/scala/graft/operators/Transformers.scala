@@ -168,27 +168,41 @@ object Transformers {
 
   /** ref: transformers.py:506-773 `cat_to_num_unsupervised`, label
     * encoding by frequency (desc) or alphabetical order; deterministic
-    * tie-break on value. Encoding map is a small frame broadcast-joined
-    * back — no StringIndexer model object needed, same semantics.
+    * tie-break on value.
+    *
+    * Index assignment is a DISTRIBUTED sort (range partitioning) +
+    * zipWithIndex — not a partitionless `Window.orderBy`, which funnels
+    * every distinct value through one partition and dies on ID-like
+    * columns. The mapping is broadcast-joined only while its cardinality
+    * stays under `maxBroadcastCategories`; above that the join falls
+    * back to a shuffle join, so high-cardinality columns still encode
+    * correctly instead of OOM-ing an executor.
     */
   def labelEncoding(
       df: DataFrame,
       cols: Seq[String],
       order: String = "frequencyDesc",
-      outputSuffix: String = "_index"): DataFrame = {
+      outputSuffix: String = "_index",
+      maxBroadcastCategories: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.Row
     cols.foldLeft(df) { (d, c) =>
       val counts = d.filter(col(c).isNotNull).groupBy(col(c)).agg(count(lit(1)).as("__n"))
-      val w = order match {
-        case "frequencyDesc" => Window.orderBy(col("__n").desc, col(c).asc)
-        case "frequencyAsc"  => Window.orderBy(col("__n").asc, col(c).asc)
-        case "alphabetAsc"   => Window.orderBy(col(c).asc)
-        case "alphabetDesc"  => Window.orderBy(col(c).desc)
+      val sortKeys = order match {
+        case "frequencyDesc" => Seq(col("__n").desc, col(c).asc)
+        case "frequencyAsc"  => Seq(col("__n").asc, col(c).asc)
+        case "alphabetAsc"   => Seq(col(c).asc)
+        case "alphabetDesc"  => Seq(col(c).desc)
         case o => throw new IllegalArgumentException(s"unknown order: $o")
       }
-      val mapping = counts
-        .withColumn(c + outputSuffix, row_number().over(w) - 1)
-        .drop("__n")
-      d.join(broadcast(mapping), Seq(c), "left")
+      val sorted = counts.orderBy(sortKeys: _*).drop("__n")
+      val outSchema = StructType(sorted.schema.fields :+
+        StructField(c + outputSuffix, IntegerType, nullable = false))
+      val mapping = d.sparkSession.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i.toInt) },
+        outSchema)
+      val cardinality = counts.count()
+      val rhs = if (cardinality <= maxBroadcastCategories) broadcast(mapping) else mapping
+      d.join(rhs, Seq(c), "left")
     }
   }
 

@@ -147,5 +147,33 @@ object GeoQueries {
     },
     None)
 
-  def all: Seq[Q] = Seq(qDistance, qCentroid, qRog, qFormat, qPolygon, qGeohash)
+  /** Country membership via the broadcast bounding-box table (ref
+    * geo_utils.py:799 point_in_country_approx). The oracle's VALUES table
+    * is generated from the SAME Scala box constants — one source of truth.
+    */
+  val qInCountry = Q(
+    "q_geo_in_country_boxes",
+    (s, dir) => {
+      val pts = withPoints(tables(s, dir).customer)
+      Geo.locationCountries(pts, "lat", "lon")
+        .filter(col("country_code").isNotNull)
+        .groupBy("country_code", "country_name")
+        .agg(count(lit(1)).as("n_points"))
+    },
+    Some {
+      val rows = Geo.countryBoundingBoxes.toSeq.sortBy(_._1)
+        .map { case (code, b) =>
+          s"('$code', '${b.name.replace("'", "''")}', ${b.lonMin}, ${b.latMin}, ${b.lonMax}, ${b.latMax})"
+        }
+        .mkString(",\n            ")
+      s"""$pointsCte,
+          boxes(code, name, lon_min, lat_min, lon_max, lat_max) AS (VALUES
+            $rows)
+          SELECT code AS country_code, name AS country_name, count(*) AS n_points
+          FROM pts JOIN boxes
+            ON lat BETWEEN lat_min AND lat_max AND lon BETWEEN lon_min AND lon_max
+          GROUP BY 1, 2"""
+    })
+
+  def all: Seq[Q] = Seq(qDistance, qCentroid, qRog, qFormat, qPolygon, qGeohash, qInCountry)
 }

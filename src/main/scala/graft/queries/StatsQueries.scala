@@ -48,9 +48,18 @@ object StatsQueries {
   val qCentralTendency = Q(
     "q_central_tendency",
     (s, dir) => StatsGenerator.centralTendency(tables(s, dir).lineitem, ctCols),
+    // mode ties break on the STRING form of the value (the engine's melt
+    // casts to string before ranking), hence ORDER BY CAST AS VARCHAR
     Some(perColumnUnion("lineitem", ctCols)(c =>
-      s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / count($c) AS mean, " +
-        s"quantile_cont($c, 0.5) AS median")))
+      s"""CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / count($c) AS mean,
+          quantile_cont($c, 0.5) AS median,
+          (SELECT CAST($c AS VARCHAR) FROM lineitem WHERE $c IS NOT NULL
+             GROUP BY $c ORDER BY count(*) DESC, CAST($c AS VARCHAR) ASC LIMIT 1) AS mode,
+          (SELECT count(*) FROM lineitem WHERE $c IS NOT NULL GROUP BY $c
+             ORDER BY count(*) DESC, CAST($c AS VARCHAR) ASC LIMIT 1) AS mode_rows,
+          round((SELECT CAST(count(*) AS DOUBLE) FROM lineitem WHERE $c IS NOT NULL
+                   GROUP BY $c ORDER BY count(*) DESC, CAST($c AS VARCHAR) ASC LIMIT 1)
+                / count($c), 4) AS mode_pct""")))
 
   private val modeCols = Seq("o_orderstatus", "o_orderpriority")
   val qMode = Q(

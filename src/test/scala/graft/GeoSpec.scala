@@ -95,4 +95,30 @@ class GeoSpec extends SparkSpec {
     val dms = d.select(Geo.ddToDms(col("dd"))).collect().map(_.getString(0))
     assert(dms(0) == "30°15'0.0\"" && dms(1) == "-45°30'0.0\"")
   }
+
+  test("location in country: flags, nulls, and the broadcast box join") {
+    // Kansas City is in the US box; Paris in FR; the null row stays null
+    val d = Seq(
+      (1L, Some(39.1), Some(-94.6)),
+      (2L, Some(48.85), Some(2.35)),
+      (3L, None: Option[Double], None: Option[Double])
+    ).toDF("id", "lat", "lon")
+    val flags = d.select(col("id"),
+      Geo.locationInCountry(col("lat"), col("lon"), "US").as("us"),
+      Geo.locationInCountry(col("lat"), col("lon"), "FR").as("fr"))
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    assert(flags(1L) == ((1, 0)) && flags(2L) == ((0, 1)))
+    assert(flags(3L) == ((null, null)))
+    intercept[IllegalArgumentException](Geo.locationInCountry(col("lat"), col("lon"), "XX"))
+
+    val joined = Geo.locationCountries(d, "lat", "lon")
+    val byId = joined.filter(col("country_code").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toSeq
+      .groupMap(_._1)(_._2)
+    assert(byId(1L).contains("US") && byId(2L).contains("FR"))
+    // the null-coord row survives the left join with NULL country
+    assert(joined.filter(col("id") === 3 && col("country_code").isNull).count() == 1)
+    // dimension must broadcast: no shuffle on the fact side
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -151,6 +151,30 @@ class QualitySpec extends SparkSpec {
     assert(bia.getInt(bia.fieldIndex("flagged")) == 1)
   }
 
+  test("invalid entries MMM and column-removal treatments") {
+    val d = Seq(
+      ("ok", 1.0), ("NA", 2.0), ("###", 3.0), ("fine", 4.0), ("good", 5.0)
+    ).toDF("s", "x")
+    // MMM: the two invalid strings become the mode of the valid ones
+    val mmm = QualityChecker.invalidEntriesTreatment(d, Seq("s"), method = "MMM")
+    assert(mmm.filter(col("s").isNull).count() == 0)
+    val filled = mmm.filter(col("x") === 2.0 || col("x") === 3.0)
+      .select("s").collect().map(_.getString(0)).toSet
+    assert(filled.subsetOf(Set("fine", "good", "ok")))
+    // column_removal with threshold: s has 2/5 = 40% invalid → dropped
+    // above 0.3, kept above 0.5
+    val dropped = QualityChecker.invalidEntriesTreatment(
+      d, Seq("s"), method = "column_removal", treatmentThreshold = Some(0.3))
+    assert(!dropped.columns.contains("s"))
+    val kept = QualityChecker.invalidEntriesTreatment(
+      d, Seq("s"), method = "column_removal", treatmentThreshold = Some(0.5))
+    assert(kept.columns.contains("s"))
+    // threshold also gates null_replacement
+    val untouched = QualityChecker.invalidEntriesTreatment(
+      d, Seq("s"), treatmentThreshold = Some(0.5))
+    assert(untouched.filter(col("s").isNull).count() == 0)
+  }
+
   test("all-null column is excluded from outlier bounds, not an NPE") {
     val d = Seq((1.0, None: Option[Double]), (2.0, None), (3.0, None))
       .toDF("x", "y")

@@ -127,6 +127,17 @@ class TransformSpec extends SparkSpec {
     assert(t("sqrt") == 2.0 && t("sq") == 16.0 && t("ln") == math.log(4.0))
   }
 
+  test("labelEncoding survives ID-like cardinality with no single-partition exchange") {
+    val d = (0 until 5000).map(i => f"id_$i%05d").toDF("k")
+    val enc = Transformers.labelEncoding(d, Seq("k"), order = "alphabetAsc",
+      maxBroadcastCategories = 100) // force the shuffle-join path
+    // alphabetical order over zero-padded ids == numeric order → index i
+    val rows = enc.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows("id_00000") == 0 && rows("id_00123") == 123 && rows("id_04999") == 4999)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition exchange in:\n$plan")
+  }
+
   test("all-null columns pass through scaling/binning fits untouched") {
     val d = Seq((1.0, None: Option[Double]), (2.0, None), (3.0, None)).toDF("x", "y")
     assert(Transformers.zStandardization(d, Seq("x", "y"))
