@@ -118,5 +118,65 @@ object CoreQueries {
         l_quantity * 2 AS f1
       FROM lineitem"""))
 
-  def all: Seq[Q] = Seq(q1, qJoin, qRecommendType, qExpressionParser)
+  /** Semi/anti join surface: customers with vs without orders, one frame. */
+  val qSemiAnti = Q(
+    "q_semi_anti_join",
+    (s, dir) => {
+      val t = tables(s, dir)
+      val o = t.orders.withColumnRenamed("o_custkey", "c_custkey")
+      val semi = Ingest.joinDataset(Seq(t.customer, o), Seq("c_custkey"), "left_semi")
+        .select(lit("with_orders").as("segment"), col("c_custkey"))
+      val anti = Ingest.joinDataset(Seq(t.customer, o), Seq("c_custkey"), "left_anti")
+        .select(lit("no_orders").as("segment"), col("c_custkey"))
+      semi.unionByName(anti)
+    },
+    Some("""
+      SELECT 'with_orders' AS segment, c_custkey FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      UNION ALL
+      SELECT 'no_orders' AS segment, c_custkey FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"""))
+
+  /** subtract/except surface: order keys that never shipped a lineitem. */
+  val qExcept = Q(
+    "q_except_subtract",
+    (s, dir) => {
+      val t = tables(s, dir)
+      t.orders.select(col("o_orderkey"))
+        .except(t.lineitem.select(col("l_orderkey").as("o_orderkey")))
+    },
+    Some("""
+      SELECT o_orderkey FROM orders
+      EXCEPT
+      SELECT l_orderkey AS o_orderkey FROM lineitem"""))
+
+  /** rename + recast surface (single-projection implementations). */
+  val qRenameRecast = Q(
+    "q_rename_recast",
+    (s, dir) => {
+      val renamed = Ingest.renameColumn(tables(s, dir).customer,
+        Map("c_name" -> "customer_name", "c_mktsegment" -> "segment"))
+      Ingest.recastColumn(renamed, Map("c_custkey" -> "string"))
+        .select(col("c_custkey"), col("customer_name"), col("segment"))
+    },
+    Some("""
+      SELECT CAST(c_custkey AS VARCHAR) AS c_custkey,
+             c_name AS customer_name, c_mktsegment AS segment
+      FROM customer"""))
+
+  /** Contiguous row ids under a total order (distributed sort +
+    * zipWithIndex — no single-partition window).
+    */
+  val qRowIds = Q(
+    "q_row_ids",
+    (s, dir) => Ingest.withRowId(
+      tables(s, dir).orders.select("o_orderkey", "o_orderstatus"),
+      Seq("o_orderkey")),
+    Some("""
+      SELECT o_orderkey, o_orderstatus,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+      FROM orders"""))
+
+  def all: Seq[Q] = Seq(q1, qJoin, qRecommendType, qExpressionParser,
+    qSemiAnti, qExcept, qRenameRecast, qRowIds)
 }

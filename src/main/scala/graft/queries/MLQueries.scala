@@ -70,6 +70,36 @@ object MLQueries {
   /** Box-Cox transformation (λ argmax by skewness — deterministic but the
     * 15-λ argmax is unwieldy in SQL → rows-only).
     */
+  /** Boxcox λ selection IS the operator's fit — oracle-checkable: the
+    * argmin over |population skewness| of x^λ (ln x at λ=0) is a pure
+    * aggregate on both engines; ulp-level double differences cannot flip
+    * the argmin off a near-tie-free profile.
+    */
+  val qBoxcoxLambda = Q(
+    "q_boxcox_lambda",
+    (s, dir) => {
+      import s.implicits._
+      val (_, lambdas) = Transformers.boxcoxTransformation(
+        tables(s, dir).lineitem.select("l_extendedprice"),
+        Seq("l_extendedprice"))
+      lambdas.toSeq.toDF("attribute", "lambda")
+    },
+    Some {
+      val values = Transformers.boxcoxLambdas
+        .map(l => s"(CAST($l AS DOUBLE))").mkString(", ")
+      s"""
+      WITH lam(l) AS (VALUES $values),
+      tx AS (SELECT l, CASE WHEN l = 0 THEN ln(l_extendedprice)
+                            ELSE pow(l_extendedprice, l) END AS v
+             FROM lineitem CROSS JOIN lam),
+      m AS (SELECT l, avg(v) AS mu FROM tx GROUP BY l),
+      sk AS (SELECT tx.l,
+                    abs(avg(pow(v - mu, 3)) / pow(avg(pow(v - mu, 2)), 1.5)) AS s
+             FROM tx JOIN m ON tx.l = m.l GROUP BY tx.l)
+      SELECT 'l_extendedprice' AS attribute, l AS lambda FROM sk
+      ORDER BY (CASE WHEN isnan(s) THEN 1 ELSE 0 END), s LIMIT 1"""
+    })
+
   val qBoxcox = Q(
     "q_boxcox",
     (s, dir) => {
@@ -187,6 +217,6 @@ transformers:
     None)
 
   def all: Seq[Q] = Seq(qPcaLatent, qAlsImpute, qAutoImputation, qMonotonicBinning,
-    qBoxcox, qMultimodal, qWorkflow, qVarClus, qKnnImpute, qIterativeImputation,
-    qFeatureRec)
+    qBoxcox, qBoxcoxLambda, qMultimodal, qWorkflow, qVarClus, qKnnImpute,
+    qIterativeImputation, qFeatureRec)
 }

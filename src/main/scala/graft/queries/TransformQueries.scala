@@ -141,6 +141,25 @@ object TransformQueries {
       FROM (SELECT o_orderpriority, count(*) AS cnt FROM orders
             WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority)"""))
 
+  /** One-hot encoding: one 0/1 column per observed category. */
+  val qOneHot = Q(
+    "q_one_hot_encoding",
+    (s, dir) => Transformers
+      .oneHotEncoding(tables(s, dir).customer, Seq("c_mktsegment"))
+      .select(col("c_custkey"),
+        col("c_mktsegment_AUTOMOBILE"), col("c_mktsegment_BUILDING"),
+        col("c_mktsegment_FURNITURE"), col("c_mktsegment_HOUSEHOLD"),
+        col("c_mktsegment_MACHINERY")),
+    Some("""
+      SELECT c_custkey,
+        CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS c_mktsegment_AUTOMOBILE,
+        CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END AS c_mktsegment_BUILDING,
+        CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END AS c_mktsegment_FURNITURE,
+        CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END AS c_mktsegment_HOUSEHOLD,
+        CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END AS c_mktsegment_MACHINERY
+      FROM customer"""))
+
   def all: Seq[Q] = Seq(qBinning, qBinningEqFreq, qMinMaxNorm, qZStandardization,
-    qIqrStandardization, qFeatureMath, qOutlierCategories, qTargetEncoding, qLabelEncoding)
+    qIqrStandardization, qFeatureMath, qOutlierCategories, qTargetEncoding, qLabelEncoding,
+    qOneHot)
 }

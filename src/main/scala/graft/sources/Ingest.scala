@@ -111,6 +111,27 @@ object Ingest {
       casts.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
     }.toSeq: _*)
 
+  /** Contiguous 0-based row ids under a caller-supplied TOTAL order —
+    * distributed range-partitioned sort + zipWithIndex, never a
+    * partitionless row_number window (which funnels the whole table
+    * through one partition). For ids that only need uniqueness (not
+    * contiguity) use monotonicId, which is a pure map.
+    */
+  def withRowId(df: DataFrame, orderCols: Seq[String], name: String = "row_id"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.orderBy(orderCols.map(col): _*)
+    val outSchema = StructType(sorted.schema.fields :+
+      StructField(name, LongType, nullable = false))
+    df.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      outSchema)
+  }
+
+  /** Unique (non-contiguous) 64-bit ids — map-only, no sort, no shuffle. */
+  def monotonicId(df: DataFrame, name: String = "row_id"): DataFrame =
+    df.withColumn(name, monotonically_increasing_id())
+
   /** ref: data_ingest.py:370-533 `recommend_type` — cardinality-driven
     * numerical↔categorical recommendation. threshold =
     * min(dynamicFrac * rows, staticCap); a numerical column below it is

@@ -178,4 +178,13 @@ stats_generator:
     val lm = lagged.collect().map(r => (r.getInt(0), r.getInt(1)) -> Option(r.get(3))).toMap
     assert(lm((1, 2)).contains(10.0) && lm((1, 1)).isEmpty)
   }
+
+  test("row ids: contiguous under total order, unique under monotonic") {
+    val d = Seq(30, 10, 20).toDF("k").repartition(3)
+    val ordered = Ingest.withRowId(d, Seq("k")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(ordered == Map(10 -> 0L, 20 -> 1L, 30 -> 2L))
+    val mono = Ingest.monotonicId(d).collect().map(_.getLong(1))
+    assert(mono.distinct.length == 3)
+  }
 }
