@@ -66,9 +66,14 @@ object ModelStore {
       min(col(c)).cast("double").as(s"min__$c"),
       max(col(c)).cast("double").as(s"max__$c")))
     val row = source.agg(exprs.head, exprs.tail: _*).collect()(0)
-    val cuts = cols.map { c =>
-      val lo = row.getAs[Double](s"min__$c"); val hi = row.getAs[Double](s"max__$c")
-      c -> (1 until binCount).map(i => lo + (hi - lo) * i / binCount)
+    val cuts = cols.flatMap { c =>
+      // all-null source column → NULL min/max: skip it (same guard as
+      // Drift.driftStatistics)
+      (Transformers.optD(row, s"min__$c"), Transformers.optD(row, s"max__$c")) match {
+        case (Some(lo), Some(hi)) =>
+          Some(c -> (1 until binCount).map(i => lo + (hi - lo) * i / binCount))
+        case _ => None
+      }
     }.toMap
     saveBinning(spark, cuts, s"$path/cuts")
     val binned = Transformers.applyBinning(source, cuts, "__bin")

@@ -142,4 +142,52 @@ object StreamingOps {
       .withColumn("bin", graft.operators.Transformers.binExpr(col(valueCol), cuts))
       .groupBy(window(col(tsCol), windowDuration), col("bin"))
       .agg(count(lit(1)).as("n"))
+
+  /** Batch-side half of the streaming PSI monitor: turn windowed bin
+    * counts [window, bin, n] into per-window PSI/HD/JSD/KS against a
+    * saved single-attribute source histogram [attribute, bin, p]. Each
+    * event-time window becomes one `attribute` row (its start timestamp),
+    * so the SAME Drift.metricsFromFrequencies computes every window's
+    * metrics in one pass.
+    */
+  def windowedDriftMetrics(
+      binCounts: DataFrame,
+      sourceFreq: DataFrame,
+      threshold: Double = 0.1): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("attribute")
+    val q = binCounts
+      .withColumn("attribute", col("window.start").cast("string"))
+      .withColumn("q", col("n") / sum("n").over(w))
+      .select("attribute", "bin", "q")
+    val windows = q.select("attribute").distinct()
+    val p = sourceFreq.select(col("bin"), col("p")).crossJoin(broadcast(windows))
+    graft.operators.Drift.metricsFromFrequencies(p, q, threshold)
+  }
+
+  /** End-to-end streaming drift: bin the stream per event-time window
+    * (complete-mode aggregate — the windowed counts frame stays tiny:
+    * #windows × #bins), then per micro-batch compute drift metrics
+    * against the persisted source histogram via foreachBatch (cumulative
+    * KS windows are not stream-executable, so the metric step runs on
+    * the batch side).
+    */
+  def streamingDriftMonitor(
+      stream: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      cuts: Seq[Double],
+      sourceFreq: DataFrame,
+      windowDuration: String = "1 hour",
+      threshold: Double = 0.1)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream
+      .withColumn("bin", graft.operators.Transformers.binExpr(col(valueCol), cuts))
+      .groupBy(window(col(tsCol), windowDuration), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(windowedDriftMetrics(batch, sourceFreq, threshold))
+      }
+      .start()
 }

@@ -108,6 +108,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI end-to-end matches the batch drift pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    // p-side: saved source histogram over v in [0, 30), 3 bins
+    val source = ((1 to 40).map(_ => 5.0) ++ (1 to 40).map(_ => 15.0) ++
+      (1 to 20).map(_ => 25.0)).toDF("v")
+    val path = java.nio.file.Files.createTempDirectory("drift-src").toString
+    graft.operators.ModelStore.saveDriftSource(spark, source, Seq("v"), 3, path)
+    val cuts = graft.operators.ModelStore.loadBinning(spark, s"$path/cuts")("v")
+    val sourceFreq = spark.read.parquet(s"$path/frequencies")
+
+    // q-side: a shifted target stream, all inside one event-time window
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val targetRows = ((1 to 10).map(_ => 5.0) ++ (1 to 30).map(_ => 15.0) ++
+      (1 to 60).map(_ => 25.0))
+    @volatile var latest: Array[org.apache.spark.sql.Row] = Array.empty
+    val q = StreamingOps.streamingDriftMonitor(
+      input.toDF().toDF("ts", "value"), "ts", "value", cuts, sourceFreq,
+      windowDuration = "1 hour") { metrics => latest = metrics.collect() }
+    try {
+      input.addData(targetRows.map(v =>
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), v)))
+      q.processAllAvailable()
+      assert(latest.length == 1)
+      val streamed = latest(0)
+      // batch reference: same target through the persisted-source path
+      val batch = graft.operators.ModelStore.driftAgainstSavedSource(
+        spark, targetRows.toDF("v"), path).collect()(0)
+      for (m <- Seq("PSI", "HD", "JSD", "KS")) {
+        assert(streamed.getAs[Double](m) == batch.getAs[Double](m),
+          s"$m streamed ${streamed.getAs[Double](m)} != batch ${batch.getAs[Double](m)}")
+      }
+      assert(streamed.getAs[Int]("flagged") == 1) // distribution shifted
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
