@@ -123,8 +123,12 @@ object LatentFeatures {
       cols: Seq[String],
       nullPct: Double = 0.1,
       idCol: Option[String] = None,
-      seed: Long = 42L): (String, Map[String, Double]) = {
-    val clean = df.na.drop(cols)
+      seed: Long = 42L,
+      evalSampleCap: Option[Long] = Some(20000L)): (String, Map[String, Double]) = {
+    // model selection runs 5 candidate imputers — evaluating them on a
+    // capped sample keeps the fit cost constant at 100 TB (the chosen
+    // method is then applied to the FULL frame by the caller)
+    val clean = QualityChecker.sampleCapped(df.na.drop(cols), evalSampleCap, seed)
     // keep the originals, mask a seeded fraction PER CELL (a per-row mask
     // would null every attribute of the row at once, leaving MF/KNN/
     // regression no observed dimension to predict from — the reference

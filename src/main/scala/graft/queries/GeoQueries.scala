@@ -145,7 +145,36 @@ object GeoQueries {
         .withColumn("gh4", Geo.geohashPrecisionControl(col("gh7"), 4))
         .withColumn("lat_rt", round(Geo.geohashDecodeLatUdf(col("gh7")), 2))
     },
-    None)
+    // closed-form oracle: the bisection encoder is equivalent to taking
+    // the top nlon/nlat bits of the normalized coordinates and
+    // interleaving them (lon first). Precision 7 → 18 lon + 17 lat bits.
+    // The interleave/base32 SQL is generated here so both engines share
+    // one spec; decode-lat is the cell midpoint.
+    Some {
+      val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+      def bitExpr(i: Int): String =
+        if (i % 2 == 0) s"((xi >> ${17 - i / 2}) & 1)"
+        else s"((yi >> ${16 - (i - 1) / 2}) & 1)"
+      val chars = (0 until 7).map { c =>
+        val v = (0 until 5)
+          .map(b => s"${bitExpr(5 * c + b)} * ${1 << (4 - b)}")
+          .mkString(" + ")
+        s"substring('$base32', CAST($v AS INT) + 1, 1)"
+      }
+      s"""
+      WITH pts AS (
+        SELECT c_custkey, $latExpr AS lat, $lonExpr AS lon FROM customer),
+      idx AS (
+        SELECT c_custkey, lat, lon,
+          LEAST(CAST(floor((lon + 180) * 262144 / 360) AS BIGINT), 262143) AS xi,
+          LEAST(CAST(floor((lat + 90) * 131072 / 180) AS BIGINT), 131071) AS yi
+        FROM pts),
+      enc AS (
+        SELECT c_custkey, yi, ${chars.mkString(" || ")} AS gh7 FROM idx)
+      SELECT c_custkey, gh7, substring(gh7, 1, 4) AS gh4,
+             round((yi + 0.5) * 180.0 / 131072.0 - 90.0, 2) AS lat_rt
+      FROM enc"""
+    })
 
   /** Country membership via the broadcast bounding-box table (ref
     * geo_utils.py:799 point_in_country_approx). The oracle's VALUES table
