@@ -179,6 +179,44 @@ stats_generator:
     assert(lm((1, 2)).contains(10.0) && lm((1, 1)).isEmpty)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // one hot key dominates the fact side; with a low skew threshold AQE
+    // must mark the sort-merge join skew=true and split the reducer
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      // enough reducers that the median partition is a non-hot one
+      conf.set("spark.sql.shuffle.partitions", "8")
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // incompressible payload so the hot reducer exceeds the byte threshold
+      val fact = ((1 to 20000).map(_ => 1) ++ (1 to 200).map(i => i % 50 + 2))
+        .zipWithIndex.map { case (k, i) => (k, f"${i * 2654435761L}%016x" * 4) }
+        .toDF("k", "pad")
+      val dim = (1 to 60).map(k => (k, s"d$k")).toDF("k", "dv")
+      val joined = fact.join(dim, "k")
+      // materialize THIS QueryExecution (count() would plan separately and
+      // leave joined's adaptive plan unexecuted / isFinalPlan=false)
+      assert(joined.collect().length == 20200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew handling in:\n${plan.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("row ids: contiguous under total order, unique under monotonic") {
     val d = Seq(30, 10, 20).toDF("k").repartition(3)
     val ordered = Ingest.withRowId(d, Seq("k")).collect()
