@@ -255,9 +255,18 @@ object QualityChecker {
       iqrMult: Double = 1.5,
       minValidation: Int = 2,
       sampleCap: Option[Long] = Some(1000000L),
-      detectionSide: String = "both"): Seq[OutlierBounds] = {
+      detectionSide: String = "both",
+      approx: Boolean = false): Seq[OutlierBounds] = {
     require(Set("both", "upper", "lower")(detectionSide), s"bad side $detectionSide")
     val df = sampleCapped(df0, sampleCap)
+    // approx=true reproduces the reference numerically: it fits bounds on
+    // Greenwald-Khanna sketches (approxQuantile, relativeError 0.01 — ref
+    // quality_checker.py:847,882), the 100 TB single-pass posture; the
+    // default exact path uses one shared percentile buffer per column.
+    val approxQs: Map[String, Array[Double]] =
+      if (!approx) Map.empty
+      else cols.zip(df.stat.approxQuantile(
+        cols.toArray, Array(pctileBounds._1, pctileBounds._2, 0.25, 0.75), 0.01)).toMap
     val exprs = cols.flatMap { c =>
       Seq(
         // all four points share one percentile buffer
@@ -267,7 +276,9 @@ object QualityChecker {
     }
     val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
     cols.map { c =>
-      val ps = row.getAs[scala.collection.Seq[Double]](s"pcts__$c")
+      val ps =
+        if (approx) approxQs(c).toSeq
+        else row.getAs[scala.collection.Seq[Double]](s"pcts__$c")
       def g(p: String) = row.getAs[Double](s"${p}__$c")
       // an all-null (or empty) column yields NULL aggregates — exclude it
       // instead of NPE-ing on getAs[Double]
@@ -304,10 +315,11 @@ object QualityChecker {
       stdevMult: Double = 3.0,
       iqrMult: Double = 1.5,
       minValidation: Int = 2,
-      detectionSide: String = "both"): DataFrame = {
+      detectionSide: String = "both",
+      approx: Boolean = false): DataFrame = {
     import df.sparkSession.implicits._
     val bounds = outlierBounds(df, cols, pctileBounds, stdevMult, iqrMult, minValidation,
-      detectionSide = detectionSide)
+      detectionSide = detectionSide, approx = approx)
     val exprs = bounds.flatMap { b =>
       Seq(
         count(when(col(b.attribute) < b.lower, 1)).cast(LongType).as(s"lower__${b.attribute}"),

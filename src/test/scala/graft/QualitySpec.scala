@@ -151,6 +151,41 @@ class QualitySpec extends SparkSpec {
     assert(bia.getInt(bia.fieldIndex("flagged")) == 1)
   }
 
+  test("golden parity: reference invalidEntries_detection counts") {
+    // ref test_quality_checker.py:192-249 — age 9999 (repeated chars) and
+    // education ":" (special char) are the only invalids: count 1 / pct
+    // 0.2 for both columns
+    val d = Seq(
+      ("27520a", 51, Some(9000), "HS-grad"),
+      ("10a", 42, Some(7000), "Postgrad"),
+      ("10a", 9999, Some(7000), "Postgrad"),
+      ("11a", 35, None, ":"),
+      ("1100b", 23, Some(6000), "HS-grad")
+    ).toDF("ifa", "age", "income", "education")
+    val r = QualityChecker.invalidEntriesDetection(d, Seq("age", "education"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(x.fieldIndex("invalid_count")),
+          x.getDouble(x.fieldIndex("invalid_pct")))).toMap
+    assert(r("age") == ((1L, 0.2)))
+    assert(r("education") == ((1L, 0.2)))
+    // treatment keeps all 5 rows, nulling the invalid cells (ref odf)
+    val treated = QualityChecker.invalidEntriesTreatment(d, Seq("age", "education"))
+    assert(treated.count() == 5)
+    assert(treated.filter(col("age").isNull).count() == 1)
+    assert(treated.filter(col("education").isNull).count() == 1)
+  }
+
+  test("approx (GK sketch) outlier bounds track the exact bounds") {
+    val rnd = new scala.util.Random(3)
+    val d = (1 to 20000).map(_ => rnd.nextGaussian() * 10 + 50).toDF("x")
+    val exact = QualityChecker.outlierBounds(d, Seq("x")).head
+    val approx = QualityChecker.outlierBounds(d, Seq("x"), approx = true).head
+    // 0.01 relative rank error on a smooth distribution → bounds close
+    assert(math.abs(exact.upper - approx.upper) < 3.0,
+      s"approx upper ${approx.upper} vs exact ${exact.upper}")
+    assert(math.abs(exact.lower - approx.lower) < 3.0)
+  }
+
   test("invalid entries MMM and column-removal treatments") {
     val d = Seq(
       ("ok", 1.0), ("NA", 2.0), ("###", 3.0), ("fine", 4.0), ("good", 5.0)
