@@ -151,6 +151,39 @@ class QualitySpec extends SparkSpec {
     assert(bia.getInt(bia.fieldIndex("flagged")) == 1)
   }
 
+  test("golden parity: reference nullRows_detection histogram and treatment") {
+    // ref test_quality_checker.py:55-129 — threshold 0.4: the row with 2/4
+    // null columns is treated; histogram rows: 0-null→3 rows (0.75 pct)
+    val d = Seq(
+      ("27520a", Some(51), Some(9000), Some("HS-grad")),
+      ("10a", Some(42), Some(7000), Some("Postgrad")),
+      ("11a", Some(35), None: Option[Int], None: Option[String]),
+      ("1100b", Some(23), Some(6000), Some("HS-grad"))
+    ).toDF("ifa", "age", "income", "education")
+    val cols = Seq("ifa", "age", "income", "education")
+    val h = QualityChecker.nullRowsDetection(d, cols, threshold = 0.4).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(h(0) == ((3L, 0.75, 0)))
+    assert(h(2) == ((1L, 0.25, 1))) // 2/4 = 0.5 > 0.4 → flagged
+    assert(QualityChecker.nullRowsTreatment(d, cols, 0.4).count() == 3)
+  }
+
+  test("golden parity: reference biasedness_detection mode values") {
+    // ref test_quality_checker.py:341-421 — education mode HS-grad at 0.8
+    val d = Seq(
+      ("27520a", 51, Some(9000), "HS-grad"),
+      ("10a", 42, Some(7000), "HS-grad"),
+      ("11a", 35, None: Option[Int], "HS-grad"),
+      ("11d", 45, Some(9500), "HS-grad"),
+      ("1100b", 23, Some(6000), "matric")
+    ).toDF("ifa", "age", "income", "education")
+    val r = QualityChecker.biasednessDetection(d, Seq("education"), threshold = 0.8)
+      .collect()(0)
+    assert(r.getAs[String]("mode") == "HS-grad")
+    assert(r.getAs[Double]("mode_pct") == 0.8)
+    assert(r.getAs[Int]("flagged") == 1)
+  }
+
   test("golden parity: reference invalidEntries_detection counts") {
     // ref test_quality_checker.py:192-249 — age 9999 (repeated chars) and
     // education ":" (special char) are the only invalids: count 1 / pct
