@@ -103,4 +103,36 @@ class StatsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(g("rows_count") == "4" && g("numcols_count") == "1" && g("catcols_count") == "1")
   }
+
+  test("golden parity: reference shape / dispersion / central-tendency values") {
+    import spark.implicits._
+    // the canonical 4-row frame from the reference's stats tests
+    // (test_stats_generator.py:292-341, :451-507, :570-604)
+    val d = Seq(
+      ("27520a", 51, Some("HS-grad")),
+      ("10a", 42, Some("Postgrad")),
+      ("11a", 55, None: Option[String]),
+      ("1100b", 23, Some("HS-grad"))
+    ).toDF("ifa", "age", "education")
+    val shape = StatsGenerator.measuresOfShape(d, Seq("age")).collect()(0)
+    assert(shape.getAs[Double]("skewness") == -0.7063)
+    assert(shape.getAs[Double]("kurtosis") == -1.0646)
+    val disp = StatsGenerator.measuresOfDispersion(d, Seq("age")).collect()(0)
+    assert(disp.getAs[Double]("stddev") == 14.2449)
+    // ref gets 202.9172 by squaring the ALREADY-ROUNDED stddev
+    // (stats_generator.py:819); we round the exact var_samp instead
+    assert(disp.getAs[Double]("variance") == 202.9167)
+    assert(disp.getAs[Double]("cov") == 0.3332)
+    // ref IQR is 28.0 from percentile_approx's nearest-rank quartiles;
+    // ours interpolates (quantile_cont semantics, oracle-matched) →
+    // documented deviation, so IQR is asserted against the exact value
+    assert(disp.getAs[Double]("IQR") == 14.25)
+    val ct = StatsGenerator.centralTendency(d, Seq("age")).collect()(0)
+    assert(ct.getAs[Double]("mean") == 42.75)
+    // ref median 42.0 is again nearest-rank; exact interpolated = 46.5
+    assert(ct.getAs[Double]("median") == 46.5)
+    val mode = StatsGenerator.modeComputation(d, Seq("education")).collect()(0)
+    assert(mode.getAs[String]("mode") == "HS-grad")
+    assert(mode.getAs[Double]("mode_pct") == 0.6667) // 2 of 3 non-null
+  }
 }
