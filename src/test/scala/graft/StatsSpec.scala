@@ -126,7 +126,7 @@ class StatsSpec extends SparkSpec {
     // ref IQR is 28.0 from percentile_approx's nearest-rank quartiles;
     // ours interpolates (quantile_cont semantics, oracle-matched) →
     // documented deviation, so IQR is asserted against the exact value
-    assert(disp.getAs[Double]("IQR") == 14.25)
+    assert(disp.getAs[Double]("IQR") == 14.75) // Q3 52 − Q1 37.25
     val ct = StatsGenerator.centralTendency(d, Seq("age")).collect()(0)
     assert(ct.getAs[Double]("mean") == 42.75)
     // ref median 42.0 is again nearest-rank; exact interpolated = 46.5
