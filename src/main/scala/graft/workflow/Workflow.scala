@@ -133,6 +133,24 @@ object Workflow {
               dd.getOrElse("treatment_method", "value").toString)
           }
         }
+        qc.get("invalidEntries_detection").foreach { d =>
+          val dd = asConf(d)
+          val cols = resolveCols(df, dd.getOrElse("list_of_cols", null))
+          if (dd.getOrElse("treatment", false) == true)
+            df = QualityChecker.invalidEntriesTreatment(df, cols,
+              method = dd.getOrElse("treatment_method", "null_replacement").toString,
+              treatmentThreshold =
+                dd.get("treatment_threshold").map(_.toString.toDouble))
+        }
+        qc.get("nullColumns_detection").foreach { d =>
+          val dd = asConf(d)
+          val cols = resolveCols(df, dd.getOrElse("list_of_cols", null))
+          if (dd.getOrElse("treatment", false) == true)
+            df = QualityChecker.nullColumnsDetection(df, cols,
+              treatment = dd.getOrElse("treatment_method", "MMM").toString,
+              threshold = dd.getOrElse("treatment_threshold", 0.5).toString.toDouble,
+              idCol = dd.get("id_col").map(_.toString))
+        }
         qc.get("imputation_MMM").foreach { d =>
           val (num, cat, _) = graft.core.ColumnRole.segregate(df.schema)
           df = Transformers.imputationMMM(df, num, cat,

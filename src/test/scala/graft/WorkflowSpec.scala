@@ -51,6 +51,32 @@ quality_checker:
       .agg(max(col("count"))).first().getLong(0) == 1L)
   }
 
+  test("workflow invalidEntries and nullColumns treatment stages") {
+    val dir = java.nio.file.Files.createTempDirectory("wfq").toString
+    Seq(
+      ("a", Some(1.0), "ok"), ("b", Some(2.0), "NA"), ("c", None: Option[Double], "fine"),
+      ("d", Some(4.0), "good"), ("e", Some(5.0), "###")
+    ).toDF("id", "x", "s").write.parquet(s"$dir/t")
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/t"
+    file_type: parquet
+quality_checker:
+  invalidEntries_detection:
+    list_of_cols: [s]
+    treatment: true
+  nullColumns_detection:
+    list_of_cols: [x]
+    treatment: true
+    treatment_method: MMM
+"""
+    val (df, _) = Workflow.run(spark, yaml)
+    // the two invalid strings were nulled; x's null was median-filled
+    assert(df.filter(col("s").isNull).count() == 2)
+    assert(df.filter(col("x").isNull).count() == 0)
+  }
+
   test("full-demo equivalent: complete pipeline over the reference income fixture") {
     // mirrors the reference CI's full-demo run (.github/workflows/
     // full-demo.yml): ETL → stats → quality treatments → transformers →
