@@ -89,4 +89,43 @@ class PropertiesSpec extends SparkSpec {
         == xs.length)
     }
   }
+
+  test("withRowId always emits the permutation 0..n-1 ordered by the sort key") {
+    for (xs <- samples(doublesGen, 3)) {
+      val df = xs.distinct.toDF("x").repartition(4)
+      val ids = graft.sources.Ingest.withRowId(df, Seq("x"))
+        .collect().map(r => r.getDouble(0) -> r.getLong(1))
+      assert(ids.map(_._2).sorted.toSeq == ids.indices.map(_.toLong))
+      assert(ids.sortBy(_._1).map(_._2).toSeq == ids.indices.map(_.toLong),
+        "ids must follow the sort order")
+    }
+  }
+
+  test("country flag expression agrees with the broadcast box join") {
+    val latLonGen = Gen.zip(Gen.choose(-90.0, 90.0), Gen.choose(-180.0, 180.0))
+    val pts = samples(Gen.listOfN(40, latLonGen), 1).head
+    val df = pts.zipWithIndex.map { case ((la, lo), i) => (i.toLong, la, lo) }
+      .toDF("id", "lat", "lon")
+    for (code <- Seq("US", "BR", "AU", "RU", "SG")) {
+      val viaFlag = df
+        .filter(graft.functions.Geo.locationInCountry(col("lat"), col("lon"), code) === 1)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val viaJoin = graft.functions.Geo.locationCountries(df, "lat", "lon")
+        .filter(col("country_code") === code)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(viaFlag == viaJoin, s"flag/join disagree for $code")
+    }
+  }
+
+  test("iterative imputation is idempotent on complete data") {
+    for (xs <- samples(doublesGen, 2) if xs.length >= 4) {
+      val df = xs.zipWithIndex.map { case (x, i) => (x, x * 2 + i) }.toDF("a", "b")
+      val out = graft.operators.IterativeImputer.imputationIterative(df, Seq("a", "b"))
+      // no nulls anywhere → every value passes through untouched
+      val before = df.select(col("a").cast("double"), col("b").cast("double"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted.toSeq
+      val after = out.collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted.toSeq
+      assert(after == before)
+    }
+  }
 }
