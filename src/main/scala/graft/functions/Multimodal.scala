@@ -9,13 +9,17 @@ import org.apache.spark.sql.types._
   * opaque `binary` payloads plus a typed metadata struct.
   *
   * The Spark-side plumbing — schema, partition-wise batch iteration,
-  * output shapes — is real and tested. The actual media decoding is
-  * STUBBED with a deterministic fake (this container has no image/audio
-  * codecs): `fakeDecode` derives pseudo-features from the payload bytes.
-  * Swap `decodeBatch` for a JNI/FFI codec (or Arrow hand-off to a Python
-  * worker) in production; everything around it stays unchanged.
+  * output shapes — is real and tested. Decoding is REAL for every format
+  * the JDK ships codecs for: PNG/JPEG/BMP/GIF via javax.imageio
+  * (imageFeatures / resizeImages) and WAV-PCM via javax.sound.sampled
+  * (audioFeatures). Only video demux remains a deterministic stub
+  * (frameSampleStub) — no container-level codec exists for it; swap in a
+  * JNI/FFI demuxer with the same bytes→rows shape in production.
   */
 object Multimodal {
+
+  // image decode must never touch a display
+  System.setProperty("java.awt.headless", "true")
 
   val mediaMetaType: StructType = StructType(Seq(
     StructField("mime", StringType),
@@ -78,9 +82,9 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB resize: passthrough that rewrites metadata dims — the real
-    * implementation decodes, resamples, re-encodes inside the same
-    * partition-wise pass.
+  /** STUB resize: passthrough that rewrites metadata dims — kept for
+    * payloads in formats the JDK cannot decode; resizeImages below does
+    * the real thing for PNG/JPEG/BMP/GIF.
     */
   def resizeStub(df: DataFrame, width: Int, height: Int): DataFrame =
     df.withColumn("meta", struct(
@@ -88,6 +92,143 @@ object Multimodal {
       lit(width).as("width"),
       lit(height).as("height"),
       col("meta.duration_ms").as("duration_ms")))
+
+  // ------------------------------------------------------ real decoders
+
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    if (payload == null || payload.isEmpty) return null
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    catch { case _: Exception => null }
+  }
+
+  /** Decode one image payload (any ImageIO-supported format). Returns
+    * (width, height, bands, meanIntensity 0-1) or None on undecodable
+    * bytes.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    val img = readImage(payload)
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, bands, sum / (w.toLong * h * bands * 255.0)))
+  }
+
+  /** Partition-wise image feature extraction with the REAL JDK decoder:
+    * (key, width, height, bands, mean_intensity); undecodable payloads
+    * yield NULL features rather than failing the task.
+    */
+  def imageFeatures(df: DataFrame, keyCol: String, binaryCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(keyCol, df.schema(keyCol).dataType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("bands", IntegerType),
+      StructField("mean_intensity", DoubleType)))
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        decodeImage(payload) match {
+          case Some((w, h, b, m)) => Row(r.get(keyIdx), w, h, b, m)
+          case None => Row(r.get(keyIdx), null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Real distributed image resize: decode → bilinear resample →
+    * re-encode (PNG) inside one map-only pass. Undecodable payloads pass
+    * through unchanged.
+    */
+  def resizeImages(
+      df: DataFrame,
+      binaryCol: String,
+      width: Int,
+      height: Int,
+      format: String = "png"): DataFrame = {
+    val resize = udf { payload: Array[Byte] =>
+      readImage(payload) match {
+        case null => payload
+        case img =>
+          val out = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, width, height, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, format, bos)
+          bos.toByteArray
+      }
+    }
+    df.withColumn(binaryCol, resize(col(binaryCol)))
+  }
+
+  /** Decode WAV-PCM audio via javax.sound: (sampleRate, channels,
+    * durationMs, rms 0-1) or None on undecodable bytes.
+    */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Long, Double)] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val durationMs = (frames * 1000.0 / fmt.getFrameRate).toLong
+      val bytes = in.readAllBytes()
+      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      var sumSq = 0.0
+      var n = 0
+      if (bytesPerSample == 2) {
+        val order =
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
+        val buf = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+        while (buf.hasRemaining) { val s = buf.get() / 32768.0; sumSq += s * s; n += 1 }
+      } else {
+        bytes.foreach { b => val s = ((b & 0xFF) - 128) / 128.0; sumSq += s * s; n += 1 }
+      }
+      Some((fmt.getSampleRate.toInt, fmt.getChannels, durationMs,
+        math.sqrt(sumSq / math.max(1, n))))
+    } catch { case _: Exception => None }
+  }
+
+  /** Partition-wise WAV feature extraction with the REAL JDK decoder. */
+  def audioFeatures(df: DataFrame, keyCol: String, binaryCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(keyCol, df.schema(keyCol).dataType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("rms", DoubleType)))
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        decodeWav(payload) match {
+          case Some((sr, ch, d, rms)) => Row(r.get(keyIdx), sr, ch, d, rms)
+          case None => Row(r.get(keyIdx), null, null, null, null)
+        }
+      }
+    }(enc)
+  }
 
   /** STUB frame sampling for video payloads: deterministic byte-slice
     * "frames" (every k-th chunk), exploded to one row per frame — the

@@ -216,7 +216,33 @@ transformers:
       query = "spark table join query window", topK = 10),
     None)
 
+  /** REAL image decode end-to-end on the cluster path: synthesize a small
+    * PNG per document (deterministic from doc_id), then decode with the
+    * JDK ImageIO inside a partition-wise pass (rows-only: PNG encoder
+    * bytes are JVM-version-specific, but decoded dims/intensities are
+    * checked in-spec).
+    */
+  val qImageFeatures = Q(
+    "q_image_features",
+    (s, dir) => {
+      val toPng = udf { id: Long =>
+        val w = (id % 7 + 2).toInt; val h = (id % 5 + 2).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = ((id * 2654435761L) & 0xFFFFFF).toInt
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val docs = tables(s, dir).documents
+        .select(col("doc_id"), toPng(col("doc_id")).as("payload"))
+      graft.functions.Multimodal.imageFeatures(docs, "doc_id", "payload")
+    },
+    None)
+
   def all: Seq[Q] = Seq(qPcaLatent, qAlsImpute, qAutoImputation, qMonotonicBinning,
     qBoxcox, qBoxcoxLambda, qMultimodal, qWorkflow, qVarClus, qKnnImpute,
-    qIterativeImputation, qFeatureRec)
+    qIterativeImputation, qFeatureRec, qImageFeatures)
 }

@@ -178,6 +178,58 @@ class StreamingSpec extends SparkSpec {
     assert(salted("dim_1") == 900L)
   }
 
+  test("real image decode: PNG round-trip features and distributed resize") {
+    def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val d = Seq(
+      (1L, pngBytes(8, 6, 0xFFFFFF)),   // white
+      (2L, pngBytes(4, 4, 0x000000)),   // black
+      (3L, "not an image".getBytes)
+    ).toDF("id", "payload").repartition(2)
+    val feats = Multimodal.imageFeatures(d, "id", "payload").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats(1L).getInt(1) == 8 && feats(1L).getInt(2) == 6)
+    assert(feats(1L).getDouble(4) == 1.0) // all-white mean intensity
+    assert(feats(2L).getDouble(4) == 0.0)
+    assert(feats(3L).isNullAt(1)) // undecodable → NULL, no task failure
+    val resized = Multimodal.resizeImages(d.filter(col("id") === 1), "payload", 3, 2)
+    val rf = Multimodal.imageFeatures(resized, "id", "payload").collect()(0)
+    assert(rf.getInt(1) == 3 && rf.getInt(2) == 2 && rf.getDouble(4) == 1.0)
+  }
+
+  test("real audio decode: WAV features from generated PCM") {
+    def wavBytes(hz: Double, seconds: Double, rate: Float = 8000f): Array[Byte] = {
+      val n = (rate * seconds).toInt
+      val pcm = new Array[Byte](n * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach { i =>
+        bb.putShort((math.sin(2 * math.Pi * hz * i / rate) * 16384).toShort)
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val d = Seq((1L, wavBytes(440, 0.5)), (2L, "junk".getBytes))
+      .toDF("id", "payload")
+    val feats = Multimodal.audioFeatures(d, "id", "payload").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats(1L).getInt(1) == 8000 && feats(1L).getInt(2) == 1)
+    assert(math.abs(feats(1L).getLong(3) - 500L) <= 1) // ~500 ms
+    // RMS of a 0.5-amplitude sine ≈ 0.5/√2
+    assert(math.abs(feats(1L).getDouble(4) - 0.5 / math.sqrt(2)) < 0.01)
+    assert(feats(2L).isNullAt(1))
+  }
+
   test("multimodal feature extraction is partition-wise and deterministic") {
     val d = Seq((1L, "hello world"), (2L, ""), (3L, "abc"))
       .toDF("doc_id", "text")
