@@ -212,6 +212,32 @@ object Workflow {
       timed("association_evaluator", metrics.toMap) { () }
     }
 
+    // ---- geospatial (ref workflow geospatial_controller analog)
+    conf.get("geospatial").foreach { v =>
+      val gc = asConf(v)
+      timed("geospatial") {
+        (gc.get("lat_col"), gc.get("lon_col")) match {
+          case (Some(la), Some(lo)) =>
+            val lat = org.apache.spark.sql.functions.col(la.toString)
+            val lon = org.apache.spark.sql.functions.col(lo.toString)
+            gc.get("geohash_precision").foreach { p =>
+              graft.plans.GraftFunctions.register(spark)
+              df = df.withColumn("geohash", org.apache.spark.sql.functions.expr(
+                s"geohash_encode(cast(`${la.toString}` as double), " +
+                  s"cast(`${lo.toString}` as double), ${p.toString.toInt})"))
+            }
+            if (gc.getOrElse("in_country", false) == true)
+              df = graft.functions.Geo.locationCountries(df, la.toString, lo.toString)
+            strings(gc.getOrElse("country_flags", null)).foreach { code =>
+              df = df.withColumn(s"in_$code",
+                graft.functions.Geo.locationInCountry(lat, lon, code))
+            }
+          case _ =>
+            throw new IllegalArgumentException("geospatial stage needs lat_col and lon_col")
+        }
+      }
+    }
+
     // ---- drift_detector (target = current df, source read from path)
     conf.get("drift_detector").foreach { v =>
       val dc = asConf(v)

@@ -77,6 +77,30 @@ quality_checker:
     assert(df.filter(col("x").isNull).count() == 0)
   }
 
+  test("workflow geospatial stage: geohash, country join, flags") {
+    val dir = java.nio.file.Files.createTempDirectory("wfg").toString
+    Seq((1L, 39.1, -94.6), (2L, 48.85, 2.35))
+      .toDF("id", "lat", "lon").write.parquet(s"$dir/t")
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/t"
+    file_type: parquet
+geospatial:
+  lat_col: lat
+  lon_col: lon
+  geohash_precision: 6
+  in_country: true
+  country_flags: [US]
+"""
+    val (df, _) = Workflow.run(spark, yaml)
+    val rows = df.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[String]("geohash"), r.getAs[String]("country_code"),
+        r.getAs[Int]("in_US"))).toMap
+    assert(rows(1L)._1.length == 6 && rows(1L)._2 == "US" && rows(1L)._3 == 1)
+    assert(rows(2L)._2 == "FR" && rows(2L)._3 == 0)
+  }
+
   test("full-demo equivalent: complete pipeline over the reference income fixture") {
     // mirrors the reference CI's full-demo run (.github/workflows/
     // full-demo.yml): ETL → stats → quality treatments → transformers →
