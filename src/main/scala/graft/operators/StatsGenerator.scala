@@ -124,7 +124,11 @@ object StatsGenerator {
     * where the reference picks arbitrarily).
     * Output: [attribute, mode, mode_count, mode_pct].
     */
-  def modeComputation(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def modeComputation(df: DataFrame, cols: Seq[String]): DataFrame = chunked(cols) { cs =>
+    modeChunk(df, cs)
+  }
+
+  private def modeChunk(df: DataFrame, cols: Seq[String]): DataFrame = {
     val long = Reshape.melt(df, Nil, cols).filter(col("value").isNotNull)
     val counts = long.groupBy("attribute", "value").agg(count(lit(1)).as("mode_count"))
     val w = Window.partitionBy("attribute").orderBy(col("mode_count").desc, col("value").asc)
