@@ -177,6 +177,51 @@ object Dedup {
         col("max_cos"))
   }
 
+  /** Duplicate clusters from candidate pairs: connected components by
+    * iterative min-label propagation (each key adopts the smallest label
+    * among itself and its neighbours; converges in O(graph diameter)
+    * rounds — duplicate graphs are near-cliques, so typically 2-3).
+    * Output: [key, cluster] where cluster = smallest key in the
+    * component. Each round is one shuffle join + one agg; labels are
+    * checkpointed every few rounds so the plan never grows unboundedly
+    * (the ALS-lineage lesson).
+    */
+  def duplicateClusters(
+      pairs: DataFrame, // [key_1, key_2]
+      maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        System.getProperty("java.io.tmpdir", "/tmp") + "/graft-checkpoints")
+    val edges = pairs.select(col("key_1").as("a"), col("key_2").as("b"))
+      .union(pairs.select(col("key_2").as("a"), col("key_1").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy("a")
+      .agg(min(col("b")).as("mb"))
+      .select(col("a").as("key"), least(col("mb"), col("a")).as("cluster"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // neighbour minimum of current labels
+      val next = edges
+        .join(labels.withColumnRenamed("key", "b").withColumnRenamed("cluster", "nb"), "b")
+        .groupBy(col("a").as("key"))
+        .agg(min(col("nb")).as("neigh"))
+        .join(labels, "key")
+        .select(col("key"), least(col("neigh"), col("cluster")).as("cluster"),
+          (col("neigh") < col("cluster")).cast("long").as("delta"))
+        .localCheckpoint(true)
+      val row = next.agg(sum(col("delta"))).first()
+      changed = if (row.isNullAt(0)) 0L else row.getLong(0)
+      labels = next.select("key", "cluster")
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact n-gram Jaccard for every intersecting pair inside a blocking
     * key (e.g. same source/lang). Intersections come straight from the
     * shingle equi-join — only pairs that actually SHARE a shingle ever

@@ -264,6 +264,50 @@ object TextQueries {
     },
     None)
 
+  /** Duplicate clusters (connected components by min-label propagation)
+    * over the deterministic n-gram-Jaccard candidate pairs; the oracle
+    * computes the same components via a recursive transitive closure.
+    */
+  val qDedupClusters = Q(
+    "q_dedup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        tables(s, dir).documents, "text", "doc_id", blockCol = "lang",
+        n = 3, threshold = 0.01).select("key_1", "key_2")
+      Dedup.duplicateClusters(pairs)
+    },
+    Some(s"""
+      WITH RECURSIVE norm AS (
+        SELECT doc_id, lang, str_split($normSql, ' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, lang,
+               array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+        FROM norm, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+      sh1 AS (SELECT * FROM sh WHERE length(shingle) > 0),
+      sh2 AS (SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY lang, shingle) AS df
+                FROM sh1) WHERE df <= 1000),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS key_1, b.doc_id AS key_2, count(*) AS i
+        FROM sh2 a JOIN sh2 b
+          ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      pairs AS (
+        SELECT key_1, key_2 FROM inter
+        JOIN sizes na ON key_1 = na.doc_id
+        JOIN sizes nb ON key_2 = nb.doc_id
+        WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.01),
+      edges AS (SELECT key_1 AS a, key_2 AS b FROM pairs
+                UNION SELECT key_2, key_1 FROM pairs),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (
+        SELECT a AS key, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+      SELECT key, cluster FROM comp"""))
+
   /** Stratified sample (engine-RNG-specific → rows-only). */
   val qStratifiedSample = Q(
     "q_stratified_sample",
@@ -323,6 +367,7 @@ object TextQueries {
     })
 
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
-    qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qCosineTopK,
-    qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup, qStratifiedSample, qTextPipeline)
+    qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qDedupClusters,
+    qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup,
+    qStratifiedSample, qTextPipeline)
 }

@@ -135,6 +135,20 @@ class TextSpec extends SparkSpec {
     assert(res == Set((200L, 201L)))
   }
 
+  test("duplicate clusters: min-label propagation finds connected components") {
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), // chain: component min 1
+      (10L, 11L),                   // pair
+      (20L, 21L), (21L, 22L), (20L, 22L) // triangle
+    ).toDF("key_1", "key_2")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // empty input converges immediately
+    assert(Dedup.duplicateClusters(pairs.limit(0)).count() == 0)
+  }
+
   test("exhaustive-probe IVF equals brute force exactly (distributed exact path)") {
     val rnd = new scala.util.Random(23)
     val d = (0 until 80).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
