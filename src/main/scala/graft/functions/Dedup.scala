@@ -193,8 +193,12 @@ object Dedup {
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
         System.getProperty("java.io.tmpdir", "/tmp") + "/graft-checkpoints")
-    val edges = pairs.select(col("key_1").as("a"), col("key_2").as("b"))
-      .union(pairs.select(col("key_2").as("a"), col("key_1").as("b")))
+    // materialize the (possibly expensive) candidate-pair pipeline ONCE:
+    // the a→b / b→a union branches are different projections, so without
+    // this both would recompute the upstream join
+    val p = pairs.select(col("key_1"), col("key_2")).localCheckpoint(true)
+    val edges = p.select(col("key_1").as("a"), col("key_2").as("b"))
+      .union(p.select(col("key_2").as("a"), col("key_1").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy("a")

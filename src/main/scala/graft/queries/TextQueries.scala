@@ -273,7 +273,7 @@ object TextQueries {
     (s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(
         tables(s, dir).documents, "text", "doc_id", blockCol = "lang",
-        n = 3, threshold = 0.01).select("key_1", "key_2")
+        n = 3, threshold = 0.5).select("key_1", "key_2")
       Dedup.duplicateClusters(pairs)
     },
     Some(s"""
@@ -297,7 +297,7 @@ object TextQueries {
         SELECT key_1, key_2 FROM inter
         JOIN sizes na ON key_1 = na.doc_id
         JOIN sizes nb ON key_2 = nb.doc_id
-        WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.01),
+        WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.5),
       edges AS (SELECT key_1 AS a, key_2 AS b FROM pairs
                 UNION SELECT key_2, key_1 FROM pairs),
       reach AS (
