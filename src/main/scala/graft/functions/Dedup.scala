@@ -226,6 +226,21 @@ object Dedup {
     labels
   }
 
+  /** Treatment for near-duplicates: keep ONE row per duplicate cluster
+    * (the smallest key — the cluster representative) plus every row that
+    * belongs to no cluster. The join against the small cluster frame is
+    * broadcast; the fact side streams.
+    */
+  def dropNearDuplicates(
+      df: DataFrame,
+      keyCol: String,
+      clusters: DataFrame): DataFrame = {
+    val dropKeys = clusters
+      .filter(col("key") =!= col("cluster")) // non-representatives
+      .select(col("key").as(keyCol))
+    df.join(broadcast(dropKeys), Seq(keyCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for every intersecting pair inside a blocking
     * key (e.g. same source/lang). Intersections come straight from the
     * shingle equi-join — only pairs that actually SHARE a shingle ever

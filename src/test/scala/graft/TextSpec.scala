@@ -147,6 +147,13 @@ class TextSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
     // empty input converges immediately
     assert(Dedup.duplicateClusters(pairs.limit(0)).count() == 0)
+    // treatment: one representative per cluster + untouched singletons
+    val docs = (1L to 4L).map(k => (k, s"doc$k")) ++
+      Seq((10L, "a"), (11L, "b"), (20L, "c"), (21L, "d"), (22L, "e"), (99L, "solo"))
+    val kept = Dedup.dropNearDuplicates(
+      docs.toDF("doc_id", "text"), "doc_id", Dedup.duplicateClusters(pairs))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L, 99L))
   }
 
   test("exhaustive-probe IVF equals brute force exactly (distributed exact path)") {
