@@ -181,6 +181,29 @@ object Workflow {
           df = Transformers.outlierCategories(df, strings(dd("list_of_cols")),
             dd.getOrElse("max_category", 10).toString.toInt)
         }
+        tc.get("feature_transformation").foreach { d =>
+          val dd = asConf(d)
+          val method = dd.getOrElse("method_type", "ln").toString
+          strings(dd("list_of_cols")).foreach { c =>
+            df = df.withColumn(c,
+              Transformers.featureTransformation(
+                org.apache.spark.sql.functions.col(c), method))
+          }
+        }
+        tc.get("boxcox_transformation").foreach { d =>
+          val dd = asConf(d)
+          val (out, _) = Transformers.boxcoxTransformation(df, strings(dd("list_of_cols")))
+          df = out
+        }
+        tc.get("imputation_sklearn").foreach { d =>
+          val dd = asConf(d)
+          val cols = resolveCols(df, dd.getOrElse("list_of_cols", null))
+            .filter(graft.core.ColumnRole.numericCols(df).contains)
+          df = dd.getOrElse("method_type", "regression").toString match {
+            case "KNN" => KnnImputer.imputationKnn(df, cols)
+            case _ => graft.operators.IterativeImputer.imputationIterative(df, cols)
+          }
+        }
       }
     }
 

@@ -77,6 +77,34 @@ quality_checker:
     assert(df.filter(col("x").isNull).count() == 0)
   }
 
+  test("workflow transformer stage: feature math, boxcox, model imputation") {
+    val dir = java.nio.file.Files.createTempDirectory("wft").toString
+    val rnd = new scala.util.Random(5)
+    (1 to 200).map { i =>
+      val x = rnd.nextDouble() * 10 + 1
+      (i.toLong, x, if (i % 9 == 0) None else Some(3 * x + 5), math.exp(rnd.nextGaussian()))
+    }.toDF("id", "x", "y", "e").write.parquet(s"$dir/t")
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/t"
+    file_type: parquet
+transformers:
+  feature_transformation:
+    list_of_cols: [x]
+    method_type: sqrt
+  boxcox_transformation:
+    list_of_cols: [e]
+  imputation_sklearn:
+    list_of_cols: [x, y]
+    method_type: regression
+"""
+    val (df, _) = Workflow.run(spark, yaml)
+    assert(df.filter(col("y").isNull).count() == 0)
+    // x was sqrt'ed before imputation: max sqrt(11) < 3.4
+    assert(df.agg(max(col("x"))).first().getDouble(0) < 3.5)
+  }
+
   test("workflow geospatial stage: geohash, country join, flags") {
     val dir = java.nio.file.Files.createTempDirectory("wfg").toString
     Seq((1L, 39.1, -94.6), (2L, 48.85, 2.35))
