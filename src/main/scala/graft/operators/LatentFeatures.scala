@@ -155,22 +155,36 @@ object LatentFeatures {
         (if (multi && idCol.isDefined) Seq[(String, DataFrame => DataFrame)](
           "MF" -> (d => imputationMFJoined(d, idCol.get, cols)))
          else Nil)
-      val errors = candidates.map { case (m, f) =>
-        val imputed = f(withNulls)
-        // per-attribute masked MSE and original mean in ONE agg
-        val exprs = cols.flatMap(c => Seq(
-          avg(when(col(s"__mask_$c"), pow(col(c) - col(s"__orig_$c"), 2))).as(s"mse__$c"),
-          avg(col(s"__orig_$c")).as(s"mean__$c")))
-        val row = imputed.agg(exprs.head, exprs.tail: _*).first()
-        val err = cols.map { c =>
-          // NULL masked-MSE means the candidate lost/failed the masked
-          // rows — that is a failure, not a perfect score
-          val mse = Transformers.optD(row, s"mse__$c").getOrElse(Double.PositiveInfinity)
-          val mean = Transformers.optD(row, s"mean__$c").getOrElse(1.0)
-          math.sqrt(mse) / math.max(math.abs(mean), 1e-12)
-        }.sum
-        m -> err
-      }.toMap
+      // candidates evaluate CONCURRENTLY: each fit+score is mostly small
+      // sequential Spark jobs over the shared persisted masked frame, so
+      // overlapping them hides per-job scheduling latency (Spark actions
+      // are thread-safe; jobs from different threads interleave FIFO)
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      withNulls.count() // materialize the shared cache before racing on it
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(candidates.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val futures = candidates.map { case (m, f) =>
+        Future {
+          val imputed = f(withNulls)
+          // per-attribute masked MSE and original mean in ONE agg
+          val exprs = cols.flatMap(c => Seq(
+            avg(when(col(s"__mask_$c"), pow(col(c) - col(s"__orig_$c"), 2))).as(s"mse__$c"),
+            avg(col(s"__orig_$c")).as(s"mean__$c")))
+          val row = imputed.agg(exprs.head, exprs.tail: _*).first()
+          val err = cols.map { c =>
+            // NULL masked-MSE means the candidate lost/failed the masked
+            // rows — that is a failure, not a perfect score
+            val mse = Transformers.optD(row, s"mse__$c").getOrElse(Double.PositiveInfinity)
+            val mean = Transformers.optD(row, s"mean__$c").getOrElse(1.0)
+            math.sqrt(mse) / math.max(math.abs(mean), 1e-12)
+          }.sum
+          m -> err
+        }
+      }
+      val errors =
+        try futures.map(Await.result(_, Duration.Inf)).toMap
+        finally pool.shutdown()
       (errors.minBy(_._2)._1, errors)
     }
     result
