@@ -223,6 +223,14 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    // unconverged labels split one component into several "clusters", and
+    // dropNearDuplicates would then keep several representatives of one
+    // duplicate group — surface it instead of returning silently
+    if (changed > 0)
+      System.err.println(
+        s"[graft] duplicateClusters did NOT converge after $maxIter rounds " +
+          s"($changed labels still changing): components with diameter > $maxIter " +
+          "are split — raise maxIter")
     labels
   }
 

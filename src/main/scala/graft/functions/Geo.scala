@@ -298,7 +298,11 @@ object Geo {
     "NG" -> CountryBox("Nigeria", 2.676932, 4.0690959, 14.678014, 13.885645),
     "NL" -> CountryBox("Netherlands", 1.9193492, 50.7295671, 7.2274985, 53.7253321),
     "NO" -> CountryBox("Norway", 4.0875274, 57.7590052, 31.7614911, 71.3848787),
-    "NZ" -> CountryBox("New Zealand", -179.059153, -52.8213687, 179.3643594, -29.0303303),
+    // antimeridian-spanning: lonMin > lonMax means the box wraps 180°
+    // (the naive -179..179 form matched nearly every longitude at this
+    // latitude band — southern Chile/Argentina/Australia points all
+    // "matched NZ")
+    "NZ" -> CountryBox("New Zealand", 165.869437, -52.8213687, -175.831536, -29.0303303),
     "PK" -> CountryBox("Pakistan", 60.872855, 23.5393916, 77.1203914, 37.084107),
     "PE" -> CountryBox("Peru", -84.6356535, -20.1984472, -68.6519906, -0.0392818),
     "PH" -> CountryBox("Philippines", 114.0952145, 4.2158064, 126.8072562, 21.3217806),
@@ -315,6 +319,28 @@ object Geo {
     "VN" -> CountryBox("Viet Nam", 102.14441, 8.1790665, 114.3337595, 23.393395),
     "ZA" -> CountryBox("South Africa", 16.3335213, -47.1788335, 38.2898954, -22.1250301))
 
+  /** Wrap-aware containment: a box with lonMin > lonMax crosses the
+    * antimeridian and covers the two ranges [lonMin, 180] ∪ [-180, lonMax].
+    */
+  private def boxContains(lat: Column, lon: Column, b: CountryBox): Column = {
+    val lonOk =
+      if (b.lonMin <= b.lonMax) lon.between(b.lonMin, b.lonMax)
+      else lon >= b.lonMin || lon <= b.lonMax
+    lat.between(b.latMin, b.latMax) && lonOk
+  }
+
+  /** Approximate surface of a box in square degrees (wrap-aware lon span)
+    * — the tie-breaker for overlapping boxes: the smallest-area match is
+    * almost always the right country (e.g. Austria beats the Italy box
+    * that reaches past the Alps).
+    */
+  private def boxArea(b: CountryBox): Double = {
+    val lonSpan =
+      if (b.lonMin <= b.lonMax) b.lonMax - b.lonMin
+      else 360.0 - (b.lonMin - b.lonMax)
+    (b.latMax - b.latMin) * lonSpan
+  }
+
   /** 1/0 flag (NULL on null coords) for one country — pure Catalyst
     * expression, codegen'd; ref geo_utils.py:799 point_in_country_approx.
     */
@@ -322,8 +348,30 @@ object Geo {
     val b = countryBoundingBoxes.getOrElse(countryCode,
       throw new IllegalArgumentException(s"unknown country code: $countryCode"))
     when(lat.isNull || lon.isNull, lit(null))
-      .otherwise((lat.between(b.latMin, b.latMax) && lon.between(b.lonMin, b.lonMax))
-        .cast("int"))
+      .otherwise(boxContains(lat, lon, b).cast("int"))
+  }
+
+  /** ONE country per point — the smallest-area matching box wins, so
+    * overlapping boxes (Austria inside the Italy span, Singapore inside
+    * Malaysia's) never multiply cardinality. A codegen'd CASE chain over
+    * the 50-box table: no join, no shuffle, exactly one output row per
+    * input row. Use this (not [[locationCountries]]) wherever the frame
+    * flows on to further stages.
+    */
+  def locationCountry(
+      df: DataFrame,
+      latCol: String,
+      lonCol: String,
+      boxes: Map[String, CountryBox] = countryBoundingBoxes): DataFrame = {
+    val lat = col(latCol).cast("double")
+    val lon = col(lonCol).cast("double")
+    val ordered = boxes.toSeq.sortBy { case (code, b) => (boxArea(b), code) }
+    def pick(value: ((String, CountryBox)) => String): Column =
+      ordered.foldRight(lit(null).cast("string")) { case (entry, acc) =>
+        when(boxContains(lat, lon, entry._2), lit(value(entry))).otherwise(acc)
+      }
+    df.withColumn("country_code", pick(_._1))
+      .withColumn("country_name", pick(_._2.name))
   }
 
   /** All matching countries per point via a broadcast range join against
@@ -340,9 +388,12 @@ object Geo {
     val boxDf = boxes.toSeq
       .map { case (code, b) => (code, b.name, b.lonMin, b.latMin, b.lonMax, b.latMax) }
       .toDF("country_code", "country_name", "__lon_min", "__lat_min", "__lon_max", "__lat_max")
+    // wrap-aware lon test: lonMin > lonMax ⇒ [lonMin,180] ∪ [-180,lonMax]
+    val lonOk = when(col("__lon_min") <= col("__lon_max"),
+        col(lonCol) >= col("__lon_min") && col(lonCol) <= col("__lon_max"))
+      .otherwise(col(lonCol) >= col("__lon_min") || col(lonCol) <= col("__lon_max"))
     df.join(broadcast(boxDf),
-        col(latCol) >= col("__lat_min") && col(latCol) <= col("__lat_max") &&
-          col(lonCol) >= col("__lon_min") && col(lonCol) <= col("__lon_max"),
+        col(latCol) >= col("__lat_min") && col(latCol) <= col("__lat_max") && lonOk,
         "left")
       .drop("__lon_min", "__lat_min", "__lon_max", "__lat_max")
   }

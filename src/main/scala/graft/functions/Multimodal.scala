@@ -160,20 +160,32 @@ object Multimodal {
       width: Int,
       height: Int,
       format: String = "png"): DataFrame = {
+    // validate the target format up front — an unknown name would make
+    // every ImageIO.write return false and silently destroy every payload
+    require(javax.imageio.ImageIO.getImageWritersByFormatName(format).hasNext,
+      s"no ImageIO writer for format '$format'")
+    // JPEG/BMP writers reject/blacken alpha channels; everything else
+    // keeps transparency
+    val opaqueTarget = Set("jpg", "jpeg", "bmp")(format.toLowerCase)
     val resize = udf { payload: Array[Byte] =>
       readImage(payload) match {
         case null => payload
         case img =>
-          val out = new java.awt.image.BufferedImage(
-            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val imgType =
+            if (img.getColorModel.hasAlpha && !opaqueTarget)
+              java.awt.image.BufferedImage.TYPE_INT_ARGB
+            else java.awt.image.BufferedImage.TYPE_INT_RGB
+          val out = new java.awt.image.BufferedImage(width, height, imgType)
           val g = out.createGraphics()
           g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
           g.drawImage(img, 0, 0, width, height, null)
           g.dispose()
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, format, bos)
-          bos.toByteArray
+          val ok = javax.imageio.ImageIO.write(out, format, bos)
+          val bytes = bos.toByteArray
+          // a failed/empty write must not replace the original payload
+          if (!ok || bytes.isEmpty) payload else bytes
       }
     }
     df.withColumn(binaryCol, resize(col(binaryCol)))

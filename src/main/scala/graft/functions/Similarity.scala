@@ -64,12 +64,22 @@ object Similarity {
     // driver-collect guard: beyond ~1e6 vectors the broadcast OOMs the
     // driver — fail over to the distributed exhaustive-probe IVF path,
     // which is also exact (every query probes every cell, so every pair
-    // is scored once) but shuffles instead of collecting
-    val est = df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
-      .getOrElse(df.count())
-    if (est > maxCollectRows)
+    // is scored once) but shuffles instead of collecting. A stats-derived
+    // under-cap estimate is advisory (stale/absent CBO underestimates let
+    // an oversized table through to collect()) — confirm it with a probe
+    // that scans at most cap+1 rows before trusting it.
+    val statsEst = df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
+    val est = statsEst.getOrElse(df.count())
+    val probeCap = math.min(maxCollectRows + 1, Int.MaxValue.toLong).toInt
+    val overCap = est > maxCollectRows ||
+      (statsEst.isDefined && df.limit(probeCap).count() > maxCollectRows)
+    if (overCap) {
+      // when the probe (not the estimate) tripped the cap, the true count
+      // is at least maxCollectRows — size the cells from the larger figure
+      val n = math.max(est, maxCollectRows)
       return ivfTopK(df, idCol, vecCol, k,
-        cellCount = math.max(16, math.sqrt(est.toDouble).toInt / 4), nprobe = Int.MaxValue)
+        cellCount = math.max(16, math.sqrt(n.toDouble).toInt / 4), nprobe = Int.MaxValue)
+    }
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val all: Array[(Long, Array[Float])] = base.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))

@@ -233,9 +233,20 @@ object QualityChecker {
         // Catalyst's stats row-count estimate (free — parquet footers /
         // CBO) instead of a full count() scan: at 100 TB the extra pass
         // per fit dominates. The fraction only sizes the sample, so an
-        // estimate is fine; fall back to count() when stats are absent.
-        val n = df.queryExecution.optimizedPlan.stats.rowCount
-          .map(_.toLong).getOrElse(df.count())
+        // estimate is fine when it is OVER the cap; an under-cap estimate
+        // is advisory (stale/absent CBO stats underestimate) and would
+        // silently skip the cap — confirm it with a bounded probe that
+        // scans at most cap+1 rows, and only a confirmed overflow pays a
+        // real count() to size the fraction.
+        val est = df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
+        val n = est match {
+          case None => df.count()
+          case Some(e) if e > c => e
+          case Some(_) =>
+            val probeCap = math.min(c + 1, Int.MaxValue.toLong).toInt
+            val probe = df.limit(probeCap).count()
+            if (probe > c) df.count() else probe
+        }
         if (n > c) df.sample(withReplacement = false, c.toDouble / n, seed) else df
       case None => df
     }
@@ -268,9 +279,13 @@ object QualityChecker {
       else cols.zip(df.stat.approxQuantile(
         cols.toArray, Array(pctileBounds._1, pctileBounds._2, 0.25, 0.75), 0.01)).toMap
     val exprs = cols.flatMap { c =>
-      Seq(
-        // all four points share one percentile buffer
-        NumExpr.pcts(col(c), Seq(pctileBounds._1, pctileBounds._2, 0.25, 0.75)).as(s"pcts__$c"),
+      // approx mode must NOT also pay for the exact percentile buffers —
+      // the sketch pass above already produced the quantiles
+      val pct =
+        if (approx) Nil
+        else Seq( // all four points share one percentile buffer
+          NumExpr.pcts(col(c), Seq(pctileBounds._1, pctileBounds._2, 0.25, 0.75)).as(s"pcts__$c"))
+      pct ++ Seq(
         avg(col(c)).as(s"mean__$c"),
         stddev_samp(col(c)).as(s"sd__$c"))
     }

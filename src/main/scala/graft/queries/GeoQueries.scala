@@ -200,7 +200,9 @@ object GeoQueries {
             $rows)
           SELECT code AS country_code, name AS country_name, count(*) AS n_points
           FROM pts JOIN boxes
-            ON lat BETWEEN lat_min AND lat_max AND lon BETWEEN lon_min AND lon_max
+            ON lat BETWEEN lat_min AND lat_max
+            AND ((lon_min <= lon_max AND lon BETWEEN lon_min AND lon_max)
+              OR (lon_min > lon_max AND (lon >= lon_min OR lon <= lon_max)))
           GROUP BY 1, 2"""
     })
 

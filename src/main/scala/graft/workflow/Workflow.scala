@@ -249,8 +249,10 @@ object Workflow {
                 s"geohash_encode(cast(`${la.toString}` as double), " +
                   s"cast(`${lo.toString}` as double), ${p.toString.toInt})"))
             }
+            // single-match variant: overlapping boxes must not multiply
+            // the frame's cardinality for every downstream stage
             if (gc.getOrElse("in_country", false) == true)
-              df = graft.functions.Geo.locationCountries(df, la.toString, lo.toString)
+              df = graft.functions.Geo.locationCountry(df, la.toString, lo.toString)
             strings(gc.getOrElse("country_flags", null)).foreach { code =>
               df = df.withColumn(s"in_$code",
                 graft.functions.Geo.locationInCountry(lat, lon, code))
