@@ -28,7 +28,11 @@ object Dedup {
   }
 
   /** (key, shingle) pairs: distinct word n-grams of the normalized text.
-    * Texts with fewer than n tokens produce no shingles.
+    * Texts with fewer than n tokens produce no shingles. keyCol must be a
+    * unique document key (every caller passes a doc id): uniqueness per
+    * (key, shingle) then follows from array_distinct alone, so the frame
+    * is map-only — no dedup exchange. (A trailing .distinct() here cost a
+    * full extra shuffle of the widest frame in every dedup pipeline.)
     */
   def shingles(df: DataFrame, textCol: String, keyCol: String, n: Int = 3): DataFrame = {
     val toks = split(TextOps.normalizeText(col(textCol)), " ")
@@ -38,7 +42,6 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
     df.select(col(keyCol).as("key"), explode(array_distinct(grams)).as("shingle"))
       .filter(length(col("shingle")) > 0)
-      .distinct()
   }
 
   /** MinHash signatures: h independent hash functions simulated as
@@ -188,7 +191,8 @@ object Dedup {
     */
   def duplicateClusters(
       pairs: DataFrame, // [key_1, key_2]
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      maxLocalEdges: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
@@ -197,6 +201,14 @@ object Dedup {
     // the a→b / b→a union branches are different projections, so without
     // this both would recompute the upstream join
     val p = pairs.select(col("key_1"), col("key_2")).localCheckpoint(true)
+    // The edge set is the DUPLICATE graph — tiny relative to the corpus
+    // (near-dup pairs above threshold), even at 100 TB usually millions,
+    // not billions. Under the cap, a driver union-find replaces ~10
+    // distributed jobs (O(diameter) join rounds) with one collect of the
+    // already-checkpointed pairs — same output (min key per component),
+    // exact for any diameter. Over the cap: label propagation, the
+    // distributed path. Mirrors the capped dual-path of bruteForceTopK.
+    if (p.count() <= maxLocalEdges) return unionFindLocal(p)
     val edges = p.select(col("key_1").as("a"), col("key_2").as("b"))
       .union(p.select(col("key_2").as("a"), col("key_1").as("b")))
       .distinct()
@@ -232,6 +244,58 @@ object Dedup {
           s"($changed labels still changing): components with diameter > $maxIter " +
           "are split — raise maxIter")
     labels
+  }
+
+  /** Driver-side connected components for a capped edge set: union-find
+    * with path compression, representative = smallest key per component
+    * (identical contract to the distributed label propagation, but exact
+    * for ANY component diameter and a single Spark action). Keys keep
+    * their original type.
+    */
+  private def unionFindLocal(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    import scala.collection.mutable
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    val ord = rowKeyOrdering
+    pairs.collect().foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // union by min key ⇒ the root IS the representative
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val keyType = pairs.schema.fields(0).dataType
+    val out = parent.keys.toSeq.map(k => Row(k, find(k)))
+    pairs.sparkSession.createDataFrame(
+      pairs.sparkSession.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("key", keyType),
+        org.apache.spark.sql.types.StructField("cluster", keyType))))
+  }
+
+  /** Ordering for duplicate-cluster keys (long / int / string — the key
+    * types our callers use); matches Spark's `least()` semantics used by
+    * the distributed path.
+    */
+  private val rowKeyOrdering: Ordering[Any] = new Ordering[Any] {
+    def compare(x: Any, y: Any): Int = (x, y) match {
+      case (a: Long, b: Long)     => java.lang.Long.compare(a, b)
+      case (a: Int, b: Int)       => Integer.compare(a, b)
+      case (a: String, b: String) => a.compareTo(b)
+      case (a: Number, b: Number) => java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+      case _ => throw new IllegalArgumentException(
+        s"unsupported duplicate-cluster key type: ${x.getClass}")
+    }
   }
 
   /** Treatment for near-duplicates: keep ONE row per duplicate cluster

@@ -131,18 +131,22 @@ object StatsGenerator {
   private def modeChunk(df: DataFrame, cols: Seq[String]): DataFrame = {
     val long = Reshape.melt(df, Nil, cols).filter(col("value").isNotNull)
     val counts = long.groupBy("attribute", "value").agg(count(lit(1)).as("mode_count"))
-    val w = Window.partitionBy("attribute").orderBy(col("mode_count").desc, col("value").asc)
-    // non-null totals derive from the aggregated counts (window over the
-    // small post-agg frame) — a separate groupBy would re-scan the input
+    // top-1 and the non-null total in ONE partially-aggregatable pass:
+    // min(struct(-count, value)) == (count desc, value asc) argmin — same
+    // tie-break as the previous rank window, but with map-side combine
+    // and no per-attribute sort (continuous columns leave ~n_rows count
+    // rows per attribute; a window partitioned on ~10 attributes funneled
+    // them all through a handful of sorting partitions)
     counts
-      .withColumn("__nonnull", sum(col("mode_count")).over(Window.partitionBy("attribute")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .groupBy("attribute")
+      .agg(
+        min(struct((-col("mode_count")).as("nc"), col("value").as("v"))).as("m"),
+        sum(col("mode_count")).as("__nonnull"))
       .select(
         col("attribute"),
-        col("value").as("mode"),
-        col("mode_count"),
-        round(col("mode_count") * lit(1.0) / col("__nonnull"), 4).as("mode_pct"))
+        col("m.v").as("mode"),
+        (-col("m.nc")).as("mode_count"),
+        round((-col("m.nc")) * lit(1.0) / col("__nonnull"), 4).as("mode_pct"))
   }
 
   /** ref: stats_generator.py:424-526 `measures_of_centralTendency` —
