@@ -16,6 +16,13 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    // untimed warmup: JIT/codegen/shuffle/parquet-reader init otherwise
+    // lands entirely on whichever query happens to run first (~5 s of
+    // machinery, not query work — it made focused reruns incomparable)
+    spark.range(1000000L).selectExpr("sum(id * 2)").write.mode("overwrite")
+      .format("noop").save()
+    spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey")
+      .count().write.mode("overwrite").format("noop").save()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full computation of every output column

@@ -44,14 +44,22 @@ object Dedup {
       .filter(length(col("shingle")) > 0)
   }
 
-  /** MinHash signatures: h independent hash functions simulated as
-    * xxhash64(shingle, salt_i); one groupBy computes all h mins
-    * (single shuffle, h agg expressions).
+  /** MinHash signatures: h independent hash functions; one groupBy
+    * computes all h mins (single shuffle, h agg expressions).
+    * Each shingle string is hashed ONCE to a 64-bit base, and the h
+    * family members are xxhash64(base, salt_i) over the fixed-width
+    * base — re-hashing the variable-length string h times was the CPU
+    * hot spot of the whole pipeline (h × bytes traversals per shingle).
     * Output: key, sig_0 … sig_{h-1}.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 32): DataFrame = {
-    val aggs = (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"sig_$i"))
+    val aggs = minhashAggs(numHashes)
     sh.groupBy("key").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def minhashAggs(numHashes: Int): Seq[Column] = {
+    val base = xxhash64(col("shingle"))
+    (0 until numHashes).map(i => min(xxhash64(base, lit(i))).as(s"sig_$i"))
   }
 
   /** LSH banding: split the h signature values into `bands` bands of
@@ -73,7 +81,15 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = shingles(df, textCol, keyCol, shingleSize)
-    val sig = minhashSignatures(sh, numHashes)
+    // ONE groupBy carries the h signature mins AND the verification state
+    // (shingle set + size): the banding flow and the two jaccard-verify
+    // joins below all hang off the same aggregation subplan, so the
+    // shingle frame shuffles once and Catalyst reuses the exchange —
+    // previously signatures and doc sets were two independent groupBys,
+    // i.e. two full recomputes of the explode+normalize pipeline.
+    val sigAggs = minhashAggs(numHashes) ++
+      Seq(collect_set(col("shingle")).as("hs"), count(lit(1)).as("n"))
+    val sig = sh.groupBy("key").agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), hash(parts: _*).as("bucket"))
@@ -98,21 +114,34 @@ object Dedup {
           col("a.key") < col("b.key"))
       .select(col("a.key").as("key_1"), col("b.key").as("key_2"))
       .distinct()
-    jaccardOfPairs(candidates, sh).filter(col("jaccard") >= threshold)
+    // verify against the doc sets already aggregated in sig (shared
+    // exchange), not a fresh shingle pipeline
+    val docs = sig.select(col("key"), col("hs"), col("n"))
+    candidates
+      .join(docs.select(col("key").as("key_1"), col("hs").as("hs1"), col("n").as("n1")), "key_1")
+      .join(docs.select(col("key").as("key_2"), col("hs").as("hs2"), col("n").as("n2")), "key_2")
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))).cast("long"))
+      .select(col("key_1"), col("key_2"),
+        round(col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Verified Jaccard for given candidate pairs against a (key, shingle)
-    * set frame: |A∩B| via join-count, |A∪B| = |A|+|B|−|A∩B|.
+    * set frame: per-doc shingle SETS are aggregated once (bounded by doc
+    * length, so a set row stays small even at 100 TB), candidates join
+    * them by doc key, and |A∩B| is a per-pair array_intersect expression.
+    * This replaces the previous shape (re-join the full shingle frame by
+    * pair + groupBy + two size joins = four shuffles and two extra
+    * recomputes of the shingle pipeline) with one groupBy and two
+    * key-partitioned joins.
     */
   def jaccardOfPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("key").agg(count(lit(1)).as("n"))
+    val docs = sh.groupBy("key")
+      .agg(collect_set(col("shingle")).as("hs"), count(lit(1)).as("n"))
     pairs
-      .join(sh.select(col("key").as("key_1"), col("shingle")), Seq("key_1"))
-      .join(sh.select(col("key").as("key_2"), col("shingle")), Seq("key_2", "shingle"))
-      .groupBy("key_1", "key_2")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("key", "key_1").withColumnRenamed("n", "n1"), "key_1")
-      .join(sizes.withColumnRenamed("key", "key_2").withColumnRenamed("n", "n2"), "key_2")
+      .join(docs.select(col("key").as("key_1"), col("hs").as("hs1"), col("n").as("n1")), "key_1")
+      .join(docs.select(col("key").as("key_2"), col("hs").as("hs2"), col("n").as("n2")), "key_2")
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))).cast("long"))
       .select(col("key_1"), col("key_2"),
         round(col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
   }
