@@ -342,6 +342,35 @@ object Dedup {
     df.join(broadcast(dropKeys), Seq(keyCol), "left_anti")
   }
 
+  /** Benchmark decontamination: for every corpus doc, how many distinct
+    * word n-grams it shares with a benchmark corpus, plus the containment
+    * ratio shared/|doc n-grams| — the standard train/test-overlap check
+    * before training on scraped data. Scale shape: the benchmark's
+    * DISTINCT shingle set is tiny next to the corpus (benchmarks are MBs,
+    * corpora are TBs), so the equi-join broadcasts it (AQE decides from
+    * stats); the corpus side streams map-side. Docs sharing nothing are
+    * absent from the result (inner join) — callers wanting the clean set
+    * anti-join on the returned keys.
+    */
+  def contamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      keyCol: String,
+      n: Int = 3,
+      minShared: Long = 1L): DataFrame = {
+    val docSh = shingles(corpus, textCol, keyCol, n)
+    val benchSh = shingles(benchmark, textCol, keyCol, n).select("shingle").distinct()
+    val sizes = docSh.groupBy("key").agg(count(lit(1)).as("n_shingles"))
+    docSh.join(benchSh, "shingle")
+      .groupBy("key")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .join(sizes, "key")
+      .select(col("key"), col("shared_shingles"), col("n_shingles"),
+        round(col("shared_shingles") * lit(1.0) / col("n_shingles"), 4).as("containment"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
   /** Exact n-gram Jaccard for every intersecting pair inside a blocking
     * key (e.g. same source/lang). Intersections come straight from the
     * shingle equi-join — only pairs that actually SHARE a shingle ever

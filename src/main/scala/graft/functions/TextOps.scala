@@ -73,6 +73,23 @@ object TextOps {
     when(size(toks) === 0, 0.0).otherwise(size(stops) * lit(1.0) / size(toks))
   }
 
+  /** Duplicate word-n-gram fraction in [0,1]: 1 − |distinct n-grams| /
+    * |n-grams| of the normalized text — the Gopher-style repetition
+    * signal (n=1: repeated words; n=2/3: repeated phrases). Pure
+    * expression over the token array (no explode, no shuffle): a
+    * map-only pass at any scale. 0.0 for texts shorter than n tokens.
+    */
+  def repetitionScore(text: Column, n: Int = 3): Column = {
+    val toks = split(normalizeText(text), " ")
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    when(size(grams) <= 0, lit(0.0))
+      .otherwise(round(
+        lit(1.0) - size(array_distinct(grams)) * lit(1.0) / size(grams), 4))
+  }
+
   /** Composite quality score in [0,1]: penalize extreme length, high
     * punctuation, zero stopwords (classic heuristics).
     */

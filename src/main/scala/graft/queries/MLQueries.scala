@@ -100,6 +100,12 @@ object MLQueries {
       ORDER BY (CASE WHEN isnan(s) THEN 1 ELSE 0 END), s LIMIT 1"""
     })
 
+  /** Full fit+apply: the oracle re-runs the λ argmin (same SQL as
+    * q_boxcox_lambda) and applies the winning transform — an end-to-end
+    * check that fit-on-data + apply-on-data agree across engines. The fit
+    * sample cap (100k) is above sf0.01's row count, so both engines fit
+    * on identical full data.
+    */
   val qBoxcox = Q(
     "q_boxcox",
     (s, dir) => {
@@ -109,7 +115,25 @@ object MLQueries {
       out.select(col("l_orderkey"), col("l_linenumber"),
         round(col("l_extendedprice"), 4).as("boxcox_price"))
     },
-    None)
+    Some {
+      val values = Transformers.boxcoxLambdas
+        .map(l => s"(CAST($l AS DOUBLE))").mkString(", ")
+      s"""
+      WITH lam(l) AS (VALUES $values),
+      tx AS (SELECT l, CASE WHEN l = 0 THEN ln(l_extendedprice)
+                            ELSE pow(l_extendedprice, l) END AS v
+             FROM lineitem CROSS JOIN lam),
+      m AS (SELECT l, avg(v) AS mu FROM tx GROUP BY l),
+      sk AS (SELECT tx.l,
+                    abs(avg(pow(v - mu, 3)) / pow(avg(pow(v - mu, 2)), 1.5)) AS s
+             FROM tx JOIN m ON tx.l = m.l GROUP BY tx.l),
+      best AS (SELECT l FROM sk
+               ORDER BY (CASE WHEN isnan(s) THEN 1 ELSE 0 END), s LIMIT 1)
+      SELECT l_orderkey, l_linenumber,
+             round(CASE WHEN best.l = 0 THEN ln(l_extendedprice)
+                        ELSE pow(l_extendedprice, best.l) END, 4) AS boxcox_price
+      FROM lineitem CROSS JOIN best"""
+    })
 
   /** Multimodal plumbing: text → binary payload → partition-wise batched
     * feature extraction (stubbed decode). n_bytes is oracle-checkable

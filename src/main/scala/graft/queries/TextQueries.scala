@@ -366,8 +366,66 @@ object TextQueries {
       FROM toks GROUP BY lang"""
     })
 
+  /** Gopher-style repetition signal: duplicate n-gram fraction per doc
+    * for n = 1, 2, 3 — a pure map-only expression (no explode/shuffle).
+    */
+  val qRepetitionScore = Q(
+    "q_repetition_score",
+    (s, dir) => tables(s, dir).documents.select(
+      col("doc_id"),
+      TextOps.repetitionScore(col("text"), 1).as("rep_1"),
+      TextOps.repetitionScore(col("text"), 2).as("rep_2"),
+      TextOps.repetitionScore(col("text"), 3).as("rep_3")),
+    Some {
+      def repSql(n: Int) =
+        s"""CASE WHEN len(toks) < $n THEN 0.0
+            ELSE round(1.0 - CAST(len(list_distinct(g_$n)) AS DOUBLE) / len(g_$n), 4)
+            END AS rep_$n"""
+      def gramSql(n: Int) =
+        s"""list_transform(range(1, greatest(len(toks) - $n, -1) + 2),
+            i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + $n - 1], ' ')) AS g_$n"""
+      s"""
+      WITH t AS (SELECT doc_id, str_split($normSql, ' ') AS toks FROM documents),
+      g AS (SELECT doc_id, toks, ${gramSql(1)}, ${gramSql(2)}, ${gramSql(3)} FROM t)
+      SELECT doc_id, ${repSql(1)}, ${repSql(2)}, ${repSql(3)} FROM g"""
+    })
+
+  /** Benchmark decontamination: treat source 'src0' as the held-out
+    * benchmark and report every other doc's shared-shingle count and
+    * containment against it.
+    */
+  val qContamination = Q(
+    "q_contamination",
+    (s, dir) => {
+      val docs = tables(s, dir).documents
+      Dedup.contamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "text", "doc_id", n = 3)
+        .select(col("key").as("doc_id"), col("shared_shingles"),
+          col("n_shingles"), col("containment"))
+    },
+    Some(s"""
+      WITH norm AS (
+        SELECT doc_id, source, str_split($normSql, ' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+        FROM norm, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+      sh1 AS (SELECT * FROM sh WHERE length(shingle) > 0),
+      bench AS (SELECT DISTINCT shingle FROM sh1 WHERE source = 'src0'),
+      corp AS (SELECT * FROM sh1 WHERE source <> 'src0'),
+      sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY 1),
+      shared AS (
+        SELECT doc_id, count(*) AS shared_shingles
+        FROM corp JOIN bench USING (shingle) GROUP BY 1)
+      SELECT doc_id, shared_shingles, n_shingles,
+             round(CAST(shared_shingles AS DOUBLE) / n_shingles, 4) AS containment
+      FROM shared JOIN sizes USING (doc_id)
+      WHERE shared_shingles >= 1"""))
+
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qDedupClusters,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup,
-    qStratifiedSample, qTextPipeline)
+    qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination)
 }

@@ -43,6 +43,34 @@ class TextSpec extends SparkSpec {
     assert(sh.toSeq == Seq("a b", "b c", "c d"))
   }
 
+  test("repetition score: duplicate n-gram fractions") {
+    val d = Seq(
+      (1L, "spam spam spam spam"),          // 1 distinct unigram of 4, 1 distinct bigram of 3
+      (2L, "all words here are different"), // no repeats at any n
+      (3L, "ab")                            // shorter than n → 0.0
+    ).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+        TextOps.repetitionScore(col("text"), 1).as("r1"),
+        TextOps.repetitionScore(col("text"), 2).as("r2"),
+        TextOps.repetitionScore(col("text"), 3).as("r3"))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((0.75, 0.6667, 0.5)))
+    assert(r(2L) == ((0.0, 0.0, 0.0)))
+    assert(r(3L)._3 == 0.0)
+  }
+
+  test("contamination flags docs sharing shingles with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox appears here"), // shares shingles
+      (2L, "completely unrelated content with zero overlap whatsoever")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, bench, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(1L) && hits(1L) >= 2) // "the quick brown", "quick brown fox"
+    assert(!hits.contains(2L))
+  }
+
   test("minhash LSH finds planted near-duplicates and verifies jaccard") {
     val base = (" alpha beta gamma delta epsilon zeta eta theta iota kappa" * 5).trim
     val d = Seq(
