@@ -87,16 +87,22 @@ object Transformers {
     * is strictly monotonic (the reference tests |Spearman| == 1 on the ≤20
     * bin means — equivalent for ranked bin ids).
     */
+  /** approx=true (default) fits the per-k quantile cuts on GK sketches —
+    * the 100 TB posture; approx=false uses exact interpolated percentiles,
+    * which makes the whole fit loop reproducible in ANSI SQL (the
+    * q_monotonic_binning oracle re-runs it in DuckDB).
+    */
   def monotonicBinning(
       df: DataFrame,
       colName: String,
       labelCol: String,
       event: Column,
       maxBins: Int = 20,
-      outputSuffix: String = "_binned"): DataFrame = {
+      outputSuffix: String = "_binned",
+      approx: Boolean = true): DataFrame = {
     var k = maxBins
     while (k > 2) {
-      val binned = attributeBinning(df, Seq(colName), "equal_frequency", k, approx = true,
+      val binned = attributeBinning(df, Seq(colName), "equal_frequency", k, approx = approx,
         outputSuffix = "__mb")
       val rates = binned
         .groupBy(col(colName + "__mb").as("bin"))
@@ -106,11 +112,12 @@ object Transformers {
         .map(_.getAs[Double]("rate"))
       val mono = rates.sliding(2).forall(p => p(0) <= p(1)) ||
         rates.sliding(2).forall(p => p(0) >= p(1))
-      if (mono) return attributeBinning(df, Seq(colName), "equal_frequency", k, approx = true,
+      if (mono) return attributeBinning(df, Seq(colName), "equal_frequency", k, approx = approx,
         outputSuffix = outputSuffix)
       k -= 1
     }
-    attributeBinning(df, Seq(colName), "equal_frequency", 2, approx = true, outputSuffix = outputSuffix)
+    attributeBinning(df, Seq(colName), "equal_frequency", 2, approx = approx,
+      outputSuffix = outputSuffix)
   }
 
   // ---------------------------------------------------------------- scaling

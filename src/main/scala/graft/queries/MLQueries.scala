@@ -54,18 +54,53 @@ object MLQueries {
     },
     None)
 
-  /** Monotonic binning (event-rate monotone bin search; sketch-based →
-    * rows-only).
+  /** Monotonic binning with exact percentiles: the oracle re-runs the
+    * whole fit loop in SQL — per k ∈ [3, maxBins] compute equal-frequency
+    * cuts (quantile_cont ≡ exact interpolated percentile), bin, check the
+    * event-rate profile for monotonicity, pick the LARGEST monotone k
+    * (the Scala loop descends from maxBins and returns on first success),
+    * fall back to k = 2.
     */
   val qMonotonicBinning = Q(
     "q_monotonic_binning",
     (s, dir) => {
       val o = tables(s, dir).orders
       Transformers.monotonicBinning(o, "o_totalprice", "o_orderstatus",
-        col("o_orderstatus") === "F", maxBins = 10)
+        col("o_orderstatus") === "F", maxBins = 10, approx = false)
         .groupBy("o_totalprice_binned").agg(count(lit(1)).as("n"))
     },
-    None)
+    Some {
+      // DuckDB quantile_cont needs CONSTANT probabilities — expand the
+      // (k, i) grid to 44 constant aggregates at SQL-generation time
+      // (same doubles as the Scala fit's i.toDouble / k)
+      val kis = (2 to 10).flatMap(k => (1 until k).map(i => (k, i)))
+      val qAggs = kis.map { case (k, i) =>
+        s"quantile_cont(CAST(o_totalprice AS DOUBLE), ${i.toDouble / k}) AS q_${k}_$i"
+      }.mkString(",\n            ")
+      val cutRows = kis.map { case (k, i) =>
+        s"SELECT $k AS k, $i AS i, q_${k}_$i AS cut FROM q"
+      }.mkString("\n            UNION ALL ")
+      s"""
+      WITH q AS (SELECT $qAggs FROM orders),
+      cuts AS ($cutRows),
+      binned AS (
+        SELECT o.o_orderkey, c.k,
+               any_value(o.o_orderstatus) AS status,
+               CAST(1 + count(*) FILTER (WHERE c.cut < CAST(o.o_totalprice AS DOUBLE)) AS INT) AS bin
+        FROM orders o JOIN cuts c ON true
+        GROUP BY o.o_orderkey, c.k),
+      rates AS (SELECT k, bin,
+                       avg(CASE WHEN status = 'F' THEN 1.0 ELSE 0.0 END) AS rate
+                FROM binned GROUP BY k, bin),
+      diffs AS (SELECT k, rate - lag(rate) OVER (PARTITION BY k ORDER BY bin) AS d
+                FROM rates),
+      mono AS (SELECT k FROM diffs WHERE d IS NOT NULL
+               GROUP BY k HAVING bool_and(d >= 0) OR bool_and(d <= 0)),
+      best(bk) AS (SELECT coalesce(max(k) FILTER (WHERE k >= 3), 2) FROM mono)
+      SELECT b.bin AS o_totalprice_binned, count(*) AS n
+      FROM binned b, best WHERE b.k = best.bk
+      GROUP BY 1"""
+    })
 
   /** Box-Cox transformation (λ argmax by skewness — deterministic but the
     * 15-λ argmax is unwieldy in SQL → rows-only).
