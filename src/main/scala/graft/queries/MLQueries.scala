@@ -266,14 +266,49 @@ transformers:
     None)
 
   /** TF-IDF feature-recommender search over a corpus derived from the
-    * documents table (rows-only — ranking only meaningful as top-k).
+    * documents table. The oracle replays the exact TF-IDF arithmetic
+    * (ln-idf with +1 smoothing, cosine against the query vector, HALF_UP
+    * round at 4, ties broken on ascending id) — the query-token list is
+    * generated from the SAME Scala normalization as the engine side.
     */
   val qFeatureRec = Q(
     "q_feature_recommender",
     (s, dir) => graft.functions.FeatureRecommender.search(
       tables(s, dir).documents, "doc_id", "source", "text",
       query = "spark table join query window", topK = 10),
-    None)
+    Some {
+      val qToks = graft.functions.TextOps
+        .normalizeTextString("spark table join query window")
+        .split(" ").filter(_.length > 1)
+        .groupBy(identity).map { case (t, xs) => (t, xs.length) }.toSeq
+      val qValues = qToks.map { case (t, n) => s"('$t', $n)" }.mkString(", ")
+      val norm = "trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+      s"""
+      WITH toks AS (
+        SELECT doc_id AS id, unnest(str_split($norm, ' ')) AS token FROM documents),
+      tok1 AS (SELECT id, token FROM toks WHERE length(token) > 1),
+      tf AS (SELECT id, token, count(*) AS tf FROM tok1 GROUP BY 1, 2),
+      cnt(n) AS (SELECT count(*) FROM documents),
+      idf AS (SELECT token,
+                     ln((CAST(n AS DOUBLE) + 1) / (count(DISTINCT id) + 1)) + 1 AS idf
+              FROM tf CROSS JOIN cnt GROUP BY token, n),
+      weighted AS (SELECT id, tf.token, tf * idf AS w FROM tf JOIN idf USING (token)),
+      qtoks(token, qtf) AS (VALUES $qValues),
+      qw AS (SELECT token, qtf * idf AS qw FROM qtoks JOIN idf USING (token)),
+      qn(qnorm) AS (
+        SELECT sqrt(CASE WHEN coalesce(sum(qw * qw), 0) <= 0 THEN 1.0
+                         ELSE sum(qw * qw) END) FROM qw),
+      dnorms AS (SELECT id, sqrt(sum(w * w)) AS dnorm FROM weighted GROUP BY id),
+      dots AS (SELECT id, sum(w * qw.qw) AS dot
+               FROM weighted JOIN qw USING (token) GROUP BY id)
+      SELECT d.id, doc.source AS name,
+             round(d.dot / (dn.dnorm * qn.qnorm), 4) AS score
+      FROM dots d
+      JOIN dnorms dn USING (id)
+      CROSS JOIN qn
+      JOIN documents doc ON doc.doc_id = d.id
+      ORDER BY score DESC, d.id ASC LIMIT 10"""
+    })
 
   /** REAL image decode end-to-end on the cluster path: synthesize a small
     * PNG per document (deterministic from doc_id), then decode with the
@@ -303,7 +338,23 @@ transformers:
         .select(col("doc_id"), toPng(col("doc_id")).as("payload"))
       graft.functions.Multimodal.imageFeatures(docs, "doc_id", "payload")
     },
-    None)
+    // closed-form oracle: PNG round-trip is lossless for TYPE_INT_RGB, so
+    // the decoded dims/bands/mean-intensity equal the generator's formula
+    // exactly (uniform color ⇒ sum = w·h·(r+g+b); the double division is
+    // bit-identical on both engines) — an end-to-end check that the
+    // distributed encode→decode path preserves pixel data
+    Some("""
+      WITH c AS (
+        SELECT doc_id,
+               CAST(doc_id % 7 + 2 AS INT) AS width,
+               CAST(doc_id % 5 + 2 AS INT) AS height,
+               CAST(3 AS INT) AS bands,
+               (doc_id * 2654435761) % 16777216 AS rgb
+        FROM documents WHERE doc_id % 4 = 0)
+      SELECT doc_id, width, height, bands,
+             CAST(width * height * ((rgb // 65536) + ((rgb // 256) % 256) + (rgb % 256)) AS DOUBLE)
+               / (width * height * 3 * 255.0) AS mean_intensity
+      FROM c"""))
 
   def all: Seq[Q] = Seq(qPcaLatent, qAlsImpute, qAutoImputation, qMonotonicBinning,
     qBoxcox, qBoxcoxLambda, qMultimodal, qWorkflow, qVarClus, qKnnImpute,
