@@ -52,6 +52,24 @@ object StreamingOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Streaming exact dedup: keep the first row per normalized-text
+    * fingerprint, with the watermark bounding the dedup state (documents
+    * arriving later than the watermark behind a seen duplicate pass
+    * through — the standard unbounded-state trade). The batch counterpart
+    * is Dedup.exactDedup; at scale the state store holds one fingerprint
+    * per distinct doc inside the watermark horizon, not the corpus.
+    */
+  def streamingExactDedup(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String = "2 hours"): DataFrame =
+    stream
+      .withColumn("__fp", graft.functions.TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   final case class UserState(count: Long, sum: Double)
   final case class UserSnapshot(userId: Long, count: Long, sum: Double, mean: Double)
 

@@ -143,6 +143,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps the first doc per fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingOps.streamingExactDedup(stream, "text", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "same text here", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, "Same   TEXT here", java.sql.Timestamp.valueOf("2024-01-01 10:01:00")),
+        (3L, "different doc", java.sql.Timestamp.valueOf("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      input.addData( // a later duplicate inside the watermark is dropped too
+        (4L, "same  text HERE", java.sql.Timestamp.valueOf("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
