@@ -90,6 +90,25 @@ object TextOps {
         lit(1.0) - size(array_distinct(grams)) * lit(1.0) / size(grams), 4))
   }
 
+  /** Fraction of n-gram occurrences taken by the single most frequent
+    * n-gram — the companion Gopher signal to [[repetitionScore]] (a doc
+    * whose top bigram covers 20%+ of it is boilerplate). Still a pure
+    * map-only expression; the per-doc count is O(distinct²) array work,
+    * bounded by doc length, not data size. 0.0 for texts shorter than n.
+    */
+  def topNgramCoverage(text: Column, n: Int = 2): Column = {
+    val toks = split(normalizeText(text), " ")
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val topCount = array_max(transform(
+      array_distinct(grams),
+      g => size(filter(grams, x => x === g))))
+    when(size(grams) <= 0, lit(0.0))
+      .otherwise(round(topCount * lit(1.0) / size(grams), 4))
+  }
+
   /** Composite quality score in [0,1]: penalize extreme length, high
     * punctuation, zero stopwords (classic heuristics).
     */

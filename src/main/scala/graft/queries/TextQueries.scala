@@ -366,8 +366,9 @@ object TextQueries {
       FROM toks GROUP BY lang"""
     })
 
-  /** Gopher-style repetition signal: duplicate n-gram fraction per doc
-    * for n = 1, 2, 3 — a pure map-only expression (no explode/shuffle).
+  /** Gopher-style repetition signals: duplicate n-gram fraction per doc
+    * for n = 1, 2, 3 plus top-bigram coverage — pure map-only expressions
+    * (no explode/shuffle).
     */
   val qRepetitionScore = Q(
     "q_repetition_score",
@@ -375,7 +376,8 @@ object TextQueries {
       col("doc_id"),
       TextOps.repetitionScore(col("text"), 1).as("rep_1"),
       TextOps.repetitionScore(col("text"), 2).as("rep_2"),
-      TextOps.repetitionScore(col("text"), 3).as("rep_3")),
+      TextOps.repetitionScore(col("text"), 3).as("rep_3"),
+      TextOps.topNgramCoverage(col("text"), 2).as("top2_cov")),
     Some {
       def repSql(n: Int) =
         s"""CASE WHEN len(toks) < $n THEN 0.0
@@ -384,10 +386,15 @@ object TextQueries {
       def gramSql(n: Int) =
         s"""list_transform(range(1, greatest(len(toks) - $n, -1) + 2),
             i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + $n - 1], ' ')) AS g_$n"""
+      val topCov =
+        """CASE WHEN len(toks) < 2 THEN 0.0
+           ELSE round(CAST(list_max(list_transform(list_distinct(g_2),
+                  x -> len(list_filter(g_2, y -> y = x)))) AS DOUBLE) / len(g_2), 4)
+           END AS top2_cov"""
       s"""
       WITH t AS (SELECT doc_id, str_split($normSql, ' ') AS toks FROM documents),
       g AS (SELECT doc_id, toks, ${gramSql(1)}, ${gramSql(2)}, ${gramSql(3)} FROM t)
-      SELECT doc_id, ${repSql(1)}, ${repSql(2)}, ${repSql(3)} FROM g"""
+      SELECT doc_id, ${repSql(1)}, ${repSql(2)}, ${repSql(3)}, $topCov FROM g"""
     })
 
   /** Benchmark decontamination: treat source 'src0' as the held-out

@@ -57,6 +57,11 @@ class TextSpec extends SparkSpec {
     assert(r(1L) == ((0.75, 0.6667, 0.5)))
     assert(r(2L) == ((0.0, 0.0, 0.0)))
     assert(r(3L)._3 == 0.0)
+    val cov = d.select(col("doc_id"), TextOps.topNgramCoverage(col("text"), 2).as("c"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(cov(1L) == 1.0) // "spam spam" is every bigram
+    assert(cov(2L) == 0.25) // 4 distinct bigrams, each covers 1/4
+    assert(cov(3L) == 0.0) // shorter than n
   }
 
   test("contamination flags docs sharing shingles with the benchmark") {
