@@ -82,14 +82,17 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sh = shingles(df, textCol, keyCol, shingleSize)
     // ONE groupBy carries the h signature mins AND the verification state
-    // (shingle set + size): the banding flow and the two jaccard-verify
-    // joins below all hang off the same aggregation subplan, so the
-    // shingle frame shuffles once and Catalyst reuses the exchange —
-    // previously signatures and doc sets were two independent groupBys,
-    // i.e. two full recomputes of the explode+normalize pipeline.
+    // (shingle set + size), materialized once: its four consumers (two
+    // band self-join sides, two jaccard-verify joins) prune different
+    // column sets, so their subplans diverge and Catalyst CANNOT reuse
+    // the exchange (verified in the formatted plan) — without the
+    // checkpoint each consumer re-ran the whole normalize+explode+agg
+    // pipeline. One row per doc, so the materialized frame is corpus-row
+    // sized, not shingle sized.
     val sigAggs = minhashAggs(numHashes) ++
       Seq(collect_set(col("shingle")).as("hs"), count(lit(1)).as("n"))
     val sig = sh.groupBy("key").agg(sigAggs.head, sigAggs.tail: _*)
+      .localCheckpoint(true)
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), hash(parts: _*).as("bucket"))
