@@ -101,6 +101,20 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("driver union-find equals distributed label propagation on random graphs") {
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)).suchThat(p => p._1 != p._2))
+    for (edges <- samples(edgeGen, 3) if edges.nonEmpty) {
+      val pairs = edges.toDF("key_1", "key_2")
+      // maxLocalEdges = 0 forces the distributed path; default takes union-find
+      val local = Dedup.duplicateClusters(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.duplicateClusters(pairs, maxLocalEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, "union-find and label propagation disagree")
+    }
+  }
+
   test("country flag expression agrees with the broadcast box join") {
     val latLonGen = Gen.zip(Gen.choose(-90.0, 90.0), Gen.choose(-180.0, 180.0))
     val pts = samples(Gen.listOfN(40, latLonGen), 1).head
