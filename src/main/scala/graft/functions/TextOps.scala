@@ -73,41 +73,73 @@ object TextOps {
     when(size(toks) === 0, 0.0).otherwise(size(stops) * lit(1.0) / size(toks))
   }
 
-  /** Duplicate word-n-gram fraction in [0,1]: 1 − |distinct n-grams| /
-    * |n-grams| of the normalized text — the Gopher-style repetition
-    * signal (n=1: repeated words; n=2/3: repeated phrases). Pure
-    * expression over the token array (no explode, no shuffle): a
-    * map-only pass at any scale. 0.0 for texts shorter than n tokens.
+  /** Whitespace token array of the normalized text. Materialize this
+    * (e.g. `withColumn("toks", tokens(col("text")))`) before feeding it
+    * to several gram-based signals so the regex tokenization runs once
+    * per row, not once per signal.
     */
-  def repetitionScore(text: Column, n: Int = 3): Column = {
-    val toks = split(normalizeText(text), " ")
-    val grams = when(size(toks) < n, array().cast("array<string>"))
+  def tokens(text: Column): Column = split(normalizeText(text), " ")
+
+  /** Word n-gram array from a pre-tokenized column (n=1 is the tokens
+    * themselves). Empty array for texts shorter than n tokens.
+    */
+  def ngramsFromTokens(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Duplicate-gram fraction in [0,1]: 1 − |distinct| / |grams|.
+    * O(m) per row over an already-built gram array.
+    */
+  def repetitionFromGrams(grams: Column): Column =
     when(size(grams) <= 0, lit(0.0))
       .otherwise(round(
         lit(1.0) - size(array_distinct(grams)) * lit(1.0) / size(grams), 4))
-  }
 
-  /** Fraction of n-gram occurrences taken by the single most frequent
-    * n-gram — the companion Gopher signal to [[repetitionScore]] (a doc
-    * whose top bigram covers 20%+ of it is boilerplate). Still a pure
-    * map-only expression; the per-doc count is O(distinct²) array work,
-    * bounded by doc length, not data size. 0.0 for texts shorter than n.
+  /** Fraction of gram occurrences taken by the single most frequent
+    * gram, computed linearly: sort the array, then the top count is the
+    * longest run of equal adjacent elements — one aggregate() pass over
+    * the sorted array (O(m log m) per row), instead of the quadratic
+    * "count each distinct gram against the whole array" formulation.
     */
-  def topNgramCoverage(text: Column, n: Int = 2): Column = {
-    val toks = split(normalizeText(text), " ")
-    val grams = when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-    val topCount = array_max(transform(
-      array_distinct(grams),
-      g => size(filter(grams, x => x === g))))
+  def topCoverageFromGrams(grams: Column): Column = {
+    val topCount = aggregate(
+      array_sort(grams),
+      struct(
+        lit(null).cast("string").as("prev"),
+        lit(0).as("run"),
+        lit(0).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(
+          x.as("prev"),
+          run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
     when(size(grams) <= 0, lit(0.0))
       .otherwise(round(topCount * lit(1.0) / size(grams), 4))
   }
+
+  /** Duplicate word-n-gram fraction in [0,1]: 1 − |distinct n-grams| /
+    * |n-grams| of the normalized text — the Gopher-style repetition
+    * signal (n=1: repeated words; n=2/3: repeated phrases). Pure
+    * map-only expression. When computing several n at once, materialize
+    * [[tokens]] and use [[repetitionFromGrams]] to share tokenization.
+    */
+  def repetitionScore(text: Column, n: Int = 3): Column =
+    repetitionFromGrams(ngramsFromTokens(tokens(text), n))
+
+  /** Fraction of n-gram occurrences taken by the single most frequent
+    * n-gram — the companion Gopher signal to [[repetitionScore]] (a doc
+    * whose top bigram covers 20%+ of it is boilerplate). Linear sorted-run
+    * algorithm via [[topCoverageFromGrams]]; map-only at any scale.
+    */
+  def topNgramCoverage(text: Column, n: Int = 2): Column =
+    topCoverageFromGrams(ngramsFromTokens(tokens(text), n))
 
   /** Composite quality score in [0,1]: penalize extreme length, high
     * punctuation, zero stopwords (classic heuristics).
@@ -136,14 +168,24 @@ object TextOps {
     "zh" -> Seq("的", "了", "是", "在", "我", "有", "他", "这", "个", "们"))
 
   def langId(text: Column): Column = {
-    val toks = split(normalizeText(text), " ")
-    val scores = langLexicon.toSeq.sortBy(_._1).map { case (lang, lex) =>
-      (lang, size(filter(toks, x => x.isin(lex: _*))))
-    }
-    // argmax with deterministic tie-break on ascending lang code
-    val maxScore = scores.map(_._2).reduceLeft((a, b) => when(b > a, b).otherwise(a))
-    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === maxScore && maxScore > 0, lang).otherwise(acc)
-    }
+    val entries = langLexicon.toSeq.sortBy(_._1)
+    val lexLit = array(entries.map { case (_, lex) => array(lex.map(lit): _*) }: _*)
+    val langsLit = array(entries.map { case (lang, _) => lit(lang) }: _*)
+    // One pass over the tokens: per-lang hit counters carried as an array,
+    // so the tokenization subtree is evaluated exactly once per row (a
+    // naive per-lang filter() re-evaluates it per language, and a
+    // when-chain argmax duplicates it exponentially).
+    val scores = aggregate(
+      tokens(text),
+      array(entries.map(_ => lit(0)): _*),
+      (st, tok) => zip_with(st, lexLit,
+        (c, lex) => c + when(array_contains(lex, tok), 1).otherwise(0)))
+    // argmax with deterministic tie-break on ascending lang code (strict >
+    // keeps the first max); score 0 everywhere → "und"
+    val best = aggregate(
+      zip_with(scores, langsLit, (s, l) => struct(s.as("score"), l.as("lang"))),
+      struct(lit(0).as("score"), lit("und").as("lang")),
+      (st, x) => when(x.getField("score") > st.getField("score"), x).otherwise(st))
+    best.getField("lang")
   }
 }

@@ -368,16 +368,25 @@ object TextQueries {
 
   /** Gopher-style repetition signals: duplicate n-gram fraction per doc
     * for n = 1, 2, 3 plus top-bigram coverage — pure map-only expressions
-    * (no explode/shuffle).
+    * (no explode/shuffle). Tokens and the bigram array are materialized
+    * as columns so each is built once per row and shared across signals
+    * (Catalyst keeps the staged Projects because the aliases are
+    * referenced more than once and are non-cheap); top coverage is the
+    * linear sorted-run aggregate, not the quadratic per-distinct count.
     */
   val qRepetitionScore = Q(
     "q_repetition_score",
-    (s, dir) => tables(s, dir).documents.select(
-      col("doc_id"),
-      TextOps.repetitionScore(col("text"), 1).as("rep_1"),
-      TextOps.repetitionScore(col("text"), 2).as("rep_2"),
-      TextOps.repetitionScore(col("text"), 3).as("rep_3"),
-      TextOps.topNgramCoverage(col("text"), 2).as("top2_cov")),
+    (s, dir) => tables(s, dir).documents
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        TextOps.ngramsFromTokens(col("toks"), 2).as("g2"),
+        TextOps.ngramsFromTokens(col("toks"), 3).as("g3"))
+      .select(
+        col("doc_id"),
+        TextOps.repetitionFromGrams(col("toks")).as("rep_1"),
+        TextOps.repetitionFromGrams(col("g2")).as("rep_2"),
+        TextOps.repetitionFromGrams(col("g3")).as("rep_3"),
+        TextOps.topCoverageFromGrams(col("g2")).as("top2_cov")),
     Some {
       def repSql(n: Int) =
         s"""CASE WHEN len(toks) < $n THEN 0.0
