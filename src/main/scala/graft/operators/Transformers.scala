@@ -100,24 +100,52 @@ object Transformers {
       maxBins: Int = 20,
       outputSuffix: String = "_binned",
       approx: Boolean = true): DataFrame = {
+    // Single fit pass: the interior cutoffs for EVERY candidate k in
+    // [2, maxBins] are quantiles at i/k, so one union grid aggregation
+    // (one shared percentile buffer / one GK sketch pass) yields all of
+    // them; each k's cutoffs are then lookups. The naive search refits
+    // quantiles AND re-aggregates event rates per k — up to 2(maxBins-2)
+    // full-table jobs, which multiply painfully at scale.
+    val allProbs: Seq[Double] =
+      (2 to maxBins).flatMap(k => (1 until k).map(_.toDouble / k)).distinct.sorted
+    val gridVals: Seq[Double] =
+      if (approx) df.stat.approxQuantile(colName, allProbs.toArray, 0.01).toSeq
+      else {
+        val r = df.agg(NumExpr.pcts(col(colName), allProbs).as("q")).collect()(0)
+        Option(r.getAs[scala.collection.Seq[Double]]("q")).map(_.toSeq).getOrElse(Seq.empty)
+      }
+    if (gridVals.isEmpty) return df // all-null / empty column: nothing to bin
+    val probAt: Map[Double, Double] = allProbs.zip(gridVals).toMap
+    def cutsFor(k: Int): Seq[Double] = (1 until k).map(i => probAt(i.toDouble / k))
+    // Second (and last) pass: event rate per (k, bin) for all candidate k
+    // at once — explode a per-row array of (k, bin-id) structs, then one
+    // partially-aggregated groupBy over at most sum(k) ≈ maxBins²/2 groups.
+    val binStructs = array((2 to maxBins).map { k =>
+      struct(lit(k).as("k"), binExpr(col(colName), cutsFor(k)).as("bin"))
+    }: _*)
+    val rateRows = df
+      .select(explode(binStructs).as("kb"), when(event, 1.0).otherwise(0.0).as("ev"))
+      .groupBy(col("kb.k").as("k"), col("kb.bin").as("bin"))
+      .agg(avg(col("ev")).as("rate"))
+      .collect()
+    // null bins (null input values) sort first, matching orderBy's
+    // asc-nulls-first that the per-k loop formulation relied on
+    val ratesByK: Map[Int, Seq[Double]] = rateRows
+      .groupBy(_.getInt(0))
+      .map { case (k, rows) =>
+        k -> rows.sortBy(r => (!r.isNullAt(1), if (r.isNullAt(1)) 0 else r.getInt(1)))
+          .map(_.getAs[Double]("rate")).toSeq
+      }
     var k = maxBins
     while (k > 2) {
-      val binned = attributeBinning(df, Seq(colName), "equal_frequency", k, approx = approx,
-        outputSuffix = "__mb")
-      val rates = binned
-        .groupBy(col(colName + "__mb").as("bin"))
-        .agg(avg(when(event, 1.0).otherwise(0.0)).as("rate"))
-        .orderBy("bin")
-        .collect()
-        .map(_.getAs[Double]("rate"))
-      val mono = rates.sliding(2).forall(p => p(0) <= p(1)) ||
+      val rates = ratesByK.getOrElse(k, Seq.empty)
+      val mono = rates.size < 2 ||
+        rates.sliding(2).forall(p => p(0) <= p(1)) ||
         rates.sliding(2).forall(p => p(0) >= p(1))
-      if (mono) return attributeBinning(df, Seq(colName), "equal_frequency", k, approx = approx,
-        outputSuffix = outputSuffix)
+      if (mono) return applyBinning(df, Map(colName -> cutsFor(k)), outputSuffix)
       k -= 1
     }
-    attributeBinning(df, Seq(colName), "equal_frequency", 2, approx = approx,
-      outputSuffix = outputSuffix)
+    applyBinning(df, Map(colName -> cutsFor(2)), outputSuffix)
   }
 
   // ---------------------------------------------------------------- scaling
