@@ -12,6 +12,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize an intermediate frame so multiple consumers don't
+    * recompute its pipeline. Default is `localCheckpoint` (fast, but the
+    * blocks live on executor storage — an executor loss forces a full
+    * recompute, fine for local[32]). For cluster deployments set
+    * `graft.dedup.reliableCheckpoint=true` to write a reliable
+    * `checkpoint` to the configured checkpoint dir instead, surviving
+    * executor loss at the cost of one HDFS round-trip.
+    */
+  private[graft] def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf
+      .getOption("graft.dedup.reliableCheckpoint").exists(_.toBoolean)
+    if (reliable) {
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(
+          System.getProperty("java.io.tmpdir", "/tmp") + "/graft-checkpoints")
+      df.checkpoint(true)
+    } else df.localCheckpoint(true)
+  }
+
   /** Exact dedup on normalized-text hash: [fingerprint, dup_count,
     * representative (min key)]. Hash-groupBy — one shuffle.
     */
@@ -81,18 +102,16 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = shingles(df, textCol, keyCol, shingleSize)
-    // ONE groupBy carries the h signature mins AND the verification state
-    // (shingle set + size), materialized once: its four consumers (two
-    // band self-join sides, two jaccard-verify joins) prune different
-    // column sets, so their subplans diverge and Catalyst CANNOT reuse
-    // the exchange (verified in the formatted plan) — without the
-    // checkpoint each consumer re-ran the whole normalize+explode+agg
-    // pipeline. One row per doc, so the materialized frame is corpus-row
-    // sized, not shingle sized.
-    val sigAggs = minhashAggs(numHashes) ++
-      Seq(collect_set(col("shingle")).as("hs"), count(lit(1)).as("n"))
-    val sig = sh.groupBy("key").agg(sigAggs.head, sigAggs.tail: _*)
-      .localCheckpoint(true)
+    // Materialize ONLY the signature columns (h+0 longs per doc — truly
+    // corpus-row sized): the band self-join sides prune different column
+    // sets, so without the checkpoint each consumer re-ran the whole
+    // normalize+explode+agg pipeline. The per-doc shingle SETS are NOT
+    // carried here — collect_set(shingle) is ~shingleSize× the normalized
+    // corpus bytes, and materializing that at 100 TB writes a multiple of
+    // the corpus to checkpoint storage. Verification instead recomputes
+    // shingles lazily for CANDIDATE docs only (semi-join below).
+    val sig = minhashSignatures(sh, numHashes)
+    val sigM = materialize(sig)
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), hash(parts: _*).as("bucket"))
@@ -105,21 +124,30 @@ object Dedup {
     // both self-join sides are identical subplans, so Catalyst reuses
     // ONE exchange for them (no persist needed — an explicit cache here
     // measured slower than the ReusedExchange Spark already inserts).
-    val capped = sig
+    val capped = sigM
       .select(col("key"), explode(array(bandCols: _*)).as("bb"))
       .select(col("key"), col("bb.band"), col("bb.bucket"))
       .withColumn("__sz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("__sz") <= maxBucketSize)
       .drop("__sz")
-    val candidates = capped.as("a")
+    // candidate pairs are tiny next to the corpus; materialize them so
+    // the candidate-key projection and the final verify join don't each
+    // re-run the band self-join
+    val candidates = materialize(capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.key") < col("b.key"))
       .select(col("a.key").as("key_1"), col("b.key").as("key_2"))
+      .distinct())
+    // verify lazily: rebuild shingle SETS for candidate docs only — the
+    // semi-join prunes the corpus BEFORE normalize+explode, so the
+    // expensive collect_set touches |candidates| docs, not the corpus
+    val candKeys = candidates.select(col("key_1").as(keyCol))
+      .union(candidates.select(col("key_2").as(keyCol)))
       .distinct()
-    // verify against the doc sets already aggregated in sig (shared
-    // exchange), not a fresh shingle pipeline
-    val docs = sig.select(col("key"), col("hs"), col("n"))
+    val docs = shingles(df.join(candKeys, Seq(keyCol), "left_semi"), textCol, keyCol, shingleSize)
+      .groupBy("key")
+      .agg(collect_set(col("shingle")).as("hs"), count(lit(1)).as("n"))
     candidates
       .join(docs.select(col("key").as("key_1"), col("hs").as("hs1"), col("n").as("n1")), "key_1")
       .join(docs.select(col("key").as("key_2"), col("hs").as("hs2"), col("n").as("n2")), "key_2")
@@ -224,7 +252,7 @@ object Dedup {
   def duplicateClusters(
       pairs: DataFrame, // [key_1, key_2]
       maxIter: Int = 20,
-      maxLocalEdges: Long = 5000000L): DataFrame = {
+      maxLocalEdges: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
@@ -232,35 +260,35 @@ object Dedup {
     // materialize the (possibly expensive) candidate-pair pipeline ONCE:
     // the a→b / b→a union branches are different projections, so without
     // this both would recompute the upstream join
-    val p = pairs.select(col("key_1"), col("key_2")).localCheckpoint(true)
+    val p = materialize(pairs.select(col("key_1"), col("key_2")))
     // The edge set is the DUPLICATE graph — tiny relative to the corpus
     // (near-dup pairs above threshold), even at 100 TB usually millions,
     // not billions. Under the cap, a driver union-find replaces ~10
     // distributed jobs (O(diameter) join rounds) with one collect of the
     // already-checkpointed pairs — same output (min key per component),
-    // exact for any diameter. Over the cap: label propagation, the
+    // exact for any diameter. The 1M-edge default keeps the collected
+    // rows well under a 1g spark.driver.maxResultSize; raise it only
+    // alongside driver memory. Over the cap: label propagation, the
     // distributed path. Mirrors the capped dual-path of bruteForceTopK.
     if (p.count() <= maxLocalEdges) return unionFindLocal(p)
     val edges = p.select(col("key_1").as("a"), col("key_2").as("b"))
       .union(p.select(col("key_2").as("a"), col("key_1").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy("a")
+    var labels = materialize(edges.groupBy("a")
       .agg(min(col("b")).as("mb"))
-      .select(col("a").as("key"), least(col("mb"), col("a")).as("cluster"))
-      .localCheckpoint(true)
+      .select(col("a").as("key"), least(col("mb"), col("a")).as("cluster")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
       // neighbour minimum of current labels
-      val next = edges
+      val next = materialize(edges
         .join(labels.withColumnRenamed("key", "b").withColumnRenamed("cluster", "nb"), "b")
         .groupBy(col("a").as("key"))
         .agg(min(col("nb")).as("neigh"))
         .join(labels, "key")
         .select(col("key"), least(col("neigh"), col("cluster")).as("cluster"),
-          (col("neigh") < col("cluster")).cast("long").as("delta"))
-        .localCheckpoint(true)
+          (col("neigh") < col("cluster")).cast("long").as("delta")))
       val row = next.agg(sum(col("delta"))).first()
       changed = if (row.isNullAt(0)) 0L else row.getLong(0)
       labels = next.select("key", "cluster")
@@ -308,8 +336,13 @@ object Dedup {
     }
     val keyType = pairs.schema.fields(0).dataType
     val out = parent.keys.toSeq.map(k => Row(k, find(k)))
+    // spread the result over real partitions — a single-partition frame
+    // serializes every downstream consumer (anti-joins, writes) onto one
+    // task even when the cluster output is millions of keys
+    val parts = math.max(1,
+      math.min(pairs.sparkSession.sparkContext.defaultParallelism, out.size / 50000 + 1))
     pairs.sparkSession.createDataFrame(
-      pairs.sparkSession.sparkContext.parallelize(out, 1),
+      pairs.sparkSession.sparkContext.parallelize(out, parts),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("key", keyType),
         org.apache.spark.sql.types.StructField("cluster", keyType))))
@@ -323,11 +356,31 @@ object Dedup {
     def compare(x: Any, y: Any): Int = (x, y) match {
       case (a: Long, b: Long)     => java.lang.Long.compare(a, b)
       case (a: Int, b: Int)       => Integer.compare(a, b)
-      case (a: String, b: String) => a.compareTo(b)
+      case (a: String, b: String) => compareUtf8(a, b)
       case (a: Number, b: Number) => java.lang.Double.compare(a.doubleValue(), b.doubleValue())
       case _ => throw new IllegalArgumentException(
         s"unsupported duplicate-cluster key type: ${x.getClass}")
     }
+  }
+
+  /** Spark's min/least order strings by UTF-8 BYTES (code points), while
+    * java.lang.String.compareTo orders by UTF-16 code units — they
+    * disagree when supplementary-plane characters mix with U+E000–U+FFFF.
+    * The driver union-find must pick the same representative as the
+    * distributed label propagation regardless of which side of the
+    * maxLocalEdges cap the input lands, so compare UTF-8 bytes here.
+    */
+  private def compareUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** Treatment for near-duplicates: keep ONE row per duplicate cluster

@@ -189,6 +189,36 @@ class TextSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 20L, 99L))
   }
 
+  test("string cluster keys: driver union-find matches Spark's UTF-8 byte order") {
+    // U+1F600 (surrogate pair, UTF-16 units D83D DE00) sorts BELOW U+E000
+    // under String.compareTo but ABOVE it under Spark's UTF-8/code-point
+    // least() — the representative must not depend on which side of the
+    // maxLocalEdges cap the input lands
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    val pairs = Seq((pua, emoji), (emoji, "\uFFFD")).toDF("key_1", "key_2")
+    val local = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = Dedup.duplicateClusters(pairs, maxLocalEdges = 0L).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local == dist)
+    assert(local.values.toSet == Set(pua)) // U+E000 is the code-point min
+  }
+
+  test("reliable checkpoint flag: both dedup paths produce identical clusters") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("key_1", "key_2")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    spark.conf.set("graft.dedup.reliableCheckpoint", "true")
+    try {
+      val got = Dedup.duplicateClusters(pairs, maxLocalEdges = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    } finally spark.conf.unset("graft.dedup.reliableCheckpoint")
+    val local = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expected)
+  }
+
   test("exhaustive-probe IVF equals brute force exactly (distributed exact path)") {
     val rnd = new scala.util.Random(23)
     val d = (0 until 80).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
