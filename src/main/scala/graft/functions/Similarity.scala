@@ -302,6 +302,15 @@ object Similarity {
     * within buckets only (hash-partitioned — the 100 TB path), then rank.
     * Multi-probe: each vector also joins buckets at hamming distance 1
     * for recall (probe expansion on the smaller signature side).
+    *
+    * `numTables` independent hash tables (classic LSH amplification):
+    * each table hashes with its own hyperplane set and candidates are
+    * the union across tables — miss probability decays exponentially in
+    * the table count, P(miss) = (1−p^b)^L. Cost grows ~linearly with L
+    * (the vector column is replicated per table through the bucket
+    * join), the usual recall/cost dial. Candidates found by several
+    * tables are collapsed by a (vec_id, neighbor_id) aggregate before
+    * ranking.
     */
   def lshTopK(
       df: DataFrame,
@@ -310,24 +319,39 @@ object Similarity {
       k: Int = 5,
       numPlanes: Int = 8,
       seed: Long = 42L,
-      multiProbe: Boolean = true): DataFrame = {
+      multiProbe: Boolean = true,
+      numTables: Int = 1): DataFrame = {
+    require(numTables >= 1, "numTables must be >= 1")
     val dim = df.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(numPlanes, dim, seed)
-    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", l2norm(col("v")))
-      .withColumn("bucket", lshBucket(col("v"), planes))
+    val tableBuckets = (0 until numTables).map { t =>
+      struct(lit(t).as("table"),
+        lshBucket(col("v"), hyperplanes(numPlanes, dim, seed + t)).as("bucket"))
+    }
+    val members = base
+      .select(col("id"), col("v"), col("nrm"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("id"), col("v"), col("nrm"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val probes =
-      if (!multiProbe) withNorm.withColumn("probe", col("bucket"))
+      if (!multiProbe) members.withColumn("probe", col("bucket"))
       else {
         val flips = (0 until numPlanes).map(i => col("bucket").bitwiseXOR(shiftleft(lit(1L), i)))
-        withNorm.withColumn("probe", explode(array((col("bucket") +: flips): _*)))
+        members.withColumn("probe", explode(array((col("bucket") +: flips): _*)))
       }
-    val pairs = probes.as("a")
-      .join(withNorm.as("b"), col("a.probe") === col("b.bucket") && col("a.id") =!= col("b.id"))
+    val rawPairs = probes.as("a")
+      .join(members.as("b"),
+        col("a.table") === col("b.table") && col("a.probe") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
       .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
         (dotUdf(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
-    // no distinct needed: the probe flips are all distinct values, so a
-    // pair matches through at most one probe==bucket equality
+    // within one table the probe flips are distinct values, so a pair
+    // matches through at most one probe==bucket equality — but ACROSS
+    // tables the same pair can reappear, so collapse when L > 1 (cos is
+    // deterministic per pair; max == the single value)
+    val pairs =
+      if (numTables == 1) rawPairs
+      else rawPairs.groupBy("vec_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
