@@ -56,12 +56,21 @@ object Dedup {
     * full extra shuffle of the widest frame in every dedup pipeline.)
     */
   def shingles(df: DataFrame, textCol: String, keyCol: String, n: Int = 3): DataFrame = {
-    val toks = split(TextOps.normalizeText(col(textCol)), " ")
+    // Materialize the token array as a COLUMN before the transform lambda
+    // references it: interpreted higher-order functions re-evaluate any
+    // captured non-attribute subtree once PER ELEMENT, so capturing the
+    // split+regex construction directly made gram building O(len²) per
+    // doc (measured ~1 ms/doc at 50 tokens — it dominated every dedup
+    // pipeline). CollapseProject keeps the projection because the alias
+    // is referenced multiple times by non-cheap consumers.
+    val toks = col("__toks")
     val grams = when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-    df.select(col(keyCol).as("key"), explode(array_distinct(grams)).as("shingle"))
+    df.select(col(keyCol).as("key"),
+        split(TextOps.normalizeText(col(textCol)), " ").as("__toks"))
+      .select(col("key"), explode(array_distinct(grams)).as("shingle"))
       .filter(length(col("shingle")) > 0)
   }
 

@@ -66,12 +66,25 @@ object TextOps {
       round(stopwordRatio(t, defaultStopwords), 4).as("stopword_ratio"))
   }
 
-  /** Fraction of whitespace tokens that are stopwords (lowercased). */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = split(normalizeText(text), " ")
-    val stops = filter(toks, x => x.isin(stopwords: _*))
-    when(size(toks) === 0, 0.0).otherwise(size(stops) * lit(1.0) / size(toks))
-  }
+  /** Evaluate `c` exactly once per row and hand it to `f` bound as a
+    * lambda variable. Interpreted higher-order functions re-evaluate any
+    * captured non-attribute subtree on every reference, so a body that
+    * reads its input several times (or per element) must receive an
+    * attribute-like binding, not the construction itself. A HOF's direct
+    * child IS evaluated once — a 1-element array runs the lambda once
+    * with `v` bound to the computed value.
+    */
+  private def once(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), v => f(v)), 1)
+
+  /** Fraction of whitespace tokens that are stopwords (lowercased).
+    * Tokenizes once per row ([[once]]); the body reads the array thrice.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    once(tokens(text)) { toks =>
+      val stops = filter(toks, x => x.isin(stopwords: _*))
+      when(size(toks) === 0, 0.0).otherwise(size(stops) * lit(1.0) / size(toks))
+    }
 
   /** Whitespace token array of the normalized text. Materialize this
     * (e.g. `withColumn("toks", tokens(col("text")))`) before feeding it
@@ -131,7 +144,7 @@ object TextOps {
     * [[tokens]] and use [[repetitionFromGrams]] to share tokenization.
     */
   def repetitionScore(text: Column, n: Int = 3): Column =
-    repetitionFromGrams(ngramsFromTokens(tokens(text), n))
+    once(tokens(text))(tk => once(ngramsFromTokens(tk, n))(repetitionFromGrams))
 
   /** Fraction of n-gram occurrences taken by the single most frequent
     * n-gram — the companion Gopher signal to [[repetitionScore]] (a doc
@@ -139,7 +152,7 @@ object TextOps {
     * algorithm via [[topCoverageFromGrams]]; map-only at any scale.
     */
   def topNgramCoverage(text: Column, n: Int = 2): Column =
-    topCoverageFromGrams(ngramsFromTokens(tokens(text), n))
+    once(tokens(text))(tk => once(ngramsFromTokens(tk, n))(topCoverageFromGrams))
 
   /** Composite quality score in [0,1]: penalize extreme length, high
     * punctuation, zero stopwords (classic heuristics).

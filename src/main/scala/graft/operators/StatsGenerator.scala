@@ -222,32 +222,98 @@ object StatsGenerator {
 
   val percentilePoints: Seq[Double] = Seq(0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99)
 
-  /** ref: stats_generator.py:832-916 `measures_of_percentiles` — min, the
-    * 9 canonical percentiles (exact, linear interpolation), max. One agg
-    * and ONE percentile buffer per column (array form); at 100 TB swap in
-    * `percentile_approx` via `approx`.
+  /** Exact multi-point percentiles for several columns in ONE shared
+    * declarative plan: melt → groupBy-count the DISTINCT values
+    * (map-side combine collapses duplicates before the shuffle) →
+    * per-column cumulative counts over a value-ordered window → read the
+    * ≤ 2·|ps| bracket rows per column with a broadcast position join →
+    * quantile_cont interpolation at p·(n−1).
+    *
+    * This replaces Spark's `percentile` aggregate for the exact path:
+    * that aggregate carries a boxed value→count OpenHashMap per column
+    * through partial/final aggregation, which degenerates on
+    * near-unique columns (a single ~600 k-distinct double column cost
+    * more than the rest of the stats suite combined). Here every stage
+    * is a standard shuffle; the window's one-task-per-column is bounded
+    * by the column's DISTINCT count, not its row count, and columns run
+    * in parallel. Returns [attribute, n, vmin, vmax, qs(array ordered
+    * like ps)]; columns with no non-null values get n=0 and null stats.
     */
-  def measuresOfPercentiles(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame =
-    chunked(cols) { cs =>
+  def exactPercentiles(df: DataFrame, cols: Seq[String], ps: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    val melted = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast(DoubleType).as("v"))): _*)).as("s"))
+      .select(col("s.c").as("c"), col("s.v").as("v"))
+      .filter(col("v").isNotNull)
+    val vc = melted.groupBy("c", "v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("c").orderBy("v")
+    val cum = vc
+      .withColumn("hi", sum(col("cnt")).over(w))
+      .withColumn("lo", col("hi") - col("cnt"))
+    val pos = vc.groupBy("c")
+      .agg(sum(col("cnt")).as("n"), min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .select(col("c"), col("n"), col("vmin"), col("vmax"),
+        posexplode(array(ps.map(lit): _*)).as(Seq("pi", "p")))
+      .withColumn("pos", col("p") * (col("n") - 1))
+      .withColumn("i_lo", floor(col("pos")).cast(LongType))
+      .withColumn("i_hi", ceil(col("pos")).cast(LongType))
+    // one pass over the cumulative frame: each (column, point) keeps the
+    // 1-2 rows bracketing its lower/upper sorted index
+    val brackets = cum.join(broadcast(pos), Seq("c"))
+      .where((col("i_lo") >= col("lo") && col("i_lo") < col("hi")) ||
+        (col("i_hi") >= col("lo") && col("i_hi") < col("hi")))
+      .groupBy(col("c"), col("pi"))
+      .agg(
+        first(col("pos")).as("pos"),
+        first(col("n")).as("n"), first(col("vmin")).as("vmin"), first(col("vmax")).as("vmax"),
+        max(when(col("i_lo") >= col("lo") && col("i_lo") < col("hi"), col("v"))).as("v_lo"),
+        max(when(col("i_hi") >= col("lo") && col("i_hi") < col("hi"), col("v"))).as("v_hi"))
+      .withColumn("q",
+        col("v_lo") + (col("pos") - floor(col("pos"))) * (col("v_hi") - col("v_lo")))
+    val perCol = brackets.groupBy(col("c").as("attribute"))
+      .agg(first(col("n")).as("n"), first(col("vmin")).as("vmin"), first(col("vmax")).as("vmax"),
+        transform(array_sort(collect_list(struct(col("pi"), col("q")))),
+          x => x.getField("q")).as("qs"))
+    // all-null / empty columns fall out of the melt — reinstate with null stats
+    val names = spark.createDataFrame(cols.map(Tuple1(_))).toDF("attribute")
+    names.join(perCol, Seq("attribute"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
+  /** ref: stats_generator.py:832-916 `measures_of_percentiles` — min, the
+    * 9 canonical percentiles (exact, linear interpolation), max. Exact
+    * path: the shared melt plan of [[exactPercentiles]] (scales to
+    * near-unique columns); at 100 TB swap in `percentile_approx` via
+    * `approx` (one agg, one sketch buffer per column).
+    */
+  def measuresOfPercentiles(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
     val names = percentilePoints.map(q => f"pct_${(q * 100).toInt}%d")
-    val exprs = cs.flatMap { c =>
-      val arr =
-        if (approx) percentile_approx(col(c), array(percentilePoints.map(lit): _*), lit(10000))
-        else NumExpr.pcts(col(c), percentilePoints)
-      Seq(
-        min(col(c)).cast(DoubleType).as(s"min__$c"),
-        arr.as(s"pcts__$c"),
-        max(col(c)).cast(DoubleType).as(s"max__$c"))
-    }
-    val extracted = agg1(df, exprs).select(
-      cs.flatMap { c =>
-        Seq(col(s"min__$c")) ++
+    if (!approx) {
+      val ep = exactPercentiles(df, cols, percentilePoints)
+      ep.select(
+        Seq(col("attribute"), col("vmin").as("min")) ++
           names.zipWithIndex.map { case (n, i) =>
-            round(element_at(col(s"pcts__$c"), i + 1).cast(DoubleType), 4).as(s"${n}__$c")
-          } ++
-          Seq(col(s"max__$c"))
-      }: _*)
-    longForm(extracted, cs, Seq("min") ++ names ++ Seq("max"))
+            round(element_at(col("qs"), i + 1), 4).as(n)
+          } ++ Seq(col("vmax").as("max")): _*)
+    } else chunked(cols) { cs =>
+      val exprs = cs.flatMap { c =>
+        val arr = percentile_approx(col(c), array(percentilePoints.map(lit): _*), lit(10000))
+        Seq(
+          min(col(c)).cast(DoubleType).as(s"min__$c"),
+          arr.as(s"pcts__$c"),
+          max(col(c)).cast(DoubleType).as(s"max__$c"))
+      }
+      val extracted = agg1(df, exprs).select(
+        cs.flatMap { c =>
+          Seq(col(s"min__$c")) ++
+            names.zipWithIndex.map { case (n, i) =>
+              round(element_at(col(s"pcts__$c"), i + 1).cast(DoubleType), 4).as(s"${n}__$c")
+            } ++
+            Seq(col(s"max__$c"))
+        }: _*)
+      longForm(extracted, cs, Seq("min") ++ names ++ Seq("max"))
+    }
   }
 
   /** ref: stats_generator.py:919-1011 `measures_of_shape` — population
