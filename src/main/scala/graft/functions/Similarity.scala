@@ -27,18 +27,20 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** Tight-loop JVM dot product for the O(n²) pair-scoring hot path —
-    * same left-to-right double accumulation as `dot` (bit-identical
-    * results), ~an order of magnitude faster than interpreted
-    * higher-order-function evaluation per pair.
+  /** Left-to-right double accumulation of float products — the one dot
+    * product every scoring path (brute force, IVF cogroup, LSH cogroup)
+    * shares, so results are bit-identical across exact and approximate
+    * paths.
     */
-  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+  private[graft] def dotF(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
     s
   }
+
+  private[graft] def normF(v: Array[Float]): Double = math.sqrt(dotF(v, v))
 
   /** Exact brute-force cosine top-k neighbours for every vector.
     *
@@ -322,39 +324,103 @@ object Similarity {
       multiProbe: Boolean = true,
       numTables: Int = 1): DataFrame = {
     require(numTables >= 1, "numTables must be >= 1")
+    import df.sparkSession.implicits._
     val dim = df.select(size(col(vecCol))).first().getInt(0)
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
-    val tableBuckets = (0 until numTables).map { t =>
-      struct(lit(t).as("table"),
-        lshBucket(col("v"), hyperplanes(numPlanes, dim, seed + t)).as("bucket"))
-    }
-    val members = base
-      .select(col("id"), col("v"), col("nrm"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("id"), col("v"), col("nrm"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-    val probes =
-      if (!multiProbe) members.withColumn("probe", col("bucket"))
-      else {
-        val flips = (0 until numPlanes).map(i => col("bucket").bitwiseXOR(shiftleft(lit(1L), i)))
-        members.withColumn("probe", explode(array((col("bucket") +: flips): _*)))
+    val allPlanes: Array[Array[Array[Double]]] =
+      Array.tabulate(numTables)(t => hyperplanes(numPlanes, dim, seed + t))
+    val bcPlanes = df.sparkSession.sparkContext.broadcast(allPlanes)
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+
+    // members keyed by (table, signature bucket); probers additionally
+    // fan out to the hamming-distance-1 buckets when multiProbe. The
+    // scoring meets in a cogroup with primitive arrays — like ivfTopK,
+    // the only encoder/shuffle cost is 1 row per vector per (table ×
+    // probe), never a materialized row per candidate PAIR (the join +
+    // per-pair-UDF plan this replaces spent ~4× the time boxing the
+    // O(Σ bucket²) pair rows).
+    val members = base.mapPartitions { rows =>
+      val tabs = bcPlanes.value
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1).toArray
+        tabs.indices.iterator.map(t => (t, lshSignature(v, tabs(t)), id, v))
       }
-    val rawPairs = probes.as("a")
-      .join(members.as("b"),
-        col("a.table") === col("b.table") && col("a.probe") === col("b.bucket") &&
-          col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
-        (dotUdf(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
-    // within one table the probe flips are distinct values, so a pair
-    // matches through at most one probe==bucket equality — but ACROSS
-    // tables the same pair can reappear, so collapse when L > 1 (cos is
-    // deterministic per pair; max == the single value)
+    }
+    val probers = base.mapPartitions { rows =>
+      val tabs = bcPlanes.value
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1).toArray
+        tabs.indices.iterator.flatMap { t =>
+          val b = lshSignature(v, tabs(t))
+          val probes =
+            if (multiProbe) b +: Array.tabulate(numPlanes)(i => b ^ (1L << i))
+            else Array(b)
+          probes.iterator.map(pb => (t, pb, id, v))
+        }
+      }
+    }
+    val partials = members.groupByKey(m => (m._1, m._2))
+      .cogroup(probers.groupByKey(p => (p._1, p._2))) { (_, ms, ps) =>
+        val mArr = ms.map(m => (m._3, m._4)).toArray
+        if (mArr.isEmpty) Iterator.empty
+        else {
+          val mNorms = mArr.map(m => normF(m._2))
+          ps.flatMap { case (_, _, pid, pv) =>
+            val pn = normF(pv)
+            val topIds = new Array[Long](k)
+            val topCos = new Array[Double](k)
+            var filled = 0
+            var ci = 0
+            while (ci < mArr.length) {
+              val (cid, cv) = mArr(ci)
+              if (cid != pid) {
+                val cos = dotF(pv, cv) / (pn * mNorms(ci))
+                var pos = filled
+                while (pos > 0 && (topCos(pos - 1) < cos ||
+                  (topCos(pos - 1) == cos && topIds(pos - 1) > cid))) pos -= 1
+                if (pos < k) {
+                  var m = math.min(filled, k - 1)
+                  while (m > pos) { topCos(m) = topCos(m - 1); topIds(m) = topIds(m - 1); m -= 1 }
+                  topCos(pos) = cos; topIds(pos) = cid
+                  if (filled < k) filled += 1
+                }
+              }
+              ci += 1
+            }
+            (0 until filled).map(i => (pid, topIds(i), topCos(i)))
+          }
+        }
+      }.toDF("vec_id", "neighbor_id", "cos")
+    // within one table the probe flips are distinct values, so a pair is
+    // scored in at most one probed bucket — but ACROSS tables the same
+    // pair can reappear, so collapse when L > 1 (cos is deterministic per
+    // pair; max == the single value)
     val pairs =
-      if (numTables == 1) rawPairs
-      else rawPairs.groupBy("vec_id", "neighbor_id").agg(max(col("cos")).as("cos"))
+      if (numTables == 1) partials
+      else partials.groupBy("vec_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .withColumn("cos", round(col("cos"), 4))
+  }
+
+  /** Sign-bit SRP signature against a plane set — the tight-loop twin of
+    * `lshBucket` (identical bit semantics: bit p set iff Σ vⱼ·planeⱼ ≥ 0
+    * in left-to-right double accumulation).
+    */
+  private[graft] def lshSignature(v: Array[Float], planes: Array[Array[Double]]): Long = {
+    var b = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      var s = 0.0
+      var j = 0
+      val n = math.min(pl.length, v.length)
+      while (j < n) { s += v(j).toDouble * pl(j); j += 1 }
+      if (s >= 0) b |= (1L << p)
+      p += 1
+    }
+    b
   }
 }
