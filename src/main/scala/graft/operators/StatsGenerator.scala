@@ -222,70 +222,209 @@ object StatsGenerator {
 
   val percentilePoints: Seq[Double] = Seq(0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99)
 
-  /** Exact multi-point percentiles for several columns in ONE shared
-    * declarative plan: melt → groupBy-count the DISTINCT values
-    * (map-side combine collapses duplicates before the shuffle) →
-    * per-column cumulative counts over a value-ordered window → read the
-    * ≤ 2·|ps| bracket rows per column with a broadcast position join →
-    * quantile_cont interpolation at p·(n−1).
+  /** Exact multi-point percentiles for several columns by iterative
+    * histogram selection — the distributed selection algorithm, NOT a
+    * sort: (0) one scalar agg for n/min/max per column; then (1) a
+    * histogram scan counts values per equal-width bucket over each
+    * unresolved rank's interval (map-side partial arrays, a shuffle of
+    * ≤ segments·B tiny count rows — the column DATA is never shuffled);
+    * the driver narrows every target rank to its bucket; repeat while a
+    * bucket still holds > `collectCap` values (each round shrinks
+    * intervals ×B, so ≥ 10¹² rows resolve in 2 rounds at B = 8192);
+    * (2) one final scan collects only the ≤ collectCap values in each
+    * target bucket; the driver sorts those and interpolates
+    * quantile_cont at p·(n−1).
     *
-    * This replaces Spark's `percentile` aggregate for the exact path:
-    * that aggregate carries a boxed value→count OpenHashMap per column
-    * through partial/final aggregation, which degenerates on
-    * near-unique columns (a single ~600 k-distinct double column cost
-    * more than the rest of the stats suite combined). Here every stage
-    * is a standard shuffle; the window's one-task-per-column is bounded
-    * by the column's DISTINCT count, not its row count, and columns run
-    * in parallel. Returns [attribute, n, vmin, vmax, qs(array ordered
-    * like ps)]; columns with no non-null values get n=0 and null stats.
+    * Skew/constant columns can keep a bucket > cap forever (one value
+    * repeated billions of times) — the histogram also tracks per-bucket
+    * min == max and resolves such buckets to that value immediately.
+    *
+    * This replaces Spark's `percentile` aggregate (boxed value→count
+    * OpenHashMap per column through partial/final agg — degenerates on
+    * near-unique columns) and two earlier shuffle-the-data designs (a
+    * per-column cumulative-count window: #columns-wide parallelism; and
+    * a range-repartition rank walk: a full shuffle + cache of every
+    * value). Here a 100 TB input is scanned 2-3×, shuffles only bucket
+    * counts, and collects ≤ collectCap doubles per (column, point).
+    * Returns [attribute, n, vmin, vmax, qs(array ordered like ps)];
+    * columns with no non-null values get n=0 and null stats. Runs its
+    * jobs eagerly (fit-style); the returned frame is a local relation.
     */
-  def exactPercentiles(df: DataFrame, cols: Seq[String], ps: Seq[Double]): DataFrame = {
+  def exactPercentiles(df: DataFrame, cols: Seq[String], ps: Seq[Double],
+      buckets: Int = 8192, collectCap: Int = 1 << 16): DataFrame = {
     val spark = df.sparkSession
-    val melted = df
-      .select(explode(array(cols.map(c =>
-        struct(lit(c).as("c"), col(c).cast(DoubleType).as("v"))): _*)).as("s"))
-      .select(col("s.c").as("c"), col("s.v").as("v"))
-      .filter(col("v").isNotNull)
-    val vc = melted.groupBy("c", "v").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("c").orderBy("v")
-    val cum = vc
-      .withColumn("hi", sum(col("cnt")).over(w))
-      .withColumn("lo", col("hi") - col("cnt"))
-    val pos = vc.groupBy("c")
-      .agg(sum(col("cnt")).as("n"), min(col("v")).as("vmin"), max(col("v")).as("vmax"))
-      .select(col("c"), col("n"), col("vmin"), col("vmax"),
-        posexplode(array(ps.map(lit): _*)).as(Seq("pi", "p")))
-      .withColumn("pos", col("p") * (col("n") - 1))
-      .withColumn("i_lo", floor(col("pos")).cast(LongType))
-      .withColumn("i_hi", ceil(col("pos")).cast(LongType))
-    // one pass over the cumulative frame: each (column, point) keeps the
-    // 1-2 rows bracketing its lower/upper sorted index
-    val brackets = cum.join(broadcast(pos), Seq("c"))
-      .where((col("i_lo") >= col("lo") && col("i_lo") < col("hi")) ||
-        (col("i_hi") >= col("lo") && col("i_hi") < col("hi")))
-      .groupBy(col("c"), col("pi"))
-      .agg(
-        first(col("pos")).as("pos"),
-        first(col("n")).as("n"), first(col("vmin")).as("vmin"), first(col("vmax")).as("vmax"),
-        max(when(col("i_lo") >= col("lo") && col("i_lo") < col("hi"), col("v"))).as("v_lo"),
-        max(when(col("i_hi") >= col("lo") && col("i_hi") < col("hi"), col("v"))).as("v_hi"))
-      .withColumn("q",
-        col("v_lo") + (col("pos") - floor(col("pos"))) * (col("v_hi") - col("v_lo")))
-    val perCol = brackets.groupBy(col("c").as("attribute"))
-      .agg(first(col("n")).as("n"), first(col("vmin")).as("vmin"), first(col("vmax")).as("vmax"),
-        transform(array_sort(collect_list(struct(col("pi"), col("q")))),
-          x => x.getField("q")).as("qs"))
-    // all-null / empty columns fall out of the melt — reinstate with null stats
-    val names = spark.createDataFrame(cols.map(Tuple1(_))).toDF("attribute")
-    names.join(perCol, Seq("attribute"), "left")
-      .withColumn("n", coalesce(col("n"), lit(0L)))
+    import spark.implicits._
+    val nc = cols.size
+    // (0) n / min / max per column in one scalar aggregation
+    val r0 = agg1(df, cols.flatMap(c => Seq(
+      count(col(c)).as(s"n__$c"),
+      min(col(c).cast(DoubleType)).as(s"mn__$c"),
+      max(col(c).cast(DoubleType)).as(s"mx__$c")))).collect()(0)
+    val nArr = Array.tabulate(nc)(j => r0.getLong(3 * j))
+    val mnArr = Array.tabulate(nc)(j => if (r0.isNullAt(3 * j + 1)) Double.NaN else r0.getDouble(3 * j + 1))
+    val mxArr = Array.tabulate(nc)(j => if (r0.isNullAt(3 * j + 2)) Double.NaN else r0.getDouble(3 * j + 2))
+    // target sorted ranks (0-based, duplicates removed) per column
+    val rankPos: Array[Array[Double]] = Array.tabulate(nc) { j =>
+      ps.map(p => p * (nArr(j) - 1)).toArray
+    }
+    val resolved = scala.collection.mutable.Map.empty[(Int, Long), Double] // (col, rank) → value
+    // A segment: `chain` of (lo, hi, bucket) membership tests narrowing a
+    // column to one interval; deterministic double arithmetic on both the
+    // counting and collecting side, so assignment is always consistent.
+    final case class Seg(colIdx: Int, chain: List[(Double, Double, Int)],
+        lo: Double, hi: Double, offset: Long, count: Long, ranks: Array[Long])
+    def bucketOf(v: Double, lo: Double, hi: Double, b: Int): Int = {
+      val raw = ((v - lo) / (hi - lo) * b).toInt
+      if (raw < 0) 0 else if (raw >= b) b - 1 else raw
+    }
+    var segs: List[Seg] = (0 until nc).toList.flatMap { j =>
+      val n = nArr(j)
+      if (n == 0L) Nil
+      else {
+        val ranks = rankPos(j).flatMap(pos =>
+          Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.sorted
+        if (mnArr(j) == mxArr(j)) { // constant column: every rank is the value
+          ranks.foreach(r => resolved((j, r)) = mnArr(j))
+          Nil
+        } else List(Seg(j, Nil, mnArr(j), mxArr(j), 0L, n, ranks))
+      }
+    }
+    val doubleCols = df.select(cols.map(c => col(c).cast(DoubleType)): _*)
+    val bb = buckets
+    var round = 0
+    while (segs.exists(_.count > collectCap) && round < 8) {
+      round += 1
+      val big = segs.filter(_.count > collectCap).toArray
+      val bcSegs = spark.sparkContext.broadcast(big.map(s =>
+        (s.colIdx, s.chain.toArray, s.lo, s.hi)))
+      // histogram scan: per-partition primitive count/min/max arrays,
+      // emitted sparsely — no row-level shuffle
+      val hist: Array[(Int, Int, Long, Double, Double)] = doubleCols.mapPartitions { it =>
+        val ss = bcSegs.value
+        val cnt = Array.ofDim[Long](ss.length, bb)
+        val bmn = Array.fill(ss.length, bb)(Double.PositiveInfinity)
+        val bmx = Array.fill(ss.length, bb)(Double.NegativeInfinity)
+        it.foreach { row =>
+          var si = 0
+          while (si < ss.length) {
+            val (j, chain, lo, hi) = ss(si)
+            if (!row.isNullAt(j)) {
+              val v = row.getDouble(j)
+              var ok = true
+              var k = 0
+              while (ok && k < chain.length) {
+                val (cl, ch, cb) = chain(k)
+                if (bucketOf(v, cl, ch, bb) != cb) ok = false
+                k += 1
+              }
+              if (ok) {
+                val b = bucketOf(v, lo, hi, bb)
+                cnt(si)(b) += 1L
+                if (v < bmn(si)(b)) bmn(si)(b) = v
+                if (v > bmx(si)(b)) bmx(si)(b) = v
+              }
+            }
+            si += 1
+          }
+        }
+        (0 until ss.length).iterator.flatMap { si =>
+          (0 until bb).iterator.filter(cnt(si)(_) > 0L)
+            .map(b => (si, b, cnt(si)(b), bmn(si)(b), bmx(si)(b)))
+        }
+      }.groupByKey(t => (t._1, t._2))
+        .mapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Long, Double, Double)]) =>
+          var n = 0L; var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+          rows.foreach { r => n += r._3; mn = math.min(mn, r._4); mx = math.max(mx, r._5) }
+          (key._1, key._2, n, mn, mx)
+        }.collect()
+      val bySeg = hist.groupBy(_._1)
+      val next = scala.collection.mutable.ListBuffer.empty[Seg]
+      big.indices.foreach { si =>
+        val s = big(si)
+        val bs = bySeg.getOrElse(si, Array.empty).sortBy(_._2)
+        // cumulative counts walk the buckets once; each rank lands in one
+        val cum = bs.scanLeft(0L)(_ + _._3)
+        var ri = 0
+        val byBucket = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Long, Double, Double, scala.collection.mutable.ArrayBuffer[Long])]
+        s.ranks.foreach { r =>
+          val local = r - s.offset
+          // find bucket where cum(bi) <= local < cum(bi+1)
+          var bi = ri
+          while (bi + 1 < cum.length && cum(bi + 1) <= local) bi += 1
+          ri = bi
+          val (_, b, n, mn, mx) = bs(bi)
+          val entry = byBucket.getOrElseUpdate(b,
+            (s.offset + cum(bi), n, mn, mx, scala.collection.mutable.ArrayBuffer.empty[Long]))
+          entry._5 += r
+        }
+        byBucket.foreach { case (b, (off, n, mn, mx, ranks)) =>
+          if (mn == mx) ranks.foreach(r => resolved((s.colIdx, r)) = mn) // single-value bucket
+          else next += Seg(s.colIdx, s.chain :+ ((s.lo, s.hi, b)), mn, mx, off, n, ranks.toArray)
+        }
+      }
+      segs = segs.filter(_.count <= collectCap) ++ next
+      bcSegs.destroy()
+    }
+    // final collect: only the values inside each target segment
+    if (segs.nonEmpty) {
+      val fin = segs.toArray
+      val bcFin = spark.sparkContext.broadcast(fin.map(s => (s.colIdx, s.chain.toArray)))
+      val vals: Array[(Int, Double)] = doubleCols.mapPartitions { it =>
+        val ss = bcFin.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+        it.foreach { row =>
+          var si = 0
+          while (si < ss.length) {
+            val (j, chain) = ss(si)
+            if (!row.isNullAt(j)) {
+              val v = row.getDouble(j)
+              var ok = true
+              var k = 0
+              while (ok && k < chain.length) {
+                val (cl, ch, cb) = chain(k)
+                if (bucketOf(v, cl, ch, bb) != cb) ok = false
+                k += 1
+              }
+              if (ok) out += ((si, v))
+            }
+            si += 1
+          }
+        }
+        out.iterator
+      }.collect()
+      val bySeg = vals.groupBy(_._1)
+      fin.indices.foreach { si =>
+        val s = fin(si)
+        val arr = bySeg.getOrElse(si, Array.empty).map(_._2)
+        java.util.Arrays.sort(arr)
+        s.ranks.foreach { r =>
+          resolved((s.colIdx, r)) = arr((r - s.offset).toInt)
+        }
+      }
+      bcFin.destroy()
+    }
+    val out: Seq[(String, Long, Option[Double], Option[Double], Option[Seq[Double]])] =
+      cols.zipWithIndex.map { case (c, j) =>
+        val n = nArr(j)
+        if (n == 0L) (c, 0L, None, None, None)
+        else {
+          val qs = rankPos(j).toSeq.map { pos =>
+            val vLo = resolved((j, math.floor(pos).toLong))
+            val vHi = resolved((j, math.ceil(pos).toLong))
+            vLo + (pos - math.floor(pos)) * (vHi - vLo)
+          }
+          (c, n, Some(mnArr(j)), Some(mxArr(j)), Some(qs))
+        }
+      }
+    out.toDF("attribute", "n", "vmin", "vmax", "qs")
   }
 
   /** ref: stats_generator.py:832-916 `measures_of_percentiles` — min, the
     * 9 canonical percentiles (exact, linear interpolation), max. Exact
-    * path: the shared melt plan of [[exactPercentiles]] (scales to
-    * near-unique columns); at 100 TB swap in `percentile_approx` via
-    * `approx` (one agg, one sketch buffer per column).
+    * path: the histogram-selection plan of [[exactPercentiles]] (scales
+    * to near-unique columns, never shuffles the data); `approx` swaps in
+    * `percentile_approx` (one agg, one sketch buffer per column) when a
+    * rank-error tolerance is acceptable.
     */
   def measuresOfPercentiles(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
     val names = percentilePoints.map(q => f"pct_${(q * 100).toInt}%d")
