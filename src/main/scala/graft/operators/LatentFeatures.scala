@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{PCA, StandardScaler, VectorAssembler}
-import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.ml.recommendation.ALS
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -14,37 +12,191 @@ object LatentFeatures {
   /** ref: transformers.py:2915-3168 `PCA_latentFeatures` — z-standardize,
     * fit PCA, keep the smallest k whose cumulative explained variance
     * reaches the cutoff, emit latent_0..latent_{k-1}.
+    *
+    * PCA on z-standardized data is the eigen-decomposition of the
+    * correlation matrix, so the fit is ONE aggregation (p·(p−1)/2 `corr`
+    * + p mean/stddev buffers — no spark.ml RowMatrix/RDD detour) and a
+    * driver-side Breeze `eigSym` of the tiny p×p matrix; the projection
+    * is a plain codegen'd Project of Σ vⱼᵢ·(xⱼ−μⱼ)/σⱼ. One data pass to
+    * fit, zero shuffles to apply — the whole-stage-codegen shape the
+    * previous VectorAssembler→StandardScaler→PCA pipeline (three fits,
+    * per-row Vector boxing) could not reach. Rows with a null in any
+    * input column are dropped (the assembler's handleInvalid=skip
+    * contract).
     */
   def pcaLatentFeatures(
       df: DataFrame,
       cols: Seq[String],
       explainedVarianceCutoff: Double = 0.95,
       keepOriginal: Boolean = false): DataFrame = {
-    val assembled = new VectorAssembler()
-      .setInputCols(cols.toArray).setOutputCol("__features")
-      .setHandleInvalid("skip")
-      .transform(df)
-    val scaled = new StandardScaler()
-      .setInputCol("__features").setOutputCol("__scaled")
-      .setWithMean(true).setWithStd(true)
-      .fit(assembled).transform(assembled)
-    val full = new PCA().setInputCol("__scaled").setOutputCol("__pca")
-      .setK(cols.size).fit(scaled)
-    val cum = full.explainedVariance.toArray.scanLeft(0.0)(_ + _).tail
+    import breeze.linalg.{eigSym, DenseMatrix => BDM}
+    val complete = df.na.drop(cols)
+    val p = cols.size
+    val pairs = for (i <- 0 until p; j <- (i + 1) until p) yield (i, j)
+    val exprs = cols.flatMap(c => Seq(
+      avg(col(c).cast("double")).as(s"mu__$c"),
+      stddev_samp(col(c).cast("double")).as(s"sd__$c"))) ++
+      pairs.map { case (i, j) =>
+        corr(col(cols(i)).cast("double"), col(cols(j)).cast("double")).as(s"r__${i}__$j")
+      }
+    val row = complete.agg(exprs.head, exprs.tail: _*).collect()(0)
+    def d(name: String): Double = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+    }
+    val mu = cols.map(c => d(s"mu__$c")).toArray
+    val sd = cols.map(c => d(s"sd__$c")).toArray
+    val r = BDM.eye[Double](p)
+    pairs.foreach { case (i, j) =>
+      val v = d(s"r__${i}__$j")
+      val rv = if (v.isNaN) 0.0 else v
+      r(i, j) = rv; r(j, i) = rv
+    }
+    val es = eigSym(r)
+    val order = (0 until p).sortBy(i => -es.eigenvalues(i))
+    // explained variance of the i-th component = λᵢ / trace = λᵢ / p
+    val cum = order.map(i => math.max(es.eigenvalues(i), 0.0) / p)
+      .scanLeft(0.0)(_ + _).tail
     val k = math.max(1, cum.indexWhere(_ >= explainedVarianceCutoff) + 1 match {
-      case 0 => cols.size
+      case 0 => p
       case n => n
     })
-    // components are ordered by explained variance — projecting with the
-    // full model and slicing the first k coordinates equals refitting
-    // PCA(k), without a second fit pass
-    val out = full.transform(scaled)
-      .withColumn("__arr", vector_to_array(col("__pca")))
-    val withLatents = (0 until k).foldLeft(out) { (d, i) =>
-      d.withColumn(s"latent_$i", round(element_at(col("__arr"), i + 1), 4))
+    val withLatents = (0 until k).foldLeft(complete) { (acc, i) =>
+      val v = es.eigenvectors(::, order(i))
+      // deterministic sign: largest-|loading| coordinate is positive
+      val flip = {
+        val jm = (0 until p).maxBy(j => math.abs(v(j)))
+        if (v(jm) < 0) -1.0 else 1.0
+      }
+      val proj = cols.zipWithIndex.map { case (c, j) =>
+        val scale = if (sd(j).isNaN || sd(j) == 0.0) 0.0 else flip * v(j) / sd(j)
+        (col(c).cast("double") - lit(mu(j))) * lit(scale)
+      }.reduce(_ + _)
+      acc.withColumn(s"latent_$i", round(proj, 4))
     }
-    val dropped = withLatents.drop("__features", "__scaled", "__pca", "__arr")
-    if (keepOriginal) dropped else dropped.drop(cols: _*)
+    if (keepOriginal) withLatents else withLatents.drop(cols: _*)
+  }
+
+  /** A fitted single-hidden-layer linear autoencoder: x̂ = W₂(W₁x̃+b₁)+b₂
+    * over z-standardized inputs x̃. Kept as a plain model object so specs
+    * can gate on reconstruction error and `autoencoderLatentFeatures`
+    * can compile the encoder into codegen'd column expressions.
+    */
+  final case class LinearAutoencoder(
+      cols: Seq[String],
+      mu: Array[Double],
+      sd: Array[Double],
+      w1: breeze.linalg.DenseMatrix[Double], b1: breeze.linalg.DenseVector[Double],
+      w2: breeze.linalg.DenseMatrix[Double], b2: breeze.linalg.DenseVector[Double],
+      trainRmse: Double)
+
+  /** ref: transformers.py:2524-2912 `autoencoder_latentFeatures` — train
+    * an autoencoder on the standardized numeric columns, emit the hidden
+    * activations as latent_0..latent_{k−1}. The reference trains a keras
+    * MLP on a driver-held sample (`:2723` model.fit on pandas); here the
+    * same fit-small/apply-big split uses a seeded full-batch
+    * gradient-descent LINEAR autoencoder in Breeze (deterministic, no
+    * native deps). A linear bottleneck spans the top-k principal
+    * subspace, so reconstruction quality is PCA-grade; the spec gates on
+    * reconstruction RMSE rather than value equality (stochastic-free but
+    * solver-specific numerics).
+    *
+    * Scale: the fit collects ≤ `sampleCap` rows (constant driver cost at
+    * any input size); the apply is a map-only Project over the full
+    * frame — no shuffle, no spark.ml Vector boxing.
+    */
+  def fitLinearAutoencoder(
+      df: DataFrame,
+      cols: Seq[String],
+      latentDim: Int,
+      epochs: Int = 400,
+      lr: Double = 0.05,
+      seed: Long = 42L,
+      sampleCap: Int = 10000): LinearAutoencoder = {
+    import breeze.linalg.{sum => bsum, DenseMatrix => BDM, DenseVector => BDV}
+    require(latentDim >= 1 && latentDim <= cols.size,
+      s"latentDim must be in [1, ${cols.size}]")
+    val complete = df.na.drop(cols)
+    val statsExprs = cols.flatMap(c => Seq(
+      avg(col(c).cast("double")).as(s"mu__$c"),
+      stddev_samp(col(c).cast("double")).as(s"sd__$c")))
+    val statsRow = complete.agg(statsExprs.head, statsExprs.tail: _*).collect()(0)
+    def d(name: String): Double = {
+      val i = statsRow.fieldIndex(name)
+      if (statsRow.isNullAt(i)) Double.NaN else statsRow.getDouble(i)
+    }
+    val mu = cols.map(c => d(s"mu__$c")).toArray
+    val sd = cols.map { c =>
+      val s = d(s"sd__$c")
+      if (s.isNaN || s == 0.0) 1.0 else s
+    }.toArray
+    val sample = complete.select(cols.map(c => col(c).cast("double")): _*)
+      .limit(sampleCap).collect()
+    val n = sample.length
+    require(n > 0, "autoencoder fit needs at least one complete row")
+    val p = cols.size
+    // X: p×n standardized sample (column-major batches)
+    val x = BDM.zeros[Double](p, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < p) {
+        x(j, i) = (sample(i).getDouble(j) - mu(j)) / sd(j)
+        j += 1
+      }
+      i += 1
+    }
+    val rnd = new scala.util.Random(seed)
+    def init(rows: Int, colsN: Int): BDM[Double] =
+      BDM.tabulate(rows, colsN)((_, _) => rnd.nextGaussian() * 0.1)
+    var w1 = init(latentDim, p)
+    var b1 = BDV.zeros[Double](latentDim)
+    var w2 = init(p, latentDim)
+    var b2 = BDV.zeros[Double](p)
+    val inv = 2.0 / n
+    var e = 0
+    while (e < epochs) {
+      val h = (w1 * x).apply(::, breeze.linalg.*) + b1
+      val xhat = (w2 * h).apply(::, breeze.linalg.*) + b2
+      val err = xhat - x
+      val dW2 = (err * h.t) * inv
+      val db2 = bsum(err(breeze.linalg.*, ::)) * inv
+      val dH = w2.t * err
+      val dW1 = (dH * x.t) * inv
+      val db1 = bsum(dH(breeze.linalg.*, ::)) * inv
+      w2 = w2 - (dW2 * lr)
+      b2 = b2 - (db2 * lr)
+      w1 = w1 - (dW1 * lr)
+      b1 = b1 - (db1 * lr)
+      e += 1
+    }
+    val hFin = (w1 * x).apply(::, breeze.linalg.*) + b1
+    val errFin = ((w2 * hFin).apply(::, breeze.linalg.*) + b2) - x
+    val rmse = math.sqrt(bsum(errFin *:* errFin) / (n.toDouble * p))
+    LinearAutoencoder(cols, mu, sd, w1, b1, w2, b2, rmse)
+  }
+
+  /** Apply path of [[fitLinearAutoencoder]]: latent_i columns as plain
+    * expressions (map-only; rows with nulls in the inputs are dropped,
+    * matching the PCA path's contract).
+    */
+  def autoencoderLatentFeatures(
+      df: DataFrame,
+      cols: Seq[String],
+      latentDim: Int,
+      epochs: Int = 400,
+      lr: Double = 0.05,
+      seed: Long = 42L,
+      keepOriginal: Boolean = false): DataFrame = {
+    val m = fitLinearAutoencoder(df, cols, latentDim, epochs, lr, seed)
+    val complete = df.na.drop(cols)
+    val withLatents = (0 until latentDim).foldLeft(complete) { (acc, i) =>
+      val proj = cols.zipWithIndex.map { case (c, j) =>
+        (col(c).cast("double") - lit(m.mu(j))) * lit(m.w1(i, j) / m.sd(j))
+      }.reduce(_ + _) + lit(m.b1(i))
+      acc.withColumn(s"latent_$i", round(proj, 4))
+    }
+    if (keepOriginal) withLatents else withLatents.drop(cols: _*)
   }
 
   /** ref: transformers.py:2022-2257 `imputation_matrixFactorization` —

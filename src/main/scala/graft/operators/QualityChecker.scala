@@ -274,26 +274,28 @@ object QualityChecker {
     // Greenwald-Khanna sketches (approxQuantile, relativeError 0.01 — ref
     // quality_checker.py:847,882), the 100 TB single-pass posture; the
     // default exact path uses one shared percentile buffer per column.
-    val approxQs: Map[String, Array[Double]] =
-      if (!approx) Map.empty
-      else cols.zip(df.stat.approxQuantile(
-        cols.toArray, Array(pctileBounds._1, pctileBounds._2, 0.25, 0.75), 0.01)).toMap
+    // Quantiles never ride the `percentile` aggregate: approx mode uses GK
+    // sketches, the exact path uses StatsGenerator.exactPercentiles'
+    // histogram selection — both avoid the boxed value→count map that
+    // degenerates on near-unique columns (l_extendedprice-shaped data).
+    val qPoints = Seq(pctileBounds._1, pctileBounds._2, 0.25, 0.75)
+    val quantiles: Map[String, Seq[Double]] =
+      if (approx)
+        cols.zip(df.stat.approxQuantile(cols.toArray, qPoints.toArray, 0.01))
+          .map { case (c, qs) => c -> qs.toSeq }.toMap
+      else
+        StatsGenerator.exactPercentiles(df, cols, qPoints).collect().map { r =>
+          r.getString(0) ->
+            (if (r.isNullAt(4)) null else r.getSeq[Double](4).toSeq)
+        }.toMap
     val exprs = cols.flatMap { c =>
-      // approx mode must NOT also pay for the exact percentile buffers —
-      // the sketch pass above already produced the quantiles
-      val pct =
-        if (approx) Nil
-        else Seq( // all four points share one percentile buffer
-          NumExpr.pcts(col(c), Seq(pctileBounds._1, pctileBounds._2, 0.25, 0.75)).as(s"pcts__$c"))
-      pct ++ Seq(
+      Seq(
         avg(col(c)).as(s"mean__$c"),
         stddev_samp(col(c)).as(s"sd__$c"))
     }
     val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
     cols.map { c =>
-      val ps =
-        if (approx) approxQs(c).toSeq
-        else row.getAs[scala.collection.Seq[Double]](s"pcts__$c")
+      val ps = quantiles(c)
       def g(p: String) = row.getAs[Double](s"${p}__$c")
       // an all-null (or empty) column yields NULL aggregates — exclude it
       // instead of NPE-ing on getAs[Double]

@@ -155,17 +155,17 @@ object StatsGenerator {
     * joined with the single-shuffle melt-based mode computation.
     */
   def centralTendency(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val meanMedian = chunked(cols) { cs =>
-      val exprs = cs.flatMap { c =>
-        Seq(
-          NumExpr.dmean(col(c)).as(s"mean__$c"),
-          NumExpr.pct(col(c), 0.5).as(s"median__$c"))
-      }
-      longForm(agg1(df, exprs), cs, Seq("mean", "median"))
+    val means = chunked(cols) { cs =>
+      longForm(agg1(df, cs.map(c => NumExpr.dmean(col(c)).as(s"mean__$c"))), cs, Seq("mean"))
     }
+    // exact median via histogram selection (near-unique columns would
+    // degenerate the percentile aggregate's value→count map)
+    val medians = exactPercentiles(df, cols, Seq(0.5))
+      .select(col("attribute"), element_at(col("qs"), 1).as("median"))
     val modes = modeComputation(df, cols)
       .withColumnRenamed("mode_count", "mode_rows")
-    meanMedian.join(modes, Seq("attribute"), "full_outer")
+    means.join(medians, Seq("attribute"), "full_outer")
+      .join(modes, Seq("attribute"), "full_outer")
       .select(col("attribute"), col("mean"), col("median"),
         col("mode"), col("mode_rows"), col("mode_pct"))
   }
