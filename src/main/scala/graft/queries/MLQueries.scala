@@ -356,7 +356,19 @@ transformers:
                / (width * height * 3 * 255.0) AS mean_intensity
       FROM c"""))
 
+  /** Linear-autoencoder latent features (seeded GD solver → rows-only;
+    * StreamingSpec gates the fit on reconstruction RMSE).
+    */
+  val qAutoencoderLatent = Q(
+    "q_autoencoder_latent",
+    (s, dir) => LatentFeatures.autoencoderLatentFeatures(
+      tables(s, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      latentDim = 2),
+    None)
+
   def all: Seq[Q] = Seq(qPcaLatent, qAlsImpute, qAutoImputation, qMonotonicBinning,
     qBoxcox, qBoxcoxLambda, qMultimodal, qWorkflow, qVarClus, qKnnImpute,
-    qIterativeImputation, qFeatureRec, qImageFeatures)
+    qIterativeImputation, qFeatureRec, qImageFeatures, qAutoencoderLatent)
 }

@@ -440,8 +440,100 @@ object TextQueries {
       FROM shared JOIN sizes USING (doc_id)
       WHERE shared_shingles >= 1"""))
 
+  /** The text_pipeline WORKFLOW stage end-to-end (quality filter → exact
+    * dedup → n-gram-Jaccard near-dup treatment → text stats), driven
+    * through the YAML runner; the oracle replays every stage in SQL —
+    * including the connected-components representative selection — so
+    * the configured pipeline, not just its pieces, is oracle-checked.
+    */
+  val qWorkflowText = Q(
+    "q_workflow_text",
+    (s, dir) => {
+      val yaml =
+        s"""input_dataset:
+           |  read_dataset:
+           |    file_path: $dir/documents.parquet
+           |    file_type: parquet
+           |text_pipeline:
+           |  text_col: text
+           |  id_col: doc_id
+           |  quality_filter:
+           |    min_score: 0.66
+           |  exact_dedup: true
+           |  near_dedup:
+           |    block_col: lang
+           |    ngram: 3
+           |    threshold: 0.5
+           |  text_stats: true
+           |""".stripMargin
+      val (df, _) = graft.workflow.Workflow.run(s, yaml)
+      df.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+    },
+    Some {
+      val stops = TextOps.defaultStopwords.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH RECURSIVE scored AS (
+        SELECT *,
+          round((
+            (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(str_split_regex(trim(text), '\\s+')) END) BETWEEN 10 AND 100000
+              THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN length(text) = 0 OR
+                  CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+                    / length(text) <= 0.2 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN len(list_filter(str_split($normSql, ' '), x -> x IN ($stops))) > 0
+              THEN 1.0 ELSE 0.0 END)
+          ) / 3, 4) AS quality
+        FROM documents),
+      filtered AS (SELECT * FROM scored WHERE quality >= 0.66),
+      deduped AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
+          FROM filtered) WHERE rn = 1),
+      norm2 AS (SELECT doc_id, lang, str_split($normSql, ' ') AS t FROM deduped),
+      sh AS (
+        SELECT DISTINCT doc_id, lang,
+               array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+        FROM norm2, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+      sh1 AS (SELECT * FROM sh WHERE length(shingle) > 0),
+      sh2 AS (SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY lang, shingle) AS df
+                FROM sh1) WHERE df <= 1000),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS key_1, b.doc_id AS key_2, count(*) AS i
+        FROM sh2 a JOIN sh2 b
+          ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      pairs AS (
+        SELECT key_1, key_2 FROM inter
+        JOIN sizes na ON key_1 = na.doc_id
+        JOIN sizes nb ON key_2 = nb.doc_id
+        WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.5),
+      edges AS (SELECT key_1 AS a, key_2 AS b FROM pairs
+                UNION SELECT key_2, key_1 FROM pairs),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (
+        SELECT a AS key, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+      dropk AS (SELECT key FROM comp WHERE key <> cluster),
+      kept AS (SELECT * FROM deduped
+               WHERE doc_id NOT IN (SELECT key FROM dropk)),
+      toks AS (SELECT lang,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(str_split_regex(trim(text), '\\s+')) END AS n_tokens
+        FROM kept)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY lang"""
+    })
+
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qDedupClusters,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup,
-    qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination)
+    qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText)
 }

@@ -159,6 +159,44 @@ object Workflow {
       }
     }
 
+    // ---- text_pipeline: the training-data text stages (quality filter →
+    // exact dedup → near-dup treatment → text stats) as one configured
+    // block, mirroring the geospatial/drift stages
+    conf.get("text_pipeline").foreach { v =>
+      val tp = asConf(v)
+      import org.apache.spark.sql.functions.col
+      timed("text_pipeline") {
+        val textCol = tp.getOrElse("text_col", "text").toString
+        val idCol = tp.getOrElse("id_col", df.columns.head).toString
+        tp.get("quality_filter").foreach { q =>
+          val minScore = asConf(q).getOrElse("min_score", 0.5).toString.toDouble
+          df = df.withColumn("quality",
+            graft.functions.TextOps.qualityScore(col(textCol)))
+            .filter(col("quality") >= minScore)
+        }
+        if (tp.getOrElse("exact_dedup", false) == true)
+          df = graft.functions.Dedup.exactDedup(df, textCol, idCol)
+        tp.get("near_dedup").foreach { ndv =>
+          val nd = asConf(ndv)
+          // blockless configs still need the (skew-capped) block join —
+          // use a constant block
+          val (src, blk) = nd.get("block_col").map(b => (df, b.toString)).getOrElse(
+            (df.withColumn("__block", org.apache.spark.sql.functions.lit(1)), "__block"))
+          val pairs = graft.functions.Dedup.ngramJaccardPairs(src, textCol, idCol,
+            blockCol = blk,
+            n = nd.getOrElse("ngram", 3).toString.toInt,
+            threshold = nd.getOrElse("threshold", 0.5).toString.toDouble)
+          val clusters = graft.functions.Dedup.duplicateClusters(
+            pairs.select(col("key_1"), col("key_2")))
+          df = graft.functions.Dedup.dropNearDuplicates(df, idCol, clusters)
+        }
+        if (tp.getOrElse("text_stats", false) == true)
+          df = df
+            .withColumn("n_tokens", graft.functions.TextOps.tokenCount(col(textCol)))
+            .withColumn("lang_pred", graft.functions.TextOps.langId(col(textCol)))
+      }
+    }
+
     // ---- transformers
     conf.get("transformers").foreach { v =>
       val tc = asConf(v)

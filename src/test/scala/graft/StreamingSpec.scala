@@ -286,6 +286,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 200)
   }
 
+  test("linear autoencoder reconstructs a one-factor frame (RMSE-gated)") {
+    val rnd = new scala.util.Random(7)
+    val d = (1 to 300).map { _ =>
+      val base = rnd.nextGaussian()
+      (base + 0.05 * rnd.nextGaussian(), 2 * base + 0.05 * rnd.nextGaussian(),
+        -base + 0.05 * rnd.nextGaussian())
+    }.toDF("a", "b", "c")
+    val m = LatentFeatures.fitLinearAutoencoder(d, Seq("a", "b", "c"), latentDim = 1)
+    // one latent dim must capture the single shared factor: standardized
+    // reconstruction RMSE far below the 1.0 of predicting the mean
+    assert(m.trainRmse < 0.25, s"reconstruction RMSE too high: ${m.trainRmse}")
+    val out = LatentFeatures.autoencoderLatentFeatures(d, Seq("a", "b", "c"), latentDim = 1)
+    assert(out.columns.count(_.startsWith("latent_")) == 1)
+    assert(out.count() == 300)
+    // determinism: the same seed refits to identical latents
+    val again = LatentFeatures.autoencoderLatentFeatures(d, Seq("a", "b", "c"), latentDim = 1)
+    assert(out.select("latent_0").collect().toSeq ==
+      again.select("latent_0").collect().toSeq)
+  }
+
   test("ALS imputation fills masked cells near their true values") {
     val users = (0 until 60).map { u =>
       val base = (u % 6 + 1).toDouble

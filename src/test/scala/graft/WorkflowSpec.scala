@@ -129,6 +129,40 @@ geospatial:
     assert(rows(2L)._2 == "FR" && rows(2L)._3 == 0)
   }
 
+  test("workflow text_pipeline stage: filter, dedup, near-dup drop, stats") {
+    val dir = java.nio.file.Files.createTempDirectory("wft").toString
+    val good = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (1L, good),                         // representative of the near-dup pair
+      (2L, good + " ok"),                 // near-dup of 1 → dropped
+      (3L, good.replace("fox", "cat")),   // near-dup of 1 → dropped
+      (4L, "!!! ??? ###"),                // fails the quality filter
+      (5L, good),                         // exact dup of 1 → dropped
+      (6L, "a completely different sentence that still has the stopwords in it for sure")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/t")
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/t"
+    file_type: parquet
+text_pipeline:
+  text_col: text
+  id_col: doc_id
+  quality_filter:
+    min_score: 0.66
+  exact_dedup: true
+  near_dedup:
+    ngram: 3
+    threshold: 0.5
+  text_stats: true
+"""
+    val (df, _) = Workflow.run(spark, yaml)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 6L))
+    assert(rows.forall(_.getAs[Int]("n_tokens") > 0))
+    assert(df.columns.contains("quality") && df.columns.contains("lang_pred"))
+  }
+
   test("full-demo equivalent: complete pipeline over the reference income fixture") {
     // mirrors the reference CI's full-demo run (.github/workflows/
     // full-demo.yml): ETL → stats → quality treatments → transformers →
