@@ -23,6 +23,15 @@ object Bench {
       .format("noop").save()
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey")
       .count().write.mode("overwrite").format("noop").save()
+    locally { // Breeze/BLAS JIT warmup (PCA, VarClus, autoencoder all hit
+      // these kernels; cold-JIT cost otherwise lands on whichever runs first)
+      import breeze.linalg.{eigSym, DenseMatrix, DenseVector}
+      val a = DenseMatrix.tabulate(64, 64)((i, j) => ((i * 31 + j * 17) % 97) / 97.0)
+      val s = a * a.t
+      val v = DenseVector.tabulate(64)(i => i / 64.0)
+      val warm = eigSym(s).eigenvalues(0) + breeze.linalg.sum(s(::, breeze.linalg.*) + v)
+      if (warm.isNaN) System.err.println("[bench] breeze warmup NaN")
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full computation of every output column

@@ -113,7 +113,7 @@ object LatentFeatures {
       lr: Double = 0.05,
       seed: Long = 42L,
       sampleCap: Int = 10000): LinearAutoencoder = {
-    import breeze.linalg.{sum => bsum, DenseMatrix => BDM, DenseVector => BDV}
+    import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
     require(latentDim >= 1 && latentDim <= cols.size,
       s"latentDim must be in [1, ${cols.size}]")
     val complete = df.na.drop(cols)
@@ -149,30 +149,44 @@ object LatentFeatures {
     val rnd = new scala.util.Random(seed)
     def init(rows: Int, colsN: Int): BDM[Double] =
       BDM.tabulate(rows, colsN)((_, _) => rnd.nextGaussian() * 0.1)
+    // inputs are z-standardized (zero mean), so encoder/decoder biases are
+    // redundant (they converge to ~0) — dropping them keeps every epoch a
+    // pure gemm chain, no per-column broadcast ops
     var w1 = init(latentDim, p)
-    var b1 = BDV.zeros[Double](latentDim)
     var w2 = init(p, latentDim)
-    var b2 = BDV.zeros[Double](p)
+    val b1 = BDV.zeros[Double](latentDim)
+    val b2 = BDV.zeros[Double](p)
+    def sqSum(m: BDM[Double]): Double = {
+      val d = m.data
+      var s = 0.0
+      var i = 0
+      while (i < d.length) { s += d(i) * d(i); i += 1 }
+      s
+    }
     val inv = 2.0 / n
     var e = 0
-    while (e < epochs) {
-      val h = (w1 * x).apply(::, breeze.linalg.*) + b1
-      val xhat = (w2 * h).apply(::, breeze.linalg.*) + b2
-      val err = xhat - x
-      val dW2 = (err * h.t) * inv
-      val db2 = bsum(err(breeze.linalg.*, ::)) * inv
-      val dH = w2.t * err
-      val dW1 = (dH * x.t) * inv
-      val db1 = bsum(dH(breeze.linalg.*, ::)) * inv
-      w2 = w2 - (dW2 * lr)
-      b2 = b2 - (db2 * lr)
-      w1 = w1 - (dW1 * lr)
-      b1 = b1 - (db1 * lr)
+    var prevLoss = Double.MaxValue
+    var converged = false
+    var lastErr = 0.0
+    while (e < epochs && !converged) {
+      val h = w1 * x
+      val err = (w2 * h) - x
+      // deterministic early stop: full-batch loss under a small fixed lr
+      // plateaus long before the epoch cap on well-conditioned data
+      val loss = sqSum(err) / n
+      lastErr = loss
+      if (prevLoss - loss < 1e-9 * math.max(1.0, math.abs(prevLoss))) converged = true
+      else {
+        prevLoss = loss
+        val dW2 = (err * h.t) * inv
+        val dH = w2.t * err
+        val dW1 = (dH * x.t) * inv
+        w2 = w2 - (dW2 * lr)
+        w1 = w1 - (dW1 * lr)
+      }
       e += 1
     }
-    val hFin = (w1 * x).apply(::, breeze.linalg.*) + b1
-    val errFin = ((w2 * hFin).apply(::, breeze.linalg.*) + b2) - x
-    val rmse = math.sqrt(bsum(errFin *:* errFin) / (n.toDouble * p))
+    val rmse = math.sqrt(lastErr / p)
     LinearAutoencoder(cols, mu, sd, w1, b1, w2, b2, rmse)
   }
 
