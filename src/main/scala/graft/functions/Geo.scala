@@ -374,6 +374,100 @@ object Geo {
       .withColumn("country_name", pick(_._2.name))
   }
 
+  /** Capital-city reference points for the 50 supported countries —
+    * public, approximate coordinates; the offline gazetteer for
+    * [[reverseGeocode]]. (ref geospatial.py:1335 reverse_geocoding joins
+    * an EXTERNAL place dataset; no such dataset ships here, so the
+    * offline analog resolves to the nearest capital of the embedded
+    * country table — same API shape, self-contained data.)
+    */
+  final case class Capital(code: String, city: String, lat: Double, lon: Double)
+
+  val countryCapitals: Seq[Capital] = Seq(
+    Capital("AE", "Abu Dhabi", 24.4539, 54.3773),
+    Capital("AR", "Buenos Aires", -34.6037, -58.3816),
+    Capital("AU", "Canberra", -35.2809, 149.1300),
+    Capital("AT", "Vienna", 48.2082, 16.3738),
+    Capital("BE", "Brussels", 50.8503, 4.3517),
+    Capital("BD", "Dhaka", 23.8103, 90.4125),
+    Capital("BR", "Brasilia", -15.7939, -47.8828),
+    Capital("CA", "Ottawa", 45.4215, -75.6972),
+    Capital("CH", "Bern", 46.9480, 7.4474),
+    Capital("CL", "Santiago", -33.4489, -70.6693),
+    Capital("CN", "Beijing", 39.9042, 116.4074),
+    Capital("CO", "Bogota", 4.7110, -74.0721),
+    Capital("CZ", "Prague", 50.0755, 14.4378),
+    Capital("DE", "Berlin", 52.5200, 13.4050),
+    Capital("DK", "Copenhagen", 55.6761, 12.5683),
+    Capital("EG", "Cairo", 30.0444, 31.2357),
+    Capital("ES", "Madrid", 40.4168, -3.7038),
+    Capital("FI", "Helsinki", 60.1699, 24.9384),
+    Capital("FR", "Paris", 48.8566, 2.3522),
+    Capital("GR", "Athens", 37.9838, 23.7275),
+    Capital("ID", "Jakarta", -6.2088, 106.8456),
+    Capital("IN", "New Delhi", 28.6139, 77.2090),
+    Capital("IQ", "Baghdad", 33.3152, 44.3661),
+    Capital("IL", "Jerusalem", 31.7683, 35.2137),
+    Capital("IT", "Rome", 41.9028, 12.4964),
+    Capital("JP", "Tokyo", 35.6762, 139.6503),
+    Capital("KE", "Nairobi", -1.2921, 36.8219),
+    Capital("KR", "Seoul", 37.5665, 126.9780),
+    Capital("MA", "Rabat", 34.0209, -6.8416),
+    Capital("MX", "Mexico City", 19.4326, -99.1332),
+    Capital("MY", "Kuala Lumpur", 3.1390, 101.6869),
+    Capital("NG", "Abuja", 9.0765, 7.3986),
+    Capital("NL", "Amsterdam", 52.3676, 4.9041),
+    Capital("NO", "Oslo", 59.9139, 10.7522),
+    Capital("NZ", "Wellington", -41.2866, 174.7756),
+    Capital("PK", "Islamabad", 33.6844, 73.0479),
+    Capital("PE", "Lima", -12.0464, -77.0428),
+    Capital("PH", "Manila", 14.5995, 120.9842),
+    Capital("PL", "Warsaw", 52.2297, 21.0122),
+    Capital("PT", "Lisbon", 38.7223, -9.1393),
+    Capital("RU", "Moscow", 55.7558, 37.6173),
+    Capital("SA", "Riyadh", 24.7136, 46.6753),
+    Capital("SG", "Singapore", 1.3521, 103.8198),
+    Capital("SE", "Stockholm", 59.3293, 18.0686),
+    Capital("TH", "Bangkok", 13.7563, 100.5018),
+    Capital("TR", "Ankara", 39.9334, 32.8597),
+    Capital("UA", "Kyiv", 50.4501, 30.5234),
+    Capital("US", "Washington", 38.9072, -77.0369),
+    Capital("VN", "Hanoi", 21.0285, 105.8542),
+    Capital("ZA", "Pretoria", -25.7479, 28.2293))
+
+  /** Offline reverse geocoding: nearest embedded capital per point
+    * (haversine argmin), emitted as [*idCols.., rg_country_code, rg_city,
+    * rg_distance_km]. Plan shape for 100 TB: the 50-row gazetteer is
+    * broadcast and the per-point argmin is `min(struct(dist, code))` —
+    * partially aggregatable, so the 50× row expansion collapses
+    * map-side before the (idCols-keyed) shuffle; ties break on the
+    * smaller country code. Null coords yield a null geocode (left join
+    * back onto the input keys would be the treatment; detection keeps
+    * only resolvable points like the reference's geocoder does).
+    */
+  def reverseGeocode(
+      df: DataFrame,
+      idCols: Seq[String],
+      latCol: String,
+      lonCol: String,
+      capitals: Seq[Capital] = countryCapitals): DataFrame = {
+    import df.sparkSession.implicits._
+    val capDf = capitals.map(c => (c.code, c.city, c.lat, c.lon))
+      .toDF("__code", "__city", "__clat", "__clon")
+    val dist = round(haversine(
+      col(latCol).cast("double"), col(lonCol).cast("double"),
+      col("__clat"), col("__clon")), 4)
+    df.filter(col(latCol).isNotNull && col(lonCol).isNotNull)
+      .crossJoin(broadcast(capDf))
+      .groupBy(idCols.map(col): _*)
+      .agg(min(struct(
+        dist.as("d"), col("__code").as("c"), col("__city").as("t"))).as("m"))
+      .select(idCols.map(col) ++ Seq(
+        col("m.c").as("rg_country_code"),
+        col("m.t").as("rg_city"),
+        col("m.d").as("rg_distance_km")): _*)
+  }
+
   /** All matching countries per point via a broadcast range join against
     * the (tiny) box table — the 100 TB shape: the fact side streams, the
     * 50-row dimension is broadcast, no shuffle. Points in no box are kept

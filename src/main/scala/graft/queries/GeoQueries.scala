@@ -206,5 +206,38 @@ object GeoQueries {
           GROUP BY 1, 2"""
     })
 
-  def all: Seq[Q] = Seq(qDistance, qCentroid, qRog, qFormat, qPolygon, qGeohash, qInCountry)
+  /** Offline reverse geocoding: nearest embedded capital (haversine
+    * argmin over the broadcast 50-row gazetteer, partial-agg collapse).
+    * Distances are rounded to 4 BEFORE the argmin on both engines, so
+    * the winner selection is float-stable; ties break on country code.
+    */
+  val qReverseGeocode = Q(
+    "q_reverse_geocode",
+    (s, dir) => Geo.reverseGeocode(
+      withPoints(tables(s, dir).customer), Seq("c_custkey"), "lat", "lon"),
+    Some {
+      val capValues = Geo.countryCapitals.map(c =>
+        s"('${c.code}', '${c.city}', CAST(${c.lat} AS DOUBLE), CAST(${c.lon} AS DOUBLE))")
+        .mkString(",\n        ")
+      val capHaversine =
+        """2 * 6371.0088 * atan2(
+             sqrt(pow(sin(radians(clat - lat) / 2), 2)
+                  + cos(radians(lat)) * cos(radians(clat)) * pow(sin(radians(clon - lon) / 2), 2)),
+             sqrt(1 - (pow(sin(radians(clat - lat) / 2), 2)
+                  + cos(radians(lat)) * cos(radians(clat)) * pow(sin(radians(clon - lon) / 2), 2))))"""
+      s"""$pointsCte,
+      caps(code, city, clat, clon) AS (VALUES
+        $capValues),
+      d AS (SELECT c_custkey, code, city,
+              round($capHaversine, 4) AS dkm
+            FROM pts CROSS JOIN caps),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY c_custkey ORDER BY dkm, code) AS rn FROM d)
+      SELECT c_custkey, code AS rg_country_code, city AS rg_city,
+             dkm AS rg_distance_km
+      FROM r WHERE rn = 1"""
+    })
+
+  def all: Seq[Q] = Seq(qDistance, qCentroid, qRog, qFormat, qPolygon, qGeohash,
+    qInCountry, qReverseGeocode)
 }
