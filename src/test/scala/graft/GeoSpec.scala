@@ -121,4 +121,22 @@ class GeoSpec extends SparkSpec {
     // dimension must broadcast: no shuffle on the fact side
     assert(joined.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("reverse geocoding resolves the nearest capital, drops null coords") {
+    def jd(v: Double): java.lang.Double = java.lang.Double.valueOf(v)
+    val d = Seq(
+      (1L, jd(48.9), jd(2.4)),                         // ~Paris
+      (2L, jd(35.7), jd(139.7)),                       // ~Tokyo
+      (3L, null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double])
+    ).toDF("id", "lat", "lon")
+    val out = Geo.reverseGeocode(d, Seq("id"), "lat", "lon")
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(2), r.getDouble(3))).toMap
+    assert(rows(1L)._1 == "FR" && rows(1L)._2 == "Paris" && rows(1L)._3 < 20.0)
+    assert(rows(2L)._1 == "JP" && rows(2L)._2 == "Tokyo" && rows(2L)._3 < 20.0)
+    assert(!rows.contains(3L)) // null coords cannot be geocoded
+    // gazetteer must broadcast; the argmin is a partial-aggregatable agg
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -59,6 +59,31 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("max")) == 100.0)
   }
 
+  test("histogram selection: forced rounds, point-mass skew, nulls, constants") {
+    // collectCap=10 forces histogram narrowing (multiple rounds) instead
+    // of the straight collect path; values include a heavy point mass at
+    // 7.0 (the per-bucket min==max early resolve) and interleaved nulls
+    val vals: Seq[java.lang.Double] =
+      (1 to 500).map(i => java.lang.Double.valueOf(i.toDouble)) ++
+        Seq.fill(2000)(java.lang.Double.valueOf(7.0)) ++
+        Seq.fill(100)(null.asInstanceOf[java.lang.Double])
+    val d = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v, 42.0, null.asInstanceOf[java.lang.Double]) }
+      .toDF("id", "x", "const", "allnull")
+    val out = StatsGenerator.exactPercentiles(d, Seq("x", "const", "allnull"),
+      StatsGenerator.percentilePoints, buckets = 16, collectCap = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // cross-check every point against the percentile() aggregate
+    val want = d.select(graft.core.NumExpr.pcts(
+      org.apache.spark.sql.functions.col("x"),
+      StatsGenerator.percentilePoints).as("q")).collect()(0).getSeq[Double](0)
+    val got = out("x").getSeq[Double](4)
+    got.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, s"$a vs $b") }
+    assert(out("x").getLong(1) == 2500L)
+    assert(out("const").getSeq[Double](4).forall(_ == 42.0))
+    assert(out("allnull").getLong(1) == 0L && out("allnull").isNullAt(4))
+  }
+
   test("approx cardinality (HLL) stays within 5% of exact") {
     val d = (1 to 20000).map(i => (i % 5000).toLong).toDF("x")
     val exact = StatsGenerator.uniqueCount(d, Seq("x")).collect()(0).getLong(1)
