@@ -17,37 +17,63 @@ object StabilityEstimation {
 
   final case class AttrStats(mean: Double, stddev: Double)
 
-  /** Evaluate a SQL expression at a driver-side point. */
-  private def evalAt(spark: SparkSession, exprStr: String, point: Map[String, Double]): Double = {
-    import spark.implicits._
-    val row = Seq(1).toDF("__one")
-    val withVars = point.foldLeft(row) { case (d, (k, v)) =>
-      d.withColumn(k, org.apache.spark.sql.functions.lit(v))
-    }
-    val r = withVars.selectExpr(s"cast(($exprStr) as double) as __r").first()
-    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
-  }
-
   /** Per-period propagated (mean, stddev) of `formula` given per-period
     * base-attribute stats; first-order: Var(f) ≈ Σ (∂f/∂xᵢ)²·σᵢ², with
     * the gradient from central differences at the period means.
+    *
+    * All probe points — per period: the center plus ±h along each
+    * attribute — evaluate in ONE local-relation Spark job (the earlier
+    * shape ran a 1-row job per probe: 2·|attrs|·|periods| scheduler
+    * round-trips for a metadata-only operator). Attributes contribute to
+    * the variance sum in sorted-name order so the float accumulation is
+    * deterministic and oracle-reproducible.
     */
   def propagate(
       spark: SparkSession,
       formula: String,
-      periodStats: Seq[Map[String, AttrStats]]): Seq[AttrStats] =
-    periodStats.map { stats =>
-      val means = stats.map { case (k, v) => k -> v.mean }
-      val f0 = evalAt(spark, formula, means)
-      val varF = stats.map { case (k, s) =>
+      periodStats: Seq[Map[String, AttrStats]]): Seq[AttrStats] = {
+    if (periodStats.isEmpty) return Nil
+    val attrs = periodStats.head.keys.toSeq.sorted
+    // probe rows: (period, probedAttr or "" for the center, sign, attr values…)
+    val probes: Seq[(Int, String, Int, Seq[Double])] =
+      periodStats.zipWithIndex.flatMap { case (stats, pi) =>
+        val means = attrs.map(a => stats(a).mean)
+        val center = (pi, "", 0, means)
+        val shifted = attrs.flatMap { a =>
+          val s = stats(a)
+          val h = math.max(1e-6, math.abs(s.mean) * 1e-4)
+          Seq(1, -1).map { sign =>
+            (pi, a, sign,
+              attrs.map(x => if (x == a) s.mean + sign * h else stats(x).mean))
+          }
+        }
+        center +: shifted
+      }
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      Seq(StructField("__period", IntegerType), StructField("__attr", StringType),
+        StructField("__sign", IntegerType)) ++
+        attrs.map(a => StructField(a, DoubleType)))
+    val probeDf = spark.createDataFrame(
+      java.util.Arrays.asList(probes.map { case (p, a, s, vs) =>
+        SRow.fromSeq(Seq(p, a, s) ++ vs) }: _*), schema)
+    val evaluated = probeDf
+      .selectExpr("__period", "__attr", "__sign", s"cast(($formula) as double) as __f")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    periodStats.zipWithIndex.map { case (stats, pi) =>
+      val f0 = evaluated((pi, "", 0))
+      val varF = attrs.map { a =>
+        val s = stats(a)
         val h = math.max(1e-6, math.abs(s.mean) * 1e-4)
-        val up = evalAt(spark, formula, means.updated(k, s.mean + h))
-        val dn = evalAt(spark, formula, means.updated(k, s.mean - h))
-        val grad = (up - dn) / (2 * h)
+        val grad = (evaluated((pi, a, 1)) - evaluated((pi, a, -1))) / (2 * h)
         grad * grad * s.stddev * s.stddev
       }.sum
       AttrStats(f0, math.sqrt(varF))
     }
+  }
 
   /** Full estimation: propagate per period, then score with the same
     * CV → SI mapping as Drift.stabilityIndex.
@@ -57,7 +83,13 @@ object StabilityEstimation {
       formula: String,
       periodStats: Seq[Map[String, AttrStats]]): DataFrame = {
     import spark.implicits._
-    val props = propagate(spark, formula, periodStats)
+    // per-period propagated moments are snapped to a 1e-6 grid before the
+    // CV: their inputs (per-period avg/stddev) are order-of-summation
+    // dependent in the last ulps, and the grid makes the CV chain
+    // reproducible across engines (the magnitudes here are O(1..1e4), so
+    // 1e-6 is far above double noise and far below signal)
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val props = propagate(spark, formula, periodStats).map(p => AttrStats(r6(p.mean), r6(p.stddev)))
     def cv(xs: Seq[Double]): Double = {
       val m = xs.sum / xs.size
       val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))

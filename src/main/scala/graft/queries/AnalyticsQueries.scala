@@ -191,5 +191,66 @@ object AnalyticsQueries {
       SELECT attribute, round(any_value(total_entropy) - sum(entropy), 4) AS ig
       FROM e GROUP BY attribute"""))
 
-  def all: Seq[Q] = Seq(qCorrelation, qDrift, qStability, qIv, qIg)
+  /** Feature stability ESTIMATION (ref stability.py:335-589): propagate
+    * per-week base-attribute moments through the derived-feature formula
+    * `value * k` by central differences, then CV → SI score. The oracle
+    * replays the identical probe/gradient arithmetic in SQL; both
+    * engines snap the propagated per-period moments to a 1e-6 grid
+    * before the CV so upstream avg/stddev summation-order ulps cannot
+    * leak into the rounded outputs.
+    */
+  val qFeatureStability = Q(
+    "q_feature_stability",
+    (s, dir) => {
+      val e = tables(s, dir).events
+        .withColumn("week", date_trunc("week", col("ts")))
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      val rows = e.groupBy(col("week"))
+        .agg(avg(col("value")).as("mv"), stddev_samp(col("value")).as("sv"),
+          avg(col("k")).as("mk"), stddev_samp(col("k")).as("sk"))
+        .orderBy(col("week")).collect()
+      val periodStats = rows.toSeq.map(r => Map(
+        "value" -> graft.operators.StabilityEstimation.AttrStats(r.getDouble(1), r.getDouble(2)),
+        "k" -> graft.operators.StabilityEstimation.AttrStats(r.getDouble(3), r.getDouble(4))))
+      graft.operators.StabilityEstimation.featureStabilityEstimation(s, "value * k", periodStats)
+    },
+    Some("""
+      WITH ev AS (
+        SELECT date_trunc('week', ts) AS w, CAST(value AS DOUBLE) AS value,
+               TRY_CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS DOUBLE) AS k
+        FROM events),
+      ps AS (SELECT w, avg(value) AS mv, stddev_samp(value) AS sv,
+                    avg(k) AS mk, stddev_samp(k) AS sk
+             FROM ev GROUP BY w),
+      g AS (SELECT *,
+              greatest(1e-6, abs(mk) * 1e-4) AS hk,
+              greatest(1e-6, abs(mv) * 1e-4) AS hv
+            FROM ps),
+      gr AS (SELECT w, sv, sk,
+               mv * mk AS f0,
+               ((mv * (mk + hk)) - (mv * (mk - hk))) / (2 * hk) AS gk,
+               (((mv + hv) * mk) - ((mv - hv) * mk)) / (2 * hv) AS gv
+             FROM g),
+      -- variance terms in sorted-attribute order (k, then value), same
+      -- left-assoc grouping as the engine: ((g*g)*sd)*sd
+      f AS (SELECT w,
+              round(f0 * 1e6) / 1e6 AS f0r,
+              round(sqrt((((gk * gk) * sk) * sk) + (((gv * gv) * sv) * sv)) * 1e6) / 1e6 AS fsdr
+            FROM gr),
+      cv AS (SELECT
+               round(abs(stddev_samp(f0r) / avg(f0r)), 4) AS cv_mean,
+               round(abs(stddev_samp(fsdr) / avg(fsdr)), 4) AS cv_stddev
+             FROM f),
+      si AS (SELECT *,
+               CASE WHEN cv_mean < 0.03 THEN 4 WHEN cv_mean < 0.1 THEN 3
+                    WHEN cv_mean < 0.2 THEN 2 WHEN cv_mean < 0.5 THEN 1 ELSE 0 END AS mean_si,
+               CASE WHEN cv_stddev < 0.03 THEN 4 WHEN cv_stddev < 0.1 THEN 3
+                    WHEN cv_stddev < 0.2 THEN 2 WHEN cv_stddev < 0.5 THEN 1 ELSE 0 END AS stddev_si
+             FROM cv)
+      SELECT 'value * k' AS formula, cv_mean, cv_stddev, mean_si, stddev_si,
+             CAST(0.5 AS DOUBLE) * mean_si + CAST(0.5 AS DOUBLE) * stddev_si
+               AS stability_index_lower_bound
+      FROM si"""))
+
+  def all: Seq[Q] = Seq(qCorrelation, qDrift, qStability, qIv, qIg, qFeatureStability)
 }
