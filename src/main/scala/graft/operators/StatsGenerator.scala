@@ -198,26 +198,29 @@ object StatsGenerator {
     }
 
   /** ref: stats_generator.py:736-829 `measures_of_dispersion`: stddev,
-    * variance, cov (=sd/mean), IQR (exact), range. Single agg; the two
-    * quartiles share one percentile buffer.
+    * variance, cov (=sd/mean), IQR (exact), range. Moments come from one
+    * agg; the quartiles ride the histogram selection of
+    * [[exactPercentiles]] (the percentile aggregate's value→count map
+    * degenerates on near-unique columns).
     */
-  def measuresOfDispersion(df: DataFrame, cols: Seq[String]): DataFrame = chunked(cols) { cs =>
-    val exprs = cs.flatMap { c =>
-      val sd = stddev_samp(col(c))
-      Seq(
-        round(sd, 4).as(s"stddev__$c"),
-        round(var_samp(col(c)), 4).as(s"variance__$c"),
-        round(sd / NumExpr.dmean(col(c)), 4).as(s"cov__$c"),
-        NumExpr.pcts(col(c), Seq(0.25, 0.75)).as(s"q__$c"),
-        (max(col(c)) - min(col(c))).cast(DoubleType).as(s"range__$c"))
+  def measuresOfDispersion(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val iqr = exactPercentiles(df, cols, Seq(0.25, 0.75))
+      .select(col("attribute"),
+        round(element_at(col("qs"), 2) - element_at(col("qs"), 1), 4).as("IQR"))
+    val moments = chunked(cols) { cs =>
+      val exprs = cs.flatMap { c =>
+        val sd = stddev_samp(col(c))
+        Seq(
+          round(sd, 4).as(s"stddev__$c"),
+          round(var_samp(col(c)), 4).as(s"variance__$c"),
+          round(sd / NumExpr.dmean(col(c)), 4).as(s"cov__$c"),
+          (max(col(c)) - min(col(c))).cast(DoubleType).as(s"range__$c"))
+      }
+      longForm(agg1(df, exprs), cs, Seq("stddev", "variance", "cov", "range"))
     }
-    val extracted = agg1(df, exprs).select(
-      cs.flatMap { c =>
-        Seq(col(s"stddev__$c"), col(s"variance__$c"), col(s"cov__$c"),
-          round(element_at(col(s"q__$c"), 2) - element_at(col(s"q__$c"), 1), 4).as(s"IQR__$c"),
-          col(s"range__$c"))
-      }: _*)
-    longForm(extracted, cs, Seq("stddev", "variance", "cov", "IQR", "range"))
+    moments.join(iqr, Seq("attribute"), "full_outer")
+      .select(col("attribute"), col("stddev"), col("variance"), col("cov"),
+        col("IQR"), col("range"))
   }
 
   val percentilePoints: Seq[Double] = Seq(0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99)
@@ -255,6 +258,11 @@ object StatsGenerator {
     val spark = df.sparkSession
     import spark.implicits._
     val nc = cols.size
+    // total driver intake is bounded by ~2·|ps|·cap per column — scale the
+    // per-segment cap down on wide inputs so a 500-column call cannot
+    // accumulate gigabytes of brackets (an extra narrowing round costs one
+    // more scan, not memory); explicit tiny caps are honored as-is
+    val capPerSeg = math.max(math.min(collectCap, 1024), collectCap / math.max(1, nc))
     // (0) n / min / max per column in one scalar aggregation
     val r0 = agg1(df, cols.flatMap(c => Seq(
       count(col(c)).as(s"n__$c"),
@@ -292,9 +300,9 @@ object StatsGenerator {
     val doubleCols = df.select(cols.map(c => col(c).cast(DoubleType)): _*)
     val bb = buckets
     var round = 0
-    while (segs.exists(_.count > collectCap) && round < 8) {
+    while (segs.exists(_.count > capPerSeg) && round < 8) {
       round += 1
-      val big = segs.filter(_.count > collectCap).toArray
+      val big = segs.filter(_.count > capPerSeg).toArray
       val bcSegs = spark.sparkContext.broadcast(big.map(s =>
         (s.colIdx, s.chain.toArray, s.lo, s.hi)))
       // histogram scan: per-partition primitive count/min/max arrays,
@@ -362,7 +370,7 @@ object StatsGenerator {
           else next += Seg(s.colIdx, s.chain :+ ((s.lo, s.hi, b)), mn, mx, off, n, ranks.toArray)
         }
       }
-      segs = segs.filter(_.count <= collectCap) ++ next
+      segs = segs.filter(_.count <= capPerSeg) ++ next
       bcSegs.destroy()
     }
     // final collect: only the values inside each target segment
