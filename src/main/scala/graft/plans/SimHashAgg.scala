@@ -17,6 +17,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * into 64 bits — deterministic and partition-order independent (votes
   * are commutative sums).
   */
+object SimHashAgg {
+  private[plans] def hash64(s: UTF8String): Long = {
+    val lo = Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+    val hi = Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 0x9747b28c)
+    (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+  }
+
+  /** Per-row twin of the aggregate: identical hash family and vote/sign
+    * arithmetic, so a row-local signature (the streaming path, where a
+    * groupBy agg per doc would force an extra stateful shuffle) equals
+    * the grouped `simhash_agg` of the same tokens bit for bit.
+    */
+  def simhashOfTokens(tokens: Iterator[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = hash64(UTF8String.fromString(t))
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+}
+
 case class SimHashAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
@@ -30,13 +64,7 @@ case class SimHashAgg(
 
   override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
 
-  private def hash64(s: UTF8String): Long = {
-    val lo = Murmur3_x86_32.hashUnsafeBytes(
-      s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
-    val hi = Murmur3_x86_32.hashUnsafeBytes(
-      s.getBaseObject, s.getBaseOffset, s.numBytes, 0x9747b28c)
-    (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
-  }
+  private def hash64(s: UTF8String): Long = SimHashAgg.hash64(s)
 
   override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)

@@ -177,6 +177,32 @@ object CoreQueries {
              row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
       FROM orders"""))
 
+  /** Skew-mitigation salted join: the fact side takes a random salt, the
+    * dim side replicates saltFactor×, hot keys spread over saltFactor
+    * reducers. Salting must be result-invariant — the oracle is the
+    * PLAIN join, so any row lost/duplicated by the salt plumbing
+    * hash-mismatches.
+    */
+  val qSaltedJoin = Q(
+    "q_salted_join",
+    (s, dir) => {
+      val t = tables(s, dir)
+      val fact = t.orders.withColumn("custkey", col("o_custkey"))
+      val dim = t.customer.withColumn("custkey", col("c_custkey"))
+        .select("custkey", "c_mktsegment")
+      graft.sources.SkewJoin.saltedJoin(fact, dim, Seq("custkey"), saltFactor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          graft.core.NumExpr.dsum(col("o_totalprice")).cast("double").as("total_price"))
+    },
+    Some("""
+      SELECT c_mktsegment,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment"""))
+
   def all: Seq[Q] = Seq(q1, qJoin, qRecommendType, qExpressionParser,
-    qSemiAnti, qExcept, qRenameRecast, qRowIds)
+    qSemiAnti, qExcept, qRenameRecast, qRowIds, qSaltedJoin)
 }

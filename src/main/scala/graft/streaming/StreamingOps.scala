@@ -70,6 +70,79 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  final case class NearDupCandidate(key_1: Long, key_2: Long, hamming: Int)
+
+  /** Streaming SimHash near-duplicate candidates — the streaming twin of
+    * Dedup.simhashNearDuplicates. Per row the 64-bit signature is
+    * computed locally (SimHashAgg.simhashOfTokens — bit-identical to the
+    * batch aggregate, no per-doc shuffle); each doc fans out to its four
+    * 16-bit chunk buckets (any pair within hamming ≤ 3 shares at least
+    * one chunk), and a per-bucket keyed state holds the signatures seen
+    * inside the watermark horizon. A new doc emits a candidate pair for
+    * every stored signature within `maxHamming`; state is pruned by the
+    * event-time watermark, capped at `maxBucketState` per bucket (the
+    * batch path's skew cap), and dropped wholesale via event-time
+    * timeout once a bucket goes quiet past the horizon.
+    *
+    * Output is the CANDIDATE pair stream: a pair surfacing through two
+    * shared chunks appears twice (dedup downstream — the batch verify
+    * path does the same `.distinct()`).
+    */
+  def streamingNearDupCandidates(
+      stream: DataFrame,
+      textCol: String,
+      keyCol: String,
+      tsCol: String,
+      watermarkMs: Long = 2L * 3600 * 1000,
+      maxHamming: Int = 3,
+      maxBucketState: Int = 200): Dataset[NearDupCandidate] = {
+    import stream.sparkSession.implicits._
+    val sigUdf = udf { text: String =>
+      val toks =
+        if (text == null) Array.empty[String]
+        else graft.functions.TextOps.normalizeTextString(text).split(" ").filter(_.nonEmpty)
+      graft.plans.SimHashAgg.simhashOfTokens(toks.iterator)
+    }
+    val chunkCols = (0 until 4).map(i =>
+      shiftrightunsigned(col("__sig"), i * 16).bitwiseAND(lit(0xFFFFL)) + lit(i * 65536L))
+    val fanned = stream
+      .withColumn("__sig", sigUdf(col(textCol)))
+      .withWatermark(tsCol, s"$watermarkMs milliseconds")
+      .select(explode(array(chunkCols: _*)).as("__bucket"),
+        col(keyCol).cast("long").as("__key"), col("__sig"),
+        col(tsCol)) // no cast/alias: it would strip the watermark metadata
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+    fanned.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long, Long)], NearDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[List[(Long, Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val horizon = state.getCurrentWatermarkMs()
+            var entries = state.getOption.getOrElse(Nil).filter(_._3 >= horizon)
+            val out = scala.collection.mutable.ListBuffer.empty[NearDupCandidate]
+            // deterministic intra-batch order: event time, then key
+            rows.toSeq.sortBy(r => (r._4.getTime, r._2)).foreach { case (_, k, sig, ts) =>
+              entries.foreach { case (k2, sig2, _) =>
+                if (k2 != k) {
+                  val ham = java.lang.Long.bitCount(sig ^ sig2)
+                  if (ham <= maxHamming)
+                    out += NearDupCandidate(math.min(k, k2), math.max(k, k2), ham)
+                }
+              }
+              if (entries.size < maxBucketState) entries = (k, sig, ts.getTime) :: entries
+            }
+            state.update(entries)
+            if (entries.nonEmpty)
+              state.setTimeoutTimestamp(entries.map(_._3).max + watermarkMs)
+            out.iterator
+          }
+      }
+  }
+
   final case class UserState(count: Long, sum: Double)
   final case class UserSnapshot(userId: Long, count: Long, sum: Double, mean: Double)
 

@@ -286,6 +286,44 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 200)
   }
 
+  test("streaming simhash near-dup candidates find planted pairs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingOps.streamingNearDupCandidates(
+      stream, "text", "doc_id", "ts", watermarkMs = 3600 * 1000L)
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+      input.addData(
+        (1L, base, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, "completely unrelated content about database query optimization and join plans",
+          java.sql.Timestamp.valueOf("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      input.addData( // near-dup (here: identical text, hamming 0 — a short
+        // doc with even one token changed flips > 3 of the 64 vote bits,
+        // so the deterministic planted pair uses an exact copy) of doc 1
+        // arriving in a LATER batch: found via bucket state, not a join
+        (3L, base, java.sql.Timestamp.valueOf("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT key_1, key_2, hamming FROM neardup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(pairs.exists { case (a, b, h) => a == 1L && b == 3L && h == 0 },
+        s"planted pair missing: ${pairs.toSeq}")
+      assert(!pairs.exists { case (a, b, _) => b == 2L || a == 2L },
+        s"unrelated doc flagged: ${pairs.toSeq}")
+      // the row-local signature equals the batch simhash aggregate
+      import spark.implicits._
+      val batchSig = graft.functions.Dedup.simhash(
+        Seq((1L, base)).toDF("doc_id", "text"), "text", "doc_id")
+        .collect()(0).getLong(1)
+      val rowSig = graft.plans.SimHashAgg.simhashOfTokens(
+        graft.functions.TextOps.normalizeTextString(base).split(" ").filter(_.nonEmpty).iterator)
+      assert(batchSig == rowSig)
+    } finally q.stop()
+  }
+
   test("linear autoencoder reconstructs a one-factor frame (RMSE-gated)") {
     val rnd = new scala.util.Random(7)
     val d = (1 to 300).map { _ =>
