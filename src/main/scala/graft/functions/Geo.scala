@@ -437,13 +437,15 @@ object Geo {
 
   /** Offline reverse geocoding: nearest embedded capital per point
     * (haversine argmin), emitted as [*idCols.., rg_country_code, rg_city,
-    * rg_distance_km]. Plan shape for 100 TB: the 50-row gazetteer is
-    * broadcast and the per-point argmin is `min(struct(dist, code))` —
-    * partially aggregatable, so the 50× row expansion collapses
-    * map-side before the (idCols-keyed) shuffle; ties break on the
-    * smaller country code. Null coords yield a null geocode (left join
-    * back onto the input keys would be the treatment; detection keeps
-    * only resolvable points like the reference's geocoder does).
+    * rg_distance_km]. Plan shape for 100 TB: NO join, NO shuffle, NO row
+    * expansion — each row packs every capital's rounded distance and
+    * code-sorted index into one orderable long and takes `least(...)`
+    * over the 50 codegen'd expressions, so the whole operator is a
+    * single map-only Project (a broadcast join + argmin aggregate would
+    * re-shuffle the frame for results derivable per row). Ties at the
+    * 1e-4 km grid break on the smaller country code via the index in
+    * the low bits. Rows with null coords are dropped (detection keeps
+    * only resolvable points, like the reference's geocoder).
     */
   def reverseGeocode(
       df: DataFrame,
@@ -451,21 +453,24 @@ object Geo {
       latCol: String,
       lonCol: String,
       capitals: Seq[Capital] = countryCapitals): DataFrame = {
-    import df.sparkSession.implicits._
-    val capDf = capitals.map(c => (c.code, c.city, c.lat, c.lon))
-      .toDF("__code", "__city", "__clat", "__clon")
-    val dist = round(haversine(
-      col(latCol).cast("double"), col(lonCol).cast("double"),
-      col("__clat"), col("__clon")), 4)
+    val caps = capitals.sortBy(_.code).toIndexedSeq
+    require(caps.size < 64, "packed argmin reserves 6 low bits for the index")
+    val lat = col(latCol).cast("double")
+    val lon = col(lonCol).cast("double")
+    // distance·10⁴ (the exact 4-decimal output grid) · 64 + index: long
+    // min-ordering == (distance asc, code asc)
+    val packedCandidates = caps.zipWithIndex.map { case (c, i) =>
+      round(haversine(lat, lon, lit(c.lat), lit(c.lon)) * 10000).cast("long") * 64 + i
+    }
+    val best = least(packedCandidates: _*)
+    val codeArr = array(caps.map(c => lit(c.code)): _*)
+    val cityArr = array(caps.map(c => lit(c.city)): _*)
+    val idx = (best % 64).cast("int")
     df.filter(col(latCol).isNotNull && col(lonCol).isNotNull)
-      .crossJoin(broadcast(capDf))
-      .groupBy(idCols.map(col): _*)
-      .agg(min(struct(
-        dist.as("d"), col("__code").as("c"), col("__city").as("t"))).as("m"))
       .select(idCols.map(col) ++ Seq(
-        col("m.c").as("rg_country_code"),
-        col("m.t").as("rg_city"),
-        col("m.d").as("rg_distance_km")): _*)
+        element_at(codeArr, idx + 1).as("rg_country_code"),
+        element_at(cityArr, idx + 1).as("rg_city"),
+        ((best.cast("double") - idx) / 64 / 10000.0).as("rg_distance_km")): _*)
   }
 
   /** All matching countries per point via a broadcast range join against

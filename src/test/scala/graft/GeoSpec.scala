@@ -135,8 +135,10 @@ class GeoSpec extends SparkSpec {
     assert(rows(1L)._1 == "FR" && rows(1L)._2 == "Paris" && rows(1L)._3 < 20.0)
     assert(rows(2L)._1 == "JP" && rows(2L)._2 == "Tokyo" && rows(2L)._3 < 20.0)
     assert(!rows.contains(3L)) // null coords cannot be geocoded
-    // gazetteer must broadcast; the argmin is a partial-aggregatable agg
+    // map-only contract: the packed-least argmin needs no join, no
+    // aggregate, and no exchange at all
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Aggregate"), plan)
   }
 }
