@@ -213,10 +213,63 @@ object LatentFeatures {
     if (keepOriginal) withLatents else withLatents.drop(cols: _*)
   }
 
+  /** Seeded driver-side alternating least squares: classic ridge ALS —
+    * alternately solve each user's (and item's) rank×rank normal
+    * equations `(Σ qqᵀ + λ·nᵢ·I) p = Σ r·q` over the observed cells.
+    * Deterministic: seeded item-factor init, observation lists sorted.
+    * Returns (userFactors, itemFactors).
+    */
+  private[operators] def localAls(
+      ratings: Array[(Int, Int, Double)],
+      rank: Int,
+      iters: Int,
+      lambda: Double,
+      seed: Long): (Map[Int, Array[Double]], Map[Int, Array[Double]]) = {
+    import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+    val byUser = ratings.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(r => (r._2, r._3)).sortBy(_._1)
+    }
+    val byItem = ratings.groupBy(_._2).map { case (i, rs) =>
+      i -> rs.map(r => (r._1, r._3)).sortBy(_._1)
+    }
+    val rnd = new scala.util.Random(seed)
+    var itemF: Map[Int, Array[Double]] = byItem.keys.toSeq.sorted.map { i =>
+      i -> Array.fill(rank)(math.abs(rnd.nextGaussian()) * 0.5 + 0.1)
+    }.toMap
+    var userF: Map[Int, Array[Double]] = Map.empty
+    def solveSide(obs: Map[Int, Array[(Int, Double)]],
+        other: Map[Int, Array[Double]]): Map[Int, Array[Double]] =
+      obs.map { case (k, rs) =>
+        val a = BDM.eye[Double](rank) * (lambda * rs.length)
+        val b = BDV.zeros[Double](rank)
+        rs.foreach { case (o, r) =>
+          val q = BDV(other(o))
+          a += q * q.t
+          b += q * r
+        }
+        k -> (a \ b).toArray
+      }
+    var it = 0
+    while (it < iters) {
+      userF = solveSide(byUser, itemF)
+      itemF = solveSide(byItem, userF)
+      it += 1
+    }
+    (userF, itemF)
+  }
+
   /** ref: transformers.py:2022-2257 `imputation_matrixFactorization` —
-    * melt id×attribute to (user, item, rating), ALS with the reference's
-    * hyperparameters (maxIter 20, reg 0.01, coldStartStrategy drop),
-    * predict the null cells, pivot back and coalesce over the original.
+    * melt id×attribute to (user, item, rating), factorize with the
+    * reference's hyperparameters (rank/maxIter/reg 0.01), predict the
+    * null cells, pivot back.
+    *
+    * Dual path like the other fit-small/apply-big operators: when the
+    * observed-cell count fits `localFitCap`, a seeded driver-side ridge
+    * ALS replaces spark.ml's ALS — the distributed version costs dozens
+    * of RDD jobs plus checkpointing for factor matrices that are KBs
+    * here (the item side is |cols| rows by construction, and the user
+    * side only grows with distinct ids). Above the cap the spark.ml
+    * path runs unchanged — that factor table genuinely needs a cluster.
     */
   def imputationMatrixFactorization(
       df: DataFrame,
@@ -225,15 +278,9 @@ object LatentFeatures {
       rank: Int = 10,
       maxIter: Int = 20,
       regParam: Double = 0.01,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      localFitCap: Long = 1000000L): DataFrame = {
     import df.sparkSession.implicits._
-    // ALS lineage grows per iteration; without a checkpoint dir its
-    // periodic checkpointing (interval 10) is skipped and closure
-    // serialization can StackOverflow on deep plans
-    val sc = df.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        System.getProperty("java.io.tmpdir", "/tmp") + "/graft-checkpoints")
     val itemIndex = cols.zipWithIndex.toMap
     val stackArgs = cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
     val long = df.select(col(idCol),
@@ -242,14 +289,45 @@ object LatentFeatures {
     val ratings = long.join(broadcast(itemDf), "attribute")
       .withColumn("__user", col(idCol).cast("int"))
     val train = ratings.filter(col("rating").isNotNull)
-    val als = new ALS()
-      .setUserCol("__user").setItemCol("__item").setRatingCol("rating")
-      .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
-      .setColdStartStrategy("drop").setSeed(seed)
-    val model = als.fit(train)
     val missing = ratings.filter(col("rating").isNull)
-    val predicted = model.transform(missing)
-      .select(col(idCol), col("attribute"), col("prediction").cast("double").as("rating"))
+    val nObserved = train.count()
+    val predicted =
+      if (nObserved <= localFitCap) {
+        val obs = train.select(col("__user"), col("__item"), col("rating"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        val effRank = math.min(rank, cols.size)
+        val (userF, itemF) = localAls(obs, effRank, maxIter, regParam, seed)
+        val bcU = df.sparkSession.sparkContext.broadcast(userF)
+        val bcI = df.sparkSession.sparkContext.broadcast(itemF)
+        val predUdf = udf { (u: Int, i: Int) =>
+          (bcU.value.get(u), bcI.value.get(i)) match {
+            case (Some(p), Some(q)) =>
+              var s = 0.0
+              var j = 0
+              while (j < p.length) { s += p(j) * q(j); j += 1 }
+              Some(s)
+            case _ => None // cold start: no observed rating anchors the row
+          }
+        }
+        missing
+          .withColumn("rating", predUdf(col("__user"), col("__item")))
+          .filter(col("rating").isNotNull)
+          .select(col(idCol), col("attribute"), col("rating"))
+      } else {
+        // ALS lineage grows per iteration; without a checkpoint dir its
+        // periodic checkpointing (interval 10) is skipped and closure
+        // serialization can StackOverflow on deep plans
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(
+            System.getProperty("java.io.tmpdir", "/tmp") + "/graft-checkpoints")
+        val als = new ALS()
+          .setUserCol("__user").setItemCol("__item").setRatingCol("rating")
+          .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
+          .setColdStartStrategy("drop").setSeed(seed)
+        als.fit(train).transform(missing)
+          .select(col(idCol), col("attribute"), col("prediction").cast("double").as("rating"))
+      }
     val filledLong = train.select(col(idCol), col("attribute"), col("rating"))
       .unionByName(predicted)
     filledLong.groupBy(col(idCol)).pivot("attribute", cols).agg(first("rating"))
