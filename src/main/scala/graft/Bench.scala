@@ -33,6 +33,10 @@ object Bench {
       if (warm.isNaN) System.err.println("[bench] breeze warmup NaN")
     }
     val results = selected.map { case (name, fn) =>
+      // untimed GC between queries: garbage from the previous query's
+      // collects/broadcasts otherwise surfaces as a full-GC pause inside
+      // a RANDOM later query — per-query attribution was ±1-2 s noisy
+      System.gc()
       val t0 = System.nanoTime()
       // noop sink: forces full computation of every output column
       // (count() would let Catalyst prune row-level transform work)

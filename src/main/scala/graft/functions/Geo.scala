@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object Geo {
 
-  val EarthRadiusKm = 6371.0088
+  val EarthRadiusKm = 6371.009 // = the reference geo_utils.py:10 EARTH_RADIUS (6371009 m)
 
   // ------------------------------------------------------------- distances
 
@@ -87,7 +87,34 @@ object Geo {
 
   // ------------------------------------------------------- format converts
 
-  /** Decimal degrees → degrees/minutes/seconds string (ref: geospatial.py:39). */
+  /** Decimal degrees → [degree, minute, second] NUMBERS with the
+    * reference's exact divmod semantics (geo_utils.py:139-160:
+    * `divmod(dd·3600, 60)` twice — Python divmod floors toward −∞, so
+    * −82.3265° → [−83, 40, 24.5], NOT the sign-notation −82°19'35.5").
+    * Round-trips through [[dmsPartsToDd]] (d + m/60 + s/3600) exactly.
+    */
+  def ddToDmsParts(dd0: Column): Column = {
+    val dd = dd0.cast("double")
+    val totalSec = dd * 3600
+    val minute0 = floor(totalSec / 60)
+    val second = totalSec - minute0 * 60
+    val degree = floor(minute0 / 60)
+    val minute = minute0 - degree * 60
+    when(dd0.isNull, lit(null))
+      .otherwise(struct(degree.cast("double").as("degree"),
+        minute.cast("double").as("minute"), second.as("second")))
+  }
+
+  /** ref geo_utils.py:42-48 dms → dd: d + m/60 + s/3600 (works with the
+    * floored-parts form above).
+    */
+  def dmsPartsToDd(d: Column, m: Column, s: Column): Column =
+    d.cast("double") + m.cast("double") / 60 + s.cast("double") / 3600
+
+  /** Decimal degrees → degrees/minutes/seconds display string (the
+    * conventional sign notation; see [[ddToDmsParts]] for the
+    * reference-parity numeric form).
+    */
   def ddToDms(dd0: Column): Column = {
     val dd = dd0.cast("double") // decimal inputs would format seconds as "0.00"
     val sign = when(dd < 0, "-").otherwise("")

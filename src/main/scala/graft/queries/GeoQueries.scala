@@ -23,7 +23,7 @@ object GeoQueries {
     .withColumn("lon2", expr(lon2Expr))
 
   private val haversineSql =
-    """2 * 6371.0088 * atan2(
+    """2 * 6371.009 * atan2(
          sqrt(pow(sin(radians(lat2 - lat) / 2), 2)
               + cos(radians(lat)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon) / 2), 2)),
          sqrt(1 - (pow(sin(radians(lat2 - lat) / 2), 2)
@@ -50,7 +50,7 @@ object GeoQueries {
     Some(s"""$pointsCte
       SELECT c_custkey,
         round($haversineSql, 4) AS haversine_km,
-        round(6371.0088 * sqrt(
+        round(6371.009 * sqrt(
           pow(cos(radians(lat)) * cos(radians(lon)) - cos(radians(lat2)) * cos(radians(lon2)), 2)
           + pow(cos(radians(lat)) * sin(radians(lon)) - cos(radians(lat2)) * sin(radians(lon2)), 2)
           + pow(sin(radians(lat)) - sin(radians(lat2)), 2)), 4) AS euclidean_km
@@ -86,7 +86,7 @@ object GeoQueries {
               round(degrees(atan2(y, x)), 4) AS clon
             FROM c),
       d AS (SELECT pts.c_mktsegment,
-              2 * 6371.0088 * atan2(
+              2 * 6371.009 * atan2(
                 sqrt(pow(sin(radians(clat - lat) / 2), 2)
                      + cos(radians(lat)) * cos(radians(clat)) * pow(sin(radians(clon - lon) / 2), 2)),
                 sqrt(1 - (pow(sin(radians(clat - lat) / 2), 2)
@@ -220,7 +220,7 @@ object GeoQueries {
         s"('${c.code}', '${c.city}', CAST(${c.lat} AS DOUBLE), CAST(${c.lon} AS DOUBLE))")
         .mkString(",\n        ")
       val capHaversine =
-        """2 * 6371.0088 * atan2(
+        """2 * 6371.009 * atan2(
              sqrt(pow(sin(radians(clat - lat) / 2), 2)
                   + cos(radians(lat)) * cos(radians(clat)) * pow(sin(radians(clon - lon) / 2), 2)),
              sqrt(1 - (pow(sin(radians(clat - lat) / 2), 2)

@@ -122,6 +122,60 @@ class GeoSpec extends SparkSpec {
     assert(joined.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("golden parity: reference location_distance expected values") {
+    // ref test_geospatial.py test_location_distance: row id=1 of
+    // sample_geo_data_two_latlon.csv must give these integer metre
+    // distances (haversine / vincenty / euclidean, EARTH_RADIUS 6371009)
+    val path = "/root/reference/data/test_dataset/geo_data/sample_geo_data_two_latlon.csv"
+    assume(new java.io.File(path).exists())
+    val df = spark.read.option("header", "true").csv(path)
+      .select(col("id").cast("int").as("id"),
+        col("lat1").cast("double"), col("lon1").cast("double"),
+        col("lat2").cast("double"), col("lon2").cast("double"))
+      .filter(col("id") === 1)
+    val r = df.select(
+      (Geo.haversine(col("lat1"), col("lon1"), col("lat2"), col("lon2")) * 1000).as("hav_m"),
+      (Geo.euclideanKm(col("lat1"), col("lon1"), col("lat2"), col("lon2")) * 1000).as("euc_m"),
+      (Geo.vincentyUdf(col("lat1"), col("lon1"), col("lat2"), col("lon2")) * 1000).as("vin_m"))
+      .collect()(0)
+    assert(r.getDouble(0).toInt == 17394182, s"haversine ${r.getDouble(0)}")
+    assert(r.getDouble(2).toInt == 17373936, s"vincenty ${r.getDouble(2)}")
+    assert(r.getDouble(1).toInt == 12473414, s"euclidean ${r.getDouble(1)}")
+  }
+
+  test("golden parity: reference dd→dms divmod parts and geohash strings") {
+    val path = "/root/reference/data/test_dataset/geo_data/sample_geo_data_two_latlon.csv"
+    assume(new java.io.File(path).exists())
+    val row = spark.read.option("header", "true").csv(path)
+      .select(col("id").cast("int").as("id"),
+        col("lat1").cast("double"), col("lon1").cast("double"),
+        col("lat2").cast("double"), col("lon2").cast("double"))
+      .filter(col("id") === 1)
+      .select(
+        Geo.ddToDmsParts(col("lat1")).as("p1"), Geo.ddToDmsParts(col("lon1")).as("p2"),
+        Geo.ddToDmsParts(col("lat2")).as("p3"), Geo.ddToDmsParts(col("lon2")).as("p4"),
+        Geo.dmsPartsToDd(Geo.ddToDmsParts(col("lat1")).getField("degree"),
+          Geo.ddToDmsParts(col("lat1")).getField("minute"),
+          Geo.ddToDmsParts(col("lat1")).getField("second")).as("rt"),
+        col("lat1"),
+        Geo.geohashEncodeUdf(col("lat1"), col("lon1"), lit(8)).as("gh1"),
+        Geo.geohashEncodeUdf(col("lat2"), col("lon2"), lit(8)).as("gh2"))
+      .collect()(0)
+    // ref test_geospatial.py test_geo_format_latlon: divmod int parts per
+    // coordinate of row id=1, and the precision-8 geohash strings
+    def ints(field: String): (Int, Int, Int) = {
+      val s = row.getAs[org.apache.spark.sql.Row](field)
+      (s.getDouble(0).toInt, s.getDouble(1).toInt, s.getDouble(2).toInt)
+    }
+    assert(ints("p1") == ((-83, 40, 24)), s"lat1 ${ints("p1")}")
+    assert(ints("p2") == ((-127, 21, 26)), s"lon1 ${ints("p2")}")
+    assert(ints("p3") == ((62, 24, 12)), s"lat2 ${ints("p3")}")
+    assert(ints("p4") == ((105, 7, 56)), s"lon2 ${ints("p4")}")
+    assert(math.abs(row.getAs[Double]("rt") - row.getAs[Double]("lat1")) < 1e-9)
+    assert(row.getAs[String]("gh1") == "11mgwhvt")
+    assert(row.getAs[String]("gh2") == "y74g025n")
+  }
+
   test("reverse geocoding resolves the nearest capital, drops null coords") {
     def jd(v: Double): java.lang.Double = java.lang.Double.valueOf(v)
     val d = Seq(
