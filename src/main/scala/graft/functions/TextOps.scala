@@ -180,6 +180,70 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "que"),
     "zh" -> Seq("的", "了", "是", "在", "我", "有", "他", "这", "个", "们"))
 
+  /** PII redaction patterns (RE2-compatible — no backrefs/lookaround —
+    * so the DuckDB oracle can run the SAME patterns; Java regex treats
+    * them identically). Order matters: emails are matched before IPs
+    * before phones so a longer entity is never half-eaten by a later,
+    * more general pattern.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+?\\d[\\d().-]{7,}\\d"
+
+  /** Redact emails / IPv4s / phone-like digit runs to typed tags.
+    * Pure regexp_replace chain — codegen'd, map-only at 100 TB; the
+    * standard scrubbing pass of public LLM-data pipelines (C4, Dolma).
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "[EMAIL]"),
+        ipRe, "[IP]"),
+      phoneRe, "[PHONE]")
+
+  /** Gopher-style repetition-free quality rules (Rae et al. 2021,
+    * "Scaling Language Models", App. A1.1 — public paper): doc word
+    * count, mean word length, symbol-to-word ratio, bullet/ellipsis
+    * line ratios, and a minimum-distinct-stopword requirement. Returns
+    * the signals plus the composite pass flag; all pure expressions.
+    */
+  val gopherStopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherSignals(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = tokenCount(t)
+    val meanWordLen = when(words === 0, 0.0)
+      .otherwise(length(regexp_replace(t, "\\s+", "")).cast("double") / words)
+    val symbols = size(regexp_extract_all(t, lit("[#…]|\\.\\.\\."), lit(0)))
+    val symbolRatio = when(words === 0, 0.0).otherwise(symbols.cast("double") / words)
+    // materialize the line array once; the two line-ratio lambdas below
+    // must not each re-split the document (interpreted HOFs re-evaluate
+    // captured non-attribute subtrees per element)
+    val lines = col("__lines")
+    val bulletLines = size(filter(lines, l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+    val ellipsisLines = size(filter(lines,
+      l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+    val nLines = size(lines)
+    val stopHits = size(array_intersect(
+      array_distinct(tokens(t)), array(gopherStopwords.map(lit): _*)))
+    df.select(col(keyCol), t, split(t, "\n").as("__lines"))
+      .select(
+        col(keyCol),
+        words.as("n_words"),
+        round(meanWordLen, 4).as("mean_word_len"),
+        round(symbolRatio, 4).as("symbol_ratio"),
+        round(bulletLines.cast("double") / nLines, 4).as("bullet_ratio"),
+        round(ellipsisLines.cast("double") / nLines, 4).as("ellipsis_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("passes",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") < 0.1 &&
+          col("bullet_ratio") < 0.9 &&
+          col("ellipsis_ratio") < 0.3 &&
+          col("stop_hits") >= 2)
+  }
+
   def langId(text: Column): Column = {
     val entries = langLexicon.toSeq.sortBy(_._1)
     val lexLit = array(entries.map { case (_, lex) => array(lex.map(lit): _*) }: _*)

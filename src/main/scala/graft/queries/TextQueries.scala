@@ -532,8 +532,136 @@ object TextQueries {
       FROM toks GROUP BY lang"""
     })
 
+  /** Deterministic content-hash sample: md5-threshold filter — exactly
+    * reproducible on any engine (oracle hash-checks the SAMPLED ROWS,
+    * not just counts), stable under repartitioning/retries, map-only.
+    */
+  val qDeterministicSample = Q(
+    "q_deterministic_sample",
+    (s, dir) => Sampling.deterministicSample(
+      tables(s, dir).customer, 0.5, Seq("c_custkey"))
+      .select("c_custkey", "c_name", "c_mktsegment"),
+    Some {
+      val thr = Sampling.hashThresholdHex(0.5)
+      s"""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15) < '$thr'"""
+    })
+
+  /** Deterministic train/valid/test split by cumulative md5 thresholds;
+    * oracle checks the per-split assignment exactly (row-level labels,
+    * aggregated to per-split counts for a compact result).
+    */
+  val qHashSplit = Q(
+    "q_hash_split",
+    (s, dir) => Sampling.deterministicSplit(
+        tables(s, dir).customer,
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+        Seq("c_custkey"))
+      .groupBy("split").agg(count(lit(1)).as("n_rows")),
+    Some {
+      // same cumulative-weight arithmetic as deterministicSplit so the
+      // inlined thresholds are bit-identical
+      val weights = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+      val total = weights.map(_._2).sum
+      val cum = weights.scanLeft(0.0)(_ + _._2 / total).tail
+      val thrTrain = Sampling.hashThresholdHex(cum(0))
+      val thrValid = Sampling.hashThresholdHex(cum(1))
+      s"""
+      WITH t AS (SELECT CASE
+          WHEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15) < '$thrTrain' THEN 'train'
+          WHEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15) < '$thrValid' THEN 'valid'
+          ELSE 'test' END AS split
+        FROM customer)
+      SELECT split, count(*) AS n_rows FROM t GROUP BY split"""
+    })
+
+  /** PII scrubbing (emails → IPs → phones, in that order) over documents
+    * with deterministic synthetic PII injected per doc_id residue class —
+    * the oracle replays the same injection + the same RE2-safe patterns
+    * and must reproduce the redacted text bit-for-bit.
+    */
+  val qPiiRedaction = Q(
+    "q_pii_redaction",
+    (s, dir) => {
+      val d = tables(s, dir).documents
+      val injected = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" reach me at user"), col("doc_id").cast("string"), lit("@example.com")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit(" server 10.74."), (col("doc_id") % 256).cast("string"), lit(".15 up")))
+          .otherwise(concat(lit(" call +14155550"),
+            lpad((col("doc_id") % 100).cast("string"), 3, "0"))))
+      val withPii = d.select(col("doc_id"), injected.as("__pii_text"))
+      val emailsGone = regexp_replace(col("__pii_text"), TextOps.emailRe, "[EMAIL]")
+      withPii
+        .withColumn("n_emails", regexp_count(col("__pii_text"), lit(TextOps.emailRe)))
+        .withColumn("__no_email", emailsGone)
+        .withColumn("n_ips", regexp_count(col("__no_email"), lit(TextOps.ipRe)))
+        .withColumn("__no_ip", regexp_replace(col("__no_email"), TextOps.ipRe, "[IP]"))
+        .withColumn("n_phones", regexp_count(col("__no_ip"), lit(TextOps.phoneRe)))
+        .withColumn("redacted", regexp_replace(col("__no_ip"), TextOps.phoneRe, "[PHONE]"))
+        .select("doc_id", "redacted", "n_emails", "n_ips", "n_phones")
+    },
+    Some {
+      val (em, ip, ph) = (TextOps.emailRe, TextOps.ipRe, TextOps.phoneRe)
+      s"""
+      WITH inj AS (SELECT doc_id, text || CASE
+          WHEN doc_id % 3 = 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+          WHEN doc_id % 3 = 1 THEN ' server 10.74.' || CAST(doc_id % 256 AS VARCHAR) || '.15 up'
+          ELSE ' call +14155550' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') END AS t
+        FROM documents),
+      st AS (SELECT doc_id, t,
+          regexp_replace(t, '$em', '[EMAIL]', 'g') AS no_email FROM inj),
+      st2 AS (SELECT doc_id, t, no_email,
+          regexp_replace(no_email, '$ip', '[IP]', 'g') AS no_ip FROM st)
+      SELECT doc_id,
+        regexp_replace(no_ip, '$ph', '[PHONE]', 'g') AS redacted,
+        len(regexp_extract_all(t, '$em')) AS n_emails,
+        len(regexp_extract_all(no_email, '$ip')) AS n_ips,
+        len(regexp_extract_all(no_ip, '$ph')) AS n_phones
+      FROM st2"""
+    })
+
+  /** Gopher quality rules (Rae et al. 2021 App. A1.1): per-doc signals
+    * plus the composite pass flag, oracle-checked end to end.
+    */
+  val qGopherQuality = Q(
+    "q_gopher_quality",
+    (s, dir) => TextOps.gopherSignals(tables(s, dir).documents, "text", "doc_id"),
+    Some {
+      val stops = TextOps.gopherStopwords.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH t AS (SELECT doc_id, text,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(str_split_regex(trim(text), '\\s+')) END AS n_words,
+          str_split(text, chr(10)) AS lines,
+          str_split($normSql, ' ') AS toks
+        FROM documents),
+      sig AS (SELECT doc_id, n_words,
+          round(CASE WHEN n_words = 0 THEN 0.0
+            ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / n_words END, 4)
+            AS mean_word_len,
+          round(CASE WHEN n_words = 0 THEN 0.0
+            ELSE CAST(len(regexp_extract_all(text, '[#…]|\\.\\.\\.')) AS DOUBLE) / n_words END, 4)
+            AS symbol_ratio,
+          round(CAST(len(list_filter(lines, l -> substring(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+            / len(lines), 4) AS bullet_ratio,
+          round(CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+            / len(lines), 4) AS ellipsis_ratio,
+          len(list_intersect(list_distinct(toks), [$stops])) AS stop_hits
+        FROM t)
+      SELECT *,
+        (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+          AND symbol_ratio < 0.1 AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3
+          AND stop_hits >= 2 AS passes
+      FROM sig"""
+    })
+
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qDedupClusters,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup,
-    qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText)
+    qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText,
+    qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality)
 }

@@ -56,4 +56,57 @@ object Sampling {
       case m => throw new IllegalArgumentException(s"unknown sampling method: $m")
     }
   }
+
+  /** 60-bit hex threshold encoding `fraction`: a row whose
+    * `substring(md5(key.cast("binary")), 1, 15)` sorts strictly below it is kept.
+    * md5 is bit-identical across engines and languages, so the kept set
+    * is exactly reproducible anywhere — this is what makes the sample
+    * oracle-verifiable AND stable under repartitioning, retries, and
+    * cluster size, none of which holds for seeded-RNG `sample()` (whose
+    * output depends on partition layout).
+    */
+  def hashThresholdHex(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
+    if (fraction >= 1.0) "g" // sorts above every hex digest prefix
+    else {
+      val thr = math.floor(fraction * (1L << 60)).toLong
+      f"$thr%015x"
+    }
+  }
+
+  /** Deterministic content-hash sampling: keep rows whose md5(key-expr)
+    * prefix falls below [[hashThresholdHex]](fraction). Map-only — no
+    * shuffle, no driver state, no RNG; the same document is kept or
+    * dropped identically at any scale and on any engine, which is the
+    * sampling primitive a 100 TB training-data pipeline actually wants
+    * (stable holdout sets, reproducible subsampling across reruns).
+    * The key columns should identify the entity being sampled (a doc id,
+    * a user id for leakage-safe user-level splits, …).
+    */
+  def deterministicSample(df: DataFrame, fraction: Double, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "deterministic sampling needs key columns")
+    val key = concat_ws("", keyCols.map(c => col(c).cast("string")): _*)
+    df.filter(substring(md5(key.cast("binary")), 1, 15) < lit(hashThresholdHex(fraction)))
+  }
+
+  /** Deterministic train/validation/test split: assigns each row a split
+    * label from cumulative md5-prefix thresholds. One map-only pass, the
+    * same row lands in the same split forever (append-safe at 100 TB).
+    * `weights` need not sum to 1; they are normalized.
+    */
+  def deterministicSplit(
+      df: DataFrame,
+      weights: Seq[(String, Double)],
+      keyCols: Seq[String]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val cum = weights.scanLeft(0.0)(_ + _._2 / total).tail
+    val key = concat_ws("", keyCols.map(c => col(c).cast("string")): _*)
+    val prefix = substring(md5(key.cast("binary")), 1, 15)
+    val labeled = weights.zip(cum).init.foldRight(lit(weights.last._1)) {
+      case (((name, _), cumW), elseCol) =>
+        when(prefix < lit(hashThresholdHex(cumW)), lit(name)).otherwise(elseCol)
+    }
+    df.withColumn("split", labeled)
+  }
 }

@@ -53,6 +53,39 @@ class IngestSpec extends SparkSpec {
     assert(bc("common") < 200) // equalized toward smallest stratum (100)
   }
 
+  test("deterministic sample is partition-invariant and near the fraction") {
+    val d = (1 to 2000).map(i => (i, s"row$i")).toDF("id", "v")
+    val kept = Sampling.deterministicSample(d, 0.3, Seq("id"))
+    val n = kept.count()
+    assert(n > 480 && n < 720, s"expected ~600 of 2000, got $n") // md5 is uniform
+    val keptIds = kept.select("id").collect().map(_.getInt(0)).toSet
+    val repartitioned = Sampling.deterministicSample(d.repartition(7), 0.3, Seq("id"))
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(keptIds == repartitioned, "sample must not depend on partition layout")
+    // monotone: a smaller fraction's sample is a subset of a larger one's
+    val smaller = Sampling.deterministicSample(d, 0.1, Seq("id"))
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(smaller.subsetOf(keptIds))
+  }
+
+  test("deterministic split is exhaustive, disjoint, and stable") {
+    val d = (1 to 3000).map(i => (i, i % 7)).toDF("id", "g")
+    val split = Sampling.deterministicSplit(
+      d, Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), Seq("id"))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 3000, "every row gets exactly one split")
+    assert(counts("train") > 2250 && counts("train") < 2550)
+    assert(counts("valid") > 180 && counts("valid") < 420)
+    // stability: same assignment on rerun over a differently-ordered frame
+    val again = Sampling.deterministicSplit(
+      d.orderBy(org.apache.spark.sql.functions.desc("id")),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), Seq("id"))
+    val a = split.collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    val b = again.collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(a == b)
+  }
+
   test("csv/json/parquet round-trips preserve data") {
     val dir = java.nio.file.Files.createTempDirectory("fmt").toString
     val d = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")

@@ -253,4 +253,30 @@ class TextSpec extends SparkSpec {
     val scores = d.select(TextOps.qualityScore(col("text"))).collect().map(_.getDouble(0)).toSeq
     assert(scores(0) == 1.0 && scores(1) < 0.5)
   }
+
+  test("PII redaction scrubs emails, IPs, and phones in order") {
+    val d = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "host 192.168.0.12 responded",
+      "dial +1(415)555-0142 today",
+      "clean text with no pii at all").toDF("text")
+    val out = d.select(TextOps.piiRedact(col("text"))).collect().map(_.getString(0)).toSeq
+    assert(out(0) == "mail [EMAIL] now")
+    assert(out(1) == "host [IP] responded")
+    assert(out(2) == "dial [PHONE] today")
+    assert(out(3) == "clean text with no pii at all")
+  }
+
+  test("gopher signals compute rule flags per document") {
+    val longDoc = (Seq.fill(20)("the data and table with that have rows") :+ "end").mkString(" ")
+    val bullets = "- one\n- two\n- three\nthe end of that list to be with"
+    val d = Seq((1L, longDoc), (2L, bullets), (3L, "## # # …")).toDF("doc_id", "text")
+    val rows = TextOps.gopherSignals(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getAs[Boolean]("passes"), "long prose doc should pass")
+    val b = rows(1)
+    assert(b.getAs[Double]("bullet_ratio") == 0.75 && !b.getAs[Boolean]("passes"))
+    val sym = rows(2)
+    assert(sym.getAs[Double]("symbol_ratio") > 0.1 && !sym.getAs[Boolean]("passes"))
+  }
 }
