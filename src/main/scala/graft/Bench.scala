@@ -41,7 +41,15 @@ object Bench {
       // (count() would let Catalyst prune row-level transform work)
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop blocks the finished query leaked (localCheckpoint frames,
+      // persisted fit caches): with a 96-GiB heap a GC may never fire, so
+      // ContextCleaner never reaps them and storage-pool churn taxes every
+      // later query. Targeted unpersist ≠ System.gc (which also reaped
+      // warm broadcasts/shuffles and measured +20% across the board).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+      name -> dt
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full per-query timings for humans (stderr, not the parsed line).

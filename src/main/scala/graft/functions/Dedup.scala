@@ -48,6 +48,36 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Corpus-level line deduplication (the boilerplate-removal pass of
+    * public LLM pipelines — repeated footers/nav-bars/disclaimers are
+    * dropped everywhere but their first occurrence, ordered by
+    * (key, line position)). Two aggregations, both with map-side partial
+    * combine: first-occurrence per line via `min(struct(key, pos))` (a
+    * hyper-common line pre-aggregates inside each task before the
+    * shuffle — no hot-key window), then document reassembly grouped by
+    * key. A document whose every line was seen earlier comes back with
+    * empty text and n_kept = 0 (feed to a filter to drop).
+    */
+  def lineDedup(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val lines = df.select(col(keyCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val keepers = lines.groupBy("line")
+      .agg(min(struct(col(keyCol), col("pos"))).as("k"))
+      .select(col("k")(keyCol).as(keyCol), col("k")("pos").as("pos"), col("line"))
+    val rebuilt = keepers.groupBy(col(keyCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(keyCol), size(split(col(textCol), "\n")).as("__n_lines"))
+      .join(rebuilt, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** (key, shingle) pairs: distinct word n-grams of the normalized text.
     * Texts with fewer than n tokens produce no shingles. keyCol must be a
     * unique document key (every caller passes a doc id): uniqueness per

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Output-shard assignment for training-data pipelines: pack documents
+  * into shards of ~`budget` tokens each, in a stable global order.
+  * (Beyond the reference — builder-prompt LLM-pipeline first-class op.)
+  *
+  * The cumulative sum is a two-phase distributed prefix sum: one pass
+  * computes per-partition weight totals (O(#partitions) driver state),
+  * a second pass streams each partition with its start offset. Never a
+  * partitionless `sum().over(Window.orderBy(...))` — that funnels the
+  * whole table through a single task, the classic 100 TB deadend.
+  */
+object Sharding {
+
+  /** Assign `shardCol` = floor(exclusive-prefix-sum(weight) / budget)
+    * under the total order given by `orderCols`: each document lands in
+    * the shard where its first token falls, so every shard except the
+    * last holds ≥ budget tokens' worth of boundary and assignment is
+    * independent of partitioning (deterministic, append-reproducible).
+    */
+  def packByBudget(
+      df: DataFrame,
+      weightCol: String,
+      orderCols: Seq[String],
+      budget: Long,
+      shardCol: String = "shard"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val sorted = df.orderBy(orderCols.map(col): _*)
+    val idx = sorted.schema.fieldIndex(weightCol)
+    def weight(r: Row): Long = r.getAs[Number](idx).longValue()
+    val rdd = sorted.rdd
+    // the sort is reused by both passes — cache it (Bench/pipelines
+    // unpersist leftovers; at cluster scale this is one shuffle's worth)
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator(i -> it.foldLeft(0L)(_ + weight(_)))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val outSchema = StructType(sorted.schema.fields :+
+      StructField(shardCol, LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var running = offsets(i)
+      it.map { r =>
+        val shard = running / budget
+        running += weight(r)
+        Row.fromSeq(r.toSeq :+ shard)
+      }
+    }
+    df.sparkSession.createDataFrame(out, outSchema)
+  }
+}

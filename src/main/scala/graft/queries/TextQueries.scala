@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Dedup, Similarity, TextOps}
+import graft.functions.{Dedup, Sharding, Similarity, TextOps}
 import graft.queries.QueryPack._
 import graft.sources.{Ingest, Sampling}
 import org.apache.spark.sql.functions._
@@ -659,9 +659,64 @@ object TextQueries {
       FROM sig"""
     })
 
+  /** Corpus-level line dedup with a boilerplate footer injected on every
+    * document: the footer must survive only in the lowest-doc_id document
+    * and exact-duplicate documents must come back empty. Oracle replays
+    * the same injection + first-occurrence rule with window functions.
+    */
+  val qLineDedup = Q(
+    "q_line_dedup",
+    (s, dir) => {
+      val footer = "subscribe to our newsletter for updates"
+      val d = tables(s, dir).documents
+        .withColumn("__t2", concat(col("text"), lit("\n" + footer)))
+      Dedup.lineDedup(d, "__t2", "doc_id")
+    },
+    Some("""
+      WITH lines AS (
+        SELECT doc_id, 0 AS pos, text AS line FROM documents
+        UNION ALL
+        SELECT doc_id, 1, 'subscribe to our newsletter for updates' FROM documents),
+      r AS (SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+            FROM lines),
+      g AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                   count(*) AS n_kept
+            FROM r WHERE rn = 1 GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(g.text_clean, '') AS text_clean,
+        COALESCE(g.n_kept, 0) AS n_kept,
+        2 - COALESCE(g.n_kept, 0) AS n_dropped
+      FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id"""))
+
+  /** Token-budget shard packing via the two-phase distributed prefix sum;
+    * the oracle recomputes the assignment with an exclusive running-sum
+    * window (fine at oracle scale; the Spark path never single-partitions).
+    */
+  val qTokenShards = Q(
+    "q_token_shards",
+    (s, dir) => {
+      val d = tables(s, dir).documents.select(
+        col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      Sharding.packByBudget(d, "n_tokens", Seq("doc_id"), budget = 2000L)
+        .select("doc_id", "n_tokens", "shard")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(str_split_regex(trim(text), '\s+')) END AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        FROM t)
+      SELECT doc_id, n_tokens,
+        CAST(floor(CAST(prev AS DOUBLE) / 2000) AS BIGINT) AS shard
+      FROM c"""))
+
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qDedupClusters,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup,
     qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText,
-    qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality)
+    qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality,
+    qLineDedup, qTokenShards)
 }

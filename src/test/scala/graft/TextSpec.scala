@@ -267,6 +267,37 @@ class TextSpec extends SparkSpec {
     assert(out(3) == "clean text with no pii at all")
   }
 
+  test("line dedup keeps the first occurrence of each line corpus-wide") {
+    val d = Seq(
+      (1L, "alpha beta\nshared footer"),
+      (2L, "gamma delta\nshared footer"),
+      (3L, "alpha beta\nshared footer")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "alpha beta\nshared footer" && out(0).getLong(2) == 2)
+    assert(out(1).getString(1) == "gamma delta" && out(1).getLong(3) == 1)
+    assert(out(2).getString(1) == "" && out(2).getLong(2) == 0) // every line seen before
+  }
+
+  test("shard packing respects the token budget and partition layout") {
+    val d = (1 to 100).map(i => (i.toLong, 10L)).toDF("doc_id", "w")
+    val packed = graft.functions.Sharding.packByBudget(d, "w", Seq("doc_id"), budget = 100L)
+    val byShard = packed.groupBy("shard").sum("w").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byShard.size == 10 && byShard.values.forall(_ == 100L))
+    // partition-invariant assignment
+    val repart = graft.functions.Sharding
+      .packByBudget(d.repartition(7), "w", Seq("doc_id"), budget = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val base = packed.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(base == repart)
+    // an oversize doc owns the shard where it starts; following docs move on
+    val big = Seq((1L, 10L), (2L, 500L), (3L, 10L)).toDF("doc_id", "w")
+    val shards = graft.functions.Sharding.packByBudget(big, "w", Seq("doc_id"), budget = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(shards == Map(1L -> 0L, 2L -> 0L, 3L -> 5L))
+  }
+
   test("gopher signals compute rule flags per document") {
     val longDoc = (Seq.fill(20)("the data and table with that have rows") :+ "end").mkString(" ")
     val bullets = "- one\n- two\n- three\nthe end of that list to be with"
