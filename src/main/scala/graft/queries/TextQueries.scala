@@ -713,10 +713,71 @@ object TextQueries {
         CAST(floor(CAST(prev AS DOUBLE) / 2000) AS BIGINT) AS shard
       FROM c"""))
 
+  /** Per-source corpus health report (the per-domain curation table every
+    * large-scale dataset effort maintains): volume, token mass, quality,
+    * language spread, and exact-duplicate rate within each source.
+    */
+  val qSourceQuality = Q(
+    "q_source_quality",
+    (s, dir) => {
+      val d = tables(s, dir).documents
+        .withColumn("__q", TextOps.qualityScore(col("text")))
+        .withColumn("__tok", TextOps.tokenCount(col("text")))
+        .withColumn("__fp", TextOps.fingerprint(col("text")))
+      d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok").cast("long")).as("total_tokens"),
+        round(avg(col("__q")), 4).as("mean_quality"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("__fp"))).as("n_exact_dups"))
+    },
+    Some {
+      val stops = TextOps.defaultStopwords.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH t AS (SELECT source, lang,
+          md5($normSql) AS fp,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(str_split_regex(trim(text), '\\s+')) END AS tok,
+          round((
+            (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(str_split_regex(trim(text), '\\s+')) END) BETWEEN 10 AND 100000
+               THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN length(text) = 0 THEN 1.0
+               WHEN CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+                    / length(text) <= 0.2 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN len(list_filter(str_split($normSql, ' '), x -> x IN ($stops))) > 0
+               THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS q
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(tok) AS BIGINT) AS total_tokens,
+        round(avg(q), 4) AS mean_quality,
+        count(DISTINCT lang) AS n_langs,
+        count(*) - count(DISTINCT fp) AS n_exact_dups
+      FROM t GROUP BY source"""
+    })
+
+  /** Per-label embedding centroids, one (label, dim, value) row each —
+    * posexplode + groupBy: the partial-aggregating path (map-side
+    * combine on (label, dim)), never a collect of vectors to the driver.
+    */
+  val qEmbeddingCentroid = Q(
+    "q_embedding_centroid",
+    (s, dir) => tables(s, dir).embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v").cast("double")), 4).as("centroid")),
+    Some("""
+      WITH e AS (SELECT label,
+          unnest(range(0, len(embedding))) AS dim,
+          unnest(embedding) AS v
+        FROM embeddings)
+      SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 4) AS centroid
+      FROM e GROUP BY label, dim"""))
+
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qDedupClusters,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup,
     qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText,
     qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality,
-    qLineDedup, qTokenShards)
+    qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid)
 }
