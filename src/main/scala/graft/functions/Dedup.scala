@@ -122,6 +122,34 @@ object Dedup {
     (0 until numHashes).map(i => min(xxhash64(base, lit(i))).as(s"sig_$i"))
   }
 
+  /** Fixed 60-bit salts for the md5 hash family (md5 of a versioned
+    * label — reproducible from the string constants alone).
+    */
+  val md5Salts: Seq[Long] = (0 until 32).map { i =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-minhash-salt-$i".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** Engine-portable MinHash signatures: base hash = first 60 bits of
+    * md5(shingle), family member i = base XOR salt_i (each XOR is a
+    * bijection on the hash space — a valid, order-scrambling MinHash
+    * family). Unlike the xxhash64 production default, every step (md5,
+    * hex-prefix parse, XOR, min) is bit-identical in any SQL engine, so
+    * the whole signature matrix is oracle-checkable. Same single-shuffle
+    * shape: one groupBy computes all h mins.
+    */
+  def minhashSignaturesMd5(sh: DataFrame, numHashes: Int = 16): DataFrame = {
+    require(numHashes <= md5Salts.size, s"at most ${md5Salts.size} md5 family members")
+    val base = conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val aggs = md5Salts.take(numHashes).zipWithIndex.map { case (s, i) =>
+      min(col("__h").bitwiseXOR(lit(s))).as(s"sig_$i")
+    }
+    sh.select(col("key"), base.as("__h"))
+      .groupBy("key").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** LSH banding: split the h signature values into `bands` bands of
     * h/bands rows; docs sharing any band bucket become candidate pairs.
     * The band bucket join is hash-partitioned — the scale path: no

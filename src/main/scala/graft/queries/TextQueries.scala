@@ -774,10 +774,37 @@ object TextQueries {
       SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 4) AS centroid
       FROM e GROUP BY label, dim"""))
 
+  /** MinHash signature matrix under the engine-portable md5 hash family —
+    * the core shingle → hash → min computation of the near-dup pipeline,
+    * hash-checked bit-for-bit (band grouping + candidate verification are
+    * covered by the oracle-green q_ngram_jaccard / q_dedup_clusters logic
+    * and the RecallSpec gates).
+    */
+  val qMinhashSignatures = Q(
+    "q_minhash_signatures",
+    (s, dir) => {
+      val sh = Dedup.shingles(tables(s, dir).documents, "text", "doc_id", 3)
+      Dedup.minhashSignaturesMd5(sh, 8).withColumnRenamed("key", "doc_id")
+    },
+    Some {
+      val sigs = Dedup.md5Salts.take(8).zipWithIndex
+        .map { case (salt, i) => s"min(xor(h, $salt)) AS sig_$i" }.mkString(", ")
+      s"""
+      WITH toks AS (SELECT doc_id, str_split($normSql, ' ') AS tk FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+          list_transform(range(1, len(tk) - 1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+        FROM toks),
+      h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+            FROM sh WHERE length(shingle) > 0)
+      SELECT doc_id, $sigs FROM h GROUP BY doc_id"""
+    })
+
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qDedupClusters,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup,
     qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText,
     qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality,
-    qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid)
+    qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
+    qMinhashSignatures)
 }

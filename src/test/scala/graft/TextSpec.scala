@@ -298,6 +298,22 @@ class TextSpec extends SparkSpec {
     assert(shards == Map(1L -> 0L, 2L -> 0L, 3L -> 5L))
   }
 
+  test("md5 minhash family: identical normalized texts share signatures") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "Alpha  BETA gamma delta epsilon zeta"), // same after normalize
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignaturesMd5(Dedup.shingles(d, "text", "doc_id"), 8)
+      .collect().map(r => r.getLong(0) -> (1 until 9).map(r.getLong)).toMap
+    assert(sigs(1L) == sigs(2L), "normalize-equal docs must hash equal")
+    assert(sigs(1L) != sigs(3L))
+    // deterministic across runs / partitionings
+    val again = Dedup.minhashSignaturesMd5(
+      Dedup.shingles(d.repartition(5), "text", "doc_id"), 8)
+      .collect().map(r => r.getLong(0) -> (1 until 9).map(r.getLong)).toMap
+    assert(sigs == again)
+  }
+
   test("gopher signals compute rule flags per document") {
     val longDoc = (Seq.fill(20)("the data and table with that have rows") :+ "end").mkString(" ")
     val bullets = "- one\n- two\n- three\nthe end of that list to be with"
