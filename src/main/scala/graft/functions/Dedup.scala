@@ -258,6 +258,31 @@ object Dedup {
       .agg(expr("simhash_agg(tok)").as("simhash"))
   }
 
+  /** Engine-portable SimHash: 60-bit fingerprint from md5 token hashes —
+    * bit b of the fingerprint is set iff distinct tokens with bit b set
+    * outnumber those with it clear (strict majority; tie → 0). Runs as
+    * one explode + one combining groupBy with 60 codegen'd signed-vote
+    * sums, then a pure projection folds the votes into the fingerprint.
+    * Every step (md5, hex parse, shift/mask, sum, compare) is
+    * bit-identical in any SQL engine → the fingerprint column is
+    * oracle-checkable, unlike the xxhash64 `simhash_agg` production path.
+    */
+  def simhashMd5(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val h = conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long")
+    val votes = (0 until 60).map(b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as(s"__v$b"))
+    val fp = (0 until 60).map(b =>
+      when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L)
+    ).reduce(_ + _)
+    df.select(col(keyCol).as("key"),
+        explode(array_distinct(split(TextOps.normalizeText(col(textCol)), " "))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("key"), h.as("__h"))
+      .groupBy("key").agg(votes.head, votes.tail: _*)
+      .select(col("key"), fp.as("simhash"))
+  }
+
   /** SimHash near-duplicates: candidates share at least one of four
     * 16-bit chunks (guarantees recall for hamming distance <= 3), then
     * exact hamming verify via bit_count(xor).

@@ -800,11 +800,35 @@ object TextQueries {
       SELECT doc_id, $sigs FROM h GROUP BY doc_id"""
     })
 
+  /** SimHash fingerprints under the md5 vote family — bit-exact across
+    * engines (chunk-bucket candidate join + hamming verify stay covered
+    * by q_simhash_neardup's recall gates and StreamingSpec).
+    */
+  val qSimhashFingerprint = Q(
+    "q_simhash_fingerprint",
+    (s, dir) => Dedup.simhashMd5(tables(s, dir).documents, "text", "doc_id")
+      .withColumnRenamed("key", "doc_id"),
+    Some {
+      val voteDefs = (0 until 60)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ")
+      val fold = (0 until 60)
+        .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH toks AS (SELECT doc_id,
+          unnest(list_distinct(str_split($normSql, ' '))) AS tok FROM documents),
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+            FROM toks WHERE length(tok) > 0),
+      v AS (SELECT doc_id, $voteDefs FROM h GROUP BY doc_id)
+      SELECT doc_id, CAST($fold AS BIGINT) AS simhash FROM v"""
+    })
+
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qDedupClusters,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup,
     qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText,
     qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality,
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
-    qMinhashSignatures)
+    qMinhashSignatures, qSimhashFingerprint)
 }

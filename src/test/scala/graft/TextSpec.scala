@@ -314,6 +314,21 @@ class TextSpec extends SparkSpec {
     assert(sigs == again)
   }
 
+  test("md5 simhash: near-identical docs land at small hamming distance") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d = Seq(
+      (1L, base),
+      (2L, base.replace("today", "tonight")), // one token differs
+      (3L, "completely different words about spark query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhashMd5(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(2L)) < hamming(fp(1L), fp(3L)),
+      "one-token edit must be closer than an unrelated doc")
+    assert(hamming(fp(1L), fp(2L)) <= 12)
+  }
+
   test("gopher signals compute rule flags per document") {
     val longDoc = (Seq.fill(20)("the data and table with that have rows") :+ "end").mkString(" ")
     val bullets = "- one\n- two\n- three\nthe end of that list to be with"
