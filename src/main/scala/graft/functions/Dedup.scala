@@ -542,7 +542,14 @@ object Dedup {
     // The df window partitions on the self-join key, and the two join
     // sides are identical subplans → Catalyst reuses one exchange for
     // them (explicit persist measured slower than ReusedExchange).
+    // 8-byte hashed shingles from here on: the df window, the self-join
+    // shuffle, and the join comparison all carry a long instead of a
+    // ~25-byte 3-gram string (shuffle bytes ≈ 3× smaller, cheaper key
+    // compare). A 64-bit collision inside one block would need ~2^32
+    // distinct shingles per block to become likely — far beyond any
+    // real block size under the df cap.
     val sh = shingles(df, textCol, keyCol, n)
+      .select(col("key"), xxhash64(col("shingle")).as("shingle"))
       .join(df.select(col(keyCol).as("key"), col(blockCol).as("block")), "key")
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("block", "shingle")))
       .filter(col("__df") <= maxShingleDf)
