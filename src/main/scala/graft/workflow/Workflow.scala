@@ -168,11 +168,27 @@ object Workflow {
       timed("text_pipeline") {
         val textCol = tp.getOrElse("text_col", "text").toString
         val idCol = tp.getOrElse("id_col", df.columns.head).toString
+        if (tp.getOrElse("pii_redaction", false) == true)
+          df = df.withColumn(textCol, graft.functions.TextOps.piiRedact(col(textCol)))
+        if (tp.getOrElse("line_dedup", false) == true) {
+          // corpus-level boilerplate-line removal; docs whose every line
+          // was seen earlier drop out entirely
+          val cleaned = graft.functions.Dedup.lineDedup(df, textCol, idCol)
+            .filter(col("n_kept") > 0)
+            .select(col(idCol), col("text_clean"))
+          df = df.drop(textCol)
+            .join(cleaned.withColumnRenamed("text_clean", textCol), Seq(idCol))
+        }
         tp.get("quality_filter").foreach { q =>
           val minScore = asConf(q).getOrElse("min_score", 0.5).toString.toDouble
           df = df.withColumn("quality",
             graft.functions.TextOps.qualityScore(col(textCol)))
             .filter(col("quality") >= minScore)
+        }
+        if (tp.getOrElse("gopher_filter", false) == true) {
+          val ok = graft.functions.TextOps.gopherSignals(df, textCol, idCol)
+            .filter(col("passes")).select(col(idCol))
+          df = df.join(ok, Seq(idCol), "left_semi")
         }
         if (tp.getOrElse("exact_dedup", false) == true)
           df = graft.functions.Dedup.exactDedup(df, textCol, idCol)
@@ -190,10 +206,23 @@ object Workflow {
             pairs.select(col("key_1"), col("key_2")))
           df = graft.functions.Dedup.dropNearDuplicates(df, idCol, clusters)
         }
+        tp.get("deterministic_sample").foreach { f =>
+          df = graft.sources.Sampling.deterministicSample(
+            df, asConf(f).getOrElse("fraction", 0.1).toString.toDouble, Seq(idCol))
+        }
         if (tp.getOrElse("text_stats", false) == true)
           df = df
             .withColumn("n_tokens", graft.functions.TextOps.tokenCount(col(textCol)))
             .withColumn("lang_pred", graft.functions.TextOps.langId(col(textCol)))
+        tp.get("shard_budget").foreach { b =>
+          val budget = b.toString.toLong
+          val withTok =
+            if (df.columns.contains("n_tokens")) df
+            else df.withColumn("n_tokens",
+              graft.functions.TextOps.tokenCount(col(textCol)))
+          df = graft.functions.Sharding.packByBudget(
+            withTok, "n_tokens", Seq(idCol), budget)
+        }
       }
     }
 

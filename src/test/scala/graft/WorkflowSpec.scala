@@ -163,6 +163,44 @@ text_pipeline:
     assert(df.columns.contains("quality") && df.columns.contains("lang_pred"))
   }
 
+  test("workflow text_pipeline: pii, line dedup, gopher, sample, shards") {
+    val dir = java.nio.file.Files.createTempDirectory("wft2").toString
+    val body = Seq.fill(8)("the data and table with that have rows to be of use").mkString(" ")
+    val footer = "contact admin@site.example.com for help"
+    Seq(
+      (1L, body + " one\n" + footer),
+      (2L, body + " two\n" + footer),   // footer line deduped away
+      (3L, body + " three\n" + footer),
+      (4L, "#### ## #\n" + footer)      // fails gopher symbol rule
+    ).toDF("doc_id", "text").write.parquet(s"$dir/t")
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/t"
+    file_type: parquet
+text_pipeline:
+  text_col: text
+  id_col: doc_id
+  pii_redaction: true
+  line_dedup: true
+  gopher_filter: true
+  deterministic_sample:
+    fraction: 1.0
+  text_stats: true
+  shard_budget: 60
+"""
+    val (df, _) = Workflow.run(spark, yaml)
+    val rows = df.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), "gopher filter drops the symbol doc")
+    val t1 = rows(1L).getAs[String]("text")
+    assert(t1.contains("[EMAIL]") && !t1.contains("@site.example.com"))
+    assert(!rows(2L).getAs[String]("text").contains("contact"),
+      "footer line must survive only in doc 1")
+    assert(df.columns.contains("shard") && df.columns.contains("n_tokens"))
+    val shards = df.select("shard").collect().map(_.getLong(0))
+    assert(shards.distinct.length > 1, "budget 60 splits three ~90-token docs")
+  }
+
   test("full-demo equivalent: complete pipeline over the reference income fixture") {
     // mirrors the reference CI's full-demo run (.github/workflows/
     // full-demo.yml): ETL → stats → quality treatments → transformers →
