@@ -164,6 +164,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("map-only text ops run unchanged inside a stream") {
+    // piiRedact / deterministicSample are pure projections/filters — the
+    // exact same Columns drive readStream pipelines with no state, no
+    // watermark, no mode restrictions
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val out = graft.sources.Sampling.deterministicSample(
+        stream, 1.0, Seq("doc_id"))
+      .withColumn("text", graft.functions.TextOps.piiRedact(col("text")))
+      .withColumn("n_tokens", graft.functions.TextOps.tokenCount(col("text")))
+    val q = out.writeStream.format("memory").queryName("textops_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "write to admin@ex.example.org now"), (2L, "no pii"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, text, n_tokens FROM textops_out")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows(1L) == "write to [EMAIL] now" && rows(2L) == "no pii")
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
