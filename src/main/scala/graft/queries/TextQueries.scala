@@ -824,11 +824,85 @@ object TextQueries {
       SELECT doc_id, CAST($fold AS BIGINT) AS simhash FROM v"""
     })
 
+  /** Scalar int8 quantization of the embedding column against global
+    * [min, max] bounds (4× storage cut for ANN shortlists at 100 TB):
+    * one tiny bounds agg broadcast back, then a map-only encode. The
+    * oracle checks every code via the per-vector code sum plus the max
+    * reconstruction error.
+    */
+  val qEmbeddingQuantize = Q(
+    "q_embedding_quantize",
+    (s, dir) => {
+      val e = tables(s, dir).embeddings
+      val bounds = e.agg(
+        min(array_min(col("embedding"))).as("lo"),
+        max(array_max(col("embedding"))).as("hi"))
+      val scale = (col("hi") - col("lo")).cast("double") / 255.0
+      val q = transform(col("embedding"),
+        v => least(greatest(round((v.cast("double") - col("lo")) / scale, 0), lit(0.0)), lit(255.0))
+          .cast("int"))
+      e.crossJoin(broadcast(bounds))
+        .withColumn("__q", q)
+        .select(
+          col("vec_id"),
+          aggregate(col("__q"), lit(0L), (acc, x) => acc + x).as("code_sum"),
+          round(aggregate(
+            zip_with(col("__q"), col("embedding"),
+              (c, v) => abs(v.cast("double") - (col("lo") + c.cast("double") * scale))),
+            lit(0.0), (acc, d) => greatest(acc, d)), 4).as("max_err"))
+    },
+    Some("""
+      WITH b AS (SELECT min(list_min(embedding)) AS lo, max(list_max(embedding)) AS hi
+                 FROM embeddings),
+      e AS (SELECT vec_id,
+          unnest(embedding) AS v,
+          (SELECT lo FROM b) AS lo,
+          CAST(((SELECT hi FROM b) - (SELECT lo FROM b)) AS DOUBLE) / 255.0 AS scale
+        FROM embeddings),
+      q AS (SELECT vec_id, v, lo, scale,
+          CAST(least(greatest(round((CAST(v AS DOUBLE) - lo) / scale, 0), 0.0), 255.0) AS INT) AS c
+        FROM e)
+      SELECT vec_id,
+        CAST(sum(c) AS BIGINT) AS code_sum,
+        round(max(abs(CAST(v AS DOUBLE) - (lo + CAST(c AS DOUBLE) * scale))), 4) AS max_err
+      FROM q GROUP BY vec_id"""))
+
+  /** Unigram-LM negative log likelihood per document — the cheap
+    * perplexity-proxy quality signal (docs far from the corpus unigram
+    * distribution score high). Vocab = one combining agg; scoring = one
+    * join + one combining agg.
+    */
+  val qUnigramLogprob = Q(
+    "q_unigram_logprob",
+    (s, dir) => {
+      val toks = tables(s, dir).documents
+        .select(col("doc_id"),
+          explode(split(TextOps.normalizeText(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val n = toks.count()
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("nll", -log(col("cnt").cast("double") / n.toDouble))
+      toks.join(vocab.select("tok", "nll"), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(col("nll")), 4).as("mean_nll"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, unnest(str_split($normSql, ' ')) AS tok
+                    FROM documents),
+      t AS (SELECT * FROM toks WHERE length(tok) > 0),
+      vocab AS (SELECT tok, -ln(CAST(count(*) AS DOUBLE) /
+                  (SELECT CAST(count(*) AS DOUBLE) FROM t)) AS nll
+                FROM t GROUP BY tok)
+      SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 4) AS mean_nll
+      FROM t JOIN vocab USING (tok)
+      GROUP BY doc_id"""))
+
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qDedupClusters,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup,
     qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText,
     qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality,
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
-    qMinhashSignatures, qSimhashFingerprint)
+    qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob)
 }

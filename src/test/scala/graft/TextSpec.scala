@@ -329,6 +329,23 @@ class TextSpec extends SparkSpec {
     assert(hamming(fp(1L), fp(2L)) <= 12)
   }
 
+  test("int8 quantization reconstruction error is bounded by half a step") {
+    val dir = "/root/testdata/sf0.001"
+    val s = spark
+    val rows = graft.queries.TextQueries.qEmbeddingQuantize.fn(s, dir).collect()
+    assert(rows.nonEmpty)
+    // global bounds → step = (hi-lo)/255; rounding to nearest code keeps
+    // |v - decode(c)| <= step/2 (plus the 1e-4 output rounding)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val b = e.agg(
+      org.apache.spark.sql.functions.min(array_min(col("embedding"))),
+      org.apache.spark.sql.functions.max(array_max(col("embedding")))).first()
+    val step = (b.getFloat(1).toDouble - b.getFloat(0).toDouble) / 255.0
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= step / 2 + 1e-4, s"err ${r.getDouble(2)} > ${step / 2}")
+    }
+  }
+
   test("gopher signals compute rule flags per document") {
     val longDoc = (Seq.fill(20)("the data and table with that have rows") :+ "end").mkString(" ")
     val bullets = "- one\n- two\n- three\nthe end of that list to be with"
