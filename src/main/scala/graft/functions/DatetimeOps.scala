@@ -149,6 +149,31 @@ object DatetimeOps {
     case x => throw new IllegalArgumentException(s"unknown agg $x")
   }
 
+  /** Batch gap-based sessionization (companion to the streaming
+    * `StreamingOps.sessionize`): a new session starts when the gap to the
+    * previous event of the same user exceeds `gapUs` microseconds.
+    * Two key-partitioned windows (lag, then running sum) — every window
+    * partitions on the user key, so the work distributes; integer
+    * microsecond arithmetic keeps the session boundaries bit-identical
+    * across engines. Adds `__us` (event micros) and `session_idx`
+    * (0-based per user).
+    */
+  def sessionize(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      gapUs: Long = 1800000000L,
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(tieCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__new",
+        when(lag(col("__us"), 1).over(w).isNull ||
+          col("__us") - lag(col("__us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(run) - 1L)
+      .drop("__new")
+  }
+
   /** ref: datetime.py:1824-1930 `window_aggregator` — expanding
     * (unboundedPreceding→current) or rolling (−N+1→current) row frames
     * over time order, optional partition.

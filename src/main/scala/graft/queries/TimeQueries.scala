@@ -273,7 +273,32 @@ object TimeQueries {
         count(DISTINCT user_id) AS n_users
       FROM events GROUP BY 1, 2"""))
 
+  /** Batch gap-based sessionization over the events stream table:
+    * per-user lag + running-sum windows (both partition on the user key),
+    * then one combining aggregation per session. Microsecond integer
+    * arithmetic end to end → oracle-exact session boundaries.
+    */
+  val qSessionization = Q(
+    "q_sessionization",
+    (s, dir) => DatetimeOps.sessionize(tables(s, dir).events, "user_id", "ts")
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("__us")) - min(col("__us"))).as("duration_us")),
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+            FROM e),
+      n AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                           THEN 1 ELSE 0 END AS ns FROM l),
+      s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS UNBOUNDED PRECEDING) - 1 AS session_idx FROM n)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        count(*) AS n_events,
+        CAST(max(us) - min(us) AS BIGINT) AS duration_us
+      FROM s GROUP BY user_id, session_idx"""))
+
   def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
-    qTsAnalyzer)
+    qTsAnalyzer, qSessionization)
 }

@@ -212,6 +212,19 @@ stats_generator:
     assert(lm((1, 2)).contains(10.0) && lm((1, 1)).isEmpty)
   }
 
+  test("batch sessionization splits on gaps per user") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val d = Seq(
+      (1L, 100L, ts(0)), (2L, 100L, ts(5)),   // session 0 of user 100
+      (3L, 100L, ts(50)),                     // 45-min gap → session 1
+      (4L, 200L, ts(10))                      // other user, own session 0
+    ).toDF("event_id", "user_id", "ts")
+    val out = DatetimeOps.sessionize(d, "user_id", "ts")
+      .select("event_id", "session_idx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // one hot key dominates the fact side; with a low skew threshold AQE
     // must mark the sort-merge join skew=true and split the reducer
