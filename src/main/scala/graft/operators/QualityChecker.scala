@@ -351,6 +351,41 @@ object QualityChecker {
     }.toDF("attribute", "lower_outliers", "upper_outliers", "excluded_due_to_skewness")
   }
 
+  /** Robust (median/MAD) outlier scoring — Iglewicz–Hoaglin modified
+    * z-score: |0.6745·(x − median) / MAD| > threshold. Complements the
+    * reference's pctile/stdev/IQR trio with the estimator that survives
+    * up to 50% contamination. Two exact-median fits (each the
+    * shuffle-free histogram selection) + one counting aggregation; MAD=0
+    * (constant-majority column) marks nothing, mirroring the guarded
+    * denominators elsewhere.
+    */
+  def madOutliers(
+      df: DataFrame,
+      cols: Seq[String],
+      threshold: Double = 3.5): DataFrame = {
+    import df.sparkSession.implicits._
+    def medians(d: DataFrame, cs: Seq[String]): Map[String, Double] =
+      StatsGenerator.exactPercentiles(d, cs, Seq(0.5)).collect()
+        .map(r => r.getString(0) ->
+          (if (r.getLong(1) == 0L) Double.NaN else r.getSeq[Double](4).head))
+        .toMap
+    val med = medians(df, cols)
+    val devs = df.select(cols.map(c =>
+      abs(col(c).cast("double") - med(c)).as(c)): _*)
+    val mad = medians(devs, cols)
+    val counts = df.agg(
+      count(lit(1)).as("__n"),
+      cols.map { c =>
+        val rz = abs(lit(0.6745) * (col(c).cast("double") - med(c)) / mad(c))
+        sum(when(rz > threshold, 1L).otherwise(0L)).as(s"__o_$c")
+      }: _*).collect()(0)
+    cols.map { c =>
+      val n = if (mad(c) == 0.0 || mad(c).isNaN) 0L
+        else counts.getAs[Long](s"__o_$c")
+      (c, med(c), mad(c), n)
+    }.toDF("attribute", "median", "mad", "n_outliers")
+  }
+
   /** Treatment: clamp to bounds ("value"), null them, or drop rows. */
   def outlierTreatment(
       df: DataFrame,

@@ -127,6 +127,30 @@ object QualityQueries {
         coalesce(event_type, (SELECT v FROM md)) AS event_type
       FROM base"""))
 
+  /** Robust median/MAD outlier scoring (Iglewicz–Hoaglin modified
+    * z-score) — both medians ride the shuffle-free exact-percentile
+    * histogram selection; the count is one aggregation.
+    */
+  val qMadOutliers = Q(
+    "q_mad_outliers",
+    (s, dir) => QualityChecker.madOutliers(
+      tables(s, dir).lineitem, Seq("l_quantity", "l_extendedprice", "l_discount")),
+    Some {
+      Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        s"""
+        SELECT '$c' AS attribute,
+          (SELECT median(CAST($c AS DOUBLE)) FROM lineitem) AS median,
+          (SELECT median(abs(CAST($c AS DOUBLE) -
+              (SELECT median(CAST($c AS DOUBLE)) FROM lineitem))) FROM lineitem) AS mad,
+          (SELECT count(*) FROM lineitem
+           WHERE abs(0.6745 * (CAST($c AS DOUBLE) -
+               (SELECT median(CAST($c AS DOUBLE)) FROM lineitem)) /
+               (SELECT median(abs(CAST($c AS DOUBLE) -
+                   (SELECT median(CAST($c AS DOUBLE)) FROM lineitem))) FROM lineitem)) > 3.5)
+            AS n_outliers"""
+      }.mkString(" UNION ALL ")
+    })
+
   def all: Seq[Q] = Seq(qDuplicates, qNullRows, qIdness, qBiasedness, qInvalidEntries,
-    qOutlierDetection, qImputationMMM)
+    qOutlierDetection, qImputationMMM, qMadOutliers)
 }
