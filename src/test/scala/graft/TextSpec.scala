@@ -346,6 +346,25 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("new text ops are null/empty safe") {
+    val d = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // piiRedact propagates null, keeps empties
+    val pii = d.select(TextOps.piiRedact(col("text"))).collect().map(r => Option(r.get(0)))
+    assert(pii(0).contains("") && pii(2).isEmpty)
+    // gopher signals: zero words → all-zero ratios, no NaN/crash
+    val g = TextOps.gopherSignals(d.filter(col("text").isNotNull), "text", "doc_id")
+      .collect()
+    g.foreach { r =>
+      assert(r.getAs[Int]("n_words") == 0 && !r.getAs[Boolean]("passes"))
+      assert(r.getAs[Double]("mean_word_len") == 0.0)
+    }
+    // line dedup: whitespace-only lines dedup like any other line
+    val ld = Dedup.lineDedup(d.filter(col("text").isNotNull), "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(ld.length == 2 && ld(0).getLong(2) == 1 && ld(1).getLong(2) == 1)
+  }
+
   test("gopher signals compute rule flags per document") {
     val longDoc = (Seq.fill(20)("the data and table with that have rows") :+ "end").mkString(" ")
     val bullets = "- one\n- two\n- three\nthe end of that list to be with"
