@@ -86,10 +86,10 @@ class IngestSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("csv/json/parquet round-trips preserve data") {
+  test("csv/json/parquet/orc round-trips preserve data") {
     val dir = java.nio.file.Files.createTempDirectory("fmt").toString
     val d = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
-    for (fmt <- Seq("csv", "json", "parquet")) {
+    for (fmt <- Seq("csv", "json", "parquet", "orc")) {
       val opts = if (fmt == "csv") Map("header" -> "true", "inferSchema" -> "true") else Map.empty[String, String]
       Ingest.writeDataset(d, s"$dir/$fmt", fmt, options = if (fmt == "csv") Map("header" -> "true") else Map.empty)
       val back = Ingest.readDataset(spark, s"$dir/$fmt", fmt, opts)
