@@ -21,21 +21,26 @@ object CoreQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       // Sums are exact in decimal; the FINAL cast to double pins the textual
       // form to match DuckDB's (decimal scale would render trailing zeros).
+      // round(…,4) after the cast is LOSSLESS (the decimal sums have ≤ 4
+      // true decimals) and normalizes the two engines' decimal→double
+      // conversions: at sf0.1 magnitudes (~2.7e9) the casts can land one
+      // ulp apart and render differently; snapping to the exact 1e-4 grid
+      // makes both bit-identical at any scale.
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"),
-          sum(dec("l_extendedprice")).cast(DoubleType).as("sum_base_price"),
-          sum(dec("l_extendedprice") * (lit(1).cast(money) - dec("l_discount")))
-            .cast(DoubleType).as("sum_disc_price"),
+          round(sum(dec("l_quantity")).cast(DoubleType), 4).as("sum_qty"),
+          round(sum(dec("l_extendedprice")).cast(DoubleType), 4).as("sum_base_price"),
+          round(sum(dec("l_extendedprice") * (lit(1).cast(money) - dec("l_discount")))
+            .cast(DoubleType), 4).as("sum_disc_price"),
           (sum(dec("l_quantity")).cast(DoubleType) / count(col("l_quantity"))).as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_disc_price,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
         count(*) AS count_order
       FROM lineitem

@@ -765,13 +765,18 @@ object TextQueries {
     (s, dir) => tables(s, dir).embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
-      .agg(round(avg(col("v").cast("double")), 4).as("centroid")),
+      // 6 decimals: centroid magnitudes are ~1e-4..1e-1, so a 1e-4 grid
+      // sat AT the data's resolution and flipped at sf0.1 (engines' float
+      // sum order differs by ~1e-15); 1e-6 keeps the grid far below the
+      // data and far above the noise. `+ 0.0` collapses -0.0 → 0.0
+      // identically on both engines.
+      .agg((round(avg(col("v").cast("double")), 6) + lit(0.0)).as("centroid")),
     Some("""
       WITH e AS (SELECT label,
           unnest(range(0, len(embedding))) AS dim,
           unnest(embedding) AS v
         FROM embeddings)
-      SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 4) AS centroid
+      SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 6) + 0.0 AS centroid
       FROM e GROUP BY label, dim"""))
 
   /** MinHash signature matrix under the engine-portable md5 hash family —
