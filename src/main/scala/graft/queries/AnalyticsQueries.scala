@@ -29,7 +29,11 @@ object AnalyticsQueries {
       val li = tables(s, dir).lineitem
       val source = li.filter(col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
       val target = li.filter(col("l_shipdate") >= lit("1997-07-01").cast("timestamp"))
-      Drift.driftStatistics(source, target, driftCols, binCount = 10)
+      // sampleCap = None: the OPERATOR default keeps the reference's 100k
+      // detection cap; the verification query runs uncapped so the oracle
+      // is exact at every scale (the full-data fit is still one melted
+      // bin-count shuffle — histogram state, not row state)
+      Drift.driftStatistics(source, target, driftCols, binCount = 10, sampleCap = None)
     },
     Some {
       val mmSelects = driftCols.flatMap(c => Seq(
