@@ -519,6 +519,36 @@ object Dedup {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  /** Bloom-filter decontamination pre-screen for benchmark sets too big
+    * to broadcast exactly: build one Bloom filter over the benchmark's
+    * distinct shingles (`DataFrameStatFunctions.bloomFilter` — a
+    * distributed build, merged bitwise), broadcast the FILTER (bits, not
+    * rows), and count probable-shared shingles map-side. NO FALSE
+    * NEGATIVES: a doc sharing ≥1 shingle is always flagged; false
+    * positives inflate counts by ≤ fpp, so use this as the cheap first
+    * pass and confirm survivors with the exact [[contamination]] join.
+    * At 100 TB the exact join shuffles the corpus shingles; this pass
+    * shuffles NOTHING of the corpus (one aggregation over it).
+    */
+  def contaminationBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      keyCol: String,
+      n: Int = 3,
+      expectedShingles: Long = 10000000L,
+      fpp: Double = 0.001): DataFrame = {
+    val benchSh = shingles(benchmark, textCol, keyCol, n).select("shingle").distinct()
+    val bloom = benchSh.stat.bloomFilter("shingle", expectedShingles, fpp)
+    val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val hit = udf((s: String) => bloomBc.value.mightContainString(s))
+    shingles(corpus, textCol, keyCol, n)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(hit(col("shingle")), 1L).otherwise(0L)).as("probable_shared"))
+      .filter(col("probable_shared") >= 1L)
+  }
+
   /** Exact n-gram Jaccard for every intersecting pair inside a blocking
     * key (e.g. same source/lang). Intersections come straight from the
     * shingle equi-join — only pairs that actually SHARE a shingle ever

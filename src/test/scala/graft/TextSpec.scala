@@ -365,6 +365,25 @@ class TextSpec extends SparkSpec {
     assert(ld.length == 2 && ld(0).getLong(2) == 1 && ld(1).getLong(2) == 1)
   }
 
+  test("bloom decontamination pre-screen has no false negatives") {
+    val bench = Seq((100L, "the secret benchmark question about spark internals today"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the secret benchmark question about spark internals today verbatim copy"),
+      (2L, "entirely unrelated content with other words in it"),
+      (3L, "more clean text that shares nothing with the benchmark set"))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.contaminationBloom(corpus, bench, "text", "doc_id",
+      expectedShingles = 1000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.contains(1L), "a true contamination must always be flagged")
+    // exact confirmation pass agrees on the survivor
+    val exact = Dedup.contamination(corpus, bench, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L))
+    assert(exact.subsetOf(flagged), "bloom screen must cover every exact hit")
+  }
+
   test("gopher signals compute rule flags per document") {
     val longDoc = (Seq.fill(20)("the data and table with that have rows") :+ "end").mkString(" ")
     val bullets = "- one\n- two\n- three\nthe end of that list to be with"
