@@ -131,6 +131,44 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("shard packing: every shard except the last reaches the budget") {
+    val weightsGen = Gen.nonEmptyListOf(Gen.choose(1L, 50L)).map(_.take(300))
+    for ((ws, budget) <- samples(weightsGen, 4).zip(Seq(60L, 100L, 137L, 250L))) {
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+      val packed = graft.functions.Sharding.packByBudget(df, "w", Seq("id"), budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // shard ids are non-decreasing in the order key
+      val byId = packed.sortBy(_._1)
+      assert(byId.sliding(2).forall { case Array(a, b) => a._3 <= b._3; case _ => true })
+      // a shard closes only at/after the budget: every shard except the
+      // highest must have cumulative weight >= budget
+      val sums = byId.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+      val last = sums.keys.max
+      sums.foreach { case (s, total) =>
+        if (s != last) assert(total >= budget - 49,
+          s"shard $s closed at $total under budget $budget")
+      }
+    }
+  }
+
+  test("deterministic sample: fraction accuracy and threshold monotonicity") {
+    val fr = Seq(0.1, 0.25, 0.5, 0.9)
+    // hex thresholds are monotone in the fraction
+    assert(fr.map(graft.sources.Sampling.hashThresholdHex).sliding(2)
+      .forall { case Seq(a, b) => a <= b; case _ => true })
+    val d = (1 to 4000).map(i => (i, i % 13)).toDF("id", "g")
+    var prev = Set.empty[Int]
+    for (f <- fr) {
+      val kept = graft.sources.Sampling.deterministicSample(d, f, Seq("id"))
+        .select("id").collect().map(_.getInt(0)).toSet
+      val expect = 4000 * f
+      assert(math.abs(kept.size - expect) < 4 * math.sqrt(expect),
+        s"fraction $f kept ${kept.size}, expected ~$expect")
+      assert(prev.subsetOf(kept), "samples must nest as the fraction grows")
+      prev = kept
+    }
+  }
+
   test("iterative imputation is idempotent on complete data") {
     for (xs <- samples(doublesGen, 2) if xs.length >= 4) {
       val df = xs.zipWithIndex.map { case (x, i) => (x, x * 2 + i) }.toDF("a", "b")
