@@ -208,6 +208,78 @@ object CoreQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment"""))
 
+  /** Top-3 customers by account balance per market segment — the
+    * canonical per-group top-k: rank window partitioned on the group key
+    * (parallelism = #groups' hash spread, never 1).
+    */
+  val qTopkPerGroup = Q(
+    "q_topk_per_group",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      tables(s, dir).customer
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("c_mktsegment", "rk", "c_custkey", "c_acctbal")
+    },
+    Some("""
+      SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+          row_number() OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+        FROM customer) WHERE rk <= 3"""))
+
+  /** ROLLUP aggregation — subtotal + grand-total rows from ONE pass
+    * (Expand + single hash aggregate; no per-level rescans).
+    */
+  val qRollupPricing = Q(
+    "q_rollup_pricing",
+    (s, dir) => tables(s, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(dec("l_quantity")).cast(DoubleType), 4).as("sum_qty"),
+        count(lit(1)).as("n")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+        count(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
+  /** Pivot: event counts per day × event type (fixed category list so
+    * the output schema is static — the scale-safe pivot contract).
+    */
+  val qPivotEvents = Q(
+    "q_pivot_events",
+    (s, dir) => tables(s, dir).events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L),
+    Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      FROM events GROUP BY 1"""))
+
+  /** Grouped exact median (small-group regime: the `percentile` aggregate
+    * is exact and matches quantile_cont; for high-cardinality value
+    * domains per group, route through StatsGenerator.exactPercentiles
+    * per group key instead).
+    */
+  val qGroupedMedian = Q(
+    "q_grouped_median",
+    (s, dir) => tables(s, dir).customer
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("percentile(c_acctbal, 0.5)").as("median_acctbal"),
+        count(lit(1)).as("n")),
+    Some("""
+      SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5) AS median_acctbal,
+        count(*) AS n
+      FROM customer GROUP BY c_mktsegment"""))
+
   def all: Seq[Q] = Seq(q1, qJoin, qRecommendType, qExpressionParser,
-    qSemiAnti, qExcept, qRenameRecast, qRowIds, qSaltedJoin)
+    qSemiAnti, qExcept, qRenameRecast, qRowIds, qSaltedJoin,
+    qTopkPerGroup, qRollupPricing, qPivotEvents, qGroupedMedian)
 }
