@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join — the feature-store primitive Spark lacks
+  * natively: each left row picks up the right row with the greatest
+  * right-timestamp ≤ its own timestamp, per key. This is what makes
+  * offline feature joins leakage-free (a training example may only see
+  * feature values that existed at its event time; ref the feast
+  * point-in-time contract the exporter targets,
+  * `workflow/FeastExporter`).
+  *
+  * Spark-first shape: tag both sides, union, then ONE key-partitioned
+  * window pass propagating the last-seen right values
+  * (`last(ignoreNulls)` over unbounded-preceding). A single shuffle on
+  * the key — never a per-row subquery or a range cross-join, and the
+  * window partitions on the join key so parallelism is #keys. Compose
+  * with salting for pathological hot keys.
+  */
+object AsofJoin {
+
+  /** Left as-of join. `right` must be unique per (keyCols, rightTs) —
+    * pre-aggregate it otherwise (ambiguous duplicates have no canonical
+    * winner). Timestamps compare inclusively (a right row AT the left
+    * timestamp is visible). Right value columns arrive null where no
+    * prior right row exists.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty, "need key and value columns")
+    val leftCols = left.columns.toSeq
+    val taggedLeft = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select((leftCols.map(col) :+ col("__ts") :+ col("__side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val taggedRight = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select((leftCols.map(c =>
+        if (keyCols.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
+        :+ col("__ts") :+ col("__side")) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    // right rows sort BEFORE left rows at the same timestamp (inclusive
+    // as-of), and the running last(ignoreNulls) carries their values
+    // forward to every later left row of the key
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(taggedLeft.unionByName(taggedRight)) { (d, c) =>
+      d.withColumn(s"__v_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"__v_$c").as(c)): _*)
+  }
+}

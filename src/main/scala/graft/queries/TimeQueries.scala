@@ -298,7 +298,34 @@ object TimeQueries {
         CAST(max(us) - min(us) AS BIGINT) AS duration_us
       FROM s GROUP BY user_id, session_idx"""))
 
+  /** Point-in-time as-of join: each click event picks up the most recent
+    * prior (≤) purchase value of its user. Oracle = DuckDB's native
+    * ASOF LEFT JOIN; the Spark plan is the union + key-window shape
+    * (one shuffle on user_id).
+    */
+  val qAsofJoin = Q(
+    "q_asof_join",
+    (s, dir) => {
+      val e = tables(s, dir).events.withColumn("__us", unix_micros(col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "__us")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "__us")
+        .agg(max(col("value")).as("purchase_value"))
+      graft.functions.AsofJoin.asofJoin(
+          clicks, purchases, Seq("user_id"), "__us", "__us", Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          col("purchase_value").as("last_purchase_value"))
+    },
+    Some("""
+      WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+                 WHERE event_type = 'click'),
+      r AS (SELECT user_id, epoch_us(ts) AS us, max(value) AS pv FROM events
+            WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT l.event_id, l.user_id, r.pv AS last_purchase_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us"""))
+
   def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
-    qTsAnalyzer, qSessionization)
+    qTsAnalyzer, qSessionization, qAsofJoin)
 }

@@ -225,6 +225,20 @@ stats_generator:
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("as-of join picks the latest prior right row, inclusive at ties") {
+    val left = Seq((1L, 100L, 5L), (2L, 100L, 8L), (3L, 100L, 3L), (4L, 200L, 9L))
+      .toDF("id", "k", "ts")
+    val right = Seq((100L, 4L, 1.0), (100L, 8L, 2.0), (200L, 10L, 3.0))
+      .toDF("k", "ts", "v")
+    val out = graft.functions.AsofJoin
+      .asofJoin(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(1L).contains(1.0))      // ts=5 sees right ts=4
+    assert(out(2L).contains(2.0))      // ts=8 sees right ts=8 (inclusive)
+    assert(out(3L).isEmpty)            // ts=3 has no prior right row
+    assert(out(4L).isEmpty)            // right ts=10 is in the future
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // one hot key dominates the fact side; with a low skew threshold AQE
     // must mark the sort-merge join skew=true and split the reducer
