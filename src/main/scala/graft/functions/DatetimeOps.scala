@@ -174,6 +174,36 @@ object DatetimeOps {
       .drop("__new")
   }
 
+  /** Bounded-lookback exponentially-weighted moving average: weights
+    * (1−α)^k over the last `n` rows of the partition, normalized by the
+    * weights actually present (partial windows at the head of each key
+    * use only available lags). With α a negative power of two the
+    * weights are exact binary fractions, so the arithmetic is
+    * bit-identical on any engine. One key-partitioned window, n lag
+    * terms — map-side after the single shuffle.
+    */
+  def ewmaLagged(
+      df: DataFrame,
+      valueCol: String,
+      partitionCols: Seq[String],
+      orderCols: Seq[String],
+      alpha: Double = 0.5,
+      n: Int = 5,
+      outCol: String = "ewma"): DataFrame = {
+    require(n >= 1 && alpha > 0 && alpha < 1, "need n >= 1 and alpha in (0,1)")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val terms = (0 until n).map { k =>
+      val wk = math.pow(1 - alpha, k)
+      val x = lag(col(valueCol), k).over(w)
+      (when(x.isNotNull, lit(wk) * x).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(wk)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn(outCol, when(den > 0, num / den))
+  }
+
   /** ref: datetime.py:1824-1930 `window_aggregator` — expanding
     * (unboundedPreceding→current) or rolling (−N+1→current) row frames
     * over time order, optional partition.

@@ -325,7 +325,31 @@ object TimeQueries {
       SELECT l.event_id, l.user_id, r.pv AS last_purchase_value
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us"""))
 
+  /** Per-user EWMA of event values (α = 1/2, 5-row lookback): exact
+    * binary weights → bit-identical replay via explicit lag terms.
+    */
+  val qEwma = Q(
+    "q_ewma",
+    (s, dir) => DatetimeOps.ewmaLagged(
+        tables(s, dir).events.withColumn("__us", unix_micros(col("ts"))),
+        "value", Seq("user_id"), Seq("__us", "event_id"))
+      .select(col("event_id"), col("user_id"), round(col("ewma"), 4).as("ewma")),
+    Some {
+      val terms = (0 until 5).map { k =>
+        val wk = math.pow(0.5, k)
+        (s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN $wk * lag(value, $k) OVER w ELSE 0.0 END",
+          s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN CAST($wk AS DOUBLE) ELSE 0.0 END")
+      }
+      val num = terms.map(_._1).mkString(" + ")
+      val den = terms.map(_._2).mkString(" + ")
+      s"""
+      SELECT event_id, user_id,
+        round(CASE WHEN ($den) > 0 THEN ($num) / ($den) END, 4) AS ewma
+      FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)"""
+    })
+
   def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
-    qTsAnalyzer, qSessionization, qAsofJoin)
+    qTsAnalyzer, qSessionization, qAsofJoin, qEwma)
 }
