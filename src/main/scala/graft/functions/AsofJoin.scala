@@ -60,4 +60,30 @@ object AsofJoin {
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"__v_$c").as(c)): _*)
   }
+
+  /** Interval (range) join — points against [start, end) intervals —
+    * as a CHUNKED EQUI-JOIN: bucket the time axis into `chunk`-sized
+    * cells, explode each interval over the cells it covers, equi-join
+    * on the cell id, then apply the exact range predicate. Without this,
+    * Spark executes an inequality-only join as BroadcastNestedLoop —
+    * quadratic when the interval side outgrows a broadcast. Chunk cost
+    * is (interval span / chunk) rows on the interval side; pick `chunk`
+    * near the median interval length. Both join sides hash-partition on
+    * the cell id → scales on both sides.
+    */
+  def intervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      chunk: Long): DataFrame = {
+    require(chunk > 0, "chunk must be positive")
+    val p = points.withColumn("__cell", floor(col(pointCol) / chunk))
+    val iv = intervals.withColumn("__cell",
+      explode(sequence(floor(col(startCol) / chunk), floor((col(endCol) - 1) / chunk))))
+    p.join(iv, Seq("__cell"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__cell")
+  }
 }

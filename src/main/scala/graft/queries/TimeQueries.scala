@@ -349,7 +349,36 @@ object TimeQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)"""
     })
 
+  /** Interval join: events against 50 synthetic half-day-on windows via
+    * the chunked equi-join (never BroadcastNestedLoop); aggregated to
+    * per-window event counts.
+    */
+  val qIntervalJoin = Q(
+    "q_interval_join",
+    (s, dir) => {
+      val dayUs = 86400000000L
+      val t0 = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+      val windows = s.range(0, 50).select(
+        col("id").as("w"),
+        (lit(t0) + col("id") * dayUs).as("w_start"),
+        (lit(t0) + col("id") * dayUs + dayUs / 2).as("w_end"))
+      val pts = tables(s, dir).events
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      graft.functions.AsofJoin
+        .intervalJoin(pts, windows, "us", "w_start", "w_end", chunk = dayUs)
+        .groupBy(col("w")).agg(count(lit(1)).as("n_events"))
+    },
+    Some("""
+      WITH w AS (SELECT i AS w,
+          1704067200000000 + i * 86400000000 AS s,
+          1704067200000000 + i * 86400000000 + 43200000000 AS e
+        FROM range(0, 50) t(i)),
+      p AS (SELECT event_id, epoch_us(ts) AS us FROM events)
+      SELECT w.w, count(*) AS n_events
+      FROM p JOIN w ON p.us >= w.s AND p.us < w.e
+      GROUP BY w.w"""))
+
   def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
-    qTsAnalyzer, qSessionization, qAsofJoin, qEwma)
+    qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin)
 }

@@ -239,6 +239,15 @@ stats_generator:
     assert(out(4L).isEmpty)            // right ts=10 is in the future
   }
 
+  test("interval join matches points to covering [start,end) windows") {
+    val pts = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 25L)).toDF("id", "t")
+    val ivs = Seq((100L, 0L, 10L), (200L, 8L, 20L)).toDF("w", "s", "e")
+    val out = graft.functions.AsofJoin.intervalJoin(pts, ivs, "t", "s", "e", chunk = 7L)
+      .select("id", "w").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // t=5 → [0,10); t=10 → [8,20) only (end-exclusive); t=19 → [8,20); t=25 → none
+    assert(out == Set((1L, 100L), (2L, 200L), (3L, 200L)))
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // one hot key dominates the fact side; with a low skew threshold AQE
     // must mark the sort-merge join skew=true and split the reducer
