@@ -248,6 +248,26 @@ stats_generator:
     assert(out == Set((1L, 100L), (2L, 200L), (3L, 200L)))
   }
 
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    // fact partitioned by day; a filtered dim join must prune fact
+    // partitions at RUNTIME (DPP) — at 100 TB this is the difference
+    // between scanning one day and scanning the table
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    val fact = (1 to 2000).map(i => (i.toLong, i % 20, i * 1.0))
+      .toDF("id", "day", "v")
+    fact.write.partitionBy("day").parquet(s"$dir/fact")
+    val dim = (0 until 20).map(d => (d, if (d == 7) "keep" else "drop"))
+      .toDF("day", "tag")
+    dim.write.parquet(s"$dir/dim")
+    val f = spark.read.parquet(s"$dir/fact")
+    val d = spark.read.parquet(s"$dir/dim").filter(col("tag") === "keep")
+    val joined = f.join(d, "day")
+    assert(joined.count() == 100) // 2000 / 20 rows in day 7
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected a dynamic partition pruning filter in:\n$plan")
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // one hot key dominates the fact side; with a low skew threshold AQE
     // must mark the sort-merge join skew=true and split the reducer
