@@ -141,8 +141,9 @@ object Dedup {
     */
   def minhashSignaturesMd5(sh: DataFrame, numHashes: Int = 16): DataFrame = {
     require(numHashes <= md5Salts.size, s"at most ${md5Salts.size} md5 family members")
-    val base = conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    graft.plans.GraftFunctions.register(sh.sparkSession)
+    // fused native expression: no 32-char hex intermediate per shingle
+    val base = expr("md5_prefix60(cast(shingle as binary))")
     val aggs = md5Salts.take(numHashes).zipWithIndex.map { case (s, i) =>
       min(col("__h").bitwiseXOR(lit(s))).as(s"sig_$i")
     }
@@ -268,7 +269,8 @@ object Dedup {
     * oracle-checkable, unlike the xxhash64 `simhash_agg` production path.
     */
   def simhashMd5(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
-    val h = conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val h = expr("md5_prefix60(cast(tok as binary))")
     val votes = (0 until 60).map(b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(1L) === 1L, 1)
         .otherwise(-1)).as(s"__v$b"))

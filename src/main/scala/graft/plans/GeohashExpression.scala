@@ -64,6 +64,10 @@ object GraftFunctions {
       "simhash_agg",
       exprs => SimHashAgg(exprs.head).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_prefix60",
+      exprs => Md5Prefix60Expr(exprs.head),
+      "built-in")
   }
 }
 

@@ -74,6 +74,27 @@ object Sampling {
     }
   }
 
+  /** Same threshold as a long on the 60-bit hash space — the numeric
+    * twin of [[hashThresholdHex]] for the native `md5_prefix60`
+    * expression (fixed-width lowercase-hex string order ≡ numeric
+    * order, so both comparisons keep the identical row set).
+    */
+  def hashThresholdLong(fraction: Double): Long = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
+    if (fraction >= 1.0) 1L << 60
+    else math.floor(fraction * (1L << 60)).toLong
+  }
+
+  /** md5-prefix hash of the concatenated key columns via the fused
+    * native `md5_prefix60` expression (no 32-char hex string built and
+    * re-parsed per row; stays in whole-stage codegen).
+    */
+  private def keyHash(df: DataFrame, keyCols: Seq[String]): org.apache.spark.sql.Column = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val parts = keyCols.map(c => s"cast(`$c` as string)").mkString(", ")
+    expr(s"md5_prefix60(cast(concat_ws('', $parts) as binary))")
+  }
+
   /** Deterministic content-hash sampling: keep rows whose md5(key-expr)
     * prefix falls below [[hashThresholdHex]](fraction). Map-only — no
     * shuffle, no driver state, no RNG; the same document is kept or
@@ -85,8 +106,7 @@ object Sampling {
     */
   def deterministicSample(df: DataFrame, fraction: Double, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "deterministic sampling needs key columns")
-    val key = concat_ws("", keyCols.map(c => col(c).cast("string")): _*)
-    df.filter(substring(md5(key.cast("binary")), 1, 15) < lit(hashThresholdHex(fraction)))
+    df.filter(keyHash(df, keyCols) < lit(hashThresholdLong(fraction)))
   }
 
   /** Deterministic train/validation/test split: assigns each row a split
@@ -101,11 +121,10 @@ object Sampling {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
     val total = weights.map(_._2).sum
     val cum = weights.scanLeft(0.0)(_ + _._2 / total).tail
-    val key = concat_ws("", keyCols.map(c => col(c).cast("string")): _*)
-    val prefix = substring(md5(key.cast("binary")), 1, 15)
+    val h = keyHash(df, keyCols)
     val labeled = weights.zip(cum).init.foldRight(lit(weights.last._1)) {
       case (((name, _), cumW), elseCol) =>
-        when(prefix < lit(hashThresholdHex(cumW)), lit(name)).otherwise(elseCol)
+        when(h < lit(hashThresholdLong(cumW)), lit(name)).otherwise(elseCol)
     }
     df.withColumn("split", labeled)
   }

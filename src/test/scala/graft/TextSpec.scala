@@ -384,6 +384,26 @@ class TextSpec extends SparkSpec {
     assert(exact.subsetOf(flagged), "bloom screen must cover every exact hit")
   }
 
+  test("native md5_prefix60 equals the built-in hex-parse expression") {
+    graft.plans.GraftFunctions.register(spark)
+    val d = (1 to 500).map(i => s"value-$i-é中").toDF("s")
+    val cmp = d.select(
+      expr("md5_prefix60(cast(s as binary))").as("native"),
+      expr("cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) as bigint)").as("ref"))
+    assert(cmp.filter(col("native") =!= col("ref")).count() == 0)
+    // null-safe
+    val n = Seq[Option[String]](None).toDF("s")
+      .selectExpr("md5_prefix60(cast(s as binary))").first()
+    assert(n.isNullAt(0))
+    // stays inside whole-stage codegen (use a file scan — a local
+    // relation constant-folds to LocalTableScan before codegen)
+    val filePlan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("md5_prefix60(cast(text as binary)) AS h")
+      .queryExecution.executedPlan.toString
+    assert(filePlan.contains("*(1)"), // the WholeStageCodegen marker
+      s"expected the projection inside a codegen stage:\n$filePlan")
+  }
+
   test("gopher signals compute rule flags per document") {
     val longDoc = (Seq.fill(20)("the data and table with that have rows") :+ "end").mkString(" ")
     val bullets = "- one\n- two\n- three\nthe end of that list to be with"
