@@ -97,12 +97,14 @@ object StabilityEstimation {
     }
     def si(v: Double): Int =
       if (v < 0.03) 4 else if (v < 0.1) 3 else if (v < 0.2) 2 else if (v < 0.5) 1 else 0
-    val cvMean = cv(props.map(_.mean))
-    val cvSd = cv(props.map(_.stddev))
+    // classify on the ROUNDED cv (the reported value): an unrounded cv a
+    // few ulps under a threshold otherwise lands in a different SI class
+    // than an engine whose cv is a few ulps over (observed at sf0.001:
+    // cv_stddev exactly 0.1000 split 3 vs 2)
+    val cvMean = math.rint(cv(props.map(_.mean)) * 10000) / 10000
+    val cvSd = math.rint(cv(props.map(_.stddev)) * 10000) / 10000
     val idx = 0.5 * si(cvMean) + 0.5 * si(cvSd)
-    Seq((formula,
-      math.rint(cvMean * 10000) / 10000, math.rint(cvSd * 10000) / 10000,
-      si(cvMean), si(cvSd), idx))
+    Seq((formula, cvMean, cvSd, si(cvMean), si(cvSd), idx))
       .toDF("formula", "cv_mean", "cv_stddev", "mean_si", "stddev_si", "stability_index_lower_bound")
   }
 }
