@@ -164,6 +164,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches events in flight") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dim = Seq((1, "gold"), (2, "basic")).toDF("tier_id", "tier")
+    val input = MemoryStream[(Long, Int)]
+    val out = input.toDF().toDF("user_id", "tier_id")
+      .join(broadcast(dim), Seq("tier_id"), "left")
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, 1), (11L, 2), (12L, 9)) // 9 has no dim row
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, tier FROM enrich_out")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows == Map(10L -> Some("gold"), 11L -> Some("basic"), 12L -> None))
+    } finally q.stop()
+  }
+
   test("map-only text ops run unchanged inside a stream") {
     // piiRedact / deterministicSample are pure projections/filters — the
     // exact same Columns drive readStream pipelines with no state, no
