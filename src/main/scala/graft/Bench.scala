@@ -1,5 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-query shuffle/spill accounting: a task-metrics listener sampled
+  * around each query. Shuffle bytes expose plan regressions that wall
+  * time hides under machine noise (a doubled exchange shows up exactly;
+  * a noisy neighbor does not).
+  */
+private class BenchMetrics extends org.apache.spark.scheduler.SparkListener {
+  val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+  val spill = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+    }
+  }
+  def snapshot: (Long, Long) = (shuffleWrite.get, spill.get)
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,13 +54,19 @@ object Bench {
     // NO System.gc() between queries — measured +20% across the board:
     // a full GC fires Spark's weak-reference ContextCleaner, which reaps
     // shuffle files / broadcasts that warm later queries.
+    val metrics = new BenchMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    val detail = scala.collection.mutable.Map.empty[String, (Long, Long)]
     val results = selected.map { case (name, fn) =>
+      val (sw0, sp0) = metrics.snapshot
       val t0 = System.nanoTime()
       // noop sink: forces full computation of every output column
       // (count() would let Catalyst prune row-level transform work)
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
+      val (sw1, sp1) = metrics.snapshot
+      detail(name) = (sw1 - sw0, sp1 - sp0)
       // Drop blocks the finished query leaked (localCheckpoint frames,
       // persisted fit caches): with a 96-GiB heap a GC may never fire, so
       // ContextCleaner never reaps them and storage-pool churn taxes every
@@ -52,9 +77,13 @@ object Bench {
       name -> dt
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Full per-query timings for humans (stderr, not the parsed line).
+    // Full per-query timings + shuffle/spill for humans (stderr, not the
+    // parsed line): shuffle bytes expose plan regressions that wall time
+    // hides under machine noise.
     results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
-      System.err.println(f"[bench] $k%-28s ${v}%9.3f s")
+      val (sw, sp) = detail.getOrElse(k, (0L, 0L))
+      System.err.println(
+        f"[bench] $k%-28s ${v}%9.3f s  shuffle=${sw / 1048576.0}%9.1f MiB  spill=${sp / 1048576.0}%7.1f MiB")
     }
     // The driver captures only the LAST ~2000 chars of output and parses the
     // JSON from that tail (round 1's 2.7 KB line was front-truncated there →
