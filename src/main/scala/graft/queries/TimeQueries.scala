@@ -378,7 +378,35 @@ object TimeQueries {
       FROM p JOIN w ON p.us >= w.s AND p.us < w.e
       GROUP BY w.w"""))
 
+  /** RANGE-framed rolling aggregation: per-user trailing-24h event count
+    * and value sum at every event — a time framed window (rangeBetween on
+    * the microsecond axis), unlike windowAggregator's row frames. The
+    * window partitions on the user key; decimal sums keep the oracle
+    * exact.
+    */
+  val qRolling24h = Q(
+    "q_rolling_24h",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 86400000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+        .rangeBetween(-(dayUs - 1), 0)
+      tables(s, dir).events
+        .withColumn("__us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_24h"),
+          sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("sum_24h"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+        count(*) OVER w AS n_24h,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_24h
+      FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+        RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)"""))
+
   def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
-    qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin)
+    qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin, qRolling24h)
 }
