@@ -245,6 +245,21 @@ object CoreQueries {
         count(*) AS n
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
 
+  /** CUBE aggregation — every grouping-set combination (both rollup
+    * paths + the cross marginals) from the same one-pass Expand plan.
+    */
+  val qCubePricing = Q(
+    "q_cube_pricing",
+    (s, dir) => tables(s, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(dec("l_quantity")).cast(DoubleType), 4).as("sum_qty"),
+        count(lit(1)).as("n")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+        count(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
   /** Pivot: event counts per day × event type (fixed category list so
     * the output schema is static — the scale-safe pivot contract).
     */
@@ -281,5 +296,5 @@ object CoreQueries {
 
   def all: Seq[Q] = Seq(q1, qJoin, qRecommendType, qExpressionParser,
     qSemiAnti, qExcept, qRenameRecast, qRowIds, qSaltedJoin,
-    qTopkPerGroup, qRollupPricing, qPivotEvents, qGroupedMedian)
+    qTopkPerGroup, qRollupPricing, qCubePricing, qPivotEvents, qGroupedMedian)
 }
