@@ -31,7 +31,9 @@ object Sharding {
     require(budget > 0, "budget must be positive")
     val sorted = df.orderBy(orderCols.map(col): _*)
     val idx = sorted.schema.fieldIndex(weightCol)
-    def weight(r: Row): Long = r.getAs[Number](idx).longValue()
+    // null weights count as 0 rather than NPE-ing a 100 TB job in pass 2
+    def weight(r: Row): Long =
+      if (r.isNullAt(idx)) 0L else r.getAs[Number](idx).longValue()
     val rdd = sorted.rdd
     // the sort is reused by both passes — cache it (Bench/pipelines
     // unpersist leftovers; at cluster scale this is one shuffle's worth)
