@@ -174,6 +174,24 @@ object DatetimeOps {
       .drop("__new")
   }
 
+  /** Per-key time-ordered forward fill: nulls take the most recent
+    * non-null value of the same key (`last(ignoreNulls)` over an
+    * unbounded-preceding frame — one key-partitioned window, the
+    * standard gap-filling pass for sensor/event streams). Leading nulls
+    * (no prior observation) stay null.
+    */
+  def forwardFill(
+      df: DataFrame,
+      valueCols: Seq[String],
+      partitionCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
   /** Bounded-lookback exponentially-weighted moving average: weights
     * (1−α)^k over the last `n` rows of the partition, normalized by the
     * weights actually present (partial windows at the head of each key

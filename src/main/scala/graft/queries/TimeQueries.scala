@@ -406,7 +406,29 @@ object TimeQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY us
         RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)"""))
 
+  /** Forward fill over planted gaps: error events' values are nulled,
+    * then each user's series carries its last observation forward —
+    * leading nulls stay null. Oracle replays the same window.
+    */
+  val qForwardFill = Q(
+    "q_forward_fill",
+    (s, dir) => {
+      val e = tables(s, dir).events
+        .withColumn("__us", unix_micros(col("ts")))
+        .withColumn("value",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      DatetimeOps.forwardFill(e, Seq("value"), Seq("user_id"), Seq("__us", "event_id"))
+        .select(col("event_id"), col("user_id"), col("value").as("value_filled"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+        last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+      FROM events"""))
+
   def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
-    qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin, qRolling24h)
+    qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin, qRolling24h,
+    qForwardFill)
 }
