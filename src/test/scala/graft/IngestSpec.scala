@@ -212,6 +212,19 @@ stats_generator:
     assert(lm((1, 2)).contains(10.0) && lm((1, 1)).isEmpty)
   }
 
+  test("forward fill carries last observation, leaves leading nulls") {
+    val d = Seq(
+      (1L, 100L, Option.empty[Double]), // leading null stays null
+      (2L, 100L, Some(5.0)),
+      (3L, 100L, None),                 // filled with 5.0
+      (4L, 100L, Some(7.0)),
+      (5L, 200L, None)                  // other key, leading null
+    ).toDF("seq", "k", "v")
+    val out = DatetimeOps.forwardFill(d, Seq("v"), Seq("k"), Seq("seq"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(out(1L).isEmpty && out(3L).contains(5.0) && out(4L).contains(7.0) && out(5L).isEmpty)
+  }
+
   test("batch sessionization splits on gaps per user") {
     def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
     val d = Seq(
