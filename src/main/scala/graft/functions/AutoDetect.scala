@@ -1,53 +1,202 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Timestamp & geo column auto-detection
-  * (ref: data_ingest/ts_auto_detection.py:51-553 and
-  * geo_auto_detection.py:23-177).
+  * (ref: data_ingest/ts_auto_detection.py:95-258 — REGEX_PARTS /
+  * REGEX_PATTERNS_PARSERS format table — and geo_auto_detection.py:23-177).
   *
-  * 100 TB posture: format inference runs over a CAPPED sample of
-  * DISTINCT values (the reference collected unbounded distincts,
-  * ts_auto_detection.py:312 — here driver state is O(sampleCap)); the
-  * cast itself is then a distributed to_timestamp over the full data.
+  * 100 TB posture: detection runs ONE sampling job for ALL candidate
+  * columns — a row-capped slice followed by a single aggregate computing
+  * `slice(collect_set(c), 1, sampleCap)` per column — so driver state is
+  * O(cols * sampleCap) and job count is O(1), not O(cols). (The previous
+  * shape, one distinct().limit().collect() job per column, was the §4
+  * per-column-job-loop anti-pattern.) The cast itself is a distributed
+  * codegen'd try_to_timestamp over the full data.
   */
 object AutoDetect {
 
-  /** Candidate datetime formats, probed in order (regex gate + parse). */
-  val tsPatterns: Seq[(String, String)] = Seq(
-    ("""^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$""", "yyyy-MM-dd HH:mm:ss"),
-    ("""^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$""", "yyyy-MM-dd'T'HH:mm:ss"),
-    ("""^\d{4}-\d{2}-\d{2}$""", "yyyy-MM-dd"),
-    ("""^\d{2}/\d{2}/\d{4}$""", "dd/MM/yyyy"),
-    ("""^\d{2}-\d{2}-\d{4}$""", "dd-MM-yyyy"),
-    ("""^\d{4}/\d{2}/\d{2}$""", "yyyy/MM/dd"),
-    ("""^\d{8}$""", "yyyyMMdd"),
-    ("""^\d{2}\.\d{2}\.\d{4}$""", "dd.MM.yyyy"))
+  // ---- regex building blocks (ref: ts_auto_detection.py:95-148) ----
+  private val Y  = """(?:19[4-9]\d|20[0-3]\d)"""                  // 1940-2039
+  private val y2 = """(?:\d\d)"""                                 // 2-digit year
+  private val m  = """(?:1[012]|0?[1-9])"""                       // month 1-12
+  private val mz = """(?:1[012]|0[1-9])"""                        // zero-padded month
+  private val d  = """(?:3[01]|[12]\d|0?[1-9])"""                 // day 1-31
+  private val dz = """(?:3[01]|[12]\d|0[1-9])"""                  // zero-padded day
+  private val H  = """(?:2[0-3]|[01]?\d)"""                       // hour 0-23
+  private val I  = """(?:1[012]|0?[1-9])"""                       // 12h hour
+  private val M  = """(?:[0-5]\d)"""                              // minute
+  private val S  = """(?:[0-5]\d|6[01])"""                        // second (leap)
+  private val B3 = """(?:JAN|FEB|MAR|APR|MAY|JUN|JUL|AUG|SEP|OCT|NOV|DEC)"""
+  private val BF =
+    """(?:JANUARY|FEBRUARY|MARCH|APRIL|MAY|JUNE|JULY|AUGUST|SEPTEMBER|OCTOBER|NOVEMBER|DECEMBER)"""
+  private val th = """(?:ST|ND|RD|TH)"""                          // ordinal suffix
+  private val ap = """(?:[AP]\.? ?M\.?)"""                        // am/pm marker
+  private val tz = """(?:[+-](?:0\d|1[0-4]):?(?:00|15|30|45))"""  // utc offset
+
+  /** Pre-parse normalization family for a format. */
+  sealed trait Norm
+  case object NoNorm    extends Norm
+  /** canonical `Aug`/`August` casing; strip ordinals, commas, quotes */
+  case object MonthNorm extends Norm
+  /** uppercase AM/PM; strip periods (`p.m.` → `PM`) */
+  case object AmPmNorm  extends Norm
+  case object EpochSec  extends Norm
+  case object EpochMs   extends Norm
+  /** Spark's flexible ISO cast (fractional seconds / offsets) */
+  case object IsoAuto   extends Norm
+
+  final case class TsFormat(
+      regex: String,
+      fmt: String,
+      norm: Norm = NoNorm,
+      ci: Boolean = false) {
+    lazy val pattern: Pattern =
+      Pattern.compile(regex, if (ci) Pattern.CASE_INSENSITIVE else 0)
+  }
+
+  /** Candidate formats, probed in order. Ties in match rate resolve to the
+    * EARLIER entry, so day-first layouts precede month-first (the reference
+    * pins dateutil to dayfirst, ts_auto_detection.py:333) and full
+    * datetimes precede bare dates.
+    */
+  val tsFormats: Seq[TsFormat] = Seq(
+    // ---- ISO datetime family ----
+    TsFormat(s"^$Y-$mz-$dz $H:$M:$S$$",                      "yyyy-MM-dd HH:mm:ss"),
+    TsFormat(s"^$Y-$mz-${dz}T$H:$M:$S$$",                    "yyyy-MM-dd'T'HH:mm:ss"),
+    TsFormat(s"^$Y-$mz-$dz[T ]$H:$M:$S\\.\\d{1,9}(?:Z|$tz)?$$", "iso_fractional", IsoAuto),
+    TsFormat(s"^$Y-$mz-$dz[T ]$H:$M:$S(?:Z|$tz)$$",          "iso_offset", IsoAuto),
+    TsFormat(s"^$Y-$mz-$dz $H:$M$$",                         "yyyy-MM-dd HH:mm"),
+    TsFormat(s"^$Y/$m/$d $H:$M:$S$$",                        "yyyy/M/d HH:mm:ss"),
+    TsFormat(s"^$Y$mz$dz$H$M$S$$",                           "yyyyMMddHHmmss"),
+    TsFormat(s"^$Y$mz${dz}T$H$M$S$$",                        "yyyyMMdd'T'HHmmss"),
+    // ---- 12-hour datetime (am/pm) ----
+    TsFormat(s"^$Y-$mz-$dz $I:$M:$S ?$ap$$",                 "yyyy-MM-dd h:mm:ss a", AmPmNorm, ci = true),
+    TsFormat(s"^$Y-$mz-$dz $I:$M ?$ap$$",                    "yyyy-MM-dd h:mm a", AmPmNorm, ci = true),
+    TsFormat(s"^$d/$m/$Y $I:$M ?$ap$$",                      "d/M/yyyy h:mm a", AmPmNorm, ci = true),
+    // ---- day-first datetimes ----
+    TsFormat(s"^$d/$m/$Y $H:$M:$S$$",                        "d/M/yyyy HH:mm:ss"),
+    TsFormat(s"^$d-$m-$Y $H:$M:$S$$",                        "d-M-yyyy HH:mm:ss"),
+    // ---- month-first datetimes ----
+    TsFormat(s"^$m/$d/$Y $H:$M:$S$$",                        "M/d/yyyy HH:mm:ss"),
+    TsFormat(s"^$m-$d-$Y $H:$M:$S$$",                        "M-d-yyyy HH:mm:ss"),
+    // ---- ISO-ish dates ----
+    TsFormat(s"^$Y-$mz-$dz$$",                               "yyyy-MM-dd"),
+    TsFormat(s"^$Y/$m/$d$$",                                 "yyyy/M/d"),
+    TsFormat(s"^$Y\\.$m\\.$d$$",                             "yyyy.M.d"),
+    TsFormat(s"^$Y $m $d$$",                                 "yyyy M d"),
+    TsFormat(s"^$Y$mz$dz$$",                                 "yyyyMMdd"),
+    // ---- day-first dates (4-digit year) ----
+    TsFormat(s"^$d/$m/$Y$$",                                 "d/M/yyyy"),
+    TsFormat(s"^$d-$m-$Y$$",                                 "d-M-yyyy"),
+    TsFormat(s"^$d\\.$m\\.$Y$$",                             "d.M.yyyy"),
+    TsFormat(s"^$d $m $Y$$",                                 "d M yyyy"),
+    TsFormat(s"^$dz$mz$Y$$",                                 "ddMMyyyy"),
+    // ---- month-first dates (4-digit year) ----
+    TsFormat(s"^$m/$d/$Y$$",                                 "M/d/yyyy"),
+    TsFormat(s"^$m-$d-$Y$$",                                 "M-d-yyyy"),
+    TsFormat(s"^$m\\.$d\\.$Y$$",                             "M.d.yyyy"),
+    TsFormat(s"^$mz$dz$Y$$",                                 "MMddyyyy"),
+    // ---- 2-digit-year dates (day-first, then month-first, then yy-first;
+    //      Spark's `yy` maps to 2000-2099) ----
+    TsFormat(s"^$d/$m/$y2$$",                                "d/M/yy"),
+    TsFormat(s"^$d-$m-$y2$$",                                "d-M-yy"),
+    TsFormat(s"^$d\\.$m\\.$y2$$",                            "d.M.yy"),
+    TsFormat(s"^$m/$d/$y2$$",                                "M/d/yy"),
+    TsFormat(s"^$m-$d-$y2$$",                                "M-d-yy"),
+    TsFormat(s"^$y2/$m/$d$$",                                "yy/M/d"),
+    TsFormat(s"^$y2-$m-$d$$",                                "yy-M-d"),
+    TsFormat(s"^$y2\\.$m\\.$d$$",                            "yy.M.d"),
+    // ---- month-name dates ----
+    TsFormat(s"^$d$th? $B3,? $Y$$",                          "d MMM yyyy", MonthNorm, ci = true),
+    TsFormat(s"^$d$th? $BF,? $Y$$",                          "d MMMM yyyy", MonthNorm, ci = true),
+    TsFormat(s"^$d$th?-$B3-$Y$$",                            "d-MMM-yyyy", MonthNorm, ci = true),
+    TsFormat(s"^$B3 $d$th?,? $Y$$",                          "MMM d yyyy", MonthNorm, ci = true),
+    TsFormat(s"^$BF $d$th?,? $Y$$",                          "MMMM d yyyy", MonthNorm, ci = true),
+    TsFormat(s"^$B3-$d$th?-$Y$$",                            "MMM-d-yyyy", MonthNorm, ci = true),
+    TsFormat(s"^$d$th?-$B3-'?$y2$$",                         "d-MMM-yy", MonthNorm, ci = true),
+    TsFormat(s"^$B3 $Y$$",                                   "MMM yyyy", MonthNorm, ci = true),
+    TsFormat(s"^$BF $Y$$",                                   "MMMM yyyy", MonthNorm, ci = true),
+    // ---- time-only (parses onto the epoch date, like to_timestamp) ----
+    TsFormat(s"^$H:$M:$S$$",                                 "H:mm:ss"),
+    TsFormat(s"^$H:$M$$",                                    "H:mm"),
+    TsFormat(s"^$I:$M:$S ?$ap$$",                            "h:mm:ss a", AmPmNorm, ci = true),
+    TsFormat(s"^$I:$M ?$ap$$",                               "h:mm a", AmPmNorm, ci = true),
+    TsFormat(s"^$I ?$ap$$",                                  "h a", AmPmNorm, ci = true),
+    // ---- epoch strings (1x-prefixed to avoid phone/id collisions) ----
+    TsFormat("^1[0-9]{9}$",                                  "epoch_seconds", EpochSec),
+    TsFormat("^1[0-9]{12}$",                                 "epoch_millis", EpochMs))
+
+  private val formatByFmt: Map[String, TsFormat] =
+    tsFormats.map(f => f.fmt -> f).toMap
 
   final case class TsDetection(attribute: String, format: Option[String], matchRate: Double)
 
+  /** One sampling job for ALL columns: cap rows, then per-column
+    * `slice(collect_set, 1, sampleCap)` in a single aggregate.
+    */
+  private[graft] def sampleDistincts(
+      df: DataFrame,
+      cols: Seq[String],
+      sampleCap: Int,
+      rowCap: Int = 20000): Map[String, Seq[String]] = {
+    val capped = df
+      .select(cols.map(c => col(c).cast(StringType).as(c)): _*)
+      .limit(rowCap)
+    val row = capped
+      .select(cols.map(c => slice(collect_set(col(c)), 1, sampleCap).as(c)): _*)
+      .head()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> (if (row.isNullAt(i)) Seq.empty[String] else row.getSeq[String](i))
+    }.toMap
+  }
+
   /** Detect the datetime format of string columns from a capped distinct
     * sample; a column is a timestamp candidate when >= minMatchRate of its
-    * sampled values match one format.
+    * sampled values match one format. All columns share ONE Spark job.
     */
   def detectTimestampColumns(
       df: DataFrame,
       cols: Seq[String],
       sampleCap: Int = 1000,
       minMatchRate: Double = 0.8): Seq[TsDetection] = {
+    if (cols.isEmpty) return Seq.empty
+    val samples = sampleDistincts(df, cols, sampleCap)
     cols.map { c =>
-      val sample = df.select(col(c).cast(StringType)).filter(col(c).isNotNull)
-        .distinct().limit(sampleCap).collect().map(_.getString(0))
+      val sample = samples(c)
       if (sample.isEmpty) TsDetection(c, None, 0.0)
       else {
-        val scored = tsPatterns.map { case (re, fmt) =>
-          (fmt, sample.count(_.matches(re)).toDouble / sample.length)
+        val scored = tsFormats.map { f =>
+          (f.fmt, sample.count(v => f.pattern.matcher(v.trim).matches()).toDouble / sample.length)
         }
         val (fmt, rate) = scored.maxBy(_._2)
         TsDetection(c, if (rate >= minMatchRate) Some(fmt) else None, rate)
       }
+    }
+  }
+
+  /** Distributed cast of one string column under a detected format —
+    * normalization + try_to_timestamp, all codegen'd builtins.
+    */
+  def castColumn(c: Column, fmt: String): Column = {
+    val f = formatByFmt.getOrElse(fmt, TsFormat("", fmt))
+    f.norm match {
+      case EpochSec => timestamp_seconds(c.cast(LongType))
+      case EpochMs  => timestamp_millis(c.cast(LongType))
+      case IsoAuto  => c.cast(TimestampType)
+      case MonthNorm =>
+        val cleaned = initcap(lower(regexp_replace(
+          regexp_replace(trim(c), "(?i)(\\d)(st|nd|rd|th)", "$1"),
+          "[,'‘’]", "")))
+        try_to_timestamp(cleaned, lit(f.fmt))
+      case AmPmNorm =>
+        try_to_timestamp(regexp_replace(upper(trim(c)), "\\.", ""), lit(f.fmt))
+      case NoNorm =>
+        try_to_timestamp(trim(c), lit(f.fmt))
     }
   }
 
@@ -56,9 +205,8 @@ object AutoDetect {
     */
   def tsPreprocess(df: DataFrame, detections: Seq[TsDetection]): DataFrame =
     detections.foldLeft(df) {
-      case (d, TsDetection(c, Some(fmt), _)) =>
-        d.withColumn(c, expr(s"try_to_timestamp(`$c`, '$fmt')"))
-      case (d, _) => d
+      case (acc, TsDetection(c, Some(fmt), _)) => acc.withColumn(c, castColumn(col(c), fmt))
+      case (acc, _)                            => acc
     }
 
   final case class GeoDetection(latCols: Seq[String], lonCols: Seq[String], geohashCols: Seq[String])
@@ -67,26 +215,47 @@ object AutoDetect {
     * checks. A numeric column whose name contains "lat" with values in
     * [-90,90] is a latitude; "lon"/"lng" in [-180,180] a longitude; a
     * base32 string column named "geohash" (or fully base32, len<=12) a
-    * geohash.
+    * geohash. All range checks share ONE full-scan aggregate; geohash
+    * value-samples share one row-capped job.
     */
   def detectGeoColumns(df: DataFrame, sampleCap: Int = 1000): GeoDetection = {
     val (num, cat, _) = graft.core.ColumnRole.segregate(df.schema)
-    def inRange(c: String, lo: Double, hi: Double): Boolean = {
-      val r = df.select(min(col(c)).cast(DoubleType), max(col(c)).cast(DoubleType)).first()
-      !r.isNullAt(0) && r.getDouble(0) >= lo && r.getDouble(1) <= hi
-    }
-    val lats = num.filter(c => c.toLowerCase.contains("lat") && inRange(c, -90, 90))
-    val lons = num.filter { c =>
+    val latCand = num.filter(_.toLowerCase.contains("lat"))
+    val lonCand = num.filter { c =>
       val n = c.toLowerCase
-      (n.contains("lon") || n.contains("lng")) && inRange(c, -180, 180)
+      n.contains("lon") || n.contains("lng")
     }
-    val ghs = cat.filter { c =>
-      c.toLowerCase.contains("geohash") || {
-        val sample = df.select(col(c)).filter(col(c).isNotNull).limit(sampleCap)
-          .collect().map(_.getString(0))
-        sample.nonEmpty && sample.forall(v => v.length <= 12 && v.matches("[0-9b-hjkmnp-z]+"))
+    val rangeCand = latCand ++ lonCand
+    val ranges: Map[String, (Option[Double], Option[Double])] =
+      if (rangeCand.isEmpty) Map.empty
+      else {
+        val aggs = rangeCand.flatMap(c =>
+          Seq(min(col(c)).cast(DoubleType).as(s"min_$c"), max(col(c)).cast(DoubleType).as(s"max_$c")))
+        val r = df.select(aggs: _*).head()
+        rangeCand.zipWithIndex.map { case (c, i) =>
+          c -> (
+            (if (r.isNullAt(2 * i)) None else Some(r.getDouble(2 * i))),
+            (if (r.isNullAt(2 * i + 1)) None else Some(r.getDouble(2 * i + 1))))
+        }.toMap
       }
+    def inRange(c: String, lo: Double, hi: Double): Boolean = ranges(c) match {
+      case (Some(mn), Some(mx)) => mn >= lo && mx <= hi
+      case _                    => false
     }
-    GeoDetection(lats, lons, ghs)
+    val lats = latCand.filter(inRange(_, -90, 90))
+    val lons = lonCand.filter(inRange(_, -180, 180))
+    val ghNamed  = cat.filter(_.toLowerCase.contains("geohash"))
+    val ghByName = ghNamed.toSet
+    val ghCand   = cat.filterNot(ghByName)
+    val ghSampled =
+      if (ghCand.isEmpty) Seq.empty[String]
+      else {
+        val samples = sampleDistincts(df, ghCand, sampleCap)
+        ghCand.filter { c =>
+          val s = samples(c)
+          s.nonEmpty && s.forall(v => v.length <= 12 && v.matches("[0-9b-hjkmnp-z]+"))
+        }
+      }
+    GeoDetection(lats, lons, cat.filter(c => ghByName(c) || ghSampled.contains(c)))
   }
 }

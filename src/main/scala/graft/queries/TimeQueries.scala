@@ -180,18 +180,33 @@ object TimeQueries {
       import graft.functions.AutoDetect
       val o = tables(s, dir).orders
         .withColumn("date_str", date_format(col("o_orderdate"), "dd/MM/yyyy"))
-      val det = AutoDetect.detectTimestampColumns(o, Seq("date_str"))
-      require(det.head.format.contains("dd/MM/yyyy"), s"detection failed: $det")
+        .withColumn("us_str", date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        .withColumn("mname_str", date_format(col("o_orderdate"), "MMM d, yyyy"))
+        .withColumn("compact_str", date_format(col("o_orderdate"), "yyyyMMdd"))
+      val strCols = Seq("date_str", "us_str", "mname_str", "compact_str")
+      val det = AutoDetect.detectTimestampColumns(o, strCols)
+      // month-first disambiguates because orders' sample spans days > 12
+      val expected = Map(
+        "date_str" -> "d/M/yyyy", "us_str" -> "M/d/yyyy",
+        "mname_str" -> "MMM d yyyy", "compact_str" -> "yyyyMMdd")
+      det.foreach(x =>
+        require(x.format.contains(expected(x.attribute)), s"detection failed: $x"))
       val cast = AutoDetect.tsPreprocess(o, det)
       cast.select(
         col("o_orderkey"),
         year(col("date_str")).cast(LongType).as("yr"),
         month(col("date_str")).cast(LongType).as("mo"),
-        dayofmonth(col("date_str")).cast(LongType).as("dom"))
+        dayofmonth(col("date_str")).cast(LongType).as("dom"),
+        date_format(col("us_str"), "yyyy-MM-dd").as("rt_us"),
+        date_format(col("mname_str"), "yyyy-MM-dd").as("rt_mname"),
+        date_format(col("compact_str"), "yyyy-MM-dd").as("rt_compact"))
     },
     Some("""
       SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-             day(o_orderdate) AS dom
+             day(o_orderdate) AS dom,
+             strftime(o_orderdate, '%Y-%m-%d') AS rt_us,
+             strftime(o_orderdate, '%Y-%m-%d') AS rt_mname,
+             strftime(o_orderdate, '%Y-%m-%d') AS rt_compact
       FROM orders"""))
 
   /** Semi-structured extraction: parse the events.props JSON column with
@@ -427,8 +442,51 @@ object TimeQueries {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
       FROM events"""))
 
+  /** Multi-format auto-detection round-trip: render events.ts into five
+    * unrelated string layouts (12-hour am/pm, epoch seconds, month-name,
+    * US month-first, compact), detect ALL of them in one sampling job,
+    * cast back, and compare renders against the original timestamp
+    * (identity oracle). Exercises the batched detection path end-to-end.
+    */
+  val qTsMultiformat = Q(
+    "q_ts_multiformat",
+    (s, dir) => {
+      import graft.functions.AutoDetect
+      val e = tables(s, dir).events
+        .withColumn("ts0", date_trunc("second", col("ts")))
+        .withColumn("s_ampm", date_format(col("ts0"), "yyyy-MM-dd h:mm:ss a"))
+        .withColumn("s_epoch", unix_timestamp(col("ts0")).cast(StringType))
+        .withColumn("s_mname", date_format(col("ts0"), "MMM d, yyyy"))
+        .withColumn("s_euro", date_format(col("ts0"), "dd/MM/yyyy HH:mm:ss"))
+        .withColumn("s_compact", date_format(col("ts0"), "yyyyMMddHHmmss"))
+      val strCols = Seq("s_ampm", "s_epoch", "s_mname", "s_euro", "s_compact")
+      val det = AutoDetect.detectTimestampColumns(e, strCols)
+      val expected = Map(
+        "s_ampm" -> "yyyy-MM-dd h:mm:ss a", "s_epoch" -> "epoch_seconds",
+        "s_mname" -> "MMM d yyyy", "s_euro" -> "d/M/yyyy HH:mm:ss",
+        "s_compact" -> "yyyyMMddHHmmss")
+      det.foreach(x =>
+        require(x.format.contains(expected(x.attribute)), s"detection failed: $x"))
+      val cast = AutoDetect.tsPreprocess(e, det)
+      cast.select(
+        col("event_id"),
+        date_format(col("s_ampm"), "yyyy-MM-dd HH:mm:ss").as("rt_ampm"),
+        date_format(col("s_epoch"), "yyyy-MM-dd HH:mm:ss").as("rt_epoch"),
+        date_format(col("s_mname"), "yyyy-MM-dd").as("rt_mname"),
+        date_format(col("s_euro"), "yyyy-MM-dd HH:mm:ss").as("rt_euro"),
+        date_format(col("s_compact"), "yyyy-MM-dd HH:mm:ss").as("rt_compact"))
+    },
+    Some("""
+      SELECT event_id,
+        strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS rt_ampm,
+        strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS rt_epoch,
+        strftime(date_trunc('second', ts), '%Y-%m-%d') AS rt_mname,
+        strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS rt_euro,
+        strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS rt_compact
+      FROM events"""))
+
   def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
     qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin, qRolling24h,
-    qForwardFill)
+    qForwardFill, qTsMultiformat)
 }

@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.AutoDetect
+import org.apache.spark.sql.functions._
+
+/** Per-format vectors for the timestamp auto-detection table
+  * (ref: ts_auto_detection.py:95-258 REGEX_PATTERNS_PARSERS).
+  * Each case: raw strings → expected detected format → expected UTC
+  * render of the cast.
+  */
+class AutoDetectSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (expected format, raw samples, expected "yyyy-MM-dd HH:mm:ss" renders)
+  private val vectors: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("yyyy-MM-dd HH:mm:ss", Seq("2024-01-15 09:45:07"), Seq("2024-01-15 09:45:07")),
+    ("yyyy-MM-dd'T'HH:mm:ss", Seq("2024-01-15T09:45:07"), Seq("2024-01-15 09:45:07")),
+    ("iso_fractional", Seq("2024-01-15 09:45:07.123"), Seq("2024-01-15 09:45:07")),
+    ("iso_offset", Seq("2024-01-15T09:45:07+05:30"), Seq("2024-01-15 04:15:07")),
+    ("yyyy-MM-dd HH:mm", Seq("2024-01-15 09:45"), Seq("2024-01-15 09:45:00")),
+    ("yyyy/M/d HH:mm:ss", Seq("2024/1/15 09:45:07"), Seq("2024-01-15 09:45:07")),
+    ("yyyyMMddHHmmss", Seq("20240115094507"), Seq("2024-01-15 09:45:07")),
+    ("yyyyMMdd'T'HHmmss", Seq("20240115T094507"), Seq("2024-01-15 09:45:07")),
+    ("yyyy-MM-dd h:mm:ss a", Seq("2024-01-15 9:45:07 PM"), Seq("2024-01-15 21:45:07")),
+    ("yyyy-MM-dd h:mm a", Seq("2024-01-15 9:45 p.m."), Seq("2024-01-15 21:45:00")),
+    ("d/M/yyyy h:mm a", Seq("15/1/2024 9:45 AM"), Seq("2024-01-15 09:45:00")),
+    ("d/M/yyyy HH:mm:ss", Seq("15/01/2024 09:45:07"), Seq("2024-01-15 09:45:07")),
+    ("d-M-yyyy HH:mm:ss", Seq("15-01-2024 09:45:07"), Seq("2024-01-15 09:45:07")),
+    ("M/d/yyyy HH:mm:ss", Seq("01/15/2024 09:45:07"), Seq("2024-01-15 09:45:07")),
+    ("M-d-yyyy HH:mm:ss", Seq("01-15-2024 09:45:07"), Seq("2024-01-15 09:45:07")),
+    ("yyyy-MM-dd", Seq("2024-01-15"), Seq("2024-01-15 00:00:00")),
+    ("yyyy/M/d", Seq("2024/1/15"), Seq("2024-01-15 00:00:00")),
+    ("yyyy.M.d", Seq("2024.1.15"), Seq("2024-01-15 00:00:00")),
+    ("yyyy M d", Seq("2024 1 15"), Seq("2024-01-15 00:00:00")),
+    ("yyyyMMdd", Seq("20240115"), Seq("2024-01-15 00:00:00")),
+    ("d/M/yyyy", Seq("15/1/2024"), Seq("2024-01-15 00:00:00")),
+    ("d-M-yyyy", Seq("15-1-2024"), Seq("2024-01-15 00:00:00")),
+    ("d.M.yyyy", Seq("15.1.2024"), Seq("2024-01-15 00:00:00")),
+    ("d M yyyy", Seq("15 1 2024"), Seq("2024-01-15 00:00:00")),
+    ("ddMMyyyy", Seq("15012024"), Seq("2024-01-15 00:00:00")),
+    ("M/d/yyyy", Seq("1/15/2024"), Seq("2024-01-15 00:00:00")),
+    ("M-d-yyyy", Seq("1-15-2024"), Seq("2024-01-15 00:00:00")),
+    ("M.d.yyyy", Seq("1.15.2024"), Seq("2024-01-15 00:00:00")),
+    ("MMddyyyy", Seq("01152024"), Seq("2024-01-15 00:00:00")),
+    ("d/M/yy", Seq("15/1/24"), Seq("2024-01-15 00:00:00")),
+    ("d-M-yy", Seq("15-1-24"), Seq("2024-01-15 00:00:00")),
+    ("d.M.yy", Seq("15.1.24"), Seq("2024-01-15 00:00:00")),
+    ("M/d/yy", Seq("1/15/24"), Seq("2024-01-15 00:00:00")),
+    ("M-d-yy", Seq("1-15-24"), Seq("2024-01-15 00:00:00")),
+    // yy-first only wins when the leading field cannot be a day (>31)
+    ("yy/M/d", Seq("99/1/15"), Seq("2099-01-15 00:00:00")),
+    ("yy-M-d", Seq("99-1-15"), Seq("2099-01-15 00:00:00")),
+    ("yy.M.d", Seq("99.1.15"), Seq("2099-01-15 00:00:00")),
+    ("d MMM yyyy", Seq("15 Jan 2024", "3rd Aug, 2021"),
+      Seq("2024-01-15 00:00:00", "2021-08-03 00:00:00")),
+    ("d MMMM yyyy", Seq("15 January 2024"), Seq("2024-01-15 00:00:00")),
+    ("d-MMM-yyyy", Seq("15-Jan-2024"), Seq("2024-01-15 00:00:00")),
+    ("MMM d yyyy", Seq("Jan 15, 2024", "AUG 3 2021"),
+      Seq("2024-01-15 00:00:00", "2021-08-03 00:00:00")),
+    ("MMMM d yyyy", Seq("January 15, 2024"), Seq("2024-01-15 00:00:00")),
+    ("MMM-d-yyyy", Seq("Jan-15-2024"), Seq("2024-01-15 00:00:00")),
+    ("d-MMM-yy", Seq("15-Jan-24"), Seq("2024-01-15 00:00:00")),
+    ("MMM yyyy", Seq("Jan 2024"), Seq("2024-01-01 00:00:00")),
+    ("MMMM yyyy", Seq("January 2024"), Seq("2024-01-01 00:00:00")),
+    ("H:mm:ss", Seq("9:45:07"), Seq("1970-01-01 09:45:07")),
+    ("H:mm", Seq("9:45"), Seq("1970-01-01 09:45:00")),
+    ("h:mm:ss a", Seq("9:45:07 PM"), Seq("1970-01-01 21:45:07")),
+    ("h:mm a", Seq("9:45 pm"), Seq("1970-01-01 21:45:00")),
+    ("h a", Seq("9 PM"), Seq("1970-01-01 21:00:00")),
+    ("epoch_seconds", Seq("1705312345"), Seq("2024-01-15 09:52:25")),
+    ("epoch_millis", Seq("1705312345678"), Seq("2024-01-15 09:52:25")))
+
+  test("every format in the table detects and casts its vectors") {
+    val failures = vectors.flatMap { case (fmt, raws, expected) =>
+      val df = raws.toDF("v")
+      val det = AutoDetect.detectTimestampColumns(df, Seq("v"), minMatchRate = 1.0)
+      val detected = det.head.format
+      if (!detected.contains(fmt)) {
+        Seq(s"$fmt: detected $detected for $raws")
+      } else {
+        val got = df
+          .select(date_format(AutoDetect.castColumn(col("v"), fmt), "yyyy-MM-dd HH:mm:ss").as("r"))
+          .collect().map(_.getString(0)).toSeq
+        if (got == expected) Nil else Seq(s"$fmt: cast $raws -> $got, wanted $expected")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("detection over many columns runs as one sampling job") {
+    val df = Seq(
+      ("2024-01-15", "15/01/2024", "1705312345", "Jan 15, 2024", "junk"),
+      ("2023-12-31", "31/12/2023", "1703980800", "Dec 31, 2023", "more"))
+      .toDF("iso", "euro", "epoch", "mname", "noise")
+    val det = AutoDetect
+      .detectTimestampColumns(df, Seq("iso", "euro", "epoch", "mname", "noise"))
+      .map(x => x.attribute -> x.format).toMap
+    assert(det("iso").contains("yyyy-MM-dd"))
+    assert(det("euro").contains("d/M/yyyy"))
+    assert(det("epoch").contains("epoch_seconds"))
+    assert(det("mname").contains("MMM d yyyy"))
+    assert(det("noise").isEmpty)
+  }
+
+  test("mixed-garbage column stays undetected below the match threshold") {
+    val df = (Seq.fill(6)("not a date") ++ Seq("2024-01-15")).toDF("v")
+    val det = AutoDetect.detectTimestampColumns(df, Seq("v"))
+    assert(det.head.format.isEmpty && det.head.matchRate < 0.8)
+  }
+}

@@ -319,7 +319,7 @@ report_preprocessing:
     val det = AutoDetect.detectTimestampColumns(d, Seq("iso", "euro", "junk"))
       .map(x => x.attribute -> x.format).toMap
     assert(det("iso").contains("yyyy-MM-dd"))
-    assert(det("euro").contains("dd/MM/yyyy"))
+    assert(det("euro").contains("d/M/yyyy"))
     assert(det("junk").isEmpty)
     val cast = AutoDetect.tsPreprocess(d, AutoDetect.detectTimestampColumns(d, Seq("iso", "euro")))
     assert(cast.schema("iso").dataType.typeName == "timestamp")
