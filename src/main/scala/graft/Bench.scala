@@ -51,6 +51,19 @@ object Bench {
       val warm = eigSym(s).eigenvalues(0) + breeze.linalg.sum(s(::, breeze.linalg.*) + v)
       if (warm.isNaN) System.err.println("[bench] breeze warmup NaN")
     }
+    locally { // imputer-path warmup: the KNN/iterative mapPartitions
+      // RowEncoder codegen and the auto-imputation future pool otherwise
+      // compile inside whichever imputation query runs first (~2 s of
+      // class-loading, not query work)
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{lit, when}
+      val tiny = spark.range(200)
+        .select(($"id" % 13).cast("double").as("a"),
+          when($"id" % 7 === 0, lit(null)).otherwise(($"id" % 11).cast("double")).as("b"))
+      try graft.operators.LatentFeatures.autoImputation(
+        tiny, Seq("a", "b"), evalSampleCap = Some(200L))
+      catch { case e: Throwable => System.err.println(s"[bench] imputer warmup: ${e.getMessage}") }
+    }
     // NO System.gc() between queries — measured +20% across the board:
     // a full GC fires Spark's weak-reference ContextCleaner, which reaps
     // shuffle files / broadcasts that warm later queries.

@@ -21,9 +21,12 @@ object KnnImputer {
       k: Int = 5,
       sampleSize: Int = 10000,
       seed: Long = 42L): DataFrame = {
-    val n = df.count()
-    val frac = math.min(1.0, sampleSize * 1.2 / math.max(1, n))
     val complete = df.select(cols.map(c => col(c).cast("double")): _*).na.drop()
+    // stats estimate instead of a full count() — at 100 TB the extra scan
+    // per fit dominates; the fraction only sizes the sample (limit caps it)
+    val n = complete.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(df.count())
+    val frac = math.min(1.0, sampleSize * 1.2 / math.max(1L, n).toDouble)
     val sample: Array[Array[Double]] = complete
       .sample(withReplacement = false, frac, seed).limit(sampleSize)
       .collect().map(r => cols.indices.map(r.getDouble).toArray)

@@ -388,10 +388,22 @@ object LatentFeatures {
         d.withColumn(c, when(col(s"__mask_$c"), lit(null)).otherwise(col(c)))
       }
       val multi = cols.size >= 2
+      // mean and median fills share ONE aggregation pass (avg + exact
+      // percentile buffers in the same agg) instead of two imputationMMM
+      // fits over the same cached frame
+      val fillExprs = cols.flatMap(c => Seq(
+        avg(col(c)).as(s"avg__$c"),
+        graft.core.NumExpr.pct(col(c), 0.5).as(s"med__$c")))
+      val fillRow = withNulls.agg(fillExprs.head, fillExprs.tail: _*).first()
+      def mmmFill(prefix: String)(d: DataFrame): DataFrame =
+        cols.foldLeft(d) { (dd, c) =>
+          val v = Transformers.optD(fillRow, s"${prefix}__$c").getOrElse(0.0)
+          dd.withColumn(c, coalesce(col(c), lit(v)))
+        }
       val candidates: Seq[(String, DataFrame => DataFrame)] =
         Seq[(String, DataFrame => DataFrame)](
-          "mean" -> (d => Transformers.imputationMMM(d, cols, Nil, numMethod = "mean")),
-          "median" -> (d => Transformers.imputationMMM(d, cols, Nil, numMethod = "median"))) ++
+          "mean" -> mmmFill("avg") _,
+          "median" -> mmmFill("med") _) ++
         (if (multi) Seq[(String, DataFrame => DataFrame)](
           "KNN" -> (d => KnnImputer.imputationKnn(d, cols, seed = seed)),
           "regression" -> (d => IterativeImputer.imputationIterative(d, cols, seed = seed)))
@@ -405,7 +417,8 @@ object LatentFeatures {
       // are thread-safe; jobs from different threads interleave FIFO)
       import scala.concurrent.{Await, Future, ExecutionContext}
       import scala.concurrent.duration.Duration
-      withNulls.count() // materialize the shared cache before racing on it
+      // (the fillRow agg above already materialized the shared cache
+      // before the candidates race on it)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(candidates.size)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       val futures = candidates.map { case (m, f) =>
