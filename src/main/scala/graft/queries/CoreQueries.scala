@@ -294,7 +294,36 @@ object CoreQueries {
         count(*) AS n
       FROM customer GROUP BY c_mktsegment"""))
 
+  /** write_dataset round-trip (ref: data_ingest.py:54-117): write orders
+    * through the repartition rule to parquet, read it back, and aggregate
+    * — the oracle runs the same aggregate on the SOURCE table, so the
+    * round-trip must be lossless (values, types, and null behaviour).
+    * Gives §2.1's write path a hard CORRECTNESS row instead of spec-only.
+    */
+  val qWriteRoundtrip = Q(
+    "q_write_roundtrip",
+    (s, dir) => {
+      import graft.sources.Ingest
+      val out = System.getProperty("java.io.tmpdir", "/tmp") + "/graft_write_roundtrip"
+      Ingest.writeDataset(tables(s, dir).orders, out, "parquet", repartitionTo = Some(8))
+      Ingest.readDataset(s, out, "parquet")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(dec("o_totalprice")).cast(DoubleType), 4).as("sum_price"),
+          count(col("o_custkey")).as("n_cust"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"))
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price,
+        count(o_custkey) AS n_cust,
+        min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+      FROM orders GROUP BY o_orderstatus"""))
+
   def all: Seq[Q] = Seq(q1, qJoin, qRecommendType, qExpressionParser,
     qSemiAnti, qExcept, qRenameRecast, qRowIds, qSaltedJoin,
-    qTopkPerGroup, qRollupPricing, qCubePricing, qPivotEvents, qGroupedMedian)
+    qTopkPerGroup, qRollupPricing, qCubePricing, qPivotEvents, qGroupedMedian,
+    qWriteRoundtrip)
 }
