@@ -217,24 +217,48 @@ object Similarity {
     * cells, and candidates meet in a hash-partitioned cell join. The
     * classic inverted-file trade: recall grows with nprobe, cost with
     * cellCount. Scale path beyond the broadcast limit of bruteForceTopK.
+    *
+    * 100 TB posture: `cellCount = 0` (the default) auto-sizes the cell
+    * grid to ≈√N (clamped [16, 4096]) from the free Catalyst stats
+    * estimate, so a cell's expected member list shrinks as 1/√N instead
+    * of growing linearly; `memberCapPerCell` salts oversized cells into
+    * sub-groups (members split by id-hash, probers fan out across the
+    * salts) so no single cogroup task ever materializes more than ~cap
+    * vectors even under quantizer skew; the quantizer fit samples by a
+    * deterministic md5-threshold on the id (partition-layout-invariant,
+    * unlike an unordered limit()).
     */
   def ivfTopK(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int = 5,
-      cellCount: Int = 16,
+      cellCount: Int = 0,
       nprobe: Int = 3,
       seed: Long = 42L,
-      fitSample: Int = 10000): DataFrame = {
+      fitSample: Int = 10000,
+      memberCapPerCell: Int = 250000): DataFrame = {
     import df.sparkSession.implicits._
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val statsEst = base.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
+    val n = statsEst.getOrElse(base.count())
+    val cells =
+      if (cellCount > 0) cellCount
+      else math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
+    // salts per cell sized from the EXPECTED occupancy; the id-hash split
+    // also shreds a pathologically hot cell into ≤numSalts bounded tasks
+    val numSalts = math.max(1, math.ceil(
+      n.toDouble / math.max(1, cells) / memberCapPerCell).toInt)
     // coarse quantizer: Lloyd's iterations on a collected sample
     // (fit-small/apply-big — a distributed KMeans run costs dozens of
     // jobs for a centroid table that fits in a driver array)
-    val sample: Array[Array[Double]] = base
+    val fitFrac = math.min(1.0, fitSample * 1.2 / math.max(1L, n).toDouble)
+    val fitDf =
+      if (fitFrac >= 1.0) base
+      else graft.sources.Sampling.deterministicSample(base, fitFrac, Seq("id"))
+    val sample: Array[Array[Double]] = fitDf
       .limit(fitSample).collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val centers = localKMeans(sample, cellCount, seed)
+    val centers = localKMeans(sample, cells, seed)
     val bcCenters = df.sparkSession.sparkContext.broadcast(centers)
 
     def nearestCells(v: Array[Float], n: Int): Array[Int] = {
@@ -251,21 +275,30 @@ object Similarity {
       math.sqrt(s)
     }
 
-    // typed rows keyed by cell (members) / probed cell (queries); the
-    // heavy scoring runs inside cogroup with primitive arrays — the only
-    // per-row encoder cost is the 1-row-per-vector (+nprobe) shuffle,
-    // never per candidate pair
-    val members = base.map { r => (nearestCells(r.getSeq[Float](1).toArray, 1)(0),
-      r.getLong(0), r.getSeq[Float](1).toArray) }
+    // typed rows keyed by (cell, salt) for members / probed (cell, salt)
+    // for queries; the heavy scoring runs inside cogroup with primitive
+    // arrays — the only per-row encoder cost is the 1-row-per-vector
+    // (+nprobe×salts) shuffle, never per candidate pair
+    val members = base.map { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).toArray
+      (nearestCells(v, 1)(0), (java.lang.Long.hashCode(id) & 0x7fffffff) % numSalts,
+        id, v)
+    }
     val probers = base.flatMap { r =>
       val v = r.getSeq[Float](1).toArray
-      nearestCells(v, nprobe).map(c => (c, r.getLong(0), v))
+      val id = r.getLong(0)
+      for {
+        c <- nearestCells(v, nprobe)
+        salt <- 0 until numSalts
+      } yield (c, salt, id, v)
     }
-    val partials = members.groupByKey(_._1).cogroup(probers.groupByKey(_._1)) {
+    val partials = members.groupByKey(m => (m._1, m._2))
+      .cogroup(probers.groupByKey(p => (p._1, p._2))) {
       (_, ms, ps) =>
-        val mArr = ms.map(m => (m._2, m._3)).toArray
+        val mArr = ms.map(m => (m._3, m._4)).toArray
         val mNorms = mArr.map(m => norm(m._2))
-        ps.flatMap { case (_, pid, pv) =>
+        ps.flatMap { case (_, _, pid, pv) =>
           val pn = norm(pv)
           val topIds = new Array[Long](k)
           val topCos = new Array[Double](k)

@@ -234,6 +234,45 @@ class TextSpec extends SparkSpec {
     assert(exact.toSeq == brute.toSeq)
   }
 
+  test("salted IVF stays exact under a pathologically hot cell") {
+    // one tight cluster (9/10 of the data lands in ONE quantizer cell) +
+    // a tiny memberCapPerCell forces the salted sub-group path; with
+    // exhaustive probing the result must still equal brute force exactly
+    val rnd = new scala.util.Random(31)
+    val hot = (0 until 90).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (1.0 + 0.01 * rnd.nextGaussian()).toFloat * (if (j == 0) 1f else 0.02f)))
+    }
+    val spread = (90 until 100).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val d = (hot ++ spread).toDF("vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val brute = Similarity.bruteForceTopK(d, "vec_id", "embedding", k = 3)
+      .collect().map(key).sortBy(t => (t._1, t._4))
+    val salted = Similarity.ivfTopK(d, "vec_id", "embedding", k = 3,
+      cellCount = 4, nprobe = 4, memberCapPerCell = 10)
+      .select("vec_id", "neighbor_id", "cos", "rank")
+      .collect().map(key).sortBy(t => (t._1, t._4))
+    assert(salted.toSeq == brute.toSeq)
+  }
+
+  test("auto-sized IVF picks a √N cell grid and stays recall-strong") {
+    val rnd = new scala.util.Random(37)
+    val vecs = (0 until 40).flatMap { i =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val twin = base.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, twin))
+    }
+    val d = vecs.toDF("vec_id", "embedding")
+    // cellCount = 0 → auto (√80 → clamped to the 16 floor); exhaustive
+    // probe keeps it exact so the auto grid cannot lose neighbours
+    val approx = Similarity.ivfTopK(d, "vec_id", "embedding", k = 1,
+      cellCount = 0, nprobe = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 40).count(i => approx.get(i.toLong * 2).contains(i.toLong * 2 + 1))
+    assert(hits == 40, s"auto-grid exhaustive IVF must be exact: $hits/40")
+  }
+
   test("embedding near-dup finds planted noisy copies") {
     val rnd = new scala.util.Random(17)
     val base = (0 until 40).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
