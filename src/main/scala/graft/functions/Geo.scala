@@ -264,6 +264,151 @@ object Geo {
     (bestK, model.transform(feat).drop("__fv"))
   }
 
+  /** Scalar haversine (km) — driver-side twin of the Column form. */
+  private[graft] def haversineKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1) / 2
+    val dLon = math.toRadians(lon2 - lon1) / 2
+    val a = math.sin(dLat) * math.sin(dLat) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.sin(dLon) * math.sin(dLon)
+    2 * EarthRadiusKm * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+  }
+
+  /** Classic DBSCAN over (lat, lon) points with haversine distance (km).
+    * Labels: 0..k−1 clusters, −1 noise — the sklearn convention the
+    * reference relies on (geospatial_analyzer.py:575-590). O(n²) neighbor
+    * scan — driver-side on a capped sample only, like the reference's
+    * pandas fit.
+    */
+  private[graft] def dbscanLocal(
+      pts: Array[(Double, Double)],
+      epsKm: Double,
+      minSamples: Int): Array[Int] = {
+    val n = pts.length
+    val labels = Array.fill(n)(-2) // -2 unvisited, -1 noise
+    val neighbors = Array.tabulate(n) { i =>
+      val b = Array.newBuilder[Int]
+      var j = 0
+      while (j < n) {
+        if (haversineKm(pts(i)._1, pts(i)._2, pts(j)._1, pts(j)._2) <= epsKm) b += j
+        j += 1
+      }
+      b.result()
+    }
+    var cluster = 0
+    var i = 0
+    while (i < n) {
+      if (labels(i) == -2) {
+        if (neighbors(i).length < minSamples) labels(i) = -1
+        else {
+          labels(i) = cluster
+          val queue = scala.collection.mutable.Queue(neighbors(i).toSeq: _*)
+          while (queue.nonEmpty) {
+            val q = queue.dequeue()
+            if (labels(q) == -1) labels(q) = cluster // border point
+            if (labels(q) == -2) {
+              labels(q) = cluster
+              if (neighbors(q).length >= minSamples) queue.enqueueAll(neighbors(q))
+            }
+          }
+          cluster += 1
+        }
+      }
+      i += 1
+    }
+    labels
+  }
+
+  /** Mean silhouette score with haversine distance. Mirrors sklearn's
+    * silhouette_score as the reference calls it: noise (−1) is treated
+    * as its own label (geospatial_analyzer.py:578 passes labels_ raw);
+    * returns 0 when fewer than 2 labels exist (the reference's except
+    * branch scores those grids 0).
+    */
+  private[graft] def silhouetteHaversine(
+      pts: Array[(Double, Double)],
+      labels: Array[Int]): Double = {
+    val n = pts.length
+    val byLabel = labels.zipWithIndex.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+    if (byLabel.size < 2 || n < 2) return 0.0
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val own = byLabel(labels(i))
+      val a =
+        if (own.length <= 1) 0.0
+        else own.iterator.filter(_ != i).map(j =>
+          haversineKm(pts(i)._1, pts(i)._2, pts(j)._1, pts(j)._2)).sum / (own.length - 1)
+      val b = byLabel.iterator.filter(_._1 != labels(i)).map { case (_, js) =>
+        js.iterator.map(j => haversineKm(pts(i)._1, pts(i)._2, pts(j)._1, pts(j)._2)).sum / js.length
+      }.min
+      sum += (if (own.length <= 1) 0.0 else (b - a) / math.max(a, b))
+      i += 1
+    }
+    sum / n
+  }
+
+  final case class DbscanResult(
+      epsKm: Double,
+      minSamples: Int,
+      silhouette: Double,
+      nClusters: Int,
+      labeled: DataFrame)
+
+  /** ref: geospatial_analyzer.py:511-733 — the DBSCAN half of geo
+    * cluster analysis: grid-search (eps × min_samples), pick the pair
+    * with the best silhouette, fit, and report. Fit runs on a capped
+    * driver sample (the reference fits pandas driver-side too); the
+    * full-frame labeling is a broadcast nearest-core-point assignment
+    * (standard DBSCAN extension: a point gets the cluster of the
+    * nearest core point within eps, else noise −1) — map-only, no
+    * shuffle, any row count.
+    */
+  def dbscanClusterAnalysis(
+      df: DataFrame,
+      latCol: String,
+      lonCol: String,
+      epsGridKm: Seq[Double] = Seq(50.0, 100.0, 200.0),
+      minSamplesGrid: Seq[Int] = Seq(5, 10, 15),
+      sampleCap: Long = 10000L,
+      seed: Long = 42L): DbscanResult = {
+    val pts: Array[(Double, Double)] =
+      graft.operators.QualityChecker.sampleCapped(
+        df.select(col(latCol).cast("double"), col(lonCol).cast("double")).na.drop(), Some(sampleCap), seed)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    require(pts.nonEmpty, "dbscan needs at least one point")
+    val grid = for (e <- epsGridKm; m <- minSamplesGrid) yield (e, m)
+    val scored = grid.map { case (e, m) =>
+      val labels = dbscanLocal(pts, e, m)
+      (e, m, silhouetteHaversine(pts, labels), labels)
+    }
+    val (bestEps, bestMin, bestSil, bestLabels) = scored.maxBy(_._3)
+    // core points of the winning fit anchor the distributed assignment
+    val coreIdx = pts.indices.filter { i =>
+      bestLabels(i) >= 0 &&
+        pts.indices.count(j =>
+          haversineKm(pts(i)._1, pts(i)._2, pts(j)._1, pts(j)._2) <= bestEps) >= bestMin
+    }
+    val cores = coreIdx.map(i => (pts(i)._1, pts(i)._2, bestLabels(i))).toArray
+    val bc = df.sparkSession.sparkContext.broadcast(cores)
+    val assignUdf = udf { (la: Double, lo: Double) =>
+      val cs = bc.value
+      var best = -1
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val d = haversineKm(la, lo, cs(i)._1, cs(i)._2)
+        if (d < bestD) { bestD = d; best = cs(i)._3 }
+        i += 1
+      }
+      if (bestD <= bestEps) best else -1
+    }
+    val labeled = df.withColumn("geo_cluster_dbscan",
+      assignUdf(col(latCol).cast("double"), col(lonCol).cast("double")))
+    DbscanResult(bestEps, bestMin, bestSil,
+      bestLabels.filter(_ >= 0).distinct.length, labeled)
+  }
+
   /** ref: geospatial.py:1223-1334 rog_calculation — mean haversine
     * distance to the group centroid (broadcast-joined back), km.
     */

@@ -78,6 +78,36 @@ class GeoSpec extends SparkSpec {
     assert(labeled.select("geo_cluster").distinct().count() == 3)
   }
 
+  test("DBSCAN + silhouette recovers planted clusters and flags noise") {
+    val rnd = new scala.util.Random(11)
+    // three tight blobs (~±0.2°) far apart + 5 isolated noise points
+    val blobs = Seq((0.0, 0.0), (40.0, 40.0), (-40.0, 70.0)).flatMap { case (clat, clon) =>
+      (1 to 60).map(_ => (clat + 0.2 * rnd.nextGaussian(), clon + 0.2 * rnd.nextGaussian()))
+    }
+    val noise = Seq((70.0, -150.0), (-70.0, 150.0), (10.0, -120.0), (65.0, 10.0), (-20.0, -30.0))
+    val d = (blobs ++ noise).toDF("lat", "lon")
+    val r = Geo.dbscanClusterAnalysis(d, "lat", "lon")
+    assert(r.nClusters == 3, s"dbscan found ${r.nClusters} clusters")
+    assert(r.silhouette > 0.7, s"weak silhouette ${r.silhouette}")
+    val labels = r.labeled.select(col("lat"), col("geo_cluster_dbscan")).collect()
+      .map(row => row.getDouble(0) -> row.getInt(1))
+    // all blob members share their blob's label; noise points are -1
+    val blobLabels = Seq(0.0, 40.0, -40.0).map { clat =>
+      labels.filter(p => math.abs(p._1 - clat) < 2).map(_._2).distinct.toSeq
+    }
+    assert(blobLabels.forall(ls => ls.length == 1 && ls.head >= 0), s"blob labels: $blobLabels")
+    assert(blobLabels.flatten.distinct.length == 3)
+    assert(labels.filter(p => p._1 == 70.0 || p._1 == -70.0).forall(_._2 == -1))
+  }
+
+  test("local DBSCAN matches expected membership on a line fixture") {
+    // 5 points in a 10km chain + 1 far point; eps=15km, minSamples=3
+    val pts = Array((0.0, 0.0), (0.05, 0.0), (0.1, 0.0), (0.15, 0.0), (0.2, 0.0), (5.0, 5.0))
+    val labels = Geo.dbscanLocal(pts, epsKm = 15.0, minSamples = 3)
+    assert(labels.take(5).distinct.toSeq == Seq(0))
+    assert(labels(5) == -1)
+  }
+
   test("native geohash_encode expression matches the pure function (codegen path)") {
     graft.plans.GraftFunctions.register(spark)
     val d = Seq((57.64911, 10.40744), (42.6, -5.6)).toDF("lat", "lon")
