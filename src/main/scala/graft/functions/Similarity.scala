@@ -139,17 +139,29 @@ object Similarity {
 
   private def RowEncoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
 
-  /** Deterministic pseudo-random hyperplanes: plane p, dim d →
-    * a value in [-1, 1) derived from a 64-bit mix of (seed, p, d).
-    * Driver-side O(planes × dim), broadcast as literals.
+  /** Driver-side md5 prefix-60: first 15 hex chars of md5(s) as a long —
+    * the same value DuckDB's `('0x' || substr(md5(s), 1, 15))::BIGINT`
+    * yields, and the scalar twin of the codegen'd md5_prefix60
+    * expression.
+    */
+  private[graft] def md5Prefix60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Deterministic hyperplanes from the md5 family: plane p, dim d →
+    * md5_prefix60("srp:<seed>:<p>:<d>") / 2⁵⁹ − 1 ∈ [−1, 1). Driver-side
+    * O(planes × dim), broadcast as literals. md5-derived (not a JVM hash
+    * mix) so an external engine can regenerate the exact planes — and
+    * with left-to-right double dot accumulation on both sides, the
+    * resulting SRP bucket ids are engine-portable (q_lsh_buckets replays
+    * them in DuckDB bit-for-bit).
     */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
     Array.tabulate(numPlanes, dim) { (p, d) =>
-      var z = seed + p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      (z.toDouble / Long.MaxValue.toDouble)
+      md5Prefix60(s"srp:$seed:$p:$d").toDouble / (1L << 59).toDouble - 1.0
     }
 
   /** Seeded Lloyd's k-means on a driver-held sample — the IVF coarse

@@ -233,6 +233,35 @@ object TextQueries {
   /** SRP-LSH approximate top-k (bucketed self-join — the scale path);
     * approximate by construction → rows-only check.
     */
+  /** Deterministic SRP-LSH bucket ids — the hash core of lshTopK made
+    * engine-portable: hyperplane weights derive from the md5 family
+    * (md5_prefix60("srp:seed:p:d")/2⁵⁹−1) and the dot product
+    * accumulates left-to-right in double on both engines, so DuckDB
+    * replays the exact bucket of every vector. The top-k itself stays
+    * recall-gated (RecallSpec); this pins the bucketing.
+    */
+  val qLshBuckets = Q(
+    "q_lsh_buckets",
+    (s, dir) => {
+      val emb = tables(s, dir).embeddings
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      val planes = Similarity.hyperplanes(8, dim, seed = 42L)
+      emb.select(col("vec_id").cast("long").as("vec_id"),
+        Similarity.lshBucket(col("embedding"), planes).as("bucket"))
+    },
+    Some {
+      def dotP(p: Int): String =
+        s"""list_reduce(list_transform(range(1, len(embedding) + 1),
+           |  i -> embedding[i]::DOUBLE *
+           |    ((('0x' || substr(md5('srp:42:$p:' || (i-1)::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+           |      / 576460752303423488.0 - 1.0)),
+           |  (a, b) -> a + b)""".stripMargin
+      val bucket = (0 until 8)
+        .map(p => s"CASE WHEN ${dotP(p)} >= 0 THEN ${1L << p} ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM embeddings"
+    })
+
   val qLshTopK = Q(
     "q_lsh_topk",
     (s, dir) => Similarity.lshTopK(tables(s, dir).embeddings, "vec_id", "embedding",
@@ -909,5 +938,6 @@ object TextQueries {
     qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText,
     qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality,
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
-    qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob)
+    qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
+    qLshBuckets)
 }
