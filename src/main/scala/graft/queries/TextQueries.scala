@@ -345,6 +345,55 @@ object TextQueries {
       stratifiedType = "population", seed = 42L),
     None)
 
+  /** Deterministic stratified sampling, balanced mode: every stratum
+    * keeps EXACTLY ⌊fraction · min-stratum-size⌋ rows, chosen by
+    * md5-prefix rank — no RNG, so the oracle replays the kept row set
+    * row-for-row (the Bernoulli q_stratified_sample can only ever be
+    * rows-only).
+    */
+  val qStratifiedBalanced = Q(
+    "q_stratified_balanced",
+    (s, dir) => Sampling.deterministicStratifiedSample(
+      tables(s, dir).customer, fraction = 0.2,
+      strataCols = Seq("c_mktsegment"), keyCols = Seq("c_custkey"),
+      stratifiedType = "balanced")
+      .select(col("c_custkey"), col("c_mktsegment")),
+    Some("""
+      WITH h AS (
+        SELECT c_custkey, c_mktsegment,
+          ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT AS hh
+        FROM customer),
+      r AS (
+        SELECT c_custkey, c_mktsegment,
+          row_number() OVER (PARTITION BY c_mktsegment ORDER BY hh, c_custkey) AS rn
+        FROM h),
+      m AS (
+        SELECT min(cnt) AS mn
+        FROM (SELECT count(*) AS cnt FROM customer GROUP BY c_mktsegment))
+      SELECT c_custkey, c_mktsegment FROM r, m WHERE rn <= FLOOR(0.2 * mn)"""))
+
+  /** Population mode of the same sampler: per-stratum target is
+    * proportional (⌊fraction · stratum size⌋) — also exactly replayed.
+    */
+  val qStratifiedPopulation = Q(
+    "q_stratified_population",
+    (s, dir) => Sampling.deterministicStratifiedSample(
+      tables(s, dir).customer, fraction = 0.2,
+      strataCols = Seq("c_mktsegment"), keyCols = Seq("c_custkey"),
+      stratifiedType = "population")
+      .select(col("c_custkey"), col("c_mktsegment")),
+    Some("""
+      WITH h AS (
+        SELECT c_custkey, c_mktsegment,
+          ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT AS hh
+        FROM customer),
+      r AS (
+        SELECT c_custkey, c_mktsegment,
+          row_number() OVER (PARTITION BY c_mktsegment ORDER BY hh, c_custkey) AS rn,
+          count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        FROM h)
+      SELECT c_custkey, c_mktsegment FROM r WHERE rn <= FLOOR(0.2 * cnt)"""))
+
   /** Composed training-data pipeline: quality filter → exact dedup →
     * per-language token statistics, all in one oracle-checked plan.
     */
@@ -939,5 +988,5 @@ object TextQueries {
     qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality,
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
     qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
-    qLshBuckets)
+    qLshBuckets, qStratifiedBalanced, qStratifiedPopulation)
 }

@@ -109,6 +109,53 @@ object Sampling {
     df.filter(keyHash(df, keyCols) < lit(hashThresholdLong(fraction)))
   }
 
+  /** Deterministic stratified sampling with EXACT per-stratum sizes:
+    * rows rank by md5-prefix hash inside their stratum and the lowest
+    * `target` ranks are kept —
+    *  - "population": target = ⌊fraction · stratum size⌋ (proportional),
+    *  - "balanced":   target = ⌊fraction · smallest-stratum size⌋ for
+    *    every stratum (equalized — the ref's balanced contract,
+    *    data_sampling.py:128-146, but exact instead of Bernoulli).
+    * No RNG anywhere: the kept set is a pure function of the key
+    * columns, so it is reproducible across engines (DuckDB replays it
+    * row-for-row), reruns, and cluster layouts.
+    *
+    * Scale: one shuffle by stratum for the rank window; per-stratum
+    * driver state only in balanced mode (O(#strata) counts). A
+    * pathologically hot stratum serializes its sort into one task —
+    * for heavily skewed strata prefer the threshold-based
+    * [[deterministicSample]] per stratum (approximate sizes).
+    */
+  def deterministicStratifiedSample(
+      df: DataFrame,
+      fraction: Double,
+      strataCols: Seq[String],
+      keyCols: Seq[String],
+      stratifiedType: String = "population"): DataFrame = {
+    require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
+    require(strataCols.nonEmpty && keyCols.nonEmpty, "strata and key columns required")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("__stratum",
+      concat_ws(sep, strataCols.map(c => col(c).cast("string")): _*))
+    val h = keyHash(df, keyCols)
+    val w = Window.partitionBy(col("__stratum"))
+      .orderBy((h.asc +: keyCols.map(c => col(c).asc)): _*)
+    val target = stratifiedType match {
+      case "population" =>
+        floor(lit(fraction) * count(lit(1)).over(Window.partitionBy(col("__stratum"))))
+      case "balanced" =>
+        val minCount = keyed.groupBy("__stratum").count()
+          .agg(min("count")).first().getLong(0)
+        lit(math.floor(fraction * minCount).toLong)
+      case t => throw new IllegalArgumentException(s"unknown stratified type: $t")
+    }
+    keyed
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__t", target) // window exprs must leave the WHERE clause
+      .filter(col("__rn") <= col("__t"))
+      .drop("__stratum", "__rn", "__t")
+  }
+
   /** Deterministic train/validation/test split: assigns each row a split
     * label from cumulative md5-prefix thresholds. One map-only pass, the
     * same row lands in the same split forever (append-safe at 100 TB).

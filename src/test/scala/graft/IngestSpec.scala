@@ -68,6 +68,28 @@ class IngestSpec extends SparkSpec {
     assert(smaller.subsetOf(keptIds))
   }
 
+  test("deterministic stratified sample hits exact per-stratum targets") {
+    // strata sizes 100 / 300 / 600
+    val d = ((1 to 100).map(i => (i, "small")) ++ (101 to 400).map(i => (i, "mid")) ++
+      (401 to 1000).map(i => (i, "big"))).toDF("id", "s")
+    val bal = Sampling.deterministicStratifiedSample(
+      d, 0.5, Seq("s"), Seq("id"), "balanced")
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every stratum keeps exactly floor(0.5 * 100) = 50 rows
+    assert(bal == Map("small" -> 50L, "mid" -> 50L, "big" -> 50L), s"balanced: $bal")
+    val pop = Sampling.deterministicStratifiedSample(
+      d, 0.5, Seq("s"), Seq("id"), "population")
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pop == Map("small" -> 50L, "mid" -> 150L, "big" -> 300L), s"population: $pop")
+    // partition-layout invariance of the kept ids
+    val a = Sampling.deterministicStratifiedSample(d, 0.3, Seq("s"), Seq("id"), "balanced")
+      .select("id").collect().map(_.getInt(0)).toSet
+    val b = Sampling.deterministicStratifiedSample(
+      d.repartition(7), 0.3, Seq("s"), Seq("id"), "balanced")
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(a == b)
+  }
+
   test("deterministic split is exhaustive, disjoint, and stable") {
     val d = (1 to 3000).map(i => (i, i % 7)).toDF("id", "g")
     val split = Sampling.deterministicSplit(
