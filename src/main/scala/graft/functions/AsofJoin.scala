@@ -36,29 +36,36 @@ object AsofJoin {
       valueCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && valueCols.nonEmpty, "need key and value columns")
     val leftCols = left.columns.toSeq
+    // ONE struct carries the whole right row, so the matched row wins
+    // atomically: a right row whose value column is legitimately NULL
+    // still wins (the struct itself is non-null), and columns can never
+    // mix across different right rows — per-column last(ignoreNulls)
+    // would skip the null and surface a stale older value
+    val vStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c).copy(name = c, nullable = true)))
     val taggedLeft = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .select((leftCols.map(col) :+ col("__ts") :+ col("__side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+      .select(leftCols.map(col) :+ col("__ts") :+ col("__side") :+
+        lit(null).cast(vStructType).as("__vs"): _*)
     val taggedRight = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select((leftCols.map(c =>
         if (keyCols.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
-        :+ col("__ts") :+ col("__side")) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+        :+ col("__ts") :+ col("__side")) :+
+        struct(valueCols.map(col): _*).as("__vs"): _*)
     // right rows sort BEFORE left rows at the same timestamp (inclusive
-    // as-of), and the running last(ignoreNulls) carries their values
-    // forward to every later left row of the key
+    // as-of), and the running last(ignoreNulls) carries the latest right
+    // STRUCT forward to every later left row of the key
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(taggedLeft.unionByName(taggedRight)) { (d, c) =>
-      d.withColumn(s"__v_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = taggedLeft.unionByName(taggedRight)
+      .withColumn("__vs", last(col("__vs"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"__v_$c").as(c)): _*)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("__vs").getField(c).as(c)): _*)
   }
 
   /** Interval (range) join — points against [start, end) intervals —

@@ -54,6 +54,12 @@ object Sharding {
         Row.fromSeq(r.toSeq :+ shard)
       }
     }
-    df.sparkSession.createDataFrame(out, outSchema)
+    // materialize the result eagerly, then release the sorted input —
+    // without this every call leaked the cached sort for the session's
+    // lifetime (the checkpointed result is owned by the caller and is
+    // reaped by the ContextCleaner once unreferenced)
+    val result = df.sparkSession.createDataFrame(out, outSchema).localCheckpoint(true)
+    rdd.unpersist(false)
+    result
   }
 }

@@ -46,31 +46,43 @@ object LatentFeatures {
     }
     val mu = cols.map(c => d(s"mu__$c")).toArray
     val sd = cols.map(c => d(s"sd__$c")).toArray
-    val r = BDM.eye[Double](p)
+    // zero-variance columns carry no information: drop them from the
+    // correlation matrix entirely (a unit diagonal entry would otherwise
+    // keep a phantom eigenvalue and inflate the explained-variance
+    // denominator — the StandardScaler+PCA pipeline this replaces, and
+    // the reference, give constant columns zero weight)
+    val good = (0 until p).filter(j => !sd(j).isNaN && sd(j) != 0.0).toArray
+    val g = good.length
+    require(g >= 1, "PCA needs at least one non-constant column")
+    val r = BDM.eye[Double](g)
     pairs.foreach { case (i, j) =>
-      val v = d(s"r__${i}__$j")
-      val rv = if (v.isNaN) 0.0 else v
-      r(i, j) = rv; r(j, i) = rv
+      val gi = good.indexOf(i); val gj = good.indexOf(j)
+      if (gi >= 0 && gj >= 0) {
+        val v = d(s"r__${i}__$j")
+        val rv = if (v.isNaN) 0.0 else v
+        r(gi, gj) = rv; r(gj, gi) = rv
+      }
     }
     val es = eigSym(r)
-    val order = (0 until p).sortBy(i => -es.eigenvalues(i))
-    // explained variance of the i-th component = λᵢ / trace = λᵢ / p
-    val cum = order.map(i => math.max(es.eigenvalues(i), 0.0) / p)
+    val order = (0 until g).sortBy(i => -es.eigenvalues(i))
+    // explained variance of the i-th component = λᵢ / trace = λᵢ / g
+    // (g non-degenerate columns, not p)
+    val cum = order.map(i => math.max(es.eigenvalues(i), 0.0) / g)
       .scanLeft(0.0)(_ + _).tail
     val k = math.max(1, cum.indexWhere(_ >= explainedVarianceCutoff) + 1 match {
-      case 0 => p
+      case 0 => g
       case n => n
     })
     val withLatents = (0 until k).foldLeft(complete) { (acc, i) =>
       val v = es.eigenvectors(::, order(i))
       // deterministic sign: largest-|loading| coordinate is positive
       val flip = {
-        val jm = (0 until p).maxBy(j => math.abs(v(j)))
+        val jm = (0 until g).maxBy(j => math.abs(v(j)))
         if (v(jm) < 0) -1.0 else 1.0
       }
-      val proj = cols.zipWithIndex.map { case (c, j) =>
-        val scale = if (sd(j).isNaN || sd(j) == 0.0) 0.0 else flip * v(j) / sd(j)
-        (col(c).cast("double") - lit(mu(j))) * lit(scale)
+      val proj = good.zipWithIndex.map { case (j, gj) =>
+        val c = cols(j)
+        (col(c).cast("double") - lit(mu(j))) * lit(flip * v(gj) / sd(j))
       }.reduce(_ + _)
       acc.withColumn(s"latent_$i", round(proj, 4))
     }

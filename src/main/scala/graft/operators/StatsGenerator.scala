@@ -263,11 +263,34 @@ object StatsGenerator {
     // accumulate gigabytes of brackets (an extra narrowing round costs one
     // more scan, not memory); explicit tiny caps are honored as-is
     val capPerSeg = math.max(math.min(collectCap, 1024), collectCap / math.max(1, nc))
-    // (0) n / min / max per column in one scalar aggregation
-    val r0 = agg1(df, cols.flatMap(c => Seq(
+    // NaN is excluded like null (Spark's max() would otherwise return NaN
+    // as the column max, making every bucket width NaN and sending all
+    // values to bucket 0 — silently wrong quantiles)
+    val projected = df.select(cols.map { c =>
+      val cc = col(c).cast(DoubleType)
+      when(isnan(cc), lit(null)).otherwise(cc).as(c)
+    }: _*)
+    // the multi-scan selection assumes every scan sees IDENTICAL rows; a
+    // nondeterministic input (seeded sample, rand() column) can produce a
+    // different row set per job once partition layout shifts (AQE,
+    // retries) — inconsistent counts/offsets then index out of bounds or
+    // silently select wrong values. Materialize such inputs once
+    // (lineage-truncating local checkpoint of the projected columns, so a
+    // lost block fails loudly instead of recomputing differently).
+    val nondetInput = {
+      val plan = df.queryExecution.optimizedPlan
+      plan.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
+        case p => p.expressions.exists(e => !e.deterministic)
+      }
+    }
+    val doubleCols = if (nondetInput) projected.localCheckpoint(true) else projected
+    // (0) n / min / max per column in one scalar aggregation over the
+    // SAME frame every later scan reads
+    val r0 = agg1(doubleCols, cols.flatMap(c => Seq(
       count(col(c)).as(s"n__$c"),
-      min(col(c).cast(DoubleType)).as(s"mn__$c"),
-      max(col(c).cast(DoubleType)).as(s"mx__$c")))).collect()(0)
+      min(col(c)).as(s"mn__$c"),
+      max(col(c)).as(s"mx__$c")))).collect()(0)
     val nArr = Array.tabulate(nc)(j => r0.getLong(3 * j))
     val mnArr = Array.tabulate(nc)(j => if (r0.isNullAt(3 * j + 1)) Double.NaN else r0.getDouble(3 * j + 1))
     val mxArr = Array.tabulate(nc)(j => if (r0.isNullAt(3 * j + 2)) Double.NaN else r0.getDouble(3 * j + 2))
@@ -297,7 +320,6 @@ object StatsGenerator {
         } else List(Seg(j, Nil, mnArr(j), mxArr(j), 0L, n, ranks))
       }
     }
-    val doubleCols = df.select(cols.map(c => col(c).cast(DoubleType)): _*)
     val bb = buckets
     var round = 0
     while (segs.exists(_.count > capPerSeg) && round < 8) {
