@@ -207,9 +207,21 @@ object Dedup {
           col("a.key") < col("b.key"))
       .select(col("a.key").as("key_1"), col("b.key").as("key_2"))
       .distinct())
-    // verify lazily: rebuild shingle SETS for candidate docs only — the
-    // semi-join prunes the corpus BEFORE normalize+explode, so the
-    // expensive collect_set touches |candidates| docs, not the corpus
+    verifyCandidates(df, textCol, keyCol, shingleSize, candidates, threshold)
+  }
+
+  /** Jaccard verification of candidate pairs: rebuild shingle SETS for
+    * candidate docs only — the semi-join prunes the corpus BEFORE
+    * normalize+explode, so the expensive collect_set touches
+    * |candidates| docs, not the corpus.
+    */
+  private def verifyCandidates(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      shingleSize: Int,
+      candidates: DataFrame,
+      threshold: Double): DataFrame = {
     val candKeys = candidates.select(col("key_1").as(keyCol))
       .union(candidates.select(col("key_2").as(keyCol)))
       .distinct()
@@ -223,6 +235,47 @@ object Dedup {
       .select(col("key_1"), col("key_2"),
         round(col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Engine-portable MinHash near-duplicates: md5-family signatures
+    * ([[minhashSignaturesMd5]]) and band buckets keyed by the band's RAW
+    * signature values (no engine-specific hash of the band), so the
+    * bucket assignment, size cap, candidate join, and Jaccard verify are
+    * all replayable in any SQL engine — the FULL near-dup output is
+    * oracle-checkable (q_minhash_neardup). Same scale shape as the
+    * xxhash production path: one signature shuffle, hash-partitioned
+    * band join, capped buckets, lazy verification.
+    */
+  def minhashNearDuplicatesMd5(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 200): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sh = shingles(df, textCol, keyCol, shingleSize)
+    val sigM = materialize(minhashSignaturesMd5(sh, numHashes))
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), array(parts: _*).as("bucket"))
+    }
+    val capped = sigM
+      .select(col("key"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("key"), col("bb.band"), col("bb.bucket"))
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("__sz") <= maxBucketSize)
+      .drop("__sz")
+    val candidates = materialize(capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_1"), col("b.key").as("key_2"))
+      .distinct())
+    verifyCandidates(df, textCol, keyCol, shingleSize, candidates, threshold)
   }
 
   /** Verified Jaccard for given candidate pairs against a (key, shingle)
@@ -285,19 +338,22 @@ object Dedup {
       .select(col("key"), fp.as("simhash"))
   }
 
-  /** SimHash near-duplicates: candidates share at least one of four
-    * 16-bit chunks (guarantees recall for hamming distance <= 3), then
-    * exact hamming verify via bit_count(xor).
+  /** Banded chunk join over a [key, simhash] frame: candidates share at
+    * least one of the `bits/chunkBits` chunks (guarantees recall for
+    * hamming distance < #chunks), then exact hamming verify via
+    * bit_count(xor). Hash-partitioned on (chunk, value) — never an
+    * all-pairs comparison.
     */
-  def simhashNearDuplicates(
-      df: DataFrame,
-      textCol: String,
-      keyCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(df, textCol, keyCol)
-    val chunks = (0 until 4).map(i =>
+  private def simhashChunkJoin(
+      sig: DataFrame,
+      bits: Int,
+      chunkBits: Int,
+      maxHamming: Int): DataFrame = {
+    val nChunks = bits / chunkBits
+    val mask = (1L << chunkBits) - 1
+    val chunks = (0 until nChunks).map(i =>
       struct(lit(i).as("chunk"),
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("val")))
+        shiftright(col("simhash"), i * chunkBits).bitwiseAND(mask).as("val")))
     val keyed = sig.select(col("key"), col("simhash"), explode(array(chunks: _*)).as("cc"))
       .select(col("key"), col("simhash"), col("cc.chunk"), col("cc.val"))
     keyed.as("a")
@@ -309,6 +365,29 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-duplicates over the 64-bit xxhash fingerprint:
+    * four 16-bit chunks.
+    */
+  def simhashNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashChunkJoin(simhash(df, textCol, keyCol), 64, 16, maxHamming)
+
+  /** SimHash near-duplicates over the engine-portable 60-bit md5
+    * fingerprint ([[simhashMd5]]): four 15-bit chunks. Every step —
+    * fingerprint, chunk split, candidate join, hamming verify — is
+    * bit-identical in any SQL engine, so the FULL near-dup output is
+    * oracle-checkable (q_simhash_neardup), not just the fingerprint.
+    */
+  def simhashNearDuplicatesMd5(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashChunkJoin(simhashMd5(df, textCol, keyCol), 60, 15, maxHamming)
 
   /** Embedding-cosine near-duplicates: pairs above the similarity
     * threshold from the ANN index (LSH buckets — the scale path), plus a

@@ -134,12 +134,62 @@ object TextQueries {
         .withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" perturbed suffix token")))
       val corpus = Ingest.concatenateDataset(Seq(d, perturbed))
-      Dedup.minhashNearDuplicates(corpus, "text", "doc_id",
-        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      Dedup.minhashNearDuplicatesMd5(corpus, "text", "doc_id",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
     },
-    None)
+    Some {
+      val salts = Dedup.md5Salts.take(16)
+      val sigDefs = salts.zipWithIndex
+        .map { case (s, i) => s"min(xor(h, $s)) AS sig_$i" }.mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val vs = (0 until 4).map(r => s"sig_${b * 4 + r} AS v$r").mkString(", ")
+        s"SELECT doc_id, $b AS band, $vs FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text || ' perturbed suffix token' AS text
+        FROM documents WHERE doc_id % 7 = 0),
+      norm AS (SELECT doc_id, str_split($normSql, ' ') AS t FROM corpus),
+      sh0 AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+        FROM norm, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+      sh AS (SELECT * FROM sh0 WHERE length(shingle) > 0),
+      h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+      sig AS (SELECT doc_id, $sigDefs FROM h GROUP BY doc_id),
+      bands AS ($bandSelects),
+      capped AS (SELECT * FROM (
+          SELECT *, count(*) OVER (PARTITION BY band, v0, v1, v2, v3) AS sz
+          FROM bands) WHERE sz <= 200),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS key_1, b.doc_id AS key_2
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+         AND a.v2 = b.v2 AND a.v3 = b.v3 AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS key_1, b.doc_id AS key_2, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT c.key_1, c.key_2,
+        round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+          / (na.n + nb.n - COALESCE(i.i, 0)), 4) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON c.key_1 = i.key_1 AND c.key_2 = i.key_2
+      JOIN sizes na ON c.key_1 = na.doc_id
+      JOIN sizes nb ON c.key_2 = nb.doc_id
+      WHERE round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+          / (na.n + nb.n - COALESCE(i.i, 0)), 4) >= 0.5"""
+    })
 
-  /** SimHash near-dup detection on the same planted corpus (rows-only). */
+  /** SimHash near-dup detection on a planted corpus — full oracle: the
+    * md5 fingerprint, 15-bit chunk candidate join, and hamming verify
+    * are all bit-identical in DuckDB, so the COMPLETE near-dup pair set
+    * hash-matches (the 64-bit xxhash production variant stays covered by
+    * TextSpec/StreamingSpec recall gates).
+    */
   val qSimhashDedup = Q(
     "q_simhash_neardup",
     (s, dir) => {
@@ -148,9 +198,37 @@ object TextQueries {
         .withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" zz")))
       val corpus = Ingest.concatenateDataset(Seq(d, perturbed))
-      Dedup.simhashNearDuplicates(corpus, "text", "doc_id", maxHamming = 6)
+      Dedup.simhashNearDuplicatesMd5(corpus, "text", "doc_id", maxHamming = 6)
     },
-    None)
+    Some {
+      val voteDefs = (0 until 60)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ")
+      val fold = (0 until 60)
+        .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text
+        FROM documents WHERE doc_id % 7 = 0),
+      t AS (SELECT doc_id, unnest(list_distinct(str_split($normSql, ' '))) AS tok
+            FROM corpus),
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+            FROM t WHERE length(tok) > 0),
+      v AS (SELECT doc_id, $voteDefs FROM h GROUP BY doc_id),
+      fp AS (SELECT doc_id, CAST($fold AS BIGINT) AS simhash FROM v),
+      c AS (SELECT doc_id, simhash, i.i AS chunk,
+              (simhash >> (15 * i.i)) & 32767 AS val
+            FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS key_1, b.doc_id AS key_2,
+          bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM c a JOIN c b ON a.chunk = b.chunk AND a.val = b.val
+          AND a.doc_id < b.doc_id)
+      SELECT key_1, key_2, hamming FROM pairs WHERE hamming <= 6"""
+    })
 
   /** Exact word-3-gram Jaccard for every intersecting same-language pair
     * — fully SQL-expressible (lateral unnest + list slicing on the
