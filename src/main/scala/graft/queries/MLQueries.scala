@@ -23,6 +23,39 @@ object MLQueries {
       explainedVarianceCutoff = 0.8),
     None)
 
+  /** Two-column PCA — the one PCA configuration whose eigenstructure is
+    * CLOSED-FORM (corr matrix [[1,r],[r,1]] ⇒ eigenvectors (1,±1)/√2,
+    * eigenvalues 1±r), so the whole fit+apply replays analytically in
+    * SQL: latent_0 = (z₁ + sign(r)·z₂)/√2, latent_1 = (z₁ − sign(r)·z₂)/√2
+    * under the largest-|loading|-positive sign convention. Turns the PCA
+    * core (standardize → eigencomposition → codegen projection) into a
+    * hard oracle row; the 4-column q_pca_latent stays the production
+    * configuration.
+    */
+  val qPca2Col = Q(
+    "q_pca_2col",
+    (s, dir) => LatentFeatures.pcaLatentFeatures(
+      tables(s, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Seq("l_quantity", "l_extendedprice"),
+      explainedVarianceCutoff = 0.999)
+      // `+ 0.0` collapses -0.0 → 0.0 identically on both engines
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("latent_0") + lit(0.0)).as("latent_0"),
+        (col("latent_1") + lit(0.0)).as("latent_1")),
+    Some("""
+      WITH s AS (
+        SELECT avg(l_quantity) AS mu1, stddev_samp(l_quantity) AS sd1,
+               avg(l_extendedprice) AS mu2, stddev_samp(l_extendedprice) AS sd2,
+               CASE WHEN corr(l_quantity, l_extendedprice) >= 0 THEN 1.0 ELSE -1.0 END AS sg
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+        round(((l_quantity - mu1) / sd1 + sg * (l_extendedprice - mu2) / sd2)
+              / sqrt(2.0), 4) + 0.0 AS latent_0,
+        round(((l_quantity - mu1) / sd1 - sg * (l_extendedprice - mu2) / sd2)
+              / sqrt(2.0), 4) + 0.0 AS latent_1
+      FROM lineitem, s"""))
+
   /** ALS matrix-factorization imputation over a deterministically-nulled
     * user×metric matrix derived from events (model-based → rows-only).
     */
@@ -368,7 +401,7 @@ transformers:
       latentDim = 2),
     None)
 
-  def all: Seq[Q] = Seq(qPcaLatent, qAlsImpute, qAutoImputation, qMonotonicBinning,
-    qBoxcox, qBoxcoxLambda, qMultimodal, qWorkflow, qVarClus, qKnnImpute,
-    qIterativeImputation, qFeatureRec, qImageFeatures, qAutoencoderLatent)
+  def all: Seq[Q] = Seq(qPcaLatent, qPca2Col, qAlsImpute, qAutoImputation,
+    qMonotonicBinning, qBoxcox, qBoxcoxLambda, qMultimodal, qWorkflow, qVarClus,
+    qKnnImpute, qIterativeImputation, qFeatureRec, qImageFeatures, qAutoencoderLatent)
 }
