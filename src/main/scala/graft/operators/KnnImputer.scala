@@ -30,6 +30,41 @@ object KnnImputer {
     val sample: Array[Array[Double]] = complete
       .sample(withReplacement = false, frac, seed).limit(sampleSize)
       .collect().map(r => cols.indices.map(r.getDouble).toArray)
+    applyKnn(df, cols, sample, k)
+  }
+
+  /** Fully deterministic variant: the neighbour sample is the
+    * `sampleSize` complete rows with the LOWEST md5-prefix hash of the
+    * key columns (global TakeOrdered — no RNG, no partition-layout
+    * dependence), kept in hash order so top-k tie-breaking is stable
+    * too. Every step — sample membership, sample order, scaled
+    * distances, neighbour ranks, neighbour means — is a pure function
+    * of the data, which makes the whole imputation replayable in an
+    * external SQL engine (q_knn_deterministic).
+    */
+  def imputationKnnDeterministic(
+      df: DataFrame,
+      cols: Seq[String],
+      sampleKeyCols: Seq[String],
+      k: Int = 5,
+      sampleSize: Int = 10000): DataFrame = {
+    require(sampleKeyCols.nonEmpty, "deterministic KNN needs sample key columns")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val parts = sampleKeyCols.map(c => s"cast(`$c` as string)").mkString(", ")
+    val h = expr(s"md5_prefix60(cast(concat_ws('|', $parts) as binary))")
+    val sample: Array[Array[Double]] = df.na.drop(cols)
+      .orderBy(h.asc +: sampleKeyCols.map(c => col(c).asc): _*)
+      .limit(sampleSize)
+      .select(cols.map(c => col(c).cast("double")): _*)
+      .collect().map(r => cols.indices.map(r.getDouble).toArray)
+    applyKnn(df, cols, sample, k)
+  }
+
+  private def applyKnn(
+      df: DataFrame,
+      cols: Seq[String],
+      sample: Array[Array[Double]],
+      k: Int): DataFrame = {
     require(sample.nonEmpty, "KNN imputation needs at least one complete row")
 
     // per-column scale for the distance metric (driver, O(#cols))

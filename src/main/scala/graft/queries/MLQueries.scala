@@ -282,6 +282,69 @@ transformers:
     },
     None)
 
+  /** Deterministic KNN imputation with a FULL oracle: the neighbour
+    * sample is the 2000 complete rows with the lowest md5 key hash (in
+    * hash order), distances are the same scaled-euclidean expression on
+    * both engines, neighbour ranks tie-break on sample order, and the
+    * 5-neighbour mean fill replays exactly — DuckDB reproduces every
+    * imputed cell. (The seeded-sample production imputationKnn stays
+    * rows-only + RMSE-gated.)
+    */
+  val qKnnDeterministic = Q(
+    "q_knn_deterministic",
+    (s, dir) => {
+      // (orderkey, linenumber, partkey, suppkey) is the unique row key —
+      // the testdata has (orderkey, linenumber) duplicates, which would
+      // merge distinct rows in the oracle's per-row window
+      val li = tables(s, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount")
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 13 === 0, lit(null)).otherwise(col("l_quantity")))
+      KnnImputer.imputationKnnDeterministic(
+        li, Seq("l_quantity", "l_extendedprice", "l_discount"),
+        sampleKeyCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        k = 5, sampleSize = 2000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), round(col("l_quantity"), 4).as("q_filled"))
+    },
+    Some("""
+      WITH masked AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_quantity END AS q,
+          l_extendedprice AS e, l_discount AS d
+        FROM lineitem),
+      st AS (SELECT stddev_samp(e) AS s2, stddev_samp(d) AS s3 FROM masked),
+      samp AS (
+        SELECT q, e, d,
+          row_number() OVER (
+            ORDER BY hh, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rk
+        FROM (SELECT *,
+            ('0x' || substr(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR
+              || '|' || l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR), 1, 15))::BIGINT AS hh
+          FROM masked WHERE q IS NOT NULL)),
+      samp2 AS (SELECT * FROM samp WHERE rk <= 2000),
+      nulls AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, e, d
+                FROM masked WHERE q IS NULL),
+      nn AS (
+        SELECT n.l_orderkey, n.l_linenumber, n.l_partkey, n.l_suppkey, s.q AS sq,
+          row_number() OVER (
+            PARTITION BY n.l_orderkey, n.l_linenumber, n.l_partkey, n.l_suppkey
+            ORDER BY (((n.e - s.e) / st.s2) * ((n.e - s.e) / st.s2)
+                    + ((n.d - s.d) / st.s3) * ((n.d - s.d) / st.s3)) * 3 / 2,
+              s.rk) AS rnk
+        FROM nulls n CROSS JOIN samp2 s CROSS JOIN st),
+      fills AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, avg(sq) AS fq
+        FROM nn WHERE rnk <= 5
+        GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
+      SELECT m.l_orderkey, m.l_linenumber, m.l_partkey, m.l_suppkey,
+        round(COALESCE(m.q, f.fq), 4) AS q_filled
+      FROM masked m
+      LEFT JOIN fills f
+        ON m.l_orderkey = f.l_orderkey AND m.l_linenumber = f.l_linenumber
+       AND m.l_partkey = f.l_partkey AND m.l_suppkey = f.l_suppkey"""))
+
   /** Iterative (round-robin ridge) imputation — the reference's
     * imputation_sklearn method_type="regression" analog (model-based →
     * rows-only; ImputerSpec carries the RMSE-quality assertions).
@@ -403,5 +466,6 @@ transformers:
 
   def all: Seq[Q] = Seq(qPcaLatent, qPca2Col, qAlsImpute, qAutoImputation,
     qMonotonicBinning, qBoxcox, qBoxcoxLambda, qMultimodal, qWorkflow, qVarClus,
-    qKnnImpute, qIterativeImputation, qFeatureRec, qImageFeatures, qAutoencoderLatent)
+    qKnnImpute, qKnnDeterministic, qIterativeImputation, qFeatureRec, qImageFeatures,
+    qAutoencoderLatent)
 }
