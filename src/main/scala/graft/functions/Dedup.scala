@@ -324,18 +324,13 @@ object Dedup {
   def simhashMd5(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     val h = expr("md5_prefix60(cast(tok as binary))")
-    val votes = (0 until 60).map(b =>
-      sum(when(shiftright(col("__h"), b).bitwiseAND(1L) === 1L, 1)
-        .otherwise(-1)).as(s"__v$b"))
-    val fp = (0 until 60).map(b =>
-      when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L)
-    ).reduce(_ + _)
+    // ONE 60-counter vote buffer per group (plans.SimHashVoteAgg) — value
+    // is bit-identical to the 60-sum expression form the oracle replays
     df.select(col(keyCol).as("key"),
         explode(array_distinct(split(TextOps.normalizeText(col(textCol)), " "))).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("key"), h.as("__h"))
-      .groupBy("key").agg(votes.head, votes.tail: _*)
-      .select(col("key"), fp.as("simhash"))
+      .groupBy("key").agg(expr("simhash_votes(__h)").as("simhash"))
   }
 
   /** Banded chunk join over a [key, simhash] frame: candidates share at

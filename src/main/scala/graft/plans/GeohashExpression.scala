@@ -68,6 +68,10 @@ object GraftFunctions {
       "md5_prefix60",
       exprs => Md5Prefix60Expr(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_votes",
+      exprs => SimHashVoteAgg(exprs.head, bits = 60).toAggregateExpression(),
+      "built-in")
   }
 }
 
