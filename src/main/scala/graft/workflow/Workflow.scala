@@ -71,6 +71,19 @@ object Workflow {
       df = Ingest.renameColumn(df, asConf(v).map { case (k, x) => k -> x.toString }))
     input.get("recast_column").foreach(v =>
       df = Ingest.recastColumn(df, asConf(v).map { case (k, x) => k -> x.toString }))
+    // ts_preprocess (ref ts_auto_detection.py:622): detect string
+    // timestamp columns from one sampling job and cast them; "auto"
+    // probes every string column
+    input.get("ts_preprocess").foreach { v =>
+      import graft.functions.AutoDetect
+      val cols = v match {
+        case "auto" => graft.core.ColumnRole.categoricalCols(df)
+        case other  => strings(other)
+      }
+      if (cols.nonEmpty) timed("ts_preprocess") {
+        df = AutoDetect.tsPreprocess(df, AutoDetect.detectTimestampColumns(df, cols))
+      }
+    }
 
     // ---- concatenate / join auxiliary datasets
     conf.get("join_dataset").foreach { v =>
@@ -210,6 +223,15 @@ object Workflow {
           df = graft.sources.Sampling.deterministicSample(
             df, asConf(f).getOrElse("fraction", 0.1).toString.toDouble, Seq(idCol))
         }
+        tp.get("stratified_sample").foreach { f =>
+          val sc = asConf(f)
+          df = graft.sources.Sampling.deterministicStratifiedSample(
+            df,
+            sc.getOrElse("fraction", 0.1).toString.toDouble,
+            strings(sc("strata_cols")),
+            Seq(idCol),
+            sc.getOrElse("mode", "population").toString)
+        }
         if (tp.getOrElse("text_stats", false) == true)
           df = df
             .withColumn("n_tokens", graft.functions.TextOps.tokenCount(col(textCol)))
@@ -324,6 +346,16 @@ object Workflow {
               df = df.withColumn(s"in_$code",
                 graft.functions.Geo.locationInCountry(lat, lon, code))
             }
+            // both halves of the ref's cluster analysis
+            // (geospatial_analyzer.py:390-733)
+            gc.get("cluster_kmeans").foreach { k =>
+              val (_, labeled) = graft.functions.Geo.clusterAnalysis(
+                df, la.toString, lo.toString, maxK = k.toString.toInt)
+              df = labeled
+            }
+            if (gc.getOrElse("cluster_dbscan", false) == true)
+              df = graft.functions.Geo.dbscanClusterAnalysis(
+                df, la.toString, lo.toString).labeled
           case _ =>
             throw new IllegalArgumentException("geospatial stage needs lat_col and lon_col")
         }

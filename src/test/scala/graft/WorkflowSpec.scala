@@ -163,6 +163,44 @@ text_pipeline:
     assert(df.columns.contains("quality") && df.columns.contains("lang_pred"))
   }
 
+  test("workflow: ts_preprocess, stratified sample, geo cluster stages") {
+    val dir = java.nio.file.Files.createTempDirectory("wfx").toString
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 300).map { i =>
+      val stratum = if (i <= 100) "a" else "b"
+      val (clat, clon) = if (i % 2 == 0) (0.0, 0.0) else (40.0, 40.0)
+      (i.toLong, f"2024-01-${i % 28 + 1}%02d", stratum,
+        clat + 0.1 * rnd.nextGaussian(), clon + 0.1 * rnd.nextGaussian())
+    }
+    rows.toDF("id", "dt", "s", "lat", "lon").write.parquet(s"$dir/t")
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/t"
+    file_type: parquet
+  ts_preprocess: auto
+text_pipeline:
+  text_col: s
+  id_col: id
+  stratified_sample:
+    fraction: 0.5
+    strata_cols: [s]
+    mode: balanced
+geospatial:
+  lat_col: lat
+  lon_col: lon
+  cluster_kmeans: 4
+"""
+    val (df, stages) = Workflow.run(spark, yaml)
+    assert(df.schema("dt").dataType.typeName == "timestamp")
+    assert(stages.exists(_.name == "ts_preprocess"))
+    // balanced: both strata keep exactly floor(0.5 * 100) = 50 rows
+    val counts = df.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 50L, "b" -> 50L), s"$counts")
+    assert(df.columns.contains("geo_cluster"))
+  }
+
   test("workflow text_pipeline: pii, line dedup, gopher, sample, shards") {
     val dir = java.nio.file.Files.createTempDirectory("wft2").toString
     val body = Seq.fill(8)("the data and table with that have rows to be of use").mkString(" ")
