@@ -35,6 +35,7 @@ object AutoDetect {
   private val BF =
     """(?:JANUARY|FEBRUARY|MARCH|APRIL|MAY|JUNE|JULY|AUGUST|SEPTEMBER|OCTOBER|NOVEMBER|DECEMBER)"""
   private val th = """(?:ST|ND|RD|TH)"""                          // ordinal suffix
+  private val A3 = """(?:MON|TUE|WED|THU|FRI|SAT|SUN)"""          // day-name abbrev
   private val ap = """(?:[AP]\.? ?M\.?)"""                        // am/pm marker
   private val tz = """(?:[+-](?:0\d|1[0-4]):?(?:00|15|30|45))"""  // utc offset
 
@@ -47,6 +48,11 @@ object AutoDetect {
   case object AmPmNorm  extends Norm
   case object EpochSec  extends Norm
   case object EpochMs   extends Norm
+  case object EpochUs   extends Norm
+  /** strip the leading "Mon, " day-name token (Spark's CORRECTED parser
+    * cannot PARSE EEE), then month normalization
+    */
+  case object RfcNorm   extends Norm
   /** Spark's flexible ISO cast (fractional seconds / offsets) */
   case object IsoAuto   extends Norm
 
@@ -121,6 +127,10 @@ object AutoDetect {
     TsFormat(s"^$d$th?-$B3-'?$y2$$",                         "d-MMM-yy", MonthNorm, ci = true),
     TsFormat(s"^$B3 $Y$$",                                   "MMM yyyy", MonthNorm, ci = true),
     TsFormat(s"^$BF $Y$$",                                   "MMMM yyyy", MonthNorm, ci = true),
+    // ---- month-name datetimes (RFC-1123-style) ----
+    TsFormat(s"^$A3, ?$d $B3 $Y $H:$M:$S$$",                 "rfc1123_datetime", RfcNorm, ci = true),
+    TsFormat(s"^$d $B3 $Y $H:$M:$S$$",                       "d MMM yyyy HH:mm:ss", MonthNorm, ci = true),
+    TsFormat(s"^$d $B3 $Y $H:$M$$",                          "d MMM yyyy HH:mm", MonthNorm, ci = true),
     // ---- time-only (parses onto the epoch date, like to_timestamp) ----
     TsFormat(s"^$H:$M:$S$$",                                 "H:mm:ss"),
     TsFormat(s"^$H:$M$$",                                    "H:mm"),
@@ -129,7 +139,8 @@ object AutoDetect {
     TsFormat(s"^$I ?$ap$$",                                  "h a", AmPmNorm, ci = true),
     // ---- epoch strings (1x-prefixed to avoid phone/id collisions) ----
     TsFormat("^1[0-9]{9}$",                                  "epoch_seconds", EpochSec),
-    TsFormat("^1[0-9]{12}$",                                 "epoch_millis", EpochMs))
+    TsFormat("^1[0-9]{12}$",                                 "epoch_millis", EpochMs),
+    TsFormat("^1[0-9]{15}$",                                 "epoch_micros", EpochUs))
 
   private val formatByFmt: Map[String, TsFormat] =
     tsFormats.map(f => f.fmt -> f).toMap
@@ -179,6 +190,12 @@ object AutoDetect {
     }
   }
 
+  /** canonical month casing; strip ordinals, commas, quotes */
+  private def monthClean(c: Column): Column =
+    initcap(lower(regexp_replace(
+      regexp_replace(c, "(?i)(\\d)(st|nd|rd|th)", "$1"),
+      "[,'‘’]", "")))
+
   /** Distributed cast of one string column under a detected format —
     * normalization + try_to_timestamp, all codegen'd builtins.
     */
@@ -187,12 +204,13 @@ object AutoDetect {
     f.norm match {
       case EpochSec => timestamp_seconds(c.cast(LongType))
       case EpochMs  => timestamp_millis(c.cast(LongType))
+      case EpochUs  => timestamp_micros(c.cast(LongType))
       case IsoAuto  => c.cast(TimestampType)
       case MonthNorm =>
-        val cleaned = initcap(lower(regexp_replace(
-          regexp_replace(trim(c), "(?i)(\\d)(st|nd|rd|th)", "$1"),
-          "[,'‘’]", "")))
-        try_to_timestamp(cleaned, lit(f.fmt))
+        try_to_timestamp(monthClean(trim(c)), lit(f.fmt))
+      case RfcNorm =>
+        val noDay = regexp_replace(trim(c), "(?i)^[a-z]+, *", "")
+        try_to_timestamp(monthClean(noDay), lit("d MMM yyyy HH:mm:ss"))
       case AmPmNorm =>
         try_to_timestamp(regexp_replace(upper(trim(c)), "\\.", ""), lit(f.fmt))
       case NoNorm =>

@@ -68,7 +68,12 @@ class AutoDetectSpec extends SparkSpec {
     ("h:mm a", Seq("9:45 pm"), Seq("1970-01-01 21:45:00")),
     ("h a", Seq("9 PM"), Seq("1970-01-01 21:00:00")),
     ("epoch_seconds", Seq("1705312345"), Seq("2024-01-15 09:52:25")),
-    ("epoch_millis", Seq("1705312345678"), Seq("2024-01-15 09:52:25")))
+    ("epoch_millis", Seq("1705312345678"), Seq("2024-01-15 09:52:25")),
+    ("epoch_micros", Seq("1705312345678901"), Seq("2024-01-15 09:52:25")),
+    ("rfc1123_datetime", Seq("Mon, 15 Jan 2024 09:45:07", "TUE, 3 AUG 2021 23:59:59"),
+      Seq("2024-01-15 09:45:07", "2021-08-03 23:59:59")),
+    ("d MMM yyyy HH:mm:ss", Seq("15 Jan 2024 09:45:07"), Seq("2024-01-15 09:45:07")),
+    ("d MMM yyyy HH:mm", Seq("15 jan 2024 09:45"), Seq("2024-01-15 09:45:00")))
 
   test("every format in the table detects and casts its vectors") {
     val failures = vectors.flatMap { case (fmt, raws, expected) =>
