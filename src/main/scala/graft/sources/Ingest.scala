@@ -44,6 +44,27 @@ object Ingest {
     pw.save(filePath)
   }
 
+  /** Range-clustered write: `repartitionByRange(clusterCols)` +
+    * `sortWithinPartitions` before the parquet write, so each output
+    * file covers a NARROW range of the cluster keys. Parquet row-group
+    * min/max statistics then let any later range/equality filter on
+    * those keys skip whole files — the linear-clustering half of what
+    * Z-ORDER gives, from two builtin operators. At 100 TB this is the
+    * difference between scanning a shard and scanning the table for
+    * time-range or key-range queries.
+    */
+  def writeClustered(
+      df: DataFrame,
+      filePath: String,
+      clusterCols: Seq[String],
+      numFiles: Int,
+      mode: String = "overwrite"): Unit = {
+    require(clusterCols.nonEmpty && numFiles > 0, "need cluster columns and a file count")
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(mode).parquet(filePath)
+  }
+
   /** Bucketed managed-table write: pre-shuffles once at write time so
     * later equi-joins/aggregations on the bucket keys run WITHOUT a
     * shuffle (both sides bucketed on the same keys ⇒ sort-merge join

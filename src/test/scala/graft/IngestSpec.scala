@@ -68,6 +68,23 @@ class IngestSpec extends SparkSpec {
     assert(smaller.subsetOf(keptIds))
   }
 
+  test("range-clustered write enables file skipping on the cluster key") {
+    val dir = java.nio.file.Files.createTempDirectory("clustered").toString
+    val d = (1 to 10000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    graft.sources.Ingest.writeClustered(d, s"$dir/t", Seq("k"), numFiles = 8)
+    val back = spark.read.parquet(s"$dir/t")
+    // correctness: nothing lost
+    assert(back.count() == 10000)
+    // each parquet file covers a narrow disjoint k-range, so a
+    // selective range filter must touch a strict subset of the files
+    import org.apache.spark.sql.functions.input_file_name
+    val allFiles = back.select(input_file_name()).distinct().count()
+    val hitFiles = back.filter(col("k").between(100, 200))
+      .select(input_file_name()).distinct().count()
+    assert(allFiles == 8, s"expected 8 clustered files, got $allFiles")
+    assert(hitFiles == 1, s"range filter should touch 1 of 8 files, touched $hitFiles")
+  }
+
   test("deterministic stratified sample hits exact per-stratum targets") {
     // strata sizes 100 / 300 / 600
     val d = ((1 to 100).map(i => (i, "small")) ++ (101 to 400).map(i => (i, "mid")) ++
