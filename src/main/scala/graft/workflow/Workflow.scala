@@ -397,13 +397,20 @@ object Workflow {
       }
     }
 
-    // ---- final write
+    // ---- final write (cluster_by → range-clustered parquet for
+    // file-level min/max skipping; else plain write_dataset)
     conf.get("write_main").foreach { v =>
       val wc = asConf(v)
       timed("write_main") {
-        Ingest.writeDataset(df, wc("file_path").toString,
-          wc.getOrElse("file_type", "parquet").toString,
-          repartitionTo = wc.get("repartition").map(_.toString.toInt))
+        wc.get("cluster_by") match {
+          case Some(cb) =>
+            Ingest.writeClustered(df, wc("file_path").toString, strings(cb),
+              wc.getOrElse("num_files", 200).toString.toInt)
+          case None =>
+            Ingest.writeDataset(df, wc("file_path").toString,
+              wc.getOrElse("file_type", "parquet").toString,
+              repartitionTo = wc.get("repartition").map(_.toString.toInt))
+        }
       }
     }
 
