@@ -31,9 +31,11 @@ object AutoDetect {
   private val I  = """(?:1[012]|0?[1-9])"""                       // 12h hour
   private val M  = """(?:[0-5]\d)"""                              // minute
   private val S  = """(?:[0-5]\d|6[01])"""                        // second (leap)
-  private val B3 = """(?:JAN|FEB|MAR|APR|MAY|JUN|JUL|AUG|SEP|OCT|NOV|DEC)"""
+  // month tokens accept the reference's Malay variants too
+  // (ts_auto_detection.py:100-113 B group: MAC, MEI, OGOS, OKT, DIS, …)
+  private val B3 = """(?:JAN|FEB|MAR|MAC|APR|MAY|MEI|JUN|JUL|AUG|OGO|SEP|OCT|OKT|NOV|DEC|DIS)"""
   private val BF =
-    """(?:JANUARY|FEBRUARY|MARCH|APRIL|MAY|JUNE|JULY|AUGUST|SEPTEMBER|OCTOBER|NOVEMBER|DECEMBER)"""
+    """(?:JANUARY|JANUARI|FEBRUARY|FEBRUARI|MARCH|APRIL|MAY|MEI|JUNE?|JULY|JULAI|AUGUST|OGOS|SEPTEMBER|OCTOBER|OKTOBER|NOVEMBER|DECEMBER|DISEMBER)"""
   private val th = """(?:ST|ND|RD|TH)"""                          // ordinal suffix
   private val A3 = """(?:MON|TUE|WED|THU|FRI|SAT|SUN)"""          // day-name abbrev
   private val ap = """(?:[AP]\.? ?M\.?)"""                        // am/pm marker
@@ -190,11 +192,29 @@ object AutoDetect {
     }
   }
 
-  /** canonical month casing; strip ordinals, commas, quotes */
-  private def monthClean(c: Column): Column =
+  /** Malay month token → English (ref accepts both spellings,
+    * ts_auto_detection.py:100-113); longest-first so OKTOBER doesn't
+    * partially match OKT's replacement.
+    */
+  private val malayMonths: Seq[(String, String)] = Seq(
+    // full forms → full English (MMMM parses full names only)
+    "JANUARI" -> "JANUARY", "FEBRUARI" -> "FEBRUARY", "DISEMBER" -> "DECEMBER",
+    "OKTOBER" -> "OCTOBER", "JULAI" -> "JULY", "OGOS" -> "AUGUST",
+    // abbreviations → English abbreviations (MMM)
+    "MAC" -> "MAR", "MEI" -> "MAY", "OGO" -> "AUG", "OKT" -> "OCT",
+    "DIS" -> "DEC")
+
+  /** canonical month casing; strip ordinals, commas, quotes; translate
+    * Malay month tokens to the English names Java's parser knows
+    */
+  private def monthClean(c: Column): Column = {
+    val translated = malayMonths.foldLeft(c) { case (acc, (my, en)) =>
+      regexp_replace(acc, s"(?i)\\b$my\\b", en)
+    }
     initcap(lower(regexp_replace(
-      regexp_replace(c, "(?i)(\\d)(st|nd|rd|th)", "$1"),
+      regexp_replace(translated, "(?i)(\\d)(st|nd|rd|th)", "$1"),
       "[,'‘’]", "")))
+  }
 
   /** Distributed cast of one string column under a detected format —
     * normalization + try_to_timestamp, all codegen'd builtins.

@@ -75,6 +75,32 @@ class AutoDetectSpec extends SparkSpec {
     ("d MMM yyyy HH:mm:ss", Seq("15 Jan 2024 09:45:07"), Seq("2024-01-15 09:45:07")),
     ("d MMM yyyy HH:mm", Seq("15 jan 2024 09:45"), Seq("2024-01-15 09:45:00")))
 
+  // Malay month spellings (the reference's table is Malay-bilingual,
+  // ts_auto_detection.py:100-113) — share formats with the English
+  // vectors, so asserted separately on cast results
+  private val malayVectors: Seq[(String, String, String)] = Seq(
+    ("15 Mac 2024", "d MMM yyyy", "2024-03-15"),
+    ("15 Mei 2024", "d MMM yyyy", "2024-05-15"),
+    ("3 Ogos 2021", "d MMMM yyyy", "2021-08-03"),
+    ("31 Disember 2023", "d MMMM yyyy", "2023-12-31"),
+    ("1 Julai 2022", "d MMMM yyyy", "2022-07-01"),
+    ("12 Oktober 2020", "d MMMM yyyy", "2020-10-12"),
+    ("7 Januari 2024", "d MMMM yyyy", "2024-01-07"))
+
+  test("Malay month spellings detect and cast like the reference's table") {
+    val failures = malayVectors.flatMap { case (raw, fmt, expected) =>
+      val df = Seq(raw).toDF("v")
+      val det = AutoDetect.detectTimestampColumns(df, Seq("v"), minMatchRate = 1.0)
+      if (!det.head.format.contains(fmt)) Seq(s"$raw: detected ${det.head.format}")
+      else {
+        val got = df.select(date_format(AutoDetect.castColumn(col("v"), fmt), "yyyy-MM-dd"))
+          .head().getString(0)
+        if (got == expected) Nil else Seq(s"$raw -> $got, wanted $expected")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("every format in the table detects and casts its vectors") {
     val failures = vectors.flatMap { case (fmt, raws, expected) =>
       val df = raws.toDF("v")
