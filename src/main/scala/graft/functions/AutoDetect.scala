@@ -227,7 +227,15 @@ object AutoDetect {
       case EpochUs  => timestamp_micros(c.cast(LongType))
       case IsoAuto  => c.cast(TimestampType)
       case MonthNorm =>
-        try_to_timestamp(monthClean(trim(c)), lit(f.fmt))
+        // initcap only capitalizes at whitespace boundaries — normalize
+        // dash-separated month layouts ("15-aug-2020") to spaces and
+        // parse with the space form of the pattern, else lowercase month
+        // tokens stay lowercase and the case-sensitive parser nulls out
+        if (f.fmt.contains("-"))
+          try_to_timestamp(
+            monthClean(regexp_replace(trim(c), "-", " ")),
+            lit(f.fmt.replace('-', ' ')))
+        else try_to_timestamp(monthClean(trim(c)), lit(f.fmt))
       case RfcNorm =>
         val noDay = regexp_replace(trim(c), "(?i)^[a-z]+, *", "")
         try_to_timestamp(monthClean(noDay), lit("d MMM yyyy HH:mm:ss"))

@@ -25,7 +25,7 @@ object KnnImputer {
     // stats estimate instead of a full count() — at 100 TB the extra scan
     // per fit dominates; the fraction only sizes the sample (limit caps it)
     val n = complete.queryExecution.optimizedPlan.stats.rowCount
-      .map(_.toLong).getOrElse(df.count())
+      .map(_.toLong).getOrElse(complete.count())
     val frac = math.min(1.0, sampleSize * 1.2 / math.max(1L, n).toDouble)
     val sample: Array[Array[Double]] = complete
       .sample(withReplacement = false, frac, seed).limit(sampleSize)

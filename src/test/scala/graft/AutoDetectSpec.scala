@@ -54,11 +54,13 @@ class AutoDetectSpec extends SparkSpec {
     ("d MMM yyyy", Seq("15 Jan 2024", "3rd Aug, 2021"),
       Seq("2024-01-15 00:00:00", "2021-08-03 00:00:00")),
     ("d MMMM yyyy", Seq("15 January 2024"), Seq("2024-01-15 00:00:00")),
-    ("d-MMM-yyyy", Seq("15-Jan-2024"), Seq("2024-01-15 00:00:00")),
+    ("d-MMM-yyyy", Seq("15-Jan-2024", "15-aug-2020"),
+      Seq("2024-01-15 00:00:00", "2020-08-15 00:00:00")),
     ("MMM d yyyy", Seq("Jan 15, 2024", "AUG 3 2021"),
       Seq("2024-01-15 00:00:00", "2021-08-03 00:00:00")),
     ("MMMM d yyyy", Seq("January 15, 2024"), Seq("2024-01-15 00:00:00")),
-    ("MMM-d-yyyy", Seq("Jan-15-2024"), Seq("2024-01-15 00:00:00")),
+    ("MMM-d-yyyy", Seq("Jan-15-2024", "AUG-3-2021"),
+      Seq("2024-01-15 00:00:00", "2021-08-03 00:00:00")),
     ("d-MMM-yy", Seq("15-Jan-24"), Seq("2024-01-15 00:00:00")),
     ("MMM yyyy", Seq("Jan 2024"), Seq("2024-01-01 00:00:00")),
     ("MMMM yyyy", Seq("January 2024"), Seq("2024-01-01 00:00:00")),
