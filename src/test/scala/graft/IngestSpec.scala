@@ -107,6 +107,20 @@ class IngestSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("deterministic stratified sample edge cases: full fraction, null strata") {
+    val d = ((1 to 40).map(i => (i, Option("a"))) ++ (41 to 140).map(i => (i, Option("b"))) ++
+      (141 to 160).map(i => (i, Option.empty[String]))).toDF("id", "s")
+    // fraction = 1.0 balanced → every stratum keeps exactly min-stratum
+    // rows (nulls concat_ws to the "" stratum, here the smallest at 20)
+    val bal = Sampling.deterministicStratifiedSample(d, 1.0, Seq("s"), Seq("id"), "balanced")
+      .groupBy("s").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("∅") -> r.getLong(1)).toMap
+    assert(bal.values.toSet == Set(20L), s"balanced full fraction: $bal")
+    // fraction = 1.0 population → identity
+    val pop = Sampling.deterministicStratifiedSample(d, 1.0, Seq("s"), Seq("id"), "population")
+    assert(pop.count() == 160)
+  }
+
   test("deterministic split is exhaustive, disjoint, and stable") {
     val d = (1 to 3000).map(i => (i, i % 7)).toDF("id", "g")
     val split = Sampling.deterministicSplit(
