@@ -104,6 +104,22 @@ object Dedup {
       .filter(length(col("shingle")) > 0)
   }
 
+  /** Like [[shingles]] but keeps EVERY occurrence (no distinct) — the
+    * input for within-doc repetition statistics, where occurrence
+    * counts are the signal.
+    */
+  def shinglesAll(df: DataFrame, textCol: String, keyCol: String, n: Int = 3): DataFrame = {
+    val toks = col("__toks")
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    df.select(col(keyCol).as("key"),
+        split(TextOps.normalizeText(col(textCol)), " ").as("__toks"))
+      .select(col("key"), explode(grams).as("shingle"))
+      .filter(length(col("shingle")) > 0)
+  }
+
   /** MinHash signatures: h independent hash functions; one groupBy
     * computes all h mins (single shuffle, h agg expressions).
     * Each shingle string is hashed ONCE to a 64-bit base, and the h

@@ -154,6 +154,31 @@ object TextOps {
   def topNgramCoverage(text: Column, n: Int = 2): Column =
     once(tokens(text))(tk => once(ngramsFromTokens(tk, n))(topCoverageFromGrams))
 
+  /** Gopher's OTHER repetition family (Rae et al. 2021 Table A1):
+    * fraction of characters contained in word n-grams that occur more
+    * than once WITHIN the document. Frame-level because the per-doc
+    * occurrence counts ride one explode + groupBy (two key-partitioned
+    * shuffles on (doc, gram) / doc — scales with corpus size, never a
+    * per-doc O(n²) lambda). Duplicate chars count every occurrence of a
+    * repeated gram (the Dolma/RedPajama convention).
+    * Output: [key, dup_ngram_char_frac].
+    */
+  def dupNgramCharFraction(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      n: Int = 2): DataFrame = {
+    val grams = Dedup.shinglesAll(df, textCol, keyCol, n)
+    grams
+      .groupBy(col("key"), col("shingle"))
+      .agg(count(lit(1)).as("cnt"), length(col("shingle")).as("len"))
+      .groupBy("key")
+      .agg(
+        round(
+          sum(when(col("cnt") > 1, col("cnt") * col("len")).otherwise(0L)).cast("double") /
+            sum(col("cnt") * col("len")), 4).as("dup_ngram_char_frac"))
+  }
+
   /** Composite quality score in [0,1]: penalize extreme length, high
     * punctuation, zero stopwords (classic heuristics).
     */

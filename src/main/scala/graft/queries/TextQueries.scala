@@ -416,6 +416,27 @@ object TextQueries {
       SELECT key, cluster FROM comp"""))
 
   /** Stratified sample (engine-RNG-specific → rows-only). */
+  /** Gopher duplicate-2-gram character fraction — within-doc repetition
+    * (chars in word bigrams occurring >1× / all bigram chars).
+    */
+  val qDupNgramFraction = Q(
+    "q_dup_ngram_fraction",
+    (s, dir) => TextOps.dupNgramCharFraction(tables(s, dir).documents, "text", "doc_id", n = 2)
+      .withColumnRenamed("key", "doc_id"),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, str_split($normSql, ' ') AS t FROM documents),
+      g AS (
+        SELECT doc_id,
+               array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 1], ' ') AS shingle
+        FROM norm, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+      g1 AS (SELECT * FROM g WHERE length(shingle) > 0),
+      c AS (SELECT doc_id, shingle, count(*) AS cnt, length(shingle) AS len
+            FROM g1 GROUP BY doc_id, shingle)
+      SELECT doc_id,
+        round(CAST(sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS DOUBLE)
+          / sum(cnt * len), 4) AS dup_ngram_char_frac
+      FROM c GROUP BY doc_id"""))
+
   val qStratifiedSample = Q(
     "q_stratified_sample",
     (s, dir) => Sampling.dataSample(tables(s, dir).customer,
@@ -1066,5 +1087,5 @@ object TextQueries {
     qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality,
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
     qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
-    qLshBuckets, qStratifiedBalanced, qStratifiedPopulation)
+    qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction)
 }
