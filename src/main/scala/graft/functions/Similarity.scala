@@ -251,25 +251,34 @@ object Similarity {
       fitSample: Int = 10000,
       memberCapPerCell: Int = 250000): DataFrame = {
     import df.sparkSession.implicits._
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // row count drives only the AUTO knobs (cell grid size, salt count);
+    // with an explicit cellCount and no free stats estimate we skip the
+    // extra counting scan and keep numSalts=1 (pass memberCapPerCell
+    // semantics via an explicit cellCount sized for your data instead)
     val statsEst = base.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
-    val n = statsEst.getOrElse(base.count())
+    val n = statsEst.getOrElse(if (cellCount > 0) -1L else base.count())
     val cells =
       if (cellCount > 0) cellCount
       else math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
     // salts per cell sized from the EXPECTED occupancy; the id-hash split
     // also shreds a pathologically hot cell into ≤numSalts bounded tasks
-    val numSalts = math.max(1, math.ceil(
-      n.toDouble / math.max(1, cells) / memberCapPerCell).toInt)
+    val numSalts =
+      if (n < 0) 1
+      else math.max(1, math.ceil(
+        n.toDouble / math.max(1, cells) / memberCapPerCell).toInt)
     // coarse quantizer: Lloyd's iterations on a collected sample
     // (fit-small/apply-big — a distributed KMeans run costs dozens of
-    // jobs for a centroid table that fits in a driver array)
-    val fitFrac = math.min(1.0, fitSample * 1.2 / math.max(1L, n).toDouble)
-    val fitDf =
-      if (fitFrac >= 1.0) base
-      else graft.sources.Sampling.deterministicSample(base, fitFrac, Seq("id"))
-    val sample: Array[Array[Double]] = fitDf
-      .limit(fitSample).collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // jobs for a centroid table that fits in a driver array). The sample
+    // is the fitSample LOWEST-md5-hash ids — a global TakeOrdered:
+    // deterministic under any partition layout AND bounded regardless of
+    // how wrong a stats estimate is (no fraction to mis-size)
+    val sample: Array[Array[Double]] = base
+      .orderBy(expr("md5_prefix60(cast(cast(id as string) as binary))").asc, col("id").asc)
+      .limit(fitSample)
+      .select(col("v"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val centers = localKMeans(sample, cells, seed)
     val bcCenters = df.sparkSession.sparkContext.broadcast(centers)
 

@@ -138,15 +138,20 @@ object Sampling {
     val keyed = df.withColumn("__stratum",
       concat_ws(sep, strataCols.map(c => col(c).cast("string")): _*))
     val h = keyHash(df, keyCols)
+    // tie-break through every remaining column: rows sharing the key
+    // columns still rank deterministically (fully identical rows are
+    // interchangeable, so the kept MULTISET stays a pure function of the
+    // data even when keyCols aren't unique)
+    val tieCols = keyCols ++ df.columns.filterNot(keyCols.contains)
     val w = Window.partitionBy(col("__stratum"))
-      .orderBy((h.asc +: keyCols.map(c => col(c).asc)): _*)
+      .orderBy((h.asc +: tieCols.map(c => col(c).asc)): _*)
     val target = stratifiedType match {
       case "population" =>
         floor(lit(fraction) * count(lit(1)).over(Window.partitionBy(col("__stratum"))))
       case "balanced" =>
-        val minCount = keyed.groupBy("__stratum").count()
-          .agg(min("count")).first().getLong(0)
-        lit(math.floor(fraction * minCount).toLong)
+        val minRow = keyed.groupBy("__stratum").count().agg(min("count")).first()
+        if (minRow.isNullAt(0)) return df.limit(0) // empty input
+        lit(math.floor(fraction * minRow.getLong(0)).toLong)
       case t => throw new IllegalArgumentException(s"unknown stratified type: $t")
     }
     keyed
