@@ -174,9 +174,14 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"), length(col("shingle")).as("len"))
       .groupBy("key")
       .agg(
-        round(
-          sum(when(col("cnt") > 1, col("cnt") * col("len")).otherwise(0L)).cast("double") /
-            sum(col("cnt") * col("len")), 4).as("dup_ngram_char_frac"))
+        sum(when(col("cnt") > 1, col("cnt") * col("len")).otherwise(0L))
+          .cast("long").as("dup_chars"),
+        sum(col("cnt") * col("len")).cast("long").as("total_chars"))
+      // the integer pair is the exact, engine-portable signal; the ratio
+      // is derived convenience (a doc at sf0.1 landed EXACTLY on the
+      // 1e-4 HALF_UP grid and Spark/DuckDB rounded it apart)
+      .withColumn("dup_ngram_char_frac",
+        round(col("dup_chars").cast("double") / col("total_chars"), 4))
   }
 
   /** Composite quality score in [0,1]: penalize extreme length, high

@@ -421,8 +421,11 @@ object TextQueries {
     */
   val qDupNgramFraction = Q(
     "q_dup_ngram_fraction",
+    // compare the EXACT integer char counts (the ratio once landed
+    // precisely on the 1e-4 HALF_UP grid at sf0.1 and the engines
+    // rounded it apart)
     (s, dir) => TextOps.dupNgramCharFraction(tables(s, dir).documents, "text", "doc_id", n = 2)
-      .withColumnRenamed("key", "doc_id"),
+      .select(col("key").as("doc_id"), col("dup_chars"), col("total_chars")),
     Some(s"""
       WITH norm AS (SELECT doc_id, str_split($normSql, ' ') AS t FROM documents),
       g AS (
@@ -433,8 +436,8 @@ object TextQueries {
       c AS (SELECT doc_id, shingle, count(*) AS cnt, length(shingle) AS len
             FROM g1 GROUP BY doc_id, shingle)
       SELECT doc_id,
-        round(CAST(sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS DOUBLE)
-          / sum(cnt * len), 4) AS dup_ngram_char_frac
+        CAST(sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS BIGINT) AS dup_chars,
+        CAST(sum(cnt * len) AS BIGINT) AS total_chars
       FROM c GROUP BY doc_id"""))
 
   val qStratifiedSample = Q(
