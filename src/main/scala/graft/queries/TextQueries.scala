@@ -308,15 +308,13 @@ object TextQueries {
         col("cos"), col("rank")),
     Some(cosineTopK3Sql))
 
-  /** SRP-LSH approximate top-k (bucketed self-join — the scale path);
-    * approximate by construction → rows-only check.
-    */
   /** Deterministic SRP-LSH bucket ids — the hash core of lshTopK made
     * engine-portable: hyperplane weights derive from the md5 family
     * (md5_prefix60("srp:seed:p:d")/2⁵⁹−1) and the dot product
     * accumulates left-to-right in double on both engines, so DuckDB
-    * replays the exact bucket of every vector. The top-k itself stays
-    * recall-gated (RecallSpec); this pins the bucketing.
+    * replays the exact bucket of every vector. The full top-k pipeline
+    * built on these buckets is oracle-checked too (q_lsh_topk); this
+    * pins the bucketing in isolation.
     */
   val qLshBuckets = Q(
     "q_lsh_buckets",
@@ -327,24 +325,69 @@ object TextQueries {
       emb.select(col("vec_id").cast("long").as("vec_id"),
         Similarity.lshBucket(col("embedding"), planes).as("bucket"))
     },
-    Some {
-      def dotP(p: Int): String =
-        s"""list_reduce(list_transform(range(1, len(embedding) + 1),
-           |  i -> embedding[i]::DOUBLE *
-           |    ((('0x' || substr(md5('srp:42:$p:' || (i-1)::VARCHAR), 1, 15))::BIGINT)::DOUBLE
-           |      / 576460752303423488.0 - 1.0)),
-           |  (a, b) -> a + b)""".stripMargin
-      val bucket = (0 until 8)
-        .map(p => s"CASE WHEN ${dotP(p)} >= 0 THEN ${1L << p} ELSE 0 END")
-        .mkString(" + ")
-      s"SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM embeddings"
-    })
+    Some(s"SELECT vec_id, CAST(${srpBucketSql()} AS BIGINT) AS bucket FROM embeddings"))
+
+  /** DuckDB replay of the SRP bucket id of `q_lsh_buckets`, as an
+    * expression over a column named `embedding` (md5-derived hyperplanes,
+    * left-to-right double accumulation — bit-identical to
+    * `Similarity.lshBucket`/`lshSignature`).
+    */
+  private def srpBucketSql(numPlanes: Int = 8, seed: Long = 42L): String = {
+    def dotP(p: Int): String =
+      s"""list_reduce(list_transform(range(1, len(embedding) + 1),
+         |  i -> embedding[i]::DOUBLE *
+         |    ((('0x' || substr(md5('srp:$seed:$p:' || (i-1)::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+         |      / 576460752303423488.0 - 1.0)),
+         |  (a, b) -> a + b)""".stripMargin
+    (0 until numPlanes)
+      .map(p => s"CASE WHEN ${dotP(p)} >= 0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+  }
+
+  /** Full-pipeline DuckDB replay of `Similarity.lshTopK(multiProbe=true,
+    * numTables=1)` over a corpus CTE `(vec_id, embedding)`: bucket every
+    * vector with the md5-derived SRP planes, candidate pairs = bucket
+    * hamming ≤ 1 (self bucket + the `numPlanes` single-bit probe flips),
+    * cosine in double, rank per vector (cos DESC, neighbor_id ASC).
+    * The engine's per-probed-bucket top-k cap is invisible here: the
+    * global top-k of the union of per-bucket top-ks IS the global top-k
+    * of all candidates (any global winner wins its own bucket too).
+    * Emits CTEs up to `r` (vec_id, neighbor_id, cos, rank) — callers
+    * append their own SELECT.
+    */
+  private def lshTopKCtes(corpusSql: String): String =
+    s"""
+      WITH corpus AS ($corpusSql),
+      bkt AS (SELECT vec_id, CAST(${srpBucketSql()} AS BIGINT) AS bucket FROM corpus),
+      e AS (SELECT vec_id, unnest(embedding) AS x,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM corpus),
+      n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+            FROM e GROUP BY vec_id),
+      cand AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+               FROM bkt a JOIN bkt b
+                 ON bit_count(xor(a.bucket, b.bucket)) <= 1
+                AND a.vec_id <> b.vec_id),
+      d AS (SELECT c.vec_id, c.neighbor_id,
+                   sum(CAST(ea.x AS DOUBLE) * CAST(eb.x AS DOUBLE)) AS dt
+            FROM cand c
+            JOIN e ea ON ea.vec_id = c.vec_id
+            JOIN e eb ON eb.vec_id = c.neighbor_id AND ea.i = eb.i
+            GROUP BY c.vec_id, c.neighbor_id),
+      cs AS (SELECT d.vec_id, d.neighbor_id, d.dt / (na.nrm * nb.nrm) AS cos
+             FROM d JOIN n na ON d.vec_id = na.vec_id
+                    JOIN n nb ON d.neighbor_id = nb.vec_id),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM cs)"""
 
   val qLshTopK = Q(
     "q_lsh_topk",
     (s, dir) => Similarity.lshTopK(tables(s, dir).embeddings, "vec_id", "embedding",
       k = 3, numPlanes = 8),
-    None)
+    Some(s"""${lshTopKCtes("SELECT vec_id, embedding FROM embeddings")}
+      SELECT vec_id, neighbor_id, round(cos, 4) AS cos, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 3"""))
 
   /** IVF (KMeans coarse quantizer + nprobe cells) approximate top-k —
     * the inverted-file ANN scale path (rows-only).
@@ -355,8 +398,13 @@ object TextQueries {
       k = 3, cellCount = 8, nprobe = 3),
     None)
 
-  /** Embedding-cosine near-dup over a corpus with planted noisy copies
-    * (rows-only).
+  /** Embedding-cosine near-dup over a corpus with planted noisy copies —
+    * full-pipeline oracle: the planted float perturbation (×1.0001f) is
+    * replayed bit-exactly (a 24-bit × 24-bit float product is exact in
+    * double, so rounding the double product to FLOAT equals the engine's
+    * float multiply), the SRP-LSH candidate step via [[lshTopKCtes]],
+    * then the same top-10 cap → ≥0.99 filter → representative/max_cos
+    * aggregate as `Dedup.embeddingNearDuplicates`.
     */
   val qEmbeddingDedup = Q(
     "q_embedding_neardup",
@@ -369,7 +417,21 @@ object TextQueries {
       Dedup.embeddingNearDuplicates(e.unionByName(planted), "vec_id", "embedding",
         threshold = 0.99)
     },
-    None)
+    Some(s"""${lshTopKCtes("""
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(embedding,
+                 x -> CAST(CAST(x AS DOUBLE)
+                           * CAST(CAST(1.0001 AS FLOAT) AS DOUBLE) AS FLOAT)) AS embedding
+        FROM embeddings WHERE vec_id % 5 = 0""")},
+      f AS (SELECT vec_id, neighbor_id, round(cos, 4) AS cos
+            FROM r WHERE rank <= 10 AND round(cos, 4) >= 0.99)
+      SELECT vec_id,
+             COALESCE(MIN(CASE WHEN neighbor_id < vec_id THEN neighbor_id END),
+                      vec_id) AS representative,
+             MAX(cos) AS max_cos
+      FROM f GROUP BY vec_id"""))
 
   /** Duplicate clusters (connected components by min-label propagation)
     * over the deterministic n-gram-Jaccard candidate pairs; the oracle
