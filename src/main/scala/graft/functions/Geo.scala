@@ -629,17 +629,40 @@ object Geo {
     require(caps.size < 64, "packed argmin reserves 6 low bits for the index")
     val lat = col(latCol).cast("double")
     val lon = col(lonCol).cast("double")
+    // The row's four trig values are hoisted into ONE intermediate
+    // projection; each capital then costs only multiply-adds + atan2 via
+    // the product-form haversine hav(θ₂−θ₁) = (1 − (cosθ₂cosθ₁ +
+    // sinθ₂sinθ₁))/2 with the capital's sin/cos precomputed on the
+    // driver. Identical real-number semantics to the sin² form (differs
+    // ~1e-12 km, invisible on the 1e-4 km output grid); the a∈[0,1]
+    // clamp guards the sqrt against −1e-17 FP residue at exact hits.
+    // Without the hoist, codegen evaluated ~100 sin/cos per row (the
+    // per-capital Δlat/Δlon arguments defeat subexpression elimination).
+    val trig = df
+      .filter(col(latCol).isNotNull && col(lonCol).isNotNull)
+      .withColumn("__slat", sin(radians(lat)))
+      .withColumn("__clat", cos(radians(lat)))
+      .withColumn("__slon", sin(radians(lon)))
+      .withColumn("__clon", cos(radians(lon)))
     // distance·10⁴ (the exact 4-decimal output grid) · 64 + index: long
     // min-ordering == (distance asc, code asc)
     val packedCandidates = caps.zipWithIndex.map { case (c, i) =>
-      round(haversine(lat, lon, lit(c.lat), lit(c.lon)) * 10000).cast("long") * 64 + i
+      val rlat2 = math.toRadians(c.lat)
+      val rlon2 = math.toRadians(c.lon)
+      val havLat = (lit(1.0) -
+        (lit(math.cos(rlat2)) * col("__clat") + lit(math.sin(rlat2)) * col("__slat"))) / 2
+      val havLon = (lit(1.0) -
+        (lit(math.cos(rlon2)) * col("__clon") + lit(math.sin(rlon2)) * col("__slon"))) / 2
+      val a = greatest(lit(0.0), least(lit(1.0),
+        havLat + col("__clat") * lit(math.cos(rlat2)) * havLon))
+      val dist = lit(2 * EarthRadiusKm) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+      round(dist * 10000).cast("long") * 64 + i
     }
     val best = least(packedCandidates: _*)
     val codeArr = array(caps.map(c => lit(c.code)): _*)
     val cityArr = array(caps.map(c => lit(c.city)): _*)
     val idx = (best % 64).cast("int")
-    df.filter(col(latCol).isNotNull && col(lonCol).isNotNull)
-      .select(idCols.map(col) ++ Seq(
+    trig.select(idCols.map(col) ++ Seq(
         element_at(codeArr, idx + 1).as("rg_country_code"),
         element_at(cityArr, idx + 1).as("rg_city"),
         ((best.cast("double") - idx) / 64 / 10000.0).as("rg_distance_km")): _*)
