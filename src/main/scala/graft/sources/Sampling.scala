@@ -120,11 +120,24 @@ object Sampling {
     * columns, so it is reproducible across engines (DuckDB replays it
     * row-for-row), reruns, and cluster layouts.
     *
-    * Scale: one shuffle by stratum for the rank window; per-stratum
-    * driver state only in balanced mode (O(#strata) counts). A
-    * pathologically hot stratum serializes its sort into one task —
-    * for heavily skewed strata prefer the threshold-based
+    * Scale: one shuffle by stratum for the rank window, and in BOTH
+    * modes the rank filter compares against a LITERAL so Spark's
+    * WindowGroupLimit pushes a per-stratum top-k below the exchange —
+    * each map task ships at most target rows per stratum, never a hot
+    * stratum's full sort. Population mode gets its exact per-stratum
+    * targets from a first-pass aggregate (strata cols only — column-
+    * pruned scan, map-side combined) broadcast-joined back; the literal
+    * pre-filter uses the LARGEST stratum's target, which every
+    * per-stratum target is ≤ to, so the exact filter only tightens it.
+    * Driver state is O(1) (one max/min count) in both modes. For
+    * heavily skewed strata where even ⌊fraction·hottest⌋ rows per map
+    * task is too much, prefer the threshold-based
     * [[deterministicSample]] per stratum (approximate sizes).
+    *
+    * Rows with a NULL in any strata column are dropped, matching the
+    * reference's stratified sampler (data_sampling.py na.drop on the
+    * strata columns); this also keeps genuinely-empty-string strata
+    * from colliding with nulls in the concat key.
     */
   def deterministicStratifiedSample(
       df: DataFrame,
@@ -135,7 +148,7 @@ object Sampling {
     require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
     require(strataCols.nonEmpty && keyCols.nonEmpty, "strata and key columns required")
     import org.apache.spark.sql.expressions.Window
-    val keyed = df.withColumn("__stratum",
+    val keyed = df.na.drop("any", strataCols).withColumn("__stratum",
       concat_ws(sep, strataCols.map(c => col(c).cast("string")): _*))
     val h = keyHash(df, keyCols)
     // tie-break through every remaining column: rows sharing the key
@@ -145,20 +158,29 @@ object Sampling {
     val tieCols = keyCols ++ df.columns.filterNot(keyCols.contains)
     val w = Window.partitionBy(col("__stratum"))
       .orderBy((h.asc +: tieCols.map(c => col(c).asc)): _*)
-    val target = stratifiedType match {
+    val ranked = keyed.withColumn("__rn", row_number().over(w))
+    stratifiedType match {
       case "population" =>
-        floor(lit(fraction) * count(lit(1)).over(Window.partitionBy(col("__stratum"))))
+        val counts = keyed.groupBy("__stratum").agg(count(lit(1)).as("__cnt"))
+        val maxRow = counts.agg(max("__cnt")).first()
+        if (maxRow.isNullAt(0)) return df.limit(0) // empty input
+        val capLit = math.floor(fraction * maxRow.getLong(0)).toLong
+        val targets = counts
+          .select(col("__stratum"), floor(lit(fraction) * col("__cnt")).as("__t"))
+        ranked
+          .filter(col("__rn") <= lit(capLit)) // literal → WindowGroupLimit
+          .join(broadcast(targets), Seq("__stratum"))
+          .filter(col("__rn") <= col("__t")) // exact proportional target
+          .drop("__stratum", "__rn", "__t")
       case "balanced" =>
         val minRow = keyed.groupBy("__stratum").count().agg(min("count")).first()
         if (minRow.isNullAt(0)) return df.limit(0) // empty input
-        lit(math.floor(fraction * minRow.getLong(0)).toLong)
+        val target = math.floor(fraction * minRow.getLong(0)).toLong
+        ranked
+          .filter(col("__rn") <= lit(target))
+          .drop("__stratum", "__rn")
       case t => throw new IllegalArgumentException(s"unknown stratified type: $t")
     }
-    keyed
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__t", target) // window exprs must leave the WHERE clause
-      .filter(col("__rn") <= col("__t"))
-      .drop("__stratum", "__rn", "__t")
   }
 
   /** Deterministic train/validation/test split: assigns each row a split

@@ -98,6 +98,14 @@ class IngestSpec extends SparkSpec {
       d, 0.5, Seq("s"), Seq("id"), "population")
       .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pop == Map("small" -> 50L, "mid" -> 150L, "big" -> 300L), s"population: $pop")
+    // both modes must keep the pre-shuffle per-stratum group limit: the
+    // rank filter is against a literal, so the exchange carries at most
+    // target rows per stratum per map task even for a hot stratum
+    Seq("population", "balanced").foreach { mode =>
+      val plan = Sampling.deterministicStratifiedSample(d, 0.5, Seq("s"), Seq("id"), mode)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), s"$mode plan lost WindowGroupLimit:\n$plan")
+    }
     // partition-layout invariance of the kept ids
     val a = Sampling.deterministicStratifiedSample(d, 0.3, Seq("s"), Seq("id"), "balanced")
       .select("id").collect().map(_.getInt(0)).toSet
@@ -110,15 +118,17 @@ class IngestSpec extends SparkSpec {
   test("deterministic stratified sample edge cases: full fraction, null strata") {
     val d = ((1 to 40).map(i => (i, Option("a"))) ++ (41 to 140).map(i => (i, Option("b"))) ++
       (141 to 160).map(i => (i, Option.empty[String]))).toDF("id", "s")
-    // fraction = 1.0 balanced → every stratum keeps exactly min-stratum
-    // rows (nulls concat_ws to the "" stratum, here the smallest at 20)
+    // null-strata rows are dropped (ref data_sampling na.drop on strata
+    // cols) — they neither form a stratum nor shrink balanced targets,
+    // so fraction = 1.0 balanced equalizes to the smallest REAL stratum
     val bal = Sampling.deterministicStratifiedSample(d, 1.0, Seq("s"), Seq("id"), "balanced")
       .groupBy("s").count().collect()
       .map(r => Option(r.getString(0)).getOrElse("∅") -> r.getLong(1)).toMap
-    assert(bal.values.toSet == Set(20L), s"balanced full fraction: $bal")
-    // fraction = 1.0 population → identity
+    assert(bal == Map("a" -> 40L, "b" -> 40L), s"balanced full fraction: $bal")
+    // fraction = 1.0 population → identity minus the null-strata rows
     val pop = Sampling.deterministicStratifiedSample(d, 1.0, Seq("s"), Seq("id"), "population")
-    assert(pop.count() == 160)
+    assert(pop.count() == 140)
+    assert(pop.filter(col("s").isNull).count() == 0)
   }
 
   test("deterministic split is exhaustive, disjoint, and stable") {
