@@ -238,6 +238,78 @@ object GeoQueries {
       FROM r WHERE rn = 1"""
     })
 
+  /** One Vincenty λ-iteration as a nested-SELECT block: consumes rows
+    * with (lam, l, sU1, cU1, sU2, cU2) from `src`, emits every
+    * intermediate (ss, cs, sig, sa, c2a, c2sm, c) — the exact update
+    * sequence of `Geo.vincentyKm`'s loop body.
+    */
+  private def vincentyStepSql(src: String): String =
+    s"""
+    SELECT *, ff / 16 * c2a * (4 + ff * (4 - 3 * c2a)) AS c FROM (
+      SELECT *, CASE WHEN c2a = 0 THEN 0.0 ELSE cs - 2 * sU1 * sU2 / c2a END AS c2sm FROM (
+        SELECT *, 1 - sa * sa AS c2a FROM (
+          SELECT *, atan2(ss, cs) AS sig, cU1 * cU2 * sL / ss AS sa FROM (
+            SELECT *, sqrt(pow(cU2 * sL, 2) + pow(cU1 * sU2 - sU1 * cU2 * cL, 2)) AS ss,
+                   sU1 * sU2 + cU1 * cU2 * cL AS cs FROM (
+              SELECT *, sin(lam) AS sL, cos(lam) AS cL, (1.0/298.257223563) AS ff
+              FROM $src) q1) q2) q3) q4) q5"""
+
+  /** Vincenty inverse geodesic per fixture pair — ORACLE-CHECKED despite
+    * being iterative: the engine's λ-iteration converges (|Δλ| < 1e-12)
+    * within 9 iterations for every fixture pair at sf0.01 AND sf0.1
+    * (measured; the grid's .25/.125 offsets keep every pair ≥ 0.1° away
+    * from the antipodal non-convergence zone), so a fixed 12-iteration
+    * recursive-CTE unroll lands within ~1e-8 km of the engine's
+    * converged value — invisible on the 4-decimal output grid.
+    * Coincident points (ss = 0 → engine returns 0.0) bypass the
+    * iteration via the UNION branch.
+    */
+  val qVincenty = Q(
+    "q_geo_vincenty",
+    (s, dir) => {
+      val pts = withPoints(tables(s, dir).customer)
+      pts.select(
+        col("c_custkey"),
+        round(Geo.vincentyUdf(col("lat"), col("lon"), col("lat2"), col("lon2")), 4)
+          .as("vincenty_km"))
+    },
+    Some(s"""WITH RECURSIVE pts AS (
+        SELECT c_custkey,
+          $latExpr AS lat, $lonExpr AS lon,
+          $lat2Expr AS lat2, $lon2Expr AS lon2
+        FROM customer),
+      base AS (
+        SELECT c_custkey, radians(lon2 - lon) AS l,
+          sin(atan((1 - 1.0/298.257223563) * tan(radians(lat)))) AS sU1,
+          cos(atan((1 - 1.0/298.257223563) * tan(radians(lat)))) AS cU1,
+          sin(atan((1 - 1.0/298.257223563) * tan(radians(lat2)))) AS sU2,
+          cos(atan((1 - 1.0/298.257223563) * tan(radians(lat2)))) AS cU2
+        FROM pts WHERE NOT (lat = lat2 AND lon = lon2)),
+      it AS (
+        SELECT c_custkey, l, sU1, cU1, sU2, cU2, l AS lam, 0 AS i FROM base
+        UNION ALL
+        SELECT c_custkey, l, sU1, cU1, sU2, cU2,
+          l + (1 - c) * ff * sa * (sig + c * ss * (c2sm + c * cs * (-1 + 2 * c2sm * c2sm))) AS lam,
+          i + 1 AS i
+        FROM (${vincentyStepSql("it WHERE i < 12")}) stp),
+      fin AS (${vincentyStepSql("it WHERE i = 12")}),
+      d AS (
+        SELECT c_custkey,
+          ((1 - ff) * 6378137.0) * bigA * (sig - dS) / 1000.0 AS vkm
+        FROM (
+          SELECT *, bigB * ss * (c2sm + bigB / 4 * (cs * (-1 + 2 * c2sm * c2sm)
+            - bigB / 6 * c2sm * (-3 + 4 * ss * ss) * (-3 + 4 * c2sm * c2sm))) AS dS
+          FROM (
+            SELECT *, 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq))) AS bigA,
+                   uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq))) AS bigB
+            FROM (
+              SELECT *, c2a * (6378137.0 * 6378137.0 - pow((1 - ff) * 6378137.0, 2))
+                        / pow((1 - ff) * 6378137.0, 2) AS uSq
+              FROM fin) u1) u2) u3)
+      SELECT c_custkey, round(vkm, 4) AS vincenty_km FROM d
+      UNION ALL
+      SELECT c_custkey, 0.0 AS vincenty_km FROM pts WHERE lat = lat2 AND lon = lon2"""))
+
   def all: Seq[Q] = Seq(qDistance, qCentroid, qRog, qFormat, qPolygon, qGeohash,
-    qInCountry, qReverseGeocode)
+    qInCountry, qReverseGeocode, qVincenty)
 }
