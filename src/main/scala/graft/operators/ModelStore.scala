@@ -51,6 +51,26 @@ object ModelStore {
   def applyEncodingModel(df: DataFrame, model: DataFrame, keyCol: String): DataFrame =
     df.join(broadcast(model), Seq(keyCol), "left")
 
+  // ---- boxcox λ model: [attribute, lambda]
+
+  /** Session-scoped memo of boxcox fits, keyed by the canonical
+    * optimized plan of the fit aggregate: the λ sweep is a pure function
+    * of (source data, columns, sample cap), so re-fitting the same
+    * source in one session is wasted work. Cross-session reuse goes
+    * through [[saveBoxcoxLambdas]]/[[loadBoxcoxLambdas]] instead.
+    */
+  private[graft] val boxcoxFitMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Double]]
+
+  def saveBoxcoxLambdas(spark: SparkSession, lambdas: Map[String, Double], path: String): Unit = {
+    import spark.implicits._
+    lambdas.toSeq.toDF("attribute", "lambda").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadBoxcoxLambdas(spark: SparkSession, path: String): Map[String, Double] =
+    spark.read.parquet(path).collect()
+      .map(r => r.getAs[String]("attribute") -> r.getAs[Double]("lambda")).toMap
+
   // ---- drift source histograms: [attribute, bin, p]
 
   /** Persist the source-side binned frequencies + cutoffs so future

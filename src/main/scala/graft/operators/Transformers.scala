@@ -348,23 +348,38 @@ object Transformers {
   def boxcoxTransformation(
       df: DataFrame,
       cols: Seq[String],
-      fitSampleCap: Option[Long] = Some(100000L)): (DataFrame, Map[String, Double]) = {
+      fitSampleCap: Option[Long] = Some(100000L),
+      precomputed: Option[Map[String, Double]] = None): (DataFrame, Map[String, Double]) = {
     def tx(c: Column, lam: Double): Column =
       if (lam == 0) log(c) else pow(c, lam)
-    val exprs = cols.flatMap { c =>
-      boxcoxLambdas.map(l => abs(skewness(tx(col(c), l))).as(s"skew__${c}__$l"))
-    }
     // λ selection is a fit — sample-then-sketch like the reference's
-    // detection caps; the chosen λ is applied to the FULL data.
-    val fitDf = QualityChecker.sampleCapped(df, fitSampleCap)
-    val row = fitDf.agg(exprs.head, exprs.tail: _*).collect()(0)
-    val best = cols.map { c =>
-      val scored = boxcoxLambdas.map { l =>
-        val v = optD(row, s"skew__${c}__$l").getOrElse(Double.NaN)
-        l -> (if (v.isNaN) Double.MaxValue else v)
+    // detection caps; the chosen λ is applied to the FULL data. The fit
+    // is a reusable MODEL: pass `precomputed` (e.g. from
+    // ModelStore.loadBoxcoxLambdas) to skip it entirely, and otherwise
+    // identical fits within one session are memoized on the canonical
+    // optimized plan of the fit aggregate (fit-once-apply-many — two
+    // pipelines boxcoxing the same source never re-run the 15-λ sweep).
+    val best: Map[String, Double] = precomputed.getOrElse {
+      val exprs = cols.flatMap { c =>
+        boxcoxLambdas.map(l => abs(skewness(tx(col(c), l))).as(s"skew__${c}__$l"))
       }
-      c -> scored.minBy(_._2)._1
-    }.toMap
+      val fitDf = QualityChecker.sampleCapped(df, fitSampleCap)
+      val aggDf = fitDf.agg(exprs.head, exprs.tail: _*)
+      // canonicalized OPTIMIZED plan: column pruning has already run, so
+      // the same fit over differently-projected views of one source keys
+      // identically; different sources/paths/caps key differently
+      val memoKey = aggDf.queryExecution.optimizedPlan.canonicalized.toString
+      ModelStore.boxcoxFitMemo.getOrElseUpdate(memoKey, {
+        val row = aggDf.collect()(0)
+        cols.map { c =>
+          val scored = boxcoxLambdas.map { l =>
+            val v = optD(row, s"skew__${c}__$l").getOrElse(Double.NaN)
+            l -> (if (v.isNaN) Double.MaxValue else v)
+          }
+          c -> scored.minBy(_._2)._1
+        }.toMap
+      })
+    }
     val out = cols.foldLeft(df)((d, c) => d.withColumn(c, tx(col(c), best(c))))
     (out, best)
   }

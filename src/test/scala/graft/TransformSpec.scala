@@ -115,6 +115,27 @@ class TransformSpec extends SparkSpec {
     assert(lambdas("x") == 0.0) // log-normal-ish → ln
   }
 
+  test("boxcox fit is a reusable model: memo across projections, precomputed skips fit") {
+    graft.operators.ModelStore.boxcoxFitMemo.clear()
+    val base = (1 to 300).map(i => (i.toLong, math.exp(i / 60.0), i * 2.0))
+      .toDF("id", "x", "y")
+    val (_, l1) = Transformers.boxcoxTransformation(base.select("x"), Seq("x"))
+    assert(graft.operators.ModelStore.boxcoxFitMemo.size == 1)
+    // same source, wider projection: column pruning canonicalizes the fit
+    // aggregate to the same plan → memo hit, no second sweep entry
+    val (_, l2) = Transformers.boxcoxTransformation(base.select("id", "x"), Seq("x"))
+    assert(l2 == l1)
+    assert(graft.operators.ModelStore.boxcoxFitMemo.size == 1,
+      "differently-projected fit over the same source must reuse the memoized fit")
+    // explicit model path: precomputed λ skips the fit entirely
+    val (out, l3) = Transformers.boxcoxTransformation(
+      base.select("x"), Seq("x"), precomputed = Some(Map("x" -> 2.0)))
+    assert(l3 == Map("x" -> 2.0))
+    val first = out.orderBy("x").first().getDouble(0)
+    assert(math.abs(first - math.pow(math.exp(1 / 60.0), 2.0)) < 1e-12)
+    graft.operators.ModelStore.boxcoxFitMemo.clear()
+  }
+
   test("expressionParser evaluates SQL features") {
     val d = Seq((2, 3)).toDF("a", "b")
     val r = Transformers.expressionParser(d, Seq("a + b", "a * b")).collect()(0)
