@@ -1,0 +1,72 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Tri-scale growth guard: runs the most expensive queries at
+  * sf0.001/sf0.01/sf0.1 and gates on sub-quadratic wall-time growth —
+  * the cheap local proxy for the 100× posture claims (a quadratic
+  * candidate-pair blowup or an unbounded window shows up as a
+  * super-linear decade-over-decade ratio long before it OOMs a
+  * cluster). Each (query, sf) cell is the min of two runs to damp the
+  * host's CPU-steal weather; the sf0.001 pass doubles as JIT warmup.
+  *
+  * Gate: t(sf0.1) / max(t(sf0.01), floor) < 30. Data grows 10× per
+  * step, so a ratio of 30 bounds the growth exponent at p ≈ 1.5 —
+  * comfortably sub-quadratic — while tolerating fixed overheads that
+  * dominate the small scales (the floor keeps overhead-bound cells
+  * from generating nonsense ratios).
+  *
+  * Prints one JSON line (artifact: TRISCALE_r{N}.json) and exits 1 on
+  * gate failure.
+  */
+object TriScale {
+  private val guarded = Seq(
+    "q_workflow_text", "q_dedup_clusters", "q_simhash_neardup",
+    "q_minhash_neardup", "q_ngram_jaccard")
+  private val sfDirs = Seq(
+    "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+  private val ratioGate = 30.0
+  private val floorSec = 0.15
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val queries = SparkEntry.queries.filter { case (n, _) => guarded.contains(n) }
+    def runOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+      dt
+    }
+    val cells: Map[String, Seq[Double]] = guarded.map { name =>
+      name -> sfDirs.map { dir =>
+        val a = runOnce(name, dir); val b = runOnce(name, dir)
+        math.min(a, b)
+      }
+    }.toMap
+    var failed = List.empty[String]
+    val rows = guarded.map { name =>
+      val t = cells(name)
+      val ratio = t(2) / math.max(t(1), floorSec)
+      val ok = ratio < ratioGate
+      if (!ok) failed ::= name
+      System.err.println(
+        f"[triscale] $name%-22s ${t(0)}%7.3f ${t(1)}%7.3f ${t(2)}%7.3f s  ratio=${ratio}%6.2f  ${if (ok) "OK" else "FAIL"}")
+      f""""$name":{"sec":[${t(0)}%.3f,${t(1)}%.3f,${t(2)}%.3f],"ratio":$ratio%.2f,"pass":$ok}"""
+    }
+    println(s"""{"metric":"triscale","gate":$ratioGate,"sfs":[0.001,0.01,0.1],"queries":{${rows.mkString(",")}},"pass":${failed.isEmpty}}""")
+    spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[triscale] GATE FAILED: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+}
