@@ -271,10 +271,25 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.7,
       maxBucketSize: Int = 200): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     val sh = shingles(df, textCol, keyCol, shingleSize)
     val sigM = materialize(minhashSignaturesMd5(sh, numHashes))
+    val candidates = md5BandCandidates(sigM, numHashes, bands, maxBucketSize)
+    verifyCandidates(df, textCol, keyCol, shingleSize, candidates, threshold)
+  }
+
+  /** Band-bucket candidate pairs over an md5 signature frame (key,
+    * sig_0…sig_{h-1}): buckets keyed by each band's RAW signature
+    * values, oversized buckets dropped whole, pairs deduped across
+    * bands. Shared by the batch pipeline and the batch/stream
+    * equivalence spec (the streaming path must produce this exact set).
+    */
+  private[graft] def md5BandCandidates(
+      sigM: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      maxBucketSize: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), array(parts: _*).as("bucket"))
@@ -285,13 +300,44 @@ object Dedup {
       .withColumn("__sz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("__sz") <= maxBucketSize)
       .drop("__sz")
-    val candidates = materialize(capped.as("a")
+    materialize(capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.key") < col("b.key"))
       .select(col("a.key").as("key_1"), col("b.key").as("key_2"))
       .distinct())
-    verifyCandidates(df, textCol, keyCol, shingleSize, candidates, threshold)
+  }
+
+  /** Scalar twin of [[minhashSignaturesMd5]] for one document — the
+    * per-row signature the STREAMING path computes locally (no shuffle):
+    * identical normalize → distinct word n-grams → min over shingles of
+    * (md5_prefix60(shingle) XOR salt_i). Returns null when the doc has
+    * no shingles (the batch groupBy emits no row for it).
+    */
+  private[graft] def minhashSignatureMd5Local(
+      text: String,
+      shingleSize: Int,
+      numHashes: Int): Array[Long] = {
+    if (text == null) return null
+    val toks = graft.functions.TextOps.normalizeTextString(text).split(" ")
+    if (toks.length < shingleSize) return null
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val sigs = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i <= toks.length - shingleSize) {
+      val s = toks.slice(i, i + shingleSize).mkString(" ")
+      if (s.nonEmpty && seen.add(s)) {
+        val base = Similarity.md5Prefix60(s)
+        var j = 0
+        while (j < numHashes) {
+          val v = base ^ md5Salts(j)
+          if (v < sigs(j)) sigs(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (seen.isEmpty) null else sigs
   }
 
   /** Verified Jaccard for given candidate pairs against a (key, shingle)

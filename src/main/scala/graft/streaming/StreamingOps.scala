@@ -143,6 +143,82 @@ object StreamingOps {
       }
   }
 
+  final case class MinhashCandidate(key_1: Long, key_2: Long)
+
+  /** Streaming MinHash(md5) near-duplicate candidates — the streaming
+    * twin of the batch `Dedup.minhashNearDuplicatesMd5` candidate step.
+    * Per row the full h-signature is computed locally
+    * (Dedup.minhashSignatureMd5Local — bit-identical to the batch
+    * groupBy aggregate, no per-shingle shuffle); each doc fans out to
+    * its `bands` band buckets keyed by the band's RAW signature values
+    * (same bucket identity as the batch path), and a per-bucket keyed
+    * state holds the keys seen inside the watermark horizon. A new doc
+    * emits a candidate pair for every stored key; state is pruned by
+    * the event-time watermark and dropped wholesale via event-time
+    * timeout once a bucket goes quiet past the horizon.
+    *
+    * Output is the CANDIDATE pair stream (dedup + Jaccard-verify
+    * downstream, exactly like the batch pipeline). Divergence from
+    * batch under skew: the batch path drops an OVERSIZED bucket's pairs
+    * entirely (global size known up front); the stream caps the per-
+    * bucket state at `maxBucketState` keys instead — the first cap
+    * keys keep pairing, later arrivals in that bucket only probe.
+    */
+  def streamingMinhashCandidates(
+      stream: DataFrame,
+      textCol: String,
+      keyCol: String,
+      tsCol: String,
+      watermarkMs: Long = 2L * 3600 * 1000,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucketState: Int = 200): Dataset[MinhashCandidate] = {
+    import stream.sparkSession.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val bucketsUdf = udf { text: String =>
+      val sig = graft.functions.Dedup.minhashSignatureMd5Local(text, shingleSize, numHashes)
+      if (sig == null) null
+      else Array.tabulate(bands)(b =>
+        b + ":" + sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).mkString(","))
+    }
+    val fanned = stream
+      .withColumn("__buckets", bucketsUdf(col(textCol)))
+      .filter(col("__buckets").isNotNull)
+      .withWatermark(tsCol, s"$watermarkMs milliseconds")
+      .select(explode(col("__buckets")).as("__bucket"),
+        col(keyCol).cast("long").as("__key"),
+        col(tsCol)) // no cast/alias: it would strip the watermark metadata
+      .as[(String, Long, java.sql.Timestamp)]
+    fanned.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long)], MinhashCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val horizon = state.getCurrentWatermarkMs()
+            var entries = state.getOption.getOrElse(Nil).filter(_._2 >= horizon)
+            val out = scala.collection.mutable.ListBuffer.empty[MinhashCandidate]
+            // deterministic intra-batch order: event time, then key
+            rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach { case (_, k, ts) =>
+              entries.foreach { case (k2, _) =>
+                if (k2 != k)
+                  out += MinhashCandidate(math.min(k, k2), math.max(k, k2))
+              }
+              if (entries.size < maxBucketState) entries = (k, ts.getTime) :: entries
+            }
+            state.update(entries)
+            if (entries.nonEmpty)
+              state.setTimeoutTimestamp(entries.map(_._2).max + watermarkMs)
+            out.iterator
+          }
+      }
+  }
+
   final case class UserState(count: Long, sum: Double)
   final case class UserSnapshot(userId: Long, count: Long, sum: Double, mean: Double)
 

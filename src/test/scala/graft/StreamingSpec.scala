@@ -365,6 +365,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash candidates equal the batch band-bucket candidate set") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus with planted near-dups: shared long preambles put copies in
+    // the same band buckets; distinct tails keep unrelated docs apart
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val corpus = Seq(
+      1L -> (base + " one extra tail"),
+      2L -> (base + " two extra tail"),
+      3L -> "totally different document about spark catalyst optimizer rules and codegen stages",
+      4L -> (base + " one extra tail"), // exact copy of 1's text
+      5L -> "another unrelated text mentioning parquet predicate pushdown and column pruning")
+    // batch candidate set over the SAME signature + banding machinery
+    val batchSig = graft.functions.Dedup.minhashSignaturesMd5(
+      graft.functions.Dedup.shingles(
+        corpus.toDF("doc_id", "text"), "text", "doc_id", 3), 16)
+    val batchPairs = graft.functions.Dedup
+      .md5BandCandidates(batchSig, numHashes = 16, bands = 4, maxBucketSize = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty, "fixture must produce batch candidates")
+    assert(batchPairs.forall { case (a, b) => !Set(a, b).contains(3L) && !Set(a, b).contains(5L) })
+    // stream the same corpus across two micro-batches
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingOps.streamingMinhashCandidates(
+      stream, "text", "doc_id", "ts", watermarkMs = 3600 * 1000L)
+    val q = out.writeStream.format("memory").queryName("minhash_stream_out")
+      .outputMode("append").start()
+    try {
+      val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData(corpus.take(3).zipWithIndex.map { case ((k, tx), i) => (k, tx, t(i)) }: _*)
+      q.processAllAvailable()
+      input.addData(corpus.drop(3).zipWithIndex.map { case ((k, tx), i) => (k, tx, t(10 + i)) }: _*)
+      q.processAllAvailable()
+      val streamPairs = spark.sql("SELECT DISTINCT key_1, key_2 FROM minhash_stream_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamPairs == batchPairs,
+        s"stream $streamPairs != batch $batchPairs")
+      // the row-local signature equals the batch groupBy aggregate
+      val aggSig = batchSig.filter(col("key") === 1L).collect()(0)
+      val localSig = graft.functions.Dedup.minhashSignatureMd5Local(corpus.head._2, 3, 16)
+      assert((0 until 16).forall(i => aggSig.getLong(i + 1) == localSig(i)))
+    } finally q.stop()
+  }
+
   test("linear autoencoder reconstructs a one-factor frame (RMSE-gated)") {
     val rnd = new scala.util.Random(7)
     val d = (1 to 300).map { _ =>
