@@ -149,19 +149,38 @@ object AutoDetect {
 
   final case class TsDetection(attribute: String, format: Option[String], matchRate: Double)
 
-  /** One sampling job for ALL columns: cap rows, then per-column
-    * `slice(collect_set, 1, sampleCap)` in a single aggregate.
+  /** One sampling job for ALL columns, DETERMINISTICALLY: small inputs
+    * (≤ 2·rowCap, from the ~free count — parquet answers it from footer
+    * metadata) are taken whole; larger ones keep rows whose md5-prefix
+    * content hash falls under the 2·rowCap/n threshold — the same
+    * engine-portable hash family as `Sampling.deterministicSample`, so
+    * WHICH rows feed detection is a pure function of the data (the
+    * previous `limit(rowCap)` slice was partition-layout dependent and
+    * blind to formats appearing only late in the table; the hash filter
+    * spreads the sample across the whole table). The per-column sets are
+    * then `slice(sort_array(collect_set(c)))` in a single aggregate —
+    * sorted so the surviving slice is deterministic too. Driver state
+    * stays O(cols · sampleCap); job count stays O(1).
     */
   private[graft] def sampleDistincts(
       df: DataFrame,
       cols: Seq[String],
       sampleCap: Int,
       rowCap: Int = 20000): Map[String, Seq[String]] = {
-    val capped = df
-      .select(cols.map(c => col(c).cast(StringType).as(c)): _*)
-      .limit(rowCap)
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val strings = df.select(cols.map(c => col(c).cast(StringType).as(c)): _*)
+    val n = strings.count()
+    val capped =
+      if (n <= 2L * rowCap) strings
+      else {
+        val frac = 2.0 * rowCap / n
+        val parts = cols.map(c => s"cast(`$c` as string)").mkString(", ")
+        strings.filter(
+          expr(s"md5_prefix60(cast(concat_ws('', $parts) as binary))")
+            < lit(graft.sources.Sampling.hashThresholdLong(frac)))
+      }
     val row = capped
-      .select(cols.map(c => slice(collect_set(col(c)), 1, sampleCap).as(c)): _*)
+      .select(cols.map(c => slice(sort_array(collect_set(col(c))), 1, sampleCap).as(c)): _*)
       .head()
     cols.zipWithIndex.map { case (c, i) =>
       c -> (if (row.isNullAt(i)) Seq.empty[String] else row.getSeq[String](i))
@@ -240,11 +259,40 @@ object AutoDetect {
         val noDay = regexp_replace(trim(c), "(?i)^[a-z]+, *", "")
         try_to_timestamp(monthClean(noDay), lit("d MMM yyyy HH:mm:ss"))
       case AmPmNorm =>
-        try_to_timestamp(regexp_replace(upper(trim(c)), "\\.", ""), lit(f.fmt))
+        // collapse the whole marker token in one pass ("a. m." → "AM" —
+        // stripping only periods left "A M", which 'a' cannot parse),
+        // then guarantee the single space the 'a' pattern requires
+        // ("9:45AM" → "9:45 AM")
+        val marker = regexp_replace(upper(trim(c)), "([AP])\\.? ?M\\.?", "$1M")
+        try_to_timestamp(
+          regexp_replace(marker, "([0-9])(AM|PM)$", "$1 $2"), lit(f.fmt))
       case NoNorm =>
         try_to_timestamp(trim(c), lit(f.fmt))
     }
   }
+
+  private val idLikeRe =
+    "(?i)(^|[_-])(id|ids|key|keys|code|num|no|number|phone|tel|msisdn|mobile|account|acct)([_-]|$)|(?i)(id|key|phone|number)$".r
+
+  /** Heuristic: does this column NAME look like an identifier/phone
+    * rather than a time? Ten-digit id columns whose values mostly start
+    * with '1' clear the epoch_seconds regex purely by accident.
+    */
+  private[graft] def isIdLikeName(name: String): Boolean =
+    idLikeRe.findFirstIn(name).isDefined
+
+  /** Drop epoch-family detections on id/phone-looking column names —
+    * applied by auto mode, where EVERY string column is probed and a
+    * numeric id that happens to start with '1' would otherwise be
+    * destructively rewritten to timestamps. Explicitly listed columns
+    * bypass this guard (the caller asserted they are times).
+    */
+  def epochIdGuard(detections: Seq[TsDetection]): Seq[TsDetection] =
+    detections.map { d =>
+      if (d.format.exists(_.startsWith("epoch")) && isIdLikeName(d.attribute))
+        d.copy(format = None)
+      else d
+    }
 
   /** ref: ts_auto_detection.py:622 ts_preprocess — cast every detected
     * column with its inferred format (ANSI-safe try_to_timestamp).

@@ -26,10 +26,19 @@ object KnnImputer {
     // per fit dominates; the fraction only sizes the sample (limit caps it)
     val n = complete.queryExecution.optimizedPlan.stats.rowCount
       .map(_.toLong).getOrElse(complete.count())
-    val frac = math.min(1.0, sampleSize * 1.2 / math.max(1L, n).toDouble)
-    val sample: Array[Array[Double]] = complete
+    def collectSample(frac: Double): Array[Array[Double]] = complete
       .sample(withReplacement = false, frac, seed).limit(sampleSize)
       .collect().map(r => cols.indices.map(r.getDouble).toArray)
+    val frac = math.min(1.0, sampleSize * 1.2 / math.max(1L, n).toDouble)
+    var sample = collectSample(frac)
+    // the Catalyst estimate can overshoot the post-na.drop count badly,
+    // undershooting frac and quietly fitting on a far-too-small neighbour
+    // set — when the sample comes back short, re-derive the fraction from
+    // the exact count (one cheap scan on exactly the degraded path)
+    if (sample.length < sampleSize && frac < 1.0) {
+      val frac2 = math.min(1.0, sampleSize * 1.2 / math.max(1L, complete.count()).toDouble)
+      if (frac2 > frac) sample = collectSample(frac2)
+    }
     applyKnn(df, cols, sample, k)
   }
 

@@ -76,12 +76,18 @@ object Workflow {
     // probes every string column
     input.get("ts_preprocess").foreach { v =>
       import graft.functions.AutoDetect
-      val cols = v match {
-        case "auto" => graft.core.ColumnRole.categoricalCols(df)
-        case other  => strings(other)
-      }
+      val auto = v == "auto"
+      val cols =
+        if (auto) graft.core.ColumnRole.categoricalCols(df)
+        else strings(v)
       if (cols.nonEmpty) timed("ts_preprocess") {
-        df = AutoDetect.tsPreprocess(df, AutoDetect.detectTimestampColumns(df, cols))
+        val detections = AutoDetect.detectTimestampColumns(df, cols)
+        // auto probes EVERY string column, so id/phone-named columns
+        // that accidentally clear the epoch regex (10 digits starting
+        // with '1') must not be destructively rewritten; an explicit
+        // column list asserts the caller knows they are times
+        df = AutoDetect.tsPreprocess(df,
+          if (auto) AutoDetect.epochIdGuard(detections) else detections)
       }
     }
 

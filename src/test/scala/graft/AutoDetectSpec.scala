@@ -140,4 +140,54 @@ class AutoDetectSpec extends SparkSpec {
     val det = AutoDetect.detectTimestampColumns(df, Seq("v"))
     assert(det.head.format.isEmpty && det.head.matchRate < 0.8)
   }
+
+  test("spaced am/pm markers detected AND cast (detector/normalizer parity)") {
+    // every form the detector regex accepts must survive the cast —
+    // "9:45 a. m." used to count toward detection then null out
+    val forms = Seq("9:45 a. m." -> "09:45:00", "9:45 A. M." -> "09:45:00",
+      "9:45 p.m." -> "21:45:00", "9:45PM" -> "21:45:00", "9:45 am" -> "09:45:00")
+    val failures = forms.flatMap { case (raw, hhmmss) =>
+      val df = Seq(raw).toDF("v")
+      val det = AutoDetect.detectTimestampColumns(df, Seq("v"), minMatchRate = 1.0)
+      det.head.format match {
+        case Some(fmt) =>
+          val got = df.select(date_format(AutoDetect.castColumn(col("v"), fmt), "HH:mm:ss"))
+            .head().getString(0)
+          if (got == hhmmss) Nil else Seq(s"$raw ($fmt) -> $got, wanted $hhmmss")
+        case None => Seq(s"$raw: not detected")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("epoch guard keeps auto mode off id/phone-named columns") {
+    val dets = Seq(
+      AutoDetect.TsDetection("user_id", Some("epoch_seconds"), 1.0),
+      AutoDetect.TsDetection("phone", Some("epoch_seconds"), 1.0),
+      AutoDetect.TsDetection("event_epoch", Some("epoch_seconds"), 1.0),
+      AutoDetect.TsDetection("order_key", Some("epoch_millis"), 0.9),
+      AutoDetect.TsDetection("created_id", Some("yyyy-MM-dd"), 1.0)) // non-epoch: kept
+    val g = AutoDetect.epochIdGuard(dets).map(d => d.attribute -> d.format).toMap
+    assert(g("user_id").isEmpty && g("phone").isEmpty && g("order_key").isEmpty)
+    assert(g("event_epoch").contains("epoch_seconds"))
+    assert(g("created_id").contains("yyyy-MM-dd"))
+  }
+
+  test("sampling is partition-layout invariant, including the hash-filter path") {
+    val vals = (1 to 3000).map(i => f"2024-${i % 12 + 1}%02d-${i % 28 + 1}%02d #$i")
+      .map(_.split(" ")(0)) // distinct-ish date strings
+    // small input: whole-table branch — trivially layout-invariant
+    val a = AutoDetect.detectTimestampColumns(
+      vals.toDF("v").repartition(3), Seq("v"), sampleCap = 50)
+    val b = AutoDetect.detectTimestampColumns(
+      vals.toDF("v").repartition(17), Seq("v"), sampleCap = 50)
+    assert(a == b && a.head.format.contains("yyyy-MM-dd"))
+    // rows above 2×rowCap: the md5-threshold filter branch must select
+    // the SAME sample on any partition layout (limit() did not)
+    val s1 = AutoDetect.sampleDistincts(
+      vals.toDF("v").repartition(3), Seq("v"), sampleCap = 40, rowCap = 500)
+    val s2 = AutoDetect.sampleDistincts(
+      vals.toDF("v").repartition(23), Seq("v"), sampleCap = 40, rowCap = 500)
+    assert(s1("v").nonEmpty && s1 == s2)
+  }
 }
