@@ -151,9 +151,8 @@ object AutoDetect {
 
   /** One sampling job for ALL columns, DETERMINISTICALLY: small inputs
     * (≤ 2·rowCap, from the ~free count — parquet answers it from footer
-    * metadata) are taken whole; larger ones keep rows whose md5-prefix
-    * content hash falls under the 2·rowCap/n threshold — the same
-    * engine-portable hash family as `Sampling.deterministicSample`, so
+    * metadata) are taken whole; larger ones keep rows whose xxhash64
+    * content hash falls under the 2·rowCap/n threshold, so
     * WHICH rows feed detection is a pure function of the data (the
     * previous `limit(rowCap)` slice was partition-layout dependent and
     * blind to formats appearing only late in the table; the hash filter
@@ -167,17 +166,19 @@ object AutoDetect {
       cols: Seq[String],
       sampleCap: Int,
       rowCap: Int = 20000): Map[String, Seq[String]] = {
-    graft.plans.GraftFunctions.register(df.sparkSession)
     val strings = df.select(cols.map(c => col(c).cast(StringType).as(c)): _*)
     val n = strings.count()
     val capped =
       if (n <= 2L * rowCap) strings
       else {
+        // xxhash64 >>> 1 is uniform on [0, 2^63); keep the sub-threshold
+        // slice. xxhash64, not the md5 family: the sample feeds the format
+        // HEURISTIC only - nothing external replays it - and the native
+        // hash keeps the full-scan filter ~10x cheaper than md5
         val frac = 2.0 * rowCap / n
-        val parts = cols.map(c => s"cast(`$c` as string)").mkString(", ")
+        val thr = math.floor(frac * 9.223372036854775e18).toLong
         strings.filter(
-          expr(s"md5_prefix60(cast(concat_ws('', $parts) as binary))")
-            < lit(graft.sources.Sampling.hashThresholdLong(frac)))
+          shiftrightunsigned(xxhash64(cols.map(col): _*), 1) < lit(thr))
       }
     val row = capped
       .select(cols.map(c => slice(sort_array(collect_set(col(c))), 1, sampleCap).as(c)): _*)
