@@ -78,6 +78,94 @@ object Dedup {
         (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Cross-document duplicated token SPANS — the exact-substring dedup
+    * of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better"), re-shaped for Spark: every `windowTokens`-token
+    * window of the normalized text whose content occurs in at least
+    * `minDocFreq` DISTINCT documents is flagged, and per document the
+    * flagged windows are merged into maximal half-open token spans
+    * [span_start, span_end).
+    *
+    * 100 TB shape: windows shuffle as 60-bit md5 hashes (never the
+    * window strings); doc-frequency is one partially-aggregated groupBy
+    * on the hash; flagged positions come back through a co-partitioned
+    * left-semi join; the merge window runs per document over ONLY the
+    * flagged positions (bounded by doc length). A boilerplate window
+    * shared by millions of docs stays one hash group and one row per
+    * occurrence — no pairwise blowup anywhere, total work linear in
+    * corpus tokens.
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      windowTokens: Int = 50,
+      minDocFreq: Int = 2): DataFrame = {
+    require(windowTokens >= 1 && minDocFreq >= 2, "windowTokens >= 1, minDocFreq >= 2")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val w = windowTokens
+    val toks = col("__toks")
+    val grams = when(size(toks) < w, array().cast("array<struct<pos:int,gram:string>>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - w),
+        i => struct(i.cast("int").as("pos"),
+          concat_ws(" ", slice(toks, i + 1, lit(w))).as("gram"))))
+    val positions = df
+      .select(col(keyCol).as("key"),
+        split(TextOps.normalizeText(col(textCol)), " ").as("__toks"))
+      .select(col("key"), explode(grams).as("g"))
+      .select(col("key"), col("g.pos").as("pos"),
+        expr("md5_prefix60(cast(g.gram as binary))").as("__h"))
+    val dupHashes = positions.groupBy("__h")
+      .agg(countDistinct(col("key")).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("__h")
+    val dupPos = positions.join(dupHashes, Seq("__h"), "left_semi")
+    // classic interval merge as windows: a position starts a new span
+    // when it lies past the running max end of everything before it
+    val byDoc = Window.partitionBy("key").orderBy("pos")
+    val runEnd = max(col("pos") + w)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dupPos
+      .withColumn("__new", when(runEnd.isNull || col("pos") > runEnd, 1).otherwise(0))
+      .withColumn("__grp", sum(col("__new")).over(byDoc))
+      .groupBy(col("key"), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + w).cast("long").as("span_end"))
+      .select(col("key"), col("span_start"), col("span_end"))
+  }
+
+  /** Treatment for [[duplicateSpans]]: rebuild each document's
+    * NORMALIZED text with the flagged token ranges removed (span indices
+    * are positions in the normalized token stream, so the rebuild
+    * tokenizes identically). Documents with no flagged span pass through
+    * with their normalized text; n_removed counts dropped tokens.
+    */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      windowTokens: Int = 50,
+      minDocFreq: Int = 2): DataFrame = {
+    val spans = duplicateSpans(df, textCol, keyCol, windowTokens, minDocFreq)
+      .groupBy(col("key"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = split(TextOps.normalizeText(col(textCol)), " ")
+    df.select(col(keyCol), toks.as("__toks"))
+      .join(spans, col(keyCol) === col("key"), "left")
+      .select(col(keyCol),
+        when(col("__spans").isNull, concat_ws(" ", col("__toks")))
+          .otherwise(concat_ws(" ",
+            filter(col("__toks"), (_, i) =>
+              !exists(col("__spans"), s =>
+                i >= s.getField("span_start") && i < s.getField("span_end")))))
+          .as("text_clean"),
+        when(col("__spans").isNull, lit(0L))
+          .otherwise(aggregate(col("__spans"), lit(0L),
+            (acc, s) => acc + (s.getField("span_end") - s.getField("span_start"))))
+          .as("n_removed"))
+  }
+
   /** (key, shingle) pairs: distinct word n-grams of the normalized text.
     * Texts with fewer than n tokens produce no shingles. keyCol must be a
     * unique document key (every caller passes a doc id): uniqueness per

@@ -502,6 +502,39 @@ object TextQueries {
         CAST(sum(cnt * len) AS BIGINT) AS total_chars
       FROM c GROUP BY doc_id"""))
 
+  /** Exact-substring duplicate spans (Lee et al. 2021) — full oracle:
+    * the fixture's small vocabulary makes 8-token windows repeat across
+    * documents naturally; window hashing, cross-doc frequency, and the
+    * interval merge all replay in DuckDB (grouping by the gram STRING
+    * there — identical to grouping by its injective-in-practice 60-bit
+    * md5 prefix here).
+    */
+  val qDupSpans = Q(
+    "q_dup_spans",
+    (s, dir) => Dedup.duplicateSpans(
+      tables(s, dir).documents, "text", "doc_id", windowTokens = 8),
+    Some(s"""
+      WITH norm AS (
+        SELECT doc_id, str_split($normSql, ' ') AS t FROM documents),
+      g AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+              array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS gram
+            FROM norm, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)),
+      dfq AS (SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS d FROM g GROUP BY gram)
+              WHERE d >= 2),
+      dp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dfq)),
+      m AS (SELECT doc_id, pos,
+              max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+            FROM dp),
+      f AS (SELECT *, CASE WHEN run_end IS NULL OR pos > run_end THEN 1 ELSE 0 END AS nw
+            FROM m),
+      sgrp AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+               FROM f)
+      SELECT doc_id AS key, min(pos) AS span_start, max(pos) + 8 AS span_end
+      FROM sgrp GROUP BY doc_id, grp"""))
+
   val qStratifiedSample = Q(
     "q_stratified_sample",
     (s, dir) => Sampling.dataSample(tables(s, dir).customer,
@@ -1152,5 +1185,6 @@ object TextQueries {
     qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality,
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
     qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
-    qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction)
+    qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
+    qDupSpans)
 }

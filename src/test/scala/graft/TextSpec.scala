@@ -443,6 +443,31 @@ class TextSpec extends SparkSpec {
       s"expected the projection inside a codegen stage:\n$filePlan")
   }
 
+  test("duplicate spans flag and remove exact cross-doc substrings") {
+    // docs 1 and 2 share a 10-token run (positions 2..11 in doc 1,
+    // 0..9 in doc 2); doc 3 is unrelated
+    val shared = "one two three four five six seven eight nine ten"
+    val d = Seq(
+      (1L, s"aa bb $shared cc dd"),
+      (2L, s"$shared xx yy zz"),
+      (3L, "totally different words with no overlap at all here friend")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "text", "doc_id", windowTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: windows at pos 2,3,4 (8-token windows inside the run) merge
+    // to [2, 12); doc 2: windows at 0,1,2 merge to [0, 10)
+    assert(spans == Set((1L, 2L, 12L), (2L, 0L, 10L)), s"spans: $spans")
+    val cleaned = Dedup.removeDuplicateSpans(d, "text", "doc_id", windowTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(cleaned(1L) == ("aa bb cc dd", 10L))
+    assert(cleaned(2L) == ("xx yy zz", 10L))
+    assert(cleaned(3L)._2 == 0L && cleaned(3L)._1.startsWith("totally different"))
+    // layout invariance: same spans from a different partitioning
+    val again = Dedup.duplicateSpans(d.repartition(7), "text", "doc_id", windowTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == spans)
+  }
+
   test("gopher signals compute rule flags per document") {
     val longDoc = (Seq.fill(20)("the data and table with that have rows") :+ "end").mkString(" ")
     val bullets = "- one\n- two\n- three\nthe end of that list to be with"
