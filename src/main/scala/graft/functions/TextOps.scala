@@ -295,4 +295,33 @@ object TextOps {
       (st, x) => when(x.getField("score") > st.getField("score"), x).otherwise(st))
     best.getField("lang")
   }
+
+  /** CCNet-style per-language quality buckets (Wenzek et al. 2020): rank
+    * documents inside each language by an LM score (lower = closer to
+    * the reference distribution) and split into head/middle/tail
+    * tertiles. Deterministic: ties break on the document key, so the
+    * bucket assignment is a pure function of the data (and replays in
+    * SQL — ntile has identical semantics across engines).
+    *
+    * Scale note: exact tertiles shuffle each language into one sort —
+    * fine while no single language dominates a 100 TB corpus' partition
+    * budget; for a hyper-dominant language compute approximate cutoffs
+    * on a sample and bucket by comparison instead (the CCNet paper does
+    * exactly that).
+    */
+  def perplexityBuckets(
+      scored: DataFrame,
+      scoreCol: String,
+      keyCol: String,
+      langCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col(scoreCol).asc, col(keyCol).asc)
+    scored
+      .withColumn("__t", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("__t") === 1, "head")
+          .when(col("__t") === 2, "middle")
+          .otherwise("tail"))
+      .drop("__t")
+  }
 }

@@ -1178,6 +1178,47 @@ object TextQueries {
       FROM t JOIN vocab USING (tok)
       GROUP BY doc_id"""))
 
+  /** CCNet head/middle/tail buckets over the unigram-NLL score, per
+    * language — the standard corpus-quality partitioning ahead of
+    * sampling curricula. Fully oracle-checked: score AND ntile bucket
+    * replay in DuckDB (ties broken on doc_id in both engines).
+    */
+  val qCcnetBuckets = Q(
+    "q_ccnet_buckets",
+    (s, dir) => {
+      val d = tables(s, dir).documents
+      val toks = d
+        .select(col("doc_id"),
+          explode(split(TextOps.normalizeText(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val n = toks.count()
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("nll", -log(col("cnt").cast("double") / n.toDouble))
+      val scored = toks.join(vocab.select("tok", "nll"), "tok")
+        .groupBy("doc_id")
+        .agg(round(avg(col("nll")), 6).as("mean_nll"))
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      TextOps.perplexityBuckets(scored, "mean_nll", "doc_id", "lang")
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, unnest(str_split($normSql, ' ')) AS tok
+                    FROM documents),
+      t AS (SELECT * FROM toks WHERE length(tok) > 0),
+      vocab AS (SELECT tok, -ln(CAST(count(*) AS DOUBLE) /
+                  (SELECT CAST(count(*) AS DOUBLE) FROM t)) AS nll
+                FROM t GROUP BY tok),
+      scored AS (
+        SELECT doc_id, round(avg(nll), 6) AS mean_nll
+        FROM t JOIN vocab USING (tok) GROUP BY doc_id),
+      j AS (SELECT s.doc_id, s.mean_nll, d.lang
+            FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+      b AS (SELECT *, ntile(3) OVER
+              (PARTITION BY lang ORDER BY mean_nll ASC, doc_id ASC) AS tt
+            FROM j)
+      SELECT doc_id, mean_nll, lang,
+             CASE tt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+      FROM b"""))
+
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qDedupClusters,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup,
@@ -1186,5 +1227,5 @@ object TextQueries {
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
     qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
     qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
-    qDupSpans)
+    qDupSpans, qCcnetBuckets)
 }
