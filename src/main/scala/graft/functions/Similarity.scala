@@ -139,6 +139,76 @@ object Similarity {
 
   private def RowEncoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
 
+  /** Exact cross-table retrieval: top-k corpus neighbours for EVERY
+    * query vector — the eval-set shape (queries ≪ corpus) the self-join
+    * top-k variants don't cover. The 100 TB plan inverts the broadcast:
+    * the small QUERY set ships to every corpus partition, each partition
+    * keeps a per-query top-k over its own vectors (O(queries × k)
+    * memory), and one bounded shuffle (#partitions × queries × k rows —
+    * never a row per scored pair) merges the partials with a rank
+    * window. The corpus is streamed, never collected; numerics mirror
+    * [[bruteForceTopK]] (left-to-right double accumulation, ties on
+    * ascending corpus id, HALF_UP at 4) so a SQL oracle hash-matches.
+    */
+  def crossTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      maxQueryRows: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val qBase = queries.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val qAll: Array[(Long, Array[Float])] = qBase.limit(
+        math.min(maxQueryRows + 1, Int.MaxValue.toLong).toInt)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qAll.length <= maxQueryRows,
+      s"query side exceeds $maxQueryRows rows — swap the sides or pre-bucket with lshTopK")
+    val qNorms = qAll.map(q => normF(q._2))
+    val bcQ = corpus.sparkSession.sparkContext.broadcast((qAll, qNorms))
+    val cBase = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val partialSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("neighbor_id", LongType),
+      StructField("cos", DoubleType)))
+    val enc = RowEncoder.encoderFor(partialSchema)
+    val partials = cBase.mapPartitions { rows =>
+      val (qs, qn) = bcQ.value
+      val nq = qs.length
+      val topIds = Array.fill(nq)(new Array[Long](k))
+      val topCos = Array.fill(nq)(new Array[Double](k))
+      val filled = new Array[Int](nq)
+      rows.foreach { r =>
+        val cid = r.getLong(0)
+        val cv = r.getSeq[Float](1).toArray
+        val cn = normF(cv)
+        var qi = 0
+        while (qi < nq) {
+          val cos = dotF(qs(qi)._2, cv) / (qn(qi) * cn)
+          val ti = topIds(qi); val tc = topCos(qi)
+          var pos = filled(qi)
+          while (pos > 0 && (tc(pos - 1) < cos ||
+            (tc(pos - 1) == cos && ti(pos - 1) > cid))) pos -= 1
+          if (pos < k) {
+            var m = math.min(filled(qi), k - 1)
+            while (m > pos) { tc(m) = tc(m - 1); ti(m) = ti(m - 1); m -= 1 }
+            tc(pos) = cos; ti(pos) = cid
+            if (filled(qi) < k) filled(qi) += 1
+          }
+          qi += 1
+        }
+      }
+      (0 until nq).iterator.flatMap { qi =>
+        (0 until filled(qi)).iterator.map(i => Row(qs(qi)._1, topIds(qi)(i), topCos(qi)(i)))
+      }
+    }(enc)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    partials
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cos", round(col("cos"), 4))
+  }
+
   /** Driver-side md5 prefix-60: first 15 hex chars of md5(s) as a long —
     * the same value DuckDB's `('0x' || substr(md5(s), 1, 15))::BIGINT`
     * yields, and the scalar twin of the codegen'd md5_prefix60

@@ -381,6 +381,44 @@ object TextQueries {
               (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
             FROM cs)"""
 
+  /** Cross-table retrieval: every 25th vector becomes an eval query
+    * against the remaining corpus — the queries≪corpus shape where the
+    * corpus streams and only the query set broadcasts. Exact, fully
+    * oracle-checked via a DuckDB cross cosine.
+    */
+  val qCrossTopK = Q(
+    "q_cross_topk",
+    (s, dir) => {
+      val e = tables(s, dir).embeddings
+      Similarity.crossTopK(
+        e.filter(col("vec_id") % 25 === 0),
+        e.filter(col("vec_id") % 25 =!= 0),
+        "vec_id", "embedding", k = 3)
+    },
+    Some("""
+      WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+      c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 <> 0),
+      qe AS (SELECT vec_id, unnest(embedding) AS x,
+                    unnest(range(1, len(embedding) + 1)) AS i FROM q),
+      ce AS (SELECT vec_id, unnest(embedding) AS x,
+                    unnest(range(1, len(embedding) + 1)) AS i FROM c),
+      qn AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+             FROM qe GROUP BY vec_id),
+      cn AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+             FROM ce GROUP BY vec_id),
+      d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dt
+            FROM qe a JOIN ce b ON a.i = b.i
+            GROUP BY a.vec_id, b.vec_id),
+      cs AS (SELECT d.query_id, d.neighbor_id, d.dt / (qn.nrm * cn.nrm) AS cos
+             FROM d JOIN qn ON d.query_id = qn.vec_id
+                    JOIN cn ON d.neighbor_id = cn.vec_id),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM cs)
+      SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 3"""))
+
   val qLshTopK = Q(
     "q_lsh_topk",
     (s, dir) => Similarity.lshTopK(tables(s, dir).embeddings, "vec_id", "embedding",
@@ -1227,5 +1265,5 @@ object TextQueries {
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
     qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
     qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
-    qDupSpans, qCcnetBuckets)
+    qDupSpans, qCcnetBuckets, qCrossTopK)
 }

@@ -468,6 +468,30 @@ class TextSpec extends SparkSpec {
     assert(again == spans)
   }
 
+  test("crossTopK retrieves exact neighbors and guards an oversized query side") {
+    import graft.functions.Similarity
+    val qs = Seq((100L, Array(1f, 0f)), (200L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2f, 0.1f)), (2L, Array(0.1f, 2f)), (3L, Array(1f, 1f)),
+      (4L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.crossTopK(qs, corpus.repartition(3), "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // query 100 ~ x-axis: nearest corpus vecs 1 then 3; query 200 ~ y-axis: 2 then 3
+    assert(got((100L, 1)) == 1L && got((100L, 2)) == 3L)
+    assert(got((200L, 1)) == 2L && got((200L, 2)) == 3L)
+    // partition-layout invariance
+    val again = Similarity.crossTopK(qs, corpus.repartition(1), "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(again == got)
+    // oversized query side fails loudly instead of OOMing the driver
+    val big = spark.range(10).select(col("id").as("vec_id"),
+      org.apache.spark.sql.functions.array(lit(1f), lit(0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.crossTopK(big, corpus, "vec_id", "embedding", k = 1, maxQueryRows = 5)
+    }
+    assert(e.getMessage.contains("query side exceeds"))
+  }
+
   test("gopher signals compute rule flags per document") {
     val longDoc = (Seq.fill(20)("the data and table with that have rows") :+ "end").mkString(" ")
     val bullets = "- one\n- two\n- three\nthe end of that list to be with"
