@@ -211,6 +211,18 @@ object Workflow {
         }
         if (tp.getOrElse("exact_dedup", false) == true)
           df = graft.functions.Dedup.exactDedup(df, textCol, idCol)
+        tp.get("span_dedup").foreach { sv =>
+          // exact-substring span removal (Lee et al. 2021): rewrite the
+          // text column with cross-doc duplicated token ranges dropped
+          val sd = asConf(sv)
+          val cleaned = graft.functions.Dedup.removeDuplicateSpans(
+            df, textCol, idCol,
+            windowTokens = sd.getOrElse("window_tokens", 50).toString.toInt,
+            minDocFreq = sd.getOrElse("min_doc_freq", 2).toString.toInt)
+            .select(col(idCol), col("text_clean"))
+          df = df.drop(textCol)
+            .join(cleaned.withColumnRenamed("text_clean", textCol), Seq(idCol))
+        }
         tp.get("near_dedup").foreach { ndv =>
           val nd = asConf(ndv)
           // blockless configs still need the (skew-capped) block join —
@@ -242,6 +254,16 @@ object Workflow {
           df = df
             .withColumn("n_tokens", graft.functions.TextOps.tokenCount(col(textCol)))
             .withColumn("lang_pred", graft.functions.TextOps.langId(col(textCol)))
+        tp.get("ccnet_buckets").foreach { cv =>
+          // per-language head/middle/tail tertiles over a score column
+          // already on the frame (e.g. quality from quality_filter)
+          val cb = asConf(cv)
+          val scoreCol = cb.getOrElse("score_col", "quality").toString
+          val langCol = cb.getOrElse("lang_col", "lang").toString
+          require(df.columns.contains(scoreCol) && df.columns.contains(langCol),
+            s"ccnet_buckets needs '$scoreCol' and '$langCol' on the frame")
+          df = graft.functions.TextOps.perplexityBuckets(df, scoreCol, idCol, langCol)
+        }
         tp.get("shard_budget").foreach { b =>
           val budget = b.toString.toLong
           val withTok =

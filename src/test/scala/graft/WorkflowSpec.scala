@@ -239,6 +239,45 @@ text_pipeline:
     assert(shards.distinct.length > 1, "budget 60 splits three ~90-token docs")
   }
 
+  test("workflow text_pipeline: span dedup and ccnet bucket stages") {
+    val dir = java.nio.file.Files.createTempDirectory("wft3").toString
+    val shared = "one two three four five six seven eight nine ten"
+    Seq(
+      (1L, s"aa bb $shared cc dd", "en"),
+      (2L, s"$shared xx yy zz", "en"),
+      (3L, "totally different words with no overlap at all here friend", "en"),
+      (4L, "noch ein ganz anderes dokument ohne gemeinsame folge", "de")
+    ).toDF("doc_id", "text", "lang").write.parquet(s"$dir/t")
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/t"
+    file_type: parquet
+text_pipeline:
+  text_col: text
+  id_col: doc_id
+  span_dedup:
+    window_tokens: 8
+  quality_filter:
+    min_score: 0.0
+  ccnet_buckets:
+    score_col: quality
+    lang_col: lang
+"""
+    val (df, _) = Workflow.run(spark, yaml)
+    val rows = df.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    // the shared 10-token run is removed from both carriers
+    assert(rows(1L).getAs[String]("text") == "aa bb cc dd")
+    assert(rows(2L).getAs[String]("text") == "xx yy zz")
+    assert(rows(3L).getAs[String]("text").startsWith("totally different"))
+    // buckets assigned per language; the lone de doc is its own head
+    val buckets = df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(buckets(4L) == "head")
+    assert(Set("head", "middle", "tail").contains(buckets(1L)))
+  }
+
   test("full-demo equivalent: complete pipeline over the reference income fixture") {
     // mirrors the reference CI's full-demo run (.github/workflows/
     // full-demo.yml): ETL → stats → quality treatments → transformers →
