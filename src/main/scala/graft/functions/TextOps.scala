@@ -296,6 +296,65 @@ object TextOps {
     best.getField("lang")
   }
 
+  /** Okapi BM25 top-k document retrieval for a small query set — the
+    * lexical twin of `Similarity.crossTopK` (Robertson & Zaragoza 2009:
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)), tf saturation k1, length
+    * normalization b; query term frequency ignored, the classic form).
+    *
+    * 100 TB shape: one shuffle builds per-doc term frequencies, the
+    * document-frequency table joins on the TERM (partially aggregated —
+    * a stopword is one group, never a hot row explosion), the tiny
+    * query-term set broadcasts, and per-query ranking is a rank window
+    * over only the docs sharing ≥1 query term, with the rank filter
+    * against a literal so WindowGroupLimit bounds the exchange. Scores
+    * round to 4 decimals BEFORE ranking (ties then break on doc id), so
+    * the ranking is reproducible across engines despite float-sum
+    * ordering.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      textCol: String,
+      keyCol: String,
+      queries: Seq[(Long, String)],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK needs at least one query")
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .select(col(keyCol).cast("long").as("doc"),
+        explode(split(normalizeText(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    val docLen = toks.groupBy("doc").agg(count(lit(1)).as("dl"))
+    val corpusRow = docLen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).first()
+    val n = corpusRow.getLong(0)
+    val avgdl = corpusRow.getDouble(1)
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val qTerms = queries
+      .flatMap { case (qid, text) =>
+        normalizeTextString(text).split(" ").filter(_.nonEmpty).distinct.map(qid -> _)
+      }
+      .toDF("query_id", "tok")
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfSat = (col("tf") * (lit(k1) + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = tf
+      .join(broadcast(qTerms), Seq("tok"))
+      .join(broadcast(dfreq.join(broadcast(qTerms.select("tok").distinct()), Seq("tok"))),
+        Seq("tok"))
+      .join(docLen, Seq("doc"))
+      .groupBy(col("query_id"), col("doc"))
+      .agg(round(sum(idf * tfSat), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as(keyCol), col("score"), col("rank"))
+  }
+
   /** CCNet-style per-language quality buckets (Wenzek et al. 2020): rank
     * documents inside each language by an LM score (lower = closer to
     * the reference distribution) and split into head/middle/tail

@@ -1216,6 +1216,43 @@ object TextQueries {
       FROM t JOIN vocab USING (tok)
       GROUP BY doc_id"""))
 
+  /** Okapi BM25 retrieval over the documents table for two fixed
+    * queries — fully oracle-checked (tf, df, idf, length norm, and the
+    * rank all replay in DuckDB; scores round before ranking so float-sum
+    * order cannot flip ranks across engines).
+    */
+  val qBm25TopK = Q(
+    "q_bm25_topk",
+    (s, dir) => TextOps.bm25TopK(
+      tables(s, dir).documents, "text", "doc_id",
+      queries = Seq(1L -> "table hash join", 2L -> "window order data"),
+      k = 10),
+    Some(s"""
+      WITH toks AS (SELECT doc_id AS doc, unnest(str_split($normSql, ' ')) AS tok
+                    FROM documents),
+      t AS (SELECT * FROM toks WHERE length(tok) > 0),
+      tf AS (SELECT doc, tok, count(*) AS tf FROM t GROUP BY doc, tok),
+      dl AS (SELECT doc, count(*) AS dl FROM t GROUP BY doc),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl
+                FROM dl),
+      dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      q(query_id, tok) AS (VALUES
+        (1, 'table'), (1, 'hash'), (1, 'join'),
+        (2, 'window'), (2, 'order'), (2, 'data')),
+      sc AS (SELECT q.query_id, tf.doc,
+               round(sum(
+                 ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
+             FROM tf JOIN q USING (tok) JOIN dfq USING (tok)
+                     JOIN dl USING (doc) CROSS JOIN stats
+             GROUP BY q.query_id, tf.doc),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY query_id ORDER BY score DESC, doc ASC) AS rank
+            FROM sc)
+      SELECT query_id, doc AS doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 10"""))
+
   /** CCNet head/middle/tail buckets over the unigram-NLL score, per
     * language — the standard corpus-quality partitioning ahead of
     * sampling curricula. Fully oracle-checked: score AND ntile bucket
@@ -1265,5 +1302,5 @@ object TextQueries {
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
     qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
     qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
-    qDupSpans, qCcnetBuckets, qCrossTopK)
+    qDupSpans, qCcnetBuckets, qCrossTopK, qBm25TopK)
 }

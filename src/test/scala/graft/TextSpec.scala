@@ -492,6 +492,25 @@ class TextSpec extends SparkSpec {
     assert(e.getMessage.contains("query side exceeds"))
   }
 
+  test("bm25 ranks term-dense short docs first, closed-form score check") {
+    import graft.functions.TextOps
+    val d = Seq(
+      (1L, "spark spark spark engine"), // tf 3, dl 4
+      (2L, "spark engine engine core"), // tf 1, dl 4
+      (3L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(d, "text", "doc_id", Seq(7L -> "spark"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.map(x => (x._2, x._4)).toSet == Set((1L, 1), (2L, 2)), s"${got.toSeq}")
+    // closed form: N=3, df=2 → idf = ln(1 + 1.5/2.5); avgdl = 4 = dl → the
+    // length term collapses to 1, score = idf · tf·2.2/(tf+1.2)
+    val idf = math.log(1 + 1.5 / 2.5)
+    def s(tf: Double) = BigDecimal(idf * tf * 2.2 / (tf + 1.2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byDoc = got.map(x => x._2 -> x._3).toMap
+    assert(byDoc(1L) == s(3) && byDoc(2L) == s(1), s"$byDoc vs ${s(3)}, ${s(1)}")
+  }
+
   test("gopher signals compute rule flags per document") {
     val longDoc = (Seq.fill(20)("the data and table with that have rows") :+ "end").mkString(" ")
     val bullets = "- one\n- two\n- three\nthe end of that list to be with"
