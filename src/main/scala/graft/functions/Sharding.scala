@@ -62,4 +62,54 @@ object Sharding {
     rdd.unpersist(false)
     result
   }
+
+  /** GPT-style concat-and-chunk packing: documents are concatenated in
+    * the stable `orderCols` order into one global token stream, which is
+    * cut into fixed `seqLen`-token training sequences. Each document
+    * gets its global token offset and the ids of the first and last
+    * sequences it overlaps (a doc spanning a boundary contributes to
+    * both — exactly what a loader needs to materialize sequences).
+    * Same two-phase prefix sum as [[packByBudget]]: O(#partitions)
+    * driver state, assignment independent of partitioning.
+    */
+  def concatChunk(
+      df: DataFrame,
+      weightCol: String,
+      orderCols: Seq[String],
+      seqLen: Long,
+      offsetCol: String = "tok_offset",
+      firstSeqCol: String = "seq_first",
+      lastSeqCol: String = "seq_last"): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val sorted = df.orderBy(orderCols.map(col): _*)
+    val idx = sorted.schema.fieldIndex(weightCol)
+    def weight(r: Row): Long =
+      if (r.isNullAt(idx)) 0L else r.getAs[Number](idx).longValue()
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator(i -> it.foldLeft(0L)(_ + weight(_)))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val outSchema = StructType(sorted.schema.fields ++ Seq(
+      StructField(offsetCol, LongType, nullable = false),
+      StructField(firstSeqCol, LongType, nullable = false),
+      StructField(lastSeqCol, LongType, nullable = false)))
+    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var running = offsets(i)
+      it.map { r =>
+        val w = weight(r)
+        val off = running
+        running += w
+        // empty docs pin to the sequence at their offset
+        val last = if (w == 0) off / seqLen else (off + w - 1) / seqLen
+        Row.fromSeq(r.toSeq ++ Seq(off, off / seqLen, last))
+      }
+    }
+    val result = df.sparkSession.createDataFrame(out, outSchema).localCheckpoint(true)
+    rdd.unpersist(false)
+    result
+  }
 }

@@ -1216,6 +1216,36 @@ object TextQueries {
       FROM t JOIN vocab USING (tok)
       GROUP BY doc_id"""))
 
+  /** GPT-style concat-and-chunk packing: global token offsets in stable
+    * doc_id order and the first/last 512-token training sequences each
+    * document overlaps. The engine computes the prefix sum two-phase
+    * (O(#partitions) driver state); the oracle replays it as a window
+    * cumsum — identical values, different plan shape by design.
+    */
+  val qConcatChunk = Q(
+    "q_concat_chunk",
+    (s, dir) => Sharding.concatChunk(
+      tables(s, dir).documents
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "n_tokens", Seq("doc_id"), seqLen = 512)
+      .select("doc_id", "n_tokens", "tok_offset", "seq_first", "seq_last"),
+    Some("""
+      WITH n AS (
+        SELECT doc_id,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(str_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        FROM documents),
+      o AS (SELECT doc_id, n_tokens,
+              CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS tok_offset
+            FROM n)
+      SELECT doc_id, n_tokens, tok_offset,
+             CAST(tok_offset // 512 AS BIGINT) AS seq_first,
+             CAST(CASE WHEN n_tokens = 0 THEN tok_offset // 512
+                  ELSE (tok_offset + n_tokens - 1) // 512 END AS BIGINT) AS seq_last
+      FROM o"""))
+
   /** Okapi BM25 retrieval over the documents table for two fixed
     * queries — fully oracle-checked (tf, df, idf, length norm, and the
     * rank all replay in DuckDB; scores round before ranking so float-sum
@@ -1302,5 +1332,5 @@ object TextQueries {
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
     qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
     qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
-    qDupSpans, qCcnetBuckets, qCrossTopK, qBm25TopK)
+    qDupSpans, qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk)
 }

@@ -492,6 +492,25 @@ class TextSpec extends SparkSpec {
     assert(e.getMessage.contains("query side exceeds"))
   }
 
+  test("concat-and-chunk packing assigns offsets and sequence spans") {
+    import graft.functions.Sharding
+    val d = Seq((1L, 300L), (2L, 300L), (3L, 10L), (4L, 0L), (5L, 600L))
+      .toDF("doc_id", "n")
+    val got = Sharding.concatChunk(d.repartition(3), "n", Seq("doc_id"), seqLen = 512)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tok_offset"), r.getAs[Long]("seq_first"), r.getAs[Long]("seq_last"))).toMap
+    // offsets 0, 300, 600, 610, 610; seq boundaries at 512, 1024
+    assert(got(1L) == (0L, 0L, 0L))
+    assert(got(2L) == (300L, 0L, 1L), "doc 2 straddles the 512 boundary")
+    assert(got(3L) == (600L, 1L, 1L))
+    assert(got(4L) == (610L, 1L, 1L), "empty doc pins to its offset's sequence")
+    assert(got(5L) == (610L, 1L, 2L))
+    // layout invariance
+    val again = Sharding.concatChunk(d.repartition(1), "n", Seq("doc_id"), seqLen = 512)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tok_offset")).toMap
+    assert(again == got.map { case (k, v) => k -> v._1 })
+  }
+
   test("bm25 ranks term-dense short docs first, closed-form score check") {
     import graft.functions.TextOps
     val d = Seq(
