@@ -1246,6 +1246,83 @@ object TextQueries {
                   ELSE (tok_offset + n_tokens - 1) // 512 END AS BIGINT) AS seq_last
       FROM o"""))
 
+  /** Shared token-count CASE + 60-bit md5-prefix hash of `doc_id` —
+    * the DuckDB twin of `TextOps.tokenCount` + `Sampling.keyHash` used
+    * by both mixture-sampling oracles.
+    */
+  private val mixtureDocSql: String = """
+      SELECT doc_id, source,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(str_split_regex(trim(text), '\s+')) END AS toks,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents"""
+
+  /** md5-rank + exclusive running token sum per source, joined against
+    * a `tgt(source, target)` CTE the caller supplies — keep while the
+    * PRIOR docs' tokens are below the target (first doc always kept).
+    */
+  private def mixtureSelectSql(tgtCte: String): String =
+    s"""
+      WITH $tgtCte,
+      d AS ($mixtureDocSql),
+      r AS (SELECT d.doc_id, d.source, d.toks, t.target,
+              COALESCE(SUM(d.toks) OVER (PARTITION BY d.source
+                ORDER BY d.h ASC, d.doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+            FROM d JOIN tgt t USING (source))
+      SELECT doc_id, source, toks FROM r WHERE prev < target"""
+
+  private val mixtureBudget = 20000L
+  private val mixtureWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1).toDouble).toMap
+
+  /** Deterministic source-mixture sampling with explicit per-source
+    * weights under a global token budget (DoReMi-style domain weights):
+    * target_s = ⌊budget·w_s/Σw⌋ tokens, docs enter in md5-rank order.
+    * The targets are data-independent, so the oracle embeds the same
+    * literals and replays the kept set row-for-row.
+    */
+  val qMixtureSample = Q(
+    "q_mixture_sample",
+    (s, dir) => {
+      val targets = Sampling.mixtureTargets(mixtureWeights, mixtureBudget)
+      val toks = TextOps.tokenCount(col("text"))
+      Sampling.mixtureSample(tables(s, dir).documents, "source", toks,
+        Seq("doc_id"), targets)
+        .select(col("doc_id"), col("source"), toks.as("toks"))
+    },
+    Some {
+      val targets = Sampling.mixtureTargets(mixtureWeights, mixtureBudget)
+      val values = targets.toSeq.sortBy(_._1)
+        .map { case (s, t) => s"('$s', $t)" }.mkString(", ")
+      mixtureSelectSql(s"tgt(source, target) AS (VALUES $values)")
+    })
+
+  /** Temperature-weighted mixture (XLM-R α=0.5): per-source targets
+    * derive from the data via the engine-portable integer path
+    * (⌊sqrt(total)·10⁶⌋ weights, exact integer proration — see
+    * `Sampling.temperatureTargets`), so DuckDB recomputes the targets
+    * bit-for-bit from the same corpus and the kept set hash-matches.
+    */
+  val qMixtureTemperature = Q(
+    "q_mixture_temperature",
+    (s, dir) => {
+      val d = tables(s, dir).documents
+      val toks = TextOps.tokenCount(col("text"))
+      val targets = Sampling.temperatureTargets(d, "source", toks, mixtureBudget)
+      Sampling.mixtureSample(d, "source", toks, Seq("doc_id"), targets)
+        .select(col("doc_id"), col("source"), toks.as("toks"))
+    },
+    Some(mixtureSelectSql(s"""dd AS ($mixtureDocSql),
+      tot AS (SELECT source, SUM(toks) AS total FROM dd GROUP BY source),
+      wgt AS (SELECT source,
+                CAST(floor(sqrt(CAST(total AS DOUBLE)) * 1000000) AS BIGINT) AS w6
+              FROM tot),
+      tgt AS (SELECT source,
+                CAST(($mixtureBudget * w6) // (SELECT SUM(w6) FROM wgt) AS BIGINT)
+                  AS target
+              FROM wgt)""")))
+
   /** Okapi BM25 retrieval over the documents table for two fixed
     * queries — fully oracle-checked (tf, df, idf, length norm, and the
     * rank all replay in DuckDB; scores round before ranking so float-sum
@@ -1332,5 +1409,6 @@ object TextQueries {
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
     qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
     qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
-    qDupSpans, qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk)
+    qDupSpans, qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk,
+    qMixtureSample, qMixtureTemperature)
 }

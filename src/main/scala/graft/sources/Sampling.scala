@@ -202,4 +202,109 @@ object Sampling {
     }
     df.withColumn("split", labeled)
   }
+
+  /** Per-source token targets from explicit mixture weights:
+    * target_s = ⌊budget · w_s / Σw⌋. Data-independent — computed once on
+    * the driver, so the identical targets can be embedded in an external
+    * replay (the q_mixture_sample oracle interpolates them as literals).
+    */
+  def mixtureTargets(weights: Map[String, Double], tokenBudget: Long): Map[String, Long] = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be non-negative")
+    val total = weights.values.sum
+    require(total > 0, "at least one weight must be positive")
+    weights.map { case (s, w) => s -> math.floor(tokenBudget * w / total).toLong }
+  }
+
+  /** Temperature-weighted per-source token targets: w_s ∝ total_s^T
+    * (XLM-R-style α-smoothing, Conneau et al. 2020 — T<1 upweights
+    * low-resource sources). For the default T=0.5 the whole path is
+    * ENGINE-PORTABLE: IEEE-754 sqrt is correctly rounded, so
+    * w6_s = ⌊sqrt(total_s)·10⁶⌋ is the same BIGINT in any engine, and
+    * target_s = ⌊budget·w6_s / Σw6⌋ is exact integer arithmetic — a SQL
+    * engine replays the targets bit-for-bit (q_mixture_temperature).
+    * Other temperatures go through pow(), which is not correctly rounded
+    * across libms — fine in production, not for cross-engine replay.
+    * Cost: one column-pruned map-side-combined agg; O(#sources) driver
+    * state, same contract as the stratified fraction map.
+    */
+  def temperatureTargets(
+      df: DataFrame,
+      sourceCol: String,
+      tokenCol: org.apache.spark.sql.Column,
+      tokenBudget: Long,
+      temperature: Double = 0.5): Map[String, Long] = {
+    require(tokenBudget > 0, "token budget must be positive")
+    require(temperature > 0, "temperature must be positive")
+    val totals = df
+      .groupBy(col(sourceCol).cast("string").as("__s"))
+      .agg(sum(tokenCol.cast("long")).as("__total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val w6 = totals.map { case (s, tot) =>
+      val wd =
+        if (temperature == 0.5) math.sqrt(tot.toDouble)
+        else math.pow(tot.toDouble, temperature)
+      s -> BigInt(math.floor(wd * 1e6).toLong)
+    }
+    val sumW = w6.map(_._2).sum
+    require(sumW > 0, "all sources empty — no tokens to weight")
+    w6.map { case (s, w) => s -> ((BigInt(tokenBudget) * w) / sumW).toLong }.toMap
+  }
+
+  /** Deterministic source-mixture sampling under per-source TOKEN
+    * targets — the pretraining data-mixing primitive (DoReMi domain
+    * weights, XLM temperature sampling): each source contributes
+    * documents in md5-rank order until its token target is covered.
+    * A doc is kept iff the tokens of the docs ranked before it in the
+    * same source are still below the target, so the kept token mass
+    * lands in [target, target + max-doc-tokens) and the first doc of
+    * any positive-target source is always kept. Sources absent from
+    * `targets` (or with target ≤ 0) are dropped. No RNG anywhere: the
+    * kept set is a pure function of the key columns, reproducible
+    * across engines, reruns, and cluster layouts.
+    *
+    * Scale: one shuffle by source for the rank/cum-sum window; sources
+    * are few, so a hot source's candidate set serializes into one task.
+    * For 100 TB pass `prefilterMargin=Some(m)`: a map-only
+    * md5-threshold filter keeps ≈ m·target/total of each source AHEAD
+    * of the window, so the sorted frame is O(Σ targets) tokens instead
+    * of the corpus. The hash is uniform over docs, so m ≥ 2 makes
+    * undershoot vanishingly unlikely; TextSpec proves prefiltered ==
+    * exact on the test corpus.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      sourceCol: String,
+      tokenCol: org.apache.spark.sql.Column,
+      keyCols: Seq[String],
+      targets: Map[String, Long],
+      prefilterMargin: Option[Double] = None): DataFrame = {
+    require(keyCols.nonEmpty, "mixture sampling needs key columns")
+    require(targets.nonEmpty, "mixture sampling needs per-source targets")
+    import org.apache.spark.sql.expressions.Window
+    val src = col(sourceCol).cast("string")
+    val h = keyHash(df, keyCols)
+    val base0 = df
+      .withColumn("__tok", tokenCol.cast("long"))
+      .withColumn("__tgt", element_at(typedLit(targets), src))
+      .filter(col("__tgt").isNotNull && col("__tgt") > 0)
+    val base = prefilterMargin match {
+      case None => base0
+      case Some(m) =>
+        require(m >= 1, "prefilter margin must be >= 1")
+        val totals = base0.groupBy(src.as("__s")).agg(sum(col("__tok")).as("__total"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val thr: Map[String, Long] = totals.map { case (s, tot) =>
+          val frac = math.min(1.0, m * targets.getOrElse(s, 0L).toDouble / math.max(1L, tot))
+          s -> hashThresholdLong(frac)
+        }
+        base0.filter(h < element_at(typedLit(thr), src))
+    }
+    val tieCols = keyCols ++ df.columns.filterNot(keyCols.contains)
+    val w = Window.partitionBy(src).orderBy((h.asc +: tieCols.map(c => col(c).asc)): _*)
+    val prev = coalesce(
+      sum(col("__tok")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    base.withColumn("__prev", prev)
+      .filter(col("__prev") < col("__tgt"))
+      .drop("__tok", "__tgt", "__prev")
+  }
 }

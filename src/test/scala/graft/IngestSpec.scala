@@ -131,6 +131,43 @@ class IngestSpec extends SparkSpec {
     assert(pop.filter(col("s").isNull).count() == 0)
   }
 
+  test("mixture sampling covers per-source token targets deterministically") {
+    val d = (1 to 900).map { i =>
+      (i.toLong, s"s${i % 3}", 10 + i % 7) // token counts 10..16
+    }.toDF("id", "src", "tok")
+    val targets = Sampling.mixtureTargets(Map("s0" -> 2.0, "s1" -> 1.0, "s2" -> 0.0), 3000L)
+    assert(targets == Map("s0" -> 2000L, "s1" -> 1000L, "s2" -> 0L))
+    val kept = Sampling.mixtureSample(d, "src", col("tok"), Seq("id"), targets)
+    val sums = kept.groupBy("src").agg(sum("tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!sums.contains("s2"), "weight-0 source must be dropped")
+    for ((s, t) <- Seq("s0" -> 2000L, "s1" -> 1000L)) {
+      // covered: kept tokens reach the target; tight: dropping the
+      // costliest kept doc (≤16 tokens) falls below it
+      assert(sums(s) >= t, s"$s under target: ${sums(s)} < $t")
+      assert(sums(s) - 16 < t, s"$s overshot: ${sums(s)}")
+    }
+    val keptIds = kept.select("id").collect().map(_.getLong(0)).toSet
+    val pre = Sampling.mixtureSample(d, "src", col("tok"), Seq("id"), targets,
+      prefilterMargin = Some(2.0))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(pre == keptIds, "prefiltered scale path must equal the exact path")
+    val rep = Sampling.mixtureSample(d.repartition(7), "src", col("tok"), Seq("id"), targets)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rep == keptIds, "mixture sample must not depend on partition layout")
+  }
+
+  test("temperature targets upweight small sources with portable integer math") {
+    val d = ((1 to 100).map(i => (i.toLong, "small", 10)) ++
+      (101 to 1000).map(i => (i.toLong, "big", 10))).toDF("id", "src", "tok")
+    val t = Sampling.temperatureTargets(d, "src", col("tok"), 1000L, temperature = 0.5)
+    // proportional would give small 100 of 1000; sqrt weights give
+    // ~1000·√1000/(√1000+√9000) = 250, minus one for the ⌊·10⁶⌋ floor
+    assert(t("small") == 249L, s"small target: ${t("small")}")
+    assert(t("big") == 750L, s"big target: ${t("big")}")
+    assert(t.values.sum <= 1000L)
+  }
+
   test("deterministic split is exhaustive, disjoint, and stable") {
     val d = (1 to 3000).map(i => (i, i % 7)).toDF("id", "g")
     val split = Sampling.deterministicSplit(
