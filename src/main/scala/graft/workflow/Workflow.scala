@@ -250,6 +250,25 @@ object Workflow {
             Seq(idCol),
             sc.getOrElse("mode", "population").toString)
         }
+        tp.get("mixture_sample").foreach { mv =>
+          // source-mixture sampling under a token budget: explicit
+          // per-source weights, or temperature weights derived from the
+          // per-source token totals when no weights are given
+          val mc = asConf(mv)
+          val budget = mc.getOrElse("token_budget", 1000000L).toString.toLong
+          val srcCol = mc.getOrElse("source_col", "source").toString
+          val toks = graft.functions.TextOps.tokenCount(col(textCol))
+          val targets = mc.get("weights") match {
+            case Some(w) => graft.sources.Sampling.mixtureTargets(
+              asConf(w).map { case (k, x) => k -> x.toString.toDouble }, budget)
+            case None => graft.sources.Sampling.temperatureTargets(
+              df, srcCol, toks, budget,
+              mc.getOrElse("temperature", 0.5).toString.toDouble)
+          }
+          df = graft.sources.Sampling.mixtureSample(
+            df, srcCol, toks, Seq(idCol), targets,
+            prefilterMargin = mc.get("prefilter_margin").map(_.toString.toDouble))
+        }
         if (tp.getOrElse("text_stats", false) == true)
           df = df
             .withColumn("n_tokens", graft.functions.TextOps.tokenCount(col(textCol)))

@@ -239,6 +239,33 @@ text_pipeline:
     assert(shards.distinct.length > 1, "budget 60 splits three ~90-token docs")
   }
 
+  test("workflow text_pipeline: mixture_sample stage with explicit weights") {
+    val dir = java.nio.file.Files.createTempDirectory("wfmix").toString
+    (1 to 300).map { i =>
+      (i.toLong, s"s${i % 3}", Seq.fill(10)("tok").mkString(" ")) // 10 tokens each
+    }.toDF("doc_id", "source", "text").write.parquet(s"$dir/t")
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/t"
+    file_type: parquet
+text_pipeline:
+  text_col: text
+  id_col: doc_id
+  mixture_sample:
+    token_budget: 600
+    source_col: source
+    weights: {s0: 2, s1: 1}
+"""
+    val (df, stages) = Workflow.run(spark, yaml)
+    assert(stages.exists(_.name == "text_pipeline"))
+    val sums = df.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // targets: s0 = 400 tokens = 40 docs, s1 = 200 tokens = 20 docs;
+    // unweighted s2 is dropped
+    assert(sums == Map("s0" -> 40L, "s1" -> 20L), s"$sums")
+  }
+
   test("workflow text_pipeline: span dedup and ccnet bucket stages") {
     val dir = java.nio.file.Files.createTempDirectory("wft3").toString
     val shared = "one two three four five six seven eight nine ten"
