@@ -38,8 +38,18 @@ object AutoDetect {
     """(?:JANUARY|JANUARI|FEBRUARY|FEBRUARI|MARCH|APRIL|MAY|MEI|JUNE?|JULY|JULAI|AUGUST|OGOS|SEPTEMBER|OCTOBER|OKTOBER|NOVEMBER|DECEMBER|DISEMBER)"""
   private val th = """(?:ST|ND|RD|TH)"""                          // ordinal suffix
   private val A3 = """(?:MON|TUE|WED|THU|FRI|SAT|SUN)"""          // day-name abbrev
+  // full/abbrev day names, English + Malay (ref A group,
+  // ts_auto_detection.py:154-163: ISNIN/SELASA/RABU/KHAMIS/JUMAAT/
+  // SABTU/AHAD and their short forms)
+  private val AA =
+    """(?:MON(?:DAY)?|TUE(?:S(?:DAY)?)?|WED(?:NESDAY)?|THU(?:RS(?:DAY)?)?|FRI(?:DAY)?|SAT(?:URDAY)?|SUN(?:DAY)?|ISN(?:IN)?|SEN(?:IN)?|SEL(?:ASA)?|RABU?|KHA(?:MIS)?|JUM(?:AAT)?|SAB(?:TU)?|AHA?D|MIN(?:GGU)?)"""
   private val ap = """(?:[AP]\.? ?M\.?)"""                        // am/pm marker
   private val tz = """(?:[+-](?:0\d|1[0-4]):?(?:00|15|30|45))"""  // utc offset
+  // curated common subset of the reference's Z group (the full Wikipedia
+  // timezone-abbreviation list, ts_auto_detection.py:139-152); parsed as
+  // the naive local time like the reference's default tz="Local"
+  private val ZA =
+    """(?:UTC|GMT|EST|EDT|CST|CDT|MST|MDT|PST|PDT|AKST|AKDT|HST|AST|ADT|NST|NDT|AEST|AEDT|ACST|ACDT|AWST|BST|CET|CEST|EET|EEST|WET|WEST|MSK|IST|JST|KST|SGT|HKT|MYT|WIB|WITA|WIT|NZST|NZDT|CAT|EAT|WAT|SAST)"""
 
   /** Pre-parse normalization family for a format. */
   sealed trait Norm
@@ -57,6 +67,22 @@ object AutoDetect {
   case object RfcNorm   extends Norm
   /** Spark's flexible ISO cast (fractional seconds / offsets) */
   case object IsoAuto   extends Norm
+  /** strip a trailing timezone-abbreviation token (parsed as the naive
+    * local time, the reference's default tz="Local"), then parse `inner`
+    */
+  final case class TzAbbrev(inner: String) extends Norm
+  /** strip a leading day-name token (English or Malay), then month
+    * normalization and parse `inner`
+    */
+  final case class DayPrefix(inner: String) extends Norm
+  /** "14-15 Aug 2023" day ranges resolve to the range START (the
+    * reference's d_range part keeps the first day)
+    */
+  case object DayRange  extends Norm
+  /** "1430 HRS" military time */
+  case object MilitaryHrs extends Norm
+  /** "12 NOON" / "12 MIDNIGHT" (ref p2 group) */
+  case object NoonMidnight extends Norm
 
   final case class TsFormat(
       regex: String,
@@ -133,12 +159,25 @@ object AutoDetect {
     TsFormat(s"^$A3, ?$d $B3 $Y $H:$M:$S$$",                 "rfc1123_datetime", RfcNorm, ci = true),
     TsFormat(s"^$d $B3 $Y $H:$M:$S$$",                       "d MMM yyyy HH:mm:ss", MonthNorm, ci = true),
     TsFormat(s"^$d $B3 $Y $H:$M$$",                          "d MMM yyyy HH:mm", MonthNorm, ci = true),
+    // ---- day-name-prefixed dates/datetimes (English + Malay day names,
+    //      ref A group; comma optional) ----
+    TsFormat(s"^$AA,? ?$d $B3,? $Y $H:$M:$S$$",              "dayname_datetime", DayPrefix("d MMM yyyy HH:mm:ss"), ci = true),
+    TsFormat(s"^$AA,? ?$d $B3,? $Y$$",                       "dayname_date_abbrev", DayPrefix("d MMM yyyy"), ci = true),
+    TsFormat(s"^$AA,? ?$d $BF,? $Y$$",                       "dayname_date_full", DayPrefix("d MMMM yyyy"), ci = true),
+    // ---- day ranges "14-15 Aug 2023" → range start (ref d_range) ----
+    TsFormat(s"^$d ?- ?$d $B3 $Y$$",                         "day_range_month", DayRange, ci = true),
+    // ---- timezone-abbreviation datetimes (naive local parse, ref Z) ----
+    TsFormat(s"^$Y-$mz-$dz $H:$M:$S $ZA$$",                  "tz_abbrev_iso", TzAbbrev("yyyy-MM-dd HH:mm:ss"), ci = true),
+    TsFormat(s"^$d/$m/$Y $H:$M:$S $ZA$$",                    "tz_abbrev_dmy", TzAbbrev("d/M/yyyy HH:mm:ss"), ci = true),
     // ---- time-only (parses onto the epoch date, like to_timestamp) ----
     TsFormat(s"^$H:$M:$S$$",                                 "H:mm:ss"),
     TsFormat(s"^$H:$M$$",                                    "H:mm"),
     TsFormat(s"^$I:$M:$S ?$ap$$",                            "h:mm:ss a", AmPmNorm, ci = true),
     TsFormat(s"^$I:$M ?$ap$$",                               "h:mm a", AmPmNorm, ci = true),
     TsFormat(s"^$I ?$ap$$",                                  "h a", AmPmNorm, ci = true),
+    // ---- military / noon-midnight times (ref p/p2 groups) ----
+    TsFormat(s"^(?:2[0-3]|[01]\\d)$M ?HRS$$",                "military_hrs", MilitaryHrs, ci = true),
+    TsFormat("^12 ?(?:NOON|MIDNIGHT|MIDNITE)$",              "noon_midnight", NoonMidnight, ci = true),
     // ---- epoch strings (1x-prefixed to avoid phone/id collisions) ----
     TsFormat("^1[0-9]{9}$",                                  "epoch_seconds", EpochSec),
     TsFormat("^1[0-9]{12}$",                                 "epoch_millis", EpochMs),
@@ -259,6 +298,26 @@ object AutoDetect {
       case RfcNorm =>
         val noDay = regexp_replace(trim(c), "(?i)^[a-z]+, *", "")
         try_to_timestamp(monthClean(noDay), lit("d MMM yyyy HH:mm:ss"))
+      case TzAbbrev(inner) =>
+        // the abbreviation names a zone, but the reference's default
+        // tz="Local" parses the wall-clock part as-is — mirror that
+        try_to_timestamp(
+          regexp_replace(trim(c), s"(?i) ?$ZA$$", ""), lit(inner))
+      case DayPrefix(inner) =>
+        val noDay = regexp_replace(trim(c), s"(?i)^$AA,? *", "")
+        try_to_timestamp(monthClean(noDay), lit(inner))
+      case DayRange =>
+        val start = regexp_replace(trim(c), "^(\\d{1,2}) ?- ?\\d{1,2}", "$1")
+        try_to_timestamp(monthClean(start), lit("d MMM yyyy"))
+      case MilitaryHrs =>
+        try_to_timestamp(
+          regexp_replace(upper(trim(c)), " ?HRS$", ""), lit("HHmm"))
+      case NoonMidnight =>
+        try_to_timestamp(
+          regexp_replace(
+            regexp_replace(upper(trim(c)), "^12 ?(?:MIDNIGHT|MIDNITE)$", "00:00"),
+            "^12 ?NOON$", "12:00"),
+          lit("H:mm"))
       case AmPmNorm =>
         // collapse the whole marker token in one pass ("a. m." → "AM" —
         // stripping only periods left "A M", which 'a' cannot parse),

@@ -75,7 +75,25 @@ class AutoDetectSpec extends SparkSpec {
     ("rfc1123_datetime", Seq("Mon, 15 Jan 2024 09:45:07", "TUE, 3 AUG 2021 23:59:59"),
       Seq("2024-01-15 09:45:07", "2021-08-03 23:59:59")),
     ("d MMM yyyy HH:mm:ss", Seq("15 Jan 2024 09:45:07"), Seq("2024-01-15 09:45:07")),
-    ("d MMM yyyy HH:mm", Seq("15 jan 2024 09:45"), Seq("2024-01-15 09:45:00")))
+    ("d MMM yyyy HH:mm", Seq("15 jan 2024 09:45"), Seq("2024-01-15 09:45:00")),
+    // day-name prefixes, English + Malay (ref A group); Isnin/Jumaat/Ahad
+    // never match the English-only RFC-1123 entry, so they land here
+    ("dayname_datetime", Seq("Isnin, 15 Jan 2024 09:45:07"), Seq("2024-01-15 09:45:07")),
+    ("dayname_date_abbrev", Seq("Jumaat 15 Jan 2024"), Seq("2024-01-15 00:00:00")),
+    ("dayname_date_full", Seq("Ahad, 3 Ogos 2021"), Seq("2021-08-03 00:00:00")),
+    // day ranges resolve to the range start (ref d_range)
+    ("day_range_month", Seq("14-15 Aug 2023", "1 - 2 Jan 2024"),
+      Seq("2023-08-14 00:00:00", "2024-01-01 00:00:00")),
+    // timezone abbreviations parse as the naive wall-clock (ref Z group,
+    // default tz="Local")
+    ("tz_abbrev_iso", Seq("2024-01-15 09:45:07 UTC", "2024-01-15 09:45:07 sgt"),
+      Seq("2024-01-15 09:45:07", "2024-01-15 09:45:07")),
+    ("tz_abbrev_dmy", Seq("15/1/2024 09:45:07 PST"), Seq("2024-01-15 09:45:07")),
+    // military / noon-midnight times (ref p/p2 groups)
+    ("military_hrs", Seq("1430 HRS", "0905HRS"),
+      Seq("1970-01-01 14:30:00", "1970-01-01 09:05:00")),
+    ("noon_midnight", Seq("12 NOON", "12 midnight"),
+      Seq("1970-01-01 12:00:00", "1970-01-01 00:00:00")))
 
   // Malay month spellings (the reference's table is Malay-bilingual,
   // ts_auto_detection.py:100-113) — share formats with the English
