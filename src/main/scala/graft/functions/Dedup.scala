@@ -823,4 +823,52 @@ object Dedup {
         round(col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** SymSpell-style deletion-neighborhood fuzzy pairs (entity
+    * resolution / typo dedup): every normalized string emits itself plus
+    * its single-character-deletion variants, and two strings within
+    * Levenshtein distance 1 NECESSARILY share a variant (substitution →
+    * both delete the mismatched position; insertion/deletion → the
+    * longer string's deletion equals the shorter string), so candidate
+    * generation is an equi-join on the variant — never an all-pairs or
+    * per-block quadratic scan, and blocking recall is exact rather than
+    * heuristic. Candidates verify with the codegen'd `levenshtein`.
+    *
+    * Scale: a string of length L emits L+1 variants, each carried as an
+    * xxhash64 long through the shuffle; the variant-frequency cap drops
+    * degenerate variants shared by more than `maxVariantFreq` strings
+    * (same stop-shingle guard as [[ngramJaccardPairs]] — a variant
+    * shared by m strings contributes m²/2 join rows). Pairs returned as
+    * (key_1 < key_2, dist ∈ {0, 1}); dist 0 = exact duplicates after
+    * normalization.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      maxVariantFreq: Long = 1000L): DataFrame = {
+    val base = df.select(
+      col(keyCol).cast("long").as("key"),
+      lower(trim(col(textCol))).as("s"))
+    val s = col("s")
+    val deletions = when(length(s) > 0,
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s)))))
+      .otherwise(array().cast("array<string>"))
+    val v = base
+      .select(col("key"), s, explode_outer(array_distinct(
+        concat(array(s), deletions))).as("variant"))
+      .select(col("key"), s, xxhash64(col("variant")).as("variant"))
+      .withColumn("__vf", count(lit(1)).over(Window.partitionBy("variant")))
+      .filter(col("__vf") <= maxVariantFreq)
+      .drop("__vf")
+    v.as("a")
+      .join(v.as("b"),
+        col("a.variant") === col("b.variant") && col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_1"), col("b.key").as("key_2"),
+        col("a.s").as("s1"), col("b.s").as("s2"))
+      .distinct() // the same pair can meet through several shared variants
+      .select(col("key_1"), col("key_2"), levenshtein(col("s1"), col("s2")).as("dist"))
+      .filter(col("dist") <= 1)
+  }
 }

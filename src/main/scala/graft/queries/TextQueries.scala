@@ -1246,6 +1246,29 @@ object TextQueries {
                   ELSE (tok_offset + n_tokens - 1) // 512 END AS BIGINT) AS seq_last
       FROM o"""))
 
+  /** SymSpell deletion-neighborhood fuzzy matching (entity resolution):
+    * distance-≤1 name pairs meet through shared single-deletion
+    * variants (exact-recall blocking, equi-join — never quadratic),
+    * then verify with codegen'd levenshtein. Fully oracle-checked:
+    * DuckDB regenerates the variants and its own levenshtein.
+    */
+  val qFuzzyPairs = Q(
+    "q_fuzzy_pairs",
+    (s, dir) => Dedup.editDistancePairs(tables(s, dir).supplier, "s_name", "s_suppkey"),
+    Some("""
+      WITH nm AS (SELECT s_suppkey AS key, lower(trim(s_name)) AS s FROM supplier),
+      pos AS (SELECT key, s, unnest(range(1, length(s) + 1)) AS i FROM nm),
+      v0 AS (SELECT key, s, s AS variant FROM nm
+             UNION
+             SELECT key, s, substr(s, 1, i - 1) || substr(s, i + 1, length(s)) AS variant
+             FROM pos),
+      vc AS (SELECT *, count(*) OVER (PARTITION BY variant) AS vf FROM v0),
+      v AS (SELECT key, s, variant FROM vc WHERE vf <= 1000),
+      cand AS (SELECT DISTINCT a.key AS key_1, b.key AS key_2, a.s AS s1, b.s AS s2
+               FROM v a JOIN v b ON a.variant = b.variant AND a.key < b.key)
+      SELECT key_1, key_2, CAST(levenshtein(s1, s2) AS INT) AS dist
+      FROM cand WHERE levenshtein(s1, s2) <= 1"""))
+
   /** Shared token-count CASE + 60-bit md5-prefix hash of `doc_id` —
     * the DuckDB twin of `TextOps.tokenCount` + `Sampling.keyHash` used
     * by both mixture-sampling oracles.
@@ -1410,5 +1433,5 @@ object TextQueries {
     qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
     qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
     qDupSpans, qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk,
-    qMixtureSample, qMixtureTemperature)
+    qMixtureSample, qMixtureTemperature, qFuzzyPairs)
 }

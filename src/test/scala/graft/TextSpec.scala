@@ -404,6 +404,34 @@ class TextSpec extends SparkSpec {
     assert(ld.length == 2 && ld(0).getLong(2) == 1 && ld(1).getLong(2) == 1)
   }
 
+  test("deletion-neighborhood fuzzy pairs have exact distance-1 recall") {
+    val names = Seq(
+      (1L, "Acme Corp"), (2L, "Acme Corpx"),   // insertion
+      (3L, "Acme Cor"),                        // deletion of (1)
+      (4L, "Acme 卡orp"),                     // substitution (non-ascii)
+      (5L, "acme corp"),                       // dist 0 after lower()
+      (6L, "Completely Different"), (7L, ""), (8L, "x"))
+    val d = names.toDF("id", "name")
+    val got = Dedup.editDistancePairs(d, "name", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force truth over the normalized names
+    val norm = names.map { case (k, v) => k -> v.toLowerCase.trim }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i.max(j))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val want = (for {
+      (k1, s1) <- norm; (k2, s2) <- norm if k1 < k2
+      dist = lev(s1, s2) if dist <= 1
+    } yield (k1, k2, dist)).toSet
+    assert(got == want, s"got $got\nwant $want")
+    assert(want.contains((1L, 5L, 0)) && want.contains((1L, 2L, 1)) &&
+      want.contains((1L, 3L, 1)) && want.contains((1L, 4L, 1)))
+  }
+
   test("bloom decontamination pre-screen has no false negatives") {
     val bench = Seq((100L, "the secret benchmark question about spark internals today"))
       .toDF("doc_id", "text")
