@@ -355,6 +355,62 @@ object TextOps {
       .select(col("query_id"), col("doc").as(keyCol), col("score"), col("rank"))
   }
 
+  /** Multinomial Naive Bayes seed classifier — the GPT-3/LLaMA-style
+    * "quality classifier" corpus-filter stage (Brown et al. 2020, App. A:
+    * score web documents against a curated positive seed): fit per-token
+    * log-likelihood ratios from a small labeled seed (label 1 = curated,
+    * 0 = negative) with Laplace smoothing, then score every document by
+    * prior + Σ tf·llr over its tokens. The fit is CLOSED FORM (token
+    * counts — no iterative optimizer, McCallum & Nigam 1998), so scores
+    * replay exactly in SQL. Out-of-vocabulary tokens carry no class
+    * evidence and are ignored (symmetric smoothing would add the same
+    * constant per class).
+    *
+    * Scale: the fit aggregates the SEED only; the per-token llr table is
+    * vocab-bounded and broadcasts to the corpus scan (like the
+    * unigram-LM join), so scoring is explode → broadcast join → per-doc
+    * sum — the corpus shuffles once on doc id for the tf aggregate and
+    * never on vocab.
+    */
+  def nbSeedClassifier(
+      docs: DataFrame,
+      textCol: String,
+      keyCol: String,
+      seed: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col(keyCol).cast("long").as("id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val seedIds = seed.select(col(keyCol).cast("long").as("id"), col("label").cast("int").as("label"))
+    val seedToks = toks.join(broadcast(seedIds), Seq("id"))
+    val cnt = seedToks.groupBy("tok").agg(
+      sum(when(col("label") === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("label") === 0, 1L).otherwise(0L)).as("c0"))
+    val scal = seedToks.agg(
+      sum(when(col("label") === 1, 1L).otherwise(0L)).cast("double").as("t1"),
+      sum(when(col("label") === 0, 1L).otherwise(0L)).cast("double").as("t0"),
+      countDistinct(col("tok")).cast("double").as("v")).first()
+    val (tks1, tks0, vocab) = (scal.getDouble(0), scal.getDouble(1), scal.getDouble(2))
+    val dcRow = seedIds.agg(
+      sum(col("label")).cast("double"), sum(lit(1) - col("label")).cast("double")).first()
+    val (d1, d0) = (dcRow.getDouble(0), dcRow.getDouble(1))
+    require(d1 > 0 && d0 > 0, "seed needs documents of both labels")
+    val prior = math.log(d1 / d0)
+    val llr = cnt.select(col("tok"),
+      (log((col("c1").cast("double") + lit(1.0)) / lit(tks1 + vocab)) -
+        log((col("c0").cast("double") + lit(1.0)) / lit(tks0 + vocab))).as("w"))
+    val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val sums = tf.join(broadcast(llr), Seq("tok"))
+      .groupBy("id").agg(sum(col("tf").cast("double") * col("w")).as("sw"))
+    docs.select(col(keyCol).cast("long").as("id"))
+      .join(sums, Seq("id"), "left")
+      .select(col("id").as(keyCol),
+        // + 0.0 canonicalizes IEEE −0.0 (a tiny negative sum rounding to
+        // zero) to +0.0, matching the SQL replay's render
+        (round(lit(prior) + coalesce(col("sw"), lit(0.0)), 4) + lit(0.0)).as("log_odds"))
+      .withColumn("pred", when(col("log_odds") >= 0, 1).otherwise(0))
+  }
+
   /** CCNet-style per-language quality buckets (Wenzek et al. 2020): rank
     * documents inside each language by an LM score (lower = closer to
     * the reference distribution) and split into head/middle/tail

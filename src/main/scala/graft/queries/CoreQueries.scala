@@ -260,6 +260,31 @@ object CoreQueries {
         count(*) AS n
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
 
+  /** GROUPING SETS with grouping_id — arbitrary chosen grouping-set
+    * combinations (here: by-flag×status, by-flag, by-status — NOT a
+    * rollup or cube) from one Expand + single hash aggregate;
+    * grouping_id disambiguates a real NULL key from a subtotal row.
+    */
+  val qGroupingSets = Q(
+    "q_grouping_sets",
+    (s, dir) => {
+      tables(s, dir).lineitem.createOrReplaceTempView("lineitem_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+          count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))""")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+        count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))"""))
+
   /** Pivot: event counts per day × event type (fixed category list so
     * the output schema is static — the scale-safe pivot contract).
     */
@@ -324,6 +349,6 @@ object CoreQueries {
 
   def all: Seq[Q] = Seq(q1, qJoin, qRecommendType, qExpressionParser,
     qSemiAnti, qExcept, qRenameRecast, qRowIds, qSaltedJoin,
-    qTopkPerGroup, qRollupPricing, qCubePricing, qPivotEvents, qGroupedMedian,
-    qWriteRoundtrip)
+    qTopkPerGroup, qRollupPricing, qCubePricing, qGroupingSets, qPivotEvents,
+    qGroupedMedian, qWriteRoundtrip)
 }

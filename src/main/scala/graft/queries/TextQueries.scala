@@ -1246,6 +1246,62 @@ object TextQueries {
                   ELSE (tok_offset + n_tokens - 1) // 512 END AS BIGINT) AS seq_last
       FROM o"""))
 
+  /** Naive Bayes seed quality classifier (the GPT-3-style curated-seed
+    * corpus filter): label-1 seed = docs from src0-src4, label-0 seed =
+    * src15-src19, score the WHOLE corpus by summed token log-likelihood
+    * ratios. Closed-form counts + Laplace smoothing → the oracle refits
+    * the identical model in SQL and every document's log-odds + class
+    * hash-match (ln parity per the BM25 precedent; scores round at 4
+    * before the class threshold on both engines).
+    */
+  val qNbClassifier = Q(
+    "q_nb_classifier",
+    (s, dir) => {
+      val d = tables(s, dir).documents
+      val seed = d
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4",
+          "src15", "src16", "src17", "src18", "src19"))
+        .select(col("doc_id"),
+          when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
+            .otherwise(0).as("label"))
+      TextOps.nbSeedClassifier(d, "text", "doc_id", seed)
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, unnest(str_split($normSql, ' ')) AS tok
+                    FROM documents),
+      t AS (SELECT * FROM toks WHERE length(tok) > 0),
+      seed AS (SELECT doc_id,
+                 CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                      THEN 1 ELSE 0 END AS label
+               FROM documents
+               WHERE source IN ('src0','src1','src2','src3','src4',
+                                'src15','src16','src17','src18','src19')),
+      st AS (SELECT t.doc_id, t.tok, seed.label FROM t JOIN seed USING (doc_id)),
+      cnt AS (SELECT tok,
+                sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
+                sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
+              FROM st GROUP BY tok),
+      sc AS (SELECT CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS t1,
+                    CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS t0,
+                    CAST(count(DISTINCT tok) AS DOUBLE) AS v
+             FROM st),
+      dc AS (SELECT CAST(sum(label) AS DOUBLE) AS d1,
+                    CAST(sum(1 - label) AS DOUBLE) AS d0 FROM seed),
+      llr AS (SELECT tok,
+                ln((CAST(c1 AS DOUBLE) + 1.0) / (sc.t1 + sc.v))
+                  - ln((CAST(c0 AS DOUBLE) + 1.0) / (sc.t0 + sc.v)) AS w
+              FROM cnt CROSS JOIN sc),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+      s AS (SELECT tf.doc_id, sum(CAST(tf.tf AS DOUBLE) * llr.w) AS sw
+            FROM tf JOIN llr USING (tok) GROUP BY tf.doc_id),
+      f AS (SELECT d.doc_id,
+              round((SELECT ln(d1 / d0) FROM dc) + COALESCE(s.sw, 0), 4)
+                + CAST(0 AS DOUBLE) AS log_odds
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
+      SELECT doc_id, log_odds,
+             CASE WHEN log_odds >= 0 THEN 1 ELSE 0 END AS pred
+      FROM f"""))
+
   /** SymSpell deletion-neighborhood fuzzy matching (entity resolution):
     * distance-≤1 name pairs meet through shared single-deletion
     * variants (exact-recall blocking, equi-join — never quadratic),
@@ -1433,5 +1489,5 @@ object TextQueries {
     qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
     qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
     qDupSpans, qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk,
-    qMixtureSample, qMixtureTemperature, qFuzzyPairs)
+    qMixtureSample, qMixtureTemperature, qFuzzyPairs, qNbClassifier)
 }

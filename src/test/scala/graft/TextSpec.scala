@@ -404,6 +404,27 @@ class TextSpec extends SparkSpec {
     assert(ld.length == 2 && ld(0).getLong(2) == 1 && ld(1).getLong(2) == 1)
   }
 
+  test("naive bayes seed classifier separates planted vocabularies") {
+    // curated seed speaks "alpha", junk seed speaks "zeta"; held-out
+    // docs mix them — the classifier must side with the majority tokens
+    val docs = Seq(
+      (1L, "alpha alpha beta gamma"), (2L, "alpha beta alpha delta"),  // seed 1
+      (3L, "zeta zeta eta theta"), (4L, "zeta eta zeta iota"),          // seed 0
+      (5L, "alpha alpha alpha beta"),  // unlabeled, clearly curated
+      (6L, "zeta zeta eta eta"),       // unlabeled, clearly junk
+      (7L, "totally novel words")      // all-OOV → prior only (= 0 here)
+    ).toDF("doc_id", "text")
+    val seed = Seq((1L, 1), (2L, 1), (3L, 0), (4L, 0)).toDF("doc_id", "label")
+    val got = TextOps.nbSeedClassifier(docs, "text", "doc_id", seed)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(got(5L)._2 == 1 && got(5L)._1 > 0, s"curated doc: ${got(5L)}")
+    assert(got(6L)._2 == 0 && got(6L)._1 < 0, s"junk doc: ${got(6L)}")
+    // balanced seed → prior ln(2/2) = 0; all-OOV doc scores exactly 0
+    assert(got(7L) == (0.0, 1), s"oov doc: ${got(7L)}")
+    // seed docs score toward their own label
+    assert(got(1L)._2 == 1 && got(3L)._2 == 0)
+  }
+
   test("deletion-neighborhood fuzzy pairs have exact distance-1 recall") {
     val names = Seq(
       (1L, "Acme Corp"), (2L, "Acme Corpx"),   // insertion
