@@ -209,6 +209,27 @@ object Workflow {
             .filter(col("passes")).select(col(idCol))
           df = df.join(ok, Seq(idCol), "left_semi")
         }
+        tp.get("nb_filter").foreach { nv =>
+          // Naive Bayes seed-classifier filter (GPT-3-style): the seed
+          // labels derive from curated/junk source lists; keep docs
+          // scoring at least min_log_odds (default 0 = predicted curated)
+          val nb = asConf(nv)
+          val srcCol = nb.getOrElse("source_col", "source").toString
+          val pos = strings(nb("positive_sources"))
+          val neg = strings(nb("negative_sources"))
+          val seed = df
+            .filter(col(srcCol).isin((pos ++ neg).map(x => x: Any): _*))
+            .select(col(idCol),
+              org.apache.spark.sql.functions
+                .when(col(srcCol).isin(pos.map(x => x: Any): _*), 1)
+                .otherwise(0).as("label"))
+          val minLo = nb.getOrElse("min_log_odds", 0.0).toString.toDouble
+          val keep = graft.functions.TextOps
+            .nbSeedClassifier(df, textCol, idCol, seed)
+            .filter(col("log_odds") >= minLo)
+            .select(col(idCol))
+          df = df.join(keep, Seq(idCol), "left_semi")
+        }
         if (tp.getOrElse("exact_dedup", false) == true)
           df = graft.functions.Dedup.exactDedup(df, textCol, idCol)
         tp.get("span_dedup").foreach { sv =>

@@ -266,6 +266,33 @@ text_pipeline:
     assert(sums == Map("s0" -> 40L, "s1" -> 20L), s"$sums")
   }
 
+  test("workflow text_pipeline: nb_filter keeps curated-scoring docs") {
+    val dir = java.nio.file.Files.createTempDirectory("wfnb").toString
+    Seq(
+      (1L, "curated", "alpha alpha beta gamma"),
+      (2L, "curated", "alpha beta alpha delta"),
+      (3L, "junk", "zeta zeta eta theta"),
+      (4L, "junk", "zeta eta zeta iota"),
+      (5L, "web", "alpha alpha alpha beta"), // scores curated → kept
+      (6L, "web", "zeta zeta eta eta")       // scores junk → dropped
+    ).toDF("doc_id", "source", "text").write.parquet(s"$dir/t")
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/t"
+    file_type: parquet
+text_pipeline:
+  text_col: text
+  id_col: doc_id
+  nb_filter:
+    positive_sources: [curated]
+    negative_sources: [junk]
+"""
+    val (df, _) = Workflow.run(spark, yaml)
+    val kept = df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L), s"kept $kept")
+  }
+
   test("workflow text_pipeline: span dedup and ccnet bucket stages") {
     val dir = java.nio.file.Files.createTempDirectory("wft3").toString
     val shared = "one two three four five six seven eight nine ten"
