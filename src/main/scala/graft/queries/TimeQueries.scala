@@ -485,8 +485,83 @@ object TimeQueries {
         strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS rt_compact
       FROM events"""))
 
+  /** Ordered conversion funnel (view → click → purchase): the classic
+    * event-analytics shape. Sequential step times are stacked
+    * conditional window mins over ONE user partitioning (t2 only counts
+    * clicks after the user's first view, t3 only purchases after that
+    * click), so the whole funnel costs a single shuffle — no
+    * self-joins, no per-step rescans. Exact-integer single-row output.
+    */
+  val qFunnelSteps = Q(
+    "q_funnel_steps",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      val e = tables(s, dir).events
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("t1", min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" &&
+          col("us") > col("t1"), col("us"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("us") > col("t2"), col("us"))).over(w))
+      e.groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("t1").isNotNull.cast("long")).as("step_view"),
+          sum(col("t2").isNotNull.cast("long")).as("step_click"),
+          sum(col("t3").isNotNull.cast("long")).as("step_purchase"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      f AS (SELECT user_id,
+              min(CASE WHEN event_type = 'view' THEN us END)
+                OVER (PARTITION BY user_id) AS t1, us, event_type
+            FROM e),
+      g AS (SELECT user_id, t1,
+              min(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+                OVER (PARTITION BY user_id) AS t2, us, event_type
+            FROM f),
+      h AS (SELECT user_id, t1, t2,
+              min(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+                OVER (PARTITION BY user_id) AS t3
+            FROM g),
+      u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+            FROM h GROUP BY user_id)
+      SELECT count(*) AS n_users,
+        CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+        CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+        CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+      FROM u"""))
+
+  /** Cohort retention: users cohorted by first-activity day, activity
+    * counted per day offset — one window min for the cohort day (single
+    * user-partition shuffle, shared with nothing else) + one
+    * distinct-count aggregate per (cohort, offset). Exact integers.
+    */
+  val qCohortRetention = Q(
+    "q_cohort_retention",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      tables(s, dir).events
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .withColumn("cohort", min(col("day")).over(w))
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort")).as("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      c AS (SELECT user_id, day,
+              min(day) OVER (PARTITION BY user_id) AS cohort FROM e)
+      SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        CAST(date_diff('day', cohort, day) AS INT) AS offset_days,
+        count(DISTINCT user_id) AS n_users
+      FROM c GROUP BY 1, 2"""))
+
   def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
     qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin, qRolling24h,
-    qForwardFill, qTsMultiformat)
+    qForwardFill, qTsMultiformat, qFunnelSteps, qCohortRetention)
 }
