@@ -25,7 +25,14 @@ object AsofJoin {
     * pre-aggregate it otherwise (ambiguous duplicates have no canonical
     * winner). Timestamps compare inclusively (a right row AT the left
     * timestamp is visible). Right value columns arrive null where no
-    * prior right row exists.
+    * matching right row exists.
+    *
+    * `direction`: "backward" (default — greatest right ts ≤ left ts,
+    * the leakage-free feature-store contract), "forward" (smallest
+    * right ts ≥ left ts), or "nearest" (whichever is closer in time;
+    * ties break backward, matching pandas merge_asof). All three run
+    * as the SAME single key-shuffle union-window plan — nearest adds a
+    * second frame over the one sort, never a second exchange.
     */
   def asofJoin(
       left: DataFrame,
@@ -33,37 +40,62 @@ object AsofJoin {
       keyCols: Seq[String],
       leftTs: String,
       rightTs: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
     require(keyCols.nonEmpty && valueCols.nonEmpty, "need key and value columns")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown as-of direction: $direction")
     val leftCols = left.columns.toSeq
-    // ONE struct carries the whole right row, so the matched row wins
-    // atomically: a right row whose value column is legitimately NULL
-    // still wins (the struct itself is non-null), and columns can never
-    // mix across different right rows — per-column last(ignoreNulls)
-    // would skip the null and surface a stale older value
+    // ONE struct carries the whole right row (plus its ts for nearest's
+    // distance pick), so the matched row wins atomically: a right row
+    // whose value column is legitimately NULL still wins (the struct
+    // itself is non-null), and columns can never mix across different
+    // right rows — per-column last(ignoreNulls) would skip the null and
+    // surface a stale older value
     val vStructType = org.apache.spark.sql.types.StructType(
-      valueCols.map(c => right.schema(c).copy(name = c, nullable = true)))
+      right.schema(rightTs).copy(name = "__rts", nullable = true) +:
+        valueCols.map(c => right.schema(c).copy(name = c, nullable = true)))
+    // at equal timestamps the right row must fall INSIDE the frame that
+    // direction reads: before left rows for the preceding frame
+    // (backward/nearest), after them for the following frame (forward)
+    val (leftSide, rightSide) = if (direction == "forward") (0, 1) else (1, 0)
     val taggedLeft = left
       .withColumn("__ts", col(leftTs))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(leftSide))
       .select(leftCols.map(col) :+ col("__ts") :+ col("__side") :+
         lit(null).cast(vStructType).as("__vs"): _*)
     val taggedRight = right
       .withColumn("__ts", col(rightTs))
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rightSide))
       .select((leftCols.map(c =>
         if (keyCols.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
         :+ col("__ts") :+ col("__side")) :+
-        struct(valueCols.map(col): _*).as("__vs"): _*)
-    // right rows sort BEFORE left rows at the same timestamp (inclusive
-    // as-of), and the running last(ignoreNulls) carries the latest right
-    // STRUCT forward to every later left row of the key
+        struct(col(rightTs).as("__rts") +: valueCols.map(col): _*).as("__vs"): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = taggedLeft.unionByName(taggedRight)
-      .withColumn("__vs", last(col("__vs"), ignoreNulls = true).over(w))
-    carried.filter(col("__side") === 1)
+    val back = last(col("__vs"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = first(col("__vs"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val union = taggedLeft.unionByName(taggedRight)
+    val carried = direction match {
+      case "backward" => union.withColumn("__vs", back)
+      case "forward"  => union.withColumn("__vs", fwd)
+      case "nearest"  =>
+        // both frames ride the one sort; equal-ts rights live in the
+        // preceding frame only, which is exactly the backward tie-break
+        val lts = col("__ts").cast("double")
+        val bd = abs(lts - col("__b").getField("__rts").cast("double"))
+        val fd = abs(col("__f").getField("__rts").cast("double") - lts)
+        union.withColumn("__b", back).withColumn("__f", fwd)
+          .withColumn("__vs",
+            when(col("__f").isNull, col("__b"))
+              .when(col("__b").isNull, col("__f"))
+              .when(bd <= fd, col("__b"))
+              .otherwise(col("__f")))
+          .drop("__b", "__f")
+    }
+    carried.filter(col("__side") === leftSide)
       .select(leftCols.map(col) ++
         valueCols.map(c => col("__vs").getField(c).as(c)): _*)
   }

@@ -340,6 +340,68 @@ object TimeQueries {
       SELECT l.event_id, l.user_id, r.pv AS last_purchase_value
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us"""))
 
+  /** Forward as-of join (next purchase at-or-after each click): DuckDB's
+    * native ASOF with `<=` is the oracle. Same one-shuffle union-window
+    * plan as backward, frame reversed.
+    */
+  val qAsofForward = Q(
+    "q_asof_forward",
+    (s, dir) => {
+      val e = tables(s, dir).events.withColumn("__us", unix_micros(col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "__us")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "__us")
+        .agg(max(col("value")).as("purchase_value"))
+      graft.functions.AsofJoin.asofJoin(
+          clicks, purchases, Seq("user_id"), "__us", "__us", Seq("purchase_value"),
+          direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          col("purchase_value").as("next_purchase_value"))
+    },
+    Some("""
+      WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+                 WHERE event_type = 'click'),
+      r AS (SELECT user_id, epoch_us(ts) AS us, max(value) AS pv FROM events
+            WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT l.event_id, l.user_id, r.pv AS next_purchase_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us <= r.us"""))
+
+  /** Nearest as-of join (closest purchase either side, ties backward —
+    * pandas merge_asof semantics): the oracle composes DuckDB's two
+    * directional ASOFs with the same distance tie-break.
+    */
+  val qAsofNearest = Q(
+    "q_asof_nearest",
+    (s, dir) => {
+      val e = tables(s, dir).events.withColumn("__us", unix_micros(col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "__us")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "__us")
+        .agg(max(col("value")).as("purchase_value"))
+      graft.functions.AsofJoin.asofJoin(
+          clicks, purchases, Seq("user_id"), "__us", "__us", Seq("purchase_value"),
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          col("purchase_value").as("nearest_purchase_value"))
+    },
+    Some("""
+      WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+                 WHERE event_type = 'click'),
+      r AS (SELECT user_id, epoch_us(ts) AS us, max(value) AS pv FROM events
+            WHERE event_type = 'purchase' GROUP BY 1, 2),
+      b AS (SELECT l.event_id, l.user_id, l.us, r.us AS bus, r.pv AS bpv
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us),
+      f AS (SELECT l.event_id, r.us AS fus, r.pv AS fpv
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us <= r.us)
+      SELECT b.event_id, b.user_id,
+        CASE WHEN fus IS NULL THEN bpv
+             WHEN bus IS NULL THEN fpv
+             WHEN b.us - bus <= fus - b.us THEN bpv
+             ELSE fpv END AS nearest_purchase_value
+      FROM b JOIN f ON b.event_id = f.event_id"""))
+
   /** Per-user EWMA of event values (α = 1/2, 5-row lookback): exact
     * binary weights → bit-identical replay via explicit lag terms.
     */
@@ -563,5 +625,6 @@ object TimeQueries {
   def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
     qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin, qRolling24h,
-    qForwardFill, qTsMultiformat, qFunnelSteps, qCohortRetention)
+    qForwardFill, qTsMultiformat, qFunnelSteps, qCohortRetention,
+    qAsofForward, qAsofNearest)
 }

@@ -352,6 +352,25 @@ stats_generator:
     assert(out(4L).isEmpty)            // right ts=10 is in the future
   }
 
+  test("as-of join forward and nearest directions") {
+    val left = Seq((1L, 100L, 5L), (2L, 100L, 8L), (3L, 100L, 30L), (4L, 100L, 6L))
+      .toDF("id", "k", "ts")
+    val right = Seq((100L, 4L, 1.0), (100L, 8L, 2.0), (200L, 10L, 3.0))
+      .toDF("k", "ts", "v")
+    def run(dir: String) = graft.functions.AsofJoin
+      .asofJoin(left, right, Seq("k"), "ts", "ts", Seq("v"), direction = dir)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    val fwd = run("forward")
+    assert(fwd(1L).contains(2.0))      // ts=5 → next right ts=8
+    assert(fwd(2L).contains(2.0))      // ts=8 → right ts=8 (inclusive)
+    assert(fwd(3L).isEmpty)            // nothing at/after ts=30
+    val near = run("nearest")
+    assert(near(1L).contains(1.0))     // |5-4|=1 beats |8-5|=3
+    assert(near(2L).contains(2.0))     // exact hit
+    assert(near(3L).contains(2.0))     // only prior rows remain
+    assert(near(4L).contains(1.0))     // |6-4|=2 ties |8-6|=2 → backward
+  }
+
   test("interval join matches points to covering [start,end) windows") {
     val pts = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 25L)).toDF("id", "t")
     val ivs = Seq((100L, 0L, 10L), (200L, 8L, 20L)).toDF("w", "s", "e")
