@@ -169,6 +169,50 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy pairs equal brute-force distance-1 truth on random short strings") {
+    val strGen: Gen[String] =
+      Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i.max(j))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    for (round <- 0 until 3) {
+      val strs = samples(strGen, 40).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = Dedup.editDistancePairs(strs.toDF("id", "s"), "s", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (k1, s1) <- strs; (k2, s2) <- strs if k1 < k2
+        d = lev(s1, s2) if d <= 1
+      } yield (k1, k2, d)).toSet
+      assert(got == want, s"round $round: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("mixture sampling: per-source token coverage lands in [target, target + max doc)") {
+    val tokGen: Gen[List[Int]] = Gen.nonEmptyListOf(Gen.choose(1, 50)).map(_.take(120))
+    for ((toks, budget) <- samples(tokGen, 3).zip(Seq(100L, 500L, 2000L))) {
+      val d = toks.zipWithIndex.map { case (t, i) => (i.toLong, s"s${i % 2}", t) }
+        .toDF("id", "src", "tok")
+      val targets = graft.sources.Sampling.mixtureTargets(
+        Map("s0" -> 1.0, "s1" -> 3.0), budget)
+      val kept = graft.sources.Sampling
+        .mixtureSample(d, "src", col("tok"), Seq("id"), targets)
+        .groupBy("src").agg(sum("tok").as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val totals = toks.zipWithIndex.groupBy { case (_, i) => s"s${i % 2}" }
+        .view.mapValues(_.map(_._1.toLong).sum).toMap
+      for ((s, tgt) <- targets if tgt > 0 && totals.getOrElse(s, 0L) > 0) {
+        val t = kept.getOrElse(s, 0L)
+        val covered = math.min(tgt, totals(s))
+        assert(t >= covered, s"$s kept $t < covered target $covered (budget $budget)")
+        assert(t - 50 < tgt || t == totals(s), s"$s overshot: kept $t, target $tgt")
+      }
+    }
+  }
+
   test("iterative imputation is idempotent on complete data") {
     for (xs <- samples(doublesGen, 2) if xs.length >= 4) {
       val df = xs.zipWithIndex.map { case (x, i) => (x, x * 2 + i) }.toDF("a", "b")
