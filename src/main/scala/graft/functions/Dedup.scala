@@ -825,13 +825,13 @@ object Dedup {
   }
 
   /** SymSpell-style deletion-neighborhood fuzzy pairs (entity
-    * resolution / typo dedup): every normalized string emits itself plus
-    * its single-character-deletion variants, and two strings within
-    * Levenshtein distance 1 NECESSARILY share a variant (substitution →
-    * both delete the mismatched position; insertion/deletion → the
-    * longer string's deletion equals the shorter string), so candidate
-    * generation is an equi-join on the variant — never an all-pairs or
-    * per-block quadratic scan, and blocking recall is exact rather than
+    * resolution / typo dedup): every normalized string emits its
+    * ≤`maxDist`-deletion neighborhood, and two strings within
+    * Levenshtein distance d ≤ maxDist NECESSARILY share a variant
+    * (every edit is simulated by deletions on one or both sides —
+    * the SymSpell completeness argument), so candidate generation is
+    * an equi-join on the variant — never an all-pairs or per-block
+    * quadratic scan, and blocking recall is exact rather than
     * heuristic. Candidates verify with the codegen'd `levenshtein`.
     *
     * Scale: a string of length L emits L+1 variants, each carried as an
@@ -846,18 +846,25 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       keyCol: String,
+      maxDist: Int = 1,
       maxVariantFreq: Long = 1000L): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, "maxDist must be 1 or 2 (variant count is L^d)")
     val base = df.select(
       col(keyCol).cast("long").as("key"),
       lower(trim(col(textCol))).as("s"))
-    val s = col("s")
-    val deletions = when(length(s) > 0,
-      transform(sequence(lit(1), length(s)),
-        i => concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s)))))
+    def dels(c: Column): Column = when(length(c) > 0,
+      transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - lit(1)), c.substr(i + lit(1), length(c)))))
       .otherwise(array().cast("array<string>"))
+    val s = col("s")
+    // ≤maxDist-deletion neighborhood; depth 2 flattens the per-deletion
+    // neighborhoods of the depth-1 strings (L² variants — entity-string
+    // lengths, not documents)
+    val neighborhood =
+      if (maxDist == 1) concat(array(s), dels(s))
+      else concat(array(s), dels(s), flatten(transform(dels(s), d => dels(d))))
     val v = base
-      .select(col("key"), s, explode_outer(array_distinct(
-        concat(array(s), deletions))).as("variant"))
+      .select(col("key"), s, explode_outer(array_distinct(neighborhood)).as("variant"))
       .select(col("key"), s, xxhash64(col("variant")).as("variant"))
       .withColumn("__vf", count(lit(1)).over(Window.partitionBy("variant")))
       .filter(col("__vf") <= maxVariantFreq)
@@ -869,6 +876,6 @@ object Dedup {
         col("a.s").as("s1"), col("b.s").as("s2"))
       .distinct() // the same pair can meet through several shared variants
       .select(col("key_1"), col("key_2"), levenshtein(col("s1"), col("s2")).as("dist"))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
   }
 }

@@ -179,15 +179,15 @@ class PropertiesSpec extends SparkSpec {
           dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
       dp(a.length)(b.length)
     }
-    for (round <- 0 until 3) {
+    for (round <- 0 until 3; maxDist <- Seq(1, 2)) {
       val strs = samples(strGen, 40).zipWithIndex.map { case (s, i) => (i.toLong, s) }
-      val got = Dedup.editDistancePairs(strs.toDF("id", "s"), "s", "id")
+      val got = Dedup.editDistancePairs(strs.toDF("id", "s"), "s", "id", maxDist = maxDist)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       val want = (for {
         (k1, s1) <- strs; (k2, s2) <- strs if k1 < k2
-        d = lev(s1, s2) if d <= 1
+        d = lev(s1, s2) if d <= maxDist
       } yield (k1, k2, d)).toSet
-      assert(got == want, s"round $round: got ${got.size}, want ${want.size}")
+      assert(got == want, s"round $round d=$maxDist: got ${got.size}, want ${want.size}")
     }
   }
 
