@@ -355,6 +355,21 @@ object TextOps {
       .select(col("query_id"), col("doc").as(keyCol), col("score"), col("rank"))
   }
 
+  /** Global heavy hitters over a string column via the native
+    * Misra-Gries mergeable aggregate (`plans.MisraGriesAgg`): one pass,
+    * at most k counters per partition buffer, partials merge
+    * associatively — the bounded-state frequent-items scan for a 100 TB
+    * column where an exact groupBy's shuffle would carry every distinct
+    * value. Exact whenever the column's distinct count stays ≤ k;
+    * otherwise every item with frequency > n/(k+1) is returned with a
+    * count underestimating by at most n/(k+1).
+    */
+  def heavyHitters(df: DataFrame, column: String, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.agg(expr(s"misra_gries(`$column`, $k)").as("hh"))
+      .select(explode(col("hh")).as(Seq("item", "est_count")))
+  }
+
   /** Multinomial Naive Bayes seed classifier — the GPT-3/LLaMA-style
     * "quality classifier" corpus-filter stage (Brown et al. 2020, App. A:
     * score web documents against a curated positive seed): fit per-token

@@ -72,6 +72,11 @@ object GraftFunctions {
       "simhash_votes",
       exprs => SimHashVoteAgg(exprs.head, bits = 60).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "misra_gries",
+      exprs => MisraGriesAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
   }
 }
 

@@ -1246,6 +1246,25 @@ object TextQueries {
                   ELSE (tok_offset + n_tokens - 1) // 512 END AS BIGINT) AS seq_last
       FROM o"""))
 
+  /** Corpus heavy hitters via the native Misra-Gries mergeable
+    * aggregate: bounded state (k counters) however large the scan. The
+    * documents vocabulary stays well under k, so the summary is in its
+    * EXACT regime and the oracle is a plain groupBy count — the lossy
+    * regime's error bound is driven separately in PropertiesSpec.
+    */
+  val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    (s, dir) => {
+      val toks = tables(s, dir).documents
+        .select(explode(split(TextOps.normalizeText(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      TextOps.heavyHitters(toks, "tok", k = 256)
+    },
+    Some(s"""
+      WITH t AS (SELECT unnest(str_split($normSql, ' ')) AS tok FROM documents)
+      SELECT tok AS item, count(*) AS est_count
+      FROM t WHERE length(tok) > 0 GROUP BY tok"""))
+
   /** Naive Bayes seed quality classifier (the GPT-3-style curated-seed
     * corpus filter): label-1 seed = docs from src0-src4, label-0 seed =
     * src15-src19, score the WHOLE corpus by summed token log-likelihood
@@ -1489,5 +1508,6 @@ object TextQueries {
     qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
     qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
     qDupSpans, qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk,
-    qMixtureSample, qMixtureTemperature, qFuzzyPairs, qNbClassifier)
+    qMixtureSample, qMixtureTemperature, qFuzzyPairs, qNbClassifier,
+    qHeavyHitters)
 }

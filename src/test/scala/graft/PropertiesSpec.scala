@@ -213,6 +213,35 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("misra-gries: exact when distinct <= k, error-bounded beyond") {
+    // exact regime: distinct = 10 <= k = 16 → counts equal groupBy truth,
+    // and the result is partition-layout invariant
+    val xs = (0 until 3000).map(i => s"w${i % 10}")
+    val exact = TextOps.heavyHitters(xs.toDF("s").repartition(7), "s", 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == xs.groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    // lossy regime: zipfish stream, k = 4 — every item with true
+    // frequency > n/(k+1) must survive with count in
+    // [true - n/(k+1), true]
+    val freqs = Map("hot" -> 1200, "warm" -> 400, "t1" -> 60, "t2" -> 50,
+      "t3" -> 40, "t4" -> 30, "t5" -> 20)
+    val stream = scala.util.Random.javaRandomToRandom(new java.util.Random(42))
+      .shuffle(freqs.toSeq.flatMap { case (s, n) => Seq.fill(n)(s) })
+    val n = stream.size
+    val k = 4
+    val bound = n / (k + 1)
+    val got = TextOps.heavyHitters(stream.toDF("s").repartition(5), "s", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((s, t) <- freqs if t > bound) {
+      assert(got.contains(s), s"$s (freq $t > $bound) must survive")
+      assert(got(s) <= t && got(s) >= t - bound,
+        s"$s estimate ${got(s)} outside [${t - bound}, $t]")
+    }
+    got.foreach { case (s, c) =>
+      assert(c <= freqs(s), s"$s overestimated: $c > ${freqs(s)}")
+    }
+  }
+
   test("iterative imputation is idempotent on complete data") {
     for (xs <- samples(doublesGen, 2) if xs.length >= 4) {
       val df = xs.zipWithIndex.map { case (x, i) => (x, x * 2 + i) }.toDF("a", "b")
