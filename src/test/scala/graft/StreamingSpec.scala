@@ -409,6 +409,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("misra-gries heavy hitters aggregate runs in a streaming aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    val input = MemoryStream[String]
+    val agg = input.toDF().toDF("tok")
+      .agg(org.apache.spark.sql.functions.expr("misra_gries(tok, 16)").as("hh"))
+    val q = agg.writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(Seq.fill(5)("a") ++ Seq.fill(3)("b"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(2)("a") ++ Seq.fill(4)("c"): _*)
+      q.processAllAvailable()
+      val m = spark.sql("SELECT hh FROM hh_out").collect().head
+        .getMap[String, Long](0)
+      // distinct (3) <= k (16) → exact across incremental batches
+      assert(m.toMap == Map("a" -> 7L, "b" -> 3L, "c" -> 4L), s"got $m")
+    } finally q.stop()
+  }
+
   test("linear autoencoder reconstructs a one-factor frame (RMSE-gated)") {
     val rnd = new scala.util.Random(7)
     val d = (1 to 300).map { _ =>
