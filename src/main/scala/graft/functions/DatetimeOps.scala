@@ -269,4 +269,38 @@ object DatetimeOps {
       case None => lagged
     }
   }
+
+  /** SCD-type-2 interval builder: collapse a per-key change history
+    * into validity intervals — one row per RUN of equal values
+    * (gaps-and-islands), with `valid_from` = first observation of the
+    * run, `valid_to` = the next run's start (null = current). Two
+    * stacked windows over ONE key-partitioned sort (lag to mark run
+    * starts, lead over the kept run starts for the closing bound) —
+    * a single shuffle, no self-joins. `orderCols` must make the
+    * per-key ordering total or run boundaries are nondeterministic.
+    */
+  def scd2Intervals(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty, "need key and order columns")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col(_).asc): _*)
+    val marked = df
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      // null-safe: a genuine null value still forms runs
+      .filter(!(col(valueCol) <=> col("__prev")) || col("__rn") === 1)
+      .drop("__prev", "__rn")
+    val w2 = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col(_).asc): _*)
+    marked
+      .withColumn("valid_from", col(orderCols.head))
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(keyCols.map(col) ++ Seq(col(valueCol), col("valid_from"),
+        col("valid_to"), col("is_current")): _*)
+  }
 }

@@ -260,6 +260,42 @@ object CoreQueries {
         count(*) AS n
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
 
+  /** Row-level snapshot diff (added/removed/changed keys between two
+    * table versions — the incremental-pipeline primitive): both
+    * versions derive deterministically from orders, so the oracle
+    * replays the full-outer join with IS NOT DISTINCT FROM the same
+    * null-safe way. Changed rows flip o_orderstatus on key % 3 == 0.
+    */
+  val qSnapshotDiff = Q(
+    "q_snapshot_diff",
+    (s, dir) => {
+      val o = tables(s, dir).orders
+      val oldSnap = o.filter(col("o_orderkey") % 7 =!= 0)
+      val newSnap = o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 3 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      graft.sources.Ingest.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+    },
+    Some("""
+      WITH o AS (SELECT * FROM orders),
+      olds AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+      news AS (SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+                 o_totalprice, o_orderdate, o_orderpriority
+               FROM o WHERE o_orderkey % 5 <> 0)
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        CASE WHEN a.o_orderkey IS NULL THEN 'added'
+             WHEN b.o_orderkey IS NULL THEN 'removed'
+             WHEN NOT (a.o_custkey IS NOT DISTINCT FROM b.o_custkey
+                   AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+                   AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+                   AND a.o_orderdate IS NOT DISTINCT FROM b.o_orderdate
+                   AND a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority)
+               THEN 'changed' END AS change
+      FROM olds a FULL OUTER JOIN news b ON a.o_orderkey = b.o_orderkey
+      WHERE change IS NOT NULL"""))
+
   /** GROUPING SETS with grouping_id — arbitrary chosen grouping-set
     * combinations (here: by-flag×status, by-flag, by-status — NOT a
     * rollup or cube) from one Expand + single hash aggregate;
@@ -350,5 +386,5 @@ object CoreQueries {
   def all: Seq[Q] = Seq(q1, qJoin, qRecommendType, qExpressionParser,
     qSemiAnti, qExcept, qRenameRecast, qRowIds, qSaltedJoin,
     qTopkPerGroup, qRollupPricing, qCubePricing, qGroupingSets, qPivotEvents,
-    qGroupedMedian, qWriteRoundtrip)
+    qGroupedMedian, qWriteRoundtrip, qSnapshotDiff)
 }

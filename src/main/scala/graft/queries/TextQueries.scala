@@ -1216,6 +1216,54 @@ object TextQueries {
       FROM t JOIN vocab USING (tok)
       GROUP BY doc_id"""))
 
+  /** Bigram-LM negative log likelihood per document (Laplace-smoothed
+    * conditional P(w|prev) — the engine-shaped analog of CCNet's KenLM
+    * scorer, one order up from q_unigram_logprob): all counts integer,
+    * smoothing closed-form, so the oracle refits the identical model.
+    * The bigram table is vocab²-bounded → broadcast to the scoring join.
+    */
+  val qBigramLogprob = Q(
+    "q_bigram_logprob",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = tables(s, dir).documents
+        .select(col("doc_id"),
+          posexplode(split(TextOps.normalizeText(col("text")), " ")).as(Seq("pos", "tok")))
+        .filter(length(col("tok")) > 0)
+      val w = Window.partitionBy("doc_id").orderBy(col("pos").asc)
+      val bg = toks.withColumn("prev", lag(col("tok"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val vocab = toks.select(countDistinct(col("tok"))).first().getLong(0).toDouble
+      val cnt = bg.groupBy("prev", "tok").agg(count(lit(1)).as("c"))
+      val pfx = cnt.groupBy("prev").agg(sum(col("c")).as("cp"))
+      val wts = cnt.join(pfx, "prev")
+        .select(col("prev"), col("tok"),
+          (-log((col("c").cast("double") + lit(1.0)) /
+            (col("cp").cast("double") + lit(vocab)))).as("nll"))
+      bg.join(broadcast(wts), Seq("prev", "tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("mean_nll"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id,
+              unnest(str_split($normSql, ' ')) AS tok,
+              unnest(range(1, len(str_split($normSql, ' ')) + 1)) AS pos
+            FROM documents),
+      l AS (SELECT * FROM toks WHERE length(tok) > 0),
+      b AS (SELECT doc_id, tok,
+              lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM l),
+      bg AS (SELECT doc_id, prev, tok FROM b WHERE prev IS NOT NULL),
+      v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM l),
+      cnt AS (SELECT prev, tok, count(*) AS c FROM bg GROUP BY prev, tok),
+      pfx AS (SELECT prev, sum(c) AS cp FROM cnt GROUP BY prev),
+      w AS (SELECT cnt.prev, cnt.tok,
+              -ln((CAST(c AS DOUBLE) + 1.0) / (CAST(cp AS DOUBLE) + v.v)) AS nll
+            FROM cnt JOIN pfx USING (prev) CROSS JOIN v)
+      SELECT bg.doc_id, count(*) AS n_bigrams, round(avg(w.nll), 4) AS mean_nll
+      FROM bg JOIN w ON bg.prev = w.prev AND bg.tok = w.tok
+      GROUP BY bg.doc_id"""))
+
   /** GPT-style concat-and-chunk packing: global token offsets in stable
     * doc_id order and the first/last 512-token training sequences each
     * document overlaps. The engine computes the prefix sum two-phase
@@ -1509,5 +1557,5 @@ object TextQueries {
     qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
     qDupSpans, qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk,
     qMixtureSample, qMixtureTemperature, qFuzzyPairs, qNbClassifier,
-    qHeavyHitters)
+    qHeavyHitters, qBigramLogprob)
 }

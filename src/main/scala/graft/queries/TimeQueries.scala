@@ -402,6 +402,40 @@ object TimeQueries {
              ELSE fpv END AS nearest_purchase_value
       FROM b JOIN f ON b.event_id = f.event_id"""))
 
+  /** SCD-type-2 validity intervals from the event history: one row per
+    * RUN of equal per-user event types (gaps-and-islands — two stacked
+    * windows over one key sort), valid_to = next run start, null =
+    * current. Exact-integer micros → hash oracle.
+    */
+  val qScd2Intervals = Q(
+    "q_scd2_intervals",
+    (s, dir) => {
+      val e = tables(s, dir).events
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      DatetimeOps.scd2Intervals(e, Seq("user_id"), "event_type", Seq("us", "event_id"))
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").as("valid_from_us"), col("valid_to").as("valid_to_us"),
+          col("is_current"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+                 FROM events),
+      m AS (SELECT *,
+              lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                AS prev,
+              row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+            FROM e),
+      runs AS (SELECT user_id, event_type, us, event_id FROM m
+               WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+      iv AS (SELECT user_id, event_type, us AS valid_from_us,
+               lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                 AS valid_to_us
+             FROM runs)
+      SELECT user_id, event_type, valid_from_us, valid_to_us,
+             valid_to_us IS NULL AS is_current
+      FROM iv"""))
+
   /** Per-user EWMA of event values (α = 1/2, 5-row lookback): exact
     * binary weights → bit-identical replay via explicit lag terms.
     */
@@ -626,5 +660,5 @@ object TimeQueries {
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
     qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin, qRolling24h,
     qForwardFill, qTsMultiformat, qFunnelSteps, qCohortRetention,
-    qAsofForward, qAsofNearest)
+    qAsofForward, qAsofNearest, qScd2Intervals)
 }

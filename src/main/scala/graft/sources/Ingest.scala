@@ -185,4 +185,37 @@ object Ingest {
       }
     recs.toDF("attribute", "current_type", "unique_values", "recommended_type")
   }
+
+  /** Row-level snapshot diff — the incremental-pipeline primitive: which
+    * keys were added, removed, or changed between two versions of a
+    * table. One full-outer join on the keys; non-key columns compare
+    * with NULL-SAFE equality (a null→value transition IS a change; a
+    * null→null pair is not), so the semantics replay engine-for-engine
+    * (`IS NOT DISTINCT FROM` in SQL). Unchanged keys are dropped —
+    * output size is O(churn), not O(table). At 100 TB both sides
+    * shuffle once on the key (or zero times if both snapshots are
+    * written bucketed by it); there is no row-comparison state beyond
+    * the join.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshot diff needs key columns")
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      "snapshots must share a schema")
+    val valCols = oldDf.columns.filterNot(keyCols.contains).toSeq
+    val o = oldDf.withColumn("__old", lit(1))
+    val n = newDf.withColumn("__new", lit(1))
+      .select(keyCols.map(col) ++ valCols.map(c => col(c).as(s"__n_$c")) :+ col("__new"): _*)
+    val same = valCols.map(c => col(c) <=> col(s"__n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(!same, "changed"))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
 }

@@ -352,6 +352,36 @@ stats_generator:
     assert(out(4L).isEmpty)            // right ts=10 is in the future
   }
 
+  test("snapshot diff is null-safe and O(churn)-sized") {
+    val oldS = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]),
+      (4L, Option("d"))).toDF("k", "v")
+    val newS = Seq((1L, Option("a")), (2L, Option("z")), (3L, Option("c")),
+      (5L, Option("e"))).toDF("k", "v")
+    val diff = graft.sources.Ingest.snapshotDiff(oldS, newS, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 unchanged (absent), 2 changed, 3 null→value = changed,
+    // 4 removed, 5 added
+    assert(diff == Map(2L -> "changed", 3L -> "changed", 4L -> "removed", 5L -> "added"),
+      s"$diff")
+  }
+
+  test("scd2 intervals collapse runs, null values form runs too") {
+    val e = Seq(
+      (1L, 10L, Option("on")), (1L, 20L, Option("on")),   // run 1
+      (1L, 30L, Option.empty[String]),                    // null run
+      (1L, 40L, Option("off")), (1L, 50L, Option("off")), // current run
+      (2L, 15L, Option("x"))
+    ).toDF("k", "t", "v")
+    val iv = graft.functions.DatetimeOps.scd2Intervals(e, Seq("k"), "v", Seq("t"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSet
+    assert(iv == Set(
+      (1L, Some("on"), 10L, Some(30L), false),
+      (1L, None, 30L, Some(40L), false),
+      (1L, Some("off"), 40L, None, true),
+      (2L, Some("x"), 15L, None, true)), s"$iv")
+  }
+
   test("as-of join forward and nearest directions") {
     val left = Seq((1L, 100L, 5L), (2L, 100L, 8L), (3L, 100L, 30L), (4L, 100L, 6L))
       .toDF("id", "k", "ts")
