@@ -296,6 +296,46 @@ object CoreQueries {
       FROM olds a FULL OUTER JOIN news b ON a.o_orderkey = b.o_orderkey
       WHERE change IS NOT NULL"""))
 
+  /** CDC changelog apply (MERGE INTO semantics): a derived changelog
+    * upserts flipped statuses (seq 2) over deletes (seq 1) and inserts
+    * brand-new keys; precedence, delete, and insert paths all replay in
+    * the oracle's window + anti-join SQL. Keys divisible by 12 carry
+    * BOTH ops and must resolve to the higher-sequence upsert.
+    */
+  val qChangelogApply = Q(
+    "q_changelog_apply",
+    (s, dir) => {
+      val o = tables(s, dir).orders
+      val ups = o.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val dels = o.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+      val ins = o.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      val merged = graft.sources.Ingest.applyChangelog(
+        o, ups.unionByName(dels).unionByName(ins), Seq("o_orderkey"))
+      merged.select(col("o_orderkey"), col("o_orderstatus"))
+    },
+    Some("""
+      WITH o AS (SELECT * FROM orders),
+      ch AS (
+        SELECT o_orderkey, 'U' AS st, 'U' AS op, 2 AS seq FROM o
+        WHERE o_orderkey % 4 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, 'D', 1 FROM o WHERE o_orderkey % 6 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderstatus, 'I', 1 FROM o
+        WHERE o_orderkey % 101 = 0),
+      latest AS (SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC)
+            AS rn FROM ch) WHERE rn = 1)
+      SELECT o.o_orderkey, o.o_orderstatus FROM o
+      WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+      UNION ALL
+      SELECT o_orderkey, st AS o_orderstatus FROM latest WHERE op <> 'D'"""))
+
   /** GROUPING SETS with grouping_id — arbitrary chosen grouping-set
     * combinations (here: by-flag×status, by-flag, by-status — NOT a
     * rollup or cube) from one Expand + single hash aggregate;
@@ -386,5 +426,5 @@ object CoreQueries {
   def all: Seq[Q] = Seq(q1, qJoin, qRecommendType, qExpressionParser,
     qSemiAnti, qExcept, qRenameRecast, qRowIds, qSaltedJoin,
     qTopkPerGroup, qRollupPricing, qCubePricing, qGroupingSets, qPivotEvents,
-    qGroupedMedian, qWriteRoundtrip, qSnapshotDiff)
+    qGroupedMedian, qWriteRoundtrip, qSnapshotDiff, qChangelogApply)
 }

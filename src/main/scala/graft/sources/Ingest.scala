@@ -218,4 +218,33 @@ object Ingest {
       .filter(col("change").isNotNull)
       .select(keyCols.map(col) :+ col("change"): _*)
   }
+
+  /** Apply a keyed changelog to a snapshot (CDC merge / upsert
+    * compaction — the MERGE INTO primitive): the LATEST change per key
+    * (by `seqCol`, ties broken by nothing — sequences must be unique
+    * per key) wins; 'I'/'U' upsert their payload, 'D' deletes the key.
+    * One window pass compacts the changelog, one left-anti join drops
+    * superseded snapshot rows, one union appends the upserts — the
+    * changelog (churn-sized) shuffles, the snapshot shuffles once on
+    * the key for the anti join (zero times if bucketed by it).
+    * `changes` must carry the snapshot's columns plus `opCol`/`seqCol`.
+    */
+  def applyChangelog(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    require(keyCols.nonEmpty, "changelog apply needs key columns")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val untouched = snapshot.join(
+      latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+    untouched.unionByName(
+      latest.filter(col(opCol) =!= "D")
+        .select(snapshot.columns.map(col).toSeq: _*))
+  }
 }
