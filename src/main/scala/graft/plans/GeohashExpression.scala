@@ -73,6 +73,10 @@ object GraftFunctions {
       exprs => SimHashVoteAgg(exprs.head, bits = 60).toAggregateExpression(),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler",
+      exprs => JaroWinklerExpr(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "misra_gries",
       exprs => MisraGriesAgg(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),

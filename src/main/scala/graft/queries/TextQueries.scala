@@ -1313,6 +1313,30 @@ object TextQueries {
       SELECT tok AS item, count(*) AS est_count
       FROM t WHERE length(tok) > 0 GROUP BY tok"""))
 
+  /** Jaro-Winkler record-linkage scoring over banded supplier-name
+    * pairs (the native codegen'd `jaro_winkler` expression — Spark
+    * ships levenshtein only): DuckDB's jaro_winkler_similarity is the
+    * oracle, which pins our implementation to the standard semantics
+    * across every pair the band generates.
+    */
+  val qJaroWinkler = Q(
+    "q_jaro_winkler",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val sup = tables(s, dir).supplier
+        .select(col("s_suppkey").cast("long").as("key"),
+          lower(trim(col("s_name"))).as("name"))
+      sup.as("a").join(sup.as("b"),
+          col("a.key") < col("b.key") && col("b.key") - col("a.key") <= lit(3L))
+        .select(col("a.key").as("key_1"), col("b.key").as("key_2"),
+          expr("round(jaro_winkler(a.name, b.name), 4)").as("jw"))
+    },
+    Some("""
+      WITH s AS (SELECT s_suppkey AS key, lower(trim(s_name)) AS name FROM supplier)
+      SELECT a.key AS key_1, b.key AS key_2,
+        round(jaro_winkler_similarity(a.name, b.name), 4) AS jw
+      FROM s a JOIN s b ON a.key < b.key AND b.key - a.key <= 3"""))
+
   /** Naive Bayes seed quality classifier (the GPT-3-style curated-seed
     * corpus filter): label-1 seed = docs from src0-src4, label-0 seed =
     * src15-src19, score the WHOLE corpus by summed token log-likelihood
@@ -1557,5 +1581,5 @@ object TextQueries {
     qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
     qDupSpans, qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk,
     qMixtureSample, qMixtureTemperature, qFuzzyPairs, qNbClassifier,
-    qHeavyHitters, qBigramLogprob)
+    qHeavyHitters, qBigramLogprob, qJaroWinkler)
 }

@@ -404,6 +404,25 @@ class TextSpec extends SparkSpec {
     assert(ld.length == 2 && ld(0).getLong(2) == 1 && ld(1).getLong(2) == 1)
   }
 
+  test("jaro-winkler expression matches standard reference values") {
+    import graft.plans.JaroWinklerExpr.similarity
+    // canonical Winkler vectors + boost-threshold / window / empty edges,
+    // all verified against DuckDB's jaro_winkler_similarity
+    val eps = 1e-12
+    assert(math.abs(similarity("martha", "marhta") - 0.9611111111111111) < eps)
+    assert(math.abs(similarity("dixon", "dicksonx") - 0.8133333333333332) < eps)
+    assert(math.abs(similarity("duane", "dwayne") - 0.8400000000000001) < eps)
+    assert(math.abs(similarity("crate", "trace") - 0.7333333333333334) < eps)
+    assert(math.abs(similarity("cat", "cta") - 0.5555555555555555) < eps) // <= 0.7: no boost
+    assert(similarity("ab", "ba") == 0.0)  // window 0 → no matches
+    assert(similarity("", "abc") == 0.0 && similarity("abc", "abc") == 1.0)
+    // codegen path agrees with the interpreted path
+    graft.plans.GraftFunctions.register(spark)
+    val viaSql = Seq(("martha", "marhta")).toDF("a", "b")
+      .select(expr("jaro_winkler(a, b)")).head().getDouble(0)
+    assert(math.abs(viaSql - 0.9611111111111111) < eps)
+  }
+
   test("naive bayes seed classifier separates planted vocabularies") {
     // curated seed speaks "alpha", junk seed speaks "zeta"; held-out
     // docs mix them — the classifier must side with the majority tokens
