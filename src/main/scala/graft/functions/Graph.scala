@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over edge frames — the domain-authority signal
+  * web-corpus pipelines rank URLs/hosts with (CommonCrawl publishes
+  * exactly this as harmonic/pagerank centrality per host). Spark-first:
+  * every iteration is one join + one aggregate over the edge frame; no
+  * vertex-program framework, no driver-side graph.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over (src, dst) edges, treated as a
+    * weighted multigraph (duplicate edges carry multiplicity).
+    * Deterministic: uniform init 1/N, `iterations` synchronous sweeps,
+    * rank = (1−d)/N + d·Σ_in rank/outdeg. Fixed iteration count (not a
+    * convergence test) keeps the result a pure function of the edges —
+    * replayable by any engine (q_pagerank unrolls the same sweeps in
+    * SQL CTEs).
+    *
+    * Scale: each sweep shuffles the edge frame once (join on src) and
+    * aggregates contributions on dst — the canonical 2-shuffle
+    * iteration. `checkpointEvery` truncates lineage for long runs
+    * (iterative plans grow linearly deep; localCheckpoint keeps the
+    * optimizer from re-analyzing the whole history each sweep).
+    * Dangling nodes (no out-edges) simply contribute nothing — supply
+    * symmetric edges if mass conservation matters.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 5,
+      damping: Double = 0.85,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    val base = lit(1.0) - lit(damping)
+    var ranks = nodes.withColumn("rank", lit(1.0) / lit(n.toDouble))
+    for (it <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (base / lit(n.toDouble) +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -256,5 +256,55 @@ object AnalyticsQueries {
                AS stability_index_lower_bound
       FROM si"""))
 
-  def all: Seq[Q] = Seq(qCorrelation, qDrift, qStability, qIv, qIg, qFeatureStability)
+  /** Fixed-iteration PageRank over the customer↔supplier order graph
+    * (symmetric edges so no mass dangles) — the domain-authority
+    * centrality web-corpus pipelines rank hosts with. 5 synchronous
+    * sweeps; the oracle unrolls the SAME sweeps as CTEs, so every
+    * node's rank must match to 9 decimals (float-sum reorder noise is
+    * ~1e-17 relative — far below the grid).
+    */
+  val qPageRank = Q(
+    "q_pagerank",
+    (s, dir) => {
+      val t = tables(s, dir)
+      val edges = t.lineitem.filter(col("l_orderkey") % 10 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"))
+      val und = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      graft.functions.Graph.pageRank(und, iterations = 5)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+    },
+    Some {
+      def sweep(i: Int, prev: String): String =
+        s"""r$i AS (
+           SELECT nodes.node,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0 AS DOUBLE)) AS rank
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN (
+             SELECT und.dst AS node, sum(p.rank / deg.outdeg) AS s
+             FROM und JOIN $prev p ON und.src = p.node
+                      JOIN deg ON und.src = deg.src
+             GROUP BY und.dst) s ON nodes.node = s.node)"""
+      val sweeps = (1 to 5).map(i => sweep(i, if (i == 1) "r0" else s"r${i - 1}"))
+        .mkString(",\n")
+      s"""
+      WITH e AS (SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 WHERE l_orderkey % 10 = 0),
+      und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      deg AS (SELECT src, count(*) AS outdeg FROM und GROUP BY src),
+      nodes AS (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM und UNION ALL SELECT dst FROM und)),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+             FROM nodes CROSS JOIN nn),
+      $sweeps
+      SELECT node, round(rank, 9) AS rank FROM r5"""
+    })
+
+  def all: Seq[Q] = Seq(qCorrelation, qDrift, qStability, qIv, qIg, qFeatureStability,
+    qPageRank)
 }

@@ -213,6 +213,19 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: mass conserves on symmetric graphs, hubs outrank leaves") {
+    // star: hub 0 connected to leaves 1..8 (symmetric)
+    val edges = (1L to 8L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val r = graft.functions.Graph.pageRank(edges, iterations = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val hub = r(0L)
+    (1L to 8L).foreach(l => assert(hub > 2 * r(l), s"hub $hub vs leaf ${r(l)}"))
+    // symmetric graph, no dangling mass → ranks sum to 1
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"mass ${r.values.sum}")
+    // leaves are symmetric → identical ranks
+    assert((1L to 8L).map(r).distinct.size == 1)
+  }
+
   test("misra-gries: exact when distinct <= k, error-bounded beyond") {
     // exact regime: distinct = 10 <= k = 16 → counts equal groupBy truth,
     // and the result is partition-layout invariant
