@@ -305,6 +305,33 @@ object AnalyticsQueries {
       SELECT node, round(rank, 9) AS rank FROM r5"""
     })
 
+  /** Per-node triangle counts over the supplier co-occurrence graph
+    * (suppliers sharing an order) — exact integers, each triangle found
+    * once by the canonical a<b<c two-hop join.
+    */
+  val qTriangles = Q(
+    "q_triangle_count",
+    (s, dir) => {
+      val li = tables(s, dir).lineitem.filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+      graft.functions.Graph.triangleCounts(pairs)
+    },
+    Some("""
+      WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+                  WHERE l_orderkey % 20 = 0),
+      e AS (SELECT DISTINCT x.sk AS lo, y.sk AS hi
+            FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+      tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+              FROM e ab JOIN e bc ON ab.hi = bc.lo
+                        JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+      corners AS (SELECT a AS node FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+      SELECT node, count(*) AS triangles FROM corners GROUP BY node"""))
+
   def all: Seq[Q] = Seq(qCorrelation, qDrift, qStability, qIv, qIg, qFeatureStability,
-    qPageRank)
+    qPageRank, qTriangles)
 }
