@@ -101,6 +101,26 @@ object Workflow {
       }
     }
 
+    // ---- incremental ETL: CDC changelog apply / snapshot diff against
+    // a second input (our additions — MERGE INTO and table-versioning
+    // primitives for incremental pipelines)
+    conf.get("changelog_apply").foreach { v =>
+      val cc = asConf(v)
+      val changes = spark.read.parquet(cc("changes_path").toString)
+      df = timed("changelog_apply") {
+        Ingest.applyChangelog(df, changes, strings(cc("key_cols")),
+          cc.getOrElse("op_col", "op").toString,
+          cc.getOrElse("seq_col", "seq").toString)
+      }
+    }
+    conf.get("snapshot_diff").foreach { v =>
+      val sc = asConf(v)
+      val old = spark.read.parquet(sc("old_path").toString)
+      df = timed("snapshot_diff") {
+        Ingest.snapshotDiff(old, df, strings(sc("key_cols")))
+      }
+    }
+
     // ---- stats_generator (metrics attached to the stage result; written
     // out when save_stats_path is configured — ref workflow save_stats)
     conf.get("stats_generator").foreach { v =>

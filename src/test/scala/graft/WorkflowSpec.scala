@@ -266,6 +266,31 @@ text_pipeline:
     assert(sums == Map("s0" -> 40L, "s1" -> 20L), s"$sums")
   }
 
+  test("workflow changelog_apply and snapshot_diff stages") {
+    val dir = java.nio.file.Files.createTempDirectory("wfcdc").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").write.parquet(s"$dir/snap")
+    Seq((2L, "B", "U", 1L), (3L, "c", "D", 1L), (4L, "d", "I", 1L))
+      .toDF("k", "v", "op", "seq").write.parquet(s"$dir/changes")
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/snap"
+    file_type: parquet
+changelog_apply:
+  changes_path: "$dir/changes"
+  key_cols: [k]
+snapshot_diff:
+  old_path: "$dir/snap"
+  key_cols: [k]
+"""
+    val (df, stages) = Workflow.run(spark, yaml)
+    assert(stages.map(_.name).containsSlice(Seq("changelog_apply", "snapshot_diff")))
+    // merged = {1:a, 2:B, 4:d}; diff vs original snap = 2 changed,
+    // 3 removed, 4 added
+    val diff = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "changed", 3L -> "removed", 4L -> "added"), s"$diff")
+  }
+
   test("workflow text_pipeline: nb_filter keeps curated-scoring docs") {
     val dir = java.nio.file.Files.createTempDirectory("wfnb").toString
     Seq(
