@@ -21,7 +21,10 @@ import org.apache.spark.sql.SparkSession
 object TriScale {
   private val guarded = Seq(
     "q_workflow_text", "q_dedup_clusters", "q_simhash_neardup",
-    "q_minhash_neardup", "q_ngram_jaccard")
+    "q_minhash_neardup", "q_ngram_jaccard",
+    // round-7 candidate-join / iterative additions — the shapes where a
+    // quadratic blowup would hide at test scale
+    "q_fuzzy_pairs", "q_pagerank", "q_triangle_count", "q_changelog_apply")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0

