@@ -4,6 +4,32 @@ import graft.operators.StatsGenerator
 import org.apache.spark.sql.Row
 
 class StatsSpec extends SparkSpec {
+
+  test("hll sketch store: union-of-parts equals whole, survives disk round-trip") {
+    import graft.operators.SketchStore
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = (1 to 20000).map(i => (s"d${i % 4}", i % 3777)).toDF("day", "v")
+    // per-day sketches → union estimate must EQUAL the direct
+    // whole-table sketch estimate (sketch merge is exact over state)
+    val parts = SketchStore.hllSketches(d, Seq("day"), "v")
+    val whole = SketchStore.hllSketches(d.withColumn("day", lit("all")), Seq("day"), "v")
+    val uEst = SketchStore.unionEstimate(parts).first().getLong(0)
+    val wEst = SketchStore.unionEstimate(whole).first().getLong(0)
+    assert(uEst == wEst, s"union $uEst != whole $wEst")
+    // estimate within the lgK=12 error envelope of the exact count
+    assert(math.abs(uEst - 3777.0) / 3777.0 < 0.05, s"estimate $uEst vs 3777")
+    // binary sketches survive a parquet round-trip (the STORE part)
+    val dir = java.nio.file.Files.createTempDirectory("sketches").toString
+    parts.write.parquet(s"$dir/s")
+    val back = SketchStore.unionEstimate(spark.read.parquet(s"$dir/s")).first().getLong(0)
+    assert(back == uEst)
+    // coarser re-group: pairs of days still union exactly
+    val regrouped = SketchStore.unionEstimate(
+      parts.withColumn("half", col("day").isin("d0", "d1")), Seq("half"))
+    assert(regrouped.collect().map(_.getLong(1)).sum >= uEst, "halves cover the whole")
+  }
+
   import spark.implicits._
 
   private def df = Seq(
