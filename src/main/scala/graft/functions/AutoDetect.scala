@@ -178,6 +178,10 @@ object AutoDetect {
     // ---- military / noon-midnight times (ref p/p2 groups) ----
     TsFormat(s"^(?:2[0-3]|[01]\\d)$M ?HRS$$",                "military_hrs", MilitaryHrs, ci = true),
     TsFormat("^12 ?(?:NOON|MIDNIGHT|MIDNITE)$",              "noon_midnight", NoonMidnight, ci = true),
+    // ---- bare year (the reference's productivity.csv YR contract:
+    //      regex_date_time_parser casts int years to Jan-1 dates,
+    //      test_ts_auto_detection.py:58-60) ----
+    TsFormat(s"^$Y$$",                                       "yyyy"),
     // ---- epoch strings (1x-prefixed to avoid phone/id collisions) ----
     TsFormat("^1[0-9]{9}$",                                  "epoch_seconds", EpochSec),
     TsFormat("^1[0-9]{12}$",                                 "epoch_millis", EpochMs),

@@ -93,7 +93,24 @@ class AutoDetectSpec extends SparkSpec {
     ("military_hrs", Seq("1430 HRS", "0905HRS"),
       Seq("1970-01-01 14:30:00", "1970-01-01 09:05:00")),
     ("noon_midnight", Seq("12 NOON", "12 midnight"),
-      Seq("1970-01-01 12:00:00", "1970-01-01 00:00:00")))
+      Seq("1970-01-01 12:00:00", "1970-01-01 00:00:00")),
+    // bare year → Jan 1 (the reference's YR contract)
+    ("yyyy", Seq("1970", "2024"), Seq("1970-01-01 00:00:00", "2024-01-01 00:00:00")))
+
+  test("reference productivity.csv golden parity: YR detects as a year and casts to Jan-1 dates") {
+    // the reference's own fixture + expected values
+    // (test_ts_auto_detection.py:38-60: YR int column → date, first
+    // row 1970-01-01)
+    val df = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv("/root/reference/examples/data/time_series_data/csv/productivity.csv")
+    val det = AutoDetect.detectTimestampColumns(df, Seq("YR"))
+    assert(det.head.format.contains("yyyy"), s"YR detection: ${det.head}")
+    val cast = AutoDetect.tsPreprocess(df, det)
+    assert(cast.schema("YR").dataType.typeName == "timestamp")
+    val first = cast.orderBy("YR").select(date_format(col("YR"), "yyyy-MM-dd"))
+      .head().getString(0)
+    assert(first == "1970-01-01")
+  }
 
   // Malay month spellings (the reference's table is Malay-bilingual,
   // ts_auto_detection.py:100-113) — share formats with the English
