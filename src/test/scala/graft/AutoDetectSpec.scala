@@ -110,6 +110,14 @@ class AutoDetectSpec extends SparkSpec {
     val first = cast.orderBy("YR").select(date_format(col("YR"), "yyyy-MM-dd"))
       .head().getString(0)
     assert(first == "1970-01-01")
+    // ts_processed_feats parity (test_ts_analyzer.py:49-59): component
+    // extraction of the first cast row matches the reference's asserts
+    import graft.functions.DatetimeOps.timeUnitExtract
+    val comps = cast.orderBy("YR").select(
+      Seq("hour", "minute", "second", "dayofmonth", "weekofyear",
+        "dayofyear", "month", "year", "quarter")
+        .map(u => timeUnitExtract(col("YR"), u).as(u)): _*).head()
+    assert(comps.toSeq == Seq(0, 0, 0, 1, 1, 1, 1, 1970, 1), s"$comps")
   }
 
   // Malay month spellings (the reference's table is Malay-bilingual,
