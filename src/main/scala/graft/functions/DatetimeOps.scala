@@ -270,6 +270,49 @@ object DatetimeOps {
     }
   }
 
+  /** ref: ts_analyzer.py ts_eligiblity_check — the timeseries-readiness
+    * profile (test_ts_analyzer.py:61-102 pins the productivity.csv
+    * values this port reproduces): per-id unique-date counts and
+    * per-date unique-id counts (opt 1), plus the unique-date span and
+    * the consecutive-gap statistics (opt 2; sample variance like the
+    * reference's pandas .var()). The gap window sorts UNIQUE DATES only
+    * (calendar-bounded — thousands of rows for decades of dates), never
+    * the data; everything else is two count-distinct aggregates.
+    */
+  /** HALF_UP at `scale` — the same rounding SQL round() applies. */
+  private def halfUp(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def tsEligibility(df: DataFrame, idCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val d = df.select(col(idCol).cast("string").as("id"), to_date(col(tsCol)).as("d"))
+      .na.drop()
+    val perId = d.groupBy("id").agg(countDistinct(col("d")).as("n"))
+      .agg(min("n").cast("long"), max("n").cast("long")).first()
+    val perDate = d.groupBy("d").agg(countDistinct(col("id")).as("n"))
+      .agg(min("n").cast("long"), max("n").cast("long")).first()
+    val dates = d.select("d").distinct()
+    val gaps = dates
+      .withColumn("prev", lag(col("d"), 1).over(Window.orderBy(col("d"))))
+      .filter(col("prev").isNotNull)
+      .select(datediff(col("d"), col("prev")).cast("double").as("g"))
+    val span = dates.agg(
+      count(lit(1)).cast("long"), min("d").cast("string"), max("d").cast("string"),
+      datediff(max("d"), min("d")).cast("long")).first()
+    val g = gaps.agg(
+      avg("g"), var_samp(col("g")), stddev_samp(col("g"))).first()
+    import spark.implicits._
+    Seq((
+      span.getLong(0), span.getString(1), span.getString(2), span.getLong(3),
+      halfUp(g.getDouble(0), 2), halfUp(g.getDouble(1), 3), halfUp(g.getDouble(2), 3),
+      perId.getLong(0), perId.getLong(1), perDate.getLong(0), perDate.getLong(1)))
+      .toDF("count_unique_dates", "min_date", "max_date", "date_diff",
+        "gap_mean", "gap_variance", "gap_stdev",
+        "id_date_pair_min", "id_date_pair_max",
+        "date_id_pair_min", "date_id_pair_max")
+  }
+
   /** SCD-type-2 interval builder: collapse a per-key change history
     * into validity intervals — one row per RUN of equal values
     * (gaps-and-islands), with `valid_from` = first observation of the

@@ -402,6 +402,41 @@ object TimeQueries {
              ELSE fpv END AS nearest_purchase_value
       FROM b JOIN f ON b.event_id = f.event_id"""))
 
+  /** Timeseries eligibility profile (ref ts_eligiblity_check, whose
+    * productivity.csv values AutoDetectSpec pins): unique-date span +
+    * consecutive-gap stats + per-id/per-date pair-count ranges, all
+    * replayed by the oracle.
+    */
+  val qTsEligibility = Q(
+    "q_ts_eligibility",
+    (s, dir) => DatetimeOps.tsEligibility(tables(s, dir).events, "user_id", "ts"),
+    Some("""
+      WITH d AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS id,
+                   CAST(ts AS DATE) AS dt FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      dates AS (SELECT DISTINCT dt FROM d),
+      gaps AS (SELECT CAST(date_diff('day', prev, dt) AS DOUBLE) AS g FROM
+        (SELECT dt, lag(dt) OVER (ORDER BY dt) AS prev FROM dates)
+        WHERE prev IS NOT NULL),
+      perid AS (SELECT min(n) AS mn, max(n) AS mx FROM
+        (SELECT id, count(DISTINCT dt) AS n FROM d GROUP BY id)),
+      perdate AS (SELECT min(n) AS mn, max(n) AS mx FROM
+        (SELECT dt, count(DISTINCT id) AS n FROM d GROUP BY dt)),
+      span AS (SELECT count(*) AS cu, CAST(min(dt) AS VARCHAR) AS mind,
+                 CAST(max(dt) AS VARCHAR) AS maxd,
+                 date_diff('day', min(dt), max(dt)) AS dd FROM dates),
+      g AS (SELECT round(avg(g), 2) AS gm, round(var_samp(g), 3) AS gv,
+              round(stddev_samp(g), 3) AS gs FROM gaps)
+      SELECT CAST(span.cu AS BIGINT) AS count_unique_dates,
+        span.mind AS min_date, span.maxd AS max_date,
+        CAST(span.dd AS BIGINT) AS date_diff,
+        g.gm AS gap_mean, g.gv AS gap_variance, g.gs AS gap_stdev,
+        CAST(perid.mn AS BIGINT) AS id_date_pair_min,
+        CAST(perid.mx AS BIGINT) AS id_date_pair_max,
+        CAST(perdate.mn AS BIGINT) AS date_id_pair_min,
+        CAST(perdate.mx AS BIGINT) AS date_id_pair_max
+      FROM span CROSS JOIN g CROSS JOIN perid CROSS JOIN perdate"""))
+
   /** SCD-type-2 validity intervals from the event history: one row per
     * RUN of equal per-user event types (gaps-and-islands — two stacked
     * windows over one key sort), valid_to = next run start, null =
@@ -660,5 +695,5 @@ object TimeQueries {
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
     qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin, qRolling24h,
     qForwardFill, qTsMultiformat, qFunnelSteps, qCohortRetention,
-    qAsofForward, qAsofNearest, qScd2Intervals)
+    qAsofForward, qAsofNearest, qScd2Intervals, qTsEligibility)
 }

@@ -118,6 +118,21 @@ class AutoDetectSpec extends SparkSpec {
         "dayofyear", "month", "year", "quarter")
         .map(u => timeUnitExtract(col("YR"), u).as(u)): _*).head()
     assert(comps.toSeq == Seq(0, 0, 0, 1, 1, 1, 1, 1970, 1), s"$comps")
+    // ts_eligiblity_check parity (test_ts_analyzer.py:88-102): 48
+    // states × 17 yearly dates, span 5844 days, gap stats 365.25 /
+    // 0.2 / 0.447
+    val elig = graft.functions.DatetimeOps.tsEligibility(cast, "STATE", "YR").head()
+    assert(elig.getAs[Long]("count_unique_dates") == 17L)
+    assert(elig.getAs[String]("min_date") == "1970-01-01")
+    assert(elig.getAs[String]("max_date") == "1986-01-01")
+    assert(elig.getAs[Long]("date_diff") == 5844L)
+    assert(elig.getAs[Double]("gap_mean") == 365.25)
+    assert(elig.getAs[Double]("gap_variance") == 0.2)
+    assert(elig.getAs[Double]("gap_stdev") == 0.447)
+    assert(elig.getAs[Long]("id_date_pair_min") == 17L &&
+      elig.getAs[Long]("id_date_pair_max") == 17L)
+    assert(elig.getAs[Long]("date_id_pair_min") == 48L &&
+      elig.getAs[Long]("date_id_pair_max") == 48L)
   }
 
   // Malay month spellings (the reference's table is Malay-bilingual,
