@@ -133,6 +133,13 @@ class AutoDetectSpec extends SparkSpec {
       elig.getAs[Long]("id_date_pair_max") == 17L)
     assert(elig.getAs[Long]("date_id_pair_min") == 48L &&
       elig.getAs[Long]("date_id_pair_max") == 48L)
+    // ts_viz_data parity (test_ts_analyzer.py:104-141): daily grouping
+    // of HWY over the cast YR — 17 rows, first date's min ≈ 1827.14
+    val viz = cast.groupBy(col("YR"))
+      .agg(min(col("HWY")).as("min"))
+      .orderBy("YR").collect()
+    assert(viz.length == 17)
+    assert(math.abs(viz.head.getAs[Double]("min") - 1827.14) < 0.01, s"${viz.head}")
   }
 
   // Malay month spellings (the reference's table is Malay-bilingual,
