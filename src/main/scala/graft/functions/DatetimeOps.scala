@@ -300,12 +300,15 @@ object DatetimeOps {
     val span = dates.agg(
       count(lit(1)).cast("long"), min("d").cast("string"), max("d").cast("string"),
       datediff(max("d"), min("d")).cast("long")).first()
+    require(span.getLong(0) > 0, "no non-null (id, timestamp) rows — nothing to profile")
     val g = gaps.agg(
       avg("g"), var_samp(col("g")), stddev_samp(col("g"))).first()
+    // a single unique date has no gaps (avg/var null) → report 0.0
+    def gd(i: Int, s: Int) = if (g.isNullAt(i)) 0.0 else halfUp(g.getDouble(i), s)
     import spark.implicits._
     Seq((
       span.getLong(0), span.getString(1), span.getString(2), span.getLong(3),
-      halfUp(g.getDouble(0), 2), halfUp(g.getDouble(1), 3), halfUp(g.getDouble(2), 3),
+      gd(0, 2), gd(1, 3), gd(2, 3),
       perId.getLong(0), perId.getLong(1), perDate.getLong(0), perDate.getLong(1)))
       .toDF("count_unique_dates", "min_date", "max_date", "date_diff",
         "gap_mean", "gap_variance", "gap_stdev",

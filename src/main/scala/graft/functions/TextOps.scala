@@ -405,6 +405,7 @@ object TextOps {
       sum(when(col("label") === 1, 1L).otherwise(0L)).cast("double").as("t1"),
       sum(when(col("label") === 0, 1L).otherwise(0L)).cast("double").as("t0"),
       countDistinct(col("tok")).cast("double").as("v")).first()
+    require(!scal.isNullAt(0), "seed documents contain no tokens — nothing to fit")
     val (tks1, tks0, vocab) = (scal.getDouble(0), scal.getDouble(1), scal.getDouble(2))
     val dcRow = seedIds.agg(
       sum(col("label")).cast("double"), sum(lit(1) - col("label")).cast("double")).first()

@@ -425,8 +425,9 @@ object TimeQueries {
       span AS (SELECT count(*) AS cu, CAST(min(dt) AS VARCHAR) AS mind,
                  CAST(max(dt) AS VARCHAR) AS maxd,
                  date_diff('day', min(dt), max(dt)) AS dd FROM dates),
-      g AS (SELECT round(avg(g), 2) AS gm, round(var_samp(g), 3) AS gv,
-              round(stddev_samp(g), 3) AS gs FROM gaps)
+      g AS (SELECT round(COALESCE(avg(g), 0), 2) AS gm,
+              round(COALESCE(var_samp(g), 0), 3) AS gv,
+              round(COALESCE(stddev_samp(g), 0), 3) AS gs FROM gaps)
       SELECT CAST(span.cu AS BIGINT) AS count_unique_dates,
         span.mind AS min_date, span.maxd AS max_date,
         CAST(span.dd AS BIGINT) AS date_diff,
