@@ -29,15 +29,30 @@ object Ingest {
       mode: String = "overwrite",
       options: Map[String, String] = Map.empty,
       repartitionTo: Option[Int] = None,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      columnOrder: Seq[String] = Nil): Unit = {
+    // ref write_dataset column_order contract
+    // (test_data_ingest_unit.py:97-137): reorder on write; a list that
+    // doesn't cover the schema exactly is an error, as is a
+    // non-positive repartition count
+    repartitionTo.foreach(n => require(n > 0, s"repartition count must be positive, got $n"))
+    val ordered =
+      if (columnOrder.isEmpty) df
+      else {
+        require(columnOrder.length == df.columns.length &&
+          columnOrder.toSet == df.columns.toSet,
+          s"column_order ${columnOrder.mkString(",")} must be a permutation of " +
+            s"the schema ${df.columns.mkString(",")}")
+        df.select(columnOrder.map(col): _*)
+      }
     val out = repartitionTo match {
       // repartition (not coalesce-if-smaller): probing df.rdd for the
       // current partition count forces physical-plan materialization and
       // defeats AQE; a round-robin shuffle to exactly n gives evenly
       // sized output files, and AQE still coalesces the write if n is
       // oversized.
-      case Some(n) => df.repartition(n)
-      case None => df
+      case Some(n) => ordered.repartition(n)
+      case None => ordered
     }
     val w = out.write.format(fileType).options(options).mode(mode)
     val pw = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w

@@ -352,6 +352,23 @@ stats_generator:
     assert(out(4L).isEmpty)            // right ts=10 is in the future
   }
 
+  test("write_dataset column_order reorders, validates, and rejects bad repartition") {
+    // ref test_data_ingest_unit.py:97-137 contract
+    val dir = java.nio.file.Files.createTempDirectory("worder").toString
+    val d = Seq((1, "x", 2.0)).toDF("A", "B", "C")
+    graft.sources.Ingest.writeDataset(d, s"$dir/t", "parquet",
+      columnOrder = Seq("B", "C", "A"))
+    assert(spark.read.parquet(s"$dir/t").columns.toSeq == Seq("B", "C", "A"))
+    intercept[IllegalArgumentException] {
+      graft.sources.Ingest.writeDataset(d, s"$dir/t2", "parquet",
+        columnOrder = Seq("A", "B", "C", "D"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Ingest.writeDataset(d, s"$dir/t3", "parquet",
+        repartitionTo = Some(-5))
+    }
+  }
+
   test("snapshot diff is null-safe and O(churn)-sized") {
     val oldS = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]),
       (4L, Option("d"))).toDF("k", "v")
