@@ -335,8 +335,13 @@ object AutoDetect {
     }
   }
 
+  // suffix matches require a snake/camel boundary — a bare `(id)$`
+  // alternation would hit "grid"/"paid"/"monkey" and silently suppress
+  // genuine epoch detections on those columns
   private val idLikeRe =
-    "(?i)(^|[_-])(id|ids|key|keys|code|num|no|number|phone|tel|msisdn|mobile|account|acct)([_-]|$)|(?i)(id|key|phone|number)$".r
+    ("(?i)(^|[_-])(id|ids|key|keys|code|num|no|number|phone|tel|msisdn|mobile|account|acct)([_-]|$)" +
+      "|[a-z0-9](Id|Key|Phone|Number)$|(?i)[_-](id|key|phone|number)$" +
+      "|(?i)(userid|uid|uuid|guid)$").r
 
   /** Heuristic: does this column NAME look like an identifier/phone
     * rather than a time? Ten-digit id columns whose values mostly start

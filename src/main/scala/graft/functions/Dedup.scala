@@ -359,6 +359,8 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.7,
       maxBucketSize: Int = 200): DataFrame = {
+    // fail fast on a bad band count BEFORE the signature job materializes
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = shingles(df, textCol, keyCol, shingleSize)
     val sigM = materialize(minhashSignaturesMd5(sh, numHashes))
     val candidates = md5BandCandidates(sigM, numHashes, bands, maxBucketSize)
@@ -849,9 +851,10 @@ object Dedup {
       maxDist: Int = 1,
       maxVariantFreq: Long = 1000L): DataFrame = {
     require(maxDist == 1 || maxDist == 2, "maxDist must be 1 or 2 (variant count is L^d)")
-    val base = df.select(
-      col(keyCol).cast("long").as("key"),
-      lower(trim(col(textCol))).as("s"))
+    // keys keep their input type (string/uuid keys order fine with <;
+    // a cast("long") here would null string keys and silently return
+    // ZERO pairs)
+    val base = df.select(col(keyCol).as("key"), lower(trim(col(textCol))).as("s"))
     def dels(c: Column): Column = when(length(c) > 0,
       transform(sequence(lit(1), length(c)),
         i => concat(c.substr(lit(1), i - lit(1)), c.substr(i + lit(1), length(c)))))

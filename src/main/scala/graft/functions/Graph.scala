@@ -36,10 +36,14 @@ object Graph {
       checkpointEvery: Int = 0,
       broadcastRanks: Boolean = false): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
+    // persisted: every sweep re-reads all three — without the cache the
+    // edge projection and the deg/nodes shuffles replay ~2× per
+    // iteration from the source scan
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()
     val base = lit(1.0) - lit(damping)
     // broadcastRanks trades per-sweep driver broadcast builds of the
@@ -62,7 +66,10 @@ object Graph {
       if (checkpointEvery > 0 && it % checkpointEvery == 0)
         ranks = ranks.localCheckpoint()
     }
-    ranks
+    // materialize before releasing the cached inputs the plan reads
+    val out = ranks.localCheckpoint()
+    e.unpersist(false); deg.unpersist(false); nodes.unpersist(false)
+    out
   }
 
   /** Per-node triangle counts over an undirected simple graph: edges

@@ -185,6 +185,11 @@ object Similarity {
         var qi = 0
         while (qi < nq) {
           val cos = dotF(qs(qi)._2, cv) / (qn(qi) * cn)
+          // a zero-norm/NaN vector yields NaN cosine; NaN compares false
+          // everywhere, so it would SIT in a top-k slot uninvited and
+          // never be evicted — exclude undefined similarities outright
+          if (cos.isNaN) { qi += 1 }
+          else {
           val ti = topIds(qi); val tc = topCos(qi)
           var pos = filled(qi)
           while (pos > 0 && (tc(pos - 1) < cos ||
@@ -196,6 +201,7 @@ object Similarity {
             if (filled(qi) < k) filled(qi) += 1
           }
           qi += 1
+          }
         }
       }
       (0 until nq).iterator.flatMap { qi =>

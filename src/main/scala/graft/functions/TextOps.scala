@@ -329,6 +329,7 @@ object TextOps {
     val docLen = toks.groupBy("doc").agg(count(lit(1)).as("dl"))
     val corpusRow = docLen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).first()
     val n = corpusRow.getLong(0)
+    require(n > 0, "bm25TopK needs a non-empty tokenized corpus")
     val avgdl = corpusRow.getDouble(1)
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val qTerms = queries

@@ -59,8 +59,19 @@ object ModelStore {
     * source in one session is wasted work. Cross-session reuse goes
     * through [[saveBoxcoxLambdas]]/[[loadBoxcoxLambdas]] instead.
     */
+  // bounded: a long session fitting many distinct sources must not
+  // grow driver memory with plan-string keys forever. NOTE the memo
+  // assumes a source path's DATA is immutable within the session — an
+  // overwritten path re-keys identically; call clearBoxcoxMemo() (or
+  // pass `precomputed`) after rewriting a fitted source.
   private[graft] val boxcoxFitMemo =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, Double]]
+  private val boxcoxMemoCap = 64
+  private[graft] def memoizeBoxcox(key: String)(fit: => Map[String, Double]): Map[String, Double] = {
+    if (boxcoxFitMemo.size >= boxcoxMemoCap) boxcoxFitMemo.clear()
+    boxcoxFitMemo.getOrElseUpdate(key, fit)
+  }
+  def clearBoxcoxMemo(): Unit = boxcoxFitMemo.clear()
 
   def saveBoxcoxLambdas(spark: SparkSession, lambdas: Map[String, Double], path: String): Unit = {
     import spark.implicits._

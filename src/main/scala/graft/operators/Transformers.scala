@@ -369,7 +369,7 @@ object Transformers {
       // the same fit over differently-projected views of one source keys
       // identically; different sources/paths/caps key differently
       val memoKey = aggDf.queryExecution.optimizedPlan.canonicalized.toString
-      ModelStore.boxcoxFitMemo.getOrElseUpdate(memoKey, {
+      ModelStore.memoizeBoxcox(memoKey)({
         val row = aggDf.collect()(0)
         cols.map { c =>
           val scored = boxcoxLambdas.map { l =>

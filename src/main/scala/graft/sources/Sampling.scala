@@ -238,7 +238,10 @@ object Sampling {
     val totals = df
       .groupBy(col(sourceCol).cast("string").as("__s"))
       .agg(sum(tokenCol.cast("long")).as("__total"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .collect()
+      // a source whose token column is entirely null sums to null —
+      // treat it as zero tokens (weight 0) rather than NPE
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
     val w6 = totals.map { case (s, tot) =>
       val wd =
         if (temperature == 0.5) math.sqrt(tot.toDouble)
@@ -292,7 +295,8 @@ object Sampling {
       case Some(m) =>
         require(m >= 1, "prefilter margin must be >= 1")
         val totals = base0.groupBy(src.as("__s")).agg(sum(col("__tok")).as("__total"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          .collect()
+          .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
         val thr: Map[String, Long] = totals.map { case (s, tot) =>
           val frac = math.min(1.0, m * targets.getOrElse(s, 0L).toDouble / math.max(1L, tot))
           s -> hashThresholdLong(frac)

@@ -558,6 +558,13 @@ class TextSpec extends SparkSpec {
       Similarity.crossTopK(big, corpus, "vec_id", "embedding", k = 1, maxQueryRows = 5)
     }
     assert(e.getMessage.contains("query side exceeds"))
+    // a zero-norm corpus vector (NaN cosine) must NOT squat in the
+    // top-k — results equal the clean-corpus run
+    val dirty = corpus.unionByName(
+      Seq((99L, Array(0f, 0f))).toDF("vec_id", "embedding"))
+    val withZero = Similarity.crossTopK(qs, dirty.repartition(3), "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(withZero == got, s"zero vector leaked into top-k: $withZero")
   }
 
   test("concat-and-chunk packing assigns offsets and sequence spans") {
