@@ -352,6 +352,20 @@ stats_generator:
     assert(out(4L).isEmpty)            // right ts=10 is in the future
   }
 
+  test("filters and projections push down to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("pushdown").toString
+    (1 to 1000).map(i => (i.toLong, s"v$i", i * 2.0, s"pad$i"))
+      .toDF("k", "v", "x", "pad").write.parquet(s"$dir/t")
+    val plan = spark.read.parquet(s"$dir/t")
+      .filter(col("k") > 500L)
+      .select((col("x") * 2).as("y"))
+      .queryExecution.executedPlan.toString
+    // the predicate must reach the scan (row-group skipping at scale)…
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,500)"), plan)
+    // …and the scan must read ONLY the two referenced columns
+    assert(plan.contains("ReadSchema: struct<k:bigint,x:double>"), plan)
+  }
+
   test("write_dataset column_order reorders, validates, and rejects bad repartition") {
     // ref test_data_ingest_unit.py:97-137 contract
     val dir = java.nio.file.Files.createTempDirectory("worder").toString
