@@ -243,8 +243,18 @@ object Similarity {
   /** Seeded Lloyd's k-means on a driver-held sample — the IVF coarse
     * quantizer fit. Deterministic: initial centroids are evenly-strided
     * sample points; 15 iterations or convergence.
+    *
+    * Engine-portable mode (`quantizeDp >= 0`): rounds every UPDATED
+    * centroid coordinate to `quantizeDp` decimals after each sweep and
+    * disables the convergence early-exit, so exactly `iters` sweeps run.
+    * An external engine replaying the sweeps with unordered summation
+    * then lands on the SAME quantized centers (the 1e-16 summation-order
+    * noise is absorbed by the rounding grid), making the entire IVF
+    * pipeline SQL-replayable — the same trick as the fixed-iteration
+    * vincenty/pagerank oracles.
     */
-  def localKMeans(points: Array[Array[Double]], k: Int, seed: Long, iters: Int = 15): Array[Array[Double]] = {
+  def localKMeans(points: Array[Array[Double]], k: Int, seed: Long, iters: Int = 15,
+      quantizeDp: Int = -1): Array[Array[Double]] = {
     require(points.nonEmpty, "kmeans needs data")
     val dim = points.head.length
     val kk = math.min(k, points.length)
@@ -252,7 +262,7 @@ object Similarity {
     var centers = Array.tabulate(kk)(i => points((i * stride) % points.length).clone())
     var it = 0
     var moved = true
-    while (it < iters && moved) {
+    while (it < iters && (moved || quantizeDp >= 0)) {
       val sums = Array.fill(kk)(new Array[Double](dim))
       val counts = new Array[Int](kk)
       points.foreach { p =>
@@ -276,6 +286,9 @@ object Similarity {
           var j = 0
           while (j < dim) {
             c(j) = sums(ci)(j) / counts(ci)
+            if (quantizeDp >= 0)
+              c(j) = BigDecimal(c(j))
+                .setScale(quantizeDp, BigDecimal.RoundingMode.HALF_UP).toDouble
             if (math.abs(c(j) - centers(ci)(j)) > 1e-9) moved = true
             j += 1
           }
@@ -325,7 +338,9 @@ object Similarity {
       nprobe: Int = 3,
       seed: Long = 42L,
       fitSample: Int = 10000,
-      memberCapPerCell: Int = 250000): DataFrame = {
+      memberCapPerCell: Int = 250000,
+      lloydIters: Int = 15,
+      lloydQuantize: Int = -1): DataFrame = {
     import df.sparkSession.implicits._
     graft.plans.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -355,7 +370,7 @@ object Similarity {
       .limit(fitSample)
       .select(col("v"))
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val centers = localKMeans(sample, cells, seed)
+    val centers = localKMeans(sample, cells, seed, lloydIters, lloydQuantize)
     val bcCenters = df.sparkSession.sparkContext.broadcast(centers)
 
     def nearestCells(v: Array[Float], n: Int): Array[Int] = {
