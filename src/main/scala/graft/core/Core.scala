@@ -114,9 +114,11 @@ object Caching {
 }
 
 /** Loader for the driver-provided TPC-H-ish test tables (TESTDATA.md).
-  * events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-  * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and
-  * the loader converts the nano-longs back to (microsecond) timestamps.
+  * events.ts has shipped as parquet TIMESTAMP(NANOS) (read as longs via
+  * spark.sql.legacy.parquet.nanosAsLong=true, converted back here) and as
+  * timestamp[us] without a UTC flag (read as TIMESTAMP_NTZ). Both are
+  * normalized to session-TZ TIMESTAMP — every entry point pins the session
+  * TZ to UTC, so NTZ→TZ is a pure type relabel with identical semantics.
   */
 final case class Tables(spark: SparkSession, dir: String) {
   def t(name: String): DataFrame = {
@@ -124,6 +126,8 @@ final case class Tables(spark: SparkSession, dir: String) {
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == LongType =>
         d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case (d, f) if f.name == "ts" && f.dataType == TimestampNTZType =>
+        d.withColumn("ts", col("ts").cast(TimestampType))
       case (d, _) => d
     }
   }

@@ -427,14 +427,91 @@ object TextQueries {
       SELECT vec_id, neighbor_id, round(cos, 4) AS cos, CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 3"""))
 
+  /** DuckDB replay of the deterministic quantized-Lloyd IVF pipeline
+    * (`Similarity.ivfTopK` with `lloydQuantize >= 0`): the coarse
+    * quantizer's init is the md5-hash-ordered strided sample, each of the
+    * `iters` fixed sweeps assigns points by a LEFT-TO-RIGHT double
+    * squared-distance accumulation (`list_reduce` replays the engine's
+    * sequential loop bit-for-bit, so assignments cannot flip on
+    * summation-order noise) and re-centers on a `dp`-decimal grid (the
+    * rounding absorbs DuckDB's unordered per-dim mean summation — the
+    * q_pagerank / q_geo_vincenty fixed-iteration trick). Final members
+    * (rank-1 cell) meet probers (rank ≤ nprobe cells) per cell; cosine +
+    * global rank reuse the exact-cosine CTE shape of [[cosineTopK3Sql]].
+    */
+  private def ivfTopKSql(cells: Int, nprobe: Int, iters: Int, dp: Int, k: Int): String = {
+    def distExpr(vTbl: String, cTbl: String) =
+      s"""list_reduce(list_transform(range(1, len($vTbl.v) + 1),
+         |      i -> ($vTbl.v[i]::DOUBLE - $cTbl.c[i]) * ($vTbl.v[i]::DOUBLE - $cTbl.c[i])),
+         |      (a, b) -> a + b)""".stripMargin
+    val sweeps = (1 to iters).map { s =>
+      val prev = s"c${s - 1}"
+      s"""ds$s AS (SELECT o.id, o.v, c.cid, ${distExpr("o", "c")} AS dist
+         |        FROM ord o CROSS JOIN $prev c),
+         |a$s AS (SELECT id, v, cid FROM (
+         |          SELECT *, row_number() OVER
+         |            (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rk FROM ds$s)
+         |        WHERE rk = 1),
+         |m$s AS (SELECT cid, i, round(sum(x) / count(*), $dp) AS cx
+         |        FROM (SELECT cid, unnest(list_transform(v, x -> x::DOUBLE)) AS x,
+         |                     unnest(range(1, len(v) + 1)) AS i FROM a$s)
+         |        GROUP BY cid, i),
+         |c$s AS (SELECT cid, list(cx ORDER BY i) AS c FROM m$s GROUP BY cid
+         |        UNION ALL
+         |        SELECT cid, c FROM $prev
+         |        WHERE cid NOT IN (SELECT cid FROM m$s))""".stripMargin
+    }.mkString(",\n")
+    s"""
+      WITH corpus AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      ord AS (SELECT id, v, row_number() OVER (ORDER BY
+                ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT ASC, id ASC) - 1 AS rn
+              FROM corpus),
+      prm AS (SELECT greatest(1, count(*) // $cells) AS stride FROM ord),
+      c0 AS (SELECT CAST(rn // stride AS INT) AS cid,
+                    list_transform(v, x -> x::DOUBLE) AS c
+             FROM ord, prm WHERE rn % stride = 0 AND rn // stride < $cells),
+      $sweeps,
+      fd AS (SELECT o.id, c.cid, ${distExpr("o", "c")} AS dist
+             FROM ord o CROSS JOIN c$iters c),
+      fr AS (SELECT id, cid, row_number() OVER
+               (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rk FROM fd),
+      memb AS (SELECT id, cid FROM fr WHERE rk = 1),
+      prob AS (SELECT id, cid FROM fr WHERE rk <= $nprobe),
+      cand AS (SELECT p.id AS vec_id, m.id AS neighbor_id
+               FROM prob p JOIN memb m ON p.cid = m.cid AND m.id <> p.id),
+      e AS (SELECT vec_id, unnest(embedding) AS x,
+                   unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+            FROM e GROUP BY vec_id),
+      dt AS (SELECT c.vec_id, c.neighbor_id,
+                    sum(CAST(ea.x AS DOUBLE) * CAST(eb.x AS DOUBLE)) AS dt
+             FROM cand c
+             JOIN e ea ON ea.vec_id = c.vec_id
+             JOIN e eb ON eb.vec_id = c.neighbor_id AND ea.i = eb.i
+             GROUP BY c.vec_id, c.neighbor_id),
+      cs AS (SELECT dt.vec_id, dt.neighbor_id, dt.dt / (na.nrm * nb.nrm) AS cos
+             FROM dt JOIN n na ON dt.vec_id = na.vec_id
+                     JOIN n nb ON dt.neighbor_id = nb.vec_id),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM cs)
+      SELECT vec_id, neighbor_id, round(cos, 4) AS cos, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= $k"""
+  }
+
   /** IVF (KMeans coarse quantizer + nprobe cells) approximate top-k —
-    * the inverted-file ANN scale path (rows-only).
+    * the inverted-file ANN scale path. Engine-portable configuration:
+    * 5 fixed Lloyd sweeps on a 4-decimal quantized centroid grid make
+    * the whole fit → assign → probe → rank pipeline SQL-replayable
+    * ([[ivfTopKSql]]), closing the last rows-only ANN row.
     */
   val qIvfTopK = Q(
     "q_ivf_topk",
     (s, dir) => Similarity.ivfTopK(tables(s, dir).embeddings, "vec_id", "embedding",
-      k = 3, cellCount = 8, nprobe = 3),
-    None)
+      k = 3, cellCount = 8, nprobe = 3, lloydIters = 5, lloydQuantize = 4)
+      .select(col("vec_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cos"), col("rank")),
+    Some(ivfTopKSql(cells = 8, nprobe = 3, iters = 5, dp = 4, k = 3)))
 
   /** Embedding-cosine near-dup over a corpus with planted noisy copies —
     * full-pipeline oracle: the planted float perturbation (×1.0001f) is

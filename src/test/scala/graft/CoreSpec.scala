@@ -56,4 +56,36 @@ class CoreSpec extends SparkSpec {
       .getAs[scala.collection.Seq[Double]](0)
     assert(r == Seq(2.5, 4.0))
   }
+
+  // Environment-drift guard: the driver has shipped events.ts both as
+  // TIMESTAMP(NANOS) (read as longs) and as timestamp[us] without the UTC
+  // flag (read as TIMESTAMP_NTZ). Round 8's regenerate to the latter broke
+  // every unix_micros query until Tables normalized it. This spec writes a
+  // genuine NTZ parquet, loads it through Tables, and drives a
+  // unix_micros-path operator end to end — it fails if the TimestampNTZType
+  // branch in Tables.t is removed.
+  test("Tables normalizes TIMESTAMP_NTZ ts and unix_micros paths run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    spark.range(6)
+      .select(
+        col("id").as("event_id"),
+        (col("id") % 2).cast("string").as("user_id"),
+        // 0,1h,2h,... as NTZ — parquet timestamp[us], isAdjustedToUTC=false
+        timestamp_micros(col("id") * 3600L * 1000000L)
+          .cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // confirm the fixture really round-trips as NTZ (else the test is vacuous)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assert(raw.schema("ts").dataType == TimestampNTZType)
+
+    val ev = Tables(spark, dir).events
+    assert(ev.schema("ts").dataType == TimestampType)
+    // session TZ is UTC, so the relabel preserves the instant exactly
+    assert(ev.orderBy("event_id").select(unix_micros(col("ts"))).as[Long].collect()
+      .toSeq == (0 until 6).map(_ * 3600L * 1000000L))
+    // 30-min gap → every event its own session; unix_micros analysis must pass
+    val sess = graft.functions.DatetimeOps.sessionize(ev, "user_id", "ts")
+    assert(sess.groupBy("user_id").agg(max(col("session_idx")))
+      .as[(String, Long)].collect().toMap == Map("0" -> 2L, "1" -> 2L))
+  }
 }
