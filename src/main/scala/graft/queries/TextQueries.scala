@@ -1403,10 +1403,19 @@ object TextQueries {
       val sup = tables(s, dir).supplier
         .select(col("s_suppkey").cast("long").as("key"),
           lower(trim(col("s_name"))).as("name"))
-      sup.as("a").join(sup.as("b"),
-          col("a.key") < col("b.key") && col("b.key") - col("a.key") <= lit(3L))
-        .select(col("a.key").as("key_1"), col("b.key").as("key_2"),
-          expr("round(jaro_winkler(a.name, b.name), 4)").as("jw"))
+      // the bounded band 0 < b.key − a.key ≤ 3 as an EQUI-join: explode
+      // the 3 offsets on the left and join on key_1 + d = key_2. A raw
+      // band predicate plans as BroadcastNestedLoopJoin (whole-table
+      // broadcast — the 100 TB anti-pattern PlanSweepSpec rejects); this
+      // shape hash-shuffles on the key and scales like any equi-join.
+      val left = sup.select(col("key").as("key_1"), col("name").as("name_1"))
+        .withColumn("__d", explode(array(lit(1L), lit(2L), lit(3L))))
+        .withColumn("key_2", col("key_1") + col("__d"))
+        .drop("__d")
+      val right = sup.select(col("key").as("key_2"), col("name").as("name_2"))
+      left.join(right, "key_2")
+        .select(col("key_1"), col("key_2"),
+          expr("round(jaro_winkler(name_1, name_2), 4)").as("jw"))
     },
     Some("""
       WITH s AS (SELECT s_suppkey AS key, lower(trim(s_name)) AS name FROM supplier)
