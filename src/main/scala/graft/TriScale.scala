@@ -24,7 +24,11 @@ object TriScale {
     "q_minhash_neardup", "q_ngram_jaccard",
     // round-7 candidate-join / iterative additions — the shapes where a
     // quadratic blowup would hide at test scale
-    "q_fuzzy_pairs", "q_pagerank", "q_triangle_count", "q_changelog_apply")
+    "q_fuzzy_pairs", "q_pagerank", "q_triangle_count", "q_changelog_apply",
+    // round-9: the broadcast-query-set retrieval (guards the 1M query
+    // cap staying effective) and the 50-token-window span dedup (guards
+    // the hash-join candidate volume)
+    "q_cross_topk", "q_dup_spans")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0

@@ -336,6 +336,60 @@ object Workflow {
       }
     }
 
+    // ---- graph_metrics: PageRank / triangle counts over an edge list —
+    // either a separate parquet edge table (edges_path) or the current
+    // frame's two key columns. Results attach as stage metrics (the
+    // drift_detector pattern); the frame flows through unchanged.
+    conf.get("graph_metrics").foreach { v =>
+      val gm = asConf(v)
+      val edges = gm.get("edges_path") match {
+        case Some(p) => spark.read.parquet(p.toString)
+        case None    => df
+      }
+      val src = gm.getOrElse("src_col", "src").toString
+      val dst = gm.getOrElse("dst_col", "dst").toString
+      val metrics = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+      gm.get("pagerank").foreach { pv =>
+        val pc = asConf(pv)
+        metrics("pagerank") = graft.functions.Graph.pageRank(edges, src, dst,
+          iterations = pc.getOrElse("iterations", 5).toString.toInt,
+          damping = pc.getOrElse("damping", 0.85).toString.toDouble)
+      }
+      if (gm.getOrElse("triangle_counts", false) == true)
+        metrics("triangle_counts") =
+          graft.functions.Graph.triangleCounts(edges, src, dst)
+      timed("graph_metrics", metrics.toMap) { () }
+    }
+
+    // ---- bm25_retrieval: rank the frame's text column against the
+    // configured query strings (query ids = list position); top-k per
+    // query attaches as a stage metric.
+    conf.get("bm25_retrieval").foreach { v =>
+      val bc = asConf(v)
+      val textCol = bc.getOrElse("text_col", "text").toString
+      val idCol = bc.getOrElse("id_col", df.columns.head).toString
+      val qs = strings(bc("queries")).zipWithIndex
+        .map { case (q, i) => (i.toLong, q) }
+      val topk = graft.functions.TextOps.bm25TopK(
+        df, textCol, idCol, qs,
+        k = bc.getOrElse("k", 10).toString.toInt,
+        k1 = bc.getOrElse("k1", 1.2).toString.toDouble,
+        b = bc.getOrElse("b", 0.75).toString.toDouble)
+      timed("bm25_retrieval", Map("bm25_topk" -> topk)) { () }
+    }
+
+    // ---- heavy_hitters: Misra-Gries top values per configured column
+    // (native bounded-state aggregate — one metric frame per column).
+    conf.get("heavy_hitters").foreach { v =>
+      val hh = asConf(v)
+      val k = hh.getOrElse("k", 20).toString.toInt
+      val cols = resolveCols(df, hh.getOrElse("list_of_cols", null))
+      val metrics = cols.map { c =>
+        s"heavy_hitters_$c" -> graft.functions.TextOps.heavyHitters(df, c, k)
+      }.toMap
+      timed("heavy_hitters", metrics) { () }
+    }
+
     // ---- transformers
     conf.get("transformers").foreach { v =>
       val tc = asConf(v)

@@ -490,4 +490,73 @@ report_preprocessing:
     assert(g.lonCols == Seq("longitude"))
     assert(g.geohashCols == Seq("geohash_cell"))
   }
+
+  test("workflow graph_metrics stage: pagerank + triangle counts as metrics") {
+    val yaml = """
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/lineitem.parquet"
+    file_type: parquet
+  select_column: [l_suppkey, l_partkey]
+graph_metrics:
+  src_col: l_suppkey
+  dst_col: l_partkey
+  pagerank:
+    iterations: 3
+  triangle_counts: true
+"""
+    val (df, stages) = Workflow.run(spark, yaml)
+    val gm = stages.find(_.name == "graph_metrics").get
+    val pr = gm.metrics("pagerank")
+    assert(pr.columns.toSeq == Seq("node", "rank"))
+    assert(pr.count() > 0)
+    // ranks are a probability mass over nodes — sum stays ≈1 (dangling
+    // nodes leak a little mass, never add any)
+    val total = pr.agg(sum(col("rank"))).first().getDouble(0)
+    assert(total > 0 && total <= 1.0 + 1e-9)
+    assert(gm.metrics("triangle_counts").columns.contains("triangles"))
+    // the data frame itself flows through the stage unchanged
+    assert(df.columns.toSeq == Seq("l_suppkey", "l_partkey"))
+  }
+
+  test("workflow bm25_retrieval stage ranks configured queries") {
+    val yaml = """
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/documents.parquet"
+    file_type: parquet
+bm25_retrieval:
+  text_col: text
+  id_col: doc_id
+  queries: [data pipeline quality, machine learning]
+  k: 5
+"""
+    val (_, stages) = Workflow.run(spark, yaml)
+    val topk = stages.find(_.name == "bm25_retrieval").get.metrics("bm25_topk")
+    val rows = topk.collect()
+    assert(rows.nonEmpty)
+    val qids = rows.map(_.getAs[Long]("query_id")).toSet
+    assert(qids.subsetOf(Set(0L, 1L)))
+    // at most k docs per query, ranked 1..n
+    val perQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQ.values.forall(_.length <= 5))
+  }
+
+  test("workflow heavy_hitters stage emits a bounded top list per column") {
+    val yaml = """
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/documents.parquet"
+    file_type: parquet
+heavy_hitters:
+  list_of_cols: [lang, source]
+  k: 4
+"""
+    val (_, stages) = Workflow.run(spark, yaml)
+    val hh = stages.find(_.name == "heavy_hitters").get
+    val lang = hh.metrics("heavy_hitters_lang")
+    assert(lang.columns.toSeq == Seq("item", "est_count"))
+    assert(lang.count() <= 4 && lang.count() > 0)
+    assert(hh.metrics("heavy_hitters_source").count() <= 4)
+  }
 }
