@@ -50,12 +50,17 @@ object StatsGenerator {
     import df.sparkSession.implicits._
     val (num, cat, other) = ColumnRole.segregate(df.schema)
     val rows = df.count()
+    // full reference row set incl. the ", "-joined name rows
+    // (ref: stats_generator.py:100-110)
     Seq(
       ("rows_count", rows.toString),
       ("columns_count", df.columns.length.toString),
       ("numcols_count", num.size.toString),
+      ("numcols_name", num.mkString(", ")),
       ("catcols_count", cat.size.toString),
-      ("othercols_count", other.size.toString)
+      ("catcols_name", cat.mkString(", ")),
+      ("othercols_count", other.size.toString),
+      ("othercols_name", other.mkString(", "))
     ).toDF("metric", "value")
   }
 

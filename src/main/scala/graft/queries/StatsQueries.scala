@@ -18,8 +18,11 @@ object StatsQueries {
       SELECT 'rows_count' AS metric, CAST(count(*) AS VARCHAR) AS value FROM lineitem
       UNION ALL SELECT 'columns_count', '11'
       UNION ALL SELECT 'numcols_count', '8'
+      UNION ALL SELECT 'numcols_name', 'l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax'
       UNION ALL SELECT 'catcols_count', '2'
-      UNION ALL SELECT 'othercols_count', '1'"""))
+      UNION ALL SELECT 'catcols_name', 'l_returnflag, l_linestatus'
+      UNION ALL SELECT 'othercols_count', '1'
+      UNION ALL SELECT 'othercols_name', 'l_shipdate'"""))
 
   val qMissingCounts = Q(
     "q_missing_counts",

@@ -277,7 +277,7 @@ stats_generator:
     graft.workflow.Workflow.run(spark, yaml)
     val counts = spark.read.parquet(s"$out/measures_of_counts")
     assert(counts.count() == 5) // one row per customer column
-    assert(spark.read.parquet(s"$out/global_summary").count() == 5)
+    assert(spark.read.parquet(s"$out/global_summary").count() == 8)
   }
 
   test("datetime comparisons, selected hours, unit additions") {

@@ -118,7 +118,7 @@ class QualitySpec extends SparkSpec {
     assert(report.keySet.contains("global_summary"))
     assert(report.keySet.contains("measures_of_percentiles"))
     assert(report.keySet.contains("mode_computation"))
-    assert(report("global_summary").count() == 5)
+    assert(report("global_summary").count() == 8)
   }
 
   test("sampleCapped leaves small frames untouched and caps big ones") {

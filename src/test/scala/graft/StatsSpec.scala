@@ -186,4 +186,94 @@ class StatsSpec extends SparkSpec {
     assert(mode.getAs[String]("mode") == "HS-grad")
     assert(mode.getAs[Double]("mode_pct") == 0.6667) // 2 of 3 non-null
   }
+
+  test("golden parity: reference missing/unique/mode/nonzero/percentile values") {
+    import spark.implicits._
+    // test_stats_generator.py:29-66 missingCount fixture
+    val d1 = Seq(
+      ("27520a", 51, Some("HS-grad")),
+      ("10a", 42, Some("Postgrad")),
+      ("11a", 55, None: Option[String]),
+      ("1100b", 23, Some("HS-grad"))
+    ).toDF("ifa", "age", "education")
+    val miss = StatsGenerator.missingCount(d1, Seq("ifa", "age", "education"))
+    assert(miss.count() == 3)
+    val edMiss = miss.filter($"attribute" === "education").collect()(0)
+    assert(edMiss.getAs[Long]("missing_count") == 1L)
+    assert(edMiss.getAs[Double]("missing_pct") == 0.25)
+
+    // :68-183 uniqueCount + :342-420 cardinality fixture (engagement all-0)
+    val d5 = Seq(
+      ("27520a", 51, Some("HS-grad"), 0.0),
+      ("10a", 42, Some("Postgrad"), 0.0),
+      ("11a", 55, None: Option[String], 0.0),
+      ("1100b", 23, Some("HS-grad"), 0.0)
+    ).toDF("ifa", "age", "education", "engagement")
+    val uniq = StatsGenerator.uniqueCount(d5, Seq("ifa", "age", "education", "engagement"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("unique_values")).toMap
+    assert(uniq("education") == 2L && uniq("age") == 4L && uniq("engagement") == 1L)
+    val card = StatsGenerator.measuresOfCardinality(d5, Seq("age", "education", "engagement"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("IDness")).toMap
+    assert(card("age") == 1.0 && card("education") == 0.6667 && card("engagement") == 0.25)
+
+    // :186-235 mode fixture (5 rows; age ties 42×2 vs singletons)
+    val d2 = Seq(
+      ("27520a", 51, Some("HS-grad")),
+      ("10a", 42, Some("Postgrad")),
+      ("11a", 55, None: Option[String]),
+      ("13a", 42, Some("HS-grad")),
+      ("1100b", 23, Some("HS-grad"))
+    ).toDF("ifa", "age", "education")
+    val modes = StatsGenerator.modeComputation(d2, Seq("age", "education"))
+      .collect().map(r => r.getString(0) -> (r.getAs[String]("mode"), r.getAs[Long]("mode_count"))).toMap
+    assert(modes("education") == ("HS-grad", 3L))
+    assert(modes("age") == ("42", 2L))
+
+    // :238-291 nonzero fixture (age has a 0, income a null)
+    val d3 = Seq(
+      ("27520a", 51, Some(9000), Some("HS-grad")),
+      ("10a", 42, Some(7000), Some("Postgrad")),
+      ("11a", 0, None: Option[Int], None: Option[String]),
+      ("1100b", 23, Some(6000), Some("HS-grad"))
+    ).toDF("ifa", "age", "income", "education")
+    val nz = StatsGenerator.nonzeroCount(d3, Seq("age", "income"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("nonzero_count"), r.getAs[Double]("nonzero_pct"))).toMap
+    assert(nz("age") == (3L, 0.75) && nz("income") == (3L, 0.75))
+
+    // :608-720 percentile fixture — exact min/max equalities plus the
+    // reference's monotone upper bounds (its own asserts are <=; the
+    // exact-interpolated values satisfy the same envelope)
+    val d10 = Seq(
+      ("27520a", 51, Some(9000), "HS-grad"),
+      ("10a", 42, Some(7000), "HS-grad"),
+      ("11a", 35, None: Option[Int], "HS-grad"),
+      ("1100g", 33, Some(7500), "matric"),
+      ("11d", 45, Some(9500), "HS-grad"),
+      ("1100b", 23, Some(6000), "matric")
+    ).toDF("ifa", "age", "income", "education")
+    val pct = StatsGenerator.measuresOfPercentiles(d10, Seq("age", "income"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(pct("income").getAs[Double]("min") == 6000.0)
+    assert(pct("income").getAs[Double]("max") == 9500.0)
+    // ref's <=6000 bound assumes nearest-rank; exact interpolation gives
+    // 6000 + 0.4·1000 (documented quantile_cont deviation, oracle-matched)
+    assert(pct("income").getAs[Double]("pct_10") == 6400.0)
+    assert(pct("income").getAs[Double]("pct_25") <= 7000.0)
+    assert(pct("income").getAs[Double]("pct_50") <= 7500.0)
+    assert(pct("income").getAs[Double]("pct_75") <= 9000.0)
+    assert(pct("income").getAs[Double]("pct_90") <= 9500.0)
+    assert(pct("age").getAs[Double]("min") == 23.0)
+    assert(pct("age").getAs[Double]("pct_50") <= 38.5 + 1e-9)
+
+    // :608-659 global summary — full 8-row reference schema incl. the
+    // ", "-joined name rows
+    val gs = StatsGenerator.globalSummary(d1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gs.size == 8)
+    assert(gs("rows_count") == "4" && gs("columns_count") == "3")
+    assert(gs("numcols_count") == "1" && gs("numcols_name") == "age")
+    assert(gs("catcols_count") == "2" && gs("catcols_name") == "ifa, education")
+    assert(gs("othercols_count") == "0" && gs("othercols_name") == "")
+  }
 }
