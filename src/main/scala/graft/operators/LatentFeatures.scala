@@ -89,6 +89,133 @@ object LatentFeatures {
     if (keepOriginal) withLatents else withLatents.drop(cols: _*)
   }
 
+  /** Deterministic quantized cyclic-Jacobi eigendecomposition of a small
+    * symmetric matrix: exactly `sweeps` full cycles over the upper-
+    * triangle pairs in row-major order; after every rotation each updated
+    * A and V entry is rounded to `dp` decimals. The rounding grid absorbs
+    * the last-ulp atan2/cos/sin differences between math libraries, so an
+    * external engine replaying the same rotations on the same quantized
+    * input lands on the SAME eigenpairs bit for bit — the eigensolver
+    * twin of the quantized-Lloyd IVF fit and the fixed-iteration
+    * vincenty/pagerank oracle trick. Rotation convention (matches the
+    * SQL replay in MLQueries.pcaJacobiSql): θ = ½·atan2(2aₚq, aₚₚ−a_qq),
+    * a'ₚₚ = c²aₚₚ + 2scaₚq + s²a_qq, a'ᵣₚ = c·aᵣₚ + s·aᵣq,
+    * a'ᵣq = −s·aᵣₚ + c·aᵣq, V ← V·J. Zero rotations are skipped — the
+    * skip is portable because the quantized aₚq is exactly 0 on both
+    * engines, and applying the identity rotation re-rounds values that
+    * are already on the grid.
+    * Returns (diagonal eigenvalues, eigenvector columns V).
+    */
+  def jacobiEigSymQuantized(
+      a0: Array[Array[Double]], sweeps: Int, dp: Int): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def rq(x: Double): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var sw = 0
+    while (sw < sweeps) {
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = 0.5 * math.atan2(2.0 * apq, a(p)(p) - a(q)(q))
+            val c = math.cos(theta); val s = math.sin(theta)
+            val app = a(p)(p); val aqq = a(q)(q)
+            val napp = rq(c * c * app + 2.0 * s * c * apq + s * s * aqq)
+            val naqq = rq(s * s * app - 2.0 * s * c * apq + c * c * aqq)
+            a(p)(p) = napp; a(q)(q) = naqq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            var r = 0
+            while (r < n) {
+              if (r != p && r != q) {
+                val arp = a(r)(p); val arq = a(r)(q)
+                val nrp = rq(c * arp + s * arq)
+                val nrq = rq(-s * arp + c * arq)
+                a(r)(p) = nrp; a(p)(r) = nrp
+                a(r)(q) = nrq; a(q)(r) = nrq
+              }
+              r += 1
+            }
+            var i = 0
+            while (i < n) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = rq(c * vip + s * viq)
+              v(i)(q) = rq(-s * vip + c * viq)
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sw += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Engine-portable PCA: identical semantics to [[pcaLatentFeatures]]
+    * (z-standardize → correlation-matrix eigendecomposition → cumulative-
+    * explained-variance cutoff → latent projection, largest-|loading|-
+    * positive sign convention) but the eigensolver is the deterministic
+    * [[jacobiEigSymQuantized]] on a correlation matrix whose entries are
+    * first rounded to `quantizeDp` decimals — every fit number is
+    * SQL-replayable, so the whole operator oracle-checks in DuckDB
+    * (q_pca_latent). Requires all `cols` non-constant (the portable
+    * contract keeps the matrix layout static for the SQL replay).
+    */
+  def pcaLatentFeaturesPortable(
+      df: DataFrame,
+      cols: Seq[String],
+      explainedVarianceCutoff: Double = 0.95,
+      sweeps: Int = 6,
+      quantizeDp: Int = 9,
+      keepOriginal: Boolean = false): DataFrame = {
+    val complete = df.na.drop(cols)
+    val p = cols.size
+    val pairs = for (i <- 0 until p; j <- (i + 1) until p) yield (i, j)
+    val exprs = cols.flatMap(c => Seq(
+      avg(col(c).cast("double")).as(s"mu__$c"),
+      stddev_samp(col(c).cast("double")).as(s"sd__$c"))) ++
+      pairs.map { case (i, j) =>
+        corr(col(cols(i)).cast("double"), col(cols(j)).cast("double")).as(s"r__${i}__$j")
+      }
+    val row = complete.agg(exprs.head, exprs.tail: _*).collect()(0)
+    def d(name: String): Double = row.getDouble(row.fieldIndex(name))
+    def rq(x: Double): Double =
+      BigDecimal(x).setScale(quantizeDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mu = cols.map(c => d(s"mu__$c")).toArray
+    val sd = cols.map(c => d(s"sd__$c")).toArray
+    require(sd.forall(s => !s.isNaN && s != 0.0),
+      "portable PCA needs non-constant columns")
+    val m = Array.tabulate(p, p)((i, j) => if (i == j) 1.0 else 0.0)
+    pairs.foreach { case (i, j) =>
+      val r = rq(d(s"r__${i}__$j"))
+      m(i)(j) = r; m(j)(i) = r
+    }
+    val (ev, vec) = jacobiEigSymQuantized(m, sweeps, quantizeDp)
+    val order = (0 until p).sortBy(i => (-ev(i), i))
+    val cum = order.map(i => math.max(ev(i), 0.0) / p).scanLeft(0.0)(_ + _).tail
+    val k = cum.indexWhere(_ >= explainedVarianceCutoff) match {
+      case -1 => p
+      case n  => n + 1
+    }
+    val withLatents = (0 until k).foldLeft(complete) { (acc, i) =>
+      val ci = order(i)
+      val v = Array.tabulate(p)(j => vec(j)(ci))
+      val jm = (0 until p).maxBy(j => math.abs(v(j)))
+      val flip = if (v(jm) < 0) -1.0 else 1.0
+      val proj = cols.zipWithIndex.map { case (c, j) =>
+        (col(c).cast("double") - lit(mu(j))) * lit(flip * v(j) / sd(j))
+      }.reduce(_ + _)
+      // `+ 0.0` collapses -0.0 → 0.0 identically on both engines
+      acc.withColumn(s"latent_$i", round(proj, 4) + lit(0.0))
+    }
+    if (keepOriginal) withLatents else withLatents.drop(cols: _*)
+  }
+
   /** A fitted single-hidden-layer linear autoencoder: x̂ = W₂(W₁x̃+b₁)+b₂
     * over z-standardized inputs x̃. Kept as a plain model object so specs
     * can gate on reconstruction error and `autoencoderLatentFeatures`

@@ -11,17 +11,111 @@ import org.apache.spark.sql.functions._
   */
 object MLQueries {
 
-  /** PCA latent features (numeric output depends on the eigensolver →
-    * rows-only check; semantics covered by unit tests).
+  /** DuckDB replay of the portable 4-column PCA
+    * (`LatentFeatures.pcaLatentFeaturesPortable`): the correlation matrix
+    * (entries rounded to `dp` decimals, where Spark-vs-DuckDB `corr`
+    * last-ulp noise dies) is diagonalized by `sweeps` unrolled cyclic-
+    * Jacobi sweeps — one CTE pair per rotation, every updated A/V entry
+    * re-rounded to the same grid, so both engines walk the identical
+    * quantized trajectory (the q_ivf_topk / q_geo_vincenty fixed-
+    * iteration trick applied to an eigensolver). Eigenpairs then rank
+    * (λ desc, cid asc), sign-fix on the largest-|loading| coordinate,
+    * and project the z-scores. The engine's cutoff-0.8 resolves to all 4
+    * components on this near-orthogonal data (λ ≈ 1 each), which the
+    * oracle emits; a shrunken k would surface as a loud schema mismatch.
+    */
+  private def pcaJacobiSql(sweeps: Int, dp: Int): String = {
+    val p = 4
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def aName(i: Int, j: Int) = if (i <= j) s"a$i$j" else s"a$j$i"
+    val aEntries = for (i <- 1 to p; j <- i to p) yield aName(i, j)
+    val vEntries = for (i <- 1 to p; j <- 1 to p) yield s"v$i$j"
+    val carry = (1 to p).flatMap(i => Seq(s"mu$i", s"sd$i"))
+    val pairsIdx = for (i <- 1 to p; j <- (i + 1) to p) yield (i, j)
+
+    val stCols = (cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(s"avg($c) AS mu${i + 1}", s"stddev_samp($c) AS sd${i + 1}")
+    } ++ pairsIdx.map { case (i, j) =>
+      s"round(corr(${cols(i - 1)}, ${cols(j - 1)}), $dp) AS c$i$j"
+    }).mkString(", ")
+
+    val r0Cols = (aEntries.map {
+      case n if n(1) == n(2) => s"1.0 AS $n"
+      case n                 => s"c${n.drop(1)} AS $n"
+    } ++ vEntries.map { n =>
+      if (n(1) == n(2)) s"1.0 AS $n" else s"0.0 AS $n"
+    } ++ carry).mkString(", ")
+
+    val allRots = Seq.fill(sweeps)(pairsIdx).flatten.zipWithIndex
+    val rotCtes = allRots.map { case ((pp, qq), t0) =>
+      val t = t0 + 1
+      val apq = aName(pp, qq); val app = aName(pp, pp); val aqq = aName(qq, qq)
+      val updates = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      updates(app) = s"round(co*co*$app + 2.0*si*co*$apq + si*si*$aqq, $dp)"
+      updates(aqq) = s"round(si*si*$app - 2.0*si*co*$apq + co*co*$aqq, $dp)"
+      updates(apq) = "0.0"
+      for (r <- 1 to p if r != pp && r != qq) {
+        val arp = aName(r, pp); val arq = aName(r, qq)
+        updates(arp) = s"round(co*$arp + si*$arq, $dp)"
+        updates(arq) = s"round(-si*$arp + co*$arq, $dp)"
+      }
+      for (i <- 1 to p) {
+        updates(s"v$i$pp") = s"round(co*v$i$pp + si*v$i$qq, $dp)"
+        updates(s"v$i$qq") = s"round(-si*v$i$pp + co*v$i$qq, $dp)"
+      }
+      val sel = (aEntries ++ vEntries).map(n =>
+        updates.get(n).map(e => s"$e AS $n").getOrElse(n)) ++ carry
+      s"""t$t AS (SELECT *, CASE WHEN $apq = 0 THEN 0.0
+         |          ELSE 0.5 * atan2(2.0 * $apq, $app - $aqq) END AS th
+         |        FROM r${t - 1}),
+         |r$t AS (SELECT ${sel.mkString(", ")}
+         |        FROM (SELECT *, cos(th) AS co, sin(th) AS si FROM t$t))""".stripMargin
+    }.mkString(",\n")
+    val rN = s"r${allRots.size}"
+
+    val eigRows = (1 to p).map { c =>
+      s"SELECT $c AS cid, ${aName(c, c)} AS ev, ${(1 to p).map(i => s"v$i$c AS w$i").mkString(", ")} FROM $rN"
+    }.mkString("\n      UNION ALL ")
+
+    val absMax = s"greatest(${(1 to p).map(i => s"abs(w$i)").mkString(", ")})"
+    val pick = (1 until p).map(i => s"WHEN abs(w$i) = m THEN w$i").mkString(" ")
+    val projTerm = (k: Int) => (1 to p).map(i =>
+      s"(l.${cols(i - 1)} - st.mu$i) * (ld$k.wf$i / st.sd$i)").mkString(" + ")
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+
+    s"""
+      WITH li AS (SELECT * FROM lineitem WHERE $notNull),
+      st AS (SELECT $stCols FROM li),
+      r0 AS (SELECT $r0Cols FROM st),
+      $rotCtes,
+      eig AS ($eigRows),
+      orde AS (SELECT *, row_number() OVER (ORDER BY ev DESC, cid ASC) AS rk FROM eig),
+      ld AS (SELECT rk, ${(1 to p).map(i => s"w$i * f AS wf$i").mkString(", ")} FROM (
+               SELECT *, CASE WHEN (CASE $pick ELSE w$p END) < 0
+                 THEN -1.0 ELSE 1.0 END AS f
+               FROM (SELECT *, $absMax AS m FROM orde))),
+      ${(1 to p).map(k => s"ld$k AS (SELECT * FROM ld WHERE rk = $k)").mkString(",\n      ")}
+      SELECT l.l_orderkey, l.l_linenumber,
+        ${(1 to p).map(k =>
+          s"round(${projTerm(k)}, 4) + 0.0 AS latent_${k - 1}").mkString(",\n        ")}
+      FROM li l CROSS JOIN st ${(1 to p).map(k => s"CROSS JOIN ld$k").mkString(" ")}"""
+  }
+
+  /** PCA latent features over the 4 numeric lineitem columns, cutoff
+    * 0.8 — the full fit+apply pipeline oracle-checked via the quantized-
+    * Jacobi replay ([[pcaJacobiSql]]). The Breeze `pcaLatentFeatures`
+    * stays the default production path; ImputerSpec proves the portable
+    * variant agrees with it to 1e-3 on every latent (up to the shared
+    * sign convention).
     */
   val qPcaLatent = Q(
     "q_pca_latent",
-    (s, dir) => LatentFeatures.pcaLatentFeatures(
+    (s, dir) => LatentFeatures.pcaLatentFeaturesPortable(
       tables(s, dir).lineitem
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-      explainedVarianceCutoff = 0.8),
-    None)
+      explainedVarianceCutoff = 0.8, sweeps = 6, quantizeDp = 9),
+    Some(pcaJacobiSql(sweeps = 6, dp = 9)))
 
   /** Two-column PCA — the one PCA configuration whose eigenstructure is
     * CLOSED-FORM (corr matrix [[1,r],[r,1]] ⇒ eigenvectors (1,±1)/√2,

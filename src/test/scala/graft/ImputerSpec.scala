@@ -72,4 +72,44 @@ class ImputerSpec extends SparkSpec {
     assert(Set("regression", "KNN", "MF").contains(best), s"got $best ($errs)")
     assert(errs("regression") < errs("mean") / 2, s"$errs")
   }
+
+  test("quantized Jacobi eigensolver matches Breeze eigSym on a correlated matrix") {
+    import breeze.linalg.{eigSym, DenseMatrix => BDM}
+    val m = Array(
+      Array(1.0, 0.6, -0.3, 0.1),
+      Array(0.6, 1.0, 0.2, -0.4),
+      Array(-0.3, 0.2, 1.0, 0.5),
+      Array(0.1, -0.4, 0.5, 1.0))
+    val (ev, vec) = LatentFeatures.jacobiEigSymQuantized(m, sweeps = 8, dp = 9)
+    val bm = BDM.tabulate(4, 4)((i, j) => m(i)(j))
+    val bev = eigSym(bm).eigenvalues.toArray.sorted.reverse
+    val jev = ev.sorted.reverse
+    jev.zip(bev).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6, s"$a vs $b") }
+    // V diagonalizes: Vᵀ M V ≈ diag(ev)
+    for (c <- 0 until 4) {
+      val v = Array.tabulate(4)(i => vec(i)(c))
+      val mv = Array.tabulate(4)(i => (0 until 4).map(j => m(i)(j) * v(j)).sum)
+      val lam = (0 until 4).map(i => v(i) * mv(i)).sum /
+        (0 until 4).map(i => v(i) * v(i)).sum
+      (0 until 4).foreach(i => assert(math.abs(mv(i) - lam * v(i)) < 1e-5))
+    }
+  }
+
+  test("portable PCA agrees with the Breeze path on every latent") {
+    val d = linearFrame(400).select(col("id"), col("x"), col("y"), col("z"))
+    val a = LatentFeatures.pcaLatentFeatures(
+      d, Seq("x", "y", "z"), explainedVarianceCutoff = 1.0, keepOriginal = false)
+    val b = LatentFeatures.pcaLatentFeaturesPortable(
+      d, Seq("x", "y", "z"), explainedVarianceCutoff = 1.0)
+    assert(a.columns.count(_.startsWith("latent_")) ==
+      b.columns.count(_.startsWith("latent_")))
+    val joined = a.as("a").join(b.as("b"), Seq("id"))
+    (0 until a.columns.count(_.startsWith("latent_"))).foreach { i =>
+      // same sign convention on both paths → direct comparison, no abs
+      val maxDiff = joined
+        .agg(max(abs(col(s"a.latent_$i") - col(s"b.latent_$i"))))
+        .first().getDouble(0)
+      assert(maxDiff < 1e-3, s"latent_$i differs by $maxDiff")
+    }
+  }
 }
