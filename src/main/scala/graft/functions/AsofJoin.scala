@@ -33,6 +33,13 @@ object AsofJoin {
     * ties break backward, matching pandas merge_asof). All three run
     * as the SAME single key-shuffle union-window plan — nearest adds a
     * second frame over the one sort, never a second exchange.
+    *
+    * `tolerance` (pandas merge_asof's third knob): a matched right row
+    * further than this from the left timestamp is discarded — the left
+    * row stays, its value columns go null. Units are the ts column's
+    * double-cast units (epoch seconds for timestamps, the raw value for
+    * numeric ts). A pure post-window column expression: no extra
+    * shuffle, no plan change.
     */
   def asofJoin(
       left: DataFrame,
@@ -41,7 +48,8 @@ object AsofJoin {
       leftTs: String,
       rightTs: String,
       valueCols: Seq[String],
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Double] = None): DataFrame = {
     require(keyCols.nonEmpty && valueCols.nonEmpty, "need key and value columns")
     require(Set("backward", "forward", "nearest")(direction),
       s"unknown as-of direction: $direction")
@@ -95,7 +103,15 @@ object AsofJoin {
               .otherwise(col("__f")))
           .drop("__b", "__f")
     }
-    carried.filter(col("__side") === leftSide)
+    val bounded = tolerance match {
+      case Some(t) =>
+        val dist = abs(col("__ts").cast("double") -
+          col("__vs").getField("__rts").cast("double"))
+        carried.withColumn("__vs",
+          when(col("__vs").isNotNull && dist <= lit(t), col("__vs")))
+      case None => carried
+    }
+    bounded.filter(col("__side") === leftSide)
       .select(leftCols.map(col) ++
         valueCols.map(c => col("__vs").getField(c).as(c)): _*)
   }

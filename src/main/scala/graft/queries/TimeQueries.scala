@@ -402,6 +402,37 @@ object TimeQueries {
              ELSE fpv END AS nearest_purchase_value
       FROM b JOIN f ON b.event_id = f.event_id"""))
 
+  /** Backward as-of join with pandas merge_asof's `tolerance`: a prior
+    * purchase further than 3 days before the click is discarded (value
+    * null), the click row stays. Oracle = native ASOF plus a distance
+    * CASE — the engine implements it as a pure post-window expression on
+    * the same one-shuffle union-window plan.
+    */
+  val qAsofTolerance = Q(
+    "q_asof_tolerance",
+    (s, dir) => {
+      val e = tables(s, dir).events.withColumn("__us", unix_micros(col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "__us")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "__us")
+        .agg(max(col("value")).as("purchase_value"))
+      graft.functions.AsofJoin.asofJoin(
+          clicks, purchases, Seq("user_id"), "__us", "__us", Seq("purchase_value"),
+          tolerance = Some(3.0 * 86400 * 1000000)) // 3 days in µs
+        .select(col("event_id"), col("user_id"),
+          col("purchase_value").as("recent_purchase_value"))
+    },
+    Some("""
+      WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+                 WHERE event_type = 'click'),
+      r AS (SELECT user_id, epoch_us(ts) AS us, max(value) AS pv FROM events
+            WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT l.event_id, l.user_id,
+        CASE WHEN l.us - r.us <= 259200000000 THEN r.pv END
+          AS recent_purchase_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us"""))
+
   /** Timeseries eligibility profile (ref ts_eligiblity_check, whose
     * productivity.csv values AutoDetectSpec pins): unique-date span +
     * consecutive-gap stats + per-id/per-date pair-count ranges, all
@@ -696,5 +727,5 @@ object TimeQueries {
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
     qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin, qRolling24h,
     qForwardFill, qTsMultiformat, qFunnelSteps, qCohortRetention,
-    qAsofForward, qAsofNearest, qScd2Intervals, qTsEligibility)
+    qAsofForward, qAsofNearest, qAsofTolerance, qScd2Intervals, qTsEligibility)
 }

@@ -430,6 +430,21 @@ stats_generator:
     assert(near(2L).contains(2.0))     // exact hit
     assert(near(3L).contains(2.0))     // only prior rows remain
     assert(near(4L).contains(1.0))     // |6-4|=2 ties |8-6|=2 → backward
+
+    // pandas merge_asof tolerance: matches beyond the bound null out, the
+    // left rows stay (still a LEFT join)
+    def runTol(dir: String, tol: Double) = graft.functions.AsofJoin
+      .asofJoin(left, right, Seq("k"), "ts", "ts", Seq("v"),
+        direction = dir, tolerance = Some(tol))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    val backTol = runTol("backward", 2.0)
+    assert(backTol(1L).contains(1.0))  // 5−4=1 ≤ 2
+    assert(backTol(2L).contains(2.0))  // exact hit, distance 0
+    assert(backTol(3L).isEmpty)        // 30−8=22 > 2 → discarded
+    assert(backTol.size == 4)          // every left row kept
+    val nearTol = runTol("nearest", 1.0)
+    assert(nearTol(1L).contains(1.0))  // distance 1 ≤ 1
+    assert(nearTol(4L).isEmpty)        // nearest distance 2 > 1
   }
 
   test("interval join matches points to covering [start,end) windows") {
