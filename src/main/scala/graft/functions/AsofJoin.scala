@@ -40,6 +40,14 @@ object AsofJoin {
     * double-cast units (epoch seconds for timestamps, the raw value for
     * numeric ts). A pure post-window column expression: no extra
     * shuffle, no plan change.
+    *
+    * `allowExactMatches = false` (pandas' fourth knob) makes the
+    * comparison strict: backward sees only rights strictly BEFORE the
+    * left timestamp, forward only strictly AFTER. Implemented purely by
+    * flipping which side sorts first at equal timestamps — same plan,
+    * zero extra cost. Unsupported for `nearest` (whose two frames would
+    * need opposite equal-ts orderings in one sort); compose a strict
+    * backward and a strict forward pass instead.
     */
   def asofJoin(
       left: DataFrame,
@@ -49,10 +57,13 @@ object AsofJoin {
       rightTs: String,
       valueCols: Seq[String],
       direction: String = "backward",
-      tolerance: Option[Double] = None): DataFrame = {
+      tolerance: Option[Double] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty && valueCols.nonEmpty, "need key and value columns")
     require(Set("backward", "forward", "nearest")(direction),
       s"unknown as-of direction: $direction")
+    require(allowExactMatches || direction != "nearest",
+      "strict nearest is ambiguous in one pass: compose strict backward + strict forward")
     val leftCols = left.columns.toSeq
     // ONE struct carries the whole right row (plus its ts for nearest's
     // distance pick), so the matched row wins atomically: a right row
@@ -64,9 +75,11 @@ object AsofJoin {
       right.schema(rightTs).copy(name = "__rts", nullable = true) +:
         valueCols.map(c => right.schema(c).copy(name = c, nullable = true)))
     // at equal timestamps the right row must fall INSIDE the frame that
-    // direction reads: before left rows for the preceding frame
-    // (backward/nearest), after them for the following frame (forward)
-    val (leftSide, rightSide) = if (direction == "forward") (0, 1) else (1, 0)
+    // direction reads when exact matches are allowed (before left rows
+    // for the preceding frame, after them for the following frame) — and
+    // OUTSIDE it when they are not
+    val rightFirst = (direction != "forward") == allowExactMatches
+    val (leftSide, rightSide) = if (rightFirst) (1, 0) else (0, 1)
     val taggedLeft = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(leftSide))

@@ -433,6 +433,34 @@ object TimeQueries {
           AS recent_purchase_value
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us"""))
 
+  /** Strict backward as-of (pandas allow_exact_matches=False): a
+    * purchase AT the click timestamp is invisible — only strictly prior
+    * rows match. Same one-shuffle plan (the strictness is just the
+    * equal-ts sort order); oracle = DuckDB ASOF with `>`.
+    */
+  val qAsofStrict = Q(
+    "q_asof_strict",
+    (s, dir) => {
+      val e = tables(s, dir).events.withColumn("__us", unix_micros(col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "__us")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "__us")
+        .agg(max(col("value")).as("purchase_value"))
+      graft.functions.AsofJoin.asofJoin(
+          clicks, purchases, Seq("user_id"), "__us", "__us", Seq("purchase_value"),
+          allowExactMatches = false)
+        .select(col("event_id"), col("user_id"),
+          col("purchase_value").as("prior_purchase_value"))
+    },
+    Some("""
+      WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+                 WHERE event_type = 'click'),
+      r AS (SELECT user_id, epoch_us(ts) AS us, max(value) AS pv FROM events
+            WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT l.event_id, l.user_id, r.pv AS prior_purchase_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us > r.us"""))
+
   /** Timeseries eligibility profile (ref ts_eligiblity_check, whose
     * productivity.csv values AutoDetectSpec pins): unique-date span +
     * consecutive-gap stats + per-id/per-date pair-count ranges, all
@@ -727,5 +755,6 @@ object TimeQueries {
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
     qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin, qRolling24h,
     qForwardFill, qTsMultiformat, qFunnelSteps, qCohortRetention,
-    qAsofForward, qAsofNearest, qAsofTolerance, qScd2Intervals, qTsEligibility)
+    qAsofForward, qAsofNearest, qAsofTolerance, qAsofStrict, qScd2Intervals,
+    qTsEligibility)
 }

@@ -445,6 +445,21 @@ stats_generator:
     val nearTol = runTol("nearest", 1.0)
     assert(nearTol(1L).contains(1.0))  // distance 1 ≤ 1
     assert(nearTol(4L).isEmpty)        // nearest distance 2 > 1
+
+    // allow_exact_matches=false: equal-ts rights become invisible
+    def runStrict(dir: String) = graft.functions.AsofJoin
+      .asofJoin(left, right, Seq("k"), "ts", "ts", Seq("v"),
+        direction = dir, allowExactMatches = false)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    val backStrict = runStrict("backward")
+    assert(backStrict(2L).contains(1.0)) // ts=8 skips right AT 8 → prior 4
+    assert(backStrict(1L).contains(1.0)) // unaffected away from ties
+    val fwdStrict = runStrict("forward")
+    assert(fwdStrict(2L).isEmpty)        // ts=8 skips right AT 8; none later
+    assert(fwdStrict(1L).contains(2.0))  // unaffected away from ties
+    intercept[IllegalArgumentException] {
+      runStrict("nearest")               // documented one-pass limitation
+    }
   }
 
   test("interval join matches points to covering [start,end) windows") {
