@@ -384,6 +384,54 @@ object Transformers {
     (out, best)
   }
 
+  /** Quantile (rank/ECDF) transform — sklearn QuantileTransformer's
+    * uniform mode at scale: fit an `nQuantiles`-point reference grid per
+    * column via the distributed histogram-selection percentiles (the
+    * column data is never sorted or shuffled — the naive percent_rank
+    * window would funnel the whole table through one task), then map
+    * each value by linear interpolation inside its grid cell. Apply is
+    * a pure map-only expression over the broadcast grid literals.
+    * Grid values are quantized to `gridDp` decimals so an external
+    * engine fitting the same grid (quantile_cont) interpolates against
+    * bit-identical cell boundaries — the whole fit+apply oracle-checks
+    * (q_quantile_transform). Values at/below the grid minimum map to 0,
+    * at/above the maximum to 1; inside a flat (duplicate-valued) run the
+    * highest cell wins (deterministic). Nulls pass through.
+    */
+  def quantileTransform(
+      df: DataFrame,
+      cols: Seq[String],
+      nQuantiles: Int = 101,
+      gridDp: Int = 6,
+      outputSuffix: String = "_qt"): DataFrame = {
+    require(nQuantiles >= 2, "need at least 2 grid points")
+    val ps = (0 until nQuantiles).map(_.toDouble / (nQuantiles - 1))
+    def rq(x: Double): Double =
+      BigDecimal(x).setScale(gridDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val grids: Map[String, Array[Double]] = StatsGenerator
+      .exactPercentiles(df, cols, ps)
+      .collect()
+      .map(r => r.getString(r.fieldIndex("attribute")) ->
+        r.getSeq[Double](r.fieldIndex("qs")).map(rq).toArray)
+      .toMap
+    cols.foldLeft(df) { (d, c) =>
+      val g = grids(c)
+      val garr = array(g.map(lit): _*)
+      val x = col(c).cast("double")
+      // i = #grid points ≤ x (1-based upper cell index); hi = first grid
+      // value > x, so hi > x ≥ lo and the cell division is never by zero
+      val i = size(filter(garr, e => e <= x))
+      val lo = element_at(garr, i)
+      val hi = element_at(garr, i + 1)
+      val frac = (i - lit(1) + (x - lo) / (hi - lo)) / lit(nQuantiles - 1)
+      d.withColumn(s"$c$outputSuffix",
+        when(x.isNull, lit(null).cast("double"))
+          .when(i === 0, 0.0)
+          .when(i === nQuantiles, 1.0)
+          .otherwise(round(frac, 4) + lit(0.0)))
+    }
+  }
+
   // ---------------------------------------------------------------- imputation
 
   /** ref: transformers.py:1369-1674 `imputation_MMM` — numeric nulls →

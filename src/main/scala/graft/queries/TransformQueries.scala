@@ -159,7 +159,51 @@ object TransformQueries {
         CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END AS c_mktsegment_MACHINERY
       FROM customer"""))
 
+  /** DuckDB replay of [[Transformers.quantileTransform]]: the same
+    * `nq`-point quantile_cont grid (which the q_percentiles parity
+    * already proves matches exactPercentiles) rounded to the same
+    * `gridDp` grid, then the identical cell lookup (#points ≤ x) and
+    * in-cell linear interpolation.
+    */
+  private def quantileTransformSql(cols: Seq[String], nq: Int, gridDp: Int): String = {
+    val ps = (0 until nq).map(i => s"${i.toDouble / (nq - 1)}").mkString(", ")
+    val gridCols = cols.zipWithIndex.map { case (c, ci) =>
+      s"list_transform(quantile_cont($c, [$ps]), e -> round(e, $gridDp)) AS g$ci"
+    }.mkString(",\n             ")
+    val idxCols = cols.zipWithIndex.map { case (c, ci) =>
+      s"len(list_filter(g.g$ci, e -> e <= l.$c)) AS i$ci"
+    }.mkString(", ")
+    val outCols = cols.zipWithIndex.map { case (c, ci) =>
+      s"""CASE WHEN $c IS NULL THEN NULL
+         |       WHEN i$ci = 0 THEN 0.0
+         |       WHEN i$ci = $nq THEN 1.0
+         |       ELSE round((i$ci - 1 + ($c - g$ci[i$ci]) / (g$ci[i$ci + 1] - g$ci[i$ci]))
+         |                  / ${nq - 1}.0, 4) + 0.0 END AS ${c}_qt""".stripMargin
+    }.mkString(",\n      ")
+    s"""
+      WITH g AS (SELECT $gridCols FROM lineitem),
+      ix AS (SELECT l.l_orderkey, l.l_linenumber, l.${cols.mkString(", l.")},
+                    ${idxCols}, ${cols.indices.map(ci => s"g.g$ci").mkString(", ")}
+             FROM lineitem l CROSS JOIN g)
+      SELECT l_orderkey, l_linenumber,
+      $outCols
+      FROM ix"""
+  }
+
+  /** Quantile/ECDF transform (sklearn QuantileTransformer's uniform
+    * mode) over two lineitem measures — fit by distributed histogram
+    * selection, apply map-only, fully oracle-checked.
+    */
+  val qQuantileTransform = Q(
+    "q_quantile_transform",
+    (s, dir) => Transformers.quantileTransform(
+      tables(s, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Seq("l_quantity", "l_extendedprice"))
+      .select("l_orderkey", "l_linenumber", "l_quantity_qt", "l_extendedprice_qt"),
+    Some(quantileTransformSql(Seq("l_quantity", "l_extendedprice"), nq = 101, gridDp = 6)))
+
   def all: Seq[Q] = Seq(qBinning, qBinningEqFreq, qMinMaxNorm, qZStandardization,
     qIqrStandardization, qFeatureMath, qOutlierCategories, qTargetEncoding, qLabelEncoding,
-    qOneHot)
+    qOneHot, qQuantileTransform)
 }

@@ -170,4 +170,19 @@ class TransformSpec extends SparkSpec {
     val binned = Transformers.attributeBinning(d, Seq("x", "y"), "equal_range", 2)
     assert(binned.columns.contains("x_binned") && !binned.columns.contains("y_binned"))
   }
+
+  test("quantile transform: ECDF bounds, monotonicity, null passthrough") {
+    val d = ((1 to 200).map(i => Some(i.toDouble)) ++ Seq(None))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val out = Transformers.quantileTransform(d, Seq("x"), nQuantiles = 11)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(out(200L).isEmpty)                    // null passes through
+    assert(out(0L).contains(0.0))                // min maps to 0
+    assert(out(199L).contains(1.0))              // max maps to 1
+    // uniform data → ECDF ≈ identity on [0,1]; and strictly monotone
+    val vals = (0 until 200).map(i => out(i.toLong).get)
+    assert(vals.sliding(2).forall(p => p(0) <= p(1)))
+    val mid = out(99L).get                       // value 100 of 1..200
+    assert(math.abs(mid - 99.0 / 199.0) < 0.02, s"mid $mid")
+  }
 }
