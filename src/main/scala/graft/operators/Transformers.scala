@@ -416,19 +416,33 @@ object Transformers {
       .toMap
     cols.foldLeft(df) { (d, c) =>
       val g = grids(c)
-      val garr = array(g.map(lit): _*)
       val x = col(c).cast("double")
-      // i = #grid points ≤ x (1-based upper cell index); hi = first grid
-      // value > x, so hi > x ≥ lo and the cell division is never by zero
-      val i = size(filter(garr, e => e <= x))
-      val lo = element_at(garr, i)
-      val hi = element_at(garr, i + 1)
-      val frac = (i - lit(1) + (x - lo) / (hi - lo)) / lit(nQuantiles - 1)
+      val n = nQuantiles
+      // Balanced binary-search when-tree over the grid: ~log2(n) nested
+      // codegen'd comparisons per row instead of a per-row array
+      // materialization + interpreted higher-order filter (measured 13×
+      // slower at sf0.1). Each leaf is the answer for upper-bound index
+      // i = #grid points ≤ x: 0 → 0.0, n → 1.0, else linear
+      // interpolation inside cell [g(i−1), g(i)) — hi > x ≥ lo, so the
+      // cell division is never by zero.
+      def leaf(i: Int): Column =
+        if (i == 0) lit(0.0)
+        else if (i == n) lit(1.0)
+        else {
+          val lo = g(i - 1); val hi = g(i)
+          (lit((i - 1).toDouble) + (x - lit(lo)) / (lit(hi) - lit(lo))) /
+            lit((n - 1).toDouble)
+        }
+      // invariant: upper_bound(x) ∈ [lo, hi]; upper_bound ≤ m iff x < g(m)
+      def tree(lo: Int, hi: Int): Column =
+        if (lo == hi) leaf(lo)
+        else {
+          val mid = (lo + hi) / 2
+          when(x < lit(g(mid)), tree(lo, mid)).otherwise(tree(mid + 1, hi))
+        }
       d.withColumn(s"$c$outputSuffix",
         when(x.isNull, lit(null).cast("double"))
-          .when(i === 0, 0.0)
-          .when(i === nQuantiles, 1.0)
-          .otherwise(round(frac, 4) + lit(0.0)))
+          .otherwise(round(tree(0, n), 4) + lit(0.0)))
     }
   }
 
