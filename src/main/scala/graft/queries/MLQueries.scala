@@ -65,10 +65,12 @@ object MLQueries {
       }
       val sel = (aEntries ++ vEntries).map(n =>
         updates.get(n).map(e => s"$e AS $n").getOrElse(n)) ++ carry
-      s"""t$t AS (SELECT *, CASE WHEN $apq = 0 THEN 0.0
+      // MATERIALIZED: keeps DuckDB from inlining the 72-CTE chain into
+      // one exponentially-expanded plan (same guard as ivfTopKSql)
+      s"""t$t AS MATERIALIZED (SELECT *, CASE WHEN $apq = 0 THEN 0.0
          |          ELSE 0.5 * atan2(2.0 * $apq, $app - $aqq) END AS th
          |        FROM r${t - 1}),
-         |r$t AS (SELECT ${sel.mkString(", ")}
+         |r$t AS MATERIALIZED (SELECT ${sel.mkString(", ")}
          |        FROM (SELECT *, cos(th) AS co, sin(th) AS si FROM t$t))""".stripMargin
     }.mkString(",\n")
     val rN = s"r${allRots.size}"

@@ -446,24 +446,27 @@ object TextQueries {
          |      (a, b) -> a + b)""".stripMargin
     val sweeps = (1 to iters).map { s =>
       val prev = s"c${s - 1}"
-      s"""ds$s AS (SELECT o.id, o.v, c.cid, ${distExpr("o", "c")} AS dist
+      // MATERIALIZED: without it DuckDB inlines the single-reference CTE
+      // chain and the planner blows up intermittently (observed OOM on a
+      // 5-sweep chain); materializing each sweep keeps planning linear
+      s"""ds$s AS MATERIALIZED (SELECT o.id, o.v, c.cid, ${distExpr("o", "c")} AS dist
          |        FROM ord o CROSS JOIN $prev c),
-         |a$s AS (SELECT id, v, cid FROM (
+         |a$s AS MATERIALIZED (SELECT id, v, cid FROM (
          |          SELECT *, row_number() OVER
          |            (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rk FROM ds$s)
          |        WHERE rk = 1),
-         |m$s AS (SELECT cid, i, round(sum(x) / count(*), $dp) AS cx
+         |m$s AS MATERIALIZED (SELECT cid, i, round(sum(x) / count(*), $dp) AS cx
          |        FROM (SELECT cid, unnest(list_transform(v, x -> x::DOUBLE)) AS x,
          |                     unnest(range(1, len(v) + 1)) AS i FROM a$s)
          |        GROUP BY cid, i),
-         |c$s AS (SELECT cid, list(cx ORDER BY i) AS c FROM m$s GROUP BY cid
+         |c$s AS MATERIALIZED (SELECT cid, list(cx ORDER BY i) AS c FROM m$s GROUP BY cid
          |        UNION ALL
          |        SELECT cid, c FROM $prev
          |        WHERE cid NOT IN (SELECT cid FROM m$s))""".stripMargin
     }.mkString(",\n")
     s"""
       WITH corpus AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-      ord AS (SELECT id, v, row_number() OVER (ORDER BY
+      ord AS MATERIALIZED (SELECT id, v, row_number() OVER (ORDER BY
                 ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT ASC, id ASC) - 1 AS rn
               FROM corpus),
       prm AS (SELECT greatest(1, count(*) // $cells) AS stride FROM ord),
