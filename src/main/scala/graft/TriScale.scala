@@ -28,7 +28,10 @@ object TriScale {
     // round-9: the broadcast-query-set retrieval (guards the 1M query
     // cap staying effective) and the 50-token-window span dedup (guards
     // the hash-join candidate volume)
-    "q_cross_topk", "q_dup_spans")
+    "q_cross_topk", "q_dup_spans",
+    // round-9 fit-heavy additions: histogram-selection grid fit +
+    // when-tree apply, and the quantized-Jacobi PCA fit+project
+    "q_quantile_transform", "q_pca_latent")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
