@@ -74,7 +74,8 @@ object Bench {
     // (round 8's q_forward_fill "0.057 s" was an insta-fail, not a
     // measurement): record it in `failed`, exclude it from timings.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        isRetry: Boolean = false): Option[Double] = {
       val (sw0, sp0) = metrics.snapshot
       val t0 = System.nanoTime()
       // noop sink: forces full computation of every output column
@@ -83,12 +84,17 @@ object Bench {
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed += name
+          // A retry-only failure must not mark an already-timed query as
+          // failed (the first, counted run succeeded — the report would
+          // otherwise list the same query as both timed and failed).
+          if (!isRetry) failed += name
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
       val (sw1, sp1) = metrics.snapshot
-      detail(name) = (sw1 - sw0, sp1 - sp0)
+      // Likewise keep the successful first run's shuffle/spill snapshot if
+      // the de-noise retry dies partway through.
+      if (!isRetry || ok) detail(name) = (sw1 - sw0, sp1 - sp0)
       // Drop blocks the finished query leaked (localCheckpoint frames,
       // persisted fit caches): with a 96-GiB heap a GC may never fire, so
       // ContextCleaner never reaps them and storage-pool churn taxes every
@@ -110,7 +116,7 @@ object Bench {
       runOnce(name, fn).map { dt0 =>
         val dt =
           if (dt0 > retryAbove) {
-            val dt1 = runOnce(name, fn).getOrElse(dt0)
+            val dt1 = runOnce(name, fn, isRetry = true).getOrElse(dt0)
             if (dt1 < dt0)
               System.err.println(f"[bench] $name retried: $dt0%.3f -> $dt1%.3f s")
             math.min(dt0, dt1)

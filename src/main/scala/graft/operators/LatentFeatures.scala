@@ -186,8 +186,12 @@ object LatentFeatures {
     def d(name: String): Double = row.getDouble(row.fieldIndex(name))
     def rq(x: Double): Double =
       BigDecimal(x).setScale(quantizeDp, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val mu = cols.map(c => d(s"mu__$c")).toArray
-    val sd = cols.map(c => d(s"sd__$c")).toArray
+    // mu/sd ride the same quantize grid as the correlation entries: both
+    // engines' avg/stddev_samp differ by summation-order ulps, and an
+    // unquantized value sitting on a round(.,4) boundary could flip the
+    // final projection hash even when the fit itself agrees.
+    val mu = cols.map(c => rq(d(s"mu__$c"))).toArray
+    val sd = cols.map(c => rq(d(s"sd__$c"))).toArray
     require(sd.forall(s => !s.isNaN && s != 0.0),
       "portable PCA needs non-constant columns")
     val m = Array.tabulate(p, p)((i, j) => if (i == j) 1.0 else 0.0)

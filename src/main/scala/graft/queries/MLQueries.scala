@@ -34,7 +34,11 @@ object MLQueries {
     val pairsIdx = for (i <- 1 to p; j <- (i + 1) to p) yield (i, j)
 
     val stCols = (cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(s"avg($c) AS mu${i + 1}", s"stddev_samp($c) AS sd${i + 1}")
+      // mu/sd rounded to the same dp grid as the correlation entries —
+      // matches the engine's rq(mu)/rq(sd) (removes the residual risk of
+      // an unquantized value on a round(.,4) projection boundary)
+      Seq(s"round(avg($c), $dp) AS mu${i + 1}",
+        s"round(stddev_samp($c), $dp) AS sd${i + 1}")
     } ++ pairsIdx.map { case (i, j) =>
       s"round(corr(${cols(i - 1)}, ${cols(j - 1)}), $dp) AS c$i$j"
     }).mkString(", ")

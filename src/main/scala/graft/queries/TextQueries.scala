@@ -435,11 +435,17 @@ object TextQueries {
     * sequential loop bit-for-bit, so assignments cannot flip on
     * summation-order noise) and re-centers on a `dp`-decimal grid (the
     * rounding absorbs DuckDB's unordered per-dim mean summation — the
-    * q_pagerank / q_geo_vincenty fixed-iteration trick). Final members
-    * (rank-1 cell) meet probers (rank ≤ nprobe cells) per cell; cosine +
-    * global rank reuse the exact-cosine CTE shape of [[cosineTopK3Sql]].
+    * q_pagerank / q_geo_vincenty fixed-iteration trick). The quantizer is
+    * fit on the SAME bounded sample as the engine — the `fitSample`
+    * lowest-md5 rows (`fit` CTE) — so the oracle tracks the engine at any
+    * corpus size, not just while the table fits under the sample cap; the
+    * final member/prober assignment then runs over the FULL corpus exactly
+    * like `Similarity.ivfTopK`. Final members (rank-1 cell) meet probers
+    * (rank ≤ nprobe cells) per cell; cosine + global rank reuse the
+    * exact-cosine CTE shape of [[cosineTopK3Sql]].
     */
-  private def ivfTopKSql(cells: Int, nprobe: Int, iters: Int, dp: Int, k: Int): String = {
+  private def ivfTopKSql(cells: Int, nprobe: Int, iters: Int, dp: Int, k: Int,
+      fitSample: Int = 10000): String = {
     def distExpr(vTbl: String, cTbl: String) =
       s"""list_reduce(list_transform(range(1, len($vTbl.v) + 1),
          |      i -> ($vTbl.v[i]::DOUBLE - $cTbl.c[i]) * ($vTbl.v[i]::DOUBLE - $cTbl.c[i])),
@@ -450,7 +456,7 @@ object TextQueries {
       // chain and the planner blows up intermittently (observed OOM on a
       // 5-sweep chain); materializing each sweep keeps planning linear
       s"""ds$s AS MATERIALIZED (SELECT o.id, o.v, c.cid, ${distExpr("o", "c")} AS dist
-         |        FROM ord o CROSS JOIN $prev c),
+         |        FROM fit o CROSS JOIN $prev c),
          |a$s AS MATERIALIZED (SELECT id, v, cid FROM (
          |          SELECT *, row_number() OVER
          |            (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rk FROM ds$s)
@@ -469,10 +475,11 @@ object TextQueries {
       ord AS MATERIALIZED (SELECT id, v, row_number() OVER (ORDER BY
                 ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT ASC, id ASC) - 1 AS rn
               FROM corpus),
-      prm AS (SELECT greatest(1, count(*) // $cells) AS stride FROM ord),
+      fit AS MATERIALIZED (SELECT id, v, rn FROM ord WHERE rn < $fitSample),
+      prm AS (SELECT greatest(1, count(*) // $cells) AS stride FROM fit),
       c0 AS (SELECT CAST(rn // stride AS INT) AS cid,
                     list_transform(v, x -> x::DOUBLE) AS c
-             FROM ord, prm WHERE rn % stride = 0 AND rn // stride < $cells),
+             FROM fit, prm WHERE rn % stride = 0 AND rn // stride < $cells),
       $sweeps,
       fd AS (SELECT o.id, c.cid, ${distExpr("o", "c")} AS dist
              FROM ord o CROSS JOIN c$iters c),
@@ -511,10 +518,12 @@ object TextQueries {
   val qIvfTopK = Q(
     "q_ivf_topk",
     (s, dir) => Similarity.ivfTopK(tables(s, dir).embeddings, "vec_id", "embedding",
-      k = 3, cellCount = 8, nprobe = 3, lloydIters = 5, lloydQuantize = 4)
+      k = 3, cellCount = 8, nprobe = 3, fitSample = 10000, lloydIters = 5,
+      lloydQuantize = 4)
       .select(col("vec_id").cast("long"), col("neighbor_id").cast("long"),
         col("cos"), col("rank")),
-    Some(ivfTopKSql(cells = 8, nprobe = 3, iters = 5, dp = 4, k = 3)))
+    Some(ivfTopKSql(cells = 8, nprobe = 3, iters = 5, dp = 4, k = 3,
+      fitSample = 10000)))
 
   /** Embedding-cosine near-dup over a corpus with planted noisy copies —
     * full-pipeline oracle: the planted float perturbation (×1.0001f) is
