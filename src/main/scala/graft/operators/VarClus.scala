@@ -219,4 +219,200 @@ object VarClus {
     }
     rows.toDF("Cluster", "Attribute", "RS_Own", "RS_NC", "RS_Ratio")
   }
+
+  // ------------------------------------------------------------------
+  // Engine-portable variant: identical VarClusHi semantics, but every
+  // eigendecomposition is the deterministic quantized cyclic Jacobi
+  // (LatentFeatures.jacobiEigSymQuantized) on a correlation matrix whose
+  // entries are rounded to `dp` decimals, every derived comparison
+  // quantity (NCS ratios, component sigmas, rotated loadings) is
+  // re-rounded to the same grid, and every summation runs in a defined
+  // left-to-right index order — so an external SQL engine replaying the
+  // same arithmetic lands on the same clusters AND the same RS numbers
+  // bit for bit (the q_pca_latent trick extended from one eigensolver to
+  // the full split → quartimax → NCS → hill-climb pipeline).
+  // ------------------------------------------------------------------
+
+  private def rq(dp: Int)(x: Double): Double =
+    BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Quantized eigendecomposition of a cluster submatrix, sorted by
+    * (eigenvalue desc, column index asc). Singleton → ([1], [[1]]).
+    */
+  private def portableEig(corr: Array[Array[Double]], idx: Seq[Int],
+      sweeps: Int, dp: Int): (Array[Double], Array[Array[Double]]) = {
+    val m = idx.size
+    if (m <= 1) (Array(1.0), Array(Array(1.0)))
+    else {
+      val sub = Array.tabulate(m, m)((i, j) => corr(idx(i))(idx(j)))
+      val (ev, v) = graft.operators.LatentFeatures.jacobiEigSymQuantized(sub, sweeps, dp)
+      // `+ 0.0` collapses −0.0 before the sort key so the Scala total
+      // ordering (−0.0 < 0.0) can't order two grid-equal eigenvalues
+      // differently from the SQL replay
+      val order = (0 until m).sortBy(i => (-(ev(i) + 0.0), i))
+      (order.map(ev).toArray,
+        Array.tabulate(m, m)((r, c) => v(r)(order(c))))
+    }
+  }
+
+  /** First eigenvalue of a cluster (1.0 for singletons) — the quantized
+    * totVar building block shared with the SQL replay.
+    */
+  private def portableEig1(corr: Array[Array[Double]], idx: Seq[Int],
+      sweeps: Int, dp: Int): Double =
+    if (idx.size <= 1) idx.size.toDouble
+    else portableEig(corr, idx, sweeps, dp)._1(0)
+
+  /** VarClusHi with fully portable arithmetic (see object banner).
+    * Output matches [[variableClustering]]'s schema; ParitySpec asserts
+    * the two agree on the benchmark fixture. `reassignPasses` bounds the
+    * SQL replay — the engine still iterates to convergence and a spec
+    * checks convergence happens within the bound (a divergence would
+    * also surface as a loud oracle hash mismatch).
+    */
+  def variableClusteringPortable(
+      df: DataFrame,
+      cols: Seq[String],
+      maxEigval2: Double = 1.0,
+      sweeps: Int = 6,
+      dp: Int = 9,
+      trace: Boolean = false): DataFrame = {
+    import df.sparkSession.implicits._
+    val q = rq(dp) _
+    val p = cols.size
+    val raw = correlationMatrix(df, cols)
+    val corr = Array.tabulate(p, p)((i, j) => if (i == j) 1.0 else q(raw(i, j)))
+
+    def eig(idx: Seq[Int]) = portableEig(corr, idx, sweeps, dp)
+    def eig1(idx: Seq[Int]) = portableEig1(corr, idx, sweeps, dp)
+    def eig2(idx: Seq[Int]): Double =
+      if (idx.size <= 1) 0.0 else eig(idx)._1(1)
+
+    def hillClimb(clus1: Seq[Int], clus2: Seq[Int]): (Seq[Int], Seq[Int], Int) = {
+      val feats = clus1 ++ clus2
+      var fin1 = clus1.toVector; var fin2 = clus2.toVector
+      var checkVar = eig1(fin1) + eig1(fin2)
+      var maxVar = checkVar
+      var improved = true
+      var passes = 0
+      while (improved) {
+        passes += 1
+        for (feat <- feats) {
+          val (n1, n2) =
+            if (fin1.contains(feat)) (fin1.filterNot(_ == feat), fin2 :+ feat)
+            else (fin1 :+ feat, fin2.filterNot(_ == feat))
+          if (n1.nonEmpty && n2.nonEmpty) {
+            val v = eig1(n1) + eig1(n2)
+            if (v > checkVar) { checkVar = v; fin1 = n1.toVector; fin2 = n2.toVector }
+          }
+        }
+        if (maxVar == checkVar) improved = false else maxVar = checkVar
+      }
+      (fin1, fin2, passes)
+    }
+
+    var clusters: Vector[Seq[Int]] = Vector(cols.indices.toSeq)
+    var go = true
+    var rounds = 0
+    while (go) {
+      val e2s = clusters.map(eig2)
+      val splitIdx = e2s.indices.maxBy(e2s)
+      if (e2s(splitIdx) <= maxEigval2) go = false
+      else {
+        rounds += 1
+        val clus = clusters(splitIdx)
+        val m = clus.size
+        val sub = Array.tabulate(m, m)((i, j) => corr(clus(i))(clus(j)))
+        val (_, vecs) = eig(clus)
+        // quartimax of the top-2 loadings, rotated loadings re-quantized
+        val a = Array.tabulate(m)(i => vecs(i)(0))
+        val b = Array.tabulate(m)(i => vecs(i)(1))
+        var cSum = 0.0; var dSum = 0.0
+        var i = 0
+        while (i < m) {
+          val u = a(i) * a(i) - b(i) * b(i)
+          val v = 2.0 * a(i) * b(i)
+          cSum += u * u - v * v
+          dSum += 2.0 * u * v
+          i += 1
+        }
+        val theta = math.atan2(dSum, cSum) / 4
+        val (co, si) = (math.cos(theta), math.sin(theta))
+        val r0 = Array.tabulate(m)(i => q(co * a(i) + si * b(i)))
+        val r1 = Array.tabulate(m)(i => q(-si * a(i) + co * b(i)))
+        // sigma_k = sqrt(rot_kᵀ Σ rot_k), defined order: j outer, i inner
+        def sigmaOf(r: Array[Double]): Double = {
+          var s = 0.0; var j = 0
+          while (j < m) {
+            var y = 0.0; var i2 = 0
+            while (i2 < m) { y += r(i2) * sub(i2)(j); i2 += 1 }
+            s += y * r(j); j += 1
+          }
+          q(math.sqrt(s))
+        }
+        val sig0 = sigmaOf(r0); val sig1 = sigmaOf(r1)
+        // NCS: assign each variable to the rotated component with the
+        // larger quantized |corr(x, comp)|
+        def ratio(r: Array[Double], sig: Double, li: Int): Double = {
+          var cov = 0.0; var j = 0
+          while (j < m) { cov += r(j) * sub(j)(li); j += 1 }
+          q(math.abs(cov / sig))
+        }
+        val (c1m, c2m) = clus.zipWithIndex.partition { case (_, li) =>
+          ratio(r0, sig0, li) > ratio(r1, sig1, li)
+        }
+        var clus1: Seq[Int] = c1m.map(_._1); var clus2: Seq[Int] = c2m.map(_._1)
+        if (clus1.isEmpty) { clus1 = Seq(clus2.head); clus2 = clus2.tail }
+        if (clus2.isEmpty) { clus2 = Seq(clus1.head); clus1 = clus1.tail }
+        val (f1, f2, passes) = hillClimb(clus1, clus2)
+        if (trace) System.err.println(
+          s"[varclus] round $rounds: split #$splitIdx ${clus.map(cols).mkString("[", ",", "]")}" +
+            s" e2=${e2s(splitIdx)} ncs=(${clus1.map(cols).mkString(",")})/(${clus2.map(cols).mkString(",")})" +
+            s" final=(${f1.map(cols).mkString(",")})/(${f2.map(cols).mkString(",")}) passes=$passes")
+        clusters = clusters.updated(splitIdx, f1) :+ f2
+      }
+    }
+    if (trace) System.err.println(
+      s"[varclus] final: ${clusters.map(_.map(cols).mkString("[", ",", "]")).mkString(" ")}")
+
+    // RS table over the FULL corr matrix, defined-order sums
+    val pcs = clusters.map { c =>
+      val vec1 =
+        if (c.size <= 1) Array(1.0)
+        else { val (_, v) = eig(c); Array.tabulate(c.size)(i => v(i)(0)) }
+      val sigma =
+        if (c.size <= 1) 1.0
+        else {
+          var s = 0.0; var j = 0
+          while (j < c.size) {
+            var y = 0.0; var i2 = 0
+            while (i2 < c.size) { y += vec1(i2) * corr(c(i2))(c(j)); i2 += 1 }
+            s += y * vec1(j); j += 1
+          }
+          q(math.sqrt(s))
+        }
+      (c, vec1, sigma)
+    }
+    def rsWith(feat: Int, c: Seq[Int], vec1: Array[Double], sigma: Double): Double = {
+      var cov = 0.0; var j = 0
+      while (j < c.size) { cov += vec1(j) * corr(c(j))(feat); j += 1 }
+      val r = cov / sigma
+      r * r
+    }
+    val q4 = rq(4) _
+    val rows = pcs.zipWithIndex.flatMap { case ((c, vec1, sigma), ci) =>
+      c.map { feat =>
+        val rsOwn = if (c.size == 1) 1.0 else rsWith(feat, c, vec1, sigma)
+        val others = pcs.zipWithIndex.collect {
+          case ((oc, ovec, osig), j) if j != ci => rsWith(feat, oc, ovec, osig)
+        }
+        val rsNc = if (others.nonEmpty) others.max else 0.0
+        val ratio = (1 - rsOwn) / (1 - rsNc)
+        // `+ 0.0` collapses -0.0 like the other portable oracles
+        ClusterAssignment(ci, cols(feat),
+          q4(rsOwn) + 0.0, q4(rsNc) + 0.0, q4(ratio) + 0.0)
+      }
+    }
+    rows.toDF("Cluster", "Attribute", "RS_Own", "RS_NC", "RS_Ratio")
+  }
 }
