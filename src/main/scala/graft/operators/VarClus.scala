@@ -264,11 +264,21 @@ object VarClus {
     else portableEig(corr, idx, sweeps, dp)._1(0)
 
   /** VarClusHi with fully portable arithmetic (see object banner).
-    * Output matches [[variableClustering]]'s schema; ParitySpec asserts
-    * the two agree on the benchmark fixture. `reassignPasses` bounds the
-    * SQL replay — the engine still iterates to convergence and a spec
-    * checks convergence happens within the bound (a divergence would
-    * also surface as a loud oracle hash mismatch).
+    * Output matches [[variableClustering]]'s schema; VarClusSpec asserts
+    * the two produce the same clusters on the benchmark fixture and the
+    * DuckDB replay of [[graft.queries.VarClusSql]] reproduces this
+    * function bit for bit (q_variable_clustering oracle row).
+    *
+    * Canonical-order contract shared with the SQL replay: cluster member
+    * lists are kept sorted ascending at every step (initial cluster, NCS
+    * partition, hill-climb moves), so a member SET fully determines its
+    * submatrix and therefore its quantized eigendata — which is what lets
+    * the replay precompute one Jacobi per subset bitmask instead of
+    * re-deriving eigensolvers inside the split/hill-climb folds. The
+    * hill-climb runs `passes` FIXED sweeps over the ascending move
+    * schedule (early exit when a sweep accepts no move is a pure
+    * optimization: the state is a fixed point, so the remaining sweeps
+    * are no-ops on both engines).
     */
   def variableClusteringPortable(
       df: DataFrame,
@@ -276,6 +286,7 @@ object VarClus {
       maxEigval2: Double = 1.0,
       sweeps: Int = 6,
       dp: Int = 9,
+      passes: Int = 4,
       trace: Boolean = false): DataFrame = {
     import df.sparkSession.implicits._
     val q = rq(dp) _
@@ -289,18 +300,18 @@ object VarClus {
       if (idx.size <= 1) 0.0 else eig(idx)._1(1)
 
     def hillClimb(clus1: Seq[Int], clus2: Seq[Int]): (Seq[Int], Seq[Int], Int) = {
-      val feats = clus1 ++ clus2
+      val feats = (clus1 ++ clus2).sorted
       var fin1 = clus1.toVector; var fin2 = clus2.toVector
       var checkVar = eig1(fin1) + eig1(fin2)
       var maxVar = checkVar
       var improved = true
-      var passes = 0
-      while (improved) {
-        passes += 1
+      var sweep = 0
+      while (improved && sweep < passes) {
+        sweep += 1
         for (feat <- feats) {
           val (n1, n2) =
-            if (fin1.contains(feat)) (fin1.filterNot(_ == feat), fin2 :+ feat)
-            else (fin1 :+ feat, fin2.filterNot(_ == feat))
+            if (fin1.contains(feat)) (fin1.filterNot(_ == feat), (fin2 :+ feat).sorted)
+            else ((fin1 :+ feat).sorted, fin2.filterNot(_ == feat))
           if (n1.nonEmpty && n2.nonEmpty) {
             val v = eig1(n1) + eig1(n2)
             if (v > checkVar) { checkVar = v; fin1 = n1.toVector; fin2 = n2.toVector }
@@ -308,7 +319,7 @@ object VarClus {
         }
         if (maxVar == checkVar) improved = false else maxVar = checkVar
       }
-      (fin1, fin2, passes)
+      (fin1, fin2, sweep)
     }
 
     var clusters: Vector[Seq[Int]] = Vector(cols.indices.toSeq)

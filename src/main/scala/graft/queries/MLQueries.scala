@@ -357,15 +357,21 @@ transformers:
       SELECT bin, o_orderpriority, count(*) AS n FROM t GROUP BY bin, o_orderpriority"""
     })
 
-  /** Variable clustering over lineitem numerics (eigensolver-based →
-    * rows-only; block-recovery semantics covered by unit tests).
+  private val varClusCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey", "l_suppkey")
+
+  /** Variable clustering over lineitem numerics — the PORTABLE VarClusHi
+    * path (quantized Jacobi, canonical sorted member lists, fixed-sweep
+    * hill-climb), with a FULL DuckDB oracle: VarClusSql replays the whole
+    * split → quartimax → NCS → hill-climb → RS pipeline via one Jacobi
+    * per subset bitmask + three recursive CTEs. The Breeze production
+    * path keeps its reference-parity coverage in VarClusSpec.
     */
   val qVarClus = Q(
     "q_variable_clustering",
-    (s, dir) => graft.operators.VarClus.variableClustering(
-      tables(s, dir).lineitem,
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey", "l_suppkey")),
-    None)
+    (s, dir) => graft.operators.VarClus.variableClusteringPortable(
+      tables(s, dir).lineitem, varClusCols),
+    Some(graft.queries.VarClusSql.sql(varClusCols)))
 
   /** KNN imputation (fit-small/apply-big contract; neighbour averages →
     * rows-only).

@@ -28,6 +28,28 @@ class VarClusSpec extends SparkSpec {
     assert(rsRatios.forall(r => r >= 0 && r < 0.2)) // tight clusters → low ratio
   }
 
+  test("portable variable clustering agrees with the Breeze path on block data") {
+    val cols = Seq("a1", "a2", "a3", "b1", "b2")
+    val d = blockData
+    val breeze = VarClus.variableClustering(d, cols).collect()
+      .map(r => r.getString(1) -> r.getInt(0)).toMap
+    val port = VarClus.variableClusteringPortable(d, cols).collect()
+      .map(r => r.getString(1) -> r.getInt(0)).toMap
+    // same partition of the variables (cluster ids may be permuted only
+    // if split order differed; on this fixture they should be identical)
+    cols.combinations(2).foreach { case Seq(x, y) =>
+      assert((breeze(x) == breeze(y)) == (port(x) == port(y)),
+        s"portable/Breeze disagree on whether $x and $y share a cluster")
+    }
+    // portable RS values land on the 4dp grid and ratios stay tight
+    val rs = VarClus.variableClusteringPortable(d, cols).collect()
+    rs.foreach { r =>
+      val ratio = r.getDouble(4)
+      assert(ratio >= 0 && ratio < 0.2, s"portable RS_Ratio out of band: $ratio")
+      assert(ratio == math.rint(ratio * 10000) / 10000, "RS_Ratio not on the 4dp grid")
+    }
+  }
+
   test("quartimax rotation preserves orthogonality and concentrates loadings") {
     val loadings = BDM((0.7, 0.7), (0.7, -0.7), (0.6, 0.65))
     val rot = VarClus.quartimax2(loadings)

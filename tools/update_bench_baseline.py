@@ -1,0 +1,31 @@
+#!/usr/bin/env python3
+"""Regenerate tools/bench_baseline.json: per-query best-of (min) wall time
+across all prior rounds' BENCH_r*.json artifacts. Bench.scala uses this to
+decide when a slow measurement is suspicious (>3x best-known) and worth
+spaced escalating retries to ride out host CPU-steal phases.
+
+Run from the repo root: python3 tools/update_bench_baseline.py
+"""
+import json, glob, re
+
+best = {}
+for f in sorted(glob.glob('BENCH_r*.json')):
+    try:
+        d = json.load(open(f))
+    except Exception:
+        continue
+    tail = d.get('tail') or ''
+    m = re.search(r'\{"metric":"total".*\}', tail)
+    if not m:
+        continue
+    try:
+        inner = json.loads(m.group(0))
+    except Exception:
+        continue
+    for k, v in (inner.get('queries') or {}).items():
+        if isinstance(v, (int, float)):
+            best[k] = min(best.get(k, 1e9), float(v))
+
+out = {k: round(v, 3) for k, v in sorted(best.items())}
+json.dump(out, open('tools/bench_baseline.json', 'w'), indent=1)
+print(f'{len(out)} queries; sum-of-best {sum(out.values()):.1f}s')
