@@ -175,4 +175,113 @@ object IterativeImputer {
       maxIter: Int = 10,
       seed: Long = 42L): DataFrame =
     transform(df, fit(df, cols, sampleSize, ridgeLambda, maxIter, seed = seed))
+
+  // ------------------------------------------------------------------
+  // Deterministic sibling with a FULL DuckDB oracle (the
+  // q_knn_deterministic recipe extended to a model FIT): the neighbour
+  // sample is the `sampleSize` complete rows with the lowest md5 key
+  // hash; sample values are quantized to per-column integer grids whose
+  // Gram sums stay within exact-int64 range, so both engines accumulate
+  // ORDER-INDEPENDENT exact integers and convert once to double; the
+  // ridge normal equations are then solved by Gaussian elimination with
+  // the exact same operation sequence the SQL replay emits
+  // (IterImputeSql) — IEEE doubles make the coefficients bit-identical —
+  // and the apply pass runs `rounds` fixed round-robin sweeps per row.
+  // The RNG production path above stays RMSE-gated.
+  // ------------------------------------------------------------------
+
+  /** Forward elimination + back substitution with a canonical operation
+    * order (the order IterImputeSql generates): f computed from the
+    * pre-step row, column updates ascending, back-substitution as
+    * sequential subtraction ascending. No pivoting (SPD + ridge).
+    */
+  private[graft] def solveGaussSeq(m: Array[Array[Double]]): Array[Double] = {
+    val d = m.length
+    var k = 0
+    while (k < d) {
+      var r = k + 1
+      while (r < d) {
+        val f = m(r)(k) / m(k)(k)
+        var c = k
+        while (c <= d) { m(r)(c) = m(r)(c) - f * m(k)(c); c += 1 }
+        r += 1
+      }
+      k += 1
+    }
+    val w = new Array[Double](d)
+    var kk = d - 1
+    while (kk >= 0) {
+      var s = m(kk)(d)
+      var c = kk + 1
+      while (c < d) { s -= m(kk)(c) * w(c); c += 1 }
+      w(kk) = s / m(kk)(kk)
+      kk -= 1
+    }
+    w
+  }
+
+  def imputationIterativeDeterministic(
+      df: DataFrame,
+      cols: Seq[String],
+      sampleKeyCols: Seq[String],
+      scales: Seq[Long],
+      sampleSize: Int = 1000,
+      ridgeLambda: Double = 1e-2,
+      rounds: Int = 3): DataFrame = {
+    require(cols.size >= 2, "iterative imputation needs >= 2 columns")
+    require(scales.size == cols.size, "one quantization scale per column")
+    val p = cols.size
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val parts = sampleKeyCols.map(c => s"cast(`$c` as string)").mkString(", ")
+    val h = expr(s"md5_prefix60(cast(concat_ws('|', $parts) as binary))")
+    val sample: Array[Array[Long]] = df.na.drop(cols)
+      .orderBy(h.asc +: sampleKeyCols.map(c => col(c).asc): _*)
+      .limit(sampleSize)
+      .select(cols.map(c => col(c).cast("double")): _*)
+      .collect()
+      .map(r => Array.tabulate(p)(i => Math.round(r.getDouble(i) * scales(i))))
+    val n = sample.length
+    require(n > p, s"deterministic iterative imputation: sample too small ($n rows)")
+
+    // exact integer sums (order-independent; ranges bounded by `scales`)
+    val s1 = new Array[Long](p)
+    val s2 = Array.ofDim[Long](p, p)
+    sample.foreach { z =>
+      var a = 0
+      while (a < p) {
+        s1(a) += z(a)
+        var b = 0
+        while (b < p) { s2(a)(b) += z(a) * z(b); b += 1 }
+        a += 1
+      }
+    }
+    val nD = n.toDouble
+    val sumD = Array.tabulate(p)(k => s1(k).toDouble / scales(k).toDouble)
+    val gramD = Array.tabulate(p, p)((k, l) =>
+      s2(k)(l).toDouble / (scales(k) * scales(l)).toDouble)
+    val means = Array.tabulate(p)(k => (s1(k).toDouble / nD) / scales(k).toDouble)
+
+    // per-target ridge normal equations: predictors ascending (minus j),
+    // intercept last, ridge on predictor diagonal only
+    val coefs = Array.fill(p)(new Array[Double](p))
+    val intercepts = new Array[Double](p)
+    for (j <- 0 until p) {
+      val preds = (0 until p).filterNot(_ == j)
+      val d = p // p-1 predictors + intercept
+      val m = Array.ofDim[Double](d, d + 1)
+      for (a <- preds.indices; b <- preds.indices)
+        m(a)(b) = gramD(preds(a))(preds(b)) + (if (a == b) ridgeLambda else 0.0)
+      for (a <- preds.indices) {
+        m(a)(d - 1) = sumD(preds(a))
+        m(d - 1)(a) = sumD(preds(a))
+        m(a)(d) = gramD(preds(a))(j)
+      }
+      m(d - 1)(d - 1) = nD
+      m(d - 1)(d) = sumD(j)
+      val w = solveGaussSeq(m)
+      preds.indices.foreach(a => coefs(j)(preds(a)) = w(a))
+      intercepts(j) = w(d - 1)
+    }
+    transform(df, Model(cols, means, (0 until p).toArray, coefs, intercepts, rounds))
+  }
 }

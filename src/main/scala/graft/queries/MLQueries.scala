@@ -467,6 +467,42 @@ transformers:
     },
     None)
 
+  /** Deterministic iterative imputation with a FULL oracle: md5-lowest
+    * complete-row sample, exact-integer Gram sums, identical-op-order
+    * Gauss elimination, fixed round-robin apply sweeps — DuckDB
+    * reproduces every coefficient and every imputed cell bit-for-bit
+    * (IterImputeSql). The RNG production path stays RMSE-gated above.
+    */
+  val qIterDeterministic = Q(
+    "q_iterative_deterministic",
+    (s, dir) => {
+      val li = tables(s, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount")
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 13 === 0, lit(null)).otherwise(col("l_quantity")))
+        .withColumn("l_extendedprice",
+          when(col("l_orderkey") % 11 === 0, lit(null)).otherwise(col("l_extendedprice")))
+      graft.operators.IterativeImputer.imputationIterativeDeterministic(
+        li, Seq("l_quantity", "l_extendedprice", "l_discount"),
+        sampleKeyCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        scales = Seq(10000L, 100L, 10000L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          round(col("l_quantity"), 4).as("q_f"),
+          round(col("l_extendedprice"), 4).as("e_f"),
+          round(col("l_discount"), 4).as("d_f"))
+    },
+    Some(graft.queries.IterImputeSql.sql(
+      table = "lineitem",
+      keyCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      maskedExprs = Seq(
+        "CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE CAST(l_quantity AS DOUBLE) END",
+        "CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE CAST(l_extendedprice AS DOUBLE) END",
+        "CAST(l_discount AS DOUBLE)"),
+      scales = Seq(10000L, 100L, 10000L),
+      outNames = Seq("q_f", "e_f", "d_f"))))
+
   /** TF-IDF feature-recommender search over a corpus derived from the
     * documents table. The oracle replays the exact TF-IDF arithmetic
     * (ln-idf with +1 smoothing, cosine against the query vector, HALF_UP
@@ -572,6 +608,7 @@ transformers:
 
   def all: Seq[Q] = Seq(qPcaLatent, qPca2Col, qAlsImpute, qAutoImputation,
     qMonotonicBinning, qBoxcox, qBoxcoxLambda, qMultimodal, qWorkflow, qVarClus,
-    qKnnImpute, qKnnDeterministic, qIterativeImputation, qFeatureRec, qImageFeatures,
+    qKnnImpute, qKnnDeterministic, qIterativeImputation, qIterDeterministic,
+    qFeatureRec, qImageFeatures,
     qAutoencoderLatent)
 }

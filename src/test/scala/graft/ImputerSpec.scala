@@ -33,6 +33,30 @@ class ImputerSpec extends SparkSpec {
     assert(iterErr < meanFillErr / 5)
   }
 
+  test("deterministic iterative imputer: partition-invariant, observed cells intact, good fills") {
+    val d = linearFrame()
+      .withColumn("y_true", col("y"))
+      .withColumn("y", when(col("id") % 5 === 0, lit(null)).otherwise(col("y")))
+    def run(parts: Int) = IterativeImputer.imputationIterativeDeterministic(
+      d.repartition(parts), Seq("x", "y", "z"), sampleKeyCols = Seq("id"),
+      scales = Seq(100000L, 10000L, 100000L), sampleSize = 200)
+      .select(col("id"), round(col("y"), 6).as("y"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = run(2); val b = run(7)
+    assert(a == b, "deterministic imputation must not depend on partitioning")
+    val filled = IterativeImputer.imputationIterativeDeterministic(
+      d, Seq("x", "y", "z"), sampleKeyCols = Seq("id"),
+      scales = Seq(100000L, 10000L, 100000L), sampleSize = 200)
+    assert(filled.filter(col("y").isNull).count() == 0)
+    // observed cells unchanged
+    val obs = filled.filter(col("id") % 5 =!= 0)
+      .agg(max(abs(col("y") - col("y_true")))).first().getDouble(0)
+    assert(obs == 0.0, s"observed cells changed by $obs")
+    val err = filled.filter(col("id") % 5 === 0)
+      .agg(avg(abs(col("y") - col("y_true")))).first().getDouble(0)
+    assert(err < 1.0, s"deterministic iterative fill error too high: $err")
+  }
+
   test("iterative imputer leaves observed cells unchanged and handles all-null rows") {
     val d = Seq(
       (Some(1.0), Some(2.0)),
