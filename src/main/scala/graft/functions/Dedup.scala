@@ -601,15 +601,29 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      // neighbour minimum of current labels
-      val next = materialize(edges
+      // One round = neighbour-min propagation + pointer jumping. The
+      // neighbour step alone needs O(component diameter) rounds (a chain
+      // of length d converges in d rounds); adding the label-of-label
+      // shortcut (cluster ← labels(cluster).cluster, the classic
+      // pointer-doubling move) makes the reached distance roughly double
+      // per round, so convergence is O(log d) — a 300-link chain closes
+      // in ~9 rounds instead of 300 (SkewSpec plants exactly that). Both
+      // lookups join the same small labels frame hash-partitioned on its
+      // key; labels(x) ≤ x and same-component are loop invariants, so the
+      // composed least() stays a correct component label.
+      val stepped = edges
         .join(labels.withColumnRenamed("key", "b").withColumnRenamed("cluster", "nb"), "b")
         .groupBy(col("a").as("key"))
         .agg(min(col("nb")).as("neigh"))
         .join(labels, "key")
-        .select(col("key"), least(col("neigh"), col("cluster")).as("cluster"),
-          (col("neigh") < col("cluster")).cast("long").as("delta")))
-      val row = next.agg(sum(col("delta"))).first()
+        .select(col("key"), least(col("neigh"), col("cluster")).as("cand"),
+          col("cluster").as("old"))
+      val next = materialize(stepped
+        .join(labels.select(col("key").as("cand"), col("cluster").as("jump")), Seq("cand"), "left")
+        .select(col("key"),
+          least(coalesce(col("jump"), col("cand")), col("cand")).as("cluster"),
+          col("old")))
+      val row = next.agg(sum((col("cluster") < col("old")).cast("long"))).first()
       changed = if (row.isNullAt(0)) 0L else row.getLong(0)
       labels = next.select("key", "cluster")
       it += 1
