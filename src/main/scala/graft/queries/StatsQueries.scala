@@ -126,6 +126,99 @@ object StatsQueries {
       s"""count(DISTINCT $c) AS unique_values,
           ${pctSql(s"count(DISTINCT $c)", s"count($c)")} AS "IDness"""")))
 
+  // ---- basic-report chart-DATA frames (ref report_preprocessing.py) ----
+
+  /** Frequency-chart frame for a numeric column: equal-range 10-bin fit
+    * (same lo + (hi−lo)·i/k cutoff arithmetic on both engines, so the
+    * DECIMAL(18,4) range labels match to the character), per-bin counts
+    * and percentage of total. ref: report_preprocessing.py:200-259.
+    */
+  val qReportFrequency = Q(
+    "q_report_frequency_chart",
+    (s, dir) => {
+      val li = tables(s, dir).lineitem
+      val row = li.agg(min(col("l_quantity")).cast("double"),
+        max(col("l_quantity")).cast("double")).first()
+      val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+      val cuts = (1 until 10).map(i => lo + (hi - lo) * i / 10)
+      graft.operators.BasicReport.frequencyChartData(li, "l_quantity", Some(cuts))
+    },
+    Some {
+      val lab = (i: Int) =>
+        s"CAST(CAST(round(lo + (hi - lo) * $i / 10, 4) AS DECIMAL(18,4)) AS VARCHAR)"
+      s"""
+      WITH mm AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS lo,
+                         CAST(max(l_quantity) AS DOUBLE) AS hi FROM lineitem),
+      cnt AS (SELECT ${binCaseSql("l_quantity", "lo", "hi", 10)} AS bin_idx,
+                     count(*) AS cnt
+              FROM lineitem, mm GROUP BY 1),
+      lab AS (SELECT CAST(i AS INT) AS bin_idx,
+                CASE WHEN i = 1 THEN '<= ' || ${lab(1)}
+                     WHEN i = 10 THEN '> ' || ${lab(9)}
+                     ELSE ${"(CAST(CAST(round(lo + (hi - lo) * (i - 1) / 10, 4) AS DECIMAL(18,4)) AS VARCHAR))"} || '-' ||
+                          ${"(CAST(CAST(round(lo + (hi - lo) * i / 10, 4) AS DECIMAL(18,4)) AS VARCHAR))"}
+                END AS label
+              FROM range(1, 11) t(i), mm)
+      SELECT c.bin_idx, l.label AS l_quantity, c.cnt AS "count",
+             round(100 * CAST(c.cnt AS DOUBLE) / (SELECT sum(cnt) FROM cnt), 4) AS count_pct
+      FROM cnt c LEFT JOIN lab l USING (bin_idx)"""
+    })
+
+  /** Event-rate chart frame: label binarized against the event value,
+    * events/non-events and 100·event/total per category.
+    * ref: report_preprocessing.py:305-368.
+    */
+  val qReportEventRate = Q(
+    "q_report_event_rate",
+    (s, dir) => {
+      val ev = tables(s, dir).events
+        .withColumn("lbl", when(col("value") > 50, "hi").otherwise("lo"))
+      graft.operators.BasicReport.eventRateChartData(ev, "event_type", "lbl", "hi")
+    },
+    Some("""
+      SELECT coalesce(CAST(event_type AS VARCHAR), 'Missing') AS event_type,
+             CAST(sum(CASE WHEN value > 50 THEN 0 ELSE 1 END) AS BIGINT) AS non_event_count,
+             CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS event_count,
+             round(100 * CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 4) AS event_rate,
+             'event_type' AS attribute_name
+      FROM events GROUP BY 1"""))
+
+  /** Comparative-drift chart frame: target share vs a source share frame,
+    * full-outer with 0-fills and (target/source − 1)·100.
+    * ref: report_preprocessing.py:371-430.
+    */
+  val qReportCompDrift = Q(
+    "q_report_comparative_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = tables(s, dir).events
+      val target = ev.filter(col("user_id") % 2 === 1)
+      val source = ev.filter(col("user_id") % 2 === 0)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"),
+          round(col("cnt") / sum("cnt").over(Window.partitionBy()), 4).as("p"))
+      graft.operators.BasicReport.comparativeDriftChartData(target, source, "event_type")
+    },
+    Some("""
+      WITH tgt AS (SELECT coalesce(CAST(event_type AS VARCHAR), 'Missing') AS event_type,
+                          count(*) AS cnt FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+      tp AS (SELECT event_type,
+                    round(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM tgt), 4) AS countpct_target
+             FROM tgt),
+      src AS (SELECT coalesce(CAST(event_type AS VARCHAR), 'Missing') AS event_type,
+                     count(*) AS cnt FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+      sp AS (SELECT event_type,
+                    round(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM src), 4) AS p
+             FROM src)
+      SELECT event_type,
+             coalesce(p, 0.0) AS countpct_source,
+             coalesce(countpct_target, 0.0) AS countpct_target,
+             CASE WHEN coalesce(p, 0.0) <> 0.0
+                  THEN round((coalesce(countpct_target, 0.0) / p - 1) * 100, 4) END AS pct_diff
+      FROM tp FULL OUTER JOIN sp USING (event_type)"""))
+
   def all: Seq[Q] = Seq(qGlobalSummary, qMissingCounts, qNonzeroCounts, qMeasuresOfCounts,
-    qCentralTendency, qMode, qUniqueCounts, qDispersion, qPercentiles, qShape, qCardinality)
+    qCentralTendency, qMode, qUniqueCounts, qDispersion, qPercentiles, qShape, qCardinality,
+    qReportFrequency, qReportEventRate, qReportCompDrift)
 }

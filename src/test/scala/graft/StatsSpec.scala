@@ -276,4 +276,46 @@ class StatsSpec extends SparkSpec {
     assert(gs("catcols_count") == "2" && gs("catcols_name") == "ifa, education")
     assert(gs("othercols_count") == "0" && gs("othercols_name") == "")
   }
+
+  test("report chart frames: frequency, event rate, comparative drift") {
+    import graft.operators.BasicReport
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    // editBinRange collapses only same-sided ranges
+    val lbl = Seq("5.0-5.0", "5.0-7.5", "<= 5.0", "plain").toDF("l")
+      .select(BasicReport.editBinRange(col("l"))).as[String].collect().toSeq
+    assert(lbl == Seq("5.0", "5.0-7.5", "<= 5.0", "plain"))
+
+    // categorical frequency: Missing fill, others marker, pcts sum to 100
+    val cat = Seq(Some("a"), Some("a"), Some("others"), None).toDF("c")
+    val freq = BasicReport.frequencyChartData(cat, "c")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(freq("a")._1 == 2 && freq("Missing")._1 == 1 && freq("others*")._1 == 1)
+    assert(math.abs(freq.values.map(_._2).sum - 100.0) < 1e-6)
+
+    // numeric frequency: bins labeled from cutoffs, counts per bin
+    val num = Seq(1.0, 2.0, 3.0, 10.0).toDF("v")
+    val nf = BasicReport.frequencyChartData(num, "v", Some(Seq(2.0, 5.0)))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(nf == Seq((1, "<= 2.0000", 2L), (2, "2.0000-5.0000", 1L), (3, "> 5.0000", 1L)))
+
+    // event rate: binarized label per category
+    val er = Seq(("x", "hi"), ("x", "lo"), ("x", "hi"), ("y", "lo"))
+      .toDF("c", "lbl")
+    val rates = BasicReport.eventRateChartData(er, "c", "lbl", "hi")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rates("x") == ((1L, 2L, 66.6667)) && rates("y") == ((1L, 0L, 0.0)))
+
+    // comparative drift: full-outer with zero fills and pct diff
+    val tgt = Seq("a", "a", "b").toDF("c")
+    val src = Seq(("a", 0.5), ("z", 0.5)).toDF("c", "p")
+    val cd = BasicReport.comparativeDriftChartData(tgt, src, "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(cd("a") == ((0.5, 0.6667, Some(33.34))))
+    assert(cd("b") == ((0.0, 0.3333, None)))
+    assert(cd("z") == ((0.5, 0.0, Some(-100.0))))
+  }
 }
