@@ -401,6 +401,32 @@ object CoreQueries {
     * round-trip must be lossless (values, types, and null behaviour).
     * Gives §2.1's write path a hard CORRECTNESS row instead of spec-only.
     */
+  /** Avro ingest/export proof under the driver's own gate: supplier goes
+    * out through the avro writer (spark-avro when bundled, the
+    * avro-mapred fallback otherwise — AvroIO), comes back in through the
+    * avro reader, and must aggregate identically to the parquet source.
+    * ref: shared/spark.py:12-23 bundles spark-avro for the same surface;
+    * test_data_ingest_integration.py round-trips it.
+    */
+  val qAvroRoundtrip = Q(
+    "q_avro_roundtrip",
+    (s, dir) => {
+      import graft.sources.Ingest
+      val out = System.getProperty("java.io.tmpdir", "/tmp") + "/graft_avro_roundtrip"
+      Ingest.writeDataset(tables(s, dir).supplier, out, "avro", repartitionTo = Some(4))
+      Ingest.readDataset(s, out, "avro")
+        .groupBy(col("s_nationkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(dec("s_acctbal")).cast(DoubleType), 4).as("sum_bal"),
+          min(col("s_name")).as("min_name"))
+    },
+    Some("""
+      SELECT s_nationkey, count(*) AS n,
+        round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_bal,
+        min(s_name) AS min_name
+      FROM supplier GROUP BY s_nationkey"""))
+
   val qWriteRoundtrip = Q(
     "q_write_roundtrip",
     (s, dir) => {
@@ -426,5 +452,5 @@ object CoreQueries {
   def all: Seq[Q] = Seq(q1, qJoin, qRecommendType, qExpressionParser,
     qSemiAnti, qExcept, qRenameRecast, qRowIds, qSaltedJoin,
     qTopkPerGroup, qRollupPricing, qCubePricing, qGroupingSets, qPivotEvents,
-    qGroupedMedian, qWriteRoundtrip, qSnapshotDiff, qChangelogApply)
+    qGroupedMedian, qWriteRoundtrip, qAvroRoundtrip, qSnapshotDiff, qChangelogApply)
 }

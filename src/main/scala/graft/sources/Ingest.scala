@@ -10,13 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
-  /** ref: data_ingest.py:23-51 `read_dataset`. */
+  /** ref: data_ingest.py:23-51 `read_dataset`. `avro` first tries the
+    * spark-avro connector (when bundled, as the reference's distribution
+    * does) and falls back to the built-in avro-mapred path ([[AvroIO]]) —
+    * same container format either way.
+    */
   def readDataset(
       spark: SparkSession,
       filePath: String,
       fileType: String,
       options: Map[String, String] = Map.empty): DataFrame =
-    spark.read.format(fileType).options(options).load(filePath)
+    if (fileType == "avro") {
+      try spark.read.format(fileType).options(options).load(filePath)
+      catch {
+        case e: Throwable if isMissingAvroConnector(e) => AvroIO.read(spark, filePath)
+      }
+    } else spark.read.format(fileType).options(options).load(filePath)
+
+  private def isMissingAvroConnector(e: Throwable): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("Failed to find data source: avro") ||
+      m.contains("Failed to find the data source: avro") ||
+      m.contains("Avro is built-in but external data source")
+  }
 
   /** ref: data_ingest.py:54-117 `write_dataset` — repartition if target
     * partition count above current, else coalesce (avoids a shuffle on
@@ -54,9 +70,21 @@ object Ingest {
       case Some(n) => ordered.repartition(n)
       case None => ordered
     }
-    val w = out.write.format(fileType).options(options).mode(mode)
-    val pw = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
-    pw.save(filePath)
+    if (fileType == "avro") {
+      try {
+        val w = out.write.format(fileType).options(options).mode(mode)
+        val pw = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+        pw.save(filePath)
+      } catch {
+        case e: Throwable if isMissingAvroConnector(e) =>
+          require(partitionBy.isEmpty, "avro fallback writer does not support partitionBy")
+          AvroIO.write(out, filePath, mode)
+      }
+    } else {
+      val w = out.write.format(fileType).options(options).mode(mode)
+      val pw = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+      pw.save(filePath)
+    }
   }
 
   /** Range-clustered write: `repartitionByRange(clusterCols)` +

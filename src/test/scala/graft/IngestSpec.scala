@@ -198,16 +198,55 @@ class IngestSpec extends SparkSpec {
     }
   }
 
-  test("avro round-trip (bundled spark-avro)") {
+  test("avro round-trip across all engine types (connector or fallback)") {
     val dir = java.nio.file.Files.createTempDirectory("avro").toString
-    val d = Seq((1L, "a")).toDF("id", "name")
-    try {
-      Ingest.writeDataset(d, s"$dir/avro", "avro")
-      assert(Ingest.readDataset(spark, s"$dir/avro", "avro").count() == 1)
-    } catch {
-      case e: Throwable if e.getMessage != null && e.getMessage.contains("avro") =>
-        cancel("spark-avro not bundled in this image: " + e.getMessage.take(100))
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 10:20:30.123456")
+    val dt = java.sql.Date.valueOf("2024-03-01")
+    val d = Seq(
+      (1L, 7, 1.5, 2.5f, "a", true, Some("opt"), ts, dt),
+      (2L, 8, -0.25, 0f, "b", false, None, ts, dt))
+      .toDF("id", "n", "d", "f", "name", "flag", "opt", "ts", "day")
+    Ingest.writeDataset(d, s"$dir/avro", "avro")
+    val back = Ingest.readDataset(spark, s"$dir/avro", "avro")
+    assert(back.schema("id").dataType.typeName == "long")
+    assert(back.schema("ts").dataType.typeName == "timestamp")
+    assert(back.schema("day").dataType.typeName == "date")
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(4) == "a")
+    assert(rows(0).getAs[java.sql.Timestamp]("ts") == ts)
+    assert(rows(0).getAs[java.sql.Date]("day") == dt)
+    assert(rows(0).getString(6) == "opt" && rows(1).isNullAt(6))
+    // overwrite mode replaces, errorifexists refuses
+    Ingest.writeDataset(d.limit(1), s"$dir/avro", "avro")
+    assert(Ingest.readDataset(spark, s"$dir/avro", "avro").count() == 1)
+    intercept[Exception] {
+      Ingest.writeDataset(d, s"$dir/avro", "avro", mode = "errorifexists")
     }
+  }
+
+  test("avro fallback reads files written by plain avro tooling") {
+    // a file produced by the stock DataFileWriter (what any non-Spark
+    // producer emits) — proves the reader handles foreign footers, not
+    // just its own output
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = java.nio.file.Files.createTempDirectory("avroext").toString
+    val schema: Schema = SchemaBuilder.record("ext").fields()
+      .requiredLong("k").optionalString("v").endRecord()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(s"$dir/part-00000.avro"))
+    (1 to 5).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("k", i.toLong); r.put("v", if (i % 2 == 0) null else s"v$i")
+      w.append(r)
+    }
+    w.close()
+    val back = graft.sources.AvroIO.read(spark, dir)
+    assert(back.count() == 5)
+    assert(back.where(col("v").isNull).count() == 2)
+    assert(back.agg(sum("k")).first().getLong(0) == 15L)
   }
 
   test("partitioned writes enable partition pruning") {
