@@ -203,7 +203,31 @@ object TransformQueries {
       .select("l_orderkey", "l_linenumber", "l_quantity_qt", "l_extendedprice_qt"),
     Some(quantileTransformSql(Seq("l_quantity", "l_extendedprice"), nq = 101, gridDp = 6)))
 
+  /** The quantile_transform YAML stage end-to-end: same fit+apply as
+    * q_quantile_transform but driven through the workflow runner — the
+    * oracle replays the identical grid/interpolation, proving the stage
+    * wiring adds nothing and loses nothing.
+    */
+  val qWorkflowQuantile = Q(
+    "q_workflow_quantile",
+    (s, dir) => {
+      val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/lineitem.parquet"
+    file_type: parquet
+  select_column: [l_orderkey, l_linenumber, l_quantity]
+transformers:
+  quantile_transform:
+    list_of_cols: [l_quantity]
+    n_quantiles: 101
+"""
+      val (df, _) = graft.workflow.Workflow.run(s, yaml)
+      df.select("l_orderkey", "l_linenumber", "l_quantity_qt")
+    },
+    Some(quantileTransformSql(Seq("l_quantity"), nq = 101, gridDp = 6)))
+
   def all: Seq[Q] = Seq(qBinning, qBinningEqFreq, qMinMaxNorm, qZStandardization,
     qIqrStandardization, qFeatureMath, qOutlierCategories, qTargetEncoding, qLabelEncoding,
-    qOneHot, qQuantileTransform)
+    qOneHot, qQuantileTransform, qWorkflowQuantile)
 }

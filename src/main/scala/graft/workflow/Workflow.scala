@@ -101,6 +101,24 @@ object Workflow {
       }
     }
 
+    // ---- as-of enrichment: join the latest/nearest right-side state row
+    // per key at each left timestamp (pandas merge_asof semantics, all
+    // directions + tolerance + strict)
+    conf.get("asof_join").foreach { v =>
+      val ac = asConf(v)
+      val right = spark.read.parquet(ac("right_path").toString)
+      df = timed("asof_join") {
+        graft.functions.AsofJoin.asofJoin(df, right,
+          strings(ac("key_cols")),
+          ac("left_ts").toString,
+          ac.getOrElse("right_ts", ac("left_ts")).toString,
+          strings(ac("value_cols")),
+          ac.getOrElse("direction", "backward").toString,
+          ac.get("tolerance").map(_.toString.toDouble),
+          ac.getOrElse("allow_exact_matches", true).toString.toBoolean)
+      }
+    }
+
     // ---- incremental ETL: CDC changelog apply / snapshot diff against
     // a second input (our additions — MERGE INTO and table-versioning
     // primitives for incremental pipelines)
@@ -425,6 +443,11 @@ object Workflow {
           val dd = asConf(d)
           val (out, _) = Transformers.boxcoxTransformation(df, strings(dd("list_of_cols")))
           df = out
+        }
+        tc.get("quantile_transform").foreach { d =>
+          val dd = asConf(d)
+          df = Transformers.quantileTransform(df, strings(dd("list_of_cols")),
+            dd.getOrElse("n_quantiles", 101).toString.toInt)
         }
         tc.get("imputation_sklearn").foreach { d =>
           val dd = asConf(d)

@@ -559,4 +559,58 @@ heavy_hitters:
     assert(lang.count() <= 4 && lang.count() > 0)
     assert(hh.metrics("heavy_hitters_source").count() <= 4)
   }
+
+  test("workflow transformers stage: quantile_transform maps to [0,1]") {
+    val yaml = """
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/lineitem.parquet"
+    file_type: parquet
+  select_column: [l_orderkey, l_extendedprice]
+transformers:
+  quantile_transform:
+    list_of_cols: [l_extendedprice]
+    n_quantiles: 21
+"""
+    val (df, stages) = Workflow.run(spark, yaml)
+    assert(stages.exists(_.name == "transformers"))
+    assert(df.columns.contains("l_extendedprice_qt"))
+    val mm = df.agg(min("l_extendedprice_qt"), max("l_extendedprice_qt")).first()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+    // the transform is monotone in the source column
+    val viol = df.selectExpr("l_extendedprice p", "l_extendedprice_qt q")
+      .as[(Double, Double)].collect().sortBy(_._1)
+      .sliding(2).count { case Array(a, b) => b._2 < a._2; case _ => false }
+    assert(viol == 0)
+  }
+
+  test("workflow asof_join stage enriches with the latest prior state") {
+    val dir = java.nio.file.Files.createTempDirectory("asofwf").toString
+    val t = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    Seq((1L, t(1), 10.0), (1L, t(5), 50.0), (2L, t(2), 20.0))
+      .toDF("uid", "sts", "state").write.parquet(s"$dir/state")
+    Seq((1L, t(3)), (1L, t(6)), (2L, t(1)))
+      .toDF("uid", "ets").write.parquet(s"$dir/left")
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/left"
+    file_type: parquet
+asof_join:
+  right_path: "$dir/state"
+  key_cols: [uid]
+  left_ts: ets
+  right_ts: sts
+  value_cols: [state]
+  direction: backward
+"""
+    val (df, stages) = Workflow.run(spark, yaml)
+    assert(stages.exists(_.name == "asof_join"))
+    val byRow = df.collect().map(r =>
+      (r.getAs[Long]("uid"), r.getAs[java.sql.Timestamp]("ets").toString.take(13)) ->
+        Option(r.get(r.fieldIndex("state")))).toMap
+    assert(byRow((1L, "2024-01-01 03")) == Some(10.0)) // latest prior
+    assert(byRow((1L, "2024-01-01 06")) == Some(50.0))
+    assert(byRow((2L, "2024-01-01 01")) == None) // nothing prior
+  }
 }
