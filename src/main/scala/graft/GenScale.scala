@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a larger scale tier from an existing one by key-remapped
+  * replication — used to produce a local sf1 for the TriScale growth
+  * guard (the driver only ships sf0.001/0.01/0.1; /root/testdata is
+  * read-only, so the output goes to a scratch dir).
+  *
+  * Shapes preserved on purpose:
+  *  - lineitem: order keys offset per replica (key space grows with the
+  *    data, like a real 10× corpus), measures untouched — quantile/PCA
+  *    fit costs scale with rows, distinct keys scale with rows.
+  *  - documents: doc ids offset; text passed through a PER-REPLICA
+  *    letter permutation (`translate`), so replicas are NOT near-dups of
+  *    each other and the near-dup/cluster density per doc stays at the
+  *    source tier's level instead of inflating 10×. An identical-copy
+  *    replication would make every doc a member of a 10-clone cluster
+  *    and measure a different (denser) workload, not a bigger one.
+  *
+  * Usage: runMain graft.GenScale <srcSfDir> <outDir> [factor=10]
+  */
+object GenScale {
+  private val alphabet = "aeiousnrtlc" // 11 letters → shifts 1..10 all distinct
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val okOff = li.agg(max("l_orderkey")).first().getLong(0) + 1
+    (0 until factor).map(i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * okOff)))
+      .reduce(_ unionAll _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val idOff = docs.agg(max("doc_id")).first().getLong(0) + 1
+    (0 until factor).map { i =>
+        val shifted = alphabet.drop(i % alphabet.length) + alphabet.take(i % alphabet.length)
+        docs.withColumn("doc_id", col("doc_id") + lit(i * idOff))
+          .withColumn("text", translate(col("text"), alphabet, shifted))
+      }
+      .reduce(_ unionAll _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    System.err.println(s"[genscale] wrote ${factor}x of $src to $out")
+    spark.stop()
+  }
+}
