@@ -609,4 +609,111 @@ object LatentFeatures {
     }
     (best, imputed)
   }
+
+  // ------------------------------------------------------------------
+  // Deterministic ALS sibling with a FULL DuckDB oracle (the
+  // q_knn/iterative_deterministic recipe applied to matrix
+  // factorization, closing the round-9 "ALS oracle attempt" item):
+  // the fit runs on the `sampleSize` users with the lowest md5 hash,
+  // item factors start from a closed-form index formula instead of a
+  // Gaussian RNG, ratings and factors live on integer grids so every
+  // Gram/right-hand-side sum is an exact order-independent int64, each
+  // rank-2 ridge solve is the SAME closed-form 2×2 expression sequence
+  // the SQL replay emits (IEEE doubles → bit-identical coefficients),
+  // and factors are re-quantized after every solve so drift cannot
+  // accumulate across sweeps. The RNG production path
+  // (imputationMatrixFactorization above) stays the scale/quality path.
+  // ------------------------------------------------------------------
+
+  private val RSd = 10000.0 // rating grid: 4 decimals
+  private val FSd = 100000.0 // factor grid: 5 decimals
+  private def qz(x: Double): Long =
+    Math.floor(math.min(math.max(x, -50.0), 50.0) * FSd + 0.5).toLong
+
+  /** Rank-2 fixed-sweep ALS over observed (user, item, rating) cells.
+    *
+    * @param obs    observed cells: [u long, it int, rsum double (exact
+    *               decimal-summed numerator), n long (count)] — the
+    *               rating is quantized as floor(rsum/n·1e4 + 0.5)
+    * @param nItems item vocabulary size (indices 0 until nItems)
+    * @return (user_id, attribute index, filled) for EVERY sampled user ×
+    *         item: observed cells replay their quantized value, missing
+    *         cells get the p·q prediction — both on the output grid
+    */
+  def alsDeterministic(
+      obs: DataFrame,
+      nItems: Int,
+      itemNames: Seq[String],
+      sampleSize: Int = 400,
+      sweeps: Int = 3,
+      lambda: Double = 0.1): DataFrame = {
+    require(itemNames.size == nItems)
+    val spark = obs.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    // lowest-md5 user sample (same idiom as the knn/iterative siblings)
+    val users = obs.select(col("u")).distinct()
+      .withColumn("hh", expr("md5_prefix60(cast(cast(u as string) as binary))"))
+      .orderBy(col("hh").asc, col("u").asc)
+      .limit(sampleSize)
+      .select("u")
+    val cells = obs.join(users.hint("broadcast"), Seq("u"))
+      .select(col("u"), col("it"), col("rsum"), col("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Math.floor(r.getDouble(2) / r.getLong(3) * RSd + 0.5).toLong))
+
+    val byUser = cells.groupBy(_._1).view.mapValues(_.map(c => (c._2, c._3))).toMap
+    val byItem = cells.groupBy(_._2).view.mapValues(_.map(c => (c._1, c._3))).toMap
+
+    // closed-form init, quantized to the factor grid (no RNG)
+    var itemF: Map[Int, (Long, Long)] = (0 until nItems).map { i =>
+      i -> (Math.floor((1.0 + 0.1 * i) * FSd + 0.5).toLong,
+        Math.floor(((i * 7) % 5 - 2) * 0.2 * FSd + 0.5).toLong)
+    }.toMap
+    var userF: Map[Long, (Long, Long)] = Map.empty
+
+    // exact-int Gram/rhs accumulation + canonical 2×2 ridge solve; the
+    // double expressions below are character-for-character the ones
+    // AlsSql emits — identical IEEE op sequences give identical bits
+    def solve(cs: Array[(Long, Long)], f: Long => (Long, Long)): (Long, Long) = {
+      var s11, s12, s22, b1, b2 = 0L
+      cs.foreach { case (o, r) =>
+        val (q1, q2) = f(o)
+        s11 += q1 * q1; s12 += q1 * q2; s22 += q2 * q2
+        b1 += q1 * r; b2 += q2 * r
+      }
+      val nCnt = cs.length
+      val a11 = s11.toDouble / 1.0e10 + lambda * nCnt
+      val a12 = s12.toDouble / 1.0e10
+      val a22 = s22.toDouble / 1.0e10 + lambda * nCnt
+      val c1 = b1.toDouble / 1.0e9
+      val c2 = b2.toDouble / 1.0e9
+      val det = a11 * a22 - a12 * a12
+      (qz((c1 * a22 - c2 * a12) / det), qz((a11 * c2 - a12 * c1) / det))
+    }
+    var s = 0
+    while (s < sweeps) {
+      userF = byUser.map { case (u, cs) => u -> solve(cs.map(c => (c._1.toLong, c._2)), o => itemF(o.toInt)) }
+      itemF = byItem.map { case (i, cs) => i -> solve(cs, o => userF(o)) }
+      s += 1
+    }
+
+    val obsMap = cells.map(c => (c._1, c._2) -> c._3).toMap
+    val out = byUser.keys.toSeq.sorted.flatMap { u =>
+      val (p1, p2) = userF(u)
+      (0 until nItems).map { i =>
+        val filled = obsMap.get((u, i)) match {
+          case Some(rq) => rq.toDouble / RSd
+          case None =>
+            val (q1, q2) = itemF(i)
+            val pred = (p1 * q1 + p2 * q2).toDouble / 1.0e10
+            Math.floor(pred * RSd + 0.5) / RSd
+        }
+        (u, itemNames(i), filled)
+      }
+    }
+    import spark.implicits._
+    out.toDF("user_id", "attribute", "filled")
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
 }

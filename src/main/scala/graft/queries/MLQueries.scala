@@ -606,9 +606,45 @@ transformers:
       latentDim = 2),
     None)
 
+  private val alsItems = Seq("click", "view", "purchase", "signup", "error")
+
+  /** Deterministic ALS sibling with a FULL oracle (the last RNG-only ML
+    * fit gets its quantized-replay twin): per-(user,event_type) ratings
+    * from a decimal-exact sum (order-independent on both engines), the
+    * click cell masked for every 5th user, fit on the 400 lowest-md5
+    * users, rank-2 ridge ALS with closed-form quantized init and 3 fixed
+    * sweeps — AlsSql replays every Gram sum (exact BIGINT) and 2×2 solve
+    * (identical IEEE expression order) so all observed and predicted
+    * cells hash-match. The RNG production path (q_als_imputation) stays
+    * RMSE-gated.
+    */
+  val qAlsDeterministic = Q(
+    "q_als_deterministic",
+    (s, dir) => {
+      val e = tables(s, dir).events
+      val itExpr = alsItems.zipWithIndex.tail.foldLeft(
+        when(col("event_type") === alsItems.head, 0)) {
+        case (acc, (c, i)) => acc.when(col("event_type") === c, i)
+      }
+      val cells = e.filter(col("event_type").isin(alsItems: _*))
+        .groupBy(col("user_id").as("u"), col("event_type"))
+        .agg(
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("rsum"),
+          count(col("value")).as("n"))
+        .filter(col("n") > 0)
+        .withColumn("it", itExpr.cast("int"))
+        .filter(!(col("u") % 5 === 0 && col("it") === 0))
+        .select("u", "it", "rsum", "n")
+      LatentFeatures.alsDeterministic(cells, alsItems.size, alsItems,
+        sampleSize = 400, sweeps = 3)
+    },
+    Some(AlsSql.sql(alsItems, maskItem = "click", sampleSize = 400, sweeps = 3)))
+
   def all: Seq[Q] = Seq(qPcaLatent, qPca2Col, qAlsImpute, qAutoImputation,
     qMonotonicBinning, qBoxcox, qBoxcoxLambda, qMultimodal, qWorkflow, qVarClus,
     qKnnImpute, qKnnDeterministic, qIterativeImputation, qIterDeterministic,
+    qAlsDeterministic,
     qFeatureRec, qImageFeatures,
     qAutoencoderLatent)
 }

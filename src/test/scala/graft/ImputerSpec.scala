@@ -136,4 +136,34 @@ class ImputerSpec extends SparkSpec {
       assert(maxDiff < 1e-3, s"latent_$i differs by $maxDiff")
     }
   }
+
+  test("deterministic ALS: partition-invariant, keeps observed, predicts factors") {
+    import spark.implicits._
+    // planted rank-1 structure: rating(u, i) = au(u) * bi(i); mask item 0
+    // for every 3rd user and expect predictions near the planted value
+    val items = Seq("i0", "i1", "i2")
+    val au = (u: Long) => 1.0 + (u % 7) * 0.5
+    val bi = Array(2.0, 3.0, 1.5)
+    val cells = for {
+      u <- 0L until 60L; i <- 0 until 3
+      if !(u % 3 == 0 && i == 0)
+    } yield (u, i, au(u) * bi(i), 1L)
+    val obs = cells.toDF("u", "it", "rsum", "n")
+    val out = graft.operators.LatentFeatures
+      .alsDeterministic(obs, 3, items, sampleSize = 60, sweeps = 3)
+    val byCell = out.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(byCell.size == 60 * 3)
+    // observed cells replay their (quantized) value exactly
+    assert(math.abs(byCell((1L, "i1")) - au(1) * bi(1)) < 1e-4)
+    // masked cells are predicted close to the planted rank-1 value
+    val errs = (0L until 60L by 3).map(u => math.abs(byCell((u, "i0")) - au(u) * bi(0)))
+    assert(errs.max < 0.15, s"worst masked-cell error ${errs.max}")
+    // partition invariance: the fit must not depend on input layout
+    val out2 = graft.operators.LatentFeatures
+      .alsDeterministic(obs.repartition(7), 3, items, sampleSize = 60, sweeps = 3)
+    val byCell2 = out2.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(byCell == byCell2)
+  }
 }
