@@ -445,6 +445,84 @@ object Similarity {
       .withColumn("cos", round(col("cos"), 4))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    * method): cluster embeddings with the same engine-portable quantized
+    * Lloyd coarse quantizer the IVF index uses, generate candidate pairs
+    * ONLY within a cell (hash-partitioned equi-join on the cell id — the
+    * quadratic work is bounded per cell, never corpus-wide), keep pairs
+    * with cosine ≥ `threshold` (rounded to the 4-decimal oracle grid),
+    * and collapse them to connected components via
+    * [[graft.functions.Dedup.duplicateClusters]] (min-id representative).
+    *
+    * Output: one row per input vector — (vec_id, representative, kept);
+    * `kept` marks the component minimum (the SemDeDup survivor).
+    *
+    * 100 TB posture: fit state is O(cells·dim) on the driver (bounded
+    * md5-lowest sample), assignment is map-only against broadcast
+    * centers, the pair join shuffles once on the cell id, and
+    * `maxCellSize` caps the per-cell quadratic blowup deterministically
+    * (members ranked by id; overflow rows keep themselves — the same
+    * "hot bucket is exactDedup's job" contract as the MinHash cap).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      cellCount: Int = 8,
+      fitSample: Int = 10000,
+      lloydIters: Int = 5,
+      lloydQuantize: Int = 4,
+      maxCellSize: Int = 100000): DataFrame = {
+    import df.sparkSession.implicits._
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val sample: Array[Array[Double]] = base
+      .orderBy(expr("md5_prefix60(cast(cast(id as string) as binary))").asc, col("id").asc)
+      .limit(fitSample)
+      .select(col("v"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centers = localKMeans(sample, cellCount, 42L, lloydIters, lloydQuantize)
+    val bcCenters = df.sparkSession.sparkContext.broadcast(centers)
+    val assigned = base.map { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).toArray
+      val cs = bcCenters.value
+      var bi = 0; var bd = Double.MaxValue
+      var ci = 0
+      while (ci < cs.length) {
+        var d = 0.0; var j = 0; val c = cs(ci)
+        while (j < c.length && j < v.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
+        if (d < bd) { bd = d; bi = ci } // ascending ci keeps the lowest cell on ties
+        ci += 1
+      }
+      (bi, id, v)
+    }.toDF("cell", "id", "v")
+    val capped = assigned
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("cell").orderBy(col("id").asc)))
+      .filter(col("__rk") <= maxCellSize)
+      .drop("__rk")
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    def nrm(a: Column): Column =
+      sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("key_1"), col("b.id").as("key_2"),
+        (dot(col("a.v"), col("b.v")) / (nrm(col("a.v")) * nrm(col("b.v")))).as("cos"))
+      .filter(round(col("cos"), 4) >= threshold)
+      .select("key_1", "key_2")
+    val labels = Dedup.duplicateClusters(pairs)
+      .withColumnRenamed("key", "id").withColumnRenamed("cluster", "rep")
+    base.select("id").join(labels, Seq("id"), "left")
+      .select(col("id").as("vec_id"),
+        coalesce(col("rep"), col("id")).as("representative"),
+        (coalesce(col("rep"), col("id")) === col("id")).as("kept"))
+  }
+
   /** Approximate top-k: bucket with `numPlanes` sign bits, self-join
     * within buckets only (hash-partitioned — the 100 TB path), then rank.
     * Multi-probe: each vector also joins buckets at hamming distance 1

@@ -444,8 +444,13 @@ object TextQueries {
     * (rank ≤ nprobe cells) per cell; cosine + global rank reuse the
     * exact-cosine CTE shape of [[cosineTopK3Sql]].
     */
-  private def ivfTopKSql(cells: Int, nprobe: Int, iters: Int, dp: Int, k: Int,
-      fitSample: Int = 10000): String = {
+  /** The engine-portable quantized-Lloyd fit + nearest-cell assignment as
+    * reusable CTE text (corpus → strided init → `iters` materialized
+    * sweeps → per-vector cell ranks `fr`): shared by the IVF top-k oracle
+    * and the semantic-dedup oracle. `corpusSql` must yield (id, v).
+    */
+  private def ivfAssignCtes(corpusSql: String, cells: Int, iters: Int, dp: Int,
+      fitSample: Int): String = {
     def distExpr(vTbl: String, cTbl: String) =
       s"""list_reduce(list_transform(range(1, len($vTbl.v) + 1),
          |      i -> ($vTbl.v[i]::DOUBLE - $cTbl.c[i]) * ($vTbl.v[i]::DOUBLE - $cTbl.c[i])),
@@ -470,8 +475,7 @@ object TextQueries {
          |        SELECT cid, c FROM $prev
          |        WHERE cid NOT IN (SELECT cid FROM m$s))""".stripMargin
     }.mkString(",\n")
-    s"""
-      WITH corpus AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+    s"""corpus AS ($corpusSql),
       ord AS MATERIALIZED (SELECT id, v, row_number() OVER (ORDER BY
                 ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT ASC, id ASC) - 1 AS rn
               FROM corpus),
@@ -484,7 +488,14 @@ object TextQueries {
       fd AS (SELECT o.id, c.cid, ${distExpr("o", "c")} AS dist
              FROM ord o CROSS JOIN c$iters c),
       fr AS (SELECT id, cid, row_number() OVER
-               (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rk FROM fd),
+               (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rk FROM fd)"""
+  }
+
+  private def ivfTopKSql(cells: Int, nprobe: Int, iters: Int, dp: Int, k: Int,
+      fitSample: Int = 10000): String = {
+    s"""
+      WITH ${ivfAssignCtes("SELECT vec_id AS id, embedding AS v FROM embeddings",
+        cells, iters, dp, fitSample)},
       memb AS (SELECT id, cid FROM fr WHERE rk = 1),
       prob AS (SELECT id, cid FROM fr WHERE rk <= $nprobe),
       cand AS (SELECT p.id AS vec_id, m.id AS neighbor_id
@@ -559,6 +570,77 @@ object TextQueries {
                       vec_id) AS representative,
              MAX(cos) AS max_cos
       FROM f GROUP BY vec_id"""))
+
+  /** DuckDB replay of [[Similarity.semanticDedup]]: the shared quantized-
+    * Lloyd assignment CTEs, the per-cell id-ranked size cap, within-cell
+    * pair cosines on the 4-decimal grid, and the q_dedup_clusters
+    * recursive transitive closure for the min-id representative.
+    */
+  private def semanticDedupSql(corpusSql: String, cells: Int, iters: Int, dp: Int,
+      fitSample: Int, threshold: Double, cap: Int): String =
+    s"""
+      WITH RECURSIVE ${ivfAssignCtes(corpusSql, cells, iters, dp, fitSample)},
+      memb AS (SELECT id, cid FROM fr WHERE rk = 1),
+      cap AS (SELECT id, cid FROM (
+                SELECT id, cid, row_number() OVER
+                  (PARTITION BY cid ORDER BY id ASC) AS rk2 FROM memb)
+              WHERE rk2 <= $cap),
+      e AS (SELECT c.id, unnest(c.v) AS x,
+                   unnest(range(1, len(c.v) + 1)) AS i
+            FROM corpus c JOIN cap USING (id)),
+      n AS (SELECT id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+            FROM e GROUP BY id),
+      cp AS (SELECT a.id AS key_1, b.id AS key_2
+             FROM cap a JOIN cap b ON a.cid = b.cid AND a.id < b.id),
+      dt AS (SELECT c.key_1, c.key_2,
+                    sum(CAST(ea.x AS DOUBLE) * CAST(eb.x AS DOUBLE)) AS d
+             FROM cp c
+             JOIN e ea ON ea.id = c.key_1
+             JOIN e eb ON eb.id = c.key_2 AND ea.i = eb.i
+             GROUP BY c.key_1, c.key_2),
+      pr AS (SELECT key_1, key_2 FROM dt
+             JOIN n na ON key_1 = na.id JOIN n nb ON key_2 = nb.id
+             WHERE round(d / (na.nrm * nb.nrm), 4) >= $threshold),
+      edges AS (SELECT key_1 AS a, key_2 AS b FROM pr
+                UNION SELECT key_2, key_1 FROM pr),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      comp AS (SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a)
+      SELECT c.id AS vec_id,
+             COALESCE(comp.rep, c.id) AS representative,
+             COALESCE(comp.rep, c.id) = c.id AS kept
+      FROM corpus c LEFT JOIN comp ON comp.id = c.id"""
+
+  /** SemDeDup-style semantic deduplication over embeddings with planted
+    * ×1.0001f noisy copies (the q_embedding_neardup fixture): quantized-
+    * Lloyd cells → within-cell cosine pairs → connected components →
+    * min-id survivor. FULL-pipeline oracle: fit, assignment, cap, pair
+    * cosines, and the component closure all replay in DuckDB.
+    */
+  val qSemanticDedup = Q(
+    "q_semantic_dedup",
+    (s, dir) => {
+      val e = tables(s, dir).embeddings
+      val planted = e.filter(col("vec_id") % 7 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x * lit(1.0001f)))
+      Similarity.semanticDedup(e.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.99, cellCount = 8, fitSample = 10000,
+        lloydIters = 5, lloydQuantize = 4, maxCellSize = 100000)
+    },
+    Some(semanticDedupSql(
+      """SELECT vec_id AS id, embedding AS v FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000 AS id,
+                list_transform(embedding,
+                  x -> CAST(CAST(x AS DOUBLE)
+                            * CAST(CAST(1.0001 AS FLOAT) AS DOUBLE) AS FLOAT)) AS v
+         FROM embeddings WHERE vec_id % 7 = 0""",
+      cells = 8, iters = 5, dp = 4, fitSample = 10000,
+      threshold = 0.99, cap = 100000)))
 
   /** Duplicate clusters (connected components by min-label propagation)
     * over the deterministic n-gram-Jaccard candidate pairs; the oracle
@@ -1671,6 +1753,7 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qDedupClusters,
+    qSemanticDedup,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup,
     qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText,
     qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality,

@@ -617,4 +617,30 @@ class TextSpec extends SparkSpec {
     val sym = rows(2)
     assert(sym.getAs[Double]("symbol_ratio") > 0.1 && !sym.getAs[Boolean]("passes"))
   }
+
+  test("semantic dedup keeps one survivor per planted duplicate group") {
+    // two well-separated gaussian-free blobs: ids 0-9 near (1,0,...),
+    // 10-19 near (0,1,...); within a blob every pair has cosine ≈ 1 ≥ τ,
+    // across blobs cosine ≈ 0 — so exactly two survivors, the min ids
+    val dim = 8
+    val vecs = (0 until 20).map { i =>
+      val base = Array.fill(dim)(0.001f * ((i * 13) % 7))
+      if (i < 10) base(0) = 1f else base(1) = 1f
+      (i.toLong, base.toSeq)
+    }
+    val d = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(d, "vec_id", "embedding",
+      threshold = 0.95, cellCount = 2, lloydIters = 5, lloydQuantize = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == 20)
+    assert(out.count(_._2._2) == 2, s"expected 2 survivors, got ${out.count(_._2._2)}")
+    assert(out(0L) == ((0L, true)) && out(10L) == ((10L, true)))
+    (1L until 10L).foreach(i => assert(out(i) == ((0L, false))))
+    (11L until 20L).foreach(i => assert(out(i) == ((10L, false))))
+    // cap bounds the per-cell quadratic work: capped-out rows keep themselves
+    val capped = Similarity.semanticDedup(d, "vec_id", "embedding",
+      threshold = 0.95, cellCount = 2, maxCellSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(capped.count(!_._2) <= 4) // at most 2 dropped per 3-capped cell
+  }
 }
