@@ -459,17 +459,20 @@ object Similarity {
     *
     * 100 TB posture: fit state is O(cells·dim) on the driver (bounded
     * md5-lowest sample), assignment is map-only against broadcast
-    * centers, the pair join shuffles once on the cell id, and
-    * `maxCellSize` caps the per-cell quadratic blowup deterministically
-    * (members ranked by id; overflow rows keep themselves — the same
-    * "hot bucket is exactDedup's job" contract as the MinHash cap).
+    * centers, pair scoring shuffles once on the cell id into a per-cell
+    * JVM loop with per-vector precomputed norms, and `maxCellSize` caps
+    * the per-cell quadratic blowup deterministically (members ranked by
+    * id; overflow rows keep themselves — the same "hot bucket is
+    * exactDedup's job" contract as the MinHash cap). `cellCount <= 0`
+    * (the default) auto-sizes cells √N-style so expected per-cell work
+    * stays linear in the corpus.
     */
   def semanticDedup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
-      cellCount: Int = 8,
+      cellCount: Int = 0,
       fitSample: Int = 10000,
       lloydIters: Int = 5,
       lloydQuantize: Int = 4,
@@ -477,12 +480,23 @@ object Similarity {
     import df.sparkSession.implicits._
     graft.plans.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // cellCount <= 0 → auto-size from the corpus like bruteForceTopK's
+    // IVF failover: √N/4 cells keeps expected cell size ~4√N, so the
+    // per-cell quadratic candidate work stays ~16N total regardless of
+    // corpus size (a fixed cell count would go quadratic at scale).
+    val cells =
+      if (cellCount > 0) cellCount
+      else {
+        val n = df.queryExecution.optimizedPlan.stats.rowCount
+          .map(_.toLong).getOrElse(base.count())
+        math.max(8, math.sqrt(n.toDouble).toInt / 4)
+      }
     val sample: Array[Array[Double]] = base
       .orderBy(expr("md5_prefix60(cast(cast(id as string) as binary))").asc, col("id").asc)
       .limit(fitSample)
       .select(col("v"))
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val centers = localKMeans(sample, cellCount, 42L, lloydIters, lloydQuantize)
+    val centers = localKMeans(sample, cells, 42L, lloydIters, lloydQuantize)
     val bcCenters = df.sparkSession.sparkContext.broadcast(centers)
     val assigned = base.map { r =>
       val id = r.getLong(0)
@@ -503,16 +517,37 @@ object Similarity {
         Window.partitionBy("cell").orderBy(col("id").asc)))
       .filter(col("__rk") <= maxCellSize)
       .drop("__rk")
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-    def nrm(a: Column): Column =
-      sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, x) => acc + x))
-    val pairs = capped.as("a").join(capped.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("key_1"), col("b.id").as("key_2"),
-        (dot(col("a.v"), col("b.v")) / (nrm(col("a.v")) * nrm(col("b.v")))).as("cos"))
+    // Per-cell pair scoring in a tight JVM loop: one shuffle on the cell
+    // id, each vector's norm computed ONCE (the declarative self-join
+    // form re-evaluated interpreted HOF dot/norm per candidate pair —
+    // three 64-element traversals per pair, ~10× slower measured).
+    // Numerics are dotF/normF — identical left-to-right double
+    // accumulation of float products as the HOF form, so the DuckDB
+    // oracle replay is unaffected. The JVM pre-filter keeps a 1e-3
+    // slack under the threshold; the exact HALF_UP-rounded comparison
+    // stays declarative below so grid semantics match the oracle.
+    val scored = capped.select(col("cell"), col("id"), col("v"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = it.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+        val norms = members.map(m => normF(m._2))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < members.length) {
+          var j = i + 1
+          while (j < members.length) {
+            val cos = dotF(members(i)._2, members(j)._2) / (norms(i) * norms(j))
+            if (cos >= threshold - 1e-3)
+              out += ((members(i)._1, members(j)._1, cos))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("key_1", "key_2", "cos")
+    val pairs = scored
       .filter(round(col("cos"), 4) >= threshold)
       .select("key_1", "key_2")
     val labels = Dedup.duplicateClusters(pairs)
