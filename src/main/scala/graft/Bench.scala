@@ -127,16 +127,29 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
     val sleepBudgetMs = new java.util.concurrent.atomic.AtomicLong(
       sys.env.getOrElse("SPARK_GRAFT_RETRY_SLEEP_BUDGET_SEC", "180").toLong * 1000L)
+    // Synthetic baseline for queries the history can't vouch for: round 11
+    // shipped an 11.3 s steal phantom for a NEW query precisely because
+    // no-baseline queries had the escalating-retry path disabled, and a
+    // phantom that lands in the baseline file as a query's only history
+    // would likewise disable its retries forever (3x of a phantom is
+    // never exceeded). 3x the suite median is a per-query ceiling: any
+    // query whose effective baseline would exceed it is treated as
+    // "suspicious above 3x median x 3" instead, so both unknown queries
+    // and phantom-polluted ones ride out steal phases.
+    val synthBaseline: Double = if (baseline.nonEmpty) {
+      val v = baseline.values.toArray.sorted
+      3.0 * v(v.length / 2)
+    } else 1.0
     val retryCounts = scala.collection.mutable.Map.empty[String, Int]
     val results = selected.flatMap { case (name, fn) =>
       runOnce(name, fn).map { case (dt0, snap0) =>
         var best = dt0
         var bestSnap = snap0
         var retries = 0
-        val suspicious = baseline.get(name) match {
-          case Some(b) => (d: Double) => d > math.max(retryAbove, 3.0 * b)
-          case None    => (_: Double) => false
-        }
+        val effBaseline =
+          math.min(baseline.getOrElse(name, synthBaseline), synthBaseline)
+        val suspicious =
+          (d: Double) => d > math.max(retryAbove, 3.0 * effBaseline)
         def tryAgain(sleepMs: Long): Unit = {
           if (sleepMs > 0 && sleepBudgetMs.addAndGet(-sleepMs) >= 0) Thread.sleep(sleepMs)
           retries += 1

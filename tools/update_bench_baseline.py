@@ -9,6 +9,19 @@ Run from the repo root: python3 tools/update_bench_baseline.py
 import json, glob, re
 
 best = {}
+# Full per-query snapshots (the BENCH_r*.json 'tail' is byte-truncated by
+# the driver and loses most of the query dict — r11's tail kept 65 of 163
+# queries): tools/bench_detail_r*.json are complete per-round copies of
+# bench_detail.json, taken at round close.
+for f in sorted(glob.glob('tools/bench_detail_r*.json')):
+    try:
+        d = json.load(open(f))
+    except Exception:
+        continue
+    for k, v in (d.get('queries') or {}).items():
+        sec = v.get('sec') if isinstance(v, dict) else v
+        if isinstance(sec, (int, float)):
+            best[k] = min(best.get(k, 1e9), float(sec))
 for f in sorted(glob.glob('BENCH_r*.json')):
     try:
         d = json.load(open(f))
