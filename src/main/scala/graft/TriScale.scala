@@ -31,7 +31,10 @@ object TriScale {
     "q_cross_topk", "q_dup_spans",
     // round-9 fit-heavy additions: histogram-selection grid fit +
     // when-tree apply, and the quantized-Jacobi PCA fit+project
-    "q_quantile_transform", "q_pca_latent")
+    "q_quantile_transform", "q_pca_latent",
+    // round-12: the two heaviest round-11 additions — per-cell pair
+    // scoring (quadratic-within-cell risk) and the sampled iterative fit
+    "q_semantic_dedup", "q_iterative_deterministic")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -83,12 +86,15 @@ object TriScale {
       val ok = ratio < ratioGate
       if (!ok) failed ::= name
       val secs = t.map(v => f"$v%.3f")
+      // per-query sfs: only the sf1Guarded subset runs the 4th tier, so a
+      // single global sfs list would misalign sec[i] for everything else
+      val qSfs = (if (dirsFor(name).length == 4) Seq("0.001", "0.01", "0.1", "1")
+                  else Seq("0.001", "0.01", "0.1")).mkString(",")
       System.err.println(
         f"[triscale] $name%-22s ${secs.mkString(" ")} s  worst_ratio=${ratio}%6.2f  ${if (ok) "OK" else "FAIL"}")
-      s""""$name":{"sec":[${secs.mkString(",")}],"ratio":${f"$ratio%.2f"},"pass":$ok}"""
+      s""""$name":{"sfs":[$qSfs],"sec":[${secs.mkString(",")}],"ratio":${f"$ratio%.2f"},"pass":$ok}"""
     }
-    val sfList = if (sf1Dir.isDefined) "[0.001,0.01,0.1,1]" else "[0.001,0.01,0.1]"
-    println(s"""{"metric":"triscale","gate":$ratioGate,"sfs":$sfList,"queries":{${rows.mkString(",")}},"pass":${failed.isEmpty}}""")
+    println(s"""{"metric":"triscale","gate":$ratioGate,"queries":{${rows.mkString(",")}},"pass":${failed.isEmpty}}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[triscale] GATE FAILED: ${failed.reverse.mkString(", ")}")

@@ -55,11 +55,21 @@ object BasicReport {
   /** ref: report_preprocessing.py:130-155 `edit_binRange` (a Python UDF
     * there) — a "lo-hi" range label whose two sides are equal collapses
     * to the single value. Pure codegen'd expression here, no UDF.
+    *
+    * Deliberate deviation: the reference splits on '-' and dedups via an
+    * unordered set(), which misfires on negative cutoffs (the label
+    * "-5.0000--2.0000" splits into duplicate empty tokens and collapses
+    * to garbage) and returns a nondeterministic side. Here the collapse
+    * fires ONLY for a well-formed numeric "a-b" label whose two full
+    * sides (signs included) are equal — the actual intent — so negative
+    * ranges pass through untouched, and the oracle replays the same rule.
     */
+  private val rangePat = "^(-?[0-9]+\\.[0-9]+)-(-?[0-9]+\\.[0-9]+)$"
   def editBinRange(c: Column): Column = {
-    val parts = split(c, "-")
+    val lhs = regexp_extract(c, rangePat, 1)
+    val rhs = regexp_extract(c, rangePat, 2)
     when(c.isNull, lit(null))
-      .when(size(array_distinct(parts)) < size(parts), element_at(parts, 1))
+      .when(lhs =!= lit("") && lhs === rhs, lhs)
       .otherwise(c)
   }
 

@@ -694,7 +694,10 @@ object LatentFeatures {
     var s = 0
     while (s < sweeps) {
       userF = byUser.map { case (u, cs) => u -> solve(cs.map(c => (c._1.toLong, c._2)), o => itemF(o.toInt)) }
-      itemF = byItem.map { case (i, cs) => i -> solve(cs, o => userF(o)) }
+      // carry unsolved items forward: an item with no observed cell among
+      // the sampled users keeps its previous (ultimately init) factor
+      // instead of vanishing from the map and crashing the output loop
+      itemF = itemF ++ byItem.map { case (i, cs) => i -> solve(cs, o => userF(o)) }
       s += 1
     }
 

@@ -36,8 +36,14 @@ object AlsSql {
            |    FROM obs o JOIN if${s - 1} f USING (it) GROUP BY o.u
            |  )
            |)""".stripMargin
+      // LEFT JOIN back to the previous sweep's factors: an item with no
+      // observed cell among the sampled users carries its factor forward
+      // (mirrors the engine's `itemF ++ solved` rule so sparse fixtures
+      // agree instead of diverging into a crash-vs-fewer-rows split)
       val itf =
         s"""if$s AS (
+           |  SELECT f0.it, COALESCE(sv.q1, f0.q1) AS q1, COALESCE(sv.q2, f0.q2) AS q2
+           |  FROM if${s - 1} f0 LEFT JOIN (
            |  SELECT it,
            |    CAST(floor(least(greatest((c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12), -50.0), 50.0) * 100000.0 + 0.5) AS BIGINT) AS q1,
            |    CAST(floor(least(greatest((a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12), -50.0), 50.0) * 100000.0 + 0.5) AS BIGINT) AS q2
@@ -50,6 +56,7 @@ object AlsSql {
            |      CAST(sum(f.p2 * o.r) AS BIGINT) / 1.0e9 AS c2
            |    FROM obs o JOIN uf$s f USING (u) GROUP BY o.it
            |  )
+           |  ) sv USING (it)
            |)""".stripMargin
       s"$uf,\n$itf"
     }.mkString(",\n")

@@ -412,7 +412,10 @@ object CoreQueries {
     "q_avro_roundtrip",
     (s, dir) => {
       import graft.sources.Ingest
-      val out = System.getProperty("java.io.tmpdir", "/tmp") + "/graft_avro_roundtrip"
+      // scale-dir-derived path: two tiers (or two concurrent runs on
+      // different data) must not race each other through one fixed dir
+      val out = System.getProperty("java.io.tmpdir", "/tmp") +
+        s"/graft_avro_roundtrip_${Integer.toHexString(dir.hashCode)}"
       Ingest.writeDataset(tables(s, dir).supplier, out, "avro", repartitionTo = Some(4))
       Ingest.readDataset(s, out, "avro")
         .groupBy(col("s_nationkey"))
@@ -431,7 +434,8 @@ object CoreQueries {
     "q_write_roundtrip",
     (s, dir) => {
       import graft.sources.Ingest
-      val out = System.getProperty("java.io.tmpdir", "/tmp") + "/graft_write_roundtrip"
+      val out = System.getProperty("java.io.tmpdir", "/tmp") +
+        s"/graft_write_roundtrip_${Integer.toHexString(dir.hashCode)}"
       Ingest.writeDataset(tables(s, dir).orders, out, "parquet", repartitionTo = Some(8))
       Ingest.readDataset(s, out, "parquet")
         .groupBy(col("o_orderstatus"))

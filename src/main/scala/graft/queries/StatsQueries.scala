@@ -153,8 +153,13 @@ object StatsQueries {
                      count(*) AS cnt
               FROM lineitem, mm GROUP BY 1),
       lab AS (SELECT CAST(i AS INT) AS bin_idx,
+                -- equal-sided interior ranges collapse to the single
+                -- value, mirroring the engine's editBinRange rule
                 CASE WHEN i = 1 THEN '<= ' || ${lab(1)}
                      WHEN i = 10 THEN '> ' || ${lab(9)}
+                     WHEN ${"CAST(CAST(round(lo + (hi - lo) * (i - 1) / 10, 4) AS DECIMAL(18,4)) AS VARCHAR)"} =
+                          ${"CAST(CAST(round(lo + (hi - lo) * i / 10, 4) AS DECIMAL(18,4)) AS VARCHAR)"}
+                       THEN ${"CAST(CAST(round(lo + (hi - lo) * (i - 1) / 10, 4) AS DECIMAL(18,4)) AS VARCHAR)"}
                      ELSE ${"(CAST(CAST(round(lo + (hi - lo) * (i - 1) / 10, 4) AS DECIMAL(18,4)) AS VARCHAR))"} || '-' ||
                           ${"(CAST(CAST(round(lo + (hi - lo) * i / 10, 4) AS DECIMAL(18,4)) AS VARCHAR))"}
                 END AS label

@@ -106,7 +106,10 @@ object AvroIO {
   private def fromAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (days: Int, DateType) => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
-    case (micros: Long, TimestampType) => // covers micros; millis scaled by the reader schema
+    case (micros: Long, TimestampType) =>
+      // value must already be in MICROS: GenericDatumReader does no
+      // logical-type conversion, so timestamp-millis fields are scaled
+      // x1000 by the caller (read() below) before reaching here
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
         Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000))
     case (s: CharSequence, StringType) => s.toString
@@ -172,6 +175,14 @@ object AvroIO {
     val avroSchema = try reader.getSchema finally reader.close()
     val struct = toStructType(avroSchema)
     val fields = struct.fields
+    // Foreign files may carry timestamp-millis; the datum reader hands
+    // back the raw long unconverted, so scale to micros ourselves (our
+    // own writer always emits timestamp-micros, multiplier 1).
+    val millisField: Array[Boolean] = struct.fields.map { f =>
+      val b = nonNullBranch(avroSchema.getField(f.name).schema())
+      b.getType == Schema.Type.LONG &&
+        Option(b.getLogicalType).exists(_.getName == "timestamp-millis")
+    }
     val rdd = spark.sparkContext.newAPIHadoopFile(
       path,
       classOf[AvroKeyInputFormat[GenericRecord]],
@@ -184,7 +195,11 @@ object AvroIO {
       val vals = new Array[Any](fields.length)
       var i = 0
       while (i < fields.length) {
-        vals(i) = fromAvroValue(rec.get(fields(i).name), fields(i).dataType)
+        val raw = rec.get(fields(i).name) match {
+          case l: java.lang.Long if millisField(i) => java.lang.Long.valueOf(l * 1000L)
+          case x => x
+        }
+        vals(i) = fromAvroValue(raw, fields(i).dataType)
         i += 1
       }
       Row.fromSeq(vals.toIndexedSeq)

@@ -166,4 +166,23 @@ class ImputerSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
     assert(byCell == byCell2)
   }
+
+  test("deterministic ALS: item with zero observed cells carries its init factor") {
+    import spark.implicits._
+    // item i2 never observed: it must NOT vanish from the factor map
+    // (pre-fix this threw NoSuchElementException in the output loop);
+    // its predictions come from the carried-forward init factor
+    val items = Seq("i0", "i1", "i2")
+    val cells = for {
+      u <- 0L until 20L; i <- 0 until 2
+    } yield (u, i, 2.0 + i + (u % 5) * 0.25, 1L)
+    val obs = cells.toDF("u", "it", "rsum", "n")
+    val out = graft.operators.LatentFeatures
+      .alsDeterministic(obs, 3, items, sampleSize = 20, sweeps = 3)
+    val rows = out.collect()
+    assert(rows.length == 20 * 3, "every sampled user x item must emit a row")
+    val i2 = rows.filter(_.getString(1) == "i2")
+    assert(i2.length == 20)
+    assert(i2.forall(r => !r.getDouble(2).isNaN))
+  }
 }

@@ -249,6 +249,45 @@ class IngestSpec extends SparkSpec {
     assert(back.agg(sum("k")).first().getLong(0) == 15L)
   }
 
+  test("avro fallback scales foreign timestamp-millis to real timestamps") {
+    // timestamp-millis is what most non-Spark producers write; the datum
+    // reader hands back the raw long with no logical-type conversion, so
+    // the reader must apply the x1000 millis->micros scale itself
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = java.nio.file.Files.createTempDirectory("avroms").toString
+    val tsMillis = LogicalTypes.timestampMillis()
+      .addToSchema(Schema.create(Schema.Type.LONG))
+    val optTs = Schema.createUnion(Schema.create(Schema.Type.NULL), tsMillis)
+    val schema: Schema = SchemaBuilder.record("extms").fields()
+      .requiredLong("k")
+      .name("at").`type`(tsMillis).noDefault()
+      .name("maybe").`type`(optTs).withDefault(null)
+      .endRecord()
+    val epochMs = 1709288430123L // 2024-03-01T10:20:30.123Z
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(s"$dir/part-00000.avro"))
+    (0 until 3).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("k", i.toLong)
+      r.put("at", epochMs + i * 1000L)
+      r.put("maybe", if (i == 1) null else java.lang.Long.valueOf(epochMs))
+      w.append(r)
+    }
+    w.close()
+    val back = graft.sources.AvroIO.read(spark, dir)
+    assert(back.schema("at").dataType.typeName == "timestamp")
+    val rows = back.orderBy("k").collect()
+    val expect = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(epochMs))
+    assert(rows(0).getAs[java.sql.Timestamp]("at") == expect,
+      s"timestamp-millis misscaled: ${rows(0).getAs[java.sql.Timestamp]("at")} vs $expect")
+    assert(rows(2).getAs[java.sql.Timestamp]("at") ==
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(epochMs + 2000L)))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("maybe")))
+    assert(rows(0).getAs[java.sql.Timestamp]("maybe") == expect)
+  }
+
   test("partitioned writes enable partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("partw").toString
     val d = (1 to 100).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "par")

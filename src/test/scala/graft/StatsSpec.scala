@@ -282,10 +282,14 @@ class StatsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import spark.implicits._
 
-    // editBinRange collapses only same-sided ranges
-    val lbl = Seq("5.0-5.0", "5.0-7.5", "<= 5.0", "plain").toDF("l")
+    // editBinRange collapses only same-sided ranges; negative cutoffs
+    // (whose '-' signs defeat a naive split) must pass through or
+    // collapse on the FULL signed sides
+    val lbl = Seq("5.0-5.0", "5.0-7.5", "<= 5.0", "plain",
+      "-5.0000--2.0000", "-5.0000--5.0000", "-5.0000-2.0000").toDF("l")
       .select(BasicReport.editBinRange(col("l"))).as[String].collect().toSeq
-    assert(lbl == Seq("5.0", "5.0-7.5", "<= 5.0", "plain"))
+    assert(lbl == Seq("5.0", "5.0-7.5", "<= 5.0", "plain",
+      "-5.0000--2.0000", "-5.0000", "-5.0000-2.0000"))
 
     // categorical frequency: Missing fill, others marker, pcts sum to 100
     val cat = Seq(Some("a"), Some("a"), Some("others"), None).toDF("c")
