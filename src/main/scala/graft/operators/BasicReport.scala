@@ -175,4 +175,35 @@ object BasicReport {
         when(col("countpct_source") =!= 0.0,
           round((col("countpct_target") / col("countpct_source") - 1) * 100, 4)))
   }
+
+  /** ref: report_preprocessing.py:260-302 `plot_outlier` (data part) —
+    * the violin chart's DATA frame: the analysis column sampled down to
+    * ~`sampleSize` rows and run through imputation_MMM, exactly the
+    * frame the reference hands to px.violin. The reference's seed-0
+    * Bernoulli sample is replaced by the md5-threshold deterministic
+    * sample at the SAME fraction min(1, sampleSize/count) — reproducible
+    * across engines/reruns (the RNG path stays available through
+    * Sampling.dataSample for callers who want the reference's exact
+    * sampler).
+    *
+    * Scale: one count, a map-only hash filter, then MMM's O(1)-driver
+    * fill — the chart frame is bounded by sampleSize rows end to end.
+    */
+  def outlierChartData(
+      df: DataFrame,
+      c: String,
+      keyCols: Seq[String],
+      sampleSize: Long = 500000L,
+      splitVar: Option[String] = None,
+      numMethod: String = "median"): DataFrame = {
+    val n = df.count()
+    val fraction = math.min(1.0, sampleSize.toDouble / math.max(n, 1L))
+    val cols = (keyCols ++ (c +: splitVar.toList)).distinct
+    val keep = df.select(cols.map(col): _*)
+    val sampled =
+      if (fraction >= 1.0) keep
+      else graft.sources.Sampling.deterministicSample(keep, fraction, keyCols)
+    Transformers.imputationMMM(sampled, Seq(c), Nil, numMethod)
+      .withColumn("attribute_name", lit(c))
+  }
 }

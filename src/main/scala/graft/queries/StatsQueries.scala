@@ -223,7 +223,40 @@ object StatsQueries {
                   THEN round((coalesce(countpct_target, 0.0) / p - 1) * 100, 4) END AS pct_diff
       FROM tp FULL OUTER JOIN sp USING (event_type)"""))
 
+  /** Outlier (violin) chart frame: deterministic md5-threshold sample of
+    * events at fraction min(1, 500/count), nulls planted below 10, then
+    * MMM median imputation over the SAMPLED frame — the full
+    * sample→impute pipeline replays in DuckDB, threshold arithmetic
+    * included. ref: report_preprocessing.py:260-302.
+    */
+  val qReportOutlier = Q(
+    "q_report_outlier",
+    (s, dir) => {
+      val ev = tables(s, dir).events
+        .withColumn("value", when(col("value") < 10, lit(null)).otherwise(col("value")))
+      graft.operators.BasicReport.outlierChartData(
+        ev, "value", Seq("event_id"), sampleSize = 500L)
+        .select(col("event_id"), round(col("value"), 4).as("value"),
+          col("attribute_name"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_id,
+          CASE WHEN value < 10 THEN NULL ELSE value END AS value
+        FROM events),
+      thr AS (SELECT CAST(floor(LEAST(1.0, 500.0 / GREATEST(count(*), 1))
+                                * 1152921504606846976) AS BIGINT) AS t
+              FROM base),
+      samp AS (SELECT event_id, value FROM base
+               WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                     < (SELECT t FROM thr)),
+      med AS (SELECT quantile_cont(value, 0.5) AS v FROM samp)
+      SELECT event_id,
+        round(coalesce(value, (SELECT v FROM med)), 4) AS value,
+        'value' AS attribute_name
+      FROM samp"""))
+
   def all: Seq[Q] = Seq(qGlobalSummary, qMissingCounts, qNonzeroCounts, qMeasuresOfCounts,
     qCentralTendency, qMode, qUniqueCounts, qDispersion, qPercentiles, qShape, qCardinality,
-    qReportFrequency, qReportEventRate, qReportCompDrift)
+    qReportFrequency, qReportEventRate, qReportCompDrift, qReportOutlier)
 }

@@ -312,6 +312,21 @@ class StatsSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(rates("x") == ((1L, 2L, 66.6667)) && rates("y") == ((1L, 0L, 0.0)))
 
+    // outlier frame: nulls filled with the SAMPLE median, no nulls out,
+    // and with fraction >= 1 every row survives (no sampling applied)
+    val ov = (1L to 20L).map(i => (i, if (i % 5 == 0) None else Some(i.toDouble)))
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("double").as("v"))
+    val of = BasicReport.outlierChartData(ov, "v", Seq("id"), sampleSize = 100L)
+    assert(of.count() == 20)
+    assert(of.filter(col("v").isNull).count() == 0)
+    assert(of.select("attribute_name").distinct().head().getString(0) == "v")
+    // sampling path: fraction < 1 keeps a strict subset, still null-free
+    val ofs = BasicReport.outlierChartData(ov, "v", Seq("id"), sampleSize = 8L)
+    val kept = ofs.count()
+    assert(kept > 0 && kept < 20, s"expected a strict subset, got $kept")
+    assert(ofs.filter(col("v").isNull).count() == 0)
+
     // comparative drift: full-outer with zero fills and pct diff
     val tgt = Seq("a", "a", "b").toDF("c")
     val src = Seq(("a", 0.5), ("z", 0.5)).toDF("c", "p")
