@@ -79,4 +79,38 @@ class SkewSpec extends SparkSpec {
     // the exact path still collapses the cluster to one representative
     assert(Dedup.exactDedup(docs, "text", "doc_id").count() == 1)
   }
+
+  test("degree orientation bounds triangle wedge fan-out on a hub graph") {
+    import graft.functions.Graph
+    // power-law-ish star: hub 0 with 500 leaves. Under id-order
+    // orientation the hub (id 0) would own all 500 out-edges and
+    // generate C(500,2) ≈ 125k wedges; degree orientation points every
+    // edge INTO the hub, so the hub generates zero.
+    val star = (1L to 500L).map(i => (0L, i)).toDF("src", "dst")
+    val canon = star.select(least(col("src"), col("dst")).as("lo"),
+      greatest(col("src"), col("dst")).as("hi")).distinct()
+    val outDeg = Graph.orientByDegree(canon)
+      .groupBy("u").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).first().getLong(0)
+    assert(outDeg == 1L, s"star must orient leaf->hub (max out-degree 1), got $outDeg")
+    assert(Graph.triangleCounts(star).count() == 0, "a star has no triangles")
+
+    // plant a leaf triangle 1-2-3: with the hub attached to all three,
+    // the graph gains 4 triangles — (1,2,3) and (0,x,y) for each pair.
+    // Counts must be exact, and the oriented out-degree stays tiny.
+    val edges = star.unionAll(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst"))
+    val tc = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc(0L) == 3L, s"hub sits in 3 triangles, got ${tc.get(0L)}")
+    Seq(1L, 2L, 3L).foreach(n =>
+      assert(tc(n) == 3L, s"node $n sits in 3 triangles, got ${tc.get(n)}"))
+    assert(tc.size == 4, s"plain leaves sit in no triangle: $tc")
+    val canon2 = edges.select(least(col("src"), col("dst")).as("lo"),
+      greatest(col("src"), col("dst")).as("hi")).distinct()
+    val outDeg2 = Graph.orientByDegree(canon2)
+      .groupBy("u").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).first().getLong(0)
+    assert(outDeg2 <= 3L, s"hub graph max oriented out-degree must stay tiny, got $outDeg2")
+  }
 }
