@@ -166,13 +166,19 @@ object LatentFeatures {
     * (q_pca_latent). Requires all `cols` non-constant (the portable
     * contract keeps the matrix layout static for the SQL replay).
     */
-  def pcaLatentFeaturesPortable(
+  /** Shared fit of the portable eigen-path operators (portable PCA and
+    * the deterministic autoencoder): one aggregate for quantized mu/sd/
+    * correlations, the quantized-Jacobi eigendecomposition, (λ desc, cid
+    * asc) ranking, and the largest-|loading|-positive sign fix. Returns
+    * (complete rows, mu, sd, eigenvalues ranked, sign-fixed components
+    * w(i)(j) = loading of input j on ranked component i).
+    */
+  private[operators] def portableEigFit(
       df: DataFrame,
       cols: Seq[String],
-      explainedVarianceCutoff: Double = 0.95,
-      sweeps: Int = 6,
-      quantizeDp: Int = 9,
-      keepOriginal: Boolean = false): DataFrame = {
+      sweeps: Int,
+      quantizeDp: Int)
+    : (DataFrame, Array[Double], Array[Double], Array[Double], Array[Array[Double]]) = {
     val complete = df.na.drop(cols)
     val p = cols.size
     val pairs = for (i <- 0 until p; j <- (i + 1) until p) yield (i, j)
@@ -193,7 +199,7 @@ object LatentFeatures {
     val mu = cols.map(c => rq(d(s"mu__$c"))).toArray
     val sd = cols.map(c => rq(d(s"sd__$c"))).toArray
     require(sd.forall(s => !s.isNaN && s != 0.0),
-      "portable PCA needs non-constant columns")
+      "portable eigen fit needs non-constant columns")
     val m = Array.tabulate(p, p)((i, j) => if (i == j) 1.0 else 0.0)
     pairs.foreach { case (i, j) =>
       val r = rq(d(s"r__${i}__$j"))
@@ -201,23 +207,78 @@ object LatentFeatures {
     }
     val (ev, vec) = jacobiEigSymQuantized(m, sweeps, quantizeDp)
     val order = (0 until p).sortBy(i => (-ev(i), i))
-    val cum = order.map(i => math.max(ev(i), 0.0) / p).scanLeft(0.0)(_ + _).tail
+    val w = Array.tabulate(p) { i =>
+      val ci = order(i)
+      val v = Array.tabulate(p)(j => vec(j)(ci))
+      val jm = (0 until p).maxBy(j => math.abs(v(j)))
+      val flip = if (v(jm) < 0) -1.0 else 1.0
+      Array.tabulate(p)(j => flip * v(j))
+    }
+    (complete, mu, sd, order.map(ev).toArray, w)
+  }
+
+  def pcaLatentFeaturesPortable(
+      df: DataFrame,
+      cols: Seq[String],
+      explainedVarianceCutoff: Double = 0.95,
+      sweeps: Int = 6,
+      quantizeDp: Int = 9,
+      keepOriginal: Boolean = false): DataFrame = {
+    val p = cols.size
+    val (complete, mu, sd, evSorted, w) = portableEigFit(df, cols, sweeps, quantizeDp)
+    val cum = evSorted.map(e => math.max(e, 0.0) / p).scanLeft(0.0)(_ + _).tail
     val k = cum.indexWhere(_ >= explainedVarianceCutoff) match {
       case -1 => p
       case n  => n + 1
     }
     val withLatents = (0 until k).foldLeft(complete) { (acc, i) =>
-      val ci = order(i)
-      val v = Array.tabulate(p)(j => vec(j)(ci))
-      val jm = (0 until p).maxBy(j => math.abs(v(j)))
-      val flip = if (v(jm) < 0) -1.0 else 1.0
       val proj = cols.zipWithIndex.map { case (c, j) =>
-        (col(c).cast("double") - lit(mu(j))) * lit(flip * v(j) / sd(j))
+        (col(c).cast("double") - lit(mu(j))) * lit(w(i)(j) / sd(j))
       }.reduce(_ + _)
       // `+ 0.0` collapses -0.0 → 0.0 identically on both engines
       acc.withColumn(s"latent_$i", round(proj, 4) + lit(0.0))
     }
     if (keepOriginal) withLatents else withLatents.drop(cols: _*)
+  }
+
+  /** Deterministic closed-form sibling of the autoencoder substitute
+    * (ref transformers.py:2524-2912): a LINEAR autoencoder's optimum is
+    * the top-k principal subspace (Baldi & Hornik 1989, public result),
+    * so instead of seeded gradient descent the encoder/decoder are taken
+    * directly from the quantized-Jacobi eigenbasis — encoder
+    * zᵢ = Σⱼ (xⱼ−μⱼ)·(wᵢⱼ/σⱼ) (the latent bottleneck), decoder
+    * x̂ⱼ = μⱼ + σⱼ·Σᵢ zᵢ·wᵢⱼ (the reconstruction) — with every fit
+    * number on the SQL-replayable quantize grid and the rounded latents
+    * feeding the decode, so the ENTIRE fit+encode+decode pipeline
+    * hash-checks in DuckDB (q_autoencoder_deterministic). The RNG
+    * gradient-descent path ([[fitLinearAutoencoder]]) stays the
+    * production twin, RMSE-gated by spec.
+    *
+    * Scale: identical to portable PCA — one aggregate for the fit
+    * (driver state O(p²)), map-only codegen'd Project for encode+decode.
+    */
+  def autoencoderDeterministic(
+      df: DataFrame,
+      cols: Seq[String],
+      latentDim: Int,
+      sweeps: Int = 6,
+      quantizeDp: Int = 9,
+      keepOriginal: Boolean = false): DataFrame = {
+    require(latentDim >= 1 && latentDim <= cols.size,
+      s"latentDim must be in [1, ${cols.size}]")
+    val (complete, mu, sd, _, w) = portableEigFit(df, cols, sweeps, quantizeDp)
+    val withLatents = (0 until latentDim).foldLeft(complete) { (acc, i) =>
+      val proj = cols.zipWithIndex.map { case (c, j) =>
+        (col(c).cast("double") - lit(mu(j))) * lit(w(i)(j) / sd(j))
+      }.reduce(_ + _)
+      acc.withColumn(s"latent_$i", round(proj, 4) + lit(0.0))
+    }
+    val withRecon = cols.zipWithIndex.foldLeft(withLatents) { case (acc, (c, j)) =>
+      val code = (0 until latentDim)
+        .map(i => col(s"latent_$i") * lit(w(i)(j))).reduce(_ + _)
+      acc.withColumn(s"recon_$c", round(lit(mu(j)) + lit(sd(j)) * code, 4) + lit(0.0))
+    }
+    if (keepOriginal) withRecon else withRecon.drop(cols: _*)
   }
 
   /** A fitted single-hidden-layer linear autoencoder: x̂ = W₂(W₁x̃+b₁)+b₂

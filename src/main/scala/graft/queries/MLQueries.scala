@@ -24,7 +24,8 @@ object MLQueries {
     * components on this near-orthogonal data (λ ≈ 1 each), which the
     * oracle emits; a shrunken k would surface as a loud schema mismatch.
     */
-  private def pcaJacobiSql(sweeps: Int, dp: Int): String = {
+  private def pcaJacobiSql(
+      sweeps: Int, dp: Int, latentK: Int = 4, recon: Boolean = false): String = {
     val p = 4
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     def aName(i: Int, j: Int) = if (i <= j) s"a$i$j" else s"a$j$i"
@@ -100,11 +101,33 @@ object MLQueries {
                SELECT *, CASE WHEN (CASE $pick ELSE w$p END) < 0
                  THEN -1.0 ELSE 1.0 END AS f
                FROM (SELECT *, $absMax AS m FROM orde))),
-      ${(1 to p).map(k => s"ld$k AS (SELECT * FROM ld WHERE rk = $k)").mkString(",\n      ")}
+      ${(1 to p).map(k => s"ld$k AS (SELECT * FROM ld WHERE rk = $k)").mkString(",\n      ")}${
+        val latentSelect = (1 to latentK).map(k =>
+          s"round(${projTerm(k)}, 4) + 0.0 AS latent_${k - 1}").mkString(",\n        ")
+        val fromLds = (1 to latentK).map(k => s"CROSS JOIN ld$k").mkString(" ")
+        if (!recon)
+          s"""
       SELECT l.l_orderkey, l.l_linenumber,
-        ${(1 to p).map(k =>
-          s"round(${projTerm(k)}, 4) + 0.0 AS latent_${k - 1}").mkString(",\n        ")}
-      FROM li l CROSS JOIN st ${(1 to p).map(k => s"CROSS JOIN ld$k").mkString(" ")}"""
+        $latentSelect
+      FROM li l CROSS JOIN st $fromLds"""
+        else {
+          // decode from the ROUNDED latents (same rule as the engine):
+          // recon_j = round(mu_j + sd_j * Σ_k latent_k · wf_kj, 4)
+          val reconSelect = cols.zipWithIndex.map { case (c, j0) =>
+            val i = j0 + 1
+            val code = (1 to latentK).map(k => s"b.latent_${k - 1} * ld$k.wf$i").mkString(" + ")
+            s"round(st.mu$i + st.sd$i * ($code), 4) + 0.0 AS recon_$c"
+          }.mkString(",\n        ")
+          s""",
+      base AS (SELECT l.l_orderkey, l.l_linenumber,
+        $latentSelect
+      FROM li l CROSS JOIN st $fromLds)
+      SELECT b.l_orderkey, b.l_linenumber,
+        ${(0 until latentK).map(i => s"b.latent_$i").mkString(", ")},
+        $reconSelect
+      FROM base b CROSS JOIN st $fromLds"""
+        }
+      }"""
   }
 
   /** PCA latent features over the 4 numeric lineitem columns, cutoff
@@ -606,6 +629,24 @@ transformers:
       latentDim = 2),
     None)
 
+  /** Deterministic autoencoder sibling with a FULL oracle: a linear
+    * autoencoder's optimum is the top-k principal subspace (Baldi &
+    * Hornik 1989), so the closed-form encoder/decoder come from the
+    * quantized-Jacobi eigenbasis — the 2-latent bottleneck AND the
+    * 4-column reconstruction both replay in DuckDB via the extended
+    * Jacobi CTE chain (decode runs off the rounded latents on both
+    * engines). The seeded-GD production path (q_autoencoder_latent)
+    * stays RMSE-gated.
+    */
+  val qAutoencoderDeterministic = Q(
+    "q_autoencoder_deterministic",
+    (s, dir) => LatentFeatures.autoencoderDeterministic(
+      tables(s, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      latentDim = 2, sweeps = 6, quantizeDp = 9),
+    Some(pcaJacobiSql(sweeps = 6, dp = 9, latentK = 2, recon = true)))
+
   private val alsItems = Seq("click", "view", "purchase", "signup", "error")
 
   /** Deterministic ALS sibling with a FULL oracle (the last RNG-only ML
@@ -646,5 +687,5 @@ transformers:
     qKnnImpute, qKnnDeterministic, qIterativeImputation, qIterDeterministic,
     qAlsDeterministic,
     qFeatureRec, qImageFeatures,
-    qAutoencoderLatent)
+    qAutoencoderLatent, qAutoencoderDeterministic)
 }

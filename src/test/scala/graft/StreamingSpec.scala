@@ -447,6 +447,24 @@ class StreamingSpec extends SparkSpec {
     val again = LatentFeatures.autoencoderLatentFeatures(d, Seq("a", "b", "c"), latentDim = 1)
     assert(out.select("latent_0").collect().toSeq ==
       again.select("latent_0").collect().toSeq)
+
+    // deterministic closed-form sibling: same one-factor frame, the
+    // eigenbasis bottleneck must reconstruct with comparable quality
+    // (the GD solver converges TOWARD this optimum) and be exactly
+    // partition-invariant, latents and reconstructions both
+    val det = LatentFeatures.autoencoderDeterministic(
+      d, Seq("a", "b", "c"), latentDim = 1, keepOriginal = true)
+    assert(det.columns.count(_.startsWith("recon_")) == 3)
+    val rmse = det.select(
+      sqrt(avg(pow(col("a") - col("recon_a"), 2) +
+        pow(col("b") - col("recon_b"), 2) +
+        pow(col("c") - col("recon_c"), 2))).cast("double")).first().getDouble(0)
+    assert(rmse < 0.25, s"closed-form reconstruction RMSE too high: $rmse")
+    val det2 = LatentFeatures.autoencoderDeterministic(
+      d.repartition(7), Seq("a", "b", "c"), latentDim = 1, keepOriginal = true)
+    assert(det.select("latent_0", "recon_a", "recon_b", "recon_c")
+      .collect().toSet ==
+      det2.select("latent_0", "recon_a", "recon_b", "recon_c").collect().toSet)
   }
 
   test("ALS imputation fills masked cells near their true values") {
