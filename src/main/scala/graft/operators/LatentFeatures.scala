@@ -671,6 +671,95 @@ object LatentFeatures {
     (best, imputed)
   }
 
+  /** Deterministic sibling of [[autoImputation]] with a fully
+    * SQL-replayable method-selection decision (ref
+    * transformers.py:2260-2521): instead of a seeded Bernoulli cell
+    * mask and RNG/iterative candidates, the harness
+    *  - masks cell (row, col) when md5(key…#col) falls under the
+    *    `nullPct` threshold (the deterministicSample idiom per cell),
+    *  - ranks three closed-form candidates — mean fill, median fill
+    *    (exact interpolated percentile), and a per-column OLS
+    *    regression from the partner column (slope/intercept from
+    *    9-dp-quantized corr/sd/mean over both-observed rows, falling
+    *    back to the mean when the partner cell is masked too),
+    *  - scores each by Σ_col √(masked-MSE)/max(|mean|, 1e-12) rounded
+    *    to the 4-decimal grid, picking the minimum (ties: method name).
+    * Everything — mask, fits, predictions, scores, argmin — replays in
+    * DuckDB, so the SELECTION itself is oracle-checked, which is the
+    * one decision the RNG path can only RMSE-gate. Returns one row per
+    * candidate: (method, rmse, best).
+    *
+    * Scale: two aggregate passes over the complete rows (fit stats,
+    * then all three candidates' masked errors in ONE agg) — no
+    * shuffle beyond the aggs, O(1) driver state.
+    */
+  def autoImputationDeterministic(
+      df: DataFrame,
+      cols: Seq[String],
+      keyCols: Seq[String],
+      nullPct: Double = 0.1,
+      quantizeDp: Int = 9): DataFrame = {
+    require(cols.size == 2, "deterministic auto-imputation ranks the 2-column harness")
+    val spark = df.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val Seq(a, b) = cols
+    val clean = df.na.drop(cols)
+      .select((keyCols ++ cols).map(col): _*)
+    val thr = graft.sources.Sampling.hashThresholdLong(nullPct)
+    val keyExpr = keyCols.map(k => s"cast(`$k` as string)").mkString(", ")
+    def maskCol(c: String) =
+      expr(s"md5_prefix60(cast(concat_ws('#', $keyExpr, '$c') as binary))") < lit(thr)
+    val masked = clean
+      .withColumn("__m_a", maskCol(a)).withColumn("__m_b", maskCol(b))
+      .withColumn("__a", col(a).cast("double"))
+      .withColumn("__b", col(b).cast("double"))
+    def rq(x: Double): Double =
+      BigDecimal(x).setScale(quantizeDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // fit pass: observed-cell means/medians, full-column norms, and the
+    // both-observed regression moments — one aggregation
+    val obsA = when(!col("__m_a"), col("__a"))
+    val obsB = when(!col("__m_b"), col("__b"))
+    val bothA = when(!col("__m_a") && !col("__m_b"), col("__a"))
+    val bothB = when(!col("__m_a") && !col("__m_b"), col("__b"))
+    val st = masked.agg(
+      avg(obsA).as("mua"), avg(obsB).as("mub"),
+      graft.core.NumExpr.pct(obsA, 0.5).as("meda"),
+      graft.core.NumExpr.pct(obsB, 0.5).as("medb"),
+      avg(col("__a")).as("na"), avg(col("__b")).as("nb"),
+      avg(bothA).as("fa"), avg(bothB).as("fb"),
+      stddev_samp(bothA).as("sda"), stddev_samp(bothB).as("sdb"),
+      corr(bothA, bothB).as("r")).first()
+    def g(n: String): Double = rq(st.getDouble(st.fieldIndex(n)))
+    val (mua, mub, meda, medb) = (g("mua"), g("mub"), g("meda"), g("medb"))
+    val (na, nb) = (g("na"), g("nb"))
+    val (fa, fb, sda, sdb, r) = (g("fa"), g("fb"), g("sda"), g("sdb"), g("r"))
+    val b1a = (r * sda) / sdb; val b0a = fa - b1a * fb
+    val b1b = (r * sdb) / sda; val b0b = fb - b1b * fa
+    val preds: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = Seq(
+      ("mean", lit(mua), lit(mub)),
+      ("median", lit(meda), lit(medb)),
+      ("regression",
+        when(col("__m_b"), lit(mua)).otherwise(lit(b0a) + lit(b1a) * col("__b")),
+        when(col("__m_a"), lit(mub)).otherwise(lit(b0b) + lit(b1b) * col("__a"))))
+    // error pass: all candidates' masked MSEs in one aggregation
+    val errExprs = preds.flatMap { case (m, pa, pb) => Seq(
+      avg(when(col("__m_a"), pow(pa - col("__a"), 2))).as(s"msea__$m"),
+      avg(when(col("__m_b"), pow(pb - col("__b"), 2))).as(s"mseb__$m"))
+    }
+    val er = masked.agg(errExprs.head, errExprs.tail: _*).first()
+    val dena = math.max(math.abs(na), 1e-12)
+    val denb = math.max(math.abs(nb), 1e-12)
+    val scored = preds.map { case (m, _, _) =>
+      val ea = math.sqrt(er.getDouble(er.fieldIndex(s"msea__$m"))) / dena
+      val eb = math.sqrt(er.getDouble(er.fieldIndex(s"mseb__$m"))) / denb
+      m -> BigDecimal(ea + eb).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val best = scored.minBy { case (m, e) => (e, m) }._1
+    import spark.implicits._
+    scored.map { case (m, e) => (m, e, m == best) }
+      .toDF("method", "rmse", "best")
+  }
+
   // ------------------------------------------------------------------
   // Deterministic ALS sibling with a FULL DuckDB oracle (the
   // q_knn/iterative_deterministic recipe applied to matrix

@@ -638,6 +638,84 @@ transformers:
     * engines). The seeded-GD production path (q_autoencoder_latent)
     * stays RMSE-gated.
     */
+  /** Deterministic auto-imputation sibling: md5 cell mask at 10%, three
+    * closed-form candidates (mean / median / partner-column OLS with
+    * 9-dp-quantized fit), Σ√MSE/|mean| scoring on the 4-decimal grid,
+    * argmin selection — the full harness INCLUDING the method-selection
+    * decision replays in DuckDB. The RNG path (q_auto_imputation) stays
+    * spec-gated. The fixture pairs gross with net price (corr ≈ 0.998 —
+    * quantity/extendedprice are near-independent in this data), so
+    * regression must WIN: the oracle verifies a real selection decision,
+    * not a tie resolved by name order.
+    */
+  val qAutoImputeDeterministic = Q(
+    "q_auto_imputation_deterministic",
+    (s, dir) => LatentFeatures.autoImputationDeterministic(
+      tables(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("double").as("gross_price"),
+        (col("l_extendedprice").cast("double") *
+          (lit(1.0) - col("l_discount").cast("double"))).as("net_price")),
+      Seq("gross_price", "net_price"),
+      Seq("l_orderkey", "l_linenumber")),
+    Some {
+      val thr = graft.sources.Sampling.hashThresholdLong(0.1)
+      def mask(c: String) =
+        s"""('0x' || substr(md5(concat_ws('#', CAST(l_orderkey AS VARCHAR),
+           |   CAST(l_linenumber AS VARCHAR), '$c')), 1, 15))::BIGINT < $thr""".stripMargin
+      s"""
+      WITH clean AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_extendedprice AS DOUBLE) AS a,
+               CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) AS b
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+      mk AS (SELECT *, ${mask("gross_price")} AS ma, ${mask("net_price")} AS mb
+             FROM clean),
+      st AS (SELECT
+        round(avg(a) FILTER (WHERE NOT ma), 9) AS mua,
+        round(avg(b) FILTER (WHERE NOT mb), 9) AS mub,
+        round(quantile_cont(a, 0.5) FILTER (WHERE NOT ma), 9) AS meda,
+        round(quantile_cont(b, 0.5) FILTER (WHERE NOT mb), 9) AS medb,
+        round(avg(a), 9) AS na, round(avg(b), 9) AS nb,
+        round(avg(a) FILTER (WHERE NOT ma AND NOT mb), 9) AS fa,
+        round(avg(b) FILTER (WHERE NOT ma AND NOT mb), 9) AS fb,
+        round(stddev_samp(a) FILTER (WHERE NOT ma AND NOT mb), 9) AS sda,
+        round(stddev_samp(b) FILTER (WHERE NOT ma AND NOT mb), 9) AS sdb,
+        round(corr(a, b) FILTER (WHERE NOT ma AND NOT mb), 9) AS r
+        FROM mk),
+      co AS (SELECT *, (r * sda) / sdb AS b1a, (r * sdb) / sda AS b1b FROM st),
+      co2 AS (SELECT *, fa - b1a * fb AS b0a, fb - b1b * fa AS b0b FROM co),
+      er AS (SELECT
+        avg(CASE WHEN ma THEN pow(mua - a, 2) END) AS msea_mean,
+        avg(CASE WHEN mb THEN pow(mub - b, 2) END) AS mseb_mean,
+        avg(CASE WHEN ma THEN pow(meda - a, 2) END) AS msea_median,
+        avg(CASE WHEN mb THEN pow(medb - b, 2) END) AS mseb_median,
+        avg(CASE WHEN ma THEN
+              pow((CASE WHEN mb THEN mua ELSE b0a + b1a * b END) - a, 2) END) AS msea_regression,
+        avg(CASE WHEN mb THEN
+              pow((CASE WHEN ma THEN mub ELSE b0b + b1b * a END) - b, 2) END) AS mseb_regression
+        FROM mk, co2),
+      sc AS (
+        SELECT 'mean' AS method,
+               round(sqrt(msea_mean) / greatest(abs(na), 1e-12)
+                     + sqrt(mseb_mean) / greatest(abs(nb), 1e-12), 4) AS rmse
+        FROM er, co2
+        UNION ALL
+        SELECT 'median',
+               round(sqrt(msea_median) / greatest(abs(na), 1e-12)
+                     + sqrt(mseb_median) / greatest(abs(nb), 1e-12), 4)
+        FROM er, co2
+        UNION ALL
+        SELECT 'regression',
+               round(sqrt(msea_regression) / greatest(abs(na), 1e-12)
+                     + sqrt(mseb_regression) / greatest(abs(nb), 1e-12), 4)
+        FROM er, co2)
+      SELECT method, rmse,
+             method = (SELECT method FROM sc ORDER BY rmse, method LIMIT 1) AS best
+      FROM sc"""
+    })
+
   val qAutoencoderDeterministic = Q(
     "q_autoencoder_deterministic",
     (s, dir) => LatentFeatures.autoencoderDeterministic(
@@ -687,5 +765,5 @@ transformers:
     qKnnImpute, qKnnDeterministic, qIterativeImputation, qIterDeterministic,
     qAlsDeterministic,
     qFeatureRec, qImageFeatures,
-    qAutoencoderLatent, qAutoencoderDeterministic)
+    qAutoencoderLatent, qAutoencoderDeterministic, qAutoImputeDeterministic)
 }

@@ -185,4 +185,21 @@ class ImputerSpec extends SparkSpec {
     assert(i2.length == 20)
     assert(i2.forall(r => !r.getDouble(2).isNaN))
   }
+
+  test("deterministic auto-imputation: selection tracks the data's structure") {
+    import spark.implicits._
+    // strongly linear pair -> regression must win; partition-invariant
+    val lin = (1L to 400L).map(i => (i, i.toDouble % 97 + 1,
+      3.0 * (i.toDouble % 97 + 1) + (i % 7).toDouble * 0.1)).toDF("id", "x", "y")
+    val out = graft.operators.LatentFeatures
+      .autoImputationDeterministic(lin, Seq("x", "y"), Seq("id"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out.size == 3 && out.count(_._2._2) == 1)
+    assert(out("regression")._2, s"regression must win on a linear pair: $out")
+    assert(out("regression")._1 < out("mean")._1)
+    val out2 = graft.operators.LatentFeatures
+      .autoImputationDeterministic(lin.repartition(7), Seq("x", "y"), Seq("id"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out == out2, "selection harness must be partition-invariant")
+  }
 }
