@@ -27,6 +27,17 @@ object Graph {
     * Dangling nodes (no out-edges) simply contribute nothing — supply
     * symmetric edges if mass conservation matters.
     */
+  /** `saltDegreeThreshold` (opt-in, 0 = off): on power-law graphs a hub
+    * whose out-degree dominates puts ALL its edges into one hash
+    * partition of the per-sweep src join — the classic straggler. With
+    * salting on, edges of sources at/above the threshold carry a
+    * deterministic salt in [0, saltFactor) (hashed from dst) and the
+    * hub's rank/degree row is replicated across the salt space, so the
+    * hot key spreads over `saltFactor` partitions. Contributions are
+    * value-identical (rank/outdeg per edge, then the same dst
+    * aggregate); only the partial-sum order changes, which double
+    * summation already doesn't guarantee.
+    */
   def pageRank(
       edges: DataFrame,
       srcCol: String = "src",
@@ -34,18 +45,31 @@ object Graph {
       iterations: Int = 5,
       damping: Double = 0.85,
       checkpointEvery: Int = 0,
-      broadcastRanks: Boolean = false): DataFrame = {
+      broadcastRanks: Boolean = false,
+      saltDegreeThreshold: Int = 0,
+      saltFactor: Int = 16): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     // persisted: every sweep re-reads all three — without the cache the
     // edge projection and the deg/nodes shuffles replay ~2× per
     // iteration from the source scan
-    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    val nodes = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()
     val base = lit(1.0) - lit(damping)
+    val salted = saltDegreeThreshold > 0
+    // hub set is static across sweeps: mark it once, broadcast (the
+    // whole point is that very few sources clear the threshold)
+    val hubs = deg.filter(col("outdeg") >= saltDegreeThreshold)
+      .select(col("src"), lit(true).as("__hub"))
+    val e =
+      if (!salted) e0.withColumn("__salt", lit(0))
+      else e0.join(broadcast(hubs), Seq("src"), "left")
+        .withColumn("__salt",
+          when(col("__hub"), pmod(hash(col("dst")), lit(saltFactor))).otherwise(lit(0)))
+        .drop("__hub").persist()
     // broadcastRanks trades per-sweep driver broadcast builds of the
     // NODE-sized rank/degree tables for an unshuffled edge frame — a
     // win only when edges ≫ nodes (huge-corpus host graphs); on the
@@ -54,8 +78,16 @@ object Graph {
     def maybeBc(df: DataFrame): DataFrame = if (broadcastRanks) broadcast(df) else df
     var ranks = nodes.withColumn("rank", lit(1.0) / lit(n.toDouble))
     for (it <- 1 to iterations) {
+      val rankSrc = ranks.withColumnRenamed("node", "src")
+      val rankSalted =
+        if (!salted) rankSrc.withColumn("__salt", lit(0))
+        else rankSrc.join(broadcast(hubs), Seq("src"), "left")
+          .withColumn("__salt", explode(
+            when(col("__hub"), sequence(lit(0), lit(saltFactor - 1)))
+              .otherwise(array(lit(0)))))
+          .drop("__hub")
       val contribs = e
-        .join(maybeBc(ranks.withColumnRenamed("node", "src")), "src")
+        .join(maybeBc(rankSalted), Seq("src", "__salt"))
         .join(maybeBc(deg), "src")
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum("c").as("s"))
@@ -68,7 +100,8 @@ object Graph {
     }
     // materialize before releasing the cached inputs the plan reads
     val out = ranks.localCheckpoint()
-    e.unpersist(false); deg.unpersist(false); nodes.unpersist(false)
+    if (salted) e.unpersist(false)
+    e0.unpersist(false); deg.unpersist(false); nodes.unpersist(false)
     out
   }
 

@@ -113,4 +113,30 @@ class SkewSpec extends SparkSpec {
       .agg(max(col("d"))).first().getLong(0)
     assert(outDeg2 <= 3L, s"hub graph max oriented out-degree must stay tiny, got $outDeg2")
   }
+
+  test("pagerank hub salting preserves ranks on a power-law out-degree graph") {
+    import graft.functions.Graph
+    // hub 0 points at 400 leaves (out-degree 400 >> everyone else's <= 3),
+    // plus a sparse back-edge ring so mass circulates. Salting spreads the
+    // hub's edges across the salt space; ranks must agree with the
+    // unsalted sweep to fp-noise (same contributions, different partial
+    // sum order).
+    val edges = ((1L to 400L).map(i => (0L, i)) ++
+      (1L to 400L).filter(_ % 10 == 0).map(i => (i, 0L)) ++
+      (1L to 399L).map(i => (i, i + 1))).toDF("src", "dst")
+    val plain = Graph.pageRank(edges, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val saltedR = Graph.pageRank(edges, iterations = 4,
+      saltDegreeThreshold = 100, saltFactor = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(plain.keySet == saltedR.keySet)
+    val worst = plain.map { case (k, v) => math.abs(v - saltedR(k)) }.max
+    assert(worst < 1e-12, s"salted ranks diverged by $worst")
+    // the hub actually qualified: a threshold above its degree must be
+    // identical to the plain path bit-for-bit (salt column all zero)
+    val offR = Graph.pageRank(edges, iterations = 4,
+      saltDegreeThreshold = 1000, saltFactor = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(offR == plain)
+  }
 }
