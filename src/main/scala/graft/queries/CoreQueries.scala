@@ -453,8 +453,58 @@ object CoreQueries {
         min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
       FROM orders GROUP BY o_orderstatus"""))
 
+  /** Range-clustered write under the correctness gate: orders goes out
+    * through writeClustered (repartitionByRange + sortWithinPartitions —
+    * the file-skipping layout IngestSpec proves prunes scans), comes
+    * back, and must aggregate identically to the source. Flips the
+    * clustered-write path from spec-only to oracle-checked losslessness.
+    */
+  val qClusteredRoundtrip = Q(
+    "q_clustered_roundtrip",
+    (s, dir) => {
+      import graft.sources.Ingest
+      val out = System.getProperty("java.io.tmpdir", "/tmp") +
+        s"/graft_clustered_roundtrip_${Integer.toHexString(dir.hashCode)}"
+      Ingest.writeClustered(tables(s, dir).orders, out, Seq("o_totalprice"), numFiles = 8)
+      s.read.parquet(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(dec("o_totalprice")).cast(DoubleType), 4).as("sum_price"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"))
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price,
+        min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+      FROM orders GROUP BY o_orderstatus"""))
+
+  /** Feast export type mapping under the oracle gate: the engine maps
+    * the Spark parquet schema to Feast dtypes; DuckDB derives the same
+    * mapping from ITS parquet reader's view of lineitem — both engines
+    * must agree on every exported column's type.
+    */
+  val qFeastTypes = Q(
+    "q_feast_types",
+    (s, dir) => graft.workflow.FeastExporter.featureViewFields(
+      tables(s, dir).lineitem, entityCol = "l_orderkey"),
+    Some("""
+      SELECT column_name AS field,
+        CASE WHEN column_type IN ('BIGINT', 'INTEGER', 'SMALLINT', 'TINYINT',
+                                  'UBIGINT', 'UINTEGER') THEN 'Int64'
+             WHEN column_type IN ('DOUBLE', 'FLOAT', 'REAL')
+                  OR column_type LIKE 'DECIMAL%' THEN 'Float64'
+             WHEN column_type = 'BOOLEAN' THEN 'Bool'
+             WHEN column_type LIKE 'TIMESTAMP%' OR column_type = 'DATE'
+               THEN 'UnixTimestamp'
+             ELSE 'String' END AS dtype
+      FROM (DESCRIBE lineitem)
+      WHERE column_name <> 'l_orderkey'"""))
+
   def all: Seq[Q] = Seq(q1, qJoin, qRecommendType, qExpressionParser,
     qSemiAnti, qExcept, qRenameRecast, qRowIds, qSaltedJoin,
     qTopkPerGroup, qRollupPricing, qCubePricing, qGroupingSets, qPivotEvents,
-    qGroupedMedian, qWriteRoundtrip, qAvroRoundtrip, qSnapshotDiff, qChangelogApply)
+    qGroupedMedian, qWriteRoundtrip, qAvroRoundtrip, qSnapshotDiff, qChangelogApply,
+    qClusteredRoundtrip, qFeastTypes)
 }

@@ -151,6 +151,46 @@ object QualityQueries {
       }.mkString(" UNION ALL ")
     })
 
+  /** nullColumns_detection dispatcher under the oracle gate: the
+    * column_removal arm drops columns whose missing_pct (4-dp rounded,
+    * same as missingCount) exceeds the threshold. event_type is nulled
+    * for ~2/3 of rows (dropped), value for ~1/10 (kept) — the output
+    * lists the surviving columns plus the untouched row count, so the
+    * DROP decision itself is what hash-matches. The other dispatcher
+    * arms (MMM/KNN/regression/MF/auto) delegate to operators with their
+    * own oracle rows.
+    */
+  val qNullTreatment = Q(
+    "q_null_treatment",
+    (s, dir) => {
+      import s.implicits._
+      val planted = tables(s, dir).events
+        .withColumn("event_type",
+          when(col("user_id") % 3 =!= 0, lit(null)).otherwise(col("event_type")))
+        .withColumn("value",
+          when(col("user_id") % 10 === 0, lit(null)).otherwise(col("value")))
+      val treated = QualityChecker.nullColumnsDetection(
+        planted, Seq("value", "event_type"), treatment = "column_removal", threshold = 0.5)
+      val n = treated.count()
+      treated.columns.sorted.toSeq.toDF("column_name")
+        .withColumn("n_rows", lit(n))
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_id, ts, user_id, props,
+          CASE WHEN user_id % 3 <> 0 THEN NULL ELSE event_type END AS event_type,
+          CASE WHEN user_id % 10 = 0 THEN NULL ELSE value END AS value
+        FROM events),
+      m AS (SELECT
+        round(CAST(count(*) - count(value) AS DOUBLE) / count(*), 4) AS pv,
+        round(CAST(count(*) - count(event_type) AS DOUBLE) / count(*), 4) AS pe,
+        count(*) AS n FROM base),
+      kept AS (
+        SELECT c FROM (VALUES ('event_id'), ('ts'), ('user_id'), ('props')) v(c)
+        UNION ALL SELECT 'value' FROM m WHERE pv <= 0.5
+        UNION ALL SELECT 'event_type' FROM m WHERE pe <= 0.5)
+      SELECT c AS column_name, (SELECT n FROM m) AS n_rows FROM kept"""))
+
   def all: Seq[Q] = Seq(qDuplicates, qNullRows, qIdness, qBiasedness, qInvalidEntries,
-    qOutlierDetection, qImputationMMM, qMadOutliers)
+    qOutlierDetection, qImputationMMM, qMadOutliers, qNullTreatment)
 }

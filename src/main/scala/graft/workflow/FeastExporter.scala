@@ -24,7 +24,7 @@ object FeastExporter {
     case DoubleType | FloatType => "Float64"
     case BooleanType => "Bool"
     case _: DecimalType => "Float64"
-    case TimestampType | DateType => "UnixTimestamp"
+    case TimestampType | TimestampNTZType | DateType => "UnixTimestamp"
     case _ => "String"
   }
 
@@ -63,5 +63,20 @@ object FeastExporter {
        |    source=${name}_source,
        |)
        |""".stripMargin
+  }
+
+  /** The schema→Feast dtype mapping as a frame — one row per exported
+    * field, exactly the fields/dtypes [[generateFeatureView]] templates
+    * into the python source. Exposed so the mapping decision itself can
+    * ride the oracle gate (DuckDB derives the same mapping from ITS view
+    * of the parquet schema — a genuine cross-engine check that both
+    * engines agree on every column's exported type).
+    */
+  def featureViewFields(df: DataFrame, entityCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.schema.fields
+      .filterNot(f => Set(entityCol, "event_time", "created").contains(f.name))
+      .map(f => (f.name, feastType(f.dataType))).toSeq
+      .toDF("field", "dtype")
   }
 }
