@@ -264,6 +264,53 @@ object Geo {
     (bestK, model.transform(feat).drop("__fv"))
   }
 
+  /** Deterministic sibling of [[clusterAnalysis]]: the engine-portable
+    * quantized-Lloyd coarse clustering (the IVF/SemDeDup fit) over
+    * (lat, lon) at a FIXED k — no RNG init, no elbow search; the fit
+    * sample is the md5-lowest rows and every centroid coordinate
+    * re-rounds to the `lloydQuantize` grid each sweep, so fit AND
+    * per-row assignment replay in DuckDB (q_geo_cluster_deterministic).
+    * The spark.ml path above stays the production elbow-search twin.
+    *
+    * Scale: fit state is O(k·2) on the driver from a bounded sample;
+    * assignment is map-only against broadcast centers.
+    */
+  def clusterAnalysisDeterministic(
+      df: DataFrame,
+      idCol: String,
+      latCol: String,
+      lonCol: String,
+      k: Int,
+      fitSample: Int = 10000,
+      lloydIters: Int = 5,
+      lloydQuantize: Int = 4): DataFrame = {
+    import df.sparkSession.implicits._
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).cast("long").as("id"),
+      array(col(latCol).cast("float"), col(lonCol).cast("float")).as("v"))
+    val sample: Array[Array[Double]] = base
+      .orderBy(expr("md5_prefix60(cast(cast(id as string) as binary))").asc, col("id").asc)
+      .limit(fitSample)
+      .select(col("v"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centers = Similarity.localKMeans(sample, k, 42L, lloydIters, lloydQuantize)
+    val bc = df.sparkSession.sparkContext.broadcast(centers)
+    base.map { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).toArray
+      val cs = bc.value
+      var bi = 0; var bd = Double.MaxValue
+      var ci = 0
+      while (ci < cs.length) {
+        var d = 0.0; var j = 0; val c = cs(ci)
+        while (j < c.length && j < v.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
+        if (d < bd) { bd = d; bi = ci } // ascending ci keeps the lowest cell on ties
+        ci += 1
+      }
+      (id, bi)
+    }.toDF(idCol, "geo_cluster")
+  }
+
   /** Scalar haversine (km) — driver-side twin of the Column form. */
   private[graft] def haversineKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
     val dLat = math.toRadians(lat2 - lat1) / 2

@@ -310,6 +310,30 @@ object GeoQueries {
       UNION ALL
       SELECT c_custkey, 0.0 AS vincenty_km FROM pts WHERE lat = lat2 AND lon = lon2"""))
 
+  /** Deterministic geo clustering: the quantized-Lloyd coarse fit at a
+    * fixed k over the derived customer points — fit (md5-lowest sample,
+    * strided init, per-sweep re-rounded centroids) and every row's cell
+    * assignment replay through the shared IVF CTE chain. The spark.ml
+    * KMeans elbow path (Geo.clusterAnalysis) stays the RNG production
+    * twin, spec-gated.
+    */
+  val qGeoClusterDeterministic = Q(
+    "q_geo_cluster_deterministic",
+    (s, dir) => Geo.clusterAnalysisDeterministic(
+      withPoints(tables(s, dir).customer), "c_custkey", "lat", "lon",
+      k = 5, fitSample = 10000, lloydIters = 5, lloydQuantize = 4),
+    Some {
+      val corpus =
+        s"""SELECT c_custkey AS id,
+            [CAST($latExpr AS FLOAT), CAST($lonExpr AS FLOAT)] AS v
+            FROM customer"""
+      s"""
+      WITH ${TextQueries.ivfAssignCtes(corpus, cells = 5, iters = 5, dp = 4,
+        fitSample = 10000)}
+      SELECT id AS c_custkey, CAST(cid AS INT) AS geo_cluster
+      FROM fr WHERE rk = 1"""
+    })
+
   def all: Seq[Q] = Seq(qDistance, qCentroid, qRog, qFormat, qPolygon, qGeohash,
-    qInCountry, qReverseGeocode, qVincenty)
+    qInCountry, qReverseGeocode, qVincenty, qGeoClusterDeterministic)
 }

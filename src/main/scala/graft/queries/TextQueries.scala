@@ -449,7 +449,7 @@ object TextQueries {
     * sweeps → per-vector cell ranks `fr`): shared by the IVF top-k oracle
     * and the semantic-dedup oracle. `corpusSql` must yield (id, v).
     */
-  private def ivfAssignCtes(corpusSql: String, cells: Int, iters: Int, dp: Int,
+  private[queries] def ivfAssignCtes(corpusSql: String, cells: Int, iters: Int, dp: Int,
       fitSample: Int): String = {
     def distExpr(vTbl: String, cTbl: String) =
       s"""list_reduce(list_transform(range(1, len($vTbl.v) + 1),

@@ -76,6 +76,20 @@ class GeoSpec extends SparkSpec {
     val (k, labeled) = Geo.clusterAnalysis(d, "lat", "lon", maxK = 6)
     assert(k == 3, s"elbow picked $k")
     assert(labeled.select("geo_cluster").distinct().count() == 3)
+
+    // deterministic sibling at fixed k: same blobs, each blob must land
+    // in ONE cell, and assignments must be partition-invariant
+    val withId = pts.zipWithIndex.map { case ((la, lo), i) => (i.toLong, la, lo) }
+      .toDF("id", "lat", "lon")
+    val det = Geo.clusterAnalysisDeterministic(withId, "id", "lat", "lon", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(det.size == 300)
+    val byBlob = (0 until 3).map(b => (0 until 100).map(i => det((b * 100 + i).toLong)).toSet)
+    assert(byBlob.forall(_.size == 1), s"blob split across cells: $byBlob")
+    assert(byBlob.flatten.toSet.size == 3, "blobs must map to distinct cells")
+    val det2 = Geo.clusterAnalysisDeterministic(withId.repartition(7), "id", "lat", "lon", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(det == det2)
   }
 
   test("DBSCAN + silhouette recovers planted clusters and flags noise") {
