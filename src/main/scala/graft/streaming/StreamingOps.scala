@@ -219,6 +219,86 @@ object StreamingOps {
       }
   }
 
+  final case class SemanticCandidate(key_1: Long, key_2: Long, cos: Double)
+
+  /** Streaming SemDeDup candidate pairs — the streaming twin of the
+    * batch [[graft.functions.Similarity.semanticDedup]] pair stage.
+    * Cell centers come from a BATCH quantized-Lloyd fit (the coarse
+    * quantizer is fit offline, exactly like an IVF index build); each
+    * arriving vector assigns map-side to its nearest center (same
+    * ascending-tie loop and float→double widening as batch), and a
+    * per-cell keyed state holds (key, vector, norm) inside the
+    * watermark horizon — norms computed ONCE on arrival, the same
+    * precompute the batch path uses. A new vector emits
+    * (minKey, maxKey, cos) for every stored partner with cosine ≥
+    * `threshold`; cosines are the shared dotF/normF numerics, so a
+    * downstream round(·,4) filter reproduces the batch grid exactly.
+    * State caps at `maxCellState` per cell (first-seen keep pairing,
+    * later arrivals only probe — the streaming analog of the batch
+    * id-ranked cell cap).
+    */
+  def streamingSemanticCandidates(
+      stream: DataFrame,
+      vecCol: String,
+      keyCol: String,
+      tsCol: String,
+      centers: Array[Array[Double]],
+      threshold: Double = 0.95,
+      watermarkMs: Long = 2L * 3600 * 1000,
+      maxCellState: Int = 10000): Dataset[SemanticCandidate] = {
+    import stream.sparkSession.implicits._
+    val bc = stream.sparkSession.sparkContext.broadcast(centers)
+    val cellUdf = udf { v: Seq[Float] =>
+      val cs = bc.value
+      val a = v.toArray
+      var bi = 0; var bd = Double.MaxValue
+      var ci = 0
+      while (ci < cs.length) {
+        var d = 0.0; var j = 0; val c = cs(ci)
+        while (j < c.length && j < a.length) { val diff = a(j) - c(j); d += diff * diff; j += 1 }
+        if (d < bd) { bd = d; bi = ci }
+        ci += 1
+      }
+      bi
+    }
+    val assigned = stream
+      .withWatermark(tsCol, s"$watermarkMs milliseconds")
+      .select(cellUdf(col(vecCol)).as("__cell"),
+        col(keyCol).cast("long").as("__key"), col(vecCol).as("__v"),
+        col(tsCol)) // no cast/alias: it would strip the watermark metadata
+      .as[(Int, Long, Array[Float], java.sql.Timestamp)]
+    assigned.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Array[Float], Double, Long)], SemanticCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Int, rows: Iterator[(Int, Long, Array[Float], java.sql.Timestamp)],
+         state: GroupState[List[(Long, Array[Float], Double, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val horizon = state.getCurrentWatermarkMs()
+            var entries = state.getOption.getOrElse(Nil).filter(_._4 >= horizon)
+            val out = scala.collection.mutable.ListBuffer.empty[SemanticCandidate]
+            // deterministic intra-batch order: event time, then key
+            rows.toSeq.sortBy(r => (r._4.getTime, r._2)).foreach { case (_, k, v, ts) =>
+              val nv = graft.functions.Similarity.normF(v)
+              entries.foreach { case (k2, v2, n2, _) =>
+                if (k2 != k) {
+                  val cos = graft.functions.Similarity.dotF(v, v2) / (nv * n2)
+                  if (cos >= threshold)
+                    out += SemanticCandidate(math.min(k, k2), math.max(k, k2), cos)
+                }
+              }
+              if (entries.size < maxCellState) entries = (k, v, nv, ts.getTime) :: entries
+            }
+            state.update(entries)
+            if (entries.nonEmpty)
+              state.setTimeoutTimestamp(entries.map(_._4).max + watermarkMs)
+            out.iterator
+          }
+      }
+  }
+
   final case class UserState(count: Long, sum: Double)
   final case class UserSnapshot(userId: Long, count: Long, sum: Double, mean: Double)
 

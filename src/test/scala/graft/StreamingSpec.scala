@@ -409,6 +409,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic candidates match the batch per-cell pair scoring") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Similarity
+    // two tight blobs along different axes + one planted near-dup per
+    // blob; centers come from a batch quantized-Lloyd fit on the corpus
+    val dim = 8
+    val vecs: Seq[(Long, Array[Float])] = (0 until 12).map { i =>
+      val v = Array.fill(dim)(0.01f * ((i * 7) % 5))
+      if (i < 6) v(0) = 1f else v(1) = 1f
+      (i.toLong, v)
+    }
+    val centers = Similarity.localKMeans(
+      vecs.map(_._2.map(_.toDouble)).toArray, 2, 42L, 5, 4)
+    // batch expectation: same assignment loop + dotF/normF cosine
+    def cell(v: Array[Float]): Int =
+      centers.zipWithIndex.minBy { case (c, ci) =>
+        (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, ci)
+      }._2
+    val expected = (for {
+      (k1, v1) <- vecs; (k2, v2) <- vecs
+      if k1 < k2 && cell(v1) == cell(v2)
+      cos = Similarity.dotF(v1, v2) / (Similarity.normF(v1) * Similarity.normF(v2))
+      if cos >= 0.9
+    } yield (k1, k2)).toSet
+    assert(expected.nonEmpty, "fixture must produce batch candidates")
+    assert(expected.forall { case (a, b) => (a < 6) == (b < 6) },
+      "cross-blob pairs must not appear")
+
+    val input = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val stream = input.toDF().toDF("vec_id", "embedding", "ts")
+    val out = StreamingOps.streamingSemanticCandidates(
+      stream, "embedding", "vec_id", "ts", centers, threshold = 0.9,
+      watermarkMs = 3600 * 1000L)
+    val q = out.writeStream.format("memory").queryName("sem_stream_out")
+      .outputMode("append").start()
+    try {
+      val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData(vecs.take(7).zipWithIndex.map { case ((k, v), i) => (k, v.toSeq, t(i)) }: _*)
+      q.processAllAvailable()
+      input.addData(vecs.drop(7).zipWithIndex.map { case ((k, v), i) => (k, v.toSeq, t(10 + i)) }: _*)
+      q.processAllAvailable()
+      val streamPairs = spark.sql("SELECT DISTINCT key_1, key_2 FROM sem_stream_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamPairs == expected, s"stream $streamPairs != batch $expected")
+    } finally q.stop()
+  }
+
   test("misra-gries heavy hitters aggregate runs in a streaming aggregation") {
     implicit val sqlCtx = spark.sqlContext
     graft.plans.GraftFunctions.register(spark)
