@@ -709,12 +709,16 @@ object LatentFeatures {
     val keyExpr = keyCols.map(k => s"cast(`$k` as string)").mkString(", ")
     def maskCol(c: String) =
       expr(s"md5_prefix60(cast(concat_ws('#', $keyExpr, '$c') as binary))") < lit(thr)
-    val masked = clean
+    val maskedPlan = clean
       .withColumn("__m_a", maskCol(a)).withColumn("__m_b", maskCol(b))
-      .withColumn("__a", col(a).cast("double"))
-      .withColumn("__b", col(b).cast("double"))
+      .select(col("__m_a"), col("__m_b"),
+        col(a).cast("double").as("__a"), col(b).cast("double").as("__b"))
     def rq(x: Double): Double =
       BigDecimal(x).setScale(quantizeDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    graft.core.Caching.withPersisted(maskedPlan) { masked =>
+    // (persisted: the fit agg and the error agg both scan the masked
+    // frame — without the cache each pass re-reads parquet and re-hashes
+    // two md5s per row)
     // fit pass: observed-cell means/medians, full-column norms, and the
     // both-observed regression moments — one aggregation
     val obsA = when(!col("__m_a"), col("__a"))
@@ -723,14 +727,20 @@ object LatentFeatures {
     val bothB = when(!col("__m_a") && !col("__m_b"), col("__b"))
     val st = masked.agg(
       avg(obsA).as("mua"), avg(obsB).as("mub"),
-      graft.core.NumExpr.pct(obsA, 0.5).as("meda"),
-      graft.core.NumExpr.pct(obsB, 0.5).as("medb"),
       avg(col("__a")).as("na"), avg(col("__b")).as("nb"),
       avg(bothA).as("fa"), avg(bothB).as("fb"),
       stddev_samp(bothA).as("sda"), stddev_samp(bothB).as("sdb"),
       corr(bothA, bothB).as("r")).first()
+    // exact medians via the histogram-selection path (the `percentile`
+    // aggregate builds a boxed value→count map — near-unique money
+    // columns made it the dominant cost of this whole harness); values
+    // are identical to quantile_cont, so the oracle is unaffected
+    val medRow = StatsGenerator.exactPercentiles(
+      masked.select(obsA.as("__oa"), obsB.as("__ob")), Seq("__oa", "__ob"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](4).head).toMap
     def g(n: String): Double = rq(st.getDouble(st.fieldIndex(n)))
-    val (mua, mub, meda, medb) = (g("mua"), g("mub"), g("meda"), g("medb"))
+    val (mua, mub) = (g("mua"), g("mub"))
+    val (meda, medb) = (rq(medRow("__oa")), rq(medRow("__ob")))
     val (na, nb) = (g("na"), g("nb"))
     val (fa, fb, sda, sdb, r) = (g("fa"), g("fb"), g("sda"), g("sdb"), g("r"))
     val b1a = (r * sda) / sdb; val b0a = fa - b1a * fb
@@ -758,6 +768,7 @@ object LatentFeatures {
     import spark.implicits._
     scored.map { case (m, e) => (m, e, m == best) }
       .toDF("method", "rmse", "best")
+    }
   }
 
   // ------------------------------------------------------------------
