@@ -39,12 +39,30 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
 
     val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val okOff = li.agg(max("l_orderkey")).first().getLong(0) + 1
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    // ONE shared order-key offset so the lineitem↔orders join keeps
+    // resolving inside each replica
+    val okOff = math.max(
+      li.agg(max("l_orderkey")).first().getLong(0),
+      ord.agg(max("o_orderkey")).first().getLong(0)) + 1
     (0 until factor).map(i =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(i * okOff)))
       .reduce(_ unionAll _)
       .repartition(64)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // orders: order keys ride the shared offset; customer keys offset per
+    // replica too, so the customer→supplier graph grows in NODES with the
+    // data (suppliers stay shared across replicas and become 10×-degree
+    // hubs — exactly the power-law growth the salted-PageRank and
+    // degree-oriented-triangle paths are built for)
+    val ckOff = ord.agg(max("o_custkey")).first().getLong(0) + 1
+    (0 until factor).map(i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * okOff))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * ckOff)))
+      .reduce(_ unionAll _)
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val idOff = docs.agg(max("doc_id")).first().getLong(0) + 1

@@ -46,7 +46,11 @@ object TriScale {
     */
   private val sf1Guarded = Seq(
     "q_simhash_neardup", "q_dup_spans", "q_quantile_transform",
-    "q_pca_latent", "q_ngram_jaccard")
+    "q_pca_latent", "q_ngram_jaccard",
+    // round-12: GenScale now materializes orders (shared order-key
+    // offset, per-replica customer keys, SHARED suppliers → 10×-degree
+    // hubs), so the two graph queries gate their power-law growth at sf1
+    "q_pagerank", "q_triangle_count")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -63,4 +63,69 @@ object FeatureRecommender {
       .orderBy(col("score").desc, col("id").asc)
       .limit(topK)
   }
+
+  /** ref: feature_explorer.py:23-59 list_all_industry/usecase/pair —
+    * the corpus facet listings (distinct values / value pairs).
+    */
+  def listFacets(corpus: DataFrame, facetCols: Seq[String]): DataFrame =
+    corpus.select(facetCols.map(col): _*).distinct()
+      .orderBy(facetCols.map(col): _*)
+
+  /** ref: feature_mapper.py:322-463 find_attr_by_relevance — map a
+    * user's data-dictionary attributes onto a feature-building corpus:
+    * for EVERY target corpus description, rank the user's attributes by
+    * similarity and keep those at/above `threshold`. The reference's
+    * sentence-transformer similarity is replaced by the same TF-IDF
+    * cosine stand-in as [[search]] (idf fit on the ATTRIBUTE corpus;
+    * each building-corpus entry scores as a query against it — one
+    * aggregation for term stats, one broadcast join for all queries at
+    * once, no per-query job).
+    *
+    * Output: [input_feature_desc, attribute_name, attribute_desc,
+    * score], score desc within each input description.
+    */
+  def findAttrByRelevance(
+      attrs: DataFrame,
+      idCol: String,
+      nameCol: String,
+      descCol: String,
+      buildingCorpus: Seq[String],
+      threshold: Double = 0.3): DataFrame = {
+    val spark = attrs.sparkSession
+    import spark.implicits._
+    require(buildingCorpus.nonEmpty, "need at least one building-corpus entry")
+    val base = attrs.select(col(idCol).as("id"), col(nameCol).as("name"),
+      col(descCol).as("desc"),
+      concat_ws(" ", col(nameCol), col(descCol)).as("__text"))
+    val n = base.count().toDouble
+    val tf = tokens(base, "id", "__text")
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("token")
+      .agg(countDistinct(col("id")).as("df"))
+      .withColumn("idf", log(lit(n + 1) / (col("df") + 1)) + 1)
+    val weighted = tf.join(idf, "token")
+      .withColumn("w", col("tf") * col("idf"))
+    val docNorms = weighted.groupBy("id").agg(sqrt(sum(pow(col("w"), 2))).as("dnorm"))
+
+    val qRows = buildingCorpus.zipWithIndex.flatMap { case (q, qi) =>
+      TextOps.normalizeTextString(q).split(" ").filter(_.length > 1)
+        .groupBy(identity).map { case (t, xs) => (qi, q, t, xs.length) }
+    }
+    val qDf = qRows.toDF("qid", "qtext", "token", "qtf")
+    val qWeighted = broadcast(qDf.join(idf, Seq("token"), "inner")
+      .withColumn("qw", col("qtf") * col("idf")))
+    // per-query norms stay a tiny frame: |buildingCorpus| rows
+    val qNorms = qWeighted.groupBy("qid", "qtext")
+      .agg(sqrt(sum(pow(col("qw"), 2))).as("qnorm"))
+
+    weighted.join(qWeighted.select("qid", "token", "qw"), "token")
+      .groupBy("qid", "id").agg(sum(col("w") * col("qw")).as("dot"))
+      .join(broadcast(qNorms), "qid")
+      .join(docNorms, "id")
+      .withColumn("score", round(col("dot") / (col("dnorm") * col("qnorm")), 4))
+      .filter(col("score") >= threshold)
+      .join(base.select("id", "name", "desc"), "id")
+      .select(col("qtext").as("input_feature_desc"), col("name").as("attribute_name"),
+        col("desc").as("attribute_desc"), col("score"))
+  }
 }

@@ -571,6 +571,56 @@ transformers:
       ORDER BY score DESC, d.id ASC LIMIT 10"""
     })
 
+  private val attrCorpusQueries = Seq(
+    "spark sql window aggregation pipeline",
+    "language detection and text quality scoring")
+
+  /** feature_mapper find_attr_by_relevance under the gate: every
+    * building-corpus description ranks the documents "data dictionary"
+    * (source as name, text as description) by TF-IDF cosine and keeps
+    * rows at/above the threshold — the full multi-query fit+score+filter
+    * replays in DuckDB (query tokens generated from the SAME Scala
+    * normalization as the engine side, like q_feature_recommender).
+    */
+  val qFeatureMapper = Q(
+    "q_feature_mapper",
+    (s, dir) => graft.functions.FeatureRecommender.findAttrByRelevance(
+      tables(s, dir).documents, "doc_id", "source", "text",
+      attrCorpusQueries, threshold = 0.05),
+    Some {
+      val qValues = attrCorpusQueries.zipWithIndex.flatMap { case (q, qi) =>
+        graft.functions.TextOps.normalizeTextString(q)
+          .split(" ").filter(_.length > 1)
+          .groupBy(identity).map { case (t, xs) => s"($qi, '$q', '$t', ${xs.length})" }
+      }.mkString(", ")
+      val norm = "trim(regexp_replace(lower(trim(concat_ws(' ', source, text))), '\\s+', ' ', 'g'))"
+      s"""
+      WITH base AS (SELECT doc_id AS id, source AS name, text AS adesc,
+                           $norm AS t FROM documents),
+      toks AS (SELECT id, unnest(str_split(t, ' ')) AS token FROM base),
+      tok1 AS (SELECT id, token FROM toks WHERE length(token) > 1),
+      tf AS (SELECT id, token, count(*) AS tf FROM tok1 GROUP BY 1, 2),
+      cnt(n) AS (SELECT count(*) FROM base),
+      idf AS (SELECT token,
+                     ln((CAST(n AS DOUBLE) + 1) / (count(DISTINCT id) + 1)) + 1 AS idf
+              FROM tf CROSS JOIN cnt GROUP BY token, n),
+      weighted AS (SELECT id, tf.token, tf * idf AS w FROM tf JOIN idf USING (token)),
+      q(qid, qtext, token, qtf) AS (VALUES $qValues),
+      qw AS (SELECT qid, qtext, q.token, qtf * idf AS qw FROM q JOIN idf USING (token)),
+      qn AS (SELECT qid, qtext, sqrt(sum(qw * qw)) AS qnorm FROM qw GROUP BY qid, qtext),
+      dnorms AS (SELECT id, sqrt(sum(w * w)) AS dnorm FROM weighted GROUP BY id),
+      dots AS (SELECT qid, id, sum(w * qw.qw) AS dot
+               FROM weighted JOIN qw USING (token) GROUP BY qid, id)
+      SELECT qn.qtext AS input_feature_desc, b.name AS attribute_name,
+             b.adesc AS attribute_desc,
+             round(d.dot / (dn.dnorm * qn.qnorm), 4) AS score
+      FROM dots d
+      JOIN qn USING (qid)
+      JOIN dnorms dn USING (id)
+      JOIN base b USING (id)
+      WHERE round(d.dot / (dn.dnorm * qn.qnorm), 4) >= 0.05"""
+    })
+
   /** REAL image decode end-to-end on the cluster path: synthesize a small
     * PNG per document (deterministic from doc_id), then decode with the
     * JDK ImageIO inside a partition-wise pass (rows-only: PNG encoder
@@ -764,6 +814,6 @@ transformers:
     qMonotonicBinning, qBoxcox, qBoxcoxLambda, qMultimodal, qWorkflow, qVarClus,
     qKnnImpute, qKnnDeterministic, qIterativeImputation, qIterDeterministic,
     qAlsDeterministic,
-    qFeatureRec, qImageFeatures,
+    qFeatureRec, qFeatureMapper, qImageFeatures,
     qAutoencoderLatent, qAutoencoderDeterministic, qAutoImputeDeterministic)
 }
