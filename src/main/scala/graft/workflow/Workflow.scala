@@ -354,6 +354,26 @@ object Workflow {
       }
     }
 
+    // ---- semantic_dedup: SemDeDup over an embedding column — keep one
+    // survivor (min id) per semantic duplicate component. Stage-level so
+    // embedding tables can dedup without the text pipeline.
+    conf.get("semantic_dedup").foreach { v =>
+      val sd = asConf(v)
+      val idCol = sd.getOrElse("id_col", df.columns.head).toString
+      val vecCol = sd.getOrElse("vec_col", "embedding").toString
+      df = timed("semantic_dedup") {
+        val labels = graft.functions.Similarity.semanticDedup(
+          df, idCol, vecCol,
+          threshold = sd.getOrElse("threshold", 0.95).toString.toDouble,
+          cellCount = sd.getOrElse("cell_count", 0).toString.toInt,
+          maxCellSize = sd.getOrElse("max_cell_size", 100000).toString.toInt)
+        df.join(
+          labels.filter(org.apache.spark.sql.functions.col("kept"))
+            .select(org.apache.spark.sql.functions.col("vec_id").as(idCol)),
+          Seq(idCol), "left_semi")
+      }
+    }
+
     // ---- graph_metrics: PageRank / triangle counts over an edge list —
     // either a separate parquet edge table (edges_path) or the current
     // frame's two key columns. Results attach as stage metrics (the
@@ -542,7 +562,27 @@ object Workflow {
     // optionally persisted (the reference's chart-feeding stage)
     conf.get("report_preprocessing").foreach { v =>
       val rc = asConf(v)
-      val report = BasicReport.generate(df)
+      import org.apache.spark.sql.functions.col
+      // optional chart-DATA frames alongside the stats tables (the
+      // reference's plot_* precompute layer, figures excluded)
+      val charts: Map[String, org.apache.spark.sql.DataFrame] =
+        strings(rc.getOrElse("frequency_cols", null))
+          .map(c => s"chart_frequency_$c" ->
+            BasicReport.frequencyChartData(df, c)).toMap ++
+        rc.get("outlier_chart").map { oc =>
+          val o = asConf(oc)
+          val c = o("col").toString
+          s"chart_outlier_$c" -> BasicReport.outlierChartData(
+            df, c, strings(o("key_cols")),
+            sampleSize = o.getOrElse("sample_size", 500000L).toString.toLong)
+        }.toMap ++
+        rc.get("event_rate_chart").map { ec =>
+          val e = asConf(ec)
+          val c = e("col").toString
+          s"chart_event_rate_$c" -> BasicReport.eventRateChartData(
+            df, c, e("label_col").toString, e("event").toString)
+        }.toMap
+      val report = BasicReport.generate(df) ++ charts
       timed("report_preprocessing", report) {
         rc.get("save_path").foreach { p =>
           report.foreach { case (name, m) =>

@@ -613,4 +613,58 @@ asof_join:
     assert(byRow((1L, "2024-01-01 06")) == Some(50.0))
     assert(byRow((2L, "2024-01-01 01")) == None) // nothing prior
   }
+
+  test("workflow semantic_dedup stage keeps one survivor per component") {
+    val yaml = """
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/embeddings.parquet"
+    file_type: parquet
+semantic_dedup:
+  id_col: vec_id
+  vec_col: embedding
+  threshold: 0.999
+  cell_count: 4
+"""
+    val (df, stages) = Workflow.run(spark, yaml)
+    assert(stages.exists(_.name == "semantic_dedup"))
+    val n0 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    val n1 = df.count()
+    // survivors only: no more rows than input, and ids stay unique
+    assert(n1 > 0 && n1 <= n0)
+    assert(df.select("vec_id").distinct().count() == n1)
+  }
+
+  test("workflow report_preprocessing emits chart-data frames on request") {
+    val yaml = """
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/events.parquet"
+    file_type: parquet
+  select_column: [event_id, event_type, value]
+report_preprocessing:
+  frequency_cols: [event_type]
+  outlier_chart:
+    col: value
+    key_cols: [event_id]
+    sample_size: 400
+  event_rate_chart:
+    col: event_type
+    label_col: event_type
+    event: click
+"""
+    val (_, stages) = Workflow.run(spark, yaml)
+    val rp = stages.find(_.name == "report_preprocessing").get
+    val freq = rp.metrics("chart_frequency_event_type")
+    assert(freq.columns.contains("count_pct") && freq.count() > 0)
+    val out = rp.metrics("chart_outlier_value")
+    assert(out.filter(col("value").isNull).count() == 0)
+    assert(out.count() <= 1000) // bounded by the sample
+    val er = rp.metrics("chart_event_rate_event_type")
+    assert(er.columns.contains("event_rate"))
+    val click = er.filter(col("event_type") === "click").first()
+    assert(click.getAs[Double]("event_rate") == 100.0)
+    // the stats tables are still there alongside the charts
+    assert(rp.metrics.contains("global_summary"))
+  }
 }
