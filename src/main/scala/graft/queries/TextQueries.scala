@@ -642,6 +642,36 @@ object TextQueries {
       cells = 8, iters = 5, dp = 4, fitSample = 10000,
       threshold = 0.99, cap = 100000)))
 
+  /** The YAML semantic_dedup STAGE under the gate: same SemDeDup
+    * pipeline as q_semantic_dedup but driven through the workflow
+    * runner's left-semi survivor join — the oracle replays the full fit
+    * and keeps only component minima, proving the stage wiring adds
+    * nothing and loses nothing.
+    */
+  val qWorkflowSemantic = Q(
+    "q_workflow_semantic",
+    (s, dir) => {
+      val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/embeddings.parquet"
+    file_type: parquet
+semantic_dedup:
+  id_col: vec_id
+  vec_col: embedding
+  threshold: 0.99
+  cell_count: 8
+"""
+      val (df, _) = graft.workflow.Workflow.run(s, yaml)
+      df.select("vec_id")
+    },
+    Some(s"""
+      SELECT vec_id FROM (${semanticDedupSql(
+        "SELECT vec_id AS id, embedding AS v FROM embeddings",
+        cells = 8, iters = 5, dp = 4, fitSample = 10000,
+        threshold = 0.99, cap = 100000)}
+      ) WHERE kept"""))
+
   /** Duplicate clusters (connected components by min-label propagation)
     * over the deterministic n-gram-Jaccard candidate pairs; the oracle
     * computes the same components via a recursive transitive closure.
@@ -1753,7 +1783,7 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qDedupClusters,
-    qSemanticDedup,
+    qSemanticDedup, qWorkflowSemantic,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup,
     qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText,
     qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality,
