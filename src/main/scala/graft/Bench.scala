@@ -148,8 +148,19 @@ object Bench {
         var retries = 0
         val effBaseline =
           math.min(baseline.getOrElse(name, synthBaseline), synthBaseline)
-        val suspicious =
-          (d: Double) => d > math.max(retryAbove, 3.0 * effBaseline)
+        // Two triggers, both required: (a) above 3× the capped baseline
+        // (the synthetic cap keeps a phantom in the history from
+        // disabling its own retries); (b) NOT vouched for by the query's
+        // own recorded history — landing within 1.5× of one's own
+        // cross-ROUND best is evidence of real cost (within-run
+        // agreement is not: back-to-back runs land in the same steal
+        // phase). This keeps a legitimately-slow query from burning 4
+        // spaced retries + the shared sleep budget every single round;
+        // a phantom that sneaks into the history self-heals because any
+        // later phase-free round records the true best-of.
+        val suspicious = (d: Double) =>
+          d > math.max(retryAbove, 3.0 * effBaseline) &&
+            baseline.get(name).forall(b => d > 1.5 * b)
         def tryAgain(sleepMs: Long): Unit = {
           if (sleepMs > 0 && sleepBudgetMs.addAndGet(-sleepMs) >= 0) Thread.sleep(sleepMs)
           retries += 1

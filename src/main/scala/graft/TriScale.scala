@@ -42,7 +42,10 @@ object TriScale {
 
   /** The round-9 top-growth set also runs a 4th decade at sf1 (synthetic,
     * see [[GenScale]]) when SPARK_GRAFT_SF1_DIR points at it. Only these
-    * touch tables GenScale materializes (lineitem, documents).
+    * touch tables GenScale materializes (lineitem, documents, and —
+    * since round 12 — orders); the env check below verifies all three
+    * exist so a stale pre-round-12 scratch dir degrades to the 3-tier
+    * run instead of crashing q_pagerank mid-suite.
     */
   private val sf1Guarded = Seq(
     "q_simhash_neardup", "q_dup_spans", "q_quantile_transform",
@@ -71,7 +74,14 @@ object TriScale {
       spark.catalog.clearCache()
       dt
     }
-    val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR").filter(d => new java.io.File(d).isDirectory)
+    val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR").filter { d =>
+      val ok = Seq("lineitem", "documents", "orders")
+        .forall(t => new java.io.File(d, s"$t.parquet").exists())
+      if (!ok && new java.io.File(d).isDirectory)
+        System.err.println(s"[triscale] $d is missing required tables " +
+          "(lineitem/documents/orders — regenerate with GenScale); running 3 tiers only")
+      ok
+    }
     def dirsFor(name: String): Seq[String] =
       if (sf1Dir.isDefined && sf1Guarded.contains(name)) sfDirs :+ sf1Dir.get else sfDirs
     val cells: Map[String, Seq[Double]] = guarded.map { name =>

@@ -127,5 +127,6 @@ object FeatureRecommender {
       .join(base.select("id", "name", "desc"), "id")
       .select(col("qtext").as("input_feature_desc"), col("name").as("attribute_name"),
         col("desc").as("attribute_desc"), col("score"))
+      .orderBy(col("input_feature_desc"), col("score").desc, col("attribute_name"))
   }
 }

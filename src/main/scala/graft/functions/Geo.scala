@@ -298,16 +298,7 @@ object Geo {
     base.map { r =>
       val id = r.getLong(0)
       val v = r.getSeq[Float](1).toArray
-      val cs = bc.value
-      var bi = 0; var bd = Double.MaxValue
-      var ci = 0
-      while (ci < cs.length) {
-        var d = 0.0; var j = 0; val c = cs(ci)
-        while (j < c.length && j < v.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
-        if (d < bd) { bd = d; bi = ci } // ascending ci keeps the lowest cell on ties
-        ci += 1
-      }
-      (id, bi)
+      (id, Similarity.nearestCell(v, bc.value))
     }.toDF(idCol, "geo_cluster")
   }
 

@@ -253,6 +253,25 @@ object Similarity {
     * pipeline SQL-replayable — the same trick as the fixed-iteration
     * vincenty/pagerank oracles.
     */
+  /** Nearest-center assignment shared by EVERY quantized-Lloyd consumer
+    * (semanticDedup, geo clustering, the streaming candidate twin):
+    * float components widen to double before the subtract, squared-L2,
+    * ascending index keeps the LOWEST cell on ties. One definition —
+    * the DuckDB replays depend on these numerics staying bit-identical
+    * across all call sites.
+    */
+  private[graft] def nearestCell(v: Array[Float], centers: Array[Array[Double]]): Int = {
+    var bi = 0; var bd = Double.MaxValue
+    var ci = 0
+    while (ci < centers.length) {
+      var d = 0.0; var j = 0; val c = centers(ci)
+      while (j < c.length && j < v.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
+      if (d < bd) { bd = d; bi = ci }
+      ci += 1
+    }
+    bi
+  }
+
   def localKMeans(points: Array[Array[Double]], k: Int, seed: Long, iters: Int = 15,
       quantizeDp: Int = -1): Array[Array[Double]] = {
     require(points.nonEmpty, "kmeans needs data")
@@ -484,13 +503,16 @@ object Similarity {
     // IVF failover: √N/4 cells keeps expected cell size ~4√N, so the
     // per-cell quadratic candidate work stays ~16N total regardless of
     // corpus size (a fixed cell count would go quadratic at scale).
+    // A real count(), NOT the CBO row estimate: the cell count changes
+    // the SURVIVOR SET (different cells → different candidate pairs),
+    // so a stale/selectivity-skewed estimate would make the dedup
+    // result nondeterministic across runs of identical data — and an
+    // underestimate would re-open the quadratic blowup this sizing
+    // exists to prevent. One count job against a fit that already does
+    // a full ordered scan is the right trade.
     val cells =
       if (cellCount > 0) cellCount
-      else {
-        val n = df.queryExecution.optimizedPlan.stats.rowCount
-          .map(_.toLong).getOrElse(base.count())
-        math.max(8, math.sqrt(n.toDouble).toInt / 4)
-      }
+      else math.max(8, math.sqrt(base.count().toDouble).toInt / 4)
     val sample: Array[Array[Double]] = base
       .orderBy(expr("md5_prefix60(cast(cast(id as string) as binary))").asc, col("id").asc)
       .limit(fitSample)
@@ -501,16 +523,7 @@ object Similarity {
     val assigned = base.map { r =>
       val id = r.getLong(0)
       val v = r.getSeq[Float](1).toArray
-      val cs = bcCenters.value
-      var bi = 0; var bd = Double.MaxValue
-      var ci = 0
-      while (ci < cs.length) {
-        var d = 0.0; var j = 0; val c = cs(ci)
-        while (j < c.length && j < v.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
-        if (d < bd) { bd = d; bi = ci } // ascending ci keeps the lowest cell on ties
-        ci += 1
-      }
-      (bi, id, v)
+      (nearestCell(v, bcCenters.value), id, v)
     }.toDF("cell", "id", "v")
     val capped = assigned
       .withColumn("__rk", row_number().over(

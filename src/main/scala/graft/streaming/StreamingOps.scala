@@ -230,12 +230,16 @@ object StreamingOps {
     * per-cell keyed state holds (key, vector, norm) inside the
     * watermark horizon — norms computed ONCE on arrival, the same
     * precompute the batch path uses. A new vector emits
-    * (minKey, maxKey, cos) for every stored partner with cosine ≥
-    * `threshold`; cosines are the shared dotF/normF numerics, so a
-    * downstream round(·,4) filter reproduces the batch grid exactly.
-    * State caps at `maxCellState` per cell (first-seen keep pairing,
-    * later arrivals only probe — the streaming analog of the batch
-    * id-ranked cell cap).
+    * (minKey, maxKey, cos) for every stored partner whose cosine clears
+    * the batch path's 1e-3 slack under `threshold`; cosines are the
+    * shared dotF/normF numerics, so applying the exact
+    * round(cos, 4) ≥ threshold filter downstream lands on the batch
+    * grid precisely (an unslacked raw cut here would silently drop
+    * boundary pairs the grid rounds up). A re-delivered key REPLACES
+    * its stale entry (at-least-once sources must not inflate state or
+    * re-emit pairs against duplicates). State caps at `maxCellState`
+    * per cell (first-seen keep pairing, later arrivals only probe —
+    * the streaming analog of the batch id-ranked cell cap).
     */
   def streamingSemanticCandidates(
       stream: DataFrame,
@@ -249,17 +253,7 @@ object StreamingOps {
     import stream.sparkSession.implicits._
     val bc = stream.sparkSession.sparkContext.broadcast(centers)
     val cellUdf = udf { v: Seq[Float] =>
-      val cs = bc.value
-      val a = v.toArray
-      var bi = 0; var bd = Double.MaxValue
-      var ci = 0
-      while (ci < cs.length) {
-        var d = 0.0; var j = 0; val c = cs(ci)
-        while (j < c.length && j < a.length) { val diff = a(j) - c(j); d += diff * diff; j += 1 }
-        if (d < bd) { bd = d; bi = ci }
-        ci += 1
-      }
-      bi
+      graft.functions.Similarity.nearestCell(v.toArray, bc.value)
     }
     val assigned = stream
       .withWatermark(tsCol, s"$watermarkMs milliseconds")
@@ -285,11 +279,20 @@ object StreamingOps {
               entries.foreach { case (k2, v2, n2, _) =>
                 if (k2 != k) {
                   val cos = graft.functions.Similarity.dotF(v, v2) / (nv * n2)
-                  if (cos >= threshold)
+                  // same 1e-3 slack as the batch pre-filter: a raw >=
+                  // threshold cut would drop boundary pairs that the
+                  // 4-dp HALF_UP grid rounds UP to the threshold — the
+                  // consumer applies the exact round(cos,4) filter
+                  if (cos >= threshold - 1e-3)
                     out += SemanticCandidate(math.min(k, k2), math.max(k, k2), cos)
                 }
               }
-              if (entries.size < maxCellState) entries = (k, v, nv, ts.getTime) :: entries
+              // at-least-once sources re-deliver: replace a stale entry
+              // for the same key instead of accumulating duplicates
+              // (which would re-emit every pair and eat the state cap)
+              val had = entries.exists(_._1 == k)
+              if (had || entries.size < maxCellState)
+                entries = (k, v, nv, ts.getTime) :: entries.filterNot(_._1 == k)
             }
             state.update(entries)
             if (entries.nonEmpty)

