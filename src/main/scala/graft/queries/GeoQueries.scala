@@ -334,6 +334,60 @@ object GeoQueries {
       FROM fr WHERE rk = 1"""
     })
 
+  /** Geo auto-detection decisions under the gate (ref
+    * geo_auto_detection.py:23-177): name heuristics + full-scan range
+    * checks + base32 validity. The fixture plants a valid lat, an
+    * out-of-range bad_lat (name matches, range rejects), a valid lon, a
+    * base32 code column (detected via the value path), and two
+    * non-base32 strings (rejected). The fixture is SAMPLE-INVARIANT —
+    * every code value is valid and every non-code value invalid — so
+    * the oracle may re-derive the validity verdicts over ALL rows where
+    * the engine inspects a capped distinct sample.
+    */
+  val qGeoAutodetect = Q(
+    "q_geo_autodetect",
+    (s, dir) => {
+      import s.implicits._
+      val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+      val pts = tables(s, dir).customer
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_name"),
+          expr(latExpr).as("lat"), expr(lonExpr).as("lon"),
+          (expr(latExpr) * 3).as("bad_lat"),
+          expr(s"substring('$alphabet', cast(c_custkey % 32 as int) + 1, 1)").as("code"))
+      val d = graft.functions.AutoDetect.detectGeoColumns(pts)
+      (d.latCols.map(("lat_col", _)) ++ d.lonCols.map(("lon_col", _)) ++
+        d.geohashCols.map(("geohash_col", _))).toDF("role", "column_name")
+    },
+    Some {
+      val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+      def valid(c: String) =
+        s"bool_and($c IS NOT NULL AND length($c) <= 12 AND regexp_full_match($c, '[0-9b-hjkmnp-z]+'))"
+      s"""
+      WITH pts AS (
+        SELECT c_custkey, c_mktsegment, c_name,
+          $latExpr AS lat, $lonExpr AS lon, ($latExpr) * 3 AS bad_lat,
+          substring('$alphabet', CAST(c_custkey % 32 AS INT) + 1, 1) AS code
+        FROM customer),
+      rng AS (SELECT
+        min(lat) AS mn_lat, max(lat) AS mx_lat,
+        min(bad_lat) AS mn_bad, max(bad_lat) AS mx_bad,
+        min(lon) AS mn_lon, max(lon) AS mx_lon,
+        ${valid("code")} AS code_ok,
+        ${valid("c_mktsegment")} AS seg_ok,
+        ${valid("c_name")} AS name_ok
+        FROM pts)
+      SELECT 'lat_col' AS role, 'lat' AS column_name FROM rng
+        WHERE mn_lat >= -90 AND mx_lat <= 90
+      UNION ALL SELECT 'lat_col', 'bad_lat' FROM rng
+        WHERE mn_bad >= -90 AND mx_bad <= 90
+      UNION ALL SELECT 'lon_col', 'lon' FROM rng
+        WHERE mn_lon >= -180 AND mx_lon <= 180
+      UNION ALL SELECT 'geohash_col', 'code' FROM rng WHERE code_ok
+      UNION ALL SELECT 'geohash_col', 'c_mktsegment' FROM rng WHERE seg_ok
+      UNION ALL SELECT 'geohash_col', 'c_name' FROM rng WHERE name_ok"""
+    })
+
   def all: Seq[Q] = Seq(qDistance, qCentroid, qRog, qFormat, qPolygon, qGeohash,
-    qInCountry, qReverseGeocode, qVincenty, qGeoClusterDeterministic)
+    qInCountry, qReverseGeocode, qVincenty, qGeoClusterDeterministic,
+    qGeoAutodetect)
 }
