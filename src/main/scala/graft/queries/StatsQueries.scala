@@ -256,7 +256,32 @@ object StatsQueries {
         'value' AS attribute_name
       FROM samp"""))
 
+  /** HLL sketch store in its EXACT regime: per-status sketches of
+    * o_orderpriority (5 distinct values — far inside the Datasketches
+    * list-mode range where the coupon set IS the value set), then the
+    * union-merge path re-groups to a global estimate. Estimates equal
+    * exact distinct counts here, so the whole build→store→union→estimate
+    * pipeline rides the hash gate; the approximate regime stays covered
+    * by SketchSpec's bit-exact merge law (union-of-parts == whole).
+    */
+  val qHllDistinct = Q(
+    "q_hll_distinct",
+    (s, dir) => {
+      val sk = graft.operators.SketchStore.hllSketches(
+        tables(s, dir).orders, Seq("o_orderstatus"), "o_orderpriority")
+      graft.operators.SketchStore.unionEstimate(sk, Seq("o_orderstatus"))
+        .unionByName(
+          graft.operators.SketchStore.unionEstimate(sk)
+            .withColumn("o_orderstatus", lit("ALL"))
+            .select("o_orderstatus", "distinct_estimate"))
+    },
+    Some("""
+      SELECT o_orderstatus, count(DISTINCT o_orderpriority) AS distinct_estimate
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'ALL', count(DISTINCT o_orderpriority) FROM orders"""))
+
   def all: Seq[Q] = Seq(qGlobalSummary, qMissingCounts, qNonzeroCounts, qMeasuresOfCounts,
     qCentralTendency, qMode, qUniqueCounts, qDispersion, qPercentiles, qShape, qCardinality,
-    qReportFrequency, qReportEventRate, qReportCompDrift, qReportOutlier)
+    qReportFrequency, qReportEventRate, qReportCompDrift, qReportOutlier, qHllDistinct)
 }
