@@ -255,6 +255,52 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("degree orientation: bijective on edges, triangles match brute force") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(60, for {
+        a <- Gen.choose(0L, 14L); b <- Gen.choose(0L, 14L) if a != b
+      } yield (a, b))
+    for (es <- samples(edgeGen, 3) if es.nonEmpty) {
+      val canon = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val e = canon.toDF("lo", "hi")
+      val oriented = graft.functions.Graph.orientByDegree(e)
+        .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // every canonical edge appears EXACTLY once, in one direction
+      assert(oriented.length == canon.length)
+      assert(oriented.map { case (u, v) => (math.min(u, v), math.max(u, v)) }.toSet ==
+        canon.toSet)
+      // triangle counts equal the O(n^3) brute-force truth
+      val adj = canon.toSet
+      def conn(a: Long, b: Long) = adj((math.min(a, b), math.max(a, b)))
+      val nodes = canon.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        i <- nodes.indices; j <- (i + 1) until nodes.length; k <- (j + 1) until nodes.length
+        if conn(nodes(i), nodes(j)) && conn(nodes(j), nodes(k)) && conn(nodes(i), nodes(k))
+        n <- Seq(nodes(i), nodes(j), nodes(k))
+      } brute(n) += 1
+      val got = graft.functions.Graph.triangleCounts(
+        es.toDF("src", "dst")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == brute.toMap, s"triangles $got != brute ${brute.toMap}")
+    }
+  }
+
+  test("editBinRange: only equal-signed-sided numeric ranges collapse") {
+    import graft.operators.BasicReport
+    val numGen = Gen.choose(-999.0, 999.0)
+      .map(d => BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString)
+    val pairGen = for { a <- numGen; b <- numGen } yield (a, b)
+    for (ps <- samples(Gen.listOfN(50, pairGen), 2)) {
+      val labels = ps.map { case (a, b) => s"$a-$b" }
+      val out = labels.toDF("l")
+        .select(BasicReport.editBinRange(col("l"))).as[String].collect().toSeq
+      labels.zip(ps).zip(out).foreach { case ((lbl, (a, b)), o) =>
+        if (a == b) assert(o == a, s"equal sides must collapse: $lbl -> $o")
+        else assert(o == lbl, s"unequal sides must pass through: $lbl -> $o")
+      }
+    }
+  }
+
   test("iterative imputation is idempotent on complete data") {
     for (xs <- samples(doublesGen, 2) if xs.length >= 4) {
       val df = xs.zipWithIndex.map { case (x, i) => (x, x * 2 + i) }.toDF("a", "b")
