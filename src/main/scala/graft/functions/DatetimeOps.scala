@@ -89,9 +89,11 @@ object DatetimeOps {
   def isMonthStart(c: Column): Column = (dayofmonth(c) === 1).cast("int")
   def isMonthEnd(c: Column): Column = (to_date(c) === last_day(c)).cast("int")
   def startOfYear(c: Column): Column = trunc(c, "year")
+  def endOfYear(c: Column): Column = last_day(add_months(trunc(c, "year"), 11))
   def isYearStart(c: Column): Column = (dayofyear(c) === 1).cast("int")
   def isYearEnd(c: Column): Column = ((month(c) === 12) && (dayofmonth(c) === 31)).cast("int")
   def startOfQuarter(c: Column): Column = trunc(c, "quarter")
+  def endOfQuarter(c: Column): Column = last_day(add_months(trunc(c, "quarter"), 2))
   def isQuarterStart(c: Column): Column =
     ((dayofmonth(c) === 1) && (month(c) - 1) % 3 === 0).cast("int")
   def isQuarterEnd(c: Column): Column =

@@ -47,7 +47,10 @@ object TimeQueries {
         DatetimeOps.isMonthStart(d).as("is_month_start"),
         DatetimeOps.isMonthEnd(d).as("is_month_end"),
         DatetimeOps.isLeapYear(d).as("is_leap_year"),
-        DatetimeOps.isYearFirstHalf(d).as("is_h1"))
+        DatetimeOps.isYearFirstHalf(d).as("is_h1"),
+        date_format(DatetimeOps.startOfQuarter(d), "yyyy-MM-dd").as("q_start"),
+        date_format(DatetimeOps.endOfQuarter(d), "yyyy-MM-dd").as("q_end"),
+        date_format(DatetimeOps.endOfYear(d), "yyyy-MM-dd").as("y_end"))
     },
     Some("""
       SELECT o_orderkey,
@@ -57,7 +60,10 @@ object TimeQueries {
         CASE WHEN year(o_orderdate) % 4 = 0
               AND (year(o_orderdate) % 100 <> 0 OR year(o_orderdate) % 400 = 0)
              THEN 1 ELSE 0 END AS is_leap_year,
-        CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 0 END AS is_h1
+        CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 0 END AS is_h1,
+        strftime(date_trunc('quarter', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS q_start,
+        strftime(last_day(date_trunc('quarter', CAST(o_orderdate AS DATE)) + INTERVAL 2 MONTH), '%Y-%m-%d') AS q_end,
+        strftime(make_date(CAST(year(o_orderdate) AS INT), 12, 31), '%Y-%m-%d') AS y_end
       FROM orders"""))
 
   /** Timestamp arithmetic: +3 months (month-end clamped in both engines),
