@@ -255,6 +255,27 @@ object Transformers {
       }
     }
 
+  /** ref: transformers.py:428-503 `cat_to_num_transformer` — the
+    * dispatcher over the supervised/unsupervised encoders: a label
+    * column routes to target encoding, otherwise `encoding` picks
+    * label-index or one-hot. Pure routing; every arm has its own
+    * oracle-gated query.
+    */
+  def catToNumTransformer(
+      df: DataFrame,
+      cols: Seq[String],
+      encoding: String = "label_encoding",
+      labelCol: Option[String] = None,
+      eventLabel: Any = 1): DataFrame = labelCol match {
+    case Some(l) =>
+      targetEncoding(df, cols, col(l).cast("string") === eventLabel.toString)
+    case None => encoding match {
+      case "label_encoding"  => labelEncoding(df, cols)
+      case "onehot_encoding" => oneHotEncoding(df, cols)
+      case e => throw new IllegalArgumentException(s"unknown encoding: $e")
+    }
+  }
+
   /** ref: transformers.py:776-962 `cat_to_num_supervised` — target (mean)
     * encoding: category → event rate n_event/(n_event+n_nonevent),
     * rounded 4, broadcast-joined back.

@@ -55,6 +55,23 @@ class TransformSpec extends SparkSpec {
     assert(enc == Map("a" -> 0.5, "b" -> 1.0))
   }
 
+  test("cat_to_num dispatcher routes to the right encoder") {
+    val d = Seq(("a", 1), ("a", 0), ("b", 1), ("b", 1)).toDF("cat", "y")
+    // label column present → supervised target encoding
+    val sup = Transformers.catToNumTransformer(d, Seq("cat"), labelCol = Some("y"))
+      .select("cat", "cat_encoded").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sup == Map("a" -> 0.5, "b" -> 1.0))
+    // no label → unsupervised per the encoding switch
+    val lab = Transformers.catToNumTransformer(d, Seq("cat"))
+    assert(lab.columns.contains("cat_index"))
+    val oh = Transformers.catToNumTransformer(d, Seq("cat"), encoding = "onehot_encoding")
+    assert(oh.columns.contains("cat_a") && oh.columns.contains("cat_b"))
+    intercept[IllegalArgumentException] {
+      Transformers.catToNumTransformer(d, Seq("cat"), encoding = "nope")
+    }
+  }
+
   test("one-hot encoding emits 0/1 columns per category") {
     val d = Seq("a", "b", "a").toDF("cat")
     val oh = Transformers.oneHotEncoding(d, Seq("cat"))
