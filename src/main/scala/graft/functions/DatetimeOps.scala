@@ -120,6 +120,50 @@ object DatetimeOps {
       .otherwise("other_hours")
   }
 
+  /** ref: ts_analyzer.py:259-405 `ts_viz_data` — the chart-data producer
+    * behind the ts dashboard: bucket the timestamp (daily date /
+    * weekly dow / hourly daypart), then
+    *  - categorical y: collapse to the top `nCat` categories (count
+    *    desc, value asc — the reference's bare count-desc order is
+    *    nondeterministic on ties), everything else → "Others", and
+    *    count per (y, bucket);
+    *  - numeric y: per-bucket min / max / mean / exact median.
+    * One aggregation either way (plus the O(nCat) top-list fit for the
+    * categorical arm); the frame returned is chart-sized.
+    */
+  def tsVizData(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      outputType: String = "daily",
+      nCat: Int = 10): DataFrame = {
+    val ts = col(xCol)
+    val (bucket, bucketName) = outputType match {
+      case "daily"  => (date_format(ts, "yyyy-MM-dd"), xCol)
+      case "weekly" => (dayofweek(ts).cast("int"), "dow")
+      case "hourly" => (daypartCat(ts), "daypart_cat")
+      case o => throw new IllegalArgumentException(s"unknown output_type: $o")
+    }
+    val isCat = df.schema(yCol).dataType == org.apache.spark.sql.types.StringType
+    if (isCat) {
+      val top = df.filter(col(yCol).isNotNull)
+        .groupBy(col(yCol)).agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col(yCol).asc)
+        .limit(nCat).collect().map(_.get(0).toString)
+      df.withColumn(yCol,
+          when(col(yCol).isin(top.toIndexedSeq: _*), col(yCol)).otherwise(lit("Others")))
+        .groupBy(col(yCol), bucket.as(bucketName))
+        .agg(count(col(yCol)).as("count"))
+    } else {
+      df.groupBy(bucket.as(bucketName))
+        .agg(
+          min(col(yCol)).as("min"),
+          max(col(yCol)).as("max"),
+          avg(col(yCol)).as("mean"),
+          graft.core.NumExpr.pct(col(yCol).cast("double"), 0.5).as("median"))
+    }
+  }
+
   // ---- grouped / windowed time aggregation (ref: datetime.py:1721-2012)
 
   /** ref: datetime.py:1721-1821 `aggregator` — groupBy formatted time

@@ -757,10 +757,43 @@ object TimeQueries {
         count(DISTINCT user_id) AS n_users
       FROM c GROUP BY 1, 2"""))
 
+  /** ts_viz_data numeric arm (ref ts_analyzer.py:259-405): per-day
+    * min/max/mean/exact-median of the value column — the daily-view
+    * chart frame.
+    */
+  val qTsVizDaily = Q(
+    "q_ts_viz_daily",
+    (s, dir) => DatetimeOps.tsVizData(tables(s, dir).events, "ts", "value", "daily")
+      .select(col("ts"), col("min"), col("max"),
+        round(col("mean"), 4).as("mean"), round(col("median"), 4).as("median")),
+    Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS ts,
+        min(value) AS "min", max(value) AS "max",
+        round(avg(value), 4) AS mean,
+        round(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS median
+      FROM events GROUP BY 1"""))
+
+  /** ts_viz_data categorical arm: top-3 event types (count desc, value
+    * asc), the rest collapsed to Others, counted per weekday.
+    */
+  val qTsVizWeekly = Q(
+    "q_ts_viz_weekly",
+    (s, dir) => DatetimeOps.tsVizData(
+      tables(s, dir).events, "ts", "event_type", "weekly", nCat = 3),
+    Some("""
+      WITH top AS (SELECT event_type FROM events WHERE event_type IS NOT NULL
+                   GROUP BY event_type ORDER BY count(*) DESC, event_type ASC LIMIT 3),
+      lab AS (SELECT CASE WHEN event_type IN (SELECT event_type FROM top)
+                          THEN event_type ELSE 'Others' END AS event_type,
+                     dayofweek(ts) + 1 AS dow
+              FROM events)
+      SELECT event_type, CAST(dow AS INT) AS dow, count(event_type) AS count
+      FROM lab GROUP BY 1, 2"""))
+
   def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
     qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin, qRolling24h,
     qForwardFill, qTsMultiformat, qFunnelSteps, qCohortRetention,
     qAsofForward, qAsofNearest, qAsofTolerance, qAsofStrict, qScd2Intervals,
-    qTsEligibility)
+    qTsEligibility, qTsVizDaily, qTsVizWeekly)
 }
