@@ -231,6 +231,30 @@ object Geo {
         round(degrees(atan2(col("__y"), col("__x"))), 4).as("centroid_lon"))
   }
 
+  /** ref: geospatial.py:1099-1222 weighted_centroid — per-id unit-sphere
+    * cartesian sums weighted by the id's row count, reduced to ONE
+    * global centroid (the reference's two-level aggregate: group sums ×
+    * group weight, then totals / total weight → atan2). Rows with null
+    * or out-of-range coordinates drop first, matching the reference's
+    * validation path. Two aggregations, the second over |ids| rows.
+    */
+  def weightedCentroid(df: DataFrame, idCol: String, latCol: String, lonCol: String): DataFrame = {
+    val clean = df.na.drop(Seq(latCol, lonCol))
+      .filter(col(latCol).between(-90, 90) && col(lonCol).between(-180, 180))
+    val (x, y, z) = cartesian(col(latCol), col(lonCol))
+    clean.groupBy(col(idCol))
+      .agg(sum(x).as("xg"), sum(y).as("yg"), sum(z).as("zg"),
+        count(col(idCol)).as("wg"))
+      .agg(
+        (sum(col("xg") * col("wg")) / sum(col("wg"))).as("__x"),
+        (sum(col("yg") * col("wg")) / sum(col("wg"))).as("__y"),
+        (sum(col("zg") * col("wg")) / sum(col("wg"))).as("__z"))
+      .select(
+        round(degrees(atan2(col("__z"), sqrt(pow(col("__x"), 2) + pow(col("__y"), 2)))), 4)
+          .as("weighted_centroid_lat"),
+        round(degrees(atan2(col("__y"), col("__x"))), 4).as("weighted_centroid_lon"))
+  }
+
   /** ref: geospatial_analyzer.py:390-733 geo cluster analysis — the
     * reference runs MiniBatchKMeans with an elbow search on a capped
     * pandas sample; here spark.ml KMeans on a seeded capped sample, k

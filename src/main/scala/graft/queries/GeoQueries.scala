@@ -387,7 +387,29 @@ object GeoQueries {
       UNION ALL SELECT 'geohash_col', 'c_name' FROM rng WHERE name_ok"""
     })
 
+  /** Weighted global centroid (ref geospatial.py:1099-1222): per-segment
+    * cartesian sums weighted by segment size, reduced to one global
+    * point — the full two-level aggregate replays in SQL.
+    */
+  val qWeightedCentroid = Q(
+    "q_geo_weighted_centroid",
+    (s, dir) => Geo.weightedCentroid(
+      withPoints(tables(s, dir).customer), "c_mktsegment", "lat", "lon"),
+    Some(s"""$pointsCte,
+      g AS (SELECT c_mktsegment,
+              sum(cos(radians(lat)) * cos(radians(lon))) AS xg,
+              sum(cos(radians(lat)) * sin(radians(lon))) AS yg,
+              sum(sin(radians(lat))) AS zg,
+              count(c_mktsegment) AS wg
+            FROM pts GROUP BY 1),
+      t AS (SELECT sum(xg * wg) / sum(wg) AS x,
+                   sum(yg * wg) / sum(wg) AS y,
+                   sum(zg * wg) / sum(wg) AS z FROM g)
+      SELECT round(degrees(atan2(z, sqrt(pow(x, 2) + pow(y, 2)))), 4) AS weighted_centroid_lat,
+             round(degrees(atan2(y, x)), 4) AS weighted_centroid_lon
+      FROM t"""))
+
   def all: Seq[Q] = Seq(qDistance, qCentroid, qRog, qFormat, qPolygon, qGeohash,
     qInCountry, qReverseGeocode, qVincenty, qGeoClusterDeterministic,
-    qGeoAutodetect)
+    qGeoAutodetect, qWeightedCentroid)
 }
