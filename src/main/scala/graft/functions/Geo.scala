@@ -231,6 +231,68 @@ object Geo {
         round(degrees(atan2(col("__y"), col("__x"))), 4).as("centroid_lon"))
   }
 
+  /** ref: geospatial_analyzer.py:64-233 descriptive_stats_gen — the
+    * overall geospatial summary table: distinct (lat, lon) pair / lat /
+    * lon counts plus the most-common pair's occurrence, and (when a
+    * geohash column is given) distinct geohashes, the observed
+    * precision level, and the most-common geohash's occurrence. All
+    * counts, one schema — the pair/geohash VALUES themselves come from
+    * [[geoTopPairs]] / [[geohashDistribution]] row 1. Two aggregation
+    * passes (scalar distincts + a top-1), O(1) driver state.
+    */
+  def geoDescriptiveStats(
+      df: DataFrame,
+      latCol: String,
+      lonCol: String,
+      ghCol: Option[String] = None): DataFrame = {
+    import df.sparkSession.implicits._
+    val base = df.na.drop(Seq(latCol, lonCol))
+    val row = base.agg(
+      countDistinct(col(latCol), col(lonCol)).as("pairs"),
+      countDistinct(col(latCol)).as("lats"),
+      countDistinct(col(lonCol)).as("lons")).first()
+    val topPair = base.groupBy(col(latCol), col(lonCol))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(latCol).asc, col(lonCol).asc)
+      .limit(1).collect().headOption.map(_.getLong(2)).getOrElse(0L)
+    val latlonRows = Seq(
+      ("distinct_lat_long_pairs", row.getLong(0)),
+      ("distinct_latitudes", row.getLong(1)),
+      ("distinct_longitudes", row.getLong(2)),
+      ("most_common_pair_count", topPair))
+    val ghRows = ghCol.toSeq.flatMap { g =>
+      val clean = df.filter(col(g).isNotNull)
+      val r = clean.agg(
+        countDistinct(col(g)).as("n"),
+        max(length(col(g))).as("prec")).first()
+      val top = clean.groupBy(col(g)).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col(g).asc)
+        .limit(1).collect().headOption.map(_.getLong(1)).getOrElse(0L)
+      Seq(
+        ("distinct_geohashes", r.getLong(0)),
+        ("geohash_precision_level", if (r.isNullAt(1)) 0L else r.getInt(1).toLong),
+        ("most_common_geohash_count", top))
+    }
+    (latlonRows ++ ghRows).toDF("stats", "count")
+  }
+
+  /** ref: geospatial_analyzer.py:64-233 — top lat-long pairs by
+    * occurrence (count desc, then pair asc: the reference's bare
+    * count-desc order is nondeterministic on ties).
+    */
+  def geoTopPairs(df: DataFrame, latCol: String, lonCol: String, maxVal: Int): DataFrame =
+    df.na.drop(Seq(latCol, lonCol))
+      .groupBy(col(latCol), col(lonCol)).agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(latCol).asc, col(lonCol).asc)
+      .limit(maxVal)
+
+  /** ref: geospatial_analyzer.py:275-311 — top geohash distribution. */
+  def geohashDistribution(df: DataFrame, ghCol: String, maxVal: Int): DataFrame =
+    df.filter(col(ghCol).isNotNull)
+      .groupBy(col(ghCol)).agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(ghCol).asc)
+      .limit(maxVal)
+
   /** ref: geospatial.py:1099-1222 weighted_centroid — per-id unit-sphere
     * cartesian sums weighted by the id's row count, reduced to ONE
     * global centroid (the reference's two-level aggregate: group sums ×

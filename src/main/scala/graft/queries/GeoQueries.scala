@@ -409,7 +409,50 @@ object GeoQueries {
              round(degrees(atan2(y, x)), 4) AS weighted_centroid_lon
       FROM t"""))
 
+  private val gridAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+  private def gridFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    withPoints(tables(s, dir).customer).select(
+      (floor(col("lat") / 20) * 20).cast("double").as("glat"),
+      (floor(col("lon") / 40) * 40).cast("double").as("glon"),
+      expr(s"substring('$gridAlphabet', cast(c_custkey % 32 as int) + 1, 1)").as("gh"))
+  private val gridCte =
+    s"""WITH pts AS (
+        SELECT floor(($latExpr) / 20) * 20 AS glat,
+               floor(($lonExpr) / 40) * 40 AS glon,
+               substring('$gridAlphabet', CAST(c_custkey % 32 AS INT) + 1, 1) AS gh
+        FROM customer)"""
+
+  /** Geospatial descriptive summary (ref geospatial_analyzer.py:64-311):
+    * distinct pair/lat/lon counts + most-common-pair occurrence, and the
+    * geohash half (distinct count, observed precision, top occurrence) —
+    * on a coarse grid so pairs genuinely repeat.
+    */
+  val qGeoDescStats = Q(
+    "q_geo_descriptive_stats",
+    (s, dir) => Geo.geoDescriptiveStats(gridFrame(s, dir), "glat", "glon", Some("gh")),
+    Some(s"""$gridCte
+      SELECT 'distinct_lat_long_pairs' AS stats,
+             (SELECT count(*) FROM (SELECT DISTINCT glat, glon FROM pts)) AS count
+      UNION ALL SELECT 'distinct_latitudes', (SELECT count(DISTINCT glat) FROM pts)
+      UNION ALL SELECT 'distinct_longitudes', (SELECT count(DISTINCT glon) FROM pts)
+      UNION ALL SELECT 'most_common_pair_count',
+        (SELECT count(*) AS n FROM pts GROUP BY glat, glon
+         ORDER BY n DESC, glat ASC, glon ASC LIMIT 1)
+      UNION ALL SELECT 'distinct_geohashes', (SELECT count(DISTINCT gh) FROM pts)
+      UNION ALL SELECT 'geohash_precision_level', (SELECT max(length(gh)) FROM pts)
+      UNION ALL SELECT 'most_common_geohash_count',
+        (SELECT count(*) AS n FROM pts GROUP BY gh
+         ORDER BY n DESC, gh ASC LIMIT 1)"""))
+
+  /** Top lat-long pairs by occurrence, deterministic tie-break. */
+  val qGeoTopPairs = Q(
+    "q_geo_top_pairs",
+    (s, dir) => Geo.geoTopPairs(gridFrame(s, dir), "glat", "glon", 10),
+    Some(s"""$gridCte
+      SELECT glat, glon, count(*) AS count FROM pts GROUP BY glat, glon
+      ORDER BY count DESC, glat ASC, glon ASC LIMIT 10"""))
+
   def all: Seq[Q] = Seq(qDistance, qCentroid, qRog, qFormat, qPolygon, qGeohash,
     qInCountry, qReverseGeocode, qVincenty, qGeoClusterDeterministic,
-    qGeoAutodetect, qWeightedCentroid)
+    qGeoAutodetect, qWeightedCentroid, qGeoDescStats, qGeoTopPairs)
 }
