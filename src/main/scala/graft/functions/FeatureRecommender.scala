@@ -71,6 +71,44 @@ object FeatureRecommender {
     corpus.select(facetCols.map(col): _*).distinct()
       .orderBy(facetCols.map(col): _*)
 
+  /** ref: feature_explorer.py:61-137 process_usecase/process_industry —
+    * the facet-name resolver: the normalized input wins when it exactly
+    * matches an existing facet value; otherwise (semantic mode) the
+    * nearest existing value by Jaro-Winkler similarity — the engine's
+    * codegen'd record-linkage scorer standing in for the reference's
+    * sentence-transformer cosine — with a deterministic value
+    * tie-break. The facet vocabulary is collected (explorer contract:
+    * tens of industries/usecases, not data-scale).
+    */
+  def processFacet(
+      corpus: DataFrame,
+      facetCol: String,
+      input: String,
+      semantic: Boolean = true): String = {
+    val norm = input.toLowerCase.trim.replaceAll("[^A-Za-z0-9 ]+", " ")
+    val values = corpus.select(col(facetCol).cast("string")).na.drop().distinct()
+      .collect().map(_.getString(0))
+    if (!semantic || values.contains(norm) || values.isEmpty) norm
+    else values.maxBy(v => (graft.plans.JaroWinklerExpr.similarity(norm, v), v))
+  }
+
+  /** ref: feature_explorer.py:181-271 list_feature_by_industry/usecase —
+    * resolve the facet name ([[processFacet]]) and return its features,
+    * capped at `numFeat` in deterministic name order.
+    */
+  def listFeaturesByFacet(
+      corpus: DataFrame,
+      facetCol: String,
+      nameCol: String,
+      value: String,
+      numFeat: Int = 100,
+      semantic: Boolean = true): DataFrame = {
+    val resolved = processFacet(corpus, facetCol, value, semantic)
+    corpus.filter(col(facetCol) === resolved)
+      .orderBy(col(nameCol).asc)
+      .limit(numFeat)
+  }
+
   /** ref: feature_mapper.py:322-463 find_attr_by_relevance — map a
     * user's data-dictionary attributes onto a feature-building corpus:
     * for EVERY target corpus description, rank the user's attributes by

@@ -113,4 +113,28 @@ class VarClusSpec extends SparkSpec {
     assert(top.head.getString(1) == "txn_amount")
     assert(top.head.getDouble(2) > 0.3)
   }
+
+  test("facet explorer: listing, fuzzy resolution, capped feature lists") {
+    val corpus = Seq(
+      ("f1", "telecom", "customer churn prediction"),
+      ("f2", "telecom", "revenue forecasting"),
+      ("f3", "banking", "customer churn prediction"),
+      ("f4", "banking", "fraud detection")
+    ).toDF("name", "industry", "usecase")
+    // facet listings: distinct values / pairs in deterministic order
+    val inds = FeatureRecommender.listFacets(corpus, Seq("industry"))
+      .collect().map(_.getString(0)).toSeq
+    assert(inds == Seq("banking", "telecom"))
+    assert(FeatureRecommender.listFacets(corpus, Seq("industry", "usecase")).count() == 4)
+    // exact (normalized) input resolves to itself
+    assert(FeatureRecommender.processFacet(corpus, "industry", "  TELECOM ") == "telecom")
+    // a misspelling resolves to the nearest existing facet value
+    assert(FeatureRecommender.processFacet(corpus, "industry", "bankin") == "banking")
+    // non-semantic mode passes the normalized input through untouched
+    assert(FeatureRecommender.processFacet(corpus, "industry", "bankin", semantic = false) == "bankin")
+    val feats = FeatureRecommender.listFeaturesByFacet(
+      corpus, "industry", "name", "telecoms", numFeat = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(feats == Seq("f1"), s"fuzzy facet + cap must yield f1, got $feats")
+  }
 }
