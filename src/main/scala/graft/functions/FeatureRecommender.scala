@@ -85,7 +85,11 @@ object FeatureRecommender {
       facetCol: String,
       input: String,
       semantic: Boolean = true): String = {
-    val norm = input.toLowerCase.trim.replaceAll("[^A-Za-z0-9 ]+", " ")
+    // punctuation → space FIRST, then collapse/trim: trimming before the
+    // substitution leaves residual spaces from edge punctuation
+    // ("telecom!" → "telecom ") that would miss every exact match
+    val norm = input.toLowerCase.replaceAll("[^a-z0-9 ]+", " ")
+      .replaceAll("\\s+", " ").trim
     val values = corpus.select(col(facetCol).cast("string")).na.drop().distinct()
       .collect().map(_.getString(0))
     if (!semantic || values.contains(norm) || values.isEmpty) norm

@@ -251,10 +251,8 @@ object Geo {
       countDistinct(col(latCol), col(lonCol)).as("pairs"),
       countDistinct(col(latCol)).as("lats"),
       countDistinct(col(lonCol)).as("lons")).first()
-    val topPair = base.groupBy(col(latCol), col(lonCol))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col(latCol).asc, col(lonCol).asc)
-      .limit(1).collect().headOption.map(_.getLong(2)).getOrElse(0L)
+    val topPair = geoTopPairs(base, latCol, lonCol, 1)
+      .collect().headOption.map(_.getLong(2)).getOrElse(0L)
     val latlonRows = Seq(
       ("distinct_lat_long_pairs", row.getLong(0)),
       ("distinct_latitudes", row.getLong(1)),
@@ -265,9 +263,8 @@ object Geo {
       val r = clean.agg(
         countDistinct(col(g)).as("n"),
         max(length(col(g))).as("prec")).first()
-      val top = clean.groupBy(col(g)).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col(g).asc)
-        .limit(1).collect().headOption.map(_.getLong(1)).getOrElse(0L)
+      val top = geohashDistribution(clean, g, 1)
+        .collect().headOption.map(_.getLong(1)).getOrElse(0L)
       Seq(
         ("distinct_geohashes", r.getLong(0)),
         ("geohash_precision_level", if (r.isNullAt(1)) 0L else r.getInt(1).toLong),

@@ -268,7 +268,9 @@ object Transformers {
       labelCol: Option[String] = None,
       eventLabel: Any = 1): DataFrame = labelCol match {
     case Some(l) =>
-      targetEncoding(df, cols, col(l).cast("string") === eventLabel.toString)
+      // native comparison: a string-cast would turn a double label 1.0
+      // into "1.0" and never match an Int eventLabel's "1"
+      targetEncoding(df, cols, col(l) === lit(eventLabel))
     case None => encoding match {
       case "label_encoding"  => labelEncoding(df, cols)
       case "onehot_encoding" => oneHotEncoding(df, cols)

@@ -289,7 +289,11 @@ class PropertiesSpec extends SparkSpec {
     import graft.operators.BasicReport
     val numGen = Gen.choose(-999.0, 999.0)
       .map(d => BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString)
-    val pairGen = for { a <- numGen; b <- numGen } yield (a, b)
+    // independent uniforms are never equal — force some (x, x) pairs so
+    // the collapse branch is actually exercised, not statistically dead
+    val pairGen = Gen.frequency(
+      3 -> (for { a <- numGen; b <- numGen } yield (a, b)),
+      1 -> numGen.map(a => (a, a)))
     for (ps <- samples(Gen.listOfN(50, pairGen), 2)) {
       val labels = ps.map { case (a, b) => s"$a-$b" }
       val out = labels.toDF("l")

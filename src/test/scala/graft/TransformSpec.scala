@@ -62,6 +62,13 @@ class TransformSpec extends SparkSpec {
       .select("cat", "cat_encoded").distinct().collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(sup == Map("a" -> 0.5, "b" -> 1.0))
+    // a DOUBLE label must still match the Int eventLabel (native compare,
+    // not string casts where "1.0" != "1")
+    val dd = Seq(("a", 1.0), ("a", 0.0), ("b", 1.0), ("b", 1.0)).toDF("cat", "y")
+    val supD = Transformers.catToNumTransformer(dd, Seq("cat"), labelCol = Some("y"))
+      .select("cat", "cat_encoded").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(supD == Map("a" -> 0.5, "b" -> 1.0), s"double label mis-encoded: $supD")
     // no label → unsupervised per the encoding switch
     val lab = Transformers.catToNumTransformer(d, Seq("cat"))
     assert(lab.columns.contains("cat_index"))

@@ -126,8 +126,11 @@ class VarClusSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(inds == Seq("banking", "telecom"))
     assert(FeatureRecommender.listFacets(corpus, Seq("industry", "usecase")).count() == 4)
-    // exact (normalized) input resolves to itself
+    // exact (normalized) input resolves to itself, punctuation included
     assert(FeatureRecommender.processFacet(corpus, "industry", "  TELECOM ") == "telecom")
+    assert(FeatureRecommender.processFacet(corpus, "industry", "telecom!") == "telecom")
+    assert(FeatureRecommender.processFacet(corpus, "usecase", "fraud--detection",
+      semantic = false) == "fraud detection")
     // a misspelling resolves to the nearest existing facet value
     assert(FeatureRecommender.processFacet(corpus, "industry", "bankin") == "banking")
     // non-semantic mode passes the normalized input through untouched
