@@ -64,6 +64,22 @@ object GenScale {
       .repartition(16)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
+    // events: event ids and USER ids offset per replica — per-user event
+    // counts stay at the source tier's level, so window/sessionization
+    // state per key is constant while the key space grows 10× (the shape
+    // a real bigger event log has); timestamps untouched (days get
+    // denser, like real traffic growth). ts ships as the raw nanos longs
+    // it was read as (nanosAsLong) — Tables converts on read either way.
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evOff = ev.agg(max("event_id")).first().getLong(0) + 1
+    val userOff = ev.agg(max("user_id")).first().getLong(0) + 1
+    (0 until factor).map(i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * evOff))
+          .withColumn("user_id", col("user_id") + lit(i * userOff)))
+      .reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val idOff = docs.agg(max("doc_id")).first().getLong(0) + 1
     (0 until factor).map { i =>

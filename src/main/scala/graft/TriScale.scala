@@ -34,7 +34,9 @@ object TriScale {
     "q_quantile_transform", "q_pca_latent",
     // round-12: the two heaviest round-11 additions — per-cell pair
     // scoring (quadratic-within-cell risk) and the sampled iterative fit
-    "q_semantic_dedup", "q_iterative_deterministic")
+    "q_semantic_dedup", "q_iterative_deterministic",
+    // round-12b: the window/sessionization family (per-user state shapes)
+    "q_sessionization", "q_window_aggregator")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -53,7 +55,10 @@ object TriScale {
     // round-12: GenScale now materializes orders (shared order-key
     // offset, per-replica customer keys, SHARED suppliers → 10×-degree
     // hubs), so the two graph queries gate their power-law growth at sf1
-    "q_pagerank", "q_triangle_count")
+    "q_pagerank", "q_triangle_count",
+    // round-12b: events too (per-replica user keys, constant per-user
+    // event counts) — the window/sessionization family gets sf1 coverage
+    "q_sessionization", "q_window_aggregator")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -75,11 +80,11 @@ object TriScale {
       dt
     }
     val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR").filter { d =>
-      val ok = Seq("lineitem", "documents", "orders")
+      val ok = Seq("lineitem", "documents", "orders", "events")
         .forall(t => new java.io.File(d, s"$t.parquet").exists())
       if (!ok && new java.io.File(d).isDirectory)
         System.err.println(s"[triscale] $d is missing required tables " +
-          "(lineitem/documents/orders — regenerate with GenScale); running 3 tiers only")
+          "(lineitem/documents/orders/events — regenerate with GenScale); running 3 tiers only")
       ok
     }
     def dirsFor(name: String): Seq[String] =
