@@ -146,14 +146,27 @@ object DatetimeOps {
     }
     val isCat = df.schema(yCol).dataType == org.apache.spark.sql.types.StringType
     if (isCat) {
-      val top = df.filter(col(yCol).isNotNull)
+      // the reference's top_cat fit groups WITH null as a key, so a
+      // frequent null burns one of the nCat slots — match that: nulls
+      // count toward the cap, and if null makes the cut those rows keep
+      // their null category instead of collapsing to "Others" (nulls
+      // sort after every real value on the count-tie, mirroring
+      // NULLS LAST)
+      val topRows = df
         .groupBy(col(yCol)).agg(count(lit(1)).as("__n"))
-        .orderBy(col("__n").desc, col(yCol).asc)
-        .limit(nCat).collect().map(_.get(0).toString)
-      df.withColumn(yCol,
-          when(col(yCol).isin(top.toIndexedSeq: _*), col(yCol)).otherwise(lit("Others")))
+        .orderBy(col("__n").desc, col(yCol).asc_nulls_last)
+        .limit(nCat).collect()
+      val top = topRows.flatMap(r => Option(r.get(0)).map(_.toString))
+      val nullInTop = topRows.exists(_.isNullAt(0))
+      val keep = col(yCol).isin(top.toIndexedSeq: _*)
+      val collapsed =
+        if (nullInTop)
+          when(col(yCol).isNull || keep, col(yCol)).otherwise(lit("Others"))
+        else
+          when(keep, col(yCol)).otherwise(lit("Others"))
+      df.withColumn(yCol, collapsed)
         .groupBy(col(yCol), bucket.as(bucketName))
-        .agg(count(col(yCol)).as("count"))
+        .agg(count(lit(1)).as("count"))
     } else {
       df.groupBy(bucket.as(bucketName))
         .agg(

@@ -49,6 +49,11 @@ object Graph {
       saltDegreeThreshold: Int = 0,
       saltFactor: Int = 16): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
+    // saltFactor <= 0 would salt hub edges with pmod(hash, 0) = null and
+    // replicate their rank rows via sequence(0, -1) = empty — the hub's
+    // edges silently vanish from the join instead of erroring
+    require(saltDegreeThreshold <= 0 || saltFactor >= 1,
+      s"saltFactor must be >= 1 when salting is enabled, got $saltFactor")
     // persisted: every sweep re-reads all three — without the cache the
     // edge projection and the deg/nodes shuffles replay ~2× per
     // iteration from the source scan

@@ -513,9 +513,15 @@ object Similarity {
     val cells =
       if (cellCount > 0) cellCount
       else math.max(8, math.sqrt(base.count().toDouble).toInt / 4)
+    // localKMeans clamps k to the sample size, so a fixed fitSample would
+    // silently cap the auto-sized cell count at ~10k (N ≈ 1.6e9) and
+    // per-cell quadratic work would start growing again — grow the fit
+    // sample with the target cell count (~4 points per center) so the
+    // √N sizing holds at any corpus size
+    val effectiveFitSample = math.max(fitSample, cells * 4)
     val sample: Array[Array[Double]] = base
       .orderBy(expr("md5_prefix60(cast(cast(id as string) as binary))").asc, col("id").asc)
-      .limit(fitSample)
+      .limit(effectiveFitSample)
       .select(col("v"))
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val centers = localKMeans(sample, cells, 42L, lloydIters, lloydQuantize)

@@ -774,20 +774,26 @@ object TimeQueries {
       FROM events GROUP BY 1"""))
 
   /** ts_viz_data categorical arm: top-3 event types (count desc, value
-    * asc), the rest collapsed to Others, counted per weekday.
+    * asc, nulls last — null is a real group and burns a top-N slot when
+    * frequent, matching the reference's top_cat), the rest collapsed to
+    * Others, counted per weekday.
     */
   val qTsVizWeekly = Q(
     "q_ts_viz_weekly",
     (s, dir) => DatetimeOps.tsVizData(
       tables(s, dir).events, "ts", "event_type", "weekly", nCat = 3),
     Some("""
-      WITH top AS (SELECT event_type FROM events WHERE event_type IS NOT NULL
-                   GROUP BY event_type ORDER BY count(*) DESC, event_type ASC LIMIT 3),
-      lab AS (SELECT CASE WHEN event_type IN (SELECT event_type FROM top)
+      WITH top AS (SELECT event_type FROM events
+                   GROUP BY event_type
+                   ORDER BY count(*) DESC, event_type ASC NULLS LAST LIMIT 3),
+      lab AS (SELECT CASE WHEN event_type IS NULL THEN
+                            CASE WHEN EXISTS(SELECT 1 FROM top WHERE event_type IS NULL)
+                                 THEN NULL ELSE 'Others' END
+                          WHEN event_type IN (SELECT event_type FROM top WHERE event_type IS NOT NULL)
                           THEN event_type ELSE 'Others' END AS event_type,
                      dayofweek(ts) + 1 AS dow
               FROM events)
-      SELECT event_type, CAST(dow AS INT) AS dow, count(event_type) AS count
+      SELECT event_type, CAST(dow AS INT) AS dow, count(*) AS count
       FROM lab GROUP BY 1, 2"""))
 
   def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,

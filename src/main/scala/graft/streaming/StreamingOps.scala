@@ -276,20 +276,27 @@ object StreamingOps {
             // deterministic intra-batch order: event time, then key
             rows.toSeq.sortBy(r => (r._4.getTime, r._2)).foreach { case (_, k, v, ts) =>
               val nv = graft.functions.Similarity.normF(v)
-              entries.foreach { case (k2, v2, n2, _) =>
-                if (k2 != k) {
-                  val cos = graft.functions.Similarity.dotF(v, v2) / (nv * n2)
-                  // same 1e-3 slack as the batch pre-filter: a raw >=
-                  // threshold cut would drop boundary pairs that the
-                  // 4-dp HALF_UP grid rounds UP to the threshold — the
-                  // consumer applies the exact round(cos,4) filter
-                  if (cos >= threshold - 1e-3)
-                    out += SemanticCandidate(math.min(k, k2), math.max(k, k2), cos)
+              // at-least-once sources re-deliver: an UNCHANGED redelivery
+              // must not re-emit its full pair set (Append-mode consumers
+              // would see duplicate rows); only probe when the key is new
+              // or its vector actually changed. Either way the stored
+              // entry is refreshed below so state never inflates.
+              val unchanged = entries.exists { case (k2, v2, _, _) =>
+                k2 == k && java.util.Arrays.equals(v, v2)
+              }
+              if (!unchanged) {
+                entries.foreach { case (k2, v2, n2, _) =>
+                  if (k2 != k) {
+                    val cos = graft.functions.Similarity.dotF(v, v2) / (nv * n2)
+                    // same 1e-3 slack as the batch pre-filter: a raw >=
+                    // threshold cut would drop boundary pairs that the
+                    // 4-dp HALF_UP grid rounds UP to the threshold — the
+                    // consumer applies the exact round(cos,4) filter
+                    if (cos >= threshold - 1e-3)
+                      out += SemanticCandidate(math.min(k, k2), math.max(k, k2), cos)
+                  }
                 }
               }
-              // at-least-once sources re-deliver: replace a stale entry
-              // for the same key instead of accumulating duplicates
-              // (which would re-emit every pair and eat the state cap)
               val had = entries.exists(_._1 == k)
               if (had || entries.size < maxCellState)
                 entries = (k, v, nv, ts.getTime) :: entries.filterNot(_._1 == k)
