@@ -114,9 +114,13 @@ object Bench {
     // best-known historical time — up to 3 more spaced retries (5/10/20 s
     // backoff) to ride the phase out, under a global sleep budget so a
     // whole-bench steal phase can't stretch the run unboundedly.
-    // 1.5 s (was 3.0): round 8 let 2× phantoms through on queries in the
-    // 1.5-3 s band (q_cube_pricing 2.83 in-run vs 1.46 isolated).
-    val retryAbove = sys.env.getOrElse("SPARK_GRAFT_RETRY_ABOVE_SEC", "1.5").toDouble
+    // 1.0 s absolute floor (was 1.5): r12 let q_text_stats ship at 1.49 s
+    // with zero retries — 0.01 s under the wire, 3× its real 0.48 s. The
+    // immediate-retry trigger is now RELATIVE, max(retryAbove,
+    // 1.5×baseline): sub-1.5 s steal rows on cheap queries get retried,
+    // while honestly-slow queries (q_quantile_transform, baseline 2.8 s)
+    // stop burning an immediate retry every single round.
+    val retryAbove = sys.env.getOrElse("SPARK_GRAFT_RETRY_ABOVE_SEC", "1.0").toDouble
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "tools/bench_baseline.json")
     // Per-query best-of across prior rounds' BENCH artifacts (flat JSON
     // object name->sec, regenerated by tools/update_bench_baseline.py).
@@ -168,7 +172,7 @@ object Bench {
             if (dt1 < best) { best = dt1; bestSnap = snap1 }
           }
         }
-        if (best > retryAbove) tryAgain(0L)
+        if (best > math.max(retryAbove, 1.5 * effBaseline)) tryAgain(0L)
         var backoffMs = 5000L
         while (suspicious(best) && retries < 4) {
           tryAgain(backoffMs); backoffMs *= 2

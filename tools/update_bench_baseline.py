@@ -39,6 +39,21 @@ for f in sorted(glob.glob('BENCH_r*.json')):
         if isinstance(v, (int, float)):
             best[k] = min(best.get(k, 1e9), float(v))
 
+# Floors for queries whose historical minimum predates a deliberate
+# semantic change (see tools/bench_baseline_overrides.json): the stale
+# lucky-weather best would otherwise make honest rows read as >2x
+# regressed and defeat Bench.scala's history-vouch retry check forever.
+try:
+    overrides = json.load(open('tools/bench_baseline_overrides.json'))
+except Exception:
+    overrides = {}
+for k, o in overrides.items():
+    if k.startswith('_') or not isinstance(o, dict):
+        continue
+    floor = o.get('floor_sec')
+    if isinstance(floor, (int, float)) and k in best:
+        best[k] = max(best[k], float(floor))
+
 out = {k: round(v, 3) for k, v in sorted(best.items())}
 json.dump(out, open('tools/bench_baseline.json', 'w'), indent=1)
 print(f'{len(out)} queries; sum-of-best {sum(out.values()):.1f}s')
