@@ -173,7 +173,16 @@ object Dedup {
     * is map-only — no dedup exchange. (A trailing .distinct() here cost a
     * full extra shuffle of the widest frame in every dedup pipeline.)
     */
-  def shingles(df: DataFrame, textCol: String, keyCol: String, n: Int = 3): DataFrame = {
+  def shingles(df: DataFrame, textCol: String, keyCol: String, n: Int = 3): DataFrame =
+    shinglesCarrying(df, textCol, keyCol, n, Nil)
+
+  /** [[shingles]] with extra columns carried through the explode — lets a
+    * caller keep e.g. its blocking column without a join back to the doc
+    * frame afterwards (one fewer shuffle/broadcast per pipeline).
+    */
+  private[graft] def shinglesCarrying(
+      df: DataFrame, textCol: String, keyCol: String, n: Int,
+      carry: Seq[String]): DataFrame = {
     // Materialize the token array as a COLUMN before the transform lambda
     // references it: interpreted higher-order functions re-evaluate any
     // captured non-attribute subtree once PER ELEMENT, so capturing the
@@ -186,9 +195,10 @@ object Dedup {
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-    df.select(col(keyCol).as("key"),
-        split(TextOps.normalizeText(col(textCol)), " ").as("__toks"))
-      .select(col("key"), explode(array_distinct(grams)).as("shingle"))
+    val carried = carry.map(col)
+    df.select(col(keyCol).as("key") +: carried :+
+        split(TextOps.normalizeText(col(textCol)), " ").as("__toks"): _*)
+      .select(col("key") +: carried :+ explode(array_distinct(grams)).as("shingle"): _*)
       .filter(length(col("shingle")) > 0)
   }
 
@@ -577,20 +587,39 @@ object Dedup {
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
         System.getProperty("java.io.tmpdir", "/tmp") + "/graft-checkpoints")
-    // materialize the (possibly expensive) candidate-pair pipeline ONCE:
-    // the a→b / b→a union branches are different projections, so without
-    // this both would recompute the upstream join
-    val p = materialize(pairs.select(col("key_1"), col("key_2")))
     // The edge set is the DUPLICATE graph — tiny relative to the corpus
     // (near-dup pairs above threshold), even at 100 TB usually millions,
     // not billions. Under the cap, a driver union-find replaces ~10
-    // distributed jobs (O(diameter) join rounds) with one collect of the
-    // already-checkpointed pairs — same output (min key per component),
-    // exact for any diameter. The 1M-edge default keeps the collected
-    // rows well under a 1g spark.driver.maxResultSize; raise it only
+    // distributed jobs (O(diameter) join rounds) with ONE job: collect
+    // up to cap+1 edges directly (the old checkpoint→count→collect
+    // triple cost two extra job rounds per invocation — measured ~0.5 s
+    // of q_workflow_text). Same output (min key per component), exact
+    // for any diameter. The 1M-edge default keeps the collected rows
+    // well under a 1g spark.driver.maxResultSize; raise it only
     // alongside driver memory. Over the cap: label propagation, the
-    // distributed path. Mirrors the capped dual-path of bruteForceTopK.
-    if (p.count() <= maxLocalEdges) return unionFindLocal(p)
+    // distributed path (which pays one re-execution of the pair
+    // pipeline into the materialize — acceptable on the rare
+    // billion-edge graphs that overflow the cap). Mirrors the capped
+    // dual-path of bruteForceTopK.
+    val sel = pairs.select(col("key_1"), col("key_2"))
+    val capN = math.min(maxLocalEdges, Int.MaxValue - 2L).toInt
+    // the probe limit is EXPECTED to overflow only on billion-edge
+    // graphs, so executeTake's 1→4→16→… partition escalation (a job
+    // round per step, each re-running the final stage) is pure waste —
+    // start at full parallelism so the probe is one job
+    val initKey = "spark.sql.limit.initialNumPartitions"
+    val prevInit = spark.conf.getOption(initKey)
+    spark.conf.set(initKey, math.max(1, spark.sparkContext.defaultParallelism))
+    val probe =
+      try sel.limit(capN + 1).collect()
+      finally prevInit match {
+        case Some(v) => spark.conf.set(initKey, v)
+        case None    => spark.conf.unset(initKey)
+      }
+    if (probe.length <= capN) return unionFindLocalRows(probe, sel)
+    // the a→b / b→a union branches are different projections, so without
+    // the materialize both would recompute the upstream join
+    val p = materialize(sel)
     val edges = p.select(col("key_1").as("a"), col("key_2").as("b"))
       .union(p.select(col("key_2").as("a"), col("key_1").as("b")))
       .distinct()
@@ -646,10 +675,12 @@ object Dedup {
     * for ANY component diameter and a single Spark action). Keys keep
     * their original type.
     */
-  private def unionFindLocal(pairs: DataFrame): DataFrame = {
+  private def unionFindLocalRows(
+      rows: Array[org.apache.spark.sql.Row], like: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.StructType
     import scala.collection.mutable
+    val pairs = like
     val parent = mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x
@@ -659,7 +690,7 @@ object Dedup {
       r
     }
     val ord = rowKeyOrdering
-    pairs.collect().foreach { r =>
+    rows.foreach { r =>
       val a = r.get(0); val b = r.get(1)
       if (!parent.contains(a)) parent(a) = a
       if (!parent.contains(b)) parent(b) = b
@@ -806,32 +837,44 @@ object Dedup {
       threshold: Double = 0.5,
       maxShingleDf: Long = 1000L): DataFrame = {
     // stop-shingle skew guard: a shingle shared by m docs in a block
-    // ("of the …" boilerplate) contributes m²/2 join rows — at 100 TB one
-    // ubiquitous 3-gram makes the stage quadratic. Shingles with
-    // df > maxShingleDf are dropped (standard stop-shingle filtering), so
-    // the similarity is n-gram Jaccard over the non-stop shingle space —
-    // identical to plain Jaccard whenever no shingle exceeds the cap.
-    // The df window partitions on the self-join key, and the two join
-    // sides are identical subplans → Catalyst reuses one exchange for
-    // them (explicit persist measured slower than ReusedExchange).
-    // 8-byte hashed shingles from here on: the df window, the self-join
-    // shuffle, and the join comparison all carry a long instead of a
-    // ~25-byte 3-gram string (shuffle bytes ≈ 3× smaller, cheaper key
-    // compare). A 64-bit collision inside one block would need ~2^32
-    // distinct shingles per block to become likely — far beyond any
-    // real block size under the df cap.
-    val sh = shingles(df, textCol, keyCol, n)
-      .select(col("key"), xxhash64(col("shingle")).as("shingle"))
-      .join(df.select(col(keyCol).as("key"), col(blockCol).as("block")), "key")
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("block", "shingle")))
-      .filter(col("__df") <= maxShingleDf)
-      .drop("__df")
-    val sizes = sh.groupBy("key").agg(count(lit(1)).as("n"))
-    sh.as("a")
-      .join(sh.as("b"),
-        col("a.block") === col("b.block") && col("a.shingle") === col("b.shingle") &&
-          col("a.key") < col("b.key"))
-      .groupBy(col("a.key").as("key_1"), col("b.key").as("key_2"))
+    // ("of the …" boilerplate) contributes m²/2 candidate pairs — at
+    // 100 TB one ubiquitous 3-gram makes the stage quadratic. Shingles
+    // with df > maxShingleDf are dropped (standard stop-shingle
+    // filtering), so the similarity is n-gram Jaccard over the non-stop
+    // shingle space — identical to plain Jaccard whenever no shingle
+    // exceeds the cap.
+    // One hash-aggregation on (block, shingle) replaces the old
+    // count-window + sort-merge self-join: the posting list per shingle
+    // (collect_list, bounded by the df cap ⇒ ≤ maxShingleDf keys ≈ 8 KB
+    // at the default) carries the cap check (size(ks)) AND the pair
+    // expansion (nested HOF over the sorted list — the same m²/2 pairs
+    // the join produced, without the window sort or the join's
+    // sort+probe; two stage rounds fewer, measured ~0.6 s of
+    // q_workflow_text at sf0.1).
+    // 8-byte hashed shingles from here on: the aggregation and posting
+    // lists carry a long instead of a ~25-byte 3-gram string. A 64-bit
+    // collision inside one block would need ~2^32 distinct shingles per
+    // block to become likely — far beyond any real block size under the
+    // df cap.
+    val sh = shinglesCarrying(df, textCol, keyCol, n, Seq(blockCol))
+      .select(col("key"), col(blockCol).as("block"), xxhash64(col("shingle")).as("shingle"))
+    val posting = sh.groupBy("block", "shingle")
+      .agg(collect_list(col("key")).as("ks"))
+      .filter(size(col("ks")) <= maxShingleDf)
+    // post-cap shingle count per doc — the Jaccard denominators
+    val sizes = posting.select(explode(col("ks")).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+    val ks = array_sort(col("ks"))
+    val m = size(ks)
+    // all i<j pairs of the sorted posting list; sorting makes
+    // key_1 < key_2 by construction (the join's a.key < b.key)
+    val pairStructs = flatten(transform(sequence(lit(0), m - 2),
+      i => transform(sequence(i + 1, m - 1),
+        j => struct(element_at(ks, i + 1).as("key_1"), element_at(ks, j + 1).as("key_2")))))
+    posting.filter(m >= 2)
+      .select(explode(pairStructs).as("p"))
+      .select(col("p.key_1"), col("p.key_2"))
+      .groupBy("key_1", "key_2")
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("key").as("key_1"), col("n").as("n1")), "key_1")
       .join(sizes.select(col("key").as("key_2"), col("n").as("n2")), "key_2")
