@@ -91,6 +91,30 @@ object GenScale {
       .repartition(64)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // embeddings: vec ids offset per replica; each replica's vectors go
+    // through a PER-REPLICA dimension rotation — an orthogonal transform,
+    // so norms and all WITHIN-replica cosines (and thus the source tier's
+    // near-dup/cluster structure) are preserved exactly, while a vector
+    // and its rotated copy in another replica are decorrelated (cosine ≈
+    // random) instead of being a 10-clone semantic-dup cluster. Identical-
+    // copy replication would measure a denser workload, not a bigger one
+    // — the same argument as the documents letter permutation.
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vecOff = emb.agg(max("vec_id")).first().getLong(0) + 1
+    (0 until factor).map { i =>
+        val d = size(col("embedding"))
+        val rotated =
+          if (i == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), lit(i + 1), d - lit(i)),
+            slice(col("embedding"), lit(1), lit(i)))
+        emb.withColumn("vec_id", col("vec_id") + lit(i * vecOff))
+          .withColumn("embedding", rotated)
+      }
+      .reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
     System.err.println(s"[genscale] wrote ${factor}x of $src to $out")
     spark.stop()
   }

@@ -36,7 +36,10 @@ object TriScale {
     // scoring (quadratic-within-cell risk) and the sampled iterative fit
     "q_semantic_dedup", "q_iterative_deterministic",
     // round-12b: the window/sessionization family (per-user state shapes)
-    "q_sessionization", "q_window_aggregator")
+    "q_sessionization", "q_window_aggregator",
+    // round-13: the remaining ANN flagships — LSH bucket joins, IVF cell
+    // probing, SRP near-dup candidates (the 100 TB similarity paths)
+    "q_lsh_topk", "q_ivf_topk", "q_embedding_neardup")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -58,7 +61,12 @@ object TriScale {
     "q_pagerank", "q_triangle_count",
     // round-12b: events too (per-replica user keys, constant per-user
     // event counts) — the window/sessionization family gets sf1 coverage
-    "q_sessionization", "q_window_aggregator")
+    "q_sessionization", "q_window_aggregator",
+    // round-13: embeddings (per-replica dimension rotation — orthogonal,
+    // within-replica cosines exact) + the document cluster path — the
+    // ANN/dedup flagships prove their decade ratios like simhash/ngram
+    "q_lsh_topk", "q_ivf_topk", "q_embedding_neardup", "q_semantic_dedup",
+    "q_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -80,11 +88,11 @@ object TriScale {
       dt
     }
     val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR").filter { d =>
-      val ok = Seq("lineitem", "documents", "orders", "events")
+      val ok = Seq("lineitem", "documents", "orders", "events", "embeddings")
         .forall(t => new java.io.File(d, s"$t.parquet").exists())
       if (!ok && new java.io.File(d).isDirectory)
         System.err.println(s"[triscale] $d is missing required tables " +
-          "(lineitem/documents/orders/events — regenerate with GenScale); running 3 tiers only")
+          "(lineitem/documents/orders/events/embeddings — regenerate with GenScale); running 3 tiers only")
       ok
     }
     def dirsFor(name: String): Seq[String] =

@@ -245,6 +245,8 @@ object Multimodal {
   /** STUB frame sampling for video payloads: deterministic byte-slice
     * "frames" (every k-th chunk), exploded to one row per frame — the
     * real implementation demuxes keyframes in the same shape.
+    * Kept for container formats the JVM cannot demux (MP4/MKV/WebM need
+    * an external codec lib); MJPEG-AVI has a REAL path below.
     */
   def frameSampleStub(df: DataFrame, binaryCol: String, frames: Int = 4): DataFrame = {
     val sliceUdf = udf { (payload: Array[Byte], n: Int) =>
@@ -256,5 +258,155 @@ object Multimodal {
     }
     df.select(col("*"), posexplode(sliceUdf(col(binaryCol), lit(frames)))
       .as(Seq("frame_idx", "frame")))
+  }
+
+  // ------------------------------------------------- real video (MJPEG-AVI)
+  //
+  // MJPEG inside an AVI RIFF container is the one video format the bare
+  // JVM can both WRITE and fully DECODE (each frame is an ordinary JPEG
+  // for javax.imageio) — so this slice of the video surface is real:
+  // container demux, per-frame decode, and the mux side used as the
+  // round-trip test generator. The RIFF layout implemented here is the
+  // public AVI spec (RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh
+  // strf)) LIST('movi' 00dc...))); frames are '..dc'/'..db' chunks.
+
+  final case class MjpegVideo(
+      width: Int, height: Int, usPerFrame: Long, frames: Vector[Array[Byte]])
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  private def rdLe32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Mux JPEG frames into a minimal MJPEG-AVI (the write side of the
+    * container; also the deterministic generator for the round-trip
+    * oracle). `fps` drives avih.microSecPerFrame.
+    */
+  def muxMjpegAvi(
+      frames: Seq[Array[Byte]], width: Int, height: Int, fps: Int = 25): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    require(fps > 0, s"fps must be positive, got $fps")
+    val bos = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+      cc(id) ++ le32(body.length.toLong) ++ body ++ pad
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(typ) ++ body)
+    val usPerFrame = 1000000L / fps
+    val maxFrame = frames.map(_.length).max
+    // avih: 56-byte main header (fields per the public AVIMAINHEADER)
+    val avih = le32(usPerFrame) ++ le32(maxFrame.toLong * fps) ++ le32(0) ++
+      le32(0) /* flags: no idx1 chunk is written, so AVIF_HASINDEX stays clear */ ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(maxFrame.toLong) ++
+      le32(width.toLong) ++ le32(height.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    // strh: video stream header, MJPG handler, rate/scale = fps/1
+    val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(1) ++ le32(fps.toLong) ++ le32(0) ++ le32(frames.length.toLong) ++
+      le32(maxFrame.toLong) ++ le32(0xFFFFFFFFL) ++ le32(0) ++
+      Array[Byte](0, 0, 0, 0, (width & 0xFF).toByte, ((width >> 8) & 0xFF).toByte,
+        (height & 0xFF).toByte, ((height >> 8) & 0xFF).toByte)
+    // strf: BITMAPINFOHEADER with biCompression = 'MJPG'
+    val strf = le32(40) ++ le32(width.toLong) ++ le32(height.toLong) ++
+      Array[Byte](1, 0, 24, 0) ++ cc("MJPG") ++
+      le32(width.toLong * height * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = cc("AVI ") ++ hdrl ++ movi
+    bos.write(cc("RIFF")); bos.write(le32(body.length.toLong)); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** Demux an MJPEG-AVI payload: walk the RIFF chunk tree, pull the avih
+    * dims/frame-interval and every '..dc'/'..db' frame out of the 'movi'
+    * list. Returns None on anything that isn't a RIFF-AVI. Pure JVM —
+    * no codec library; each returned frame is a standalone JPEG.
+    */
+  def demuxMjpegAvi(payload: Array[Byte]): Option[MjpegVideo] = {
+    if (payload == null || payload.length < 12) return None
+    if (fourcc(payload, 0) != "RIFF" || fourcc(payload, 8) != "AVI ") return None
+    var width = 0; var height = 0; var usPerFrame = 0L
+    val frames = Vector.newBuilder[Array[Byte]]
+    // (offset, limit) chunk walks; LIST chunks recurse into their body
+    def walk(off0: Int, limit: Int): Unit = {
+      var off = off0
+      while (off + 8 <= limit) {
+        val id = fourcc(payload, off)
+        val sz = rdLe32(payload, off + 4).toInt
+        val body = off + 8
+        if (body + math.max(sz, 0) > limit || sz < 0) return // truncated/corrupt: keep what we have
+        id match {
+          case "LIST" if sz >= 4 =>
+            walk(body + 4, body + sz) // skip the 4-byte list type, walk members
+          case "avih" if sz >= 40 =>
+            usPerFrame = rdLe32(payload, body)
+            width = rdLe32(payload, body + 32).toInt
+            height = rdLe32(payload, body + 36).toInt
+          case _ if id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) && sz > 0 =>
+            frames += java.util.Arrays.copyOfRange(payload, body, body + sz)
+          case _ => ()
+        }
+        off = body + sz + (sz % 2) // chunks are word-aligned
+      }
+    }
+    walk(12, payload.length)
+    val fs = frames.result()
+    if (fs.isEmpty && width == 0) None else Some(MjpegVideo(width, height, usPerFrame, fs))
+  }
+
+  /** Partition-wise REAL video feature extraction for MJPEG-AVI payloads:
+    * demux the container, decode every sampled frame with the JDK JPEG
+    * decoder, one output row per frame — (key, frame_idx, n_frames,
+    * fps, width, height, frame_width, frame_height, mean_intensity).
+    * `frameStride` subsamples (every k-th frame) — the map-only shape a
+    * 100 TB video corpus needs (parallelism = input partitioning, no
+    * shuffle). Undemuxable payloads yield one all-null row per key.
+    */
+  def videoFeatures(
+      df: DataFrame, keyCol: String, binaryCol: String,
+      frameStride: Int = 1): DataFrame = {
+    require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
+    val outSchema = StructType(Seq(
+      StructField(keyCol, df.schema(keyCol).dataType),
+      StructField("frame_idx", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("fps", DoubleType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("frame_width", IntegerType),
+      StructField("frame_height", IntegerType),
+      StructField("mean_intensity", DoubleType)))
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        demuxMjpegAvi(payload) match {
+          case None =>
+            Iterator.single(Row(r.get(keyIdx), null, null, null, null, null, null, null, null))
+          case Some(v) =>
+            val fps = if (v.usPerFrame > 0) 1000000.0 / v.usPerFrame else null
+            v.frames.iterator.zipWithIndex
+              .filter { case (_, i) => i % frameStride == 0 }
+              .map { case (jpeg, i) =>
+                decodeImage(jpeg) match {
+                  case Some((fw, fh, _, m)) =>
+                    Row(r.get(keyIdx), i, v.frames.length, fps, v.width, v.height, fw, fh, m)
+                  case None =>
+                    Row(r.get(keyIdx), i, v.frames.length, fps, v.width, v.height, null, null, null)
+                }
+              }
+        }
+      }
+    }(enc)
   }
 }

@@ -667,6 +667,60 @@ transformers:
                / (width * height * 3 * 255.0) AS mean_intensity
       FROM c"""))
 
+  /** REAL video demux + decode end-to-end: synthesize an MJPEG-AVI per
+    * document (uniform-gray JPEG frames, all parameters deterministic
+    * from doc_id), demux the RIFF container and decode every frame with
+    * the JDK JPEG decoder in a partition-wise pass. Closed-form EXACT
+    * oracle: a uniform-gray frame survives JPEG quantization exactly
+    * (Y = g is a DC-only block, Cb = Cr = 128 — verified for all 256
+    * gray levels), so decoded dims/intensity equal the generator's
+    * formula — the hash match proves the whole mux → demux → decode
+    * pipeline round-trips pixel data.
+    */
+  val qVideoFeatures = Q(
+    "q_video_features",
+    (s, dir) => {
+      val toAvi = udf { id: Long =>
+        val nFrames = (id % 3 + 2).toInt
+        val frames = (0 until nFrames).map { i =>
+          val g = ((id * 37 + i * 59) % 256).toInt
+          val img = new java.awt.image.BufferedImage(32, 24,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < 24) { var x = 0; while (x < 32) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        Multimodal.muxMjpegAvi(frames, 32, 24, fps = 25)
+      }
+      // deterministic eighth of the corpus: the stage is map-only and
+      // scales linearly; JPEG encode costs ~2 ms/frame — no need to
+      // prove the same round-trip 15000 times per bench run
+      val docs = tables(s, dir).documents
+        .filter(col("doc_id") % 8 === 0)
+        .select(col("doc_id"), toAvi(col("doc_id")).as("payload"))
+      Multimodal.videoFeatures(docs, "doc_id", "payload")
+    },
+    // mean_intensity replays the decoder's sum/(w·h·bands·255.0) with
+    // the same exactly-representable integers, so the one IEEE division
+    // is bit-identical on both engines
+    Some("""
+      WITH v AS (
+        SELECT doc_id, CAST(doc_id % 3 + 2 AS INT) AS n_frames
+        FROM documents WHERE doc_id % 8 = 0),
+      f AS (
+        SELECT doc_id, n_frames, CAST(i AS INT) AS frame_idx,
+               (doc_id * 37 + CAST(i AS INT) * 59) % 256 AS g
+        FROM v, unnest(range(0, n_frames)) AS u(i))
+      SELECT doc_id, frame_idx, n_frames,
+             CAST(25 AS DOUBLE) AS fps,
+             CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+             CAST(32 AS INT) AS frame_width, CAST(24 AS INT) AS frame_height,
+             CAST(32 * 24 * 3 * g AS DOUBLE) / (32 * 24 * 3 * 255.0) AS mean_intensity
+      FROM f"""))
+
   /** Linear-autoencoder latent features (seeded GD solver → rows-only;
     * StreamingSpec gates the fit on reconstruction RMSE).
     */
@@ -814,6 +868,6 @@ transformers:
     qMonotonicBinning, qBoxcox, qBoxcoxLambda, qMultimodal, qWorkflow, qVarClus,
     qKnnImpute, qKnnDeterministic, qIterativeImputation, qIterDeterministic,
     qAlsDeterministic,
-    qFeatureRec, qFeatureMapper, qImageFeatures,
+    qFeatureRec, qFeatureMapper, qImageFeatures, qVideoFeatures,
     qAutoencoderLatent, qAutoencoderDeterministic, qAutoImputeDeterministic)
 }

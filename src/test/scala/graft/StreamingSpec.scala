@@ -314,6 +314,59 @@ class StreamingSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 1, 2, 3))
   }
 
+  private def jpegGray(w: Int, h: Int, g: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("MJPEG-AVI mux → demux round-trips frames byte-identically") {
+    val frames = Seq(jpegGray(16, 8, 40), jpegGray(16, 8, 200), jpegGray(16, 8, 127))
+    val avi = Multimodal.muxMjpegAvi(frames, 16, 8, fps = 10)
+    // container sanity: RIFF/AVI magic
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val v = Multimodal.demuxMjpegAvi(avi).get
+    assert(v.width == 16 && v.height == 8)
+    assert(v.usPerFrame == 100000L) // 10 fps
+    assert(v.frames.length == 3)
+    v.frames.zip(frames).foreach { case (got, want) =>
+      assert(java.util.Arrays.equals(got, want)) // demux is byte-exact
+    }
+    // junk and truncated payloads are rejections, not exceptions
+    assert(Multimodal.demuxMjpegAvi("not a riff file at all".getBytes).isEmpty)
+    assert(Multimodal.demuxMjpegAvi(null).isEmpty)
+    val truncated = avi.take(avi.length / 2)
+    Multimodal.demuxMjpegAvi(truncated) // must not throw; partial frames ok
+  }
+
+  test("videoFeatures decodes MJPEG frames distributed, with stride and null safety") {
+    val avi1 = Multimodal.muxMjpegAvi(
+      (0 until 4).map(i => jpegGray(32, 24, 50 * i)), 32, 24, fps = 25)
+    val d = Seq((1L, avi1), (2L, "junk video".getBytes))
+      .toDF("id", "payload").repartition(2)
+    val rows = Multimodal.videoFeatures(d, "id", "payload").collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    assert(byKey(1L).length == 4)
+    byKey(1L).sortBy(_.getInt(1)).zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(1) == i && r.getInt(2) == 4)
+      assert(r.getDouble(3) == 25.0)
+      assert(r.getInt(4) == 32 && r.getInt(5) == 24)     // container dims
+      assert(r.getInt(6) == 32 && r.getInt(7) == 24)     // decoded frame dims
+      // uniform gray survives JPEG quantization exactly
+      assert(r.getDouble(8) == (50 * i) / 255.0)
+    }
+    assert(byKey(2L).length == 1 && byKey(2L).head.isNullAt(1)) // undemuxable → null row
+    // stride subsamples every k-th frame
+    val strided = Multimodal.videoFeatures(d.filter(col("id") === 1L), "id", "payload",
+      frameStride = 2).collect()
+    assert(strided.map(_.getInt(1)).sorted.toSeq == Seq(0, 2))
+  }
+
   test("PCA latent features reduce dimensionality deterministically") {
     val rnd = new scala.util.Random(3)
     val d = (1 to 200).map { _ =>
