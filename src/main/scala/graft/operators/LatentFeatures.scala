@@ -494,11 +494,22 @@ object LatentFeatures {
       .withColumn("__user", col(idCol).cast("int"))
     val train = ratings.filter(col("rating").isNotNull)
     val missing = ratings.filter(col("rating").isNull)
-    val nObserved = train.count()
+    // one bounded job decides the path AND fetches the local-fit input:
+    // collect up to cap+1 observed cells (a separate count() cost a full
+    // extra job; the limit overflows only when the spark.ml path is
+    // taken anyway, and cap+1 rows of 16 bytes stay far under the
+    // driver result limit)
+    val capN = math.min(localFitCap, Int.MaxValue - 2L).toInt
+    val probe = train.select(col("__user"), col("__item"), col("rating"))
+      .limit(capN + 1).collect()
     val predicted =
-      if (nObserved <= localFitCap) {
-        val obs = train.select(col("__user"), col("__item"), col("rating"))
-          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      if (probe.length <= capN) {
+        // driver-side sort: the limit-probe's row order varies with task
+        // completion order, and the local solver's float accumulation is
+        // order-sensitive — (user, item) sort restores run-to-run
+        // bit-identical fits
+        val obs = probe.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+          .sortBy(t => (t._1, t._2))
         val effRank = math.min(rank, cols.size)
         val (userF, itemF) = localAls(obs, effRank, maxIter, regParam, seed)
         val bcU = df.sparkSession.sparkContext.broadcast(userF)
