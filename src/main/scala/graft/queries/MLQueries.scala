@@ -380,6 +380,47 @@ transformers:
       SELECT bin, o_orderpriority, count(*) AS n FROM t GROUP BY bin, o_orderpriority"""
     })
 
+  /** save_stats write+reread BARRIER oracle (ref workflow save_stats):
+    * the workflow's stats_generator writes its metric frames to
+    * save_stats_path; this query answers from the RE-READ parquet — not
+    * the in-session frame — so the hash match proves the saved artifact
+    * round-trips the full stats content (schema, decimals, mode
+    * tie-breaks) through disk.
+    */
+  val qWorkflowSaveStats = Q(
+    "q_workflow_save_stats",
+    (s, dir) => {
+      val statsDir = java.nio.file.Files.createTempDirectory("graft_stats").toString
+      val yaml = s"""input_dataset:
+                    |  read_dataset:
+                    |    file_path: "$dir/orders.parquet"
+                    |    file_type: parquet
+                    |stats_generator:
+                    |  list_of_cols: [o_totalprice, o_custkey]
+                    |  save_stats_path: "$statsDir"
+                    |""".stripMargin
+      Workflow.run(s, yaml)
+      s.read.parquet(s"$statsDir/central_tendency")
+    },
+    // mode ties break on the STRING form of the value (the engine's melt
+    // casts to string before ranking) — same parity rules as
+    // q_central_tendency, replayed against orders
+    Some {
+      def one(c: String) =
+        s"""SELECT '$c' AS attribute,
+            CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / count($c) AS mean,
+            quantile_cont($c, 0.5) AS median,
+            (SELECT CAST($c AS VARCHAR) FROM orders WHERE $c IS NOT NULL
+               GROUP BY $c ORDER BY count(*) DESC, CAST($c AS VARCHAR) ASC LIMIT 1) AS mode,
+            (SELECT count(*) FROM orders WHERE $c IS NOT NULL GROUP BY $c
+               ORDER BY count(*) DESC, CAST($c AS VARCHAR) ASC LIMIT 1) AS mode_rows,
+            round((SELECT CAST(count(*) AS DOUBLE) FROM orders WHERE $c IS NOT NULL
+                     GROUP BY $c ORDER BY count(*) DESC, CAST($c AS VARCHAR) ASC LIMIT 1)
+                  / count($c), 4) AS mode_pct
+            FROM orders"""
+      Seq("o_totalprice", "o_custkey").map(one).mkString(" UNION ALL ")
+    })
+
   private val varClusCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey", "l_suppkey")
 
@@ -865,7 +906,8 @@ transformers:
     Some(AlsSql.sql(alsItems, maskItem = "click", sampleSize = 400, sweeps = 3)))
 
   def all: Seq[Q] = Seq(qPcaLatent, qPca2Col, qAlsImpute, qAutoImputation,
-    qMonotonicBinning, qBoxcox, qBoxcoxLambda, qMultimodal, qWorkflow, qVarClus,
+    qMonotonicBinning, qBoxcox, qBoxcoxLambda, qMultimodal, qWorkflow,
+    qWorkflowSaveStats, qVarClus,
     qKnnImpute, qKnnDeterministic, qIterativeImputation, qIterDeterministic,
     qAlsDeterministic,
     qFeatureRec, qFeatureMapper, qImageFeatures, qVideoFeatures,

@@ -227,7 +227,64 @@ transformers:
     },
     Some(quantileTransformSql(Seq("l_quantity"), nq = 101, gridDp = 6)))
 
+  /** cat_to_num_transformer DISPATCH oracle (ref transformers.py:428-503):
+    * one run per route — supervised (labelCol ⇒ target encoding),
+    * label_encoding, onehot_encoding — on the same column, each summarized
+    * to (route, category, value) rows. The hash match checks the routing
+    * DECISION itself (which arm fires for which config) on top of the
+    * per-arm oracles the individual queries already carry.
+    */
+  val qCatToNumDispatch = Q(
+    "q_cat_to_num_dispatch",
+    (s, dir) => {
+      val o = tables(s, dir).orders
+      val sup = Transformers
+        .catToNumTransformer(o, Seq("o_orderpriority"),
+          labelCol = Some("o_orderstatus"), eventLabel = "F")
+        .select(col("o_orderpriority").as("category"),
+          col("o_orderpriority_encoded").cast("double").as("value"))
+        .distinct()
+        .withColumn("route", lit("supervised"))
+      val lab = Transformers
+        .catToNumTransformer(o, Seq("o_orderpriority"), encoding = "label_encoding")
+        .select(col("o_orderpriority").as("category"),
+          col("o_orderpriority_index").cast("double").as("value"))
+        .distinct()
+        .withColumn("route", lit("label"))
+      val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val ohWide = Transformers
+        .catToNumTransformer(o, Seq("o_orderpriority"), encoding = "onehot_encoding")
+      val oh = ohWide
+        .agg(sum(col(s"`o_orderpriority_${pris.head}`")).as(pris.head),
+          pris.tail.map(p => sum(col(s"`o_orderpriority_$p`")).as(p)): _*)
+        .select(expr(
+          s"stack(${pris.size}, ${pris.map(p => s"'$p', cast(`$p` as double)").mkString(", ")}) " +
+            "as (category, value)"))
+        .withColumn("route", lit("onehot"))
+      sup.unionByName(lab).unionByName(oh)
+        .select("route", "category", "value")
+    },
+    Some("""
+      WITH sup AS (
+        SELECT 'supervised' AS route, o_orderpriority AS category,
+               round(CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE)
+                 / count(*), 4) AS value
+        FROM orders GROUP BY o_orderpriority),
+      lab AS (
+        SELECT 'label' AS route, o_orderpriority AS category,
+               CAST(row_number() OVER (ORDER BY cnt DESC, o_orderpriority ASC) - 1 AS DOUBLE)
+                 AS value
+        FROM (SELECT o_orderpriority, count(*) AS cnt FROM orders
+              WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority)),
+      oh AS (
+        SELECT 'onehot' AS route, o_orderpriority AS category,
+               CAST(count(*) AS DOUBLE) AS value
+        FROM orders GROUP BY o_orderpriority)
+      SELECT route, category, value FROM sup
+      UNION ALL SELECT route, category, value FROM lab
+      UNION ALL SELECT route, category, value FROM oh"""))
+
   def all: Seq[Q] = Seq(qBinning, qBinningEqFreq, qMinMaxNorm, qZStandardization,
     qIqrStandardization, qFeatureMath, qOutlierCategories, qTargetEncoding, qLabelEncoding,
-    qOneHot, qQuantileTransform, qWorkflowQuantile)
+    qOneHot, qQuantileTransform, qWorkflowQuantile, qCatToNumDispatch)
 }

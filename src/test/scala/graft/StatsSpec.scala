@@ -30,6 +30,27 @@ class StatsSpec extends SparkSpec {
     assert(regrouped.collect().map(_.getLong(1)).sum >= uEst, "halves cover the whole")
   }
 
+  test("hll sketch store: fixed-input estimates are pinned exactly") {
+    // golden pin of the APPROXIMATE regime: these exact estimate values
+    // are a property of the Datasketches HLL_4 implementation shipped
+    // with this Spark build — a silent library upgrade that changes
+    // register hashing or the estimator would shift them, and this is
+    // the tripwire (the error-envelope test above would not notice a
+    // small systematic change). Inputs are fully deterministic.
+    import graft.operators.SketchStore
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val golden = Map(100 -> 100L, 5000 -> 4986L, 50000 -> 51825L)
+    golden.foreach { case (n, want) =>
+      val d = (1 to n).map(i => ("g", i)).toDF("g", "v")
+      val est = SketchStore.unionEstimate(SketchStore.hllSketches(d, Seq("g"), "v"))
+        .first().getLong(0)
+      assert(est == want,
+        s"pinned HLL estimate for n=$n moved: got $est, want $want — " +
+          "sketch library behavior changed")
+    }
+  }
+
   import spark.implicits._
 
   private def df = Seq(
