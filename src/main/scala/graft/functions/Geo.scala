@@ -530,6 +530,67 @@ object Geo {
       bestLabels.filter(_ >= 0).distinct.length, labeled)
   }
 
+  /** Deterministic DBSCAN sibling with order-independent semantics — the
+    * fully-replayable twin of [[dbscanClusterAnalysis]]'s fit at a FIXED
+    * (epsKm, minSamples): neighborhoods on the 4-dp-rounded haversine
+    * grid (both engines round identically — the q_geo_distance parity),
+    * core = |N_eps| ≥ minSamples (self included, the sklearn count),
+    * clusters = connected components of the core-core eps-graph labeled
+    * by min member id ([[Dedup.duplicateClusters]]), border points take
+    * the cluster of their MINIMUM-ID core neighbor (classic DBSCAN's
+    * border assignment is BFS-order-dependent; the min-id rule is the
+    * deterministic refinement), noise = −1. Labels are min-core-ids, not
+    * 0..k−1 — stable under any execution order.
+    *
+    * Scale shape: the candidate pair join is blocked on latitude bands
+    * of ceil(eps) degrees — lossless (1° of latitude is 111.19 km on
+    * the R=6371.009 sphere, so eps-neighbors can never differ by more
+    * than eps/111.19 degrees of latitude) — so there is no cartesian
+    * anywhere; per-band pair volume is what DBSCAN's neighbor counting
+    * inherently costs.
+    */
+  def dbscanDeterministic(
+      df: DataFrame,
+      idCol: String,
+      latCol: String,
+      lonCol: String,
+      epsKm: Double,
+      minSamples: Int): DataFrame = {
+    require(epsKm > 0 && minSamples >= 1, "epsKm > 0, minSamples >= 1")
+    val pts = df.select(col(idCol).cast("long").as("id"),
+      col(latCol).cast("double").as("lat"), col(lonCol).cast("double").as("lon"))
+      .na.drop()
+    val bandDeg = epsKm / 111.0 // ≥ eps/111.19: adjacent bands always suffice
+    val banded = pts.withColumn("band", floor(col("lat") / lit(bandDeg)).cast("long"))
+    val probes = banded.withColumn("pband",
+      explode(array(col("band") - 1, col("band"), col("band") + 1)))
+    val pairs = probes.as("a")
+      .join(banded.as("b"), col("a.pband") === col("b.band"))
+      .filter(round(haversine(col("a.lat"), col("a.lon"), col("b.lat"), col("b.lon")), 4)
+        <= epsKm)
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+    val core = pairs.groupBy("ia").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSamples).select(col("ia").as("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("ia")), "ia")
+      .join(core.select(col("id").as("ib")), "ib")
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("key_1"), col("ib").as("key_2"))
+    val comp = graft.functions.Dedup.duplicateClusters(coreEdges)
+    // isolated cores (no other core within eps) are singleton clusters
+    val coreLab = core.join(comp.withColumnRenamed("key", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("root"))
+    val borderLab = pairs
+      .join(core.select(col("id").as("ib")), "ib")
+      .join(core.select(col("id").as("ia")), Seq("ia"), "left_anti")
+      .groupBy(col("ia")).agg(min(col("ib")).as("mincore"))
+      .join(coreLab.select(col("id").as("mincore"), col("root")), "mincore")
+      .select(col("ia").as("id"), col("root"))
+    pts.select("id")
+      .join(coreLab.unionByName(borderLab), Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("root"), lit(-1L)).as("db_label"))
+  }
+
   /** ref: geospatial.py:1223-1334 rog_calculation — mean haversine
     * distance to the group centroid (broadcast-joined back), km.
     */

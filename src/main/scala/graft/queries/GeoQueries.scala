@@ -452,7 +452,51 @@ object GeoQueries {
       SELECT glat, glon, count(*) AS count FROM pts GROUP BY glat, glon
       ORDER BY count DESC, glat ASC, glon ASC LIMIT 10"""))
 
+  /** Deterministic DBSCAN sibling with a FULL oracle (the grid-search
+    * production path stays spec-gated like the reference's report-side
+    * fit): fixed (eps=600 km, minPts=4) over a fixed 750-point id-range
+    * sample — identical at every scale factor, so the cross-scale check
+    * sees the same cluster structure. The oracle replays neighborhoods
+    * on the 4-dp haversine grid, core selection, the connected-component
+    * closure (recursive CTE, the duplicateClusters shape), min-id border
+    * assignment, and noise. The lat-band blocking in the engine is
+    * lossless, so the oracle can use the plain pairwise form.
+    */
+  val qGeoDbscanDeterministic = Q(
+    "q_geo_dbscan_deterministic",
+    (s, dir) => Geo.dbscanDeterministic(
+      withPoints(tables(s, dir).customer)
+        .filter(col("c_custkey") <= 1500 && col("c_custkey") % 2 === 0),
+      "c_custkey", "lat", "lon", epsKm = 600.0, minSamples = 4),
+    Some(s"""
+      WITH RECURSIVE pts AS (
+        SELECT c_custkey AS id, $latExpr AS lat, $lonExpr AS lon
+        FROM customer WHERE c_custkey <= 1500 AND c_custkey % 2 = 0),
+      pairs AS (
+        SELECT a.id ia, b.id ib FROM pts a, pts b
+        WHERE round(2 * 6371.009 * atan2(
+          sqrt(pow(sin(radians(b.lat - a.lat)/2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon)/2), 2)),
+          sqrt(1 - (pow(sin(radians(b.lat - a.lat)/2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon)/2), 2)))), 4)
+          <= 600),
+      core AS (SELECT ia AS id FROM pairs GROUP BY ia HAVING count(*) >= 4),
+      ce AS (SELECT ia a, ib b FROM pairs
+             WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)),
+      reach AS (SELECT a, b FROM ce
+                UNION SELECT r.a, e.b FROM reach r JOIN ce e ON r.b = e.a),
+      comp AS (SELECT a AS id, least(a, min(b)) AS root FROM reach GROUP BY a),
+      borderpick AS (
+        SELECT p.ia AS id, min(p.ib) AS mincore FROM pairs p
+        WHERE p.ia NOT IN (SELECT id FROM core) AND p.ib IN (SELECT id FROM core)
+        GROUP BY p.ia),
+      borderlab AS (SELECT b.id, c.root FROM borderpick b JOIN comp c ON c.id = b.mincore),
+      lab AS (SELECT id, root FROM comp UNION ALL SELECT id, root FROM borderlab)
+      SELECT p.id AS c_custkey, coalesce(l.root, -1) AS db_label
+      FROM pts p LEFT JOIN lab l USING (id)"""))
+
   def all: Seq[Q] = Seq(qDistance, qCentroid, qRog, qFormat, qPolygon, qGeohash,
     qInCountry, qReverseGeocode, qVincenty, qGeoClusterDeterministic,
-    qGeoAutodetect, qWeightedCentroid, qGeoDescStats, qGeoTopPairs)
+    qGeoAutodetect, qWeightedCentroid, qGeoDescStats, qGeoTopPairs,
+    qGeoDbscanDeterministic)
 }

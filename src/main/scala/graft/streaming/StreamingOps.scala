@@ -309,6 +309,133 @@ object StreamingOps {
       }
   }
 
+  final case class LineKeep(key: Long, pos: Int, line: String)
+
+  /** Streaming corpus-level line dedup — the streaming twin of
+    * [[graft.functions.Dedup.lineDedup]]'s first-occurrence selection:
+    * each arriving document explodes to its (pos, line) rows, lines key
+    * a per-line-hash state inside the watermark horizon, and only the
+    * FIRST arrival of a line (event time, then key, then pos — the
+    * stream-order analog of the batch min(struct(key, pos))) emits a
+    * LineKeep row; every later occurrence is boilerplate and drops.
+    * Consumers rebuild documents with a downstream groupBy(key) +
+    * ordered concat — the batch reassembly shape. State per line is one
+    * timestamp; quiet lines age out via event-time timeout.
+    */
+  def streamingLineDedup(
+      stream: DataFrame,
+      textCol: String,
+      keyCol: String,
+      tsCol: String,
+      watermarkMs: Long = 2L * 3600 * 1000): Dataset[LineKeep] = {
+    import stream.sparkSession.implicits._
+    val exploded = stream
+      .withWatermark(tsCol, s"$watermarkMs milliseconds")
+      .select(col(keyCol).cast("long").as("__key"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")),
+        col(tsCol)) // no cast/alias: it would strip the watermark metadata
+      .select(xxhash64(col("__line")).as("__lh"), col("__key"), col("__pos"),
+        col("__line"), col(tsCol))
+      .as[(Long, Long, Int, String, java.sql.Timestamp)]
+    exploded.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, LineKeep](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Int, String, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._5.getTime, r._2, r._3))
+            val out =
+              if (state.exists) Nil
+              else sorted.headOption.map(r => LineKeep(r._2, r._3, r._4)).toList
+            val maxTs = sorted.map(_._5.getTime).max
+            state.update(math.max(state.getOption.getOrElse(0L), maxTs))
+            state.setTimeoutTimestamp(state.get + watermarkMs)
+            out.iterator
+          }
+      }
+  }
+
+  final case class SpanFlag(key: Long, pos: Int)
+
+  /** Streaming duplicated-window flags — the streaming twin of
+    * [[graft.functions.Dedup.duplicateSpans]]'s window-flagging stage:
+    * every `windowTokens`-token window of the normalized text keys a
+    * per-window-hash state (same md5_prefix60 hash construction as
+    * batch); once `minDocFreq` DISTINCT documents have carried a window
+    * inside the watermark horizon, ALL its stored occurrences flush as
+    * (key, pos) flags and later occurrences flag immediately. Consumers
+    * merge flags into maximal spans per document (the batch interval
+    * merge). Pre-flag state is the bounded occurrence list (capped at
+    * `maxOccState`); post-flag state collapses to a marker, so a
+    * boilerplate window shared by millions of docs holds O(1) state.
+    */
+  def streamingDuplicateSpanFlags(
+      stream: DataFrame,
+      textCol: String,
+      keyCol: String,
+      tsCol: String,
+      windowTokens: Int = 50,
+      minDocFreq: Int = 2,
+      watermarkMs: Long = 2L * 3600 * 1000,
+      maxOccState: Int = 10000): Dataset[SpanFlag] = {
+    require(windowTokens >= 1 && minDocFreq >= 2, "windowTokens >= 1, minDocFreq >= 2")
+    import stream.sparkSession.implicits._
+    graft.plans.GraftFunctions.register(stream.sparkSession)
+    val w = windowTokens
+    val toks = col("__toks")
+    // identical gram construction + 60-bit hash as the batch path, so a
+    // batch-parity check compares flag sets 1:1
+    val grams = when(size(toks) < w, array().cast("array<struct<pos:int,gram:string>>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - w),
+        i => struct(i.cast("int").as("pos"),
+          concat_ws(" ", slice(toks, i + 1, lit(w))).as("gram"))))
+    val exploded = stream
+      .withWatermark(tsCol, s"$watermarkMs milliseconds")
+      .select(col(keyCol).cast("long").as("__key"),
+        split(graft.functions.TextOps.normalizeText(col(textCol)), " ").as("__toks"),
+        col(tsCol))
+      .select(col("__key"), explode(grams).as("__g"), col(tsCol))
+      .select(expr("md5_prefix60(cast(__g.gram as binary))").as("__h"),
+        col("__key"), col("__g.pos").as("__pos"), col(tsCol))
+      .as[(Long, Long, Int, java.sql.Timestamp)]
+    // state: (flagged marker, stored pre-flag occurrences (key, pos, ts))
+    exploded.groupByKey(_._1)
+      .flatMapGroupsWithState[(Boolean, List[(Long, Int, Long)]), SpanFlag](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Int, java.sql.Timestamp)],
+         state: GroupState[(Boolean, List[(Long, Int, Long)])]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val horizon = state.getCurrentWatermarkMs()
+            var (flagged, occs) = state.getOption.getOrElse((false, Nil))
+            occs = occs.filter(_._3 >= horizon)
+            val out = scala.collection.mutable.ListBuffer.empty[SpanFlag]
+            var maxTs = occs.map(_._3).maxOption.getOrElse(0L)
+            rows.toSeq.sortBy(r => (r._4.getTime, r._2, r._3)).foreach { case (_, k, p, ts) =>
+              maxTs = math.max(maxTs, ts.getTime)
+              if (flagged) out += SpanFlag(k, p)
+              else {
+                if (occs.size < maxOccState) occs = (k, p, ts.getTime) :: occs
+                if (occs.map(_._1).distinct.size >= minDocFreq) {
+                  flagged = true
+                  occs.reverseIterator.foreach { case (k2, p2, _) => out += SpanFlag(k2, p2) }
+                  occs = Nil // flushed: post-flag state is just the marker
+                }
+              }
+            }
+            state.update((flagged, occs))
+            state.setTimeoutTimestamp(maxTs + watermarkMs)
+            out.iterator
+          }
+      }
+  }
+
   final case class UserState(count: Long, sum: Double)
   final case class UserSnapshot(userId: Long, count: Long, sum: Double, mean: Double)
 

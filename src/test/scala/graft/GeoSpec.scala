@@ -122,6 +122,34 @@ class GeoSpec extends SparkSpec {
     assert(labels(5) == -1)
   }
 
+  test("deterministic DBSCAN matches classic dbscanLocal partitioning on unambiguous fixtures") {
+    // two well-separated chains + isolated noise; every border point has
+    // core neighbors from exactly ONE cluster, so classic DBSCAN's
+    // BFS-order-dependent border assignment is unique and the min-id
+    // sibling must produce the identical partition
+    val pts = Array(
+      (0.0, 0.0), (0.05, 0.0), (0.1, 0.0), (0.15, 0.0), (0.2, 0.0), // chain A
+      (40.0, 40.0), (40.05, 40.0), (40.1, 40.0), (40.15, 40.0),     // chain B
+      (70.0, -120.0))                                               // noise
+    val classic = Geo.dbscanLocal(pts, epsKm = 15.0, minSamples = 3)
+    val d = pts.zipWithIndex.map { case ((la, lo), i) => (i.toLong, la, lo) }
+      .toSeq.toDF("id", "lat", "lon")
+    val det = Geo.dbscanDeterministic(d, "id", "lat", "lon", epsKm = 15.0, minSamples = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same partition: points share a det label iff they share a classic label
+    for (i <- pts.indices; j <- pts.indices) {
+      val sameClassic = classic(i) >= 0 && classic(i) == classic(j)
+      val sameDet = det(i.toLong) >= 0 && det(i.toLong) == det(j.toLong)
+      assert(sameClassic == sameDet, s"pair ($i,$j): classic=$sameClassic det=$sameDet")
+    }
+    // noise agrees exactly
+    pts.indices.foreach { i =>
+      assert((classic(i) == -1) == (det(i.toLong) == -1L), s"noise mismatch at $i")
+    }
+    // labels are min member ids (the documented stable convention)
+    assert(det(0L) == 0L && det(5L) == 5L && det(9L) == -1L)
+  }
+
   test("native geohash_encode expression matches the pure function (codegen path)") {
     graft.plans.GraftFunctions.register(spark)
     val d = Seq((57.64911, 10.40744), (42.6, -5.6)).toDF("lat", "lon")

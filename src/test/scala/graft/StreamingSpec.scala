@@ -314,6 +314,85 @@ class StreamingSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 1, 2, 3))
   }
 
+  test("streaming line dedup keeps exactly the batch first-occurrence line set") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps
+    val corpus = Seq(
+      1L -> "header line\nunique to one\nshared footer",
+      2L -> "header line\nunique to two\nshared footer",
+      3L -> "completely original document\nno shared lines at all",
+      4L -> "header line\nshared footer\nunique to four")
+    // batch truth: lineDedup's keepers = first (key, pos) per line
+    val batch = graft.functions.Dedup.lineDedup(
+      corpus.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingOps.streamingLineDedup(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts")
+    val q = out.writeStream.format("memory").queryName("line_dedup_out")
+      .outputMode("append").start()
+    try {
+      val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // arrival order = doc id order, one batch per doc pair — the
+      // stream-order analog of the batch min(struct(key, pos))
+      input.addData(corpus.take(2).zipWithIndex.map { case ((k, tx), i) => (k, tx, t(i)) }: _*)
+      q.processAllAvailable()
+      input.addData(corpus.drop(2).zipWithIndex.map { case ((k, tx), i) => (k, tx, t(10 + i)) }: _*)
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT key, pos, line FROM line_dedup_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      // reassemble per doc exactly like batch lineDedup does
+      val rebuilt = kept.groupBy(_._1).map { case (k, ls) =>
+        k -> ls.sortBy(_._2).map(_._3).mkString("\n")
+      }
+      corpus.map(_._1).foreach { k =>
+        assert(rebuilt.getOrElse(k, "") == batch(k),
+          s"doc $k: stream '${rebuilt.getOrElse(k, "")}' != batch '${batch(k)}'")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming duplicate-span flags merge to the batch span set") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps
+    val boiler = (1 to 6).map(i => s"boiler$i").mkString(" ") // 6-token boilerplate
+    val corpus = Seq(
+      1L -> s"alpha beta gamma $boiler delta epsilon",
+      2L -> s"zeta eta $boiler theta iota kappa",
+      3L -> "nothing duplicated in this document at all whatsoever truly")
+    val w = 4
+    val batchSpans = graft.functions.Dedup.duplicateSpans(
+      corpus.toDF("doc_id", "text"), "text", "doc_id", windowTokens = w, minDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchSpans.nonEmpty, "fixture must produce batch spans")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingOps.streamingDuplicateSpanFlags(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+      windowTokens = w, minDocFreq = 2)
+    val q = out.writeStream.format("memory").queryName("span_flags_out")
+      .outputMode("append").start()
+    try {
+      val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData(corpus.zipWithIndex.map { case ((k, tx), i) => (k, tx, t(i)) }: _*)
+      q.processAllAvailable()
+      val flags = spark.sql("SELECT DISTINCT key, pos FROM span_flags_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      // merge flags into maximal half-open spans — the batch interval merge
+      val streamSpans = flags.groupBy(_._1).flatMap { case (k, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+        sorted.foreach { p =>
+          spans.lastOption match {
+            case Some((kk, s, e)) if p <= e => spans(spans.length - 1) = (kk, s, math.max(e, p + w))
+            case _ => spans += ((k, p.toLong, (p + w).toLong))
+          }
+        }
+        spans
+      }.toSet
+      assert(streamSpans == batchSpans, s"stream $streamSpans != batch $batchSpans")
+    } finally q.stop()
+  }
+
   private def jpegGray(w: Int, h: Int, g: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
