@@ -298,30 +298,44 @@ object Dedup {
       val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), hash(parts: _*).as("bucket"))
     }
-    // degenerate-bucket cap: a bucket of m identical/boilerplate docs
-    // yields m²/2 candidate pairs — at 100 TB one such bucket stalls the
-    // stage. Docs in an oversized bucket are still reachable through
-    // their other (bands-1) band buckets; true exact duplicates belong
-    // in exactDedup anyway. The window partitions on the join key and
-    // both self-join sides are identical subplans, so Catalyst reuses
-    // ONE exchange for them (no persist needed — an explicit cache here
-    // measured slower than the ReusedExchange Spark already inserts).
-    val capped = sigM
-      .select(col("key"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("key"), col("bb.band"), col("bb.bucket"))
-      .withColumn("__sz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("__sz") <= maxBucketSize)
-      .drop("__sz")
     // candidate pairs are tiny next to the corpus; materialize them so
     // the candidate-key projection and the final verify join don't each
-    // re-run the band self-join
-    val candidates = materialize(capped.as("a")
-      .join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.key") < col("b.key"))
-      .select(col("a.key").as("key_1"), col("b.key").as("key_2"))
-      .distinct())
+    // re-run the band pair generation
+    val candidates = materialize(
+      bandPostingPairs(
+        sigM.select(col("key"), explode(array(bandCols: _*)).as("bb"))
+          .select(col("key"), col("bb.band"), col("bb.bucket")),
+        maxBucketSize)
+        .distinct())
     verifyCandidates(df, textCol, keyCol, shingleSize, candidates, threshold)
+  }
+
+  /** Candidate pairs from band-bucket assignments (key, band, bucket):
+    * ONE hash-aggregation builds the posting list per bucket, which
+    * carries both the degenerate-bucket cap (a bucket of m boilerplate
+    * docs yields m²/2 pairs — at 100 TB one such bucket stalls the
+    * stage; docs in an oversized bucket stay reachable through their
+    * other bands, and true exact duplicates belong in exactDedup) and
+    * the pair expansion (nested HOF over the sorted list — same pairs
+    * as the old count-window + sort-merge self-join, without the window
+    * sort or the join's sort+probe; the same restructure that cut
+    * q_workflow_text's near-dup stage). Posting lists are bounded at
+    * maxBucketSize keys ≈ KBs per row.
+    */
+  private def bandPostingPairs(assigned: DataFrame, maxBucketSize: Int): DataFrame = {
+    val posting = assigned.groupBy("band", "bucket")
+      .agg(collect_list(col("key")).as("ks0"))
+      .filter(size(col("ks0")) <= maxBucketSize)
+    val ks = array_sort(col("ks0"))
+    val m = size(ks)
+    // all i<j pairs of the sorted posting list; sorting makes
+    // key_1 < key_2 by construction (the join's a.key < b.key)
+    val pairStructs = flatten(transform(sequence(lit(0), m - 2),
+      i => transform(sequence(i + 1, m - 1),
+        j => struct(element_at(ks, i + 1).as("key_1"), element_at(ks, j + 1).as("key_2")))))
+    posting.filter(m >= 2)
+      .select(explode(pairStructs).as("p"))
+      .select(col("p.key_1"), col("p.key_2"))
   }
 
   /** Jaccard verification of candidate pairs: rebuild shingle SETS for
@@ -394,18 +408,12 @@ object Dedup {
       val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), array(parts: _*).as("bucket"))
     }
-    val capped = sigM
-      .select(col("key"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("key"), col("bb.band"), col("bb.bucket"))
-      .withColumn("__sz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("__sz") <= maxBucketSize)
-      .drop("__sz")
-    materialize(capped.as("a")
-      .join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.key") < col("b.key"))
-      .select(col("a.key").as("key_1"), col("b.key").as("key_2"))
-      .distinct())
+    materialize(
+      bandPostingPairs(
+        sigM.select(col("key"), explode(array(bandCols: _*)).as("bb"))
+          .select(col("key"), col("bb.band"), col("bb.bucket")),
+        maxBucketSize)
+        .distinct())
   }
 
   /** Scalar twin of [[minhashSignaturesMd5]] for one document — the

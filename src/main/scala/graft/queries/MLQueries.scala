@@ -397,6 +397,7 @@ transformers:
                     |    file_type: parquet
                     |stats_generator:
                     |  list_of_cols: [o_totalprice, o_custkey]
+                    |  metrics: [central_tendency]
                     |  save_stats_path: "$statsDir"
                     |""".stripMargin
       Workflow.run(s, yaml)

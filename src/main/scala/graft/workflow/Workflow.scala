@@ -147,16 +147,27 @@ object Workflow {
         strings(sc.getOrElse("drop_cols", null)))
       val (num, cat, _) = graft.core.ColumnRole.segregate(
         df.select(cols.map(org.apache.spark.sql.functions.col): _*).schema)
-      val metrics = Map(
-        "global_summary" -> StatsGenerator.globalSummary(df),
-        "measures_of_counts" -> StatsGenerator.measuresOfCounts(df, cols)) ++
-        (if (num.nonEmpty) Map(
-          "central_tendency" -> StatsGenerator.centralTendency(df, num),
-          "dispersion" -> StatsGenerator.measuresOfDispersion(df, num),
-          "percentiles" -> StatsGenerator.measuresOfPercentiles(df, num))
-         else Map.empty) ++
-        (if (cat.nonEmpty) Map("mode" -> StatsGenerator.modeComputation(df, cat))
-         else Map.empty)
+      // optional `metrics:` list selects which frames to compute (and
+      // save); default = all applicable — the prior behavior
+      val wanted = Option(sc.getOrElse("metrics", null))
+        .map(strings(_).toSet)
+      def want(name: String) = wanted.forall(_.contains(name))
+      val metrics: Map[String, org.apache.spark.sql.DataFrame] =
+        (if (want("global_summary"))
+           Map("global_summary" -> StatsGenerator.globalSummary(df))
+         else Map.empty[String, org.apache.spark.sql.DataFrame]) ++
+        (if (want("measures_of_counts"))
+           Map("measures_of_counts" -> StatsGenerator.measuresOfCounts(df, cols)) else Map.empty) ++
+        (if (num.nonEmpty) {
+          (if (want("central_tendency"))
+             Map("central_tendency" -> StatsGenerator.centralTendency(df, num)) else Map.empty) ++
+          (if (want("dispersion"))
+             Map("dispersion" -> StatsGenerator.measuresOfDispersion(df, num)) else Map.empty) ++
+          (if (want("percentiles"))
+             Map("percentiles" -> StatsGenerator.measuresOfPercentiles(df, num)) else Map.empty)
+        } else Map.empty) ++
+        (if (cat.nonEmpty && want("mode"))
+           Map("mode" -> StatsGenerator.modeComputation(df, cat)) else Map.empty)
       timed("stats_generator", metrics) {
         sc.get("save_stats_path").foreach { p =>
           metrics.foreach { case (name, m) =>
