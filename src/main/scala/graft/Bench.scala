@@ -172,7 +172,13 @@ object Bench {
             if (dt1 < best) { best = dt1; bestSnap = snap1 }
           }
         }
-        if (best > math.max(retryAbove, 1.5 * effBaseline)) tryAgain(0L)
+        // UNCAPPED own-history baseline for the immediate trigger: the
+        // synth cap exists to keep phantom-polluted baselines retryABLE
+        // via the suspicious path, but capping here would make every
+        // honestly-slow query (baseline > 2/3 synth) burn an immediate
+        // full re-run on every honest round
+        val immediateBaseline = baseline.getOrElse(name, effBaseline)
+        if (best > math.max(retryAbove, 1.5 * immediateBaseline)) tryAgain(0L)
         var backoffMs = 5000L
         while (suspicious(best) && retries < 4) {
           tryAgain(backoffMs); backoffMs *= 2

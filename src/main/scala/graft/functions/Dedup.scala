@@ -323,9 +323,24 @@ object Dedup {
     * maxBucketSize keys ≈ KBs per row.
     */
   private def bandPostingPairs(assigned: DataFrame, maxBucketSize: Int): DataFrame = {
-    val posting = assigned.groupBy("band", "bucket")
+    // cap BEFORE collecting: the count window drops oversized buckets
+    // with spillable sort state, and only then do under-cap buckets
+    // collect their posting lists — so collect_list state is bounded at
+    // maxBucketSize keys per group and a degenerate bucket (the very
+    // case the cap exists for) never materializes its list at all. (A
+    // collect_list(...).filter(size <= cap) would build the full
+    // multi-million-key list in one unspillable aggregation buffer
+    // before filtering; a count-agg + semi-join variant measured a full
+    // extra shuffle because AQE broadcasts the keep set instead of
+    // reusing the exchange.) The window's (band, bucket) partitioning
+    // is exactly the posting groupBy's key, so the aggregation adds no
+    // exchange.
+    val capped = assigned
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val posting = capped.groupBy("band", "bucket")
       .agg(collect_list(col("key")).as("ks0"))
-      .filter(size(col("ks0")) <= maxBucketSize)
     val ks = array_sort(col("ks0"))
     val m = size(ks)
     // all i<j pairs of the sorted posting list; sorting makes
@@ -611,19 +626,13 @@ object Dedup {
     // dual-path of bruteForceTopK.
     val sel = pairs.select(col("key_1"), col("key_2"))
     val capN = math.min(maxLocalEdges, Int.MaxValue - 2L).toInt
-    // the probe limit is EXPECTED to overflow only on billion-edge
-    // graphs, so executeTake's 1→4→16→… partition escalation (a job
-    // round per step, each re-running the final stage) is pure waste —
-    // start at full parallelism so the probe is one job
-    val initKey = "spark.sql.limit.initialNumPartitions"
-    val prevInit = spark.conf.getOption(initKey)
-    spark.conf.set(initKey, math.max(1, spark.sparkContext.defaultParallelism))
-    val probe =
-      try sel.limit(capN + 1).collect()
-      finally prevInit match {
-        case Some(v) => spark.conf.set(initKey, v)
-        case None    => spark.conf.unset(initKey)
-      }
+    // executeTake's partition escalation re-runs only the FINAL stage
+    // per step (upstream shuffle stages are computed once and reused),
+    // so the probe costs ~one execution of the pair pipeline. A session
+    // conf override of limit.initialNumPartitions would shave the
+    // escalation steps but mutates process-shared state under
+    // concurrent queries — measured no win, not worth the race.
+    val probe = sel.limit(capN + 1).collect()
     if (probe.length <= capN) return unionFindLocalRows(probe, sel)
     // the a→b / b→a union branches are different projections, so without
     // the materialize both would recompute the upstream join
@@ -866,12 +875,21 @@ object Dedup {
     // df cap.
     val sh = shinglesCarrying(df, textCol, keyCol, n, Seq(blockCol))
       .select(col("key"), col(blockCol).as("block"), xxhash64(col("shingle")).as("shingle"))
-    val posting = sh.groupBy("block", "shingle")
+    // stop-shingle cap BEFORE collecting, same reasoning as
+    // bandPostingPairs: the count window drops ubiquitous shingles with
+    // spillable sort state, so the posting collect_list is bounded at
+    // maxShingleDf keys per group (a collect-then-filter would
+    // materialize the full list in one unspillable buffer first), and
+    // the window's (block, shingle) partitioning feeds the posting
+    // groupBy with no extra exchange
+    val kept = sh
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("block", "shingle")))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df")
+    val posting = kept.groupBy("block", "shingle")
       .agg(collect_list(col("key")).as("ks"))
-      .filter(size(col("ks")) <= maxShingleDf)
     // post-cap shingle count per doc — the Jaccard denominators
-    val sizes = posting.select(explode(col("ks")).as("key"))
-      .groupBy("key").agg(count(lit(1)).as("n"))
+    val sizes = kept.groupBy("key").agg(count(lit(1)).as("n"))
     val ks = array_sort(col("ks"))
     val m = size(ks)
     // all i<j pairs of the sorted posting list; sorting makes

@@ -335,29 +335,32 @@ object Multimodal {
     if (fourcc(payload, 0) != "RIFF" || fourcc(payload, 8) != "AVI ") return None
     var width = 0; var height = 0; var usPerFrame = 0L
     val frames = Vector.newBuilder[Array[Byte]]
-    // (offset, limit) chunk walks; LIST chunks recurse into their body
-    def walk(off0: Int, limit: Int): Unit = {
+    // (offset, limit) chunk walks in LONG arithmetic — a corrupt size
+    // field near 2^31 would overflow Int offsets past the bounds check
+    // and turn "return None" into an exception that kills the task.
+    // LIST chunks recurse into their body.
+    def walk(off0: Long, limit: Long): Unit = {
       var off = off0
       while (off + 8 <= limit) {
-        val id = fourcc(payload, off)
-        val sz = rdLe32(payload, off + 4).toInt
+        val id = fourcc(payload, off.toInt)
+        val sz = rdLe32(payload, off.toInt + 4) // unsigned 32-bit, always >= 0
         val body = off + 8
-        if (body + math.max(sz, 0) > limit || sz < 0) return // truncated/corrupt: keep what we have
+        if (body + sz > limit) return // truncated/corrupt: keep what we have
         id match {
           case "LIST" if sz >= 4 =>
             walk(body + 4, body + sz) // skip the 4-byte list type, walk members
           case "avih" if sz >= 40 =>
-            usPerFrame = rdLe32(payload, body)
-            width = rdLe32(payload, body + 32).toInt
-            height = rdLe32(payload, body + 36).toInt
+            usPerFrame = rdLe32(payload, body.toInt)
+            width = rdLe32(payload, body.toInt + 32).toInt
+            height = rdLe32(payload, body.toInt + 36).toInt
           case _ if id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) && sz > 0 =>
-            frames += java.util.Arrays.copyOfRange(payload, body, body + sz)
+            frames += java.util.Arrays.copyOfRange(payload, body.toInt, (body + sz).toInt)
           case _ => ()
         }
         off = body + sz + (sz % 2) // chunks are word-aligned
       }
     }
-    walk(12, payload.length)
+    walk(12L, payload.length.toLong)
     val fs = frames.result()
     if (fs.isEmpty && width == 0) None else Some(MjpegVideo(width, height, usPerFrame, fs))
   }
@@ -391,7 +394,10 @@ object Multimodal {
       rows.flatMap { r =>
         val payload = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
         demuxMjpegAvi(payload) match {
-          case None =>
+          // zero-frame AVIs (valid header, empty movi) get the same
+          // all-null row as undemuxable payloads — a key must never
+          // silently vanish from the output
+          case None | Some(MjpegVideo(_, _, _, Vector())) =>
             Iterator.single(Row(r.get(keyIdx), null, null, null, null, null, null, null, null))
           case Some(v) =>
             val fps = if (v.usPerFrame > 0) 1000000.0 / v.usPerFrame else null

@@ -390,7 +390,11 @@ transformers:
   val qWorkflowSaveStats = Q(
     "q_workflow_save_stats",
     (s, dir) => {
-      val statsDir = java.nio.file.Files.createTempDirectory("graft_stats").toString
+      // fixed scratch path, not createTempDirectory: bench retries and
+      // TriScale tiers would otherwise leave an orphaned dir per run
+      val statsDir = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft_q_workflow_save_stats").toString
       val yaml = s"""input_dataset:
                     |  read_dataset:
                     |    file_path: "$dir/orders.parquet"

@@ -402,7 +402,13 @@ object StreamingOps {
       .select(expr("md5_prefix60(cast(__g.gram as binary))").as("__h"),
         col("__key"), col("__g.pos").as("__pos"), col(tsCol))
       .as[(Long, Long, Int, java.sql.Timestamp)]
-    // state: (flagged marker, stored pre-flag occurrences (key, pos, ts))
+    // state: (flagged marker, stored pre-flag occurrences (key, pos, ts)).
+    // The distinct-doc decision tracks a key SET rebuilt from occs —
+    // occurrences are deduped on (key, pos) so at-least-once redelivery
+    // can't inflate state, and the occurrence CAP never gates the
+    // distinct-doc count (a hot window filled by one long doc's
+    // repetitions must still flag when a second doc arrives; the cap
+    // only bounds which occurrences can flush as flags).
     exploded.groupByKey(_._1)
       .flatMapGroupsWithState[(Boolean, List[(Long, Int, Long)]), SpanFlag](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -413,23 +419,33 @@ object StreamingOps {
             Iterator.empty
           } else {
             val horizon = state.getCurrentWatermarkMs()
-            var (flagged, occs) = state.getOption.getOrElse((false, Nil))
-            occs = occs.filter(_._3 >= horizon)
+            var (flagged, occs0) = state.getOption.getOrElse((false, Nil))
+            val occs = scala.collection.mutable.ArrayBuffer.from(
+              occs0.reverseIterator.filter(_._3 >= horizon)) // oldest-first
+            val seen = scala.collection.mutable.HashSet.from(
+              occs.iterator.map(o => (o._1, o._2)))
+            val docs = scala.collection.mutable.HashSet.from(occs.iterator.map(_._1))
             val out = scala.collection.mutable.ListBuffer.empty[SpanFlag]
-            var maxTs = occs.map(_._3).maxOption.getOrElse(0L)
+            var maxTs = occs.iterator.map(_._3).maxOption.getOrElse(0L)
             rows.toSeq.sortBy(r => (r._4.getTime, r._2, r._3)).foreach { case (_, k, p, ts) =>
               maxTs = math.max(maxTs, ts.getTime)
               if (flagged) out += SpanFlag(k, p)
-              else {
-                if (occs.size < maxOccState) occs = (k, p, ts.getTime) :: occs
-                if (occs.map(_._1).distinct.size >= minDocFreq) {
+              else if (!seen((k, p))) {
+                seen += ((k, p))
+                docs += k
+                if (occs.size < maxOccState) occs += ((k, p, ts.getTime))
+                if (docs.size >= minDocFreq) {
                   flagged = true
-                  occs.reverseIterator.foreach { case (k2, p2, _) => out += SpanFlag(k2, p2) }
-                  occs = Nil // flushed: post-flag state is just the marker
+                  occs.foreach { case (k2, p2, _) => out += SpanFlag(k2, p2) }
+                  // the current occurrence may have been dropped by the
+                  // cap — its flag must still emit
+                  if (occs.size >= maxOccState && !occs.exists(o => o._1 == k && o._2 == p))
+                    out += SpanFlag(k, p)
+                  occs.clear() // flushed: post-flag state is just the marker
                 }
               }
             }
-            state.update((flagged, occs))
+            state.update((flagged, occs.reverseIterator.toList))
             state.setTimeoutTimestamp(maxTs + watermarkMs)
             out.iterator
           }

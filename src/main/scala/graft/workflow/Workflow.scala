@@ -298,12 +298,16 @@ object Workflow {
           // the frame here (post-filter, post-exact-dedup) feeds BOTH the
           // candidate-pair path (shingle expansion → clusters, whose
           // pointer-jumping runs its own actions) and the final
-          // drop-anti-join — without a persist the whole upstream
+          // drop-anti-join — without materialization the whole upstream
           // quality-score + dedup-window chain replays once per consumer
           // (measured ~1 s of the q_workflow_text cost at sf0.1; linear
-          // in corpus size at scale). MEMORY_AND_DISK: a 100 TB corpus
-          // spills instead of evicting mid-job.
-          df = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // in corpus size at scale). localCheckpoint, NOT persist(): a
+          // persist registers in the session CacheManager and nothing in
+          // a lazy workflow can safely unpersist it, leaking cached
+          // blocks across repeated Workflow.run calls in a long-lived
+          // session — checkpoint blocks are reclaimed by the
+          // ContextCleaner once the returned frame is unreachable.
+          df = graft.functions.Dedup.materialize(df)
           // blockless configs still need the (skew-capped) block join —
           // use a constant block
           val (src, blk) = nd.get("block_col").map(b => (df, b.toString)).getOrElse(

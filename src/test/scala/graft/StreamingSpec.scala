@@ -393,6 +393,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming span flags: occ cap cannot starve the distinct-doc decision") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps
+    val boiler = "b1 b2 b3 b4"
+    // doc 1 repeats the window 3 times — more occurrences than the cap —
+    // then doc 2 carries it once; the window must STILL flag
+    val corpus = Seq(
+      1L -> s"$boiler x1 $boiler x2 $boiler",
+      2L -> s"prefix tokens here $boiler")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingOps.streamingDuplicateSpanFlags(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+      windowTokens = 4, minDocFreq = 2, maxOccState = 2)
+    val q = out.writeStream.format("memory").queryName("span_cap_out")
+      .outputMode("append").start()
+    try {
+      val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((1L, corpus(0)._2, t(0)))
+      q.processAllAvailable()
+      input.addData((2L, corpus(1)._2, t(5)))
+      q.processAllAvailable()
+      val flags = spark.sql("SELECT DISTINCT key, pos FROM span_cap_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      // doc 2's occurrence flags even though the occ list was full, and
+      // the capped stored occurrences flush
+      assert(flags.exists(_._1 == 2L), s"doc 2 never flagged: $flags")
+      assert(flags.exists(_._1 == 1L), s"doc 1's stored occs never flushed: $flags")
+    } finally q.stop()
+  }
+
+  test("MJPEG demux survives corrupt near-2^31 chunk sizes without throwing") {
+    // RIFF/AVI header + a chunk whose size field is huge: Int arithmetic
+    // would overflow past the bounds check and throw from copyOfRange
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(56)
+    bb.put("AVI ".getBytes("US-ASCII"))
+    bb.put("00dc".getBytes("US-ASCII")); bb.putInt(0x7FFFFFF0) // absurd frame size
+    val corrupt = bb.array()
+    assert(Multimodal.demuxMjpegAvi(corrupt).isEmpty) // rejected, not thrown
+    // a valid header with an empty movi yields a frameless video, and
+    // videoFeatures must emit the all-null row (key never vanishes)
+    val headerOnly = Multimodal.muxMjpegAvi(Seq(jpegGray(8, 8, 10)), 8, 8)
+    val v = Multimodal.demuxMjpegAvi(headerOnly).get
+    assert(v.frames.nonEmpty)
+    import spark.implicits._
+    val empt = {
+      // strip the movi frames by truncating right after hdrl: simplest
+      // frameless-but-valid payload is header + empty movi LIST
+      val bos = new java.io.ByteArrayOutputStream()
+      def cc(s: String) = s.getBytes("US-ASCII")
+      def le(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      val avih = Array.fill[Byte](56)(0)
+      val hdrl = cc("LIST") ++ le(4 + 8 + 56) ++ cc("hdrl") ++ cc("avih") ++ le(56) ++ avih
+      val movi = cc("LIST") ++ le(4) ++ cc("movi")
+      val body = cc("AVI ") ++ hdrl ++ movi
+      bos.write(cc("RIFF")); bos.write(le(body.length)); bos.write(body)
+      bos.toByteArray
+    }
+    val d = Seq((7L, empt)).toDF("id", "payload")
+    val rows = Multimodal.videoFeatures(d, "id", "payload").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 7L && rows(0).isNullAt(1))
+  }
+
   private def jpegGray(w: Int, h: Int, g: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
