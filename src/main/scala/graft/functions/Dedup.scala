@@ -322,25 +322,41 @@ object Dedup {
     * q_workflow_text's near-dup stage). Posting lists are bounded at
     * maxBucketSize keys ≈ KBs per row.
     */
+  /** Size-capped posting lists per group: one frame of (groupCols...,
+    * ks0 array) where any group whose TRUE size exceeds `cap` is
+    * dropped whole, and no aggregation buffer anywhere ever holds more
+    * than cap + 1 elements. Long keys take the native
+    * [[graft.plans.BoundedCollectLongAgg]] — a single aggregation whose
+    * map-side partials ALSO cap, so a degenerate hot bucket's shuffle
+    * volume is bounded per task, not just its final buffer. Other key
+    * types fall back to the count-window pre-cap (spillable sort) +
+    * collect_list, whose state the filter has already bounded. Never
+    * collect-then-filter: that materializes the full multi-million-key
+    * list of exactly the degenerate group the cap exists for. (A
+    * count-agg + semi-join variant measured a full extra shuffle —
+    * AQE broadcasts the keep set instead of reusing the exchange.)
+    */
+  private def cappedPostings(
+      rows: DataFrame, groupCols: Seq[String], cap0: Long): DataFrame = {
+    val cap = math.min(cap0, Int.MaxValue - 2L).toInt
+    if (rows.schema("key").dataType == org.apache.spark.sql.types.LongType) {
+      graft.plans.GraftFunctions.register(rows.sparkSession)
+      rows.groupBy(groupCols.map(col): _*)
+        .agg(expr(s"bounded_collect_long(key, $cap)").as("ks0"))
+        .filter(col("ks0").isNotNull)
+    } else {
+      rows
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(groupCols.map(col): _*)))
+        .filter(col("__n") <= cap)
+        .drop("__n")
+        .groupBy(groupCols.map(col): _*)
+        .agg(collect_list(col("key")).as("ks0"))
+    }
+  }
+
   private def bandPostingPairs(assigned: DataFrame, maxBucketSize: Int): DataFrame = {
-    // cap BEFORE collecting: the count window drops oversized buckets
-    // with spillable sort state, and only then do under-cap buckets
-    // collect their posting lists — so collect_list state is bounded at
-    // maxBucketSize keys per group and a degenerate bucket (the very
-    // case the cap exists for) never materializes its list at all. (A
-    // collect_list(...).filter(size <= cap) would build the full
-    // multi-million-key list in one unspillable aggregation buffer
-    // before filtering; a count-agg + semi-join variant measured a full
-    // extra shuffle because AQE broadcasts the keep set instead of
-    // reusing the exchange.) The window's (band, bucket) partitioning
-    // is exactly the posting groupBy's key, so the aggregation adds no
-    // exchange.
-    val capped = assigned
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("__n") <= maxBucketSize)
-      .drop("__n")
-    val posting = capped.groupBy("band", "bucket")
-      .agg(collect_list(col("key")).as("ks0"))
+    val posting = cappedPostings(assigned, Seq("band", "bucket"), maxBucketSize)
     val ks = array_sort(col("ks0"))
     val m = size(ks)
     // all i<j pairs of the sorted posting list; sorting makes
@@ -875,22 +891,15 @@ object Dedup {
     // df cap.
     val sh = shinglesCarrying(df, textCol, keyCol, n, Seq(blockCol))
       .select(col("key"), col(blockCol).as("block"), xxhash64(col("shingle")).as("shingle"))
-    // stop-shingle cap BEFORE collecting, same reasoning as
-    // bandPostingPairs: the count window drops ubiquitous shingles with
-    // spillable sort state, so the posting collect_list is bounded at
-    // maxShingleDf keys per group (a collect-then-filter would
-    // materialize the full list in one unspillable buffer first), and
-    // the window's (block, shingle) partitioning feeds the posting
-    // groupBy with no extra exchange
-    val kept = sh
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("block", "shingle")))
-      .filter(col("__df") <= maxShingleDf)
-      .drop("__df")
-    val posting = kept.groupBy("block", "shingle")
-      .agg(collect_list(col("key")).as("ks"))
-    // post-cap shingle count per doc — the Jaccard denominators
-    val sizes = kept.groupBy("key").agg(count(lit(1)).as("n"))
-    val ks = array_sort(col("ks"))
+    // stop-shingle cap via the shared size-capped posting aggregation
+    // (see cappedPostings: bounded buffers everywhere, map-side-capped
+    // partials for long keys, count-window fallback otherwise)
+    val posting = cappedPostings(sh, Seq("block", "shingle"), maxShingleDf)
+    // post-cap shingle count per doc — the Jaccard denominators —
+    // derived from the kept posting lists (bounded arrays)
+    val sizes = posting.select(explode(col("ks0")).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+    val ks = array_sort(col("ks0"))
     val m = size(ks)
     // all i<j pairs of the sorted posting list; sorting makes
     // key_1 < key_2 by construction (the join's a.key < b.key)

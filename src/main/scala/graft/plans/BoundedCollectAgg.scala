@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+import scala.collection.mutable
+
+/** Size-bounded collect for long keys — the aggregation the dedup
+  * posting-list paths need at 100 TB: keep AT MOST `cap` + 1 elements
+  * per group while still counting every input, and evaluate to NULL
+  * for any group whose true size exceeds `cap` (an over-cap group is
+  * DROPPED by every caller, so its members never needed to
+  * materialize). A plain `collect_list(...).filter(size <= cap)` holds
+  * the full multi-million-element list of a degenerate group in one
+  * unspillable aggregation buffer before the filter runs; this
+  * aggregate's buffer is O(cap) regardless of group size, which lets
+  * the posting-list pipelines run as a single hash aggregation with no
+  * pre-capping count window (no sort) at any scale.
+  *
+  * Correctness of the truncation: partial buffers stop appending past
+  * cap + 1 but keep exact counts; merged counts are exact sums. If the
+  * final count is ≤ cap then NO buffer anywhere truncated (truncation
+  * requires > cap + 1 elements in one buffer, which forces the total
+  * past cap), so the emitted array is complete. If the count exceeds
+  * cap the group evaluates to NULL — the only information the caller
+  * uses. Element order is whatever arrival order was — callers sort.
+  */
+case class BoundedCollectLongAgg(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[(Array[Long], mutable.ArrayBuffer[Long])] {
+  // buffer: (count-cell as a 1-element array for in-place mutation, items)
+
+  require(cap >= 1, "bounded_collect_long needs cap >= 1")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bounded_collect_long"
+
+  override def createAggregationBuffer(): (Array[Long], mutable.ArrayBuffer[Long]) =
+    (Array(0L), mutable.ArrayBuffer.empty)
+
+  override def update(
+      buffer: (Array[Long], mutable.ArrayBuffer[Long]),
+      input: InternalRow): (Array[Long], mutable.ArrayBuffer[Long]) = {
+    val v = child.eval(input)
+    if (v != null) {
+      buffer._1(0) += 1
+      if (buffer._2.size <= cap) buffer._2 += v.asInstanceOf[Long]
+    }
+    buffer
+  }
+
+  override def merge(
+      buffer: (Array[Long], mutable.ArrayBuffer[Long]),
+      other: (Array[Long], mutable.ArrayBuffer[Long])): (Array[Long], mutable.ArrayBuffer[Long]) = {
+    buffer._1(0) += other._1(0)
+    // keep at most cap + 1 items total — enough to distinguish "complete
+    // at ≤ cap" from "over cap", never more
+    val room = cap + 1 - buffer._2.size
+    if (room > 0) buffer._2 ++= other._2.take(room)
+    buffer
+  }
+
+  override def eval(buffer: (Array[Long], mutable.ArrayBuffer[Long])): Any =
+    if (buffer._1(0) > cap) null
+    else new GenericArrayData(buffer._2.toArray)
+
+  override def serialize(buffer: (Array[Long], mutable.ArrayBuffer[Long])): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + buffer._2.size * 8)
+    bb.putLong(buffer._1(0))
+    bb.putInt(buffer._2.size)
+    buffer._2.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): (Array[Long], mutable.ArrayBuffer[Long]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val count = bb.getLong()
+    val n = bb.getInt()
+    val items = mutable.ArrayBuffer.fill(n)(bb.getLong())
+    (Array(count), items)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedCollectLongAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedCollectLongAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}

@@ -81,6 +81,11 @@ object GraftFunctions {
       exprs => MisraGriesAgg(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bounded_collect_long",
+      exprs => BoundedCollectLongAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
   }
 }
 

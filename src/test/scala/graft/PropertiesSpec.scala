@@ -255,6 +255,30 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("bounded_collect_long: complete under cap, NULL over cap, layout-invariant") {
+    graft.plans.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col, expr}
+    // groups g0..g9 with sizes 1..10; cap 6 → groups of size > 6 drop
+    val rows = (0 until 10).flatMap(g => (0 until (g + 1)).map(i => (s"g$g", g * 100L + i)))
+    for (parts <- Seq(1, 3, 13)) { // exercise single-buffer AND merge paths
+      val d = rows.toDF("g", "v").repartition(parts)
+      val got = d.groupBy("g").agg(expr("bounded_collect_long(v, 6)").as("ks"))
+        .collect().map(r => r.getString(0) ->
+          Option(r.getSeq[Long](1)).map(_.sorted.toList)).toMap
+      (0 until 10).foreach { g =>
+        val expect =
+          if (g + 1 > 6) None
+          else Some((0 until (g + 1)).map(i => g * 100L + i).toList)
+        assert(got(s"g$g") == expect, s"group g$g at $parts partitions: ${got(s"g$g")}")
+      }
+    }
+    // nulls don't count toward the cap or the list
+    val withNulls = spark.sql(
+      "SELECT bounded_collect_long(v, 3) AS ks FROM VALUES (1L), (NULL), (2L), (NULL) t(v)")
+      .collect()(0).getSeq[Long](0).sorted
+    assert(withNulls == Seq(1L, 2L))
+  }
+
   test("degree orientation: bijective on edges, triangles match brute force") {
     val edgeGen: Gen[List[(Long, Long)]] =
       Gen.listOfN(60, for {
