@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -38,6 +39,12 @@ case class BoundedCollectLongAgg(
 
   require(cap >= 1, "bounded_collect_long needs cap >= 1")
 
+  // analysis-time type check: a non-long child would otherwise throw a
+  // ClassCastException from a running task
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bounded_collect_long needs a BIGINT child, got ${child.dataType.sql}")
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

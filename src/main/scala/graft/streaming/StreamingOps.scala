@@ -309,6 +309,31 @@ object StreamingOps {
       }
   }
 
+  /** Streaming sketch-store ingest — the streaming twin of
+    * [[graft.operators.SketchStore.hllSketches]]: per event-time window
+    * (plus optional group columns), values aggregate into a mergeable
+    * Datasketches HLL sketch under a watermark. The emitted
+    * (window, group…, sketch) rows are exactly the batch store's table
+    * shape — append them to the sketch table and
+    * [[graft.operators.SketchStore.unionEstimate]] answers distinct-count
+    * questions across any window range by unioning kilobyte sketches,
+    * never rescanning history (sketch union is EXACT over sketch state,
+    * so the incremental store equals the batch-built one — the spec pins
+    * that equality).
+    */
+  def streamingHllSketches(
+      stream: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      windowDuration: String = "1 hour",
+      groupCols: Seq[String] = Nil,
+      lgK: Int = 12,
+      watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration) +: groupCols.map(col): _*)
+      .agg(expr(s"hll_sketch_agg(`$valueCol`, $lgK)").as("sketch"))
+
   final case class LineKeep(key: Long, pos: Int, line: String)
 
   /** Streaming corpus-level line dedup — the streaming twin of

@@ -393,6 +393,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL sketches union to the batch sketch-store estimate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps
+    import graft.operators.SketchStore
+    // two event-time hours of values with cross-window duplicates
+    val t = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val events = (0 until 600).map(i => (t(10 + (i % 2), (i / 2) % 60), i % 377))
+    val input = MemoryStream[(java.sql.Timestamp, Int)]
+    val out = StreamingOps.streamingHllSketches(
+      input.toDF().toDF("ts", "v"), "v", "ts", windowDuration = "1 hour")
+    val q = out.writeStream.format("memory").queryName("hll_stream_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(events.take(300): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(300): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT window, sketch FROM hll_stream_out")
+      assert(streamed.count() == 2) // one sketch per event-time hour
+      // union of the streaming per-window sketches == batch whole-table
+      // sketch estimate (merge is exact over sketch state)
+      val streamEst = SketchStore.unionEstimate(streamed).first().getLong(0)
+      val batchEst = SketchStore.unionEstimate(
+        SketchStore.hllSketches(
+          events.toDF("ts", "v").withColumn("g", lit("all")), Seq("g"), "v"))
+        .first().getLong(0)
+      assert(streamEst == batchEst, s"stream $streamEst != batch $batchEst")
+      assert(math.abs(streamEst - 377.0) / 377.0 < 0.05)
+    } finally q.stop()
+  }
+
   test("streaming span flags: occ cap cannot starve the distinct-doc decision") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingOps
