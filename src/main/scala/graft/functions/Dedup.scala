@@ -544,7 +544,8 @@ object Dedup {
       sig: DataFrame,
       bits: Int,
       chunkBits: Int,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      maxBucketSize: Int = 10000): DataFrame = {
     val nChunks = bits / chunkBits
     val mask = (1L << chunkBits) - 1
     val chunks = (0 until nChunks).map(i =>
@@ -552,8 +553,19 @@ object Dedup {
         shiftright(col("simhash"), i * chunkBits).bitwiseAND(mask).as("val")))
     val keyed = sig.select(col("key"), col("simhash"), explode(array(chunks: _*)).as("cc"))
       .select(col("key"), col("simhash"), col("cc.chunk"), col("cc.val"))
-    keyed.as("a")
-      .join(keyed.as("b"),
+    // degenerate-bucket cap, same contract as every other candidate
+    // path: a chunk value shared by m docs (identical boilerplate →
+    // identical fingerprints → ALL chunks collide) yields m²/2 join
+    // rows; buckets over the cap are dropped whole — exact duplicates
+    // belong in exactDedup, and near-dups stay reachable through their
+    // other chunks. Window-based (spillable sort), since the join
+    // itself streams and never materializes a bucket
+    val capped = keyed
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy("chunk", "val")))
+      .filter(col("__sz") <= maxBucketSize)
+      .drop("__sz")
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
           col("a.key") < col("b.key"))
       .select(col("a.key").as("key_1"), col("b.key").as("key_2"),
@@ -569,8 +581,9 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       keyCol: String,
-      maxHamming: Int = 3): DataFrame =
-    simhashChunkJoin(simhash(df, textCol, keyCol), 64, 16, maxHamming)
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame =
+    simhashChunkJoin(simhash(df, textCol, keyCol), 64, 16, maxHamming, maxBucketSize)
 
   /** SimHash near-duplicates over the engine-portable 60-bit md5
     * fingerprint ([[simhashMd5]]): four 15-bit chunks. Every step —
@@ -582,8 +595,9 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       keyCol: String,
-      maxHamming: Int = 3): DataFrame =
-    simhashChunkJoin(simhashMd5(df, textCol, keyCol), 60, 15, maxHamming)
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame =
+    simhashChunkJoin(simhashMd5(df, textCol, keyCol), 60, 15, maxHamming, maxBucketSize)
 
   /** Embedding-cosine near-duplicates: pairs above the similarity
     * threshold from the ANN index (LSH buckets — the scale path), plus a

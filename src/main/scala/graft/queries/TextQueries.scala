@@ -219,9 +219,15 @@ object TextQueries {
             FROM t WHERE length(tok) > 0),
       v AS (SELECT doc_id, $voteDefs FROM h GROUP BY doc_id),
       fp AS (SELECT doc_id, CAST($fold AS BIGINT) AS simhash FROM v),
-      c AS (SELECT doc_id, simhash, i.i AS chunk,
+      c0 AS (SELECT doc_id, simhash, i.i AS chunk,
               (simhash >> (15 * i.i)) & 32767 AS val
             FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i),
+      -- the engine's degenerate-bucket cap: chunk values shared by more
+      -- than 10000 docs drop whole (replayed for semantic alignment;
+      -- no test bucket approaches the cap)
+      c AS (SELECT doc_id, simhash, chunk, val FROM (
+              SELECT c0.*, count(*) OVER (PARTITION BY chunk, val) AS bsz
+              FROM c0) WHERE bsz <= 10000),
       pairs AS (
         SELECT DISTINCT a.doc_id AS key_1, b.doc_id AS key_2,
           bit_count(xor(a.simhash, b.simhash)) AS hamming

@@ -80,6 +80,26 @@ class SkewSpec extends SparkSpec {
     assert(Dedup.exactDedup(docs, "text", "doc_id").count() == 1)
   }
 
+  test("simhash chunk-bucket cap drops identical-fingerprint hot buckets") {
+    // 30 identical docs share every chunk bucket; with maxBucketSize = 5
+    // those buckets drop whole (exactDedup's job), while a genuinely
+    // near-dup pair in its own small buckets still surfaces
+    val boiler = (0 until 40).map(w => s"w$w").mkString(" ")
+    // 60 shared tokens + one differing: the lone edit shifts few bit
+    // votes, keeping the pair inside the hamming budget
+    val base = (0 until 60).map(w => s"u$w").mkString(" ")
+    val docs = ((0 until 30).map(i => (i.toLong, boiler)) ++ Seq(
+      (100L, s"$base alpha"),
+      (101L, s"$base beta")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDuplicatesMd5(docs, "text", "doc_id",
+      maxHamming = 10, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (a, b) => a >= 100L && b >= 100L },
+      s"hot identical bucket leaked pairs: $pairs")
+    assert(pairs.contains((100L, 101L)), s"near-dup pair lost: $pairs")
+  }
+
   test("degree orientation bounds triangle wedge fan-out on a hub graph") {
     import graft.functions.Graph
     // power-law-ish star: hub 0 with 500 leaves. Under id-order
