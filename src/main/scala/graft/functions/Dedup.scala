@@ -310,51 +310,66 @@ object Dedup {
     verifyCandidates(df, textCol, keyCol, shingleSize, candidates, threshold)
   }
 
-  /** Candidate pairs from band-bucket assignments (key, band, bucket):
-    * ONE hash-aggregation builds the posting list per bucket, which
-    * carries both the degenerate-bucket cap (a bucket of m boilerplate
-    * docs yields m²/2 pairs — at 100 TB one such bucket stalls the
-    * stage; docs in an oversized bucket stay reachable through their
-    * other bands, and true exact duplicates belong in exactDedup) and
-    * the pair expansion (nested HOF over the sorted list — same pairs
-    * as the old count-window + sort-merge self-join, without the window
-    * sort or the join's sort+probe; the same restructure that cut
-    * q_workflow_text's near-dup stage). Posting lists are bounded at
-    * maxBucketSize keys ≈ KBs per row.
+  /** Drop whole groups whose row count exceeds `cap` — the shared
+    * count-window cap idiom (spillable sort state; the window's
+    * partitioning feeds any same-keyed downstream aggregation with no
+    * extra exchange).
     */
+  private def capGroups(rows: DataFrame, groupCols: Seq[String], cap: Long): DataFrame =
+    rows
+      .withColumn("__gsz", count(lit(1)).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+      .filter(col("__gsz") <= cap)
+      .drop("__gsz")
+
   /** Size-capped posting lists per group: one frame of (groupCols...,
-    * ks0 array) where any group whose TRUE size exceeds `cap` is
+    * ks0 array) where any group whose TRUE row count exceeds `cap` is
     * dropped whole, and no aggregation buffer anywhere ever holds more
     * than cap + 1 elements. Long keys take the native
     * [[graft.plans.BoundedCollectLongAgg]] — a single aggregation whose
     * map-side partials ALSO cap, so a degenerate hot bucket's shuffle
     * volume is bounded per task, not just its final buffer. Other key
-    * types fall back to the count-window pre-cap (spillable sort) +
+    * types fall back to the count-window pre-cap ([[capGroups]]) +
     * collect_list, whose state the filter has already bounded. Never
     * collect-then-filter: that materializes the full multi-million-key
     * list of exactly the degenerate group the cap exists for. (A
     * count-agg + semi-join variant measured a full extra shuffle —
     * AQE broadcasts the keep set instead of reusing the exchange.)
+    * Both paths count EVERY row against the cap, null keys included
+    * (the native aggregate tallies nulls without collecting them), so
+    * the kept-group set never depends on the key column's type.
     */
   private def cappedPostings(
       rows: DataFrame, groupCols: Seq[String], cap0: Long): DataFrame = {
     val cap = math.min(cap0, Int.MaxValue - 2L).toInt
+    // cap < 1 keeps nothing; short-circuit instead of feeding an
+    // invalid cap to the native aggregate (whose require would turn
+    // "empty result" into an analysis exception for long keys only)
+    if (cap < 1)
+      return rows.groupBy(groupCols.map(col): _*)
+        .agg(collect_list(col("key")).as("ks0")).limit(0)
     if (rows.schema("key").dataType == org.apache.spark.sql.types.LongType) {
       graft.plans.GraftFunctions.register(rows.sparkSession)
       rows.groupBy(groupCols.map(col): _*)
         .agg(expr(s"bounded_collect_long(key, $cap)").as("ks0"))
         .filter(col("ks0").isNotNull)
     } else {
-      rows
-        .withColumn("__n", count(lit(1)).over(
-          Window.partitionBy(groupCols.map(col): _*)))
-        .filter(col("__n") <= cap)
-        .drop("__n")
+      capGroups(rows, groupCols, cap)
         .groupBy(groupCols.map(col): _*)
         .agg(collect_list(col("key")).as("ks0"))
     }
   }
 
+  /** Candidate pairs from band-bucket assignments (key, band, bucket):
+    * ONE hash-aggregation builds the size-capped posting list per
+    * bucket ([[cappedPostings]]: oversized boilerplate buckets drop
+    * whole — docs stay reachable through their other bands, and true
+    * exact duplicates belong in exactDedup), then a nested HOF over the
+    * sorted list expands the same i<j pairs the old count-window +
+    * sort-merge self-join produced, without the window sort or the
+    * join's sort+probe. Posting lists are ≤ maxBucketSize keys ≈ KBs
+    * per row.
+    */
   private def bandPostingPairs(assigned: DataFrame, maxBucketSize: Int): DataFrame = {
     val posting = cappedPostings(assigned, Seq("band", "bucket"), maxBucketSize)
     val ks = array_sort(col("ks0"))
@@ -558,20 +573,20 @@ object Dedup {
     // identical fingerprints → ALL chunks collide) yields m²/2 join
     // rows; buckets over the cap are dropped whole — exact duplicates
     // belong in exactDedup, and near-dups stay reachable through their
-    // other chunks. Window-based (spillable sort), since the join
-    // itself streams and never materializes a bucket
-    val capped = keyed
-      .withColumn("__sz", count(lit(1)).over(Window.partitionBy("chunk", "val")))
-      .filter(col("__sz") <= maxBucketSize)
-      .drop("__sz")
+    // other chunks. Window-based (capGroups — spillable sort), since
+    // the join itself streams and never materializes a bucket
+    val capped = capGroups(keyed, Seq("chunk", "val"), maxBucketSize)
     capped.as("a")
       .join(capped.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
           col("a.key") < col("b.key"))
       .select(col("a.key").as("key_1"), col("b.key").as("key_2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: hamming is a pure function of the
+      // pair, so the result set is identical, but most candidates fail
+      // the hamming test and never enter the distinct's shuffle
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** SimHash near-duplicates over the 64-bit xxhash fingerprint:

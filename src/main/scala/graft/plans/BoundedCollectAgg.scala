@@ -24,10 +24,12 @@ import scala.collection.mutable
   * Correctness of the truncation: partial buffers stop appending past
   * cap + 1 but keep exact counts; merged counts are exact sums. If the
   * final count is ≤ cap then NO buffer anywhere truncated (truncation
-  * requires > cap + 1 elements in one buffer, which forces the total
+  * requires > cap + 1 appends in one buffer, which forces the total
   * past cap), so the emitted array is complete. If the count exceeds
   * cap the group evaluates to NULL — the only information the caller
-  * uses. Element order is whatever arrival order was — callers sort.
+  * uses. Null children COUNT against the cap but are not collected
+  * (count(*)-window semantics, so the kept-group set never depends on
+  * the key type). Element order is arrival order — callers sort.
   */
 case class BoundedCollectLongAgg(
     child: Expression,
@@ -57,10 +59,11 @@ case class BoundedCollectLongAgg(
       buffer: (Array[Long], mutable.ArrayBuffer[Long]),
       input: InternalRow): (Array[Long], mutable.ArrayBuffer[Long]) = {
     val v = child.eval(input)
-    if (v != null) {
-      buffer._1(0) += 1
-      if (buffer._2.size <= cap) buffer._2 += v.asInstanceOf[Long]
-    }
+    // EVERY row counts against the cap — null children included (they
+    // are tallied, not collected), mirroring the count(*)-window cap
+    // semantics so the kept-group set never depends on the key type
+    buffer._1(0) += 1
+    if (v != null && buffer._2.size <= cap) buffer._2 += v.asInstanceOf[Long]
     buffer
   }
 

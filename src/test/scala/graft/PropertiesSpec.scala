@@ -272,9 +272,14 @@ class PropertiesSpec extends SparkSpec {
         assert(got(s"g$g") == expect, s"group g$g at $parts partitions: ${got(s"g$g")}")
       }
     }
-    // nulls don't count toward the cap or the list
-    val withNulls = spark.sql(
+    // nulls count toward the cap (count(*)-window semantics) but are
+    // never collected
+    val overByNulls = spark.sql(
       "SELECT bounded_collect_long(v, 3) AS ks FROM VALUES (1L), (NULL), (2L), (NULL) t(v)")
+      .collect()(0)
+    assert(overByNulls.isNullAt(0), "4 rows > cap 3 must drop even when 2 are null")
+    val withNulls = spark.sql(
+      "SELECT bounded_collect_long(v, 4) AS ks FROM VALUES (1L), (NULL), (2L), (NULL) t(v)")
       .collect()(0).getSeq[Long](0).sorted
     assert(withNulls == Seq(1L, 2L))
   }
