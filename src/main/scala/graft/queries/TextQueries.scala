@@ -780,6 +780,99 @@ semantic_dedup:
       SELECT doc_id AS key, min(pos) AS span_start, max(pos) + 8 AS span_end
       FROM sgrp GROUP BY doc_id, grp"""))
 
+  /** Treatment arm of [[qDupSpans]]: rebuild every document's normalized
+    * text with the flagged cross-document token spans REMOVED (the
+    * actual dedup apply step of the Lee et al. 2021 pipeline — flagging
+    * without removal is only half the operator). Full oracle: the span
+    * CTEs of q_dup_spans, then a positional anti-semi-join of the token
+    * stream against the merged spans and an ordered reassembly; docs
+    * with no flagged span pass through with their normalized text.
+    */
+  val qDupSpanRemoval = Q(
+    "q_dup_span_removal",
+    (s, dir) => Dedup.removeDuplicateSpans(
+      tables(s, dir).documents, "text", "doc_id", windowTokens = 8),
+    Some(s"""
+      WITH norm AS (
+        SELECT doc_id, str_split($normSql, ' ') AS t FROM documents),
+      g AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+              array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS gram
+            FROM norm, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)),
+      dfq AS (SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS d FROM g GROUP BY gram)
+              WHERE d >= 2),
+      dp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dfq)),
+      m AS (SELECT doc_id, pos,
+              max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+            FROM dp),
+      f AS (SELECT *, CASE WHEN run_end IS NULL OR pos > run_end THEN 1 ELSE 0 END AS nw
+            FROM m),
+      sgrp AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+               FROM f),
+      spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+                FROM sgrp GROUP BY doc_id, grp),
+      tok AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, t[CAST(i AS INT)] AS tk
+              FROM norm, unnest(range(1, len(t) + 1)) AS u(i)),
+      kept AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok
+               WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                 WHERE sp.doc_id = tok.doc_id
+                   AND tok.pos >= sp.s AND tok.pos < sp.e)),
+      reb AS (SELECT doc_id, array_to_string(list(tk ORDER BY pos), ' ') AS text_clean
+              FROM kept GROUP BY doc_id),
+      rem AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed
+              FROM spans GROUP BY doc_id)
+      SELECT n.doc_id,
+             coalesce(r.text_clean, '') AS text_clean,
+             coalesce(rem.n_removed, CAST(0 AS BIGINT)) AS n_removed
+      FROM norm n LEFT JOIN reb r ON n.doc_id = r.doc_id
+                  LEFT JOIN rem ON n.doc_id = rem.doc_id"""))
+
+  /** ANN quality evaluation: recall@3 of the approximate IVF path
+    * (nprobe = 3 of 8 cells) against the exact brute-force top-3 — the
+    * measurement a pipeline runs BEFORE trusting an ANN index at scale.
+    * mean_recall divides exact integer totals once (sum(matched) /
+    * (3·n_queries)) so the double result is order-independent on both
+    * engines; the oracle embeds the full IVF replay and the exact top-k
+    * replay as derived subqueries and joins them.
+    */
+  val qAnnRecall = Q(
+    "q_ann_recall",
+    (s, dir) => {
+      val emb = tables(s, dir).embeddings
+      val brute = Similarity
+        .bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"))
+      val ann = Similarity
+        .ivfTopK(emb, "vec_id", "embedding", k = 3, cellCount = 8, nprobe = 3,
+          fitSample = 10000, lloydIters = 5, lloydQuantize = 4)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"), lit(1).as("__m"))
+      brute.join(ann, Seq("vec_id", "neighbor_id"), "left")
+        .groupBy(col("vec_id"))
+        .agg(count(col("__m")).as("matched"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          round(sum(col("matched")).cast("double") /
+            (lit(3) * count(lit(1))), 4).as("mean_recall"),
+          sum(when(col("matched") === 3, 1L).otherwise(0L)).as("perfect_queries"))
+    },
+    Some(s"""
+      WITH brute AS (SELECT vec_id, neighbor_id FROM ($cosineTopK3Sql)),
+      ann AS (SELECT vec_id, neighbor_id FROM (${ivfTopKSql(cells = 8,
+        nprobe = 3, iters = 5, dp = 4, k = 3, fitSample = 10000)})),
+      hit AS (SELECT b.vec_id, count(a.neighbor_id) AS matched
+              FROM brute b LEFT JOIN ann a
+                ON a.vec_id = b.vec_id AND a.neighbor_id = b.neighbor_id
+              GROUP BY b.vec_id)
+      SELECT count(*) AS n_queries,
+             round(CAST(sum(matched) AS DOUBLE) / (3 * count(*)), 4) AS mean_recall,
+             CAST(sum(CASE WHEN matched = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS perfect_queries
+      FROM hit"""))
+
   val qStratifiedSample = Q(
     "q_stratified_sample",
     (s, dir) => Sampling.dataSample(tables(s, dir).customer,
@@ -1796,7 +1889,8 @@ semantic_dedup:
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
     qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
     qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
-    qDupSpans, qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk,
+    qDupSpans, qDupSpanRemoval, qAnnRecall,
+    qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk,
     qMixtureSample, qMixtureTemperature, qFuzzyPairs, qNbClassifier,
     qHeavyHitters, qBigramLogprob, qJaroWinkler)
 }
