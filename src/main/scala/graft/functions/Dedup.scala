@@ -462,6 +462,86 @@ object Dedup {
         .distinct())
   }
 
+  /** Banded MinHash INDEX of a corpus — built once, persisted, and
+    * probed by later batches WITHOUT re-hashing the corpus (the
+    * realistic shape at 100 TB: the corpus-side signature job runs once;
+    * each incremental batch only hashes itself and equi-joins the
+    * index). One row per (band, indexed doc): the band's RAW signature
+    * values as the bucket key (engine-portable — no engine-specific
+    * hash) plus the doc's FULL signature, so probe-time verification is
+    * an estimate over stored signatures and never re-reads corpus text.
+    * Write with `Ingest.writeClustered(bucket columns = band, bucket)`
+    * for a co-located probe join.
+    */
+  def minhashIndexMd5(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignaturesMd5(shingles(df, textCol, keyCol, shingleSize), numHashes)
+    val sigCols = (0 until numHashes).map(i => col(s"sig_$i"))
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), array(parts: _*).as("bucket"))
+    }
+    sig.select(col("key"), array(sigCols: _*).as("sig"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("key"), col("sig"))
+  }
+
+  /** Probe a new batch against a [[minhashIndexMd5]] index: band-bucket
+    * equi-join (hash-partitioned — no all-pairs, no corpus scan),
+    * candidates deduped across bands, similarity ESTIMATED as the
+    * matching-component fraction of the two stored signatures (the
+    * standard unbiased MinHash estimator — corpus text is never
+    * touched). Degenerate index buckets (> maxBucketSize postings, i.e.
+    * boilerplate shared by everything) drop whole, exactly like the
+    * batch pipeline's band cap. Returns ONE row per new-batch doc:
+    * is_dup, representative = min flagged index key (null when none),
+    * best_est = max estimate among flagged matches.
+    */
+  def dedupAgainstIndexMd5(
+      newDf: DataFrame,
+      index: DataFrame,
+      textCol: String,
+      keyCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 200): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val probe = minhashIndexMd5(newDf, textCol, keyCol, shingleSize, numHashes, bands)
+      .select(col("band"), col("bucket"),
+        col("key").as("new_key"), col("sig").as("new_sig"))
+    val capped = capGroups(index, Seq("band", "bucket"), maxBucketSize)
+      .select(col("band"), col("bucket"),
+        col("key").as("idx_key"), col("sig").as("idx_sig"))
+    val cand = probe.join(capped, Seq("band", "bucket"))
+      .select(col("new_key"), col("idx_key"), col("new_sig"), col("idx_sig"))
+      .distinct()
+    val matches = aggregate(
+      zip_with(col("new_sig"), col("idx_sig"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    val flagged = cand
+      .withColumn("est",
+        round(matches.cast("double") / lit(numHashes), 4))
+      .filter(col("est") >= threshold)
+      .groupBy(col("new_key"))
+      .agg(min(col("idx_key")).as("representative"), max(col("est")).as("best_est"))
+    newDf.select(col(keyCol).as("new_key"))
+      .join(flagged, Seq("new_key"), "left")
+      .select(col("new_key").as("key"),
+        col("representative").isNotNull.as("is_dup"),
+        col("representative"), col("best_est"))
+  }
+
   /** Scalar twin of [[minhashSignaturesMd5]] for one document — the
     * per-row signature the STREAMING path computes locally (no shuffle):
     * identical normalize → distinct word n-grams → min over shingles of

@@ -1392,6 +1392,99 @@ semantic_dedup:
       SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 6) + 0.0 AS centroid
       FROM e GROUP BY label, dim"""))
 
+  /** Incremental dedup against a SAVED MinHash band index — the 100 TB
+    * posture: the corpus-side signature job runs once and persists
+    * ([[graft.functions.Dedup.minhashIndexMd5]] → parquet → re-read, so
+    * the hash match proves the index round-trips disk), and the new
+    * batch only hashes itself and equi-joins the index buckets
+    * ([[graft.functions.Dedup.dedupAgainstIndexMd5]]). Fixture: planted
+    * near-dups (suffix-perturbed copies → flagged) plus word-REVERSED
+    * novels (no shared shingles → clean). Verification is the stored-
+    * signature matching-fraction estimate — corpus text is never
+    * re-read. FULL oracle: both signature matrices, band buckets on raw
+    * values, the index-side bucket cap, the estimate, and the per-doc
+    * min-representative aggregate all replay in DuckDB.
+    */
+  val qIndexDedup = Q(
+    "q_index_dedup",
+    (s, dir) => {
+      val idxDir = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft_q_index_dedup").toString
+      val d = tables(s, dir).documents
+      Dedup.minhashIndexMd5(d, "text", "doc_id", shingleSize = 3,
+          numHashes = 16, bands = 4)
+        .write.mode("overwrite").parquet(idxDir)
+      val index = s.read.parquet(idxDir)
+      val nearDups = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" perturbed suffix token")))
+      val novels = d.filter(col("doc_id") % 7 === 3)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text",
+          concat_ws(" ", reverse(split(TextOps.normalizeText(col("text")), " "))))
+      val newb = nearDups.unionByName(novels).select("doc_id", "text")
+      Dedup.dedupAgainstIndexMd5(newb, index, "text", "doc_id",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .withColumnRenamed("key", "doc_id")
+    },
+    Some {
+      val salts = Dedup.md5Salts.take(16)
+      val sigDefs = salts.zipWithIndex
+        .map { case (s, i) => s"min(xor(h, $s)) AS sig_$i" }.mkString(", ")
+      def bandSelects(src: String) = (0 until 4).map { b =>
+        val vs = (0 until 4).map(r => s"sig_${b * 4 + r} AS v$r").mkString(", ")
+        s"SELECT doc_id, $b AS band, $vs FROM $src"
+      }.mkString(" UNION ALL ")
+      val matchSum = (0 until 16)
+        .map(i => s"CASE WHEN cs.sig_$i = ns.sig_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH newb AS (
+        SELECT doc_id + 100000 AS doc_id,
+               text || ' perturbed suffix token' AS text
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id,
+               array_to_string(list_reverse(str_split($normSql, ' ')), ' ') AS text
+        FROM documents WHERE doc_id % 7 = 3),
+      cn AS (SELECT doc_id, str_split($normSql, ' ') AS t FROM documents),
+      csh0 AS (SELECT DISTINCT doc_id,
+                 array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+               FROM cn, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+      ch AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+             FROM csh0 WHERE length(shingle) > 0),
+      csig AS (SELECT doc_id, $sigDefs FROM ch GROUP BY doc_id),
+      nn AS (SELECT doc_id, str_split($normSql, ' ') AS t FROM newb),
+      nsh0 AS (SELECT DISTINCT doc_id,
+                 array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+               FROM nn, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+      nh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+             FROM nsh0 WHERE length(shingle) > 0),
+      nsig AS (SELECT doc_id, $sigDefs FROM nh GROUP BY doc_id),
+      cb AS (${bandSelects("csig")}),
+      cbc AS (SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, v0, v1, v2, v3) AS sz
+                FROM cb) WHERE sz <= 200),
+      nb AS (${bandSelects("nsig")}),
+      cand AS (SELECT DISTINCT n.doc_id AS new_key, c.doc_id AS idx_key
+               FROM nb n JOIN cbc c
+                 ON n.band = c.band AND n.v0 = c.v0 AND n.v1 = c.v1
+                AND n.v2 = c.v2 AND n.v3 = c.v3),
+      est AS (SELECT cand.new_key, cand.idx_key,
+                round(CAST($matchSum AS DOUBLE) / 16, 4) AS est
+              FROM cand
+              JOIN csig cs ON cs.doc_id = cand.idx_key
+              JOIN nsig ns ON ns.doc_id = cand.new_key),
+      flagged AS (SELECT new_key, min(idx_key) AS representative,
+                    max(est) AS best_est
+                  FROM est WHERE est >= 0.5 GROUP BY new_key)
+      SELECT nw.doc_id,
+             f.representative IS NOT NULL AS is_dup,
+             f.representative, f.best_est
+      FROM newb nw LEFT JOIN flagged f ON nw.doc_id = f.new_key"""
+    })
+
   /** MinHash signature matrix under the engine-portable md5 hash family —
     * the core shingle → hash → min computation of the near-dup pipeline,
     * hash-checked bit-for-bit (band grouping + candidate verification are
@@ -1881,7 +1974,7 @@ semantic_dedup:
       FROM b"""))
 
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
-    qExactDedup, qMinhashDedup, qSimhashDedup, qNgramJaccard, qDedupClusters,
+    qExactDedup, qMinhashDedup, qIndexDedup, qSimhashDedup, qNgramJaccard, qDedupClusters,
     qSemanticDedup, qWorkflowSemantic,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup,
     qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText,

@@ -88,6 +88,45 @@ class TextSpec extends SparkSpec {
     assert(pairs(0).getDouble(2) > 0.5)
   }
 
+  test("index dedup: new batch probes a saved band index without re-hashing the corpus") {
+    val base = (" alpha beta gamma delta epsilon zeta eta theta iota kappa" * 5).trim
+    val corpus = Seq(
+      (1L, base),
+      (2L, "the quick brown fox jumps over the lazy dog again and again and again"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashIndexMd5(corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 16, bands = 4)
+    // index carries one row per (band, doc) with the full signature
+    assert(index.count() == 8)
+    val newb = Seq(
+      (10L, base + " perturbed"),                                  // near-dup of 1
+      (11L, "совершенно другой текст without any overlap at all")) // novel
+      .toDF("doc_id", "text")
+    val res = Dedup.dedupAgainstIndexMd5(newb, index, "text", "doc_id",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(res(10L) == ((true, 1L)))
+    assert(res(11L) == ((false, -1L)))
+  }
+
+  test("index dedup: degenerate index bucket drops whole under the cap") {
+    val boiler = "shared boilerplate tokens one two three four five six seven eight"
+    val corpus = (1L to 5L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val index = Dedup.minhashIndexMd5(corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 16, bands = 4)
+    val newb = Seq((10L, boiler)).toDF("doc_id", "text")
+    // cap 4 < 5 identical postings per bucket -> all buckets drop, no match
+    val capped = Dedup.dedupAgainstIndexMd5(newb, index, "text", "doc_id",
+      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3, maxBucketSize = 4)
+    assert(capped.filter(col("is_dup")).count() == 0)
+    // default cap keeps them: exact copy matches with estimate 1.0
+    val open = Dedup.dedupAgainstIndexMd5(newb, index, "text", "doc_id",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
+      .collect()(0)
+    assert(open.getBoolean(1) && open.getLong(2) == 1L && open.getDouble(3) == 1.0)
+  }
+
   test("simhash: identical texts at hamming 0, near texts close") {
     val t = "one two three four five six seven eight nine ten"
     val d = Seq((1L, t), (2L, t), (3L, t + " eleven")).toDF("doc_id", "text")
