@@ -315,7 +315,7 @@ object Dedup {
     * partitioning feeds any same-keyed downstream aggregation with no
     * extra exchange).
     */
-  private def capGroups(rows: DataFrame, groupCols: Seq[String], cap: Long): DataFrame =
+  private[graft] def capGroups(rows: DataFrame, groupCols: Seq[String], cap: Long): DataFrame =
     rows
       .withColumn("__gsz", count(lit(1)).over(
         Window.partitionBy(groupCols.map(col): _*)))

@@ -334,6 +334,60 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowDuration) +: groupCols.map(col): _*)
       .agg(expr(s"hll_sketch_agg(`$valueCol`, $lgK)").as("sketch"))
 
+  /** Streaming probe of a SAVED MinHash band index — the streaming twin
+    * of [[graft.functions.Dedup.dedupAgainstIndexMd5]]. Completely
+    * STATELESS: each arriving doc computes its full signature locally
+    * (bit-identical to the batch aggregate, no per-shingle shuffle),
+    * fans out to its band buckets, and stream-static equi-joins the
+    * capped index — no keyed state, no watermark required, so
+    * throughput scales with executors alone and nothing accumulates
+    * between micro-batches. Emits (key, idx_key, est) for every flagged
+    * match at pair granularity; a pair found in several bands emits once
+    * per band and re-deliveries re-emit, so consumers must treat the
+    * output as a SET (aggregate downstream for the batch per-doc
+    * min-representative). Cache the index frame — a streaming join
+    * re-evaluates an uncached static side every micro-batch.
+    */
+  def streamingIndexProbe(
+      stream: DataFrame,
+      index: DataFrame,
+      textCol: String,
+      keyCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 200): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigUdf = udf { text: String =>
+      graft.functions.Dedup.minhashSignatureMd5Local(text, shingleSize, numHashes)
+    }
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand).as("bucket"))
+    }
+    val fanned = stream
+      .withColumn("__sig", sigUdf(col(textCol)))
+      .filter(col("__sig").isNotNull)
+      .select(col(keyCol).cast("long").as("key"), col("__sig"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("key"), col("__sig").as("new_sig"))
+    val idx = graft.functions.Dedup
+      .capGroups(index, Seq("band", "bucket"), maxBucketSize)
+      .select(col("band"), col("bucket"),
+        col("key").as("idx_key"), col("sig").as("idx_sig"))
+    val matches = aggregate(
+      zip_with(col("new_sig"), col("idx_sig"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    fanned.join(idx, Seq("band", "bucket"))
+      .withColumn("est", round(matches.cast("double") / lit(numHashes), 4))
+      .filter(col("est") >= threshold)
+      .select(col("key"), col("idx_key"), col("est"))
+  }
+
   final case class LineKeep(key: Long, pos: Int, line: String)
 
   /** Streaming corpus-level line dedup — the streaming twin of

@@ -164,6 +164,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming index probe matches batch dedup-against-index per doc") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val base = (" alpha beta gamma delta epsilon zeta eta theta iota kappa" * 5).trim
+    val corpus = Seq(
+      (1L, base),
+      (2L, "the quick brown fox jumps over the lazy dog again and again and again"))
+      .toDF("doc_id", "text")
+    val index = graft.functions.Dedup.minhashIndexMd5(corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 16, bands = 4).cache()
+    val newDocs = Seq(
+      (10L, base + " perturbed"),
+      (11L, "совершенно другой текст without any overlap at all"),
+      (12L, base))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val out = StreamingOps.streamingIndexProbe(stream, index, "text", "doc_id",
+      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
+    val q = out.writeStream.format("memory").queryName("probe_out")
+      .outputMode("append").start()
+    try {
+      input.addData(newDocs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(newDocs.drop(2): _*)
+      q.processAllAvailable()
+      // set semantics: aggregate the streamed pairs to the batch per-doc shape
+      val streamed = spark.sql(
+        """SELECT key, min(idx_key) AS representative, max(est) AS best_est
+          |FROM (SELECT DISTINCT * FROM probe_out) GROUP BY key""".stripMargin)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val batch = graft.functions.Dedup.dedupAgainstIndexMd5(
+          newDocs.toDF("doc_id", "text"), index, "text", "doc_id",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
+        .filter(col("is_dup"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(streamed == batch)
+      assert(streamed.contains(10L) && streamed.contains(12L) && !streamed.contains(11L))
+    } finally {
+      q.stop(); index.unpersist()
+    }
+  }
+
   test("stream-static broadcast join enriches events in flight") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{broadcast, col}
