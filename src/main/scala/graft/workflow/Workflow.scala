@@ -281,6 +281,33 @@ object Workflow {
         }
         if (tp.getOrElse("exact_dedup", false) == true)
           df = graft.functions.Dedup.exactDedup(df, textCol, idCol)
+        tp.get("dedup_against_index").foreach { iv =>
+          // incremental near-dup drop against a persisted MinHash band
+          // index (built by build_dedup_index in an earlier run): the
+          // corpus side is never re-hashed — the new frame probes the
+          // saved buckets and flagged docs drop via anti-join
+          val ic = asConf(iv)
+          val index = spark.read.parquet(ic("index_path").toString)
+          val flagged = graft.functions.Dedup.dedupAgainstIndexMd5(
+            df, index, textCol, idCol,
+            shingleSize = ic.getOrElse("shingle_size", 3).toString.toInt,
+            numHashes = ic.getOrElse("num_hashes", 16).toString.toInt,
+            bands = ic.getOrElse("bands", 4).toString.toInt,
+            threshold = ic.getOrElse("threshold", 0.7).toString.toDouble)
+            .filter(org.apache.spark.sql.functions.col("is_dup"))
+            .select(org.apache.spark.sql.functions.col("key").as(idCol))
+          df = df.join(flagged, Seq(idCol), "left_anti")
+        }
+        tp.get("build_dedup_index").foreach { bv =>
+          // persist the CURRENT frame's band index (post-filter,
+          // post-dedup) so the next batch can probe it incrementally
+          val bc = asConf(bv)
+          graft.functions.Dedup.minhashIndexMd5(df, textCol, idCol,
+            shingleSize = bc.getOrElse("shingle_size", 3).toString.toInt,
+            numHashes = bc.getOrElse("num_hashes", 16).toString.toInt,
+            bands = bc.getOrElse("bands", 4).toString.toInt)
+            .write.mode("overwrite").parquet(bc("path").toString)
+        }
         tp.get("span_dedup").foreach { sv =>
           // exact-substring span removal (Lee et al. 2021): rewrite the
           // text column with cross-doc duplicated token ranges dropped

@@ -163,6 +163,40 @@ text_pipeline:
     assert(df.columns.contains("quality") && df.columns.contains("lang_pred"))
   }
 
+  test("workflow text_pipeline: incremental dedup across two runs via a saved index") {
+    val dir = java.nio.file.Files.createTempDirectory("wfi").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // run 1: batch A builds the index
+    Seq((1L, base), (2L, "a completely different sentence with its own words entirely"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch_a")
+    val yamlA = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/batch_a"
+    file_type: parquet
+text_pipeline:
+  text_col: text
+  id_col: doc_id
+  build_dedup_index: {path: "$dir/idx"}
+"""
+    Workflow.run(spark, yamlA)
+    // run 2: batch B probes it — the near-dup of doc 1 drops, the novel stays
+    Seq((10L, base + " ok"), (11L, "nothing here overlaps with anything indexed before"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch_b")
+    val yamlB = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/batch_b"
+    file_type: parquet
+text_pipeline:
+  text_col: text
+  id_col: doc_id
+  dedup_against_index: {index_path: "$dir/idx", threshold: 0.5}
+"""
+    val (df, _) = Workflow.run(spark, yamlB)
+    assert(df.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(11L))
+  }
+
   test("workflow: ts_preprocess, stratified sample, geo cluster stages") {
     val dir = java.nio.file.Files.createTempDirectory("wfx").toString
     val rnd = new scala.util.Random(5)
