@@ -39,7 +39,10 @@ object TriScale {
     "q_sessionization", "q_window_aggregator",
     // round-13: the remaining ANN flagships — LSH bucket joins, IVF cell
     // probing, SRP near-dup candidates (the 100 TB similarity paths)
-    "q_lsh_topk", "q_ivf_topk", "q_embedding_neardup")
+    "q_lsh_topk", "q_ivf_topk", "q_embedding_neardup",
+    // round-13b: the span-removal apply (token×span HOF filter risk)
+    // and the saved-index probe (band equi-join + estimate)
+    "q_dup_span_removal", "q_index_dedup")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -66,7 +69,9 @@ object TriScale {
     // within-replica cosines exact) + the document cluster path — the
     // ANN/dedup flagships prove their decade ratios like simhash/ngram
     "q_lsh_topk", "q_ivf_topk", "q_embedding_neardup", "q_semantic_dedup",
-    "q_dedup_clusters")
+    "q_dedup_clusters",
+    // round-13b text additions ride the sf1 documents tier too
+    "q_dup_span_removal", "q_index_dedup")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -470,8 +470,12 @@ object Dedup {
     * values as the bucket key (engine-portable — no engine-specific
     * hash) plus the doc's FULL signature, so probe-time verification is
     * an estimate over stored signatures and never re-reads corpus text.
-    * Write with `Ingest.writeClustered(bucket columns = band, bucket)`
-    * for a co-located probe join.
+    * Degenerate buckets (> maxBucketSize postings — boilerplate shared
+    * by everything) drop whole AT BUILD TIME: the cap's count-window is
+    * one sort of the index paid once when the index is written, never
+    * re-paid per probe batch or per streaming micro-batch. Write with
+    * `Ingest.writeClustered(bucket columns = band, bucket)` for a
+    * co-located probe join.
     */
   def minhashIndexMd5(
       df: DataFrame,
@@ -479,7 +483,23 @@ object Dedup {
       keyCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucketSize: Int = 200): DataFrame =
+    capGroups(
+      bandedSignatures(df, textCol, keyCol, shingleSize, numHashes, bands),
+      Seq("band", "bucket"), maxBucketSize)
+
+  /** Uncapped (band, bucket, key, sig) band fan-out of the md5 signature
+    * matrix — the shared core of the index build (which caps it) and the
+    * probe side (which must NOT pay a cap window over a per-batch frame).
+    */
+  private[graft] def bandedSignatures(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sig = minhashSignaturesMd5(shingles(df, textCol, keyCol, shingleSize), numHashes)
@@ -499,11 +519,11 @@ object Dedup {
     * candidates deduped across bands, similarity ESTIMATED as the
     * matching-component fraction of the two stored signatures (the
     * standard unbiased MinHash estimator — corpus text is never
-    * touched). Degenerate index buckets (> maxBucketSize postings, i.e.
-    * boilerplate shared by everything) drop whole, exactly like the
-    * batch pipeline's band cap. Returns ONE row per new-batch doc:
-    * is_dup, representative = min flagged index key (null when none),
-    * best_est = max estimate among flagged matches.
+    * touched). Degenerate-bucket capping happened at index BUILD
+    * ([[minhashIndexMd5]]'s maxBucketSize), so the probe is a pure
+    * equi-join — nothing re-sorts the index per batch. Returns ONE row
+    * per new-batch doc: is_dup, representative = min flagged index key
+    * (null when none), best_est = max estimate among flagged matches.
     */
   def dedupAgainstIndexMd5(
       newDf: DataFrame,
@@ -513,16 +533,14 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.7,
-      maxBucketSize: Int = 200): DataFrame = {
+      threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val probe = minhashIndexMd5(newDf, textCol, keyCol, shingleSize, numHashes, bands)
+    val probe = bandedSignatures(newDf, textCol, keyCol, shingleSize, numHashes, bands)
       .select(col("band"), col("bucket"),
         col("key").as("new_key"), col("sig").as("new_sig"))
-    val capped = capGroups(index, Seq("band", "bucket"), maxBucketSize)
-      .select(col("band"), col("bucket"),
-        col("key").as("idx_key"), col("sig").as("idx_sig"))
-    val cand = probe.join(capped, Seq("band", "bucket"))
+    val idx = index.select(col("band"), col("bucket"),
+      col("key").as("idx_key"), col("sig").as("idx_sig"))
+    val cand = probe.join(idx, Seq("band", "bucket"))
       .select(col("new_key"), col("idx_key"), col("new_sig"), col("idx_sig"))
       .distinct()
     val matches = aggregate(

@@ -345,8 +345,10 @@ object StreamingOps {
     * match at pair granularity; a pair found in several bands emits once
     * per band and re-deliveries re-emit, so consumers must treat the
     * output as a SET (aggregate downstream for the batch per-doc
-    * min-representative). Cache the index frame — a streaming join
-    * re-evaluates an uncached static side every micro-batch.
+    * min-representative). Degenerate buckets were already capped when
+    * the index was BUILT (minhashIndexMd5.maxBucketSize) — the probe
+    * adds no window over the index. Cache the index frame — a streaming
+    * join re-evaluates an uncached static side every micro-batch.
     */
   def streamingIndexProbe(
       stream: DataFrame,
@@ -356,8 +358,7 @@ object StreamingOps {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.7,
-      maxBucketSize: Int = 200): DataFrame = {
+      threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sigUdf = udf { text: String =>
@@ -374,10 +375,8 @@ object StreamingOps {
         explode(array(bandCols: _*)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col("key"), col("__sig").as("new_sig"))
-    val idx = graft.functions.Dedup
-      .capGroups(index, Seq("band", "bucket"), maxBucketSize)
-      .select(col("band"), col("bucket"),
-        col("key").as("idx_key"), col("sig").as("idx_sig"))
+    val idx = index.select(col("band"), col("bucket"),
+      col("key").as("idx_key"), col("sig").as("idx_sig"))
     val matches = aggregate(
       zip_with(col("new_sig"), col("idx_sig"),
         (a, b) => when(a === b, 1).otherwise(0)),

@@ -305,7 +305,8 @@ object Workflow {
           graft.functions.Dedup.minhashIndexMd5(df, textCol, idCol,
             shingleSize = bc.getOrElse("shingle_size", 3).toString.toInt,
             numHashes = bc.getOrElse("num_hashes", 16).toString.toInt,
-            bands = bc.getOrElse("bands", 4).toString.toInt)
+            bands = bc.getOrElse("bands", 4).toString.toInt,
+            maxBucketSize = bc.getOrElse("max_bucket_size", 200).toString.toInt)
             .write.mode("overwrite").parquet(bc("path").toString)
         }
         tp.get("span_dedup").foreach { sv =>

@@ -116,9 +116,13 @@ class TextSpec extends SparkSpec {
     val index = Dedup.minhashIndexMd5(corpus, "text", "doc_id",
       shingleSize = 3, numHashes = 16, bands = 4)
     val newb = Seq((10L, boiler)).toDF("doc_id", "text")
-    // cap 4 < 5 identical postings per bucket -> all buckets drop, no match
-    val capped = Dedup.dedupAgainstIndexMd5(newb, index, "text", "doc_id",
-      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3, maxBucketSize = 4)
+    // build-time cap 4 < 5 identical postings per bucket -> the whole
+    // degenerate bucket is ABSENT from the index, so probes can't match
+    val cappedIdx = Dedup.minhashIndexMd5(corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 16, bands = 4, maxBucketSize = 4)
+    assert(cappedIdx.count() == 0)
+    val capped = Dedup.dedupAgainstIndexMd5(newb, cappedIdx, "text", "doc_id",
+      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
     assert(capped.filter(col("is_dup")).count() == 0)
     // default cap keeps them: exact copy matches with estimate 1.0
     val open = Dedup.dedupAgainstIndexMd5(newb, index, "text", "doc_id",
