@@ -1392,6 +1392,97 @@ semantic_dedup:
       SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 6) + 0.0 AS centroid
       FROM e GROUP BY label, dim"""))
 
+  /** MinHash estimator-error evaluation: for every band-candidate pair,
+    * the signature matching-fraction ESTIMATE next to the exact n-gram
+    * Jaccard and their absolute error — the measurement that calibrates
+    * (numHashes, bands, threshold) before trusting the sketch at scale
+    * (companion of q_ann_recall for the dedup family). est and exact are
+    * each a single division of exact integers, and abs_err is their raw
+    * double difference — bit-identical cross-engine with no re-rounding.
+    */
+  val qMinhashEstimateError = Q(
+    "q_minhash_estimate_error",
+    (s, dir) => {
+      val d = tables(s, dir).documents
+      val perturbed = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" perturbed suffix token")))
+      val corpus = d.unionByName(perturbed).select("doc_id", "text")
+      val sh = Dedup.shingles(corpus, "text", "doc_id", 3)
+      val sigM = Dedup.minhashSignaturesMd5(sh, 16)
+      val cand = Dedup.md5BandCandidates(sigM, 16, 4, 200)
+      val sigArr = sigM.select(col("key"),
+        array((0 until 16).map(i => col(s"sig_$i")): _*).as("sig"))
+      val matches = aggregate(
+        zip_with(col("sig1"), col("sig2"),
+          (a, b) => when(a === b, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x)
+      val est = cand
+        .join(sigArr.select(col("key").as("key_1"), col("sig").as("sig1")), "key_1")
+        .join(sigArr.select(col("key").as("key_2"), col("sig").as("sig2")), "key_2")
+        .select(col("key_1"), col("key_2"),
+          round(matches.cast("double") / lit(16), 4).as("est_jaccard"))
+      val exact = Dedup.jaccardOfPairs(cand, sh)
+        .withColumnRenamed("jaccard", "exact_jaccard")
+      est.join(exact, Seq("key_1", "key_2"))
+        .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+    },
+    Some {
+      val salts = Dedup.md5Salts.take(16)
+      val sigDefs = salts.zipWithIndex
+        .map { case (s, i) => s"min(xor(h, $s)) AS sig_$i" }.mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val vs = (0 until 4).map(r => s"sig_${b * 4 + r} AS v$r").mkString(", ")
+        s"SELECT doc_id, $b AS band, $vs FROM sig"
+      }.mkString(" UNION ALL ")
+      val matchSum = (0 until 16)
+        .map(i => s"CASE WHEN s1.sig_$i = s2.sig_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text || ' perturbed suffix token' AS text
+        FROM documents WHERE doc_id % 7 = 0),
+      norm AS (SELECT doc_id, str_split($normSql, ' ') AS t FROM corpus),
+      sh0 AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+        FROM norm, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+      sh AS (SELECT * FROM sh0 WHERE length(shingle) > 0),
+      h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+      sig AS (SELECT doc_id, $sigDefs FROM h GROUP BY doc_id),
+      bands AS ($bandSelects),
+      capped AS (SELECT * FROM (
+          SELECT *, count(*) OVER (PARTITION BY band, v0, v1, v2, v3) AS sz
+          FROM bands) WHERE sz <= 200),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS key_1, b.doc_id AS key_2
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+         AND a.v2 = b.v2 AND a.v3 = b.v3 AND a.doc_id < b.doc_id),
+      est AS (SELECT cand.key_1, cand.key_2,
+                round(CAST($matchSum AS DOUBLE) / 16, 4) AS est_jaccard
+              FROM cand
+              JOIN sig s1 ON s1.doc_id = cand.key_1
+              JOIN sig s2 ON s2.doc_id = cand.key_2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS key_1, b.doc_id AS key_2, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT e.key_1, e.key_2, e.est_jaccard,
+        round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+          / (na.n + nb.n - COALESCE(i.i, 0)), 4) AS exact_jaccard,
+        abs(e.est_jaccard -
+          round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+            / (na.n + nb.n - COALESCE(i.i, 0)), 4)) AS abs_err
+      FROM est e
+      LEFT JOIN inter i ON e.key_1 = i.key_1 AND e.key_2 = i.key_2
+      JOIN sizes na ON e.key_1 = na.doc_id
+      JOIN sizes nb ON e.key_2 = nb.doc_id"""
+    })
+
   /** Incremental dedup against a SAVED MinHash band index — the 100 TB
     * posture: the corpus-side signature job runs once and persists
     * ([[graft.functions.Dedup.minhashIndexMd5]] → parquet → re-read, so
@@ -1974,7 +2065,8 @@ semantic_dedup:
       FROM b"""))
 
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
-    qExactDedup, qMinhashDedup, qIndexDedup, qSimhashDedup, qNgramJaccard, qDedupClusters,
+    qExactDedup, qMinhashDedup, qIndexDedup, qMinhashEstimateError,
+    qSimhashDedup, qNgramJaccard, qDedupClusters,
     qSemanticDedup, qWorkflowSemantic,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup,
     qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText,
