@@ -671,9 +671,20 @@ object Dedup {
     // identical fingerprints → ALL chunks collide) yields m²/2 join
     // rows; buckets over the cap are dropped whole — exact duplicates
     // belong in exactDedup, and near-dups stay reachable through their
-    // other chunks. Window-based (capGroups — spillable sort), since
-    // the join itself streams and never materializes a bucket
-    val capped = capGroups(keyed, Seq("chunk", "val"), maxBucketSize)
+    // other chunks. Shape: a map-side-combining count aggregation finds
+    // the (few, by definition) oversized buckets and the chunk frame
+    // anti-joins that tiny set (AQE broadcast). NOT the count-window
+    // idiom here: the window would force a full sort-exchange of the
+    // chunk frame that nothing downstream reuses — the candidate join
+    // broadcasts at small scale and hash-partitions at large, either
+    // way on its own exchange (measured: 12.9 → ~1 MiB query shuffle
+    // at sf0.1). The minhash paths keep the window/posting idiom
+    // because their downstream aggregation reuses its exchange.
+    val oversized = keyed.groupBy(col("chunk"), col("val"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("chunk"), col("val"))
+    val capped = keyed.join(oversized, Seq("chunk", "val"), "left_anti")
     capped.as("a")
       .join(capped.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
