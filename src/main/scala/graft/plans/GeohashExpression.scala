@@ -90,14 +90,33 @@ object GraftFunctions {
 }
 
 /** SparkSessionExtensions hook — enables
-  * `spark.sql.extensions=graft.plans.GraftExtensions` so graft's native
-  * functions exist in every session without manual registration.
+  * `spark.sql.extensions=graft.plans.GraftExtensions` so every graft
+  * native function exists in every session (and every thrift/connect
+  * client) of a cluster without manual registration. Injects the same
+  * seven builders as [[GraftFunctions.register]].
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("geohash_encode"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[GeohashEncodeExpr].getName, "geohash_encode"),
-      (exprs: Seq[Expression]) => GeohashEncodeExpr(exprs(0), exprs(1), exprs(2))))
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    def inject(name: String, clazz: Class[_], b: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(clazz.getName, name),
+        b))
+    inject("geohash_encode", classOf[GeohashEncodeExpr],
+      exprs => GeohashEncodeExpr(exprs(0), exprs(1), exprs(2)))
+    inject("simhash_agg", classOf[SimHashAgg],
+      exprs => SimHashAgg(exprs.head).toAggregateExpression())
+    inject("md5_prefix60", classOf[Md5Prefix60Expr],
+      exprs => Md5Prefix60Expr(exprs.head))
+    inject("simhash_votes", classOf[SimHashVoteAgg],
+      exprs => SimHashVoteAgg(exprs.head, bits = 60).toAggregateExpression())
+    inject("jaro_winkler", classOf[JaroWinklerExpr],
+      exprs => JaroWinklerExpr(exprs(0), exprs(1)))
+    inject("misra_gries", classOf[MisraGriesAgg],
+      exprs => MisraGriesAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
+    inject("bounded_collect_long", classOf[BoundedCollectLongAgg],
+      exprs => BoundedCollectLongAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
+  }
 }

@@ -30,6 +30,29 @@ class CoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](ColumnSelector.resolve(df, "nope"))
   }
 
+  test("GraftExtensions injects every native function into a registry") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    val reg = spark.sessionState.functionRegistry.clone()
+    // registerFunctions is private[sql] at the Scala level but public in
+    // bytecode — invoke reflectively (the session-creation path Spark
+    // itself uses when spark.sql.extensions is set)
+    classOf[org.apache.spark.sql.SparkSessionExtensions].getDeclaredMethods
+      .find(_.getName == "registerFunctions").get.invoke(ext, reg)
+    val names = Seq("geohash_encode", "simhash_agg", "md5_prefix60",
+      "simhash_votes", "jaro_winkler", "misra_gries", "bounded_collect_long")
+    names.foreach { n =>
+      assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
+        s"$n missing from the extension-populated registry")
+    }
+    // and the injected builder actually constructs a working expression
+    val built = reg.lookupFunctionBuilder(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("md5_prefix60")).get
+    val e = built(Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+      "abc".getBytes("UTF-8"))))
+    assert(e.eval() == graft.functions.Similarity.md5Prefix60("abc"))
+  }
+
   test("melt produces long form; transpose inverts it") {
     val long = Reshape.melt(df, Seq("id"), Seq("name", "score"))
     assert(long.columns.toSeq == Seq("id", "attribute", "value"))
