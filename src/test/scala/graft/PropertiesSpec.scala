@@ -30,6 +30,50 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("minhash index build is partition-invariant (random corpora, random layouts)") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docGen = Gen.chooseNum(5, 25).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    for (round <- 0 until 3) {
+      val texts = samples(docGen, 12).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = texts.toDF("doc_id", "text")
+      def canon(d: org.apache.spark.sql.DataFrame) = d
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2), r.getSeq[Long](3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+      val a = canon(Dedup.minhashIndexMd5(df.repartition(1), "text", "doc_id"))
+      val b = canon(Dedup.minhashIndexMd5(df.repartition(7 + round), "text", "doc_id"))
+      assert(a == b, s"index differs across partition layouts (round $round)")
+    }
+  }
+
+  test("index probe estimates are in [0,1] and exact copies score 1.0") {
+    val wordGen = Gen.oneOf("one", "two", "three", "four", "five", "six")
+    val docGen = Gen.chooseNum(6, 20).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    val texts = samples(docGen, 10).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val corpus = texts.toDF("doc_id", "text")
+    val index = Dedup.minhashIndexMd5(corpus, "text", "doc_id",
+      maxBucketSize = 1000000)
+    // probe the corpus against itself with shifted keys: every doc is an
+    // exact copy of its original -> est exactly 1.0 for the self match
+    val probe = corpus.withColumn("doc_id", col("doc_id") + 100)
+    val res = Dedup.dedupAgainstIndexMd5(probe, index, "text", "doc_id",
+      threshold = 0.0).collect()
+    res.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val est = r.getDouble(3)
+        assert(est >= 0.0 && est <= 1.0)
+      }
+    }
+    // every probed doc with shingles must find its exact twin at est 1.0
+    val flagged = res.filter(!_.isNullAt(2))
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    texts.filter(_._2.split(" ").length >= 3).foreach { case (id, _) =>
+      assert(flagged.get(id + 100).contains(1.0), s"doc $id missed its exact twin")
+    }
+  }
+
   test("imputation leaves non-null rows unchanged") {
     for (xs <- samples(doublesGen, 3) if xs.size >= 3) {
       val df = xs.zipWithIndex.map { case (x, i) =>
