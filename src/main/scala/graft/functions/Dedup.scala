@@ -488,12 +488,46 @@ object Dedup {
     capGroups(
       bandedSignatures(df, textCol, keyCol, shingleSize, numHashes, bands),
       Seq("band", "bucket"), maxBucketSize)
+      // self-describing index: the shingle size rides along as a
+      // constant column (RLE → bytes on disk) so a probe with different
+      // hyperparameters fails fast instead of silently matching nothing
+      .withColumn("shingle_n", lit(shingleSize))
+
+  /** Fail fast when a persisted index was built with different
+    * hyperparameters than the probe's: numHashes and rows-per-band are
+    * derived from the stored array sizes, shingleSize from the
+    * `shingle_n` metadata column. One limit(1) driver action (a single
+    * row group read) per probe call; an empty index validates trivially.
+    */
+  private[graft] def validateIndex(
+      index: DataFrame, shingleSize: Int, numHashes: Int, bands: Int): Unit = {
+    val head = index
+      .select(size(col("sig")).as("nh"), size(col("bucket")).as("rpb"),
+        col("shingle_n"))
+      .limit(1).collect()
+    head.headOption.foreach { r =>
+      val (nh, rpb, sn) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      require(nh == numHashes && rpb == numHashes / bands && sn == shingleSize,
+        s"index was built with (shingleSize=$sn, numHashes=$nh, " +
+          s"rowsPerBand=$rpb) but the probe asked for (shingleSize=" +
+          s"$shingleSize, numHashes=$numHashes, rowsPerBand=${numHashes / bands})")
+    }
+  }
+
+  /** The MinHash matching-fraction similarity estimate between two
+    * stored signature arrays — shared by the batch probe, the streaming
+    * probe, and the estimator-error query so the three can never drift.
+    */
+  private[graft] def sigMatchEstimate(a: Column, b: Column, numHashes: Int): Column =
+    round(
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes), 4)
 
   /** Uncapped (band, bucket, key, sig) band fan-out of the md5 signature
     * matrix — the shared core of the index build (which caps it) and the
     * probe side (which must NOT pay a cap window over a per-batch frame).
     */
-  private[graft] def bandedSignatures(
+  private def bandedSignatures(
       df: DataFrame,
       textCol: String,
       keyCol: String,
@@ -535,21 +569,19 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    validateIndex(index, shingleSize, numHashes, bands)
     val probe = bandedSignatures(newDf, textCol, keyCol, shingleSize, numHashes, bands)
       .select(col("band"), col("bucket"),
         col("key").as("new_key"), col("sig").as("new_sig"))
     val idx = index.select(col("band"), col("bucket"),
       col("key").as("idx_key"), col("sig").as("idx_sig"))
+    // no distinct on the multi-band candidates: the per-key min/max
+    // aggregate below is duplicate-insensitive, and a distinct would
+    // shuffle the frame keyed by both full signature arrays
     val cand = probe.join(idx, Seq("band", "bucket"))
       .select(col("new_key"), col("idx_key"), col("new_sig"), col("idx_sig"))
-      .distinct()
-    val matches = aggregate(
-      zip_with(col("new_sig"), col("idx_sig"),
-        (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
     val flagged = cand
-      .withColumn("est",
-        round(matches.cast("double") / lit(numHashes), 4))
+      .withColumn("est", sigMatchEstimate(col("new_sig"), col("idx_sig"), numHashes))
       .filter(col("est") >= threshold)
       .groupBy(col("new_key"))
       .agg(min(col("idx_key")).as("representative"), max(col("est")).as("best_est"))

@@ -53,70 +53,51 @@ object GeohashEncodeExpr {
     Geo.geohashEncode(lat, lon, precision)
 }
 
-/** Session-level registration of graft's native SQL functions. */
+/** Session-level registration of graft's native SQL functions. The ONE
+  * builder table drives both [[GraftFunctions.register]] (in-process
+  * sessions) and [[GraftExtensions]] (cluster-wide
+  * `spark.sql.extensions`) — a new native function added here is
+  * automatically available through both paths.
+  */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "geohash_encode",
-      exprs => GeohashEncodeExpr(exprs(0), exprs(1), exprs(2)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_agg",
-      exprs => SimHashAgg(exprs.head).toAggregateExpression(),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5_prefix60",
-      exprs => Md5Prefix60Expr(exprs.head),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_votes",
-      exprs => SimHashVoteAgg(exprs.head, bits = 60).toAggregateExpression(),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaro_winkler",
-      exprs => JaroWinklerExpr(exprs(0), exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "misra_gries",
-      exprs => MisraGriesAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bounded_collect_long",
-      exprs => BoundedCollectLongAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
-      "built-in")
-  }
+  private[plans] val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] =
+    Seq(
+      ("geohash_encode", classOf[GeohashEncodeExpr],
+        exprs => GeohashEncodeExpr(exprs(0), exprs(1), exprs(2))),
+      ("simhash_agg", classOf[SimHashAgg],
+        exprs => SimHashAgg(exprs.head).toAggregateExpression()),
+      ("md5_prefix60", classOf[Md5Prefix60Expr],
+        exprs => Md5Prefix60Expr(exprs.head)),
+      ("simhash_votes", classOf[SimHashVoteAgg],
+        exprs => SimHashVoteAgg(exprs.head, bits = 60).toAggregateExpression()),
+      ("jaro_winkler", classOf[JaroWinklerExpr],
+        exprs => JaroWinklerExpr(exprs(0), exprs(1))),
+      ("misra_gries", classOf[MisraGriesAgg],
+        exprs => MisraGriesAgg(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()),
+      ("bounded_collect_long", classOf[BoundedCollectLongAgg],
+        exprs => BoundedCollectLongAgg(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
 }
 
 /** SparkSessionExtensions hook — enables
   * `spark.sql.extensions=graft.plans.GraftExtensions` so every graft
   * native function exists in every session (and every thrift/connect
   * client) of a cluster without manual registration. Injects the same
-  * seven builders as [[GraftFunctions.register]].
+  * builder table as [[GraftFunctions.register]].
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    def inject(name: String, clazz: Class[_], b: Seq[Expression] => Expression): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, clazz, b) =>
       ext.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(clazz.getName, name),
         b))
-    inject("geohash_encode", classOf[GeohashEncodeExpr],
-      exprs => GeohashEncodeExpr(exprs(0), exprs(1), exprs(2)))
-    inject("simhash_agg", classOf[SimHashAgg],
-      exprs => SimHashAgg(exprs.head).toAggregateExpression())
-    inject("md5_prefix60", classOf[Md5Prefix60Expr],
-      exprs => Md5Prefix60Expr(exprs.head))
-    inject("simhash_votes", classOf[SimHashVoteAgg],
-      exprs => SimHashVoteAgg(exprs.head, bits = 60).toAggregateExpression())
-    inject("jaro_winkler", classOf[JaroWinklerExpr],
-      exprs => JaroWinklerExpr(exprs(0), exprs(1)))
-    inject("misra_gries", classOf[MisraGriesAgg],
-      exprs => MisraGriesAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
-    inject("bounded_collect_long", classOf[BoundedCollectLongAgg],
-      exprs => BoundedCollectLongAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
-  }
+    }
 }

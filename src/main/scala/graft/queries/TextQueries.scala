@@ -1413,15 +1413,11 @@ semantic_dedup:
       val cand = Dedup.md5BandCandidates(sigM, 16, 4, 200)
       val sigArr = sigM.select(col("key"),
         array((0 until 16).map(i => col(s"sig_$i")): _*).as("sig"))
-      val matches = aggregate(
-        zip_with(col("sig1"), col("sig2"),
-          (a, b) => when(a === b, 1).otherwise(0)),
-        lit(0), (acc, x) => acc + x)
       val est = cand
         .join(sigArr.select(col("key").as("key_1"), col("sig").as("sig1")), "key_1")
         .join(sigArr.select(col("key").as("key_2"), col("sig").as("sig2")), "key_2")
         .select(col("key_1"), col("key_2"),
-          round(matches.cast("double") / lit(16), 4).as("est_jaccard"))
+          Dedup.sigMatchEstimate(col("sig1"), col("sig2"), 16).as("est_jaccard"))
       val exact = Dedup.jaccardOfPairs(cand, sh)
         .withColumnRenamed("jaccard", "exact_jaccard")
       est.join(exact, Seq("key_1", "key_2"))
@@ -1499,9 +1495,11 @@ semantic_dedup:
   val qIndexDedup = Q(
     "q_index_dedup",
     (s, dir) => {
+      // per-scale-factor scratch (bounded dir count, no cross-SF clobber
+      // when bench/TriScale tiers interleave)
       val idxDir = new java.io.File(
         System.getProperty("java.io.tmpdir", "/tmp"),
-        "graft_q_index_dedup").toString
+        "graft_q_index_dedup_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
       val d = tables(s, dir).documents
       Dedup.minhashIndexMd5(d, "text", "doc_id", shingleSize = 3,
           numHashes = 16, bands = 4)

@@ -360,6 +360,9 @@ object StreamingOps {
       bands: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numHashes <= graft.functions.Dedup.md5Salts.size,
+      s"at most ${graft.functions.Dedup.md5Salts.size} md5 family members")
+    graft.functions.Dedup.validateIndex(index, shingleSize, numHashes, bands)
     val rowsPerBand = numHashes / bands
     val sigUdf = udf { text: String =>
       graft.functions.Dedup.minhashSignatureMd5Local(text, shingleSize, numHashes)
@@ -368,21 +371,20 @@ object StreamingOps {
       struct(lit(b).as("band"),
         slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand).as("bucket"))
     }
+    // key keeps its source type (a cast("long") would silently null
+    // string keys — the editDistancePairs trap)
     val fanned = stream
       .withColumn("__sig", sigUdf(col(textCol)))
       .filter(col("__sig").isNotNull)
-      .select(col(keyCol).cast("long").as("key"), col("__sig"),
+      .select(col(keyCol).as("key"), col("__sig"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col("key"), col("__sig").as("new_sig"))
     val idx = index.select(col("band"), col("bucket"),
       col("key").as("idx_key"), col("sig").as("idx_sig"))
-    val matches = aggregate(
-      zip_with(col("new_sig"), col("idx_sig"),
-        (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
     fanned.join(idx, Seq("band", "bucket"))
-      .withColumn("est", round(matches.cast("double") / lit(numHashes), 4))
+      .withColumn("est", graft.functions.Dedup
+        .sigMatchEstimate(col("new_sig"), col("idx_sig"), numHashes))
       .filter(col("est") >= threshold)
       .select(col("key"), col("idx_key"), col("est"))
   }

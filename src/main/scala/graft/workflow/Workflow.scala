@@ -285,8 +285,12 @@ object Workflow {
           // incremental near-dup drop against a persisted MinHash band
           // index (built by build_dedup_index in an earlier run): the
           // corpus side is never re-hashed — the new frame probes the
-          // saved buckets and flagged docs drop via anti-join
+          // saved buckets and flagged docs drop via anti-join.
+          // Materialize first: the probe side and the anti-join's left
+          // side would otherwise each replay the upstream stage chain
+          // (same rationale as near_dedup's localCheckpoint below)
           val ic = asConf(iv)
+          df = graft.functions.Dedup.materialize(df)
           val index = spark.read.parquet(ic("index_path").toString)
           val flagged = graft.functions.Dedup.dedupAgainstIndexMd5(
             df, index, textCol, idCol,
@@ -299,15 +303,38 @@ object Workflow {
           df = df.join(flagged, Seq(idCol), "left_anti")
         }
         tp.get("build_dedup_index").foreach { bv =>
-          // persist the CURRENT frame's band index (post-filter,
-          // post-dedup) so the next batch can probe it incrementally
+          // persist the band index of the CURRENT frame (post-filter,
+          // post-dedup) so the next batch can probe it. When the path
+          // already holds an index (the incremental loop: probe batch N
+          // against it, then fold batch N in), the new rows UNION the
+          // existing ones — re-capped, since a bucket can cross the cap
+          // cumulatively — and the result is localCheckpoint-ed before
+          // the overwrite (writing a frame whose lineage still reads the
+          // path being overwritten is an AnalysisException).
+          import org.apache.spark.sql.functions.col
           val bc = asConf(bv)
-          graft.functions.Dedup.minhashIndexMd5(df, textCol, idCol,
-            shingleSize = bc.getOrElse("shingle_size", 3).toString.toInt,
-            numHashes = bc.getOrElse("num_hashes", 16).toString.toInt,
-            bands = bc.getOrElse("bands", 4).toString.toInt,
-            maxBucketSize = bc.getOrElse("max_bucket_size", 200).toString.toInt)
-            .write.mode("overwrite").parquet(bc("path").toString)
+          val path = bc("path").toString
+          val shingleN = bc.getOrElse("shingle_size", 3).toString.toInt
+          val numHashes = bc.getOrElse("num_hashes", 16).toString.toInt
+          val nBands = bc.getOrElse("bands", 4).toString.toInt
+          val cap = bc.getOrElse("max_bucket_size", 200).toString.toInt
+          df = graft.functions.Dedup.materialize(df)
+          val fresh = graft.functions.Dedup.minhashIndexMd5(df, textCol, idCol,
+            shingleSize = shingleN, numHashes = numHashes, bands = nBands,
+            maxBucketSize = cap)
+          val exists = try {
+            !spark.read.parquet(path).isEmpty
+          } catch { case _: org.apache.spark.sql.AnalysisException => false }
+          val combined = if (exists) {
+            val old = spark.read.parquet(path)
+            graft.functions.Dedup.validateIndex(old, shingleN, numHashes, nBands)
+            graft.functions.Dedup.capGroups(
+              old.unionByName(fresh).dropDuplicates("band", "bucket", "key"),
+              Seq("band", "bucket"), cap)
+          } else fresh
+          graft.functions.Dedup.materialize(combined.select(
+              col("band"), col("bucket"), col("key"), col("sig"), col("shingle_n")))
+            .write.mode("overwrite").parquet(path)
         }
         tp.get("span_dedup").foreach { sv =>
           // exact-substring span removal (Lee et al. 2021): rewrite the

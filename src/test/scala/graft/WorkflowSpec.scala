@@ -195,6 +195,30 @@ text_pipeline:
 """
     val (df, _) = Workflow.run(spark, yamlB)
     assert(df.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(11L))
+    // run 3: probe AND rebuild the SAME path in one run (the natural
+    // incremental loop): batch C's novel doc survives, the index then
+    // ACCUMULATES it, and a batch-A near-dup still drops — proving the
+    // fold-in unions old rows rather than replacing them
+    val survivorB = "nothing here overlaps with anything indexed before"
+    Seq((20L, survivorB + " extended"), (21L, base + " also near a")) // near-dup of batch A's doc 1
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch_c")
+    val yamlC = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/batch_c"
+    file_type: parquet
+text_pipeline:
+  text_col: text
+  id_col: doc_id
+  dedup_against_index: {index_path: "$dir/idx", threshold: 0.5}
+  build_dedup_index: {path: "$dir/idx"}
+"""
+    val (dfC, _) = Workflow.run(spark, yamlC)
+    assert(dfC.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(20L))
+    // the rebuilt index now carries batch A's docs AND batch C's survivor
+    val idxKeys = spark.read.parquet(s"$dir/idx")
+      .select("key").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxKeys.contains(1L) && idxKeys.contains(2L) && idxKeys.contains(20L))
   }
 
   test("workflow: ts_preprocess, stratified sample, geo cluster stages") {
