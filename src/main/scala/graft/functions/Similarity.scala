@@ -700,4 +700,245 @@ object Similarity {
     }
     b
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search" — public method). The 100 TB embedding
+  // path: a D-dim float vector (D·4 bytes) compresses to `m` small
+  // centroid codes (m bytes at ksub ≤ 256), so the inverted lists an ANN
+  // index stores shrink ~D·4/m× and a whole-corpus code table fits where
+  // raw vectors never could. Distances against a query are then
+  // asymmetric (ADC): exact query slice vs. quantized member centroid,
+  // looked up from a per-query m×ksub table instead of recomputed.
+  // ---------------------------------------------------------------------
+
+  /** Per-subspace PQ codebooks: slice each sample vector into `m`
+    * contiguous equal-width subspaces and run the same engine-portable
+    * quantized Lloyd fit ([[localKMeans]]) independently in each. The
+    * returned array is `books(sub)(code)(j)`. Deterministic (strided
+    * md5-ordered init, fixed sweeps, dp-grid re-centering), so every
+    * codebook is SQL-replayable by one [[graft.queries.TextQueries
+    * .ivfAssignCtes]] chain over the sliced corpus.
+    */
+  def pqCodebooks(sample: Array[Array[Double]], m: Int, ksub: Int, seed: Long,
+      iters: Int, quantizeDp: Int): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "pq fit needs data")
+    val dim = sample.head.length
+    require(m >= 1 && dim % m == 0,
+      s"subspace count $m must divide embedding dim $dim")
+    val sub = dim / m
+    Array.tabulate(m) { mi =>
+      val slices = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      localKMeans(slices, ksub, seed + mi, iters, quantizeDp)
+    }
+  }
+
+  /** Nearest-codebook-entry code per subspace — the same sequential
+    * squared-L2 accumulation and keep-first tie rule as the
+    * [[localKMeans]] assignment step (so the oracle's
+    * `ORDER BY dist ASC, cid ASC` rank-1 row replays it exactly).
+    */
+  private[graft] def pqCode(v: Array[Float], books: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = books.length
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val book = books(mi)
+      val sub = book(0).length
+      val off = mi * sub
+      var best = 0
+      var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < book.length) {
+        val c = book(ci)
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val diff = v(off + j).toDouble - c(j); d += diff * diff; j += 1
+        }
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    codes
+  }
+
+  /** The fitSample lowest-md5 ids' vectors, in that deterministic order —
+    * the shared fit-small sample of the IVF / PQ / semantic-dedup family
+    * (partition-layout-invariant and bounded regardless of corpus size).
+    * `base` must be (id LONG, v ARRAY<FLOAT>).
+    */
+  private[graft] def md5Sample(base: DataFrame, fitSample: Int): Array[Array[Double]] = {
+    graft.plans.GraftFunctions.register(base.sparkSession)
+    base
+      .orderBy(expr("md5_prefix60(cast(cast(id as string) as binary))").asc,
+        col("id").asc)
+      .limit(fitSample)
+      .select(col("v"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+  }
+
+  /** Encode every vector to its `m` PQ codes (one output row per
+    * (vector, subspace): `vec_id, sub, code`). Map-only over broadcast
+    * codebooks after one bounded fit collect — at 100 TB this is the
+    * compression pass that materializes the code table an IVF-PQ index
+    * serves from, at m bytes per vector instead of D·4.
+    */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 4,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      fitSample: Int = 10000,
+      lloydIters: Int = 5,
+      lloydQuantize: Int = 4): DataFrame = {
+    import df.sparkSession.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val books = pqCodebooks(md5Sample(base, fitSample), m, ksub, seed,
+      lloydIters, lloydQuantize)
+    val bc = df.sparkSession.sparkContext.broadcast(books)
+    base.flatMap { r =>
+      val id = r.getLong(0)
+      val codes = pqCode(r.getSeq[Float](1).toArray, bc.value)
+      codes.indices.iterator.map(mi => (id, mi, codes(mi)))
+    }.toDF("vec_id", "sub", "code")
+  }
+
+  /** IVF-PQ approximate top-k (smallest asymmetric L2 distance): the
+    * coarse quantizer assigns members to cells exactly like [[ivfTopK]],
+    * but the inverted lists carry PQ CODES (m ints) instead of raw
+    * vectors, and probers score candidates through a per-query ADC
+    * lookup table (m×ksub exact slice-to-centroid distances computed
+    * once per probe, then one table lookup per candidate per subspace).
+    * Codes are of the raw vectors, not coarse residuals — each subspace
+    * chain stays independent of the cell assignment, which keeps the
+    * whole fit → encode → probe → rank pipeline SQL-replayable.
+    *
+    * Output: (vec_id, neighbor_id, adist, rank) — adist ASC; ties (PQ
+    * makes them routinely: two members sharing all m codes get exactly
+    * equal adist) break on neighbor_id ASC on both engines.
+    *
+    * 100 TB posture: fit state is O((cells + m·ksub)·dim) on the driver
+    * from ONE bounded collect; members shuffle once keyed by cell
+    * carrying only m code ints each; `memberCapPerCell` salts oversized
+    * cells exactly like [[ivfTopK]]; scoring is a per-cell JVM loop —
+    * O(m) per candidate after the O(m·ksub·dim/m) per-probe table build.
+    */
+  def ivfPqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 3,
+      cellCount: Int = 8,
+      nprobe: Int = 3,
+      m: Int = 4,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      fitSample: Int = 10000,
+      lloydIters: Int = 5,
+      lloydQuantize: Int = 4,
+      memberCapPerCell: Int = 250000): DataFrame = {
+    require(cellCount >= 1, "cellCount must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    import df.sparkSession.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val sample = md5Sample(base, fitSample)
+    val centers = localKMeans(sample, cellCount, seed, lloydIters, lloydQuantize)
+    val books = pqCodebooks(sample, m, ksub, seed, lloydIters, lloydQuantize)
+    val bcCenters = df.sparkSession.sparkContext.broadcast(centers)
+    val bcBooks = df.sparkSession.sparkContext.broadcast(books)
+    val statsEst = base.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
+    val numSalts = statsEst.map(n => math.max(1, math.ceil(
+      n.toDouble / math.max(1, cellCount) / memberCapPerCell).toInt)).getOrElse(1)
+
+    def nearestCells(v: Array[Float], n: Int): Array[Int] = {
+      val cs = bcCenters.value
+      cs.indices.map { ci =>
+        var d = 0.0; var j = 0; val c = cs(ci)
+        while (j < c.length && j < v.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
+        (ci, d)
+      }.sortBy(_._2).take(math.min(n, cs.length)).map(_._1).toArray
+    }
+
+    // inverted lists: (cell, salt, id, codes) — m ints per member, never
+    // the raw vector; probers carry the raw vector for the ADC table
+    val members = base.map { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).toArray
+      (nearestCells(v, 1)(0),
+        (java.lang.Long.hashCode(id) & 0x7fffffff) % numSalts, id,
+        pqCode(v, bcBooks.value))
+    }
+    val probers = base.flatMap { r =>
+      val v = r.getSeq[Float](1).toArray
+      val id = r.getLong(0)
+      for {
+        c <- nearestCells(v, nprobe)
+        salt <- 0 until numSalts
+      } yield (c, salt, id, v)
+    }
+    val partials = members.groupByKey(x => (x._1, x._2))
+      .cogroup(probers.groupByKey(p => (p._1, p._2))) { (_, ms, ps) =>
+        val mArr = ms.map(x => (x._3, x._4)).toArray
+        if (mArr.isEmpty) Iterator.empty
+        else {
+          val books = bcBooks.value
+          val mSub = books.length
+          val kSub = books(0).length
+          ps.flatMap { case (_, _, pid, pv) =>
+            // ADC table: exact squared L2 from the query's slice to every
+            // codebook centroid, sequential per-subspace accumulation
+            val table = Array.ofDim[Double](mSub, kSub)
+            var mi = 0
+            while (mi < mSub) {
+              val book = books(mi)
+              val sub = book(0).length
+              val off = mi * sub
+              var ci = 0
+              while (ci < kSub) {
+                val c = book(ci)
+                var d = 0.0; var j = 0
+                while (j < sub) {
+                  val diff = pv(off + j).toDouble - c(j); d += diff * diff; j += 1
+                }
+                table(mi)(ci) = d
+                ci += 1
+              }
+              mi += 1
+            }
+            val topIds = new Array[Long](k)
+            val topD = new Array[Double](k)
+            var filled = 0
+            var i = 0
+            while (i < mArr.length) {
+              val (cid, codes) = mArr(i)
+              if (cid != pid) {
+                var d = 0.0; var s = 0
+                while (s < mSub) { d += table(s)(codes(s)); s += 1 }
+                var pos = filled
+                while (pos > 0 && (topD(pos - 1) > d ||
+                  (topD(pos - 1) == d && topIds(pos - 1) > cid))) pos -= 1
+                if (pos < k) {
+                  var q = math.min(filled, k - 1)
+                  while (q > pos) { topD(q) = topD(q - 1); topIds(q) = topIds(q - 1); q -= 1 }
+                  topD(pos) = d; topIds(pos) = cid
+                  if (filled < k) filled += 1
+                }
+              }
+              i += 1
+            }
+            (0 until filled).map(i => (pid, topIds(i), topD(i)))
+          }
+        }
+      }.toDF("vec_id", "neighbor_id", "adist")
+    val w = Window.partitionBy("vec_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    partials.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("adist", round(col("adist"), 4))
+  }
 }

@@ -454,47 +454,49 @@ object TextQueries {
     * reusable CTE text (corpus → strided init → `iters` materialized
     * sweeps → per-vector cell ranks `fr`): shared by the IVF top-k oracle
     * and the semantic-dedup oracle. `corpusSql` must yield (id, v).
+    * `p` prefixes every CTE name so several chains can coexist in one
+    * statement (the product-quantization oracle runs one per subspace).
     */
   private[queries] def ivfAssignCtes(corpusSql: String, cells: Int, iters: Int, dp: Int,
-      fitSample: Int): String = {
+      fitSample: Int, p: String = ""): String = {
     def distExpr(vTbl: String, cTbl: String) =
       s"""list_reduce(list_transform(range(1, len($vTbl.v) + 1),
          |      i -> ($vTbl.v[i]::DOUBLE - $cTbl.c[i]) * ($vTbl.v[i]::DOUBLE - $cTbl.c[i])),
          |      (a, b) -> a + b)""".stripMargin
     val sweeps = (1 to iters).map { s =>
-      val prev = s"c${s - 1}"
+      val prev = s"${p}c${s - 1}"
       // MATERIALIZED: without it DuckDB inlines the single-reference CTE
       // chain and the planner blows up intermittently (observed OOM on a
       // 5-sweep chain); materializing each sweep keeps planning linear
-      s"""ds$s AS MATERIALIZED (SELECT o.id, o.v, c.cid, ${distExpr("o", "c")} AS dist
-         |        FROM fit o CROSS JOIN $prev c),
-         |a$s AS MATERIALIZED (SELECT id, v, cid FROM (
+      s"""${p}ds$s AS MATERIALIZED (SELECT o.id, o.v, c.cid, ${distExpr("o", "c")} AS dist
+         |        FROM ${p}fit o CROSS JOIN $prev c),
+         |${p}a$s AS MATERIALIZED (SELECT id, v, cid FROM (
          |          SELECT *, row_number() OVER
-         |            (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rk FROM ds$s)
+         |            (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rk FROM ${p}ds$s)
          |        WHERE rk = 1),
-         |m$s AS MATERIALIZED (SELECT cid, i, round(sum(x) / count(*), $dp) AS cx
+         |${p}m$s AS MATERIALIZED (SELECT cid, i, round(sum(x) / count(*), $dp) AS cx
          |        FROM (SELECT cid, unnest(list_transform(v, x -> x::DOUBLE)) AS x,
-         |                     unnest(range(1, len(v) + 1)) AS i FROM a$s)
+         |                     unnest(range(1, len(v) + 1)) AS i FROM ${p}a$s)
          |        GROUP BY cid, i),
-         |c$s AS MATERIALIZED (SELECT cid, list(cx ORDER BY i) AS c FROM m$s GROUP BY cid
+         |${p}c$s AS MATERIALIZED (SELECT cid, list(cx ORDER BY i) AS c FROM ${p}m$s GROUP BY cid
          |        UNION ALL
          |        SELECT cid, c FROM $prev
-         |        WHERE cid NOT IN (SELECT cid FROM m$s))""".stripMargin
+         |        WHERE cid NOT IN (SELECT cid FROM ${p}m$s))""".stripMargin
     }.mkString(",\n")
-    s"""corpus AS ($corpusSql),
-      ord AS MATERIALIZED (SELECT id, v, row_number() OVER (ORDER BY
+    s"""${p}corpus AS ($corpusSql),
+      ${p}ord AS MATERIALIZED (SELECT id, v, row_number() OVER (ORDER BY
                 ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT ASC, id ASC) - 1 AS rn
-              FROM corpus),
-      fit AS MATERIALIZED (SELECT id, v, rn FROM ord WHERE rn < $fitSample),
-      prm AS (SELECT greatest(1, count(*) // $cells) AS stride FROM fit),
-      c0 AS (SELECT CAST(rn // stride AS INT) AS cid,
+              FROM ${p}corpus),
+      ${p}fit AS MATERIALIZED (SELECT id, v, rn FROM ${p}ord WHERE rn < $fitSample),
+      ${p}prm AS (SELECT greatest(1, count(*) // $cells) AS stride FROM ${p}fit),
+      ${p}c0 AS (SELECT CAST(rn // stride AS INT) AS cid,
                     list_transform(v, x -> x::DOUBLE) AS c
-             FROM fit, prm WHERE rn % stride = 0 AND rn // stride < $cells),
+             FROM ${p}fit, ${p}prm WHERE rn % stride = 0 AND rn // stride < $cells),
       $sweeps,
-      fd AS (SELECT o.id, c.cid, ${distExpr("o", "c")} AS dist
-             FROM ord o CROSS JOIN c$iters c),
-      fr AS (SELECT id, cid, row_number() OVER
-               (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rk FROM fd)"""
+      ${p}fd AS (SELECT o.id, c.cid, ${distExpr("o", "c")} AS dist
+             FROM ${p}ord o CROSS JOIN ${p}c$iters c),
+      ${p}fr AS (SELECT id, cid, row_number() OVER
+               (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rk FROM ${p}fd)"""
   }
 
   private def ivfTopKSql(cells: Int, nprobe: Int, iters: Int, dp: Int, k: Int,
@@ -541,6 +543,101 @@ object TextQueries {
         col("cos"), col("rank")),
     Some(ivfTopKSql(cells = 8, nprobe = 3, iters = 5, dp = 4, k = 3,
       fitSample = 10000)))
+
+  // --- Product quantization (Jégou et al. 2011) ------------------------
+
+  /** One quantized-Lloyd chain per PQ subspace over the SLICED corpus
+    * (`embedding[lo:hi]` — DuckDB list slicing is 1-based inclusive),
+    * each under its own CTE-name prefix so the chains coexist in one
+    * statement. Shared by the code-table and IVF-PQ oracles.
+    */
+  private def pqSubspaceCtes(m: Int, dim: Int, ksub: Int, iters: Int, dp: Int,
+      fitSample: Int): String = {
+    val sub = dim / m
+    (0 until m).map { mi =>
+      val lo = mi * sub + 1
+      val hi = (mi + 1) * sub
+      ivfAssignCtes(
+        s"SELECT vec_id AS id, embedding[$lo:$hi] AS v FROM embeddings",
+        ksub, iters, dp, fitSample, p = s"s${mi}_")
+    }.mkString(",\n")
+  }
+
+  private def pqCodesSelect(m: Int, iters: Int): String =
+    (0 until m).map { mi =>
+      s"SELECT id, $mi AS sub, cid AS code FROM s${mi}_fr WHERE rk = 1"
+    }.mkString(" UNION ALL ")
+
+  /** PQ code table: every embedding compressed to `m` codebook codes —
+    * the 64×-compression pass of the IVF-PQ index (64 floats → 4 bytes
+    * here). The oracle replays all `m` per-subspace quantized-Lloyd fits
+    * and the keep-first nearest-centroid assignment over the full corpus.
+    */
+  val qPqCodes = Q(
+    "q_pq_codes",
+    (s, dir) => Similarity.pqEncode(tables(s, dir).embeddings, "vec_id",
+      "embedding", m = 4, ksub = 16, fitSample = 10000, lloydIters = 5,
+      lloydQuantize = 4),
+    Some(s"""
+      WITH ${pqSubspaceCtes(m = 4, dim = 64, ksub = 16, iters = 5, dp = 4,
+        fitSample = 10000)}
+      SELECT id AS vec_id, sub, code FROM (${pqCodesSelect(m = 4, iters = 5)})"""))
+
+  /** IVF-PQ approximate top-k: coarse cells from the full-vector Lloyd
+    * chain, candidates from the nprobe cell join, but DISTANCES from the
+    * asymmetric ADC form — exact query slices against the neighbor's
+    * quantized codebook centroids. The oracle joins query slices ×
+    * neighbor codes × codebook centroid lists and sums the per-subspace
+    * `list_reduce` squared distances (the within-subspace accumulation
+    * order matches the engine loop; only the m-way outer sum is
+    * engine-unordered, the same tolerance the cosine oracles carry).
+    */
+  val qPqTopK = Q(
+    "q_pq_topk",
+    (s, dir) => Similarity.ivfPqTopK(tables(s, dir).embeddings, "vec_id",
+      "embedding", k = 3, cellCount = 8, nprobe = 3, m = 4, ksub = 16,
+      fitSample = 10000, lloydIters = 5, lloydQuantize = 4)
+      .select(col("vec_id").cast("long"), col("neighbor_id").cast("long"),
+        col("adist"), col("rank")),
+    Some {
+      val m = 4; val dim = 64; val iters = 5
+      val sliceSel = (0 until m).map { mi =>
+        val sub = dim / m
+        s"""SELECT vec_id AS id, $mi AS sub,
+            list_transform(embedding[${mi * sub + 1}:${(mi + 1) * sub}],
+              x -> x::DOUBLE) AS slice FROM embeddings"""
+      }.mkString(" UNION ALL ")
+      val cbSel = (0 until m).map { mi =>
+        s"SELECT $mi AS sub, cid, c FROM s${mi}_c$iters"
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH ${ivfAssignCtes("SELECT vec_id AS id, embedding AS v FROM embeddings",
+          cells = 8, iters = iters, dp = 4, fitSample = 10000)},
+      ${pqSubspaceCtes(m = m, dim = dim, ksub = 16, iters = iters, dp = 4,
+          fitSample = 10000)},
+      memb AS (SELECT id, cid FROM fr WHERE rk = 1),
+      prob AS (SELECT id, cid FROM fr WHERE rk <= 3),
+      cand AS (SELECT p.id AS vec_id, mm.id AS neighbor_id
+               FROM prob p JOIN memb mm ON p.cid = mm.cid AND mm.id <> p.id),
+      qs AS ($sliceSel),
+      codes AS (${pqCodesSelect(m = m, iters = iters)}),
+      cb AS ($cbSel),
+      ad AS (SELECT c.vec_id, c.neighbor_id,
+                    sum(list_reduce(list_transform(range(1, len(q.slice) + 1),
+                        i -> (q.slice[i] - b.c[i]) * (q.slice[i] - b.c[i])),
+                      (a, b) -> a + b)) AS adist
+             FROM cand c
+             JOIN qs q ON q.id = c.vec_id
+             JOIN codes nc ON nc.id = c.neighbor_id AND nc.sub = q.sub
+             JOIN cb b ON b.sub = q.sub AND b.cid = nc.code
+             GROUP BY c.vec_id, c.neighbor_id),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY vec_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+            FROM ad)
+      SELECT vec_id, neighbor_id, round(adist, 4) AS adist,
+             CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 3"""
+    })
 
   /** Embedding-cosine near-dup over a corpus with planted noisy copies —
     * full-pipeline oracle: the planted float perturbation (×1.0001f) is
@@ -2066,7 +2163,8 @@ semantic_dedup:
     qExactDedup, qMinhashDedup, qIndexDedup, qMinhashEstimateError,
     qSimhashDedup, qNgramJaccard, qDedupClusters,
     qSemanticDedup, qWorkflowSemantic,
-    qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qEmbeddingDedup,
+    qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qPqCodes, qPqTopK,
+    qEmbeddingDedup,
     qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText,
     qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality,
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
