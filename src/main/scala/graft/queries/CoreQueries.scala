@@ -480,6 +480,62 @@ object CoreQueries {
         min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
       FROM orders GROUP BY o_orderstatus"""))
 
+  /** DuckDB replay of [[graft.sources.Ingest.zorderValue]] over two
+    * 16-bit bins: `((x >> i) & 1) << 2i  |  ((y >> i) & 1) << 2i+1`.
+    */
+  private def zInterleaveSql(bx: String, by: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($bx >> $i) & 1) << ${2 * i})",
+      s"((($by >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
+  private def zBinSql(x: String, mn: String, mx: String): String =
+    s"""CAST(least(greatest(floor((CAST($x AS DOUBLE) - $mn) / ($mx - $mn)
+       | * 65536.0), 0.0), 65535.0) AS BIGINT)""".stripMargin
+
+  /** Z-order clustered write under the correctness gate: orders goes out
+    * through writeZOrdered on (o_totalprice, o_custkey), comes back, and
+    * the query re-computes every row's z-value FROM THE RE-READ DATA and
+    * aggregates per top-6-bit z-tile. The oracle rebuilds the identical
+    * bin + bit-interleave arithmetic from the source table, so a hash
+    * match proves both losslessness of the layout pass and the z-curve
+    * arithmetic bit-for-bit (IngestSpec separately proves the layout
+    * actually skips files on BOTH dimensions).
+    */
+  val qZorderRoundtrip = Q(
+    "q_zorder_roundtrip",
+    (s, dir) => {
+      import graft.sources.Ingest
+      val out = System.getProperty("java.io.tmpdir", "/tmp") +
+        s"/graft_zorder_roundtrip_${Integer.toHexString(dir.hashCode)}"
+      Ingest.writeZOrdered(tables(s, dir).orders, out,
+        Seq("o_totalprice", "o_custkey"), numFiles = 8, bits = 16)
+      val back = s.read.parquet(out)
+      val st = back.select(
+        min(col("o_totalprice").cast(DoubleType)), max(col("o_totalprice").cast(DoubleType)),
+        min(col("o_custkey").cast(DoubleType)), max(col("o_custkey").cast(DoubleType))).head()
+      val z = Ingest.zorderValue(
+        Seq(col("o_totalprice"), col("o_custkey")),
+        Seq(st.getDouble(0), st.getDouble(2)),
+        Seq(st.getDouble(1), st.getDouble(3)), bits = 16)
+      back.withColumn("zb", shiftright(z, 26))
+        .groupBy(col("zb"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec("o_totalprice")).cast(DoubleType), 4).as("sum_price"))
+    },
+    Some(s"""
+      WITH s AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS mnp,
+                        max(CAST(o_totalprice AS DOUBLE)) AS mxp,
+                        min(CAST(o_custkey AS DOUBLE)) AS mnc,
+                        max(CAST(o_custkey AS DOUBLE)) AS mxc FROM orders),
+      b AS (SELECT o_totalprice,
+              ${zBinSql("o_totalprice", "mnp", "mxp")} AS bx,
+              ${zBinSql("o_custkey", "mnc", "mxc")} AS by
+            FROM orders, s),
+      z AS (SELECT o_totalprice, (${zInterleaveSql("bx", "by", 16)}) AS zv FROM b)
+      SELECT zv >> 26 AS zb, count(*) AS n,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+      FROM z GROUP BY zb"""))
+
   /** Feast export type mapping under the oracle gate: the engine maps
     * the Spark parquet schema to Feast dtypes; DuckDB derives the same
     * mapping from ITS parquet reader's view of lineitem — both engines
@@ -506,5 +562,5 @@ object CoreQueries {
     qSemiAnti, qExcept, qRenameRecast, qRowIds, qSaltedJoin,
     qTopkPerGroup, qRollupPricing, qCubePricing, qGroupingSets, qPivotEvents,
     qGroupedMedian, qWriteRoundtrip, qAvroRoundtrip, qSnapshotDiff, qChangelogApply,
-    qClusteredRoundtrip, qFeastTypes)
+    qClusteredRoundtrip, qZorderRoundtrip, qFeastTypes)
 }

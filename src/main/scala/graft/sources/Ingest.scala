@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.core.Reshape
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Read/write/reshape ETL surface (ref: data_ingest/data_ingest.py).
@@ -105,6 +105,71 @@ object Ingest {
     require(clusterCols.nonEmpty && numFiles > 0, "need cluster columns and a file count")
     df.repartitionByRange(numFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(mode).parquet(filePath)
+  }
+
+  /** Z-value of a row: each column is scaled to a `bits`-bit integer bin
+    * over its [min, max] range (nulls and degenerate ranges bin to 0,
+    * out-of-range values clamp), and the bins' bits are interleaved —
+    * bit `i` of column `j` lands at position `i·k + j`. Rows close in
+    * EVERY dimension get close z-values, which is what makes a z-sorted
+    * layout skippable on any subset of the cluster columns. Pure Column
+    * arithmetic (bits·k shift/mask terms, all codegen'd); the identical
+    * expression is SQL-replayable, which is how the roundtrip oracle
+    * checks the interleave bit-for-bit.
+    */
+  def zorderValue(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double],
+      bits: Int = 16): Column = {
+    require(cols.nonEmpty && cols.size == mins.size && mins.size == maxs.size,
+      "zorderValue needs one (min, max) per column")
+    require(bits >= 1 && bits * cols.size <= 62, "z-value must fit a signed long")
+    val k = cols.size
+    val scale = (1L << bits).toDouble
+    val top = (1L << bits) - 1L
+    val bins = cols.zipWithIndex.map { case (c, j) =>
+      val (mn, mx) = (mins(j), maxs(j))
+      if (mx <= mn) lit(0L)
+      else coalesce(
+        least(greatest(
+          floor((c.cast("double") - lit(mn)) / lit(mx - mn) * lit(scale)), lit(0.0)),
+          lit(top.toDouble)).cast("long"),
+        lit(0L))
+    }
+    val terms = for {
+      i <- 0 until bits
+      j <- 0 until k
+    } yield shiftleft(shiftright(bins(j), i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order clustered write: range-partition + sort on the interleaved
+    * z-value of `zCols`, then drop the helper column before the parquet
+    * write. Each output file covers one compact z-range — a TILE of the
+    * multi-dimensional key space — so parquet min/max stats stay tight
+    * on EVERY cluster column and a later filter on any of them (not just
+    * the leading one, which is all a linear sort can serve) skips files.
+    * The min/max scan that anchors the bins is one tiny aggregate; at
+    * 100 TB this is the layout that turns multi-dimension slice queries
+    * from full scans into tile reads.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      filePath: String,
+      zCols: Seq[String],
+      numFiles: Int,
+      bits: Int = 16,
+      mode: String = "overwrite"): Unit = {
+    require(zCols.size >= 2, "z-ordering needs at least 2 columns (use writeClustered for 1)")
+    require(numFiles > 0, "need a file count")
+    val stats = df.select(zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double")))): _*).head()
+    val mins = zCols.indices.map(i => if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i))
+    val maxs = zCols.indices.map(i => if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1))
+    val z = zorderValue(zCols.map(col), mins, maxs, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
       .write.mode(mode).parquet(filePath)
   }
 

@@ -85,6 +85,43 @@ class IngestSpec extends SparkSpec {
     assert(hitFiles == 1, s"range filter should touch 1 of 8 files, touched $hitFiles")
   }
 
+  test("z-ordered write enables file skipping on EVERY cluster dimension") {
+    // 100×100 grid: x and y are independent, so a linear sort on x packs
+    // every y-value into every file — a y-filter touches all of them. The
+    // z-curve tiles the plane instead: a selective filter on EITHER
+    // dimension fixes that dimension's top bin bits, which are
+    // interleaved into the file-splitting top z-bits.
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val d = (0 until 10000).map(i => (i / 100, i % 100, i.toLong)).toDF("x", "y", "id")
+    graft.sources.Ingest.writeZOrdered(d, s"$dir/z", Seq("x", "y"), numFiles = 8)
+    graft.sources.Ingest.writeClustered(d, s"$dir/lin", Seq("x"), numFiles = 8)
+    val z = spark.read.parquet(s"$dir/z")
+    val lin = spark.read.parquet(s"$dir/lin")
+    assert(z.count() == 10000 && lin.count() == 10000)
+    import org.apache.spark.sql.functions.input_file_name
+    def filesHit(df: org.apache.spark.sql.DataFrame, f: org.apache.spark.sql.Column): Long =
+      df.filter(f).select(input_file_name()).distinct().count()
+    // y-slice (bottom quarter): the x-sorted layout must read every file;
+    // the z-layout reads at most half (y's MSB = 0 halves the curve)
+    val ySlice = col("y") < 25
+    assert(filesHit(lin, ySlice) == 8, "x-linear layout should spread y everywhere")
+    assert(filesHit(z, ySlice) <= 4,
+      s"z-layout should skip files on a y-filter, hit ${filesHit(z, ySlice)} of 8")
+    // x-slice: both layouts skip (x leads the linear sort; x is also
+    // interleaved into z)
+    val xSlice = col("x") < 25
+    assert(filesHit(lin, xSlice) <= 2)
+    assert(filesHit(z, xSlice) <= 4,
+      s"z-layout should skip files on an x-filter too, hit ${filesHit(z, xSlice)} of 8")
+    // a 2-D box is where the tiling wins outright: ≤ 2 of 8 tiles
+    val box = col("x") < 25 && col("y") < 25
+    assert(filesHit(z, box) <= 2,
+      s"z-layout should read a 2-D box from ≤2 tiles, hit ${filesHit(z, box)}")
+    // and the layout pass is lossless
+    val ids: Seq[Long] = z.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 10000L).toSeq)
+  }
+
   test("deterministic stratified sample hits exact per-stratum targets") {
     // strata sizes 100 / 300 / 600
     val d = ((1 to 100).map(i => (i, "small")) ++ (101 to 400).map(i => (i, "mid")) ++
