@@ -941,4 +941,176 @@ object Similarity {
       .filter(col("rank") <= k)
       .withColumn("adist", round(col("adist"), 4))
   }
+
+  /** Build the IVF-PQ SERVING index over a corpus — the hash-once shape
+    * of [[graft.functions.Dedup.minhashIndexMd5]] for ANN: the corpus is
+    * scanned once and never again; later query batches probe the saved
+    * frames by pure equi-join. Returns
+    * `(model, lists)`:
+    *  - `model` (driver-array-sized): `kind` "cell" rows carry the coarse
+    *    centroids (`cid`, `c`), "book" rows the per-subspace codebook
+    *    centroids (`sub`, `cid`, `c`) — self-describing, so a probe with
+    *    mismatched hyperparameters fails fast on the stored shapes;
+    *  - `lists` (corpus-sized, m ints + a salt per member): the inverted
+    *    lists. Salting happens at BUILD time (id-hash split sized from
+    *    the corpus count against `memberCapPerCell`), so hot coarse
+    *    cells are pre-shredded and no probe ever re-sorts the index.
+    */
+  def buildIvfPqIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCount: Int = 8,
+      m: Int = 4,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      fitSample: Int = 10000,
+      lloydIters: Int = 5,
+      lloydQuantize: Int = 4,
+      memberCapPerCell: Int = 250000): (DataFrame, DataFrame) = {
+    import df.sparkSession.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val sample = md5Sample(base, fitSample)
+    val centers = localKMeans(sample, cellCount, seed, lloydIters, lloydQuantize)
+    val books = pqCodebooks(sample, m, ksub, seed, lloydIters, lloydQuantize)
+    val bcCenters = df.sparkSession.sparkContext.broadcast(centers)
+    val bcBooks = df.sparkSession.sparkContext.broadcast(books)
+    val n = base.count()
+    val numSalts = math.max(1, math.ceil(
+      n.toDouble / math.max(1, cellCount) / memberCapPerCell).toInt)
+    val modelRows =
+      centers.indices.map(ci => ("cell", -1, ci, centers(ci).toSeq)) ++
+        books.indices.flatMap(mi =>
+          books(mi).indices.map(ci => ("book", mi, ci, books(mi)(ci).toSeq)))
+    val model = modelRows.toDF("kind", "sub", "cid", "c")
+    val lists = base.map { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).toArray
+      var best = 0; var bestD = Double.MaxValue
+      val cs = bcCenters.value
+      var ci = 0
+      while (ci < cs.length) {
+        var d = 0.0; var j = 0; val c = cs(ci)
+        while (j < c.length && j < v.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      (id, best, (java.lang.Long.hashCode(id) & 0x7fffffff) % numSalts,
+        pqCode(v, bcBooks.value))
+    }.toDF("id", "cell", "salt", "codes")
+    (model, lists)
+  }
+
+  /** Probe a saved IVF-PQ index with a NEW query batch: top-k ADC
+    * neighbors per query from the stored code lists, without ever
+    * touching the corpus vectors. The model frame collects to driver
+    * arrays (O((cells + m·ksub)·dim)), queries fan out to their nprobe
+    * nearest cells × the index's build-time salts, and candidates meet
+    * in the same per-cell cogroup loop as [[ivfPqTopK]] — one shuffle of
+    * the lists keyed by (cell, salt), O(m) per candidate. No
+    * self-exclusion: serving returns whatever the index stores (a probe
+    * of the corpus by itself reports each vector's own codes at the ADC
+    * floor), so callers with overlapping id spaces filter ids themselves.
+    */
+  def annAgainstIndex(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: DataFrame,
+      lists: DataFrame,
+      k: Int = 3,
+      nprobe: Int = 3): DataFrame = {
+    import queries.sparkSession.implicits._
+    val modelRows = model.select(col("kind"), col("sub"), col("cid"), col("c"))
+      .collect()
+    val centers = modelRows.filter(_.getString(0) == "cell")
+      .sortBy(_.getInt(2)).map(_.getSeq[Double](3).toArray)
+    val bookRows = modelRows.filter(_.getString(0) == "book")
+    require(centers.nonEmpty && bookRows.nonEmpty, "model frame has no cell/book rows")
+    val m = bookRows.map(_.getInt(1)).max + 1
+    val books = Array.tabulate(m) { mi =>
+      bookRows.filter(_.getInt(1) == mi).sortBy(_.getInt(2))
+        .map(_.getSeq[Double](3).toArray)
+    }
+    val dim = centers(0).length
+    require(books.map(_.head.length).sum == dim,
+      s"codebook subspaces cover ${books.map(_.head.length).sum} dims, index dim is $dim")
+    val bcCenters = queries.sparkSession.sparkContext.broadcast(centers)
+    val bcBooks = queries.sparkSession.sparkContext.broadcast(books)
+    // one tiny agg action — the index stores its salt split, probes fan
+    // out to match it
+    val numSalts = lists.agg(max(col("salt"))).head() match {
+      case r if r.isNullAt(0) => 1
+      case r => r.getInt(0) + 1
+    }
+    val members = lists.select(col("cell"), col("salt"), col("id"), col("codes"))
+      .as[(Int, Int, Long, Array[Int])]
+    val probers = queries
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1).toArray
+        val cs = bcCenters.value
+        val ranked = cs.indices.map { ci =>
+          var d = 0.0; var j = 0; val c = cs(ci)
+          while (j < c.length && j < v.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
+          (ci, d)
+        }.sortBy(_._2).take(math.min(nprobe, cs.length)).map(_._1)
+        for { c <- ranked; salt <- 0 until numSalts } yield (c, salt, id, v)
+      }
+    val partials = members.groupByKey(x => (x._1, x._2))
+      .cogroup(probers.groupByKey(p => (p._1, p._2))) { (_, ms, ps) =>
+        val mArr = ms.map(x => (x._3, x._4)).toArray
+        if (mArr.isEmpty) Iterator.empty
+        else {
+          val books = bcBooks.value
+          val mSub = books.length
+          val kSub = books(0).length
+          ps.flatMap { case (_, _, pid, pv) =>
+            val table = Array.ofDim[Double](mSub, kSub)
+            var mi = 0
+            while (mi < mSub) {
+              val book = books(mi)
+              val sub = book(0).length
+              val off = mi * sub
+              var ci = 0
+              while (ci < kSub) {
+                val c = book(ci)
+                var d = 0.0; var j = 0
+                while (j < sub) {
+                  val diff = pv(off + j).toDouble - c(j); d += diff * diff; j += 1
+                }
+                table(mi)(ci) = d
+                ci += 1
+              }
+              mi += 1
+            }
+            val topIds = new Array[Long](k)
+            val topD = new Array[Double](k)
+            var filled = 0
+            var i = 0
+            while (i < mArr.length) {
+              val (cid, codes) = mArr(i)
+              var d = 0.0; var s = 0
+              while (s < mSub) { d += table(s)(codes(s)); s += 1 }
+              var pos = filled
+              while (pos > 0 && (topD(pos - 1) > d ||
+                (topD(pos - 1) == d && topIds(pos - 1) > cid))) pos -= 1
+              if (pos < k) {
+                var q = math.min(filled, k - 1)
+                while (q > pos) { topD(q) = topD(q - 1); topIds(q) = topIds(q - 1); q -= 1 }
+                topD(pos) = d; topIds(pos) = cid
+                if (filled < k) filled += 1
+              }
+              i += 1
+            }
+            (0 until filled).map(i => (pid, topIds(i), topD(i)))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "adist")
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    partials.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("adist", round(col("adist"), 4))
+  }
 }

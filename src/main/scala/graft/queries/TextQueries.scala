@@ -639,6 +639,91 @@ object TextQueries {
       FROM r WHERE rank <= 3"""
     })
 
+  /** ANN serving against a SAVED IVF-PQ index: the corpus is encoded and
+    * written once (model + salted inverted code lists round-trip
+    * parquet), then a new query batch — exact copies under fresh ids
+    * plus reversed-array novels, both float-exact constructions — probes
+    * the re-read index without touching any corpus vector. The oracle
+    * rebuilds the fit chains over the corpus, assigns the query batch to
+    * its nprobe cells against the final centroid table, and replays the
+    * ADC scoring join — proving the whole build → save → re-read → probe
+    * path end to end.
+    */
+  val qAnnIndex = Q(
+    "q_ann_index",
+    (s, dir) => {
+      val idxDir = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft_q_ann_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      val emb = tables(s, dir).embeddings
+      val (model, lists) = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+        cellCount = 8, m = 4, ksub = 16, fitSample = 10000, lloydIters = 5,
+        lloydQuantize = 4)
+      model.write.mode("overwrite").parquet(s"$idxDir/model")
+      lists.write.mode("overwrite").parquet(s"$idxDir/lists")
+      val copies = emb.filter(col("vec_id") % 7 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      val novels = emb.filter(col("vec_id") % 7 === 3)
+        .withColumn("vec_id", col("vec_id") + 200000)
+        .withColumn("embedding", reverse(col("embedding")))
+      Similarity.annAgainstIndex(copies.unionByName(novels), "vec_id", "embedding",
+        s.read.parquet(s"$idxDir/model"), s.read.parquet(s"$idxDir/lists"),
+        k = 3, nprobe = 3)
+        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+          col("adist"), col("rank"))
+    },
+    Some {
+      val m = 4; val dim = 64; val iters = 5
+      val sliceSel = (0 until m).map { mi =>
+        val sub = dim / m
+        s"""SELECT id, $mi AS sub,
+            list_transform(v[${mi * sub + 1}:${(mi + 1) * sub}],
+              x -> x::DOUBLE) AS slice FROM qb"""
+      }.mkString(" UNION ALL ")
+      val cbSel = (0 until m).map { mi =>
+        s"SELECT $mi AS sub, cid, c FROM s${mi}_c$iters"
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH ${ivfAssignCtes("SELECT vec_id AS id, embedding AS v FROM embeddings",
+          cells = 8, iters = iters, dp = 4, fitSample = 10000)},
+      ${pqSubspaceCtes(m = m, dim = dim, ksub = 16, iters = iters, dp = 4,
+          fitSample = 10000)},
+      memb AS (SELECT id, cid FROM fr WHERE rk = 1),
+      codes AS (${pqCodesSelect(m = m, iters = iters)}),
+      cb AS ($cbSel),
+      qb AS (SELECT vec_id + 100000 AS id, embedding AS v
+             FROM embeddings WHERE vec_id % 7 = 0
+             UNION ALL
+             SELECT vec_id + 200000 AS id, list_reverse(embedding) AS v
+             FROM embeddings WHERE vec_id % 7 = 3),
+      qfd AS (SELECT o.id, c.cid,
+                list_reduce(list_transform(range(1, len(o.v) + 1),
+                  i -> (o.v[i]::DOUBLE - c.c[i]) * (o.v[i]::DOUBLE - c.c[i])),
+                  (a, b) -> a + b) AS dist
+              FROM qb o CROSS JOIN c$iters c),
+      qfr AS (SELECT id, cid, row_number() OVER
+                (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rk FROM qfd),
+      cand AS (SELECT q.id AS query_id, mm.id AS neighbor_id
+               FROM (SELECT id, cid FROM qfr WHERE rk <= 3) q
+               JOIN memb mm ON q.cid = mm.cid),
+      qs AS ($sliceSel),
+      ad AS (SELECT c.query_id, c.neighbor_id,
+                    sum(list_reduce(list_transform(range(1, len(q.slice) + 1),
+                        i -> (q.slice[i] - b.c[i]) * (q.slice[i] - b.c[i])),
+                      (a, b) -> a + b)) AS adist
+             FROM cand c
+             JOIN qs q ON q.id = c.query_id
+             JOIN codes nc ON nc.id = c.neighbor_id AND nc.sub = q.sub
+             JOIN cb b ON b.sub = q.sub AND b.cid = nc.code
+             GROUP BY c.query_id, c.neighbor_id),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+            FROM ad)
+      SELECT query_id, neighbor_id, round(adist, 4) AS adist,
+             CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 3"""
+    })
+
   /** Embedding-cosine near-dup over a corpus with planted noisy copies —
     * full-pipeline oracle: the planted float perturbation (×1.0001f) is
     * replayed bit-exactly (a 24-bit × 24-bit float product is exact in
@@ -2164,7 +2249,7 @@ semantic_dedup:
     qSimhashDedup, qNgramJaccard, qDedupClusters,
     qSemanticDedup, qWorkflowSemantic,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qPqCodes, qPqTopK,
-    qEmbeddingDedup,
+    qAnnIndex, qEmbeddingDedup,
     qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText,
     qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality,
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,

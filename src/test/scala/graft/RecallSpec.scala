@@ -154,4 +154,44 @@ class RecallSpec extends SparkSpec {
     assert(recallFine > recall,
       f"finer PQ codebooks did not improve recall: $recallFine%.3f <= $recall%.3f")
   }
+
+  test("saved ivf-pq index: self-probe at the floor, salt-split invariance, dim guard") {
+    val (model, lists) = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      cellCount = 8, m = 4, ksub = 16)
+    // probing the corpus against its own index: rank-1 is the query's own
+    // stored entry (no self-exclusion in serving) or a code-tuple tie
+    // with a lower id — either way the rank-1 ADC distance equals the
+    // query's reconstruction distance, which self-probing must reach
+    val top = Similarity.annAgainstIndex(emb, "vec_id", "embedding", model, lists,
+      k = 1, nprobe = 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val selfD = Similarity.annAgainstIndex(emb, "vec_id", "embedding", model, lists,
+      k = 200, nprobe = 1)
+      .filter(col("query_id") === col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    selfD.foreach { case (id, d) =>
+      assert(top(id)._2 == d,
+        s"query $id rank-1 adist ${top(id)._2} != its reconstruction distance $d")
+    }
+    // a hot-cell build (cap forces an id-hash salt split) must serve the
+    // exact same results — salting only re-shards the cogroup
+    val (modelS, listsS) = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      cellCount = 8, m = 4, ksub = 16, memberCapPerCell = 5)
+    assert(listsS.agg(org.apache.spark.sql.functions.max(col("salt"))).head().getInt(0) > 0,
+      "cap of 5 should force multiple salts")
+    val topS = Similarity.annAgainstIndex(emb, "vec_id", "embedding", modelS, listsS,
+      k = 1, nprobe = 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(topS == top, "salted index serves different results")
+    // mismatched geometry fails fast instead of silently mis-scoring
+    val truncated = emb.withColumn("embedding",
+      org.apache.spark.sql.functions.slice(col("embedding"), 1, 32))
+    val (shortModel, shortLists) = Similarity.buildIvfPqIndex(truncated,
+      "vec_id", "embedding", cellCount = 8, m = 4, ksub = 16)
+    val half = shortModel.filter(col("kind") === "book")
+    intercept[IllegalArgumentException] {
+      Similarity.annAgainstIndex(emb, "vec_id", "embedding",
+        model.filter(col("kind") === "cell").unionByName(half), shortLists, k = 1)
+    }
+  }
 }
