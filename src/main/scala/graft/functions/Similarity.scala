@@ -1001,6 +1001,54 @@ object Similarity {
     (model, lists)
   }
 
+  /** Rehydrate a saved IVF-PQ model frame into driver arrays
+    * `(coarse centers, per-subspace codebooks)`, validating the stored
+    * geometry (shared by the batch and streaming probes — one collect of
+    * an O((cells + m·ksub)·dim) frame).
+    */
+  private[graft] def parseIvfPqModel(
+      model: DataFrame): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val modelRows = model.select(col("kind"), col("sub"), col("cid"), col("c"))
+      .collect()
+    val centers = modelRows.filter(_.getString(0) == "cell")
+      .sortBy(_.getInt(2)).map(_.getSeq[Double](3).toArray)
+    val bookRows = modelRows.filter(_.getString(0) == "book")
+    require(centers.nonEmpty && bookRows.nonEmpty, "model frame has no cell/book rows")
+    val m = bookRows.map(_.getInt(1)).max + 1
+    val books = Array.tabulate(m) { mi =>
+      bookRows.filter(_.getInt(1) == mi).sortBy(_.getInt(2))
+        .map(_.getSeq[Double](3).toArray)
+    }
+    val dim = centers(0).length
+    require(books.map(_.head.length).sum == dim,
+      s"codebook subspaces cover ${books.map(_.head.length).sum} dims, index dim is $dim")
+    (centers, books)
+  }
+
+  /** The ADC distance of a raw query vector to a member's stored codes,
+    * without the per-probe lookup table: Σ per subspace of the exact
+    * squared L2 from the query's slice to the coded centroid — O(dim)
+    * per candidate (the table form amortizes to O(m) but needs the
+    * per-cell cogroup; this direct form is what a stream-static join row
+    * can evaluate). Identical numerics: same per-subspace sequential
+    * accumulation, same subspace-order outer sum.
+    */
+  private[graft] def adcDistance(v: Array[Float], codes: Array[Int],
+      books: Array[Array[Array[Double]]]): Double = {
+    var total = 0.0
+    var mi = 0
+    while (mi < books.length) {
+      val c = books(mi)(codes(mi))
+      val sub = c.length
+      val off = mi * sub
+      var d = 0.0; var j = 0
+      while (j < sub) { val diff = v(off + j).toDouble - c(j); d += diff * diff; j += 1 }
+      total += d
+      mi += 1
+    }
+    total
+  }
+
   /** Probe a saved IVF-PQ index with a NEW query batch: top-k ADC
     * neighbors per query from the stored code lists, without ever
     * touching the corpus vectors. The model frame collects to driver
@@ -1021,20 +1069,7 @@ object Similarity {
       k: Int = 3,
       nprobe: Int = 3): DataFrame = {
     import queries.sparkSession.implicits._
-    val modelRows = model.select(col("kind"), col("sub"), col("cid"), col("c"))
-      .collect()
-    val centers = modelRows.filter(_.getString(0) == "cell")
-      .sortBy(_.getInt(2)).map(_.getSeq[Double](3).toArray)
-    val bookRows = modelRows.filter(_.getString(0) == "book")
-    require(centers.nonEmpty && bookRows.nonEmpty, "model frame has no cell/book rows")
-    val m = bookRows.map(_.getInt(1)).max + 1
-    val books = Array.tabulate(m) { mi =>
-      bookRows.filter(_.getInt(1) == mi).sortBy(_.getInt(2))
-        .map(_.getSeq[Double](3).toArray)
-    }
-    val dim = centers(0).length
-    require(books.map(_.head.length).sum == dim,
-      s"codebook subspaces cover ${books.map(_.head.length).sum} dims, index dim is $dim")
+    val (centers, books) = parseIvfPqModel(model)
     val bcCenters = queries.sparkSession.sparkContext.broadcast(centers)
     val bcBooks = queries.sparkSession.sparkContext.broadcast(books)
     // one tiny agg action — the index stores its salt split, probes fan

@@ -389,6 +389,60 @@ object StreamingOps {
       .select(col("key"), col("idx_key"), col("est"))
   }
 
+  /** Streaming ANN radius probe against a saved IVF-PQ index — the
+    * serving twin of [[graft.functions.Similarity.annAgainstIndex]] for
+    * an unbounded query stream: each arriving vector fans out to its
+    * `nprobe` nearest coarse cells × the index's build-time salt split,
+    * meets the STATIC code lists in a stateless stream-static equi-join,
+    * and emits every stored neighbor whose ADC distance is within
+    * `maxDist`. No watermark, no state store — the join is Append-safe —
+    * and per candidate the direct O(dim) ADC form replaces the batch
+    * probe's per-cell lookup table (a join row can't amortize one).
+    * Emissions are per micro-batch; at-least-once re-delivery of a query
+    * row re-emits its matches, so consumers treat the output as a set.
+    */
+  def streamingAnnProbe(
+      stream: DataFrame,
+      model: DataFrame,
+      lists: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      maxDist: Double,
+      nprobe: Int = 3): DataFrame = {
+    val (centers, books) = graft.functions.Similarity.parseIvfPqModel(model)
+    val sc = stream.sparkSession.sparkContext
+    val bcCenters = sc.broadcast(centers)
+    val bcBooks = sc.broadcast(books)
+    // one tiny agg on the STATIC frame at plan-build time — mirrors the
+    // batch probe's salt discovery
+    val numSalts = lists.agg(max(col("salt"))).head() match {
+      case r if r.isNullAt(0) => 1
+      case r => r.getInt(0) + 1
+    }
+    val cellsUdf = udf { v: Seq[Float] =>
+      val q = v.toArray
+      val cs = bcCenters.value
+      cs.indices.map { ci =>
+        var d = 0.0; var j = 0; val c = cs(ci)
+        while (j < c.length && j < q.length) { val diff = q(j) - c(j); d += diff * diff; j += 1 }
+        (ci, d)
+      }.sortBy(_._2).take(math.min(nprobe, cs.length)).map(_._1)
+    }
+    val adcUdf = udf { (v: Seq[Float], codes: Seq[Int]) =>
+      graft.functions.Similarity.adcDistance(v.toArray, codes.toArray, bcBooks.value)
+    }
+    val fanned = stream
+      .select(col(keyCol).as("key"), col(vecCol).as("__v"))
+      .withColumn("cell", explode(cellsUdf(col("__v"))))
+      .withColumn("salt", explode(array((0 until numSalts).map(lit): _*)))
+    fanned
+      .join(lists.select(col("cell"), col("salt"),
+        col("id").as("neighbor_id"), col("codes")), Seq("cell", "salt"))
+      .withColumn("adist", round(adcUdf(col("__v"), col("codes")), 4))
+      .filter(col("adist") <= maxDist)
+      .select(col("key"), col("neighbor_id"), col("adist"))
+  }
+
   final case class LineKeep(key: Long, pos: Int, line: String)
 
   /** Streaming corpus-level line dedup — the streaming twin of

@@ -206,6 +206,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN radius probe matches the batch index probe's candidate set") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (model, lists) = graft.functions.Similarity.buildIvfPqIndex(
+      emb, "vec_id", "embedding", cellCount = 8, m = 4, ksub = 16)
+    model.cache(); lists.cache()
+    val queries = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // radius from the batch distance distribution so the set is
+    // non-trivial in both directions (some matches, some exclusions)
+    val batchAll = graft.functions.Similarity.annAgainstIndex(
+      emb, "vec_id", "embedding", model, lists, k = 10000, nprobe = 2)
+    val dists = batchAll.select("adist").collect().map(_.getDouble(0)).sorted
+    val radius = dists(dists.length / 4)
+    val batch = batchAll.filter(col("adist") <= radius)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty && batch.size < dists.length)
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val out = StreamingOps.streamingAnnProbe(stream, model, lists,
+      "vec_id", "embedding", maxDist = radius, nprobe = 2)
+    val q = out.writeStream.format("memory").queryName("ann_probe_out")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = queries.splitAt(queries.length / 2)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(rest.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT DISTINCT key, neighbor_id, adist FROM ann_probe_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch,
+        s"streaming radius set diverged: +${(streamed diff batch).take(3)} " +
+          s"-${(batch diff streamed).take(3)}")
+    } finally { q.stop(); model.unpersist(); lists.unpersist() }
+  }
+
   test("stream-static broadcast join enriches events in flight") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{broadcast, col}
