@@ -453,6 +453,62 @@ object Workflow {
       }
     }
 
+    // ---- build_ann_index: persist an IVF-PQ serving index (model +
+    // salted inverted code lists) of the current frame's embedding
+    // column, so later runs can probe it without re-reading this corpus.
+    // Rebuild-on-write semantics (the fit must see the whole corpus;
+    // an incremental code append against stale centroids would skew
+    // assignments — unlike the band index, which is fit-free).
+    conf.get("build_ann_index").foreach { v =>
+      val bc = asConf(v)
+      val idCol = bc.getOrElse("id_col", df.columns.head).toString
+      val vecCol = bc.getOrElse("vec_col", "embedding").toString
+      val path = bc("path").toString
+      timed("build_ann_index") {
+        val (model, lists) = graft.functions.Similarity.buildIvfPqIndex(
+          df, idCol, vecCol,
+          cellCount = bc.getOrElse("cell_count", 8).toString.toInt,
+          m = bc.getOrElse("subspaces", 4).toString.toInt,
+          ksub = bc.getOrElse("codebook_size", 16).toString.toInt)
+        model.write.mode("overwrite").parquet(s"$path/model")
+        lists.write.mode("overwrite").parquet(s"$path/lists")
+        df
+      }
+    }
+
+    // ---- ann_probe: query a SAVED IVF-PQ index with the current
+    // frame's vectors. With `max_dist` set, rows whose ADC distance to
+    // any stored neighbor is within the radius DROP (semantic near-dups
+    // of the indexed corpus — the embedding-space analog of
+    // dedup_against_index); otherwise the top-k neighbor frame attaches
+    // as a stage metric and the frame flows through unchanged.
+    conf.get("ann_probe").foreach { v =>
+      val pc = asConf(v)
+      val idCol = pc.getOrElse("id_col", df.columns.head).toString
+      val vecCol = pc.getOrElse("vec_col", "embedding").toString
+      val path = pc("index_path").toString
+      val model = spark.read.parquet(s"$path/model")
+      val lists = spark.read.parquet(s"$path/lists")
+      val k = pc.getOrElse("k", 3).toString.toInt
+      val nprobe = pc.getOrElse("nprobe", 3).toString.toInt
+      pc.get("max_dist") match {
+        case Some(md) =>
+          val radius = md.toString.toDouble
+          df = timed("ann_probe") {
+            val probeSide = graft.functions.Dedup.materialize(df)
+            val hit = graft.functions.Similarity.annAgainstIndex(
+              probeSide, idCol, vecCol, model, lists, k = 1, nprobe = nprobe)
+              .filter(org.apache.spark.sql.functions.col("adist") <= radius)
+              .select(org.apache.spark.sql.functions.col("query_id").as(idCol))
+            probeSide.join(hit, Seq(idCol), "left_anti")
+          }
+        case None =>
+          val topk = graft.functions.Similarity.annAgainstIndex(
+            df, idCol, vecCol, model, lists, k = k, nprobe = nprobe)
+          timed("ann_probe", Map("ann_topk" -> topk)) { () }
+      }
+    }
+
     // ---- graph_metrics: PageRank / triangle counts over an edge list —
     // either a separate parquet edge table (edges_path) or the current
     // frame's two key columns. Results attach as stage metrics (the

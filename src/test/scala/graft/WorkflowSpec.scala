@@ -221,6 +221,62 @@ text_pipeline:
     assert(idxKeys.contains(1L) && idxKeys.contains(2L) && idxKeys.contains(20L))
   }
 
+  test("workflow ANN index: build in run 1, radius-drop and metric probes in run 2") {
+    val dir = java.nio.file.Files.createTempDirectory("wfann").toString
+    // 4 well-separated prototypes, replicated — in-distribution vectors
+    // reconstruct within a small ADC distance; the novel probe sits far
+    // outside every codebook's reach
+    val protos = Array(
+      Array.fill(8)(0.0f), Array.fill(8)(5.0f),
+      Array.tabulate(8)(i => if (i < 4) 10.0f else 0.0f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 0.0f else 8.0f))
+    val corpus = (0 until 100).map(i => (i.toLong, protos(i % 4).toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    corpus.write.parquet(s"$dir/corpus")
+    val yamlBuild = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/corpus"
+    file_type: parquet
+build_ann_index: {path: "$dir/annidx", id_col: vec_id, vec_col: embedding,
+  cell_count: 4, subspaces: 2, codebook_size: 4}
+"""
+    Workflow.run(spark, yamlBuild)
+    assert(spark.read.parquet(s"$dir/annidx/lists").count() == 100)
+    // probe batch: fresh-id copies of two prototypes (must drop inside
+    // the radius) plus a far-away novel (must survive)
+    val probe = Seq(
+      (200L, protos(0).toSeq), (201L, protos(1).toSeq),
+      (202L, Array.fill(8)(1000.0f).toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    probe.write.parquet(s"$dir/probe")
+    val yamlDrop = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/probe"
+    file_type: parquet
+ann_probe: {index_path: "$dir/annidx", id_col: vec_id, vec_col: embedding,
+  max_dist: 50.0, nprobe: 4}
+"""
+    val (dropped, _) = Workflow.run(spark, yamlDrop)
+    assert(dropped.select("vec_id").collect().map(_.getLong(0)).toSeq == Seq(202L))
+    // metric mode: frame unchanged, top-k frame attached as a stage metric
+    val yamlMetric = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/probe"
+    file_type: parquet
+ann_probe: {index_path: "$dir/annidx", id_col: vec_id, vec_col: embedding,
+  k: 2, nprobe: 4}
+"""
+    val (through, stages) = Workflow.run(spark, yamlMetric)
+    assert(through.count() == 3)
+    val topk = stages.find(_.name == "ann_probe").get.metrics("ann_topk")
+    assert(topk.filter(col("query_id") === 200L).count() == 2)
+  }
+
   test("workflow: ts_preprocess, stratified sample, geo cluster stages") {
     val dir = java.nio.file.Files.createTempDirectory("wfx").toString
     val rnd = new scala.util.Random(5)
