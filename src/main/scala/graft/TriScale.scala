@@ -42,7 +42,12 @@ object TriScale {
     "q_lsh_topk", "q_ivf_topk", "q_embedding_neardup",
     // round-13b: the span-removal apply (token×span HOF filter risk)
     // and the saved-index probe (band equi-join + estimate)
-    "q_dup_span_removal", "q_index_dedup")
+    "q_dup_span_removal", "q_index_dedup",
+    // round-13c: the compressed-embedding family (PQ encode is map-only,
+    // IVF-PQ/serving-probe are cell cogroups — quadratic-within-cell
+    // risk like semantic_dedup) and the z-order layout pass (range
+    // exchange + sort must stay linear)
+    "q_pq_topk", "q_ann_index", "q_zorder_roundtrip")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -71,7 +76,10 @@ object TriScale {
     "q_lsh_topk", "q_ivf_topk", "q_embedding_neardup", "q_semantic_dedup",
     "q_dedup_clusters",
     // round-13b text additions ride the sf1 documents tier too
-    "q_dup_span_removal", "q_index_dedup")
+    "q_dup_span_removal", "q_index_dedup",
+    // round-13c: PQ rides the rotated-embedding tier, z-order the
+    // orders tier
+    "q_pq_topk", "q_ann_index", "q_zorder_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -60,9 +60,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int = 5,
-      maxCollectRows: Long = 1000000L): DataFrame = {
+      maxCollectRows: Long = 1000000L,
+      metric: String = "cosine"): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    require(metric == "cosine" || metric == "l2", s"unknown metric '$metric'")
+    val l2 = metric == "l2"
     // driver-collect guard: beyond ~1e6 vectors the broadcast OOMs the
     // driver — fail over to the distributed exhaustive-probe IVF path,
     // which is also exact (every query probes every cell, so every pair
@@ -76,6 +79,12 @@ object Similarity {
     val overCap = est > maxCollectRows ||
       (statsEst.isDefined && df.limit(probeCap).count() > maxCollectRows)
     if (overCap) {
+      // L2 is the bounded-measurement metric (the recall-evaluation
+      // reference): past the collect cap there is no exact distributed
+      // L2 path here — the scale answer IS the approximate ivfPqTopK,
+      // which an exact reference cannot vouch for at that size anyway
+      require(!l2, s"exact L2 top-k collects the corpus (cap $maxCollectRows); " +
+        "evaluate recall on a bounded sample, or use ivfPqTopK as the scale path")
       // when the probe (not the estimate) tripped the cap, the true count
       // is at least maxCollectRows — size the cells from the larger figure
       val n = math.max(est, maxCollectRows)
@@ -94,7 +103,7 @@ object Similarity {
     }
     val outSchema = StructType(Seq(
       StructField("vec_id", LongType), StructField("neighbor_id", LongType),
-      StructField("cos", DoubleType), StructField("rank", IntegerType)))
+      StructField(if (l2) "dist" else "cos", DoubleType), StructField("rank", IntegerType)))
     val enc = RowEncoder.encoderFor(outSchema)
     base.mapPartitions { rows =>
       val cand = bc.value
@@ -103,7 +112,8 @@ object Similarity {
         val id = r.getLong(0)
         val v = r.getSeq[Float](1).toArray
         val nv = norm(v)
-        // top-k selection: (cos desc, neighbor_id asc)
+        // top-k selection: (score desc, neighbor_id asc) — L2 negates the
+        // squared distance into the same descending frame
         val topIds = new Array[Long](k)
         val topCos = new Array[Double](k)
         var filled = 0
@@ -113,8 +123,12 @@ object Similarity {
           if (cid != id) {
             var s = 0.0; var j = 0
             val n = math.min(v.length, cv.length)
-            while (j < n) { s += v(j).toDouble * cv(j).toDouble; j += 1 }
-            val cos = s / (nv * candNorms(ci))
+            if (l2) {
+              while (j < n) { val d = v(j).toDouble - cv(j).toDouble; s += d * d; j += 1 }
+            } else {
+              while (j < n) { s += v(j).toDouble * cv(j).toDouble; j += 1 }
+            }
+            val cos = if (l2) -s else s / (nv * candNorms(ci))
             // insertion position among current top
             var pos = filled
             while (pos > 0 && (topCos(pos - 1) < cos ||
@@ -130,7 +144,8 @@ object Similarity {
           ci += 1
         }
         (0 until filled).iterator.map { i =>
-          val rounded = BigDecimal(topCos(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val value = if (l2) -topCos(i) else topCos(i)
+          val rounded = BigDecimal(value).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
           Row(id, topIds(i), rounded, i + 1)
         }
       }

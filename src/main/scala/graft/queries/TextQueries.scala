@@ -592,31 +592,28 @@ object TextQueries {
     * order matches the engine loop; only the m-way outer sum is
     * engine-unordered, the same tolerance the cosine oracles carry).
     */
-  val qPqTopK = Q(
-    "q_pq_topk",
-    (s, dir) => Similarity.ivfPqTopK(tables(s, dir).embeddings, "vec_id",
-      "embedding", k = 3, cellCount = 8, nprobe = 3, m = 4, ksub = 16,
-      fitSample = 10000, lloydIters = 5, lloydQuantize = 4)
-      .select(col("vec_id").cast("long"), col("neighbor_id").cast("long"),
-        col("adist"), col("rank")),
-    Some {
-      val m = 4; val dim = 64; val iters = 5
-      val sliceSel = (0 until m).map { mi =>
-        val sub = dim / m
-        s"""SELECT vec_id AS id, $mi AS sub,
-            list_transform(embedding[${mi * sub + 1}:${(mi + 1) * sub}],
-              x -> x::DOUBLE) AS slice FROM embeddings"""
-      }.mkString(" UNION ALL ")
-      val cbSel = (0 until m).map { mi =>
-        s"SELECT $mi AS sub, cid, c FROM s${mi}_c$iters"
-      }.mkString(" UNION ALL ")
-      s"""
+  /** Full IVF-PQ top-k replay: coarse chain + per-subspace chains +
+    * slice×code×codebook ADC join + rank. Shared by q_pq_topk and the
+    * recall-evaluation row.
+    */
+  private def ivfPqTopKSql(m: Int = 4, dim: Int = 64, iters: Int = 5,
+      k: Int = 3, nprobe: Int = 3): String = {
+    val sliceSel = (0 until m).map { mi =>
+      val sub = dim / m
+      s"""SELECT vec_id AS id, $mi AS sub,
+          list_transform(embedding[${mi * sub + 1}:${(mi + 1) * sub}],
+            x -> x::DOUBLE) AS slice FROM embeddings"""
+    }.mkString(" UNION ALL ")
+    val cbSel = (0 until m).map { mi =>
+      s"SELECT $mi AS sub, cid, c FROM s${mi}_c$iters"
+    }.mkString(" UNION ALL ")
+    s"""
       WITH ${ivfAssignCtes("SELECT vec_id AS id, embedding AS v FROM embeddings",
-          cells = 8, iters = iters, dp = 4, fitSample = 10000)},
+        cells = 8, iters = iters, dp = 4, fitSample = 10000)},
       ${pqSubspaceCtes(m = m, dim = dim, ksub = 16, iters = iters, dp = 4,
-          fitSample = 10000)},
+        fitSample = 10000)},
       memb AS (SELECT id, cid FROM fr WHERE rk = 1),
-      prob AS (SELECT id, cid FROM fr WHERE rk <= 3),
+      prob AS (SELECT id, cid FROM fr WHERE rk <= $nprobe),
       cand AS (SELECT p.id AS vec_id, mm.id AS neighbor_id
                FROM prob p JOIN memb mm ON p.cid = mm.cid AND mm.id <> p.id),
       qs AS ($sliceSel),
@@ -636,8 +633,77 @@ object TextQueries {
             FROM ad)
       SELECT vec_id, neighbor_id, round(adist, 4) AS adist,
              CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= $k"""
+  }
+
+  val qPqTopK = Q(
+    "q_pq_topk",
+    (s, dir) => Similarity.ivfPqTopK(tables(s, dir).embeddings, "vec_id",
+      "embedding", k = 3, cellCount = 8, nprobe = 3, m = 4, ksub = 16,
+      fitSample = 10000, lloydIters = 5, lloydQuantize = 4)
+      .select(col("vec_id").cast("long"), col("neighbor_id").cast("long"),
+        col("adist"), col("rank")),
+    Some(ivfPqTopKSql()))
+
+  /** Exact squared-L2 top-3 — the ground-truth frame of the PQ recall
+    * evaluation (the cosine twin is [[cosineTopK3Sql]]).
+    */
+  private val l2TopK3Sql = """
+      WITH e AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings),
+      d AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                   sum((CAST(a.x AS DOUBLE) - CAST(b.x AS DOUBLE))
+                     * (CAST(a.x AS DOUBLE) - CAST(b.x AS DOUBLE))) AS dist
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+            GROUP BY a.vec_id, b.vec_id),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY vec_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+            FROM d)
+      SELECT vec_id, neighbor_id, round(dist, 4) AS dist, CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 3"""
-    })
+
+  /** PQ quality evaluation: recall@3 of the IVF-PQ ADC path against the
+    * exact squared-L2 top-3 — the pre-deployment measurement of how much
+    * the codebook compression costs on THIS corpus (near-random vectors
+    * are PQ's worst case, so the honest number here is low; the oracle
+    * embeds both full replays and joins them, mirroring q_ann_recall).
+    */
+  val qPqRecall = Q(
+    "q_pq_recall",
+    (s, dir) => {
+      val emb = tables(s, dir).embeddings
+      val brute = Similarity
+        .bruteForceTopK(emb, "vec_id", "embedding", k = 3, metric = "l2")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"))
+      val pq = Similarity
+        .ivfPqTopK(emb, "vec_id", "embedding", k = 3, cellCount = 8, nprobe = 3,
+          m = 4, ksub = 16, fitSample = 10000, lloydIters = 5, lloydQuantize = 4)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"), lit(1).as("__m"))
+      brute.join(pq, Seq("vec_id", "neighbor_id"), "left")
+        .groupBy(col("vec_id"))
+        .agg(count(col("__m")).as("matched"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          round(sum(col("matched")).cast("double") /
+            (lit(3) * count(lit(1))), 4).as("mean_recall"),
+          sum(when(col("matched") === 3, 1L).otherwise(0L)).as("perfect_queries"))
+    },
+    Some(s"""
+      WITH brute AS (SELECT vec_id, neighbor_id FROM ($l2TopK3Sql)),
+      pq AS (SELECT vec_id, neighbor_id FROM (${ivfPqTopKSql()})),
+      hit AS (SELECT b.vec_id, count(p.neighbor_id) AS matched
+              FROM brute b LEFT JOIN pq p
+                ON p.vec_id = b.vec_id AND p.neighbor_id = b.neighbor_id
+              GROUP BY b.vec_id)
+      SELECT count(*) AS n_queries,
+             round(CAST(sum(matched) AS DOUBLE) / (3 * count(*)), 4) AS mean_recall,
+             CAST(sum(CASE WHEN matched = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS perfect_queries
+      FROM hit"""))
 
   /** ANN serving against a SAVED IVF-PQ index: the corpus is encoded and
     * written once (model + salted inverted code lists round-trip
@@ -2249,7 +2315,7 @@ semantic_dedup:
     qSimhashDedup, qNgramJaccard, qDedupClusters,
     qSemanticDedup, qWorkflowSemantic,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qPqCodes, qPqTopK,
-    qAnnIndex, qEmbeddingDedup,
+    qPqRecall, qAnnIndex, qEmbeddingDedup,
     qStratifiedSample, qTextPipeline, qRepetitionScore, qContamination, qWorkflowText,
     qDeterministicSample, qHashSplit, qPiiRedaction, qGopherQuality,
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
