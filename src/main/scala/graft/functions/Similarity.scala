@@ -107,11 +107,13 @@ object Similarity {
     val enc = RowEncoder.encoderFor(outSchema)
     base.mapPartitions { rows =>
       val cand = bc.value
-      val candNorms = cand.map(c => norm(c._2))
+      // norms feed only the cosine branch — L2 must not pay O(N·dim)
+      // per partition for values it never reads
+      val candNorms = if (l2) null else cand.map(c => norm(c._2))
       rows.flatMap { r =>
         val id = r.getLong(0)
         val v = r.getSeq[Float](1).toArray
-        val nv = norm(v)
+        val nv = if (l2) 0.0 else norm(v)
         // top-k selection: (score desc, neighbor_id asc) — L2 negates the
         // squared distance into the same descending frame
         val topIds = new Array[Long](k)
@@ -399,11 +401,7 @@ object Similarity {
     // is the fitSample LOWEST-md5-hash ids — a global TakeOrdered:
     // deterministic under any partition layout AND bounded regardless of
     // how wrong a stats estimate is (no fraction to mis-size)
-    val sample: Array[Array[Double]] = base
-      .orderBy(expr("md5_prefix60(cast(cast(id as string) as binary))").asc, col("id").asc)
-      .limit(fitSample)
-      .select(col("v"))
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample: Array[Array[Double]] = md5Sample(base, fitSample)
     val centers = localKMeans(sample, cells, seed, lloydIters, lloydQuantize)
     val bcCenters = df.sparkSession.sparkContext.broadcast(centers)
 
@@ -741,11 +739,16 @@ object Similarity {
     val dim = sample.head.length
     require(m >= 1 && dim % m == 0,
       s"subspace count $m must divide embedding dim $dim")
+    require(sample.forall(_.length == dim),
+      s"ragged sample vectors (expected every length == $dim) — " +
+        "copyOfRange would silently zero-pad short ones into the fit")
     val sub = dim / m
     Array.tabulate(m) { mi =>
       val slices = sample.map(v =>
         java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
-      localKMeans(slices, ksub, seed + mi, iters, quantizeDp)
+      // localKMeans init is stride-deterministic; seed is part of the
+      // signature for interface symmetry, not a randomization source
+      localKMeans(slices, ksub, seed, iters, quantizeDp)
     }
   }
 
@@ -756,6 +759,9 @@ object Similarity {
     */
   private[graft] def pqCode(v: Array[Float], books: Array[Array[Array[Double]]]): Array[Int] = {
     val m = books.length
+    require(v.length == m * books(0)(0).length,
+      s"vector dim ${v.length} != codebook dim ${m * books(0)(0).length} — " +
+        "a truncated scan here would emit plausible-looking wrong codes")
     val codes = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -779,6 +785,83 @@ object Similarity {
       mi += 1
     }
     codes
+  }
+
+  /** The `n` nearest coarse centroids of `v` (squared L2, sequential
+    * accumulation, ties to the lower cid via stable sortBy) — the one
+    * assignment rule every PQ/IVF path shares. Dim-checked: a query
+    * longer than the centroids would otherwise score on a silent prefix.
+    */
+  private[graft] def nearestCellsTo(v: Array[Float], centers: Array[Array[Double]],
+      n: Int): Array[Int] = {
+    require(v.length == centers(0).length,
+      s"vector dim ${v.length} != index dim ${centers(0).length}")
+    centers.indices.map { ci =>
+      var d = 0.0; var j = 0; val c = centers(ci)
+      while (j < c.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
+      (ci, d)
+    }.sortBy(_._2).take(math.min(n, centers.length)).map(_._1).toArray
+  }
+
+  /** Per-query ADC scoring against one cell's code list: build the
+    * m×ksub exact slice-to-centroid table once, then one lookup-sum and
+    * top-k insertion per member (smallest distance first, ties to the
+    * lower id). Shared verbatim by the batch top-k and the serving probe
+    * — the tie-break and table build are exactly what the oracles pin,
+    * so they must not fork. `exclude` skips the member whose id equals
+    * `excludeId` (the batch self-join case); serving passes false and
+    * keeps everything (a sentinel id would collide with a legitimate
+    * negative key).
+    */
+  private[graft] def adcPartialTopK(
+      pv: Array[Float],
+      members: Array[(Long, Array[Int])],
+      books: Array[Array[Array[Double]]],
+      k: Int,
+      excludeId: Long,
+      exclude: Boolean): Seq[(Long, Double)] = {
+    val mSub = books.length
+    val kSub = books(0).length
+    val table = Array.ofDim[Double](mSub, kSub)
+    var mi = 0
+    while (mi < mSub) {
+      val book = books(mi)
+      val sub = book(0).length
+      val off = mi * sub
+      var ci = 0
+      while (ci < kSub) {
+        val c = book(ci)
+        var d = 0.0; var j = 0
+        while (j < sub) {
+          val diff = pv(off + j).toDouble - c(j); d += diff * diff; j += 1
+        }
+        table(mi)(ci) = d
+        ci += 1
+      }
+      mi += 1
+    }
+    val topIds = new Array[Long](k)
+    val topD = new Array[Double](k)
+    var filled = 0
+    var i = 0
+    while (i < members.length) {
+      val (cid, codes) = members(i)
+      if (!(exclude && cid == excludeId)) {
+        var d = 0.0; var s = 0
+        while (s < mSub) { d += table(s)(codes(s)); s += 1 }
+        var pos = filled
+        while (pos > 0 && (topD(pos - 1) > d ||
+          (topD(pos - 1) == d && topIds(pos - 1) > cid))) pos -= 1
+        if (pos < k) {
+          var q = math.min(filled, k - 1)
+          while (q > pos) { topD(q) = topD(q - 1); topIds(q) = topIds(q - 1); q -= 1 }
+          topD(pos) = d; topIds(pos) = cid
+          if (filled < k) filled += 1
+        }
+      }
+      i += 1
+    }
+    (0 until filled).map(i => (topIds(i), topD(i)))
   }
 
   /** The fitSample lowest-md5 ids' vectors, in that deterministic order —
@@ -871,21 +954,12 @@ object Similarity {
     val numSalts = statsEst.map(n => math.max(1, math.ceil(
       n.toDouble / math.max(1, cellCount) / memberCapPerCell).toInt)).getOrElse(1)
 
-    def nearestCells(v: Array[Float], n: Int): Array[Int] = {
-      val cs = bcCenters.value
-      cs.indices.map { ci =>
-        var d = 0.0; var j = 0; val c = cs(ci)
-        while (j < c.length && j < v.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
-        (ci, d)
-      }.sortBy(_._2).take(math.min(n, cs.length)).map(_._1).toArray
-    }
-
     // inverted lists: (cell, salt, id, codes) — m ints per member, never
     // the raw vector; probers carry the raw vector for the ADC table
     val members = base.map { r =>
       val id = r.getLong(0)
       val v = r.getSeq[Float](1).toArray
-      (nearestCells(v, 1)(0),
+      (nearestCellsTo(v, bcCenters.value, 1)(0),
         (java.lang.Long.hashCode(id) & 0x7fffffff) % numSalts, id,
         pqCode(v, bcBooks.value))
     }
@@ -893,7 +967,7 @@ object Similarity {
       val v = r.getSeq[Float](1).toArray
       val id = r.getLong(0)
       for {
-        c <- nearestCells(v, nprobe)
+        c <- nearestCellsTo(v, bcCenters.value, nprobe)
         salt <- 0 until numSalts
       } yield (c, salt, id, v)
     }
@@ -901,54 +975,9 @@ object Similarity {
       .cogroup(probers.groupByKey(p => (p._1, p._2))) { (_, ms, ps) =>
         val mArr = ms.map(x => (x._3, x._4)).toArray
         if (mArr.isEmpty) Iterator.empty
-        else {
-          val books = bcBooks.value
-          val mSub = books.length
-          val kSub = books(0).length
-          ps.flatMap { case (_, _, pid, pv) =>
-            // ADC table: exact squared L2 from the query's slice to every
-            // codebook centroid, sequential per-subspace accumulation
-            val table = Array.ofDim[Double](mSub, kSub)
-            var mi = 0
-            while (mi < mSub) {
-              val book = books(mi)
-              val sub = book(0).length
-              val off = mi * sub
-              var ci = 0
-              while (ci < kSub) {
-                val c = book(ci)
-                var d = 0.0; var j = 0
-                while (j < sub) {
-                  val diff = pv(off + j).toDouble - c(j); d += diff * diff; j += 1
-                }
-                table(mi)(ci) = d
-                ci += 1
-              }
-              mi += 1
-            }
-            val topIds = new Array[Long](k)
-            val topD = new Array[Double](k)
-            var filled = 0
-            var i = 0
-            while (i < mArr.length) {
-              val (cid, codes) = mArr(i)
-              if (cid != pid) {
-                var d = 0.0; var s = 0
-                while (s < mSub) { d += table(s)(codes(s)); s += 1 }
-                var pos = filled
-                while (pos > 0 && (topD(pos - 1) > d ||
-                  (topD(pos - 1) == d && topIds(pos - 1) > cid))) pos -= 1
-                if (pos < k) {
-                  var q = math.min(filled, k - 1)
-                  while (q > pos) { topD(q) = topD(q - 1); topIds(q) = topIds(q - 1); q -= 1 }
-                  topD(pos) = d; topIds(pos) = cid
-                  if (filled < k) filled += 1
-                }
-              }
-              i += 1
-            }
-            (0 until filled).map(i => (pid, topIds(i), topD(i)))
-          }
+        else ps.flatMap { case (_, _, pid, pv) =>
+          adcPartialTopK(pv, mArr, bcBooks.value, k, excludeId = pid, exclude = true)
+            .map { case (nb, d) => (pid, nb, d) }
         }
       }.toDF("vec_id", "neighbor_id", "adist")
     val w = Window.partitionBy("vec_id").orderBy(col("adist").asc, col("neighbor_id").asc)
@@ -1001,16 +1030,8 @@ object Similarity {
     val lists = base.map { r =>
       val id = r.getLong(0)
       val v = r.getSeq[Float](1).toArray
-      var best = 0; var bestD = Double.MaxValue
-      val cs = bcCenters.value
-      var ci = 0
-      while (ci < cs.length) {
-        var d = 0.0; var j = 0; val c = cs(ci)
-        while (j < c.length && j < v.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
-        if (d < bestD) { bestD = d; best = ci }
-        ci += 1
-      }
-      (id, best, (java.lang.Long.hashCode(id) & 0x7fffffff) % numSalts,
+      (id, nearestCellsTo(v, bcCenters.value, 1)(0),
+        (java.lang.Long.hashCode(id) & 0x7fffffff) % numSalts,
         pqCode(v, bcBooks.value))
     }.toDF("id", "cell", "salt", "codes")
     (model, lists)
@@ -1034,6 +1055,22 @@ object Similarity {
       bookRows.filter(_.getInt(1) == mi).sortBy(_.getInt(2))
         .map(_.getSeq[Double](3).toArray)
     }
+    // corruption shapes a partial parquet write can produce: a subspace
+    // with no rows, ragged codebook sizes (the scoring loops size kSub
+    // from books(0)), ragged centroid widths within a subspace, or
+    // coarse centroids disagreeing with each other — all must fail HERE,
+    // not as an index error inside an executor task
+    require(books.forall(_.nonEmpty),
+      s"model frame is missing book rows for subspace(s) " +
+        books.indices.filter(books(_).isEmpty).mkString(","))
+    require(books.forall(_.length == books(0).length),
+      s"ragged codebook sizes ${books.map(_.length).mkString(",")}")
+    books.indices.foreach { mi =>
+      require(books(mi).forall(_.length == books(mi)(0).length),
+        s"subspace $mi has ragged centroid widths")
+    }
+    require(centers.forall(_.length == centers(0).length),
+      "coarse centroids have ragged widths")
     val dim = centers(0).length
     require(books.map(_.head.length).sum == dim,
       s"codebook subspaces cover ${books.map(_.head.length).sum} dims, index dim is $dim")
@@ -1100,62 +1137,20 @@ object Similarity {
       .flatMap { r =>
         val id = r.getLong(0)
         val v = r.getSeq[Float](1).toArray
-        val cs = bcCenters.value
-        val ranked = cs.indices.map { ci =>
-          var d = 0.0; var j = 0; val c = cs(ci)
-          while (j < c.length && j < v.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
-          (ci, d)
-        }.sortBy(_._2).take(math.min(nprobe, cs.length)).map(_._1)
-        for { c <- ranked; salt <- 0 until numSalts } yield (c, salt, id, v)
+        for {
+          c <- nearestCellsTo(v, bcCenters.value, nprobe)
+          salt <- 0 until numSalts
+        } yield (c, salt, id, v)
       }
     val partials = members.groupByKey(x => (x._1, x._2))
       .cogroup(probers.groupByKey(p => (p._1, p._2))) { (_, ms, ps) =>
         val mArr = ms.map(x => (x._3, x._4)).toArray
         if (mArr.isEmpty) Iterator.empty
-        else {
-          val books = bcBooks.value
-          val mSub = books.length
-          val kSub = books(0).length
-          ps.flatMap { case (_, _, pid, pv) =>
-            val table = Array.ofDim[Double](mSub, kSub)
-            var mi = 0
-            while (mi < mSub) {
-              val book = books(mi)
-              val sub = book(0).length
-              val off = mi * sub
-              var ci = 0
-              while (ci < kSub) {
-                val c = book(ci)
-                var d = 0.0; var j = 0
-                while (j < sub) {
-                  val diff = pv(off + j).toDouble - c(j); d += diff * diff; j += 1
-                }
-                table(mi)(ci) = d
-                ci += 1
-              }
-              mi += 1
-            }
-            val topIds = new Array[Long](k)
-            val topD = new Array[Double](k)
-            var filled = 0
-            var i = 0
-            while (i < mArr.length) {
-              val (cid, codes) = mArr(i)
-              var d = 0.0; var s = 0
-              while (s < mSub) { d += table(s)(codes(s)); s += 1 }
-              var pos = filled
-              while (pos > 0 && (topD(pos - 1) > d ||
-                (topD(pos - 1) == d && topIds(pos - 1) > cid))) pos -= 1
-              if (pos < k) {
-                var q = math.min(filled, k - 1)
-                while (q > pos) { topD(q) = topD(q - 1); topIds(q) = topIds(q - 1); q -= 1 }
-                topD(pos) = d; topIds(pos) = cid
-                if (filled < k) filled += 1
-              }
-              i += 1
-            }
-            (0 until filled).map(i => (pid, topIds(i), topD(i)))
-          }
+        else ps.flatMap { case (_, _, pid, pv) =>
+          // no exclusion: serving returns whatever the index stores,
+          // including the query's own entry on a self-probe
+          adcPartialTopK(pv, mArr, bcBooks.value, k, excludeId = 0L, exclude = false)
+            .map { case (nb, d) => (pid, nb, d) }
         }
       }.toDF("query_id", "neighbor_id", "adist")
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)

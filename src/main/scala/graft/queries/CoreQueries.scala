@@ -488,9 +488,15 @@ object CoreQueries {
       s"((($bx >> $i) & 1) << ${2 * i})",
       s"((($by >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
+  /** Mirrors every zorderValue edge: degenerate range (mx <= mn) bins to
+    * 0 via the engine's lit(0) branch, null values via its coalesce —
+    * without these the SQL would divide by zero (inf → clamp 65535) or
+    * propagate NULL and the tiles would shift on an oracle artifact.
+    */
   private def zBinSql(x: String, mn: String, mx: String): String =
-    s"""CAST(least(greatest(floor((CAST($x AS DOUBLE) - $mn) / ($mx - $mn)
-       | * 65536.0), 0.0), 65535.0) AS BIGINT)""".stripMargin
+    s"""CASE WHEN $mx <= $mn THEN 0 ELSE
+       | coalesce(CAST(least(greatest(floor((CAST($x AS DOUBLE) - $mn) / ($mx - $mn)
+       | * 65536.0), 0.0), 65535.0) AS BIGINT), 0) END""".stripMargin
 
   /** Z-order clustered write under the correctness gate: orders goes out
     * through writeZOrdered on (o_totalprice, o_custkey), comes back, and

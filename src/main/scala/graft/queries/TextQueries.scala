@@ -563,7 +563,7 @@ object TextQueries {
     }.mkString(",\n")
   }
 
-  private def pqCodesSelect(m: Int, iters: Int): String =
+  private def pqCodesSelect(m: Int): String =
     (0 until m).map { mi =>
       s"SELECT id, $mi AS sub, cid AS code FROM s${mi}_fr WHERE rk = 1"
     }.mkString(" UNION ALL ")
@@ -581,7 +581,7 @@ object TextQueries {
     Some(s"""
       WITH ${pqSubspaceCtes(m = 4, dim = 64, ksub = 16, iters = 5, dp = 4,
         fitSample = 10000)}
-      SELECT id AS vec_id, sub, code FROM (${pqCodesSelect(m = 4, iters = 5)})"""))
+      SELECT id AS vec_id, sub, code FROM (${pqCodesSelect(m = 4)})"""))
 
   /** IVF-PQ approximate top-k: coarse cells from the full-vector Lloyd
     * chain, candidates from the nprobe cell join, but DISTANCES from the
@@ -617,7 +617,7 @@ object TextQueries {
       cand AS (SELECT p.id AS vec_id, mm.id AS neighbor_id
                FROM prob p JOIN memb mm ON p.cid = mm.cid AND mm.id <> p.id),
       qs AS ($sliceSel),
-      codes AS (${pqCodesSelect(m = m, iters = iters)}),
+      codes AS (${pqCodesSelect(m = m)}),
       cb AS ($cbSel),
       ad AS (SELECT c.vec_id, c.neighbor_id,
                     sum(list_reduce(list_transform(range(1, len(q.slice) + 1),
@@ -755,7 +755,7 @@ object TextQueries {
       ${pqSubspaceCtes(m = m, dim = dim, ksub = 16, iters = iters, dp = 4,
           fitSample = 10000)},
       memb AS (SELECT id, cid FROM fr WHERE rk = 1),
-      codes AS (${pqCodesSelect(m = m, iters = iters)}),
+      codes AS (${pqCodesSelect(m = m)}),
       cb AS ($cbSel),
       qb AS (SELECT vec_id + 100000 AS id, embedding AS v
              FROM embeddings WHERE vec_id % 7 = 0

@@ -420,13 +420,7 @@ object StreamingOps {
       case r => r.getInt(0) + 1
     }
     val cellsUdf = udf { v: Seq[Float] =>
-      val q = v.toArray
-      val cs = bcCenters.value
-      cs.indices.map { ci =>
-        var d = 0.0; var j = 0; val c = cs(ci)
-        while (j < c.length && j < q.length) { val diff = q(j) - c(j); d += diff * diff; j += 1 }
-        (ci, d)
-      }.sortBy(_._2).take(math.min(nprobe, cs.length)).map(_._1)
+      graft.functions.Similarity.nearestCellsTo(v.toArray, bcCenters.value, nprobe).toSeq
     }
     val adcUdf = udf { (v: Seq[Float], codes: Seq[Int]) =>
       graft.functions.Similarity.adcDistance(v.toArray, codes.toArray, bcBooks.value)

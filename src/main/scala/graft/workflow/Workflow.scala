@@ -472,7 +472,6 @@ object Workflow {
           ksub = bc.getOrElse("codebook_size", 16).toString.toInt)
         model.write.mode("overwrite").parquet(s"$path/model")
         lists.write.mode("overwrite").parquet(s"$path/lists")
-        df
       }
     }
 

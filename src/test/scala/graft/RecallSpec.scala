@@ -169,6 +169,11 @@ class RecallSpec extends SparkSpec {
       k = 200, nprobe = 1)
       .filter(col("query_id") === col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // self-checking coverage: every query's own entry must fall inside
+    // the k-window — otherwise the floor assertion silently shrinks its
+    // scope as fixtures or cell occupancy grow
+    assert(selfD.keySet == top.keySet,
+      s"self rows missing for ${(top.keySet diff selfD.keySet).take(5)} — raise k")
     selfD.foreach { case (id, d) =>
       assert(top(id)._2 == d,
         s"query $id rank-1 adist ${top(id)._2} != its reconstruction distance $d")
