@@ -179,6 +179,61 @@ object DatetimeOps {
 
   // ---- grouped / windowed time aggregation (ref: datetime.py:1721-2012)
 
+  /** Classic additive seasonal decomposition y = trend + seasonal +
+    * residual over a daily-aggregated series (one series per
+    * `seriesCols` group): trend is the centered `period`-row moving
+    * average (defined only where the window is FULL — the textbook edge
+    * rule), the seasonal component is the mean detrended value per
+    * within-period position re-centered to sum to zero across the
+    * period, and the residual is what's left. Period positions come
+    * from `row_number % period` over the day order, so any period
+    * replays in SQL (not just weekly).
+    *
+    * Numerics are engine-portable by construction: every sum that could
+    * be reordered across engines (daily totals, window sums, per-position
+    * and per-series means) runs in DECIMAL with a pre-round, so the only
+    * doubles are deterministic single divisions. Scale: all windows
+    * partition by the series key over the DAILY aggregate (≤ a few
+    * thousand rows per series), never over raw events.
+    */
+  def seasonalDecompose(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      seriesCols: Seq[String],
+      period: Int = 7): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    require(period % 2 == 1,
+      "even periods need the 2x(period+1) weighted MA — use an odd period")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val half = period / 2
+    val series = seriesCols.map(col)
+    val daily = df
+      .groupBy(series :+ date_format(col(tsCol), "yyyy-MM-dd").as("day"): _*)
+      .agg(sum(col(valueCol).cast(DecimalType(18, 4))).cast(DoubleType).as("y"))
+    val order = Window.partitionBy(series: _*).orderBy(col("day"))
+    val w = order.rowsBetween(-half, half)
+    val t = daily
+      .withColumn("trend",
+        when(count(lit(1)).over(w) === period,
+          sum(col("y").cast(DecimalType(18, 4))).over(w).cast(DoubleType) / period))
+      .withColumn("pos", ((row_number().over(order) - 1) % period).cast("int"))
+      .withColumn("detr", round(col("y") - col("trend"), 8))
+    val s0 = t.groupBy(series :+ col("pos"): _*)
+      .agg((sum(col("detr").cast(DecimalType(18, 8))).cast(DoubleType) /
+        count(col("trend"))).as("seas0"))
+    val sbar = s0.groupBy(series: _*)
+      .agg((sum(round(col("seas0"), 8).cast(DecimalType(18, 8))).cast(DoubleType) /
+        count(col("seas0"))).as("sbar"))
+    t.join(s0, seriesCols :+ "pos")
+      .join(sbar, seriesCols)
+      .withColumn("seasonal", round(col("seas0") - col("sbar"), 4))
+      .select(series ++ Seq(col("day"), round(col("y"), 4).as("y"),
+        round(col("trend"), 4).as("trend"), col("seasonal"),
+        round(col("y") - col("trend") - (col("seas0") - col("sbar")), 4)
+          .as("resid")): _*)
+  }
+
   /** ref: datetime.py:1721-1821 `aggregator` — groupBy formatted time
     * bucket; agg list maps to built-ins (median = exact percentile).
     */

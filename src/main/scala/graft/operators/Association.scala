@@ -31,6 +31,81 @@ object Association {
       s"stack(${pairs.size}, $stackArgs) as (attribute_1, attribute_2, corr)"))
   }
 
+  /** Average (fractional, tie-aware) 1-based rank of every distinct value
+    * of `c` — avg_rank(v) = #(x < v) + (#(x = v) + 1) / 2. Distributed
+    * exactly: a value-frequency aggregation, a RANGE sort of the distinct
+    * values, then the two-phase prefix sum (per-partition totals →
+    * broadcast offsets → per-row running count — the
+    * [[graft.functions.Sharding.packByBudget]] idiom). No partitionless
+    * data-sized window anywhere; the sorted frame holds DISTINCT values
+    * only, and the driver sees one Long per partition.
+    */
+  private def avgRankByValue(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val counts = df.select(col(c).cast("double").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__n"))
+    val sorted = counts.orderBy(col("__v").asc)
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator.single(i -> it.map(_.getLong(1)).sum)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val ranked = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var running = offsets(i)
+      it.map { r =>
+        val n = r.getLong(1)
+        val rank = running + (n + 1) / 2.0
+        running += n
+        SRow(r.getDouble(0), rank)
+      }
+    }
+    df.sparkSession.createDataFrame(ranked, StructType(Seq(
+      StructField("__v", DoubleType), StructField("__rank", DoubleType))))
+  }
+
+  /** Spearman rank correlations, long form [attribute_1, attribute_2,
+    * corr] — Pearson over exact average ranks (the standard tie
+    * treatment), listwise-complete rows only (rows null in ANY requested
+    * column are excluded before ranking, so every column ranks the same
+    * row population). Each column's rank table is distinct-value-sized
+    * and joins back by value; the pair correlations then run in ONE
+    * scalar aggregation like [[correlationMatrix]].
+    */
+  def spearmanMatrix(
+      df0: DataFrame,
+      cols: Seq[String],
+      sampleCap: Option[Long] = None): DataFrame = {
+    require(cols.size >= 2, "need at least 2 columns")
+    val df = QualityChecker.sampleCapped(df0, sampleCap)
+      .na.drop(cols).select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val ranked = cols.foldLeft(df) { (d, c) =>
+      val ranks = avgRankByValue(df, c)
+        .withColumnRenamed("__v", c).withColumnRenamed("__rank", s"__rank_$c")
+      d.join(broadcastIfSmall(ranks), Seq(c))
+    }
+    val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+    val exprs = pairs.map { case (a, b) =>
+      corr(col(s"__rank_$a"), col(s"__rank_$b")).as(s"corr__${a}__$b")
+    }
+    val agg1 = ranked.agg(exprs.head, exprs.tail: _*)
+    val stackArgs = pairs.map { case (a, b) => s"'$a', '$b', round(`corr__${a}__$b`, 4)" }
+      .mkString(", ")
+    agg1.select(expr(
+      s"stack(${pairs.size}, $stackArgs) as (attribute_1, attribute_2, corr)"))
+  }
+
+  /** Broadcast a rank table when its distinct-value count is modest;
+    * heavy-cardinality columns fall back to a shuffle join (the table is
+    * still distinct-sized, never row-sized).
+    */
+  private def broadcastIfSmall(ranks: DataFrame,
+      maxBroadcast: Long = 1000000L): DataFrame = {
+    val est = ranks.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(Long.MaxValue)
+    if (est <= maxBroadcast) broadcast(ranks) else ranks
+  }
+
   /** ref: association_evaluator.py:253-424 `IV_calculation`.
     * Per attribute value/bin: WOE = ln(nonevent_pct / event_pct), with a
     * +0.5-count smoothing fallback when either share is zero

@@ -20,6 +20,36 @@ object AnalyticsQueries {
       }.mkString(" UNION ALL ")
     })
 
+  /** Spearman (rank) correlations over the same column set: exact
+    * tie-aware average ranks on both engines — the engine's two-phase
+    * prefix sum over sorted distinct values computes cnt_lt + (cnt+1)/2,
+    * the oracle the equivalent rank() + (count-1)/2 window — and the
+    * rank doubles are integer-or-half valued, so they compare EXACTLY
+    * across engines before the corr aggregate (the only cross-engine
+    * noise left is the corr summation order, the Pearson precedent).
+    * Heavy ties (l_quantity: 50 distinct, l_discount: 11, l_tax: 9)
+    * exercise the fractional-rank path hard.
+    */
+  val qSpearman = Q(
+    "q_spearman_matrix",
+    (s, dir) => Association.spearmanMatrix(tables(s, dir).lineitem, corrCols),
+    Some {
+      val notNull = corrCols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val rankCols = corrCols.map(c =>
+        s"rank() OVER (ORDER BY CAST($c AS DOUBLE)) + " +
+          s"(count(*) OVER (PARTITION BY CAST($c AS DOUBLE)) - 1) / 2.0 AS __rank_$c")
+        .mkString(", ")
+      val pairs = for (a <- corrCols; b <- corrCols if a < b) yield (a, b)
+      val selects = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS attribute_1, '$b' AS attribute_2,
+            round(corr(__rank_$a, __rank_$b), 4) AS corr FROM r"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH base AS (SELECT ${corrCols.mkString(", ")} FROM lineitem WHERE $notNull),
+      r AS (SELECT $rankCols FROM base)
+      $selects"""
+    })
+
   private val driftCols = Seq("l_quantity", "l_extendedprice", "l_discount")
   private val splitDate = "TIMESTAMP '1997-07-01'"
 
@@ -335,6 +365,6 @@ object AnalyticsQueries {
                   UNION ALL SELECT c FROM tri)
       SELECT node, count(*) AS triangles FROM corners GROUP BY node"""))
 
-  def all: Seq[Q] = Seq(qCorrelation, qDrift, qStability, qIv, qIg, qFeatureStability,
+  def all: Seq[Q] = Seq(qCorrelation, qSpearman, qDrift, qStability, qIv, qIg, qFeatureStability,
     qPageRank, qTriangles)
 }

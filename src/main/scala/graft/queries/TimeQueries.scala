@@ -540,6 +540,48 @@ object TimeQueries {
   /** Per-user EWMA of event values (α = 1/2, 5-row lookback): exact
     * binary weights → bit-identical replay via explicit lag terms.
     */
+  /** Additive seasonal decomposition of the per-event-type daily series:
+    * textbook trend/seasonal/residual split with the full-window edge
+    * rule and zero-centered period positions. Every reorderable sum is
+    * DECIMAL on both engines (daily totals, the 7-row window sum, the
+    * per-position and per-series means), so the only doubles are single
+    * deterministic divisions — the hash gate then checks the whole
+    * decomposition cell-exactly.
+    */
+  val qTsDecompose = Q(
+    "q_ts_decompose",
+    (s, dir) => DatetimeOps.seasonalDecompose(
+      tables(s, dir).events, "ts", "value", Seq("event_type"), period = 7),
+    Some("""
+      WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2),
+      t AS (
+        SELECT *,
+          CASE WHEN count(*) OVER w = 7 THEN
+            CAST(sum(CAST(y AS DECIMAL(18,4))) OVER w AS DOUBLE) / 7 END AS trend,
+          CAST((row_number() OVER (PARTITION BY event_type ORDER BY day) - 1) % 7
+            AS INT) AS pos
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      d AS (SELECT *, round(y - trend, 8) AS detr FROM t),
+      s0 AS (
+        SELECT event_type, pos,
+          CAST(sum(CAST(detr AS DECIMAL(18,8))) AS DOUBLE) / count(trend) AS seas0
+        FROM d GROUP BY 1, 2),
+      sc AS (
+        SELECT event_type,
+          CAST(sum(CAST(round(seas0, 8) AS DECIMAL(18,8))) AS DOUBLE)
+            / count(seas0) AS sbar
+        FROM s0 GROUP BY 1)
+      SELECT d.event_type, d.day, round(d.y, 4) AS y, round(d.trend, 4) AS trend,
+        round(s0.seas0 - sc.sbar, 4) AS seasonal,
+        round(d.y - d.trend - (s0.seas0 - sc.sbar), 4) AS resid
+      FROM d JOIN s0 ON d.event_type = s0.event_type AND d.pos = s0.pos
+             JOIN sc ON d.event_type = sc.event_type"""))
+
   val qEwma = Q(
     "q_ewma",
     (s, dir) => DatetimeOps.ewmaLagged(
@@ -796,7 +838,7 @@ object TimeQueries {
       SELECT event_type, CAST(dow AS INT) AS dow, count(*) AS count
       FROM lab GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull,
+  def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull, qTsDecompose,
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
     qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin, qRolling24h,
     qForwardFill, qTsMultiformat, qFunnelSteps, qCohortRetention,

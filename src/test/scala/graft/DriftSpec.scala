@@ -110,4 +110,65 @@ class DriftSpec extends SparkSpec {
     val r = Drift.stabilityIndex(Seq(p1, p2, p3), Seq("v")).collect()(0)
     assert(r.getDouble(r.fieldIndex("stability_index")) < 2.0)
   }
+
+  test("spearman: monotonic map scores 1, sign flips, ties average, layout-invariant") {
+    import graft.operators.Association
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map { i =>
+      val x = rnd.nextDouble() * 10
+      // y strictly monotone in x but wildly non-linear; z anti-monotone;
+      // t heavy ties (5 levels, monotone in x's bucket)
+      (x, math.exp(x), -x * x * x, (x / 2).toInt.toDouble)
+    }
+    val d = rows.toDF("x", "y", "z", "t")
+    val m = Association.spearmanMatrix(d, Seq("t", "x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("x", "y")) == 1.0, s"monotone pair must rank-correlate 1: ${m(("x", "y"))}")
+    assert(m(("x", "z")) == -1.0)
+    // Pearson on the same pair is well below 1 (exp is wildly non-linear)
+    val p = Association.correlationMatrix(d, Seq("x", "y"))
+      .collect().head.getDouble(2)
+    assert(p < 0.95, s"fixture too linear for the spearman-vs-pearson contrast: $p")
+    // ties: bucketed t is monotone in x up to ties — high but not 1
+    assert(m(("t", "x")) > 0.95 && m(("t", "x")) < 1.0, s"tie pair: ${m(("t", "x"))}")
+    // partition-layout invariance of the exact fractional ranks
+    val m2 = Association.spearmanMatrix(d.repartition(13), Seq("t", "x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m2 == m)
+  }
+
+  test("seasonal decomposition recovers a planted weekly pattern") {
+    import graft.functions.DatetimeOps
+    // 8 weeks of daily points: level 100, planted day-of-period offsets
+    // (zero-sum), no trend slope — so trend ≈ level, seasonal ≈ offsets
+    val offsets = Array(6.0, -2.0, 3.0, -4.0, 1.0, -5.0, 1.0) // sums to 0
+    val rows = (0 until 56).map { d =>
+      val day = java.sql.Timestamp.valueOf(f"2024-01-${1 + d % 28}%02d 12:00:00")
+      // spread across two months to keep dates unique
+      val ts = java.sql.Timestamp.valueOf(
+        f"2024-0${1 + d / 28}%d-${1 + d % 28}%02d 12:00:00")
+      ("a", ts, 100.0 + offsets(d % 7))
+    }
+    val df = rows.toDF("k", "ts", "v")
+    val out = DatetimeOps.seasonalDecompose(df, "ts", "v", Seq("k"), period = 7)
+      .collect()
+    assert(out.length == 56)
+    val withTrend = out.filter(!_.isNullAt(3))
+    // full-window edge rule: 3 rows lost at each end of the series
+    assert(withTrend.length == 56 - 6)
+    withTrend.foreach { r =>
+      assert(math.abs(r.getDouble(3) - 100.0) < 1e-9,
+        s"flat-level trend should be 100: ${r.getDouble(3)}")
+      assert(math.abs(r.getDouble(5)) < 1e-9,
+        s"planted signal should leave no residual: ${r.getDouble(5)}")
+    }
+    // seasonal component reproduces the planted zero-sum offsets; map by
+    // the value itself (day 1 of the series is offset index 0)
+    val seasonalByDay = out.map(r => r.getString(1) -> r.getDouble(4)).toMap
+    val firstDays = out.map(_.getString(1)).sorted.take(7)
+    firstDays.zipWithIndex.foreach { case (day, i) =>
+      assert(math.abs(seasonalByDay(day) - offsets(i)) < 1e-9,
+        s"day $day seasonal ${seasonalByDay(day)} != planted ${offsets(i)}")
+    }
+  }
 }
