@@ -234,6 +234,105 @@ object DatetimeOps {
           .as("resid")): _*)
   }
 
+  /** The shared daily-series base of the ts-diagnostics family: one
+    * row per (series, day) with the DECIMAL-exact daily sum as a double.
+    */
+  private def dailySeries(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    df.groupBy(seriesCols.map(col) :+ date_format(col(tsCol), "yyyy-MM-dd").as("day"): _*)
+      .agg(sum(col(valueCol).cast(DecimalType(18, 4))).cast(DoubleType).as("y"))
+  }
+
+  /** Sample autocorrelation of the per-series daily totals at lags
+    * 1..maxLag: acf(k) = Σ dev_t·dev_{t−k} / Σ dev_t² with deviations
+    * from the series mean — the diagnostic that tells a pipeline which
+    * seasonal period to feed [[seasonalDecompose]]. Cross-engine exact:
+    * the mean is a DECIMAL sum over the daily frame, deviations and
+    * their products pre-round to 8 decimals before the DECIMAL
+    * numerator/denominator sums, so no reorderable double addition
+    * exists anywhere. One window pass computes all maxLag lag columns;
+    * everything partitions by the series key over the daily aggregate.
+    */
+  def autocorrelation(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      seriesCols: Seq[String],
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val series = seriesCols.map(col)
+    val daily = dailySeries(df, tsCol, valueCol, seriesCols)
+    val mean = daily.groupBy(series: _*)
+      .agg((sum(col("y").cast(DecimalType(18, 4))).cast(DoubleType) /
+        count(lit(1))).as("__ybar"))
+    val order = Window.partitionBy(series: _*).orderBy(col("day"))
+    val dev = daily.join(mean, seriesCols)
+      .withColumn("__dev", round(col("y") - col("__ybar"), 8))
+    val lagged = (1 to maxLag).foldLeft(dev) { (d, k) =>
+      d.withColumn(s"__dev_lag$k", lag(col("__dev"), k).over(order))
+    }
+    val prodCols = (1 to maxLag).map(k =>
+      round(col("__dev") * col(s"__dev_lag$k"), 8).cast(DecimalType(28, 8))
+        .as(s"__p$k"))
+    val base = lagged.select(series ++ Seq(
+      round(col("__dev") * col("__dev"), 8).cast(DecimalType(28, 8)).as("__d2")) ++
+      prodCols: _*)
+    val aggs = sum(col("__d2")).cast(DoubleType).as("__denom") +:
+      (1 to maxLag).map(k => sum(col(s"__p$k")).cast(DoubleType).as(s"__n$k"))
+    val sums = base.groupBy(series: _*).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (1 to maxLag)
+      .map(k => s"$k, round(__n$k / __denom, 4)").mkString(", ")
+    sums.selectExpr(seriesCols :+
+      s"stack($maxLag, $stackArgs) as (lag, acf)": _*)
+  }
+
+  /** CUSUM level-shift detection over the per-series daily totals: the
+    * running sum of deviations from the series mean peaks (in absolute
+    * value) at the most likely changepoint. Output: one row per series —
+    * the argmax day, the peak |cusum| normalized by the series stddev,
+    * and a shift flag at `threshold`. All cumulative and total sums are
+    * DECIMAL over 8-dp pre-rounded deviations (exact on both engines);
+    * ties on |cusum| break to the earliest day.
+    */
+  def cusumChangepoints(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      seriesCols: Seq[String],
+      threshold: Double = 5.0): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val series = seriesCols.map(col)
+    val daily = dailySeries(df, tsCol, valueCol, seriesCols)
+    val stats = daily.groupBy(series: _*)
+      .agg(
+        (sum(col("y").cast(DecimalType(18, 4))).cast(DoubleType) /
+          count(lit(1))).as("__ybar"),
+        count(lit(1)).as("__n"))
+    val order = Window.partitionBy(series: _*).orderBy(col("day"))
+    val cum = daily.join(stats, seriesCols)
+      .withColumn("__dev", round(col("y") - col("__ybar"), 8))
+      .withColumn("__cusum",
+        sum(col("__dev").cast(DecimalType(28, 8))).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType))
+    // series stddev from the SAME exact deviations (population form —
+    // deterministic single division), for a scale-free peak statistic
+    val sd = cum.groupBy(series: _*)
+      .agg((sum(round(col("__dev") * col("__dev"), 8).cast(DecimalType(28, 8)))
+        .cast(DoubleType) / max(col("__n"))).as("__var"))
+    val rank = Window.partitionBy(series: _*)
+      .orderBy(abs(col("__cusum")).desc, col("day").asc)
+    cum.join(sd, seriesCols)
+      .withColumn("__rk", row_number().over(rank))
+      .filter(col("__rk") === 1)
+      .select(series ++ Seq(
+        col("day").as("changepoint_day"),
+        round(abs(col("__cusum")) / sqrt(col("__var")), 4).as("peak_stat"),
+        (abs(col("__cusum")) / sqrt(col("__var")) > threshold).as("shifted")): _*)
+  }
+
   /** ref: datetime.py:1721-1821 `aggregator` — groupBy formatted time
     * bucket; agg list maps to built-ins (median = exact percentile).
     */

@@ -582,6 +582,80 @@ object TimeQueries {
       FROM d JOIN s0 ON d.event_type = s0.event_type AND d.pos = s0.pos
              JOIN sc ON d.event_type = sc.event_type"""))
 
+  /** Sample autocorrelation of each event type's daily series at lags
+    * 1..7 — the period diagnostic feeding seasonal decomposition. All
+    * reorderable sums are DECIMAL over 8-dp pre-rounded products, so
+    * numerators and denominators are exact on both engines and the only
+    * double op is one division per (series, lag).
+    */
+  val qTsAcf = Q(
+    "q_ts_acf",
+    (s, dir) => DatetimeOps.autocorrelation(
+      tables(s, dir).events, "ts", "value", Seq("event_type"), maxLag = 7),
+    Some {
+      val lagCols = (1 to 7).map(k => s"lag(dev, $k) OVER w AS g$k").mkString(", ")
+      val numSums = (1 to 7).map(k =>
+        s"CAST(sum(CAST(round(dev * g$k, 8) AS DECIMAL(28,8))) AS DOUBLE) AS n$k")
+        .mkString(", ")
+      val arms = (1 to 7).map(k =>
+        s"SELECT event_type, $k AS lag, round(n$k / denom, 4) AS acf FROM s")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type,
+              CAST(sum(CAST(y AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS ybar
+            FROM daily GROUP BY 1),
+      d AS (SELECT daily.event_type, day, round(y - ybar, 8) AS dev
+            FROM daily JOIN m ON daily.event_type = m.event_type),
+      l AS (SELECT *, $lagCols FROM d
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      s AS (SELECT event_type,
+              CAST(sum(CAST(round(dev * dev, 8) AS DECIMAL(28,8))) AS DOUBLE) AS denom,
+              $numSums
+            FROM l GROUP BY 1)
+      $arms"""
+    })
+
+  /** CUSUM level-shift scan per event type: the running deviation sum's
+    * absolute peak marks the most likely changepoint; the peak statistic
+    * normalizes by the population stddev computed from the SAME exact
+    * deviations. Ties on |cusum| break to the earliest day on both
+    * engines.
+    */
+  val qTsCusum = Q(
+    "q_ts_cusum",
+    (s, dir) => DatetimeOps.cusumChangepoints(
+      tables(s, dir).events, "ts", "value", Seq("event_type"), threshold = 5.0),
+    Some("""
+      WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type,
+              CAST(sum(CAST(y AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS ybar,
+              count(*) AS n
+            FROM daily GROUP BY 1),
+      d AS (SELECT daily.event_type, day, round(y - ybar, 8) AS dev, n
+            FROM daily JOIN m ON daily.event_type = m.event_type),
+      c AS (SELECT *, CAST(sum(CAST(dev AS DECIMAL(28,8))) OVER
+              (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cusum
+            FROM d),
+      v AS (SELECT event_type,
+              CAST(sum(CAST(round(dev * dev, 8) AS DECIMAL(28,8))) AS DOUBLE)
+                / max(n) AS var
+            FROM d GROUP BY 1),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY event_type ORDER BY abs(cusum) DESC, day ASC) AS rk
+            FROM c)
+      SELECT r.event_type, day AS changepoint_day,
+        round(abs(cusum) / sqrt(var), 4) AS peak_stat,
+        abs(cusum) / sqrt(var) > 5.0 AS shifted
+      FROM r JOIN v ON r.event_type = v.event_type WHERE rk = 1"""))
+
   val qEwma = Q(
     "q_ewma",
     (s, dir) => DatetimeOps.ewmaLagged(
@@ -838,7 +912,7 @@ object TimeQueries {
       SELECT event_type, CAST(dow AS INT) AS dow, count(*) AS count
       FROM lab GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull, qTsDecompose,
+  def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull, qTsDecompose, qTsAcf, qTsCusum,
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
     qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin, qRolling24h,
     qForwardFill, qTsMultiformat, qFunnelSteps, qCohortRetention,

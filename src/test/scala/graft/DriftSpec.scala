@@ -137,6 +137,44 @@ class DriftSpec extends SparkSpec {
     assert(m2 == m)
   }
 
+  test("acf flags a planted weekly cycle; cusum locates a planted level shift") {
+    import graft.functions.DatetimeOps
+    // pure 7-day cosine → acf peaks positive at lag 7, dips negative
+    // near the half-period
+    val cyc = (0 until 56).map { d =>
+      val ts = java.sql.Timestamp.valueOf(
+        f"2024-0${1 + d / 28}%d-${1 + d % 28}%02d 12:00:00")
+      ("c", ts, 100.0 + 10.0 * math.cos(2 * math.Pi * d / 7))
+    }.toDF("k", "ts", "v")
+    val acf = DatetimeOps.autocorrelation(cyc, "ts", "v", Seq("k"), maxLag = 7)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    // sample ACF attenuates by (n-k)/n — a perfect cycle at lag 7 over
+    // 56 days scores exactly 49/56 = 0.875, which pins the formula
+    assert(math.abs(acf(7) - 0.875) < 0.001,
+      s"lag-7 acf of a perfect weekly cycle should be (n-7)/n = 0.875: ${acf(7)}")
+    assert(acf(3) < 0 && acf(4) < 0, s"half-period acf should dip negative: $acf")
+    // step series: mean 10 for 30 days then 20 — |cusum| peaks exactly at
+    // the last pre-shift day
+    val step = (0 until 60).map { d =>
+      val ts = java.sql.Timestamp.valueOf(
+        f"2024-0${1 + d / 28}%d-${1 + d % 28}%02d 12:00:00")
+      ("s", ts, if (d < 30) 10.0 else 20.0)
+    }.toDF("k", "ts", "v")
+    val cp = DatetimeOps.cusumChangepoints(step, "ts", "v", Seq("k"), threshold = 5.0)
+      .collect().head
+    assert(cp.getString(1) == "2024-02-02", // d = 29, the last 10.0 day
+      s"changepoint at ${cp.getString(1)}")
+    assert(cp.getBoolean(3), s"a 2-sigma step over 30 days must flag: $cp")
+    // a pure-noise-free flat series scores no shift
+    val flat = (0 until 60).map { d =>
+      val ts = java.sql.Timestamp.valueOf(
+        f"2024-0${1 + d / 28}%d-${1 + d % 28}%02d 12:00:00")
+      ("f", ts, 10.0 + (d % 2))  // alternating, mean-stable
+    }.toDF("k", "ts", "v")
+    val cpFlat = DatetimeOps.cusumChangepoints(flat, "ts", "v", Seq("k")).collect().head
+    assert(!cpFlat.getBoolean(3), s"stable series must not flag: $cpFlat")
+  }
+
   test("seasonal decomposition recovers a planted weekly pattern") {
     import graft.functions.DatetimeOps
     // 8 weeks of daily points: level 100, planted day-of-period offsets
