@@ -122,6 +122,25 @@ class IngestSpec extends SparkSpec {
     assert(ids == (0L until 10000L).toSeq)
   }
 
+  test("z-order degenerate inputs: constant and null-bearing columns bin to zero") {
+    val dir = java.nio.file.Files.createTempDirectory("zorderdeg").toString
+    val d = (0 until 1000).map { i =>
+      (i.toLong, 7.5, if (i % 10 == 0) None else Some(i.toDouble))
+    }.toDF("id", "konst", "x")
+    // constant column: mx == mn hits zorderValue's lit(0) branch; nulls
+    // hit the coalesce — the write must survive both and stay lossless
+    graft.sources.Ingest.writeZOrdered(d, s"$dir/t", Seq("konst", "x"), numFiles = 4)
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 1000)
+    assert(back.filter(col("x").isNull).count() === 100)
+    // with one dimension constant, the z-value degenerates to the live
+    // column's interleaved bits — ordering by it still clusters x
+    import org.apache.spark.sql.functions.input_file_name
+    val hit = back.filter(col("x").between(500, 700))
+      .select(input_file_name()).distinct().count()
+    assert(hit <= 2, s"live-dimension filter should still skip files, hit $hit of 4")
+  }
+
   test("deterministic stratified sample hits exact per-stratum targets") {
     // strata sizes 100 / 300 / 600
     val d = ((1 to 100).map(i => (i, "small")) ++ (101 to 400).map(i => (i, "mid")) ++
