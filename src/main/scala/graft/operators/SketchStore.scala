@@ -44,4 +44,31 @@ object SketchStore {
         .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sketch)) as long)")
           .as("distinct_estimate"))
   }
+
+  /** Overlap between two saved key sets by inclusion–exclusion:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B). HLL can't intersect directly,
+    * but its union is EXACT over sketch state, so the three operands
+    * come from the same kilobyte-sized frames a distinct-count question
+    * reads — history is still never rescanned. In the sketch's exact
+    * (list-mode) regime all three estimates are exact integers and so
+    * is the intersection; in the estimating regime the error compounds
+    * (sum of three rsd's — fine for "how much do sources A and B
+    * overlap", not for tiny intersections of huge sets; the spec pins
+    * both regimes).
+    */
+  def intersectionEstimate(
+      sketches: DataFrame,
+      keyCol: String,
+      groupA: Seq[String],
+      groupB: Seq[String]): DataFrame = {
+    require(groupA.nonEmpty && groupB.nonEmpty, "both groups need keys")
+    def est(keys: Seq[String], name: String) =
+      unionEstimate(sketches.filter(col(keyCol).isin(keys.map(x => x: Any): _*)))
+        .withColumnRenamed("distinct_estimate", name)
+    est(groupA, "a_estimate")
+      .crossJoin(est(groupB, "b_estimate"))
+      .crossJoin(est((groupA ++ groupB).distinct, "union_estimate"))
+      .withColumn("intersection_estimate",
+        col("a_estimate") + col("b_estimate") - col("union_estimate"))
+  }
 }

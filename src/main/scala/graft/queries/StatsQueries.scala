@@ -281,7 +281,38 @@ object StatsQueries {
       UNION ALL
       SELECT 'ALL', count(DISTINCT o_orderpriority) FROM orders"""))
 
+  /** Sketch-store set overlap in the exact list-mode regime: per-status
+    * HLL sketches of the distinct clerk set, then the inclusion–
+    * exclusion intersection |A∩B| = est(A)+est(B)−est(A∪B) between two
+    * status groups. At these cardinalities every sketch is in list mode
+    * so all four outputs are exact integers — the oracle computes the
+    * same counts from raw rows (DuckDB can't replay sketch binaries,
+    * but it CAN replay their exact regime). The estimating regime rides
+    * StatsSpec's error envelope.
+    */
+  val qHllIntersection = Q(
+    "q_hll_intersection",
+    (s, dir) => {
+      val sk = graft.operators.SketchStore.hllSketches(
+        tables(s, dir).orders, Seq("o_orderstatus"), "o_orderpriority")
+      graft.operators.SketchStore.intersectionEstimate(
+        sk, "o_orderstatus", Seq("F"), Seq("O", "P"))
+    },
+    Some("""
+      SELECT
+        (SELECT count(DISTINCT o_orderpriority) FROM orders
+         WHERE o_orderstatus = 'F') AS a_estimate,
+        (SELECT count(DISTINCT o_orderpriority) FROM orders
+         WHERE o_orderstatus IN ('O', 'P')) AS b_estimate,
+        (SELECT count(DISTINCT o_orderpriority) FROM orders
+         WHERE o_orderstatus IN ('F', 'O', 'P')) AS union_estimate,
+        (SELECT count(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus = 'F')
+        + (SELECT count(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus IN ('O', 'P'))
+        - (SELECT count(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus IN ('F', 'O', 'P'))
+          AS intersection_estimate"""))
+
   def all: Seq[Q] = Seq(qGlobalSummary, qMissingCounts, qNonzeroCounts, qMeasuresOfCounts,
     qCentralTendency, qMode, qUniqueCounts, qDispersion, qPercentiles, qShape, qCardinality,
-    qReportFrequency, qReportEventRate, qReportCompDrift, qReportOutlier, qHllDistinct)
+    qReportFrequency, qReportEventRate, qReportCompDrift, qReportOutlier, qHllDistinct,
+    qHllIntersection)
 }

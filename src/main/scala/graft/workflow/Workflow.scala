@@ -736,16 +736,20 @@ object Workflow {
       }
     }
 
-    // ---- final write (cluster_by → range-clustered parquet for
-    // file-level min/max skipping; else plain write_dataset)
+    // ---- final write (zorder_by → Z-order clustered parquet for
+    // multi-dimension file skipping; cluster_by → range-clustered for
+    // the leading key; else plain write_dataset)
     conf.get("write_main").foreach { v =>
       val wc = asConf(v)
       timed("write_main") {
-        wc.get("cluster_by") match {
-          case Some(cb) =>
+        (wc.get("zorder_by"), wc.get("cluster_by")) match {
+          case (Some(zb), _) =>
+            Ingest.writeZOrdered(df, wc("file_path").toString, strings(zb),
+              wc.getOrElse("num_files", 200).toString.toInt)
+          case (None, Some(cb)) =>
             Ingest.writeClustered(df, wc("file_path").toString, strings(cb),
               wc.getOrElse("num_files", 200).toString.toInt)
-          case None =>
+          case (None, None) =>
             Ingest.writeDataset(df, wc("file_path").toString,
               wc.getOrElse("file_type", "parquet").toString,
               repartitionTo = wc.get("repartition").map(_.toString.toInt))

@@ -30,6 +30,28 @@ class StatsSpec extends SparkSpec {
     assert(regrouped.collect().map(_.getLong(1)).sum >= uEst, "halves cover the whole")
   }
 
+  test("hll intersection: exact in list mode, error-bounded in the estimating regime") {
+    import graft.operators.SketchStore
+    import spark.implicits._
+    // list mode: small distinct sets → inclusion-exclusion is exact.
+    // A = {1..30}, B = {21..60}: |A∩B| = 10
+    val small = ((1 to 30).map(("a", _)) ++ (21 to 60).map(("b", _)))
+      .toDF("src", "v")
+    val sk = SketchStore.hllSketches(small, Seq("src"), "v")
+    val r = SketchStore.intersectionEstimate(sk, "src", Seq("a"), Seq("b")).first()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((30L, 40L, 60L, 10L)),
+      s"list-mode intersection must be exact: $r")
+    // estimating regime: 40k-element sets with 20k overlap — the
+    // compounded error of three estimates stays within ~3x one rsd
+    val big = ((1 to 40000).map(("a", _)) ++ (20001 to 60000).map(("b", _)))
+      .toDF("src", "v")
+    val skBig = SketchStore.hllSketches(big, Seq("src"), "v")
+    val rb = SketchStore.intersectionEstimate(skBig, "src", Seq("a"), Seq("b")).first()
+    val inter = rb.getLong(3)
+    assert(math.abs(inter - 20000.0) / 20000.0 < 0.15,
+      s"estimating-regime intersection too far off: $inter vs 20000")
+  }
+
   test("hll sketch store: fixed-input estimates are pinned exactly") {
     // golden pin of the APPROXIMATE regime: these exact estimate values
     // are a property of the Datasketches HLL_4 implementation shipped

@@ -528,6 +528,32 @@ write_main:
     assert(iv == Set("relationship", "occupation"))
   }
 
+  test("workflow write_main zorder_by produces a z-clustered, lossless output") {
+    val out = java.nio.file.Files.createTempDirectory("wfz").toString
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/orders.parquet"
+    file_type: parquet
+write_main:
+  file_path: "$out/z"
+  zorder_by: [o_totalprice, o_custkey]
+  num_files: 4
+"""
+    graft.workflow.Workflow.run(spark, yaml)
+    val back = spark.read.parquet(s"$out/z")
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    assert(back.count() == src.count())
+    import org.apache.spark.sql.functions.input_file_name
+    assert(back.select(input_file_name()).distinct().count() == 4)
+    // a custkey-only slice must not touch every file (the z-point: the
+    // SECOND cluster dimension also skips)
+    val mx = src.agg(org.apache.spark.sql.functions.max(col("o_custkey"))).head().getLong(0)
+    val hit = back.filter(col("o_custkey") < mx / 8)
+      .select(input_file_name()).distinct().count()
+    assert(hit <= 2, s"custkey slice should skip z-files, hit $hit of 4")
+  }
+
   test("workflow association and drift stages emit metric tables") {
     val yaml = """
 input_dataset:
