@@ -288,6 +288,66 @@ object DatetimeOps {
       s"stack($maxLag, $stackArgs) as (lag, acf)": _*)
   }
 
+  /** Durbin–Levinson recursion unrolled to closed-form SQL arithmetic
+    * over acf columns `a1..aK`: returns the expression strings for
+    * pacf(1..K). The SAME text evaluates in Spark (`expr`) and DuckDB,
+    * so both engines execute an identical double expression tree — the
+    * cross-engine determinism trick for a recursion neither engine can
+    * express relationally. K is small (the driver-side unroll grows the
+    * k-th expression like the recursion's closed form), so this is for
+    * diagnostic lag counts, not long-memory studies.
+    */
+  private[graft] def pacfExprs(maxLag: Int): Seq[String] = {
+    // phi(k)(j): expression string for φ_{k,j}
+    val phi = Array.ofDim[String](maxLag + 1, maxLag + 1)
+    phi(1)(1) = "a1"
+    for (k <- 2 to maxLag) {
+      val num = (1 until k).foldLeft(s"a$k") { (acc, j) =>
+        s"($acc - (${phi(k - 1)(j)}) * a${k - j})"
+      }
+      val den = (1 until k).foldLeft("1.0") { (acc, j) =>
+        s"($acc - (${phi(k - 1)(j)}) * a$j)"
+      }
+      phi(k)(k) = s"(($num) / ($den))"
+      for (j <- 1 until k)
+        phi(k)(j) = s"((${phi(k - 1)(j)}) - (${phi(k)(k)}) * (${phi(k - 1)(k - j)}))"
+    }
+    (1 to maxLag).map(k => phi(k)(k))
+  }
+
+  /** Partial autocorrelation (lags 1..maxLag) of the per-series daily
+    * totals: the AR-order diagnostic — pacf(k) is the lag-k correlation
+    * with the intermediate lags regressed out, computed from the
+    * [[autocorrelation]] values via the Durbin–Levinson recursion.
+    * The recursion runs as ONE closed-form arithmetic expression per
+    * lag over the series' acf row ([[pacfExprs]] — identical text on
+    * both engines), so the whole op stays a pivot + scalar projection
+    * on a (series × maxLag)-sized frame.
+    */
+  def partialAutocorrelation(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      seriesCols: Seq[String],
+      maxLag: Int = 4): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 5,
+      "unrolled Durbin-Levinson: 1 <= maxLag <= 5 (expression size grows super-exponentially)")
+    val acf = autocorrelation(df, tsCol, valueCol, seriesCols, maxLag)
+    // wide acf row per series: a1..aK (max(when(...)) pivot — one
+    // non-null value per (series, lag), so max is exact selection, and
+    // unlike first() it cannot land on a null from another lag's row)
+    val wide = acf.groupBy(seriesCols.map(col): _*)
+      .agg(
+        max(when(col("lag") === 1, col("acf"))).as("a1"),
+        (2 to maxLag).map(k =>
+          max(when(col("lag") === k, col("acf"))).as(s"a$k")): _*)
+    val exprs = pacfExprs(maxLag)
+    val stackArgs = (1 to maxLag)
+      .map(k => s"$k, round(${exprs(k - 1)}, 4)").mkString(", ")
+    wide.selectExpr(seriesCols :+
+      s"stack($maxLag, $stackArgs) as (lag, pacf)": _*)
+  }
+
   /** CUSUM level-shift detection over the per-series daily totals: the
     * running sum of deviations from the series mean peaks (in absolute
     * value) at the most likely changepoint. Output: one row per series —

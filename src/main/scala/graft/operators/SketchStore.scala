@@ -62,12 +62,20 @@ object SketchStore {
       groupA: Seq[String],
       groupB: Seq[String]): DataFrame = {
     require(groupA.nonEmpty && groupB.nonEmpty, "both groups need keys")
-    def est(keys: Seq[String], name: String) =
+    // three tagged union-estimates folded by one pivot aggregation —
+    // a crossJoin of the 1-row frames would be equivalent but plans as
+    // a BroadcastNestedLoopJoin, which the plan gate (rightly) rejects
+    // on sight rather than proving the inputs are scalar
+    def est(keys: Seq[String], tag: String) =
       unionEstimate(sketches.filter(col(keyCol).isin(keys.map(x => x: Any): _*)))
-        .withColumnRenamed("distinct_estimate", name)
-    est(groupA, "a_estimate")
-      .crossJoin(est(groupB, "b_estimate"))
-      .crossJoin(est((groupA ++ groupB).distinct, "union_estimate"))
+        .withColumn("__t", lit(tag))
+    val tagged = est(groupA, "a")
+      .unionByName(est(groupB, "b"))
+      .unionByName(est((groupA ++ groupB).distinct, "u"))
+    tagged.agg(
+      max(when(col("__t") === "a", col("distinct_estimate"))).as("a_estimate"),
+      max(when(col("__t") === "b", col("distinct_estimate"))).as("b_estimate"),
+      max(when(col("__t") === "u", col("distinct_estimate"))).as("union_estimate"))
       .withColumn("intersection_estimate",
         col("a_estimate") + col("b_estimate") - col("union_estimate"))
   }

@@ -588,19 +588,15 @@ object TimeQueries {
     * numerators and denominators are exact on both engines and the only
     * double op is one division per (series, lag).
     */
-  val qTsAcf = Q(
-    "q_ts_acf",
-    (s, dir) => DatetimeOps.autocorrelation(
-      tables(s, dir).events, "ts", "value", Seq("event_type"), maxLag = 7),
-    Some {
-      val lagCols = (1 to 7).map(k => s"lag(dev, $k) OVER w AS g$k").mkString(", ")
-      val numSums = (1 to 7).map(k =>
-        s"CAST(sum(CAST(round(dev * g$k, 8) AS DECIMAL(28,8))) AS DOUBLE) AS n$k")
-        .mkString(", ")
-      val arms = (1 to 7).map(k =>
-        s"SELECT event_type, $k AS lag, round(n$k / denom, 4) AS acf FROM s")
-        .mkString(" UNION ALL ")
-      s"""
+  private def acfOracleSql(maxLag: Int): String = {
+    val lagCols = (1 to maxLag).map(k => s"lag(dev, $k) OVER w AS g$k").mkString(", ")
+    val numSums = (1 to maxLag).map(k =>
+      s"CAST(sum(CAST(round(dev * g$k, 8) AS DECIMAL(28,8))) AS DOUBLE) AS n$k")
+      .mkString(", ")
+    val arms = (1 to maxLag).map(k =>
+      s"SELECT event_type, $k AS lag, round(n$k / denom, 4) AS acf FROM s")
+      .mkString(" UNION ALL ")
+    s"""
       WITH daily AS (
         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
@@ -616,6 +612,35 @@ object TimeQueries {
               CAST(sum(CAST(round(dev * dev, 8) AS DECIMAL(28,8))) AS DOUBLE) AS denom,
               $numSums
             FROM l GROUP BY 1)
+      $arms"""
+  }
+
+  val qTsAcf = Q(
+    "q_ts_acf",
+    (s, dir) => DatetimeOps.autocorrelation(
+      tables(s, dir).events, "ts", "value", Seq("event_type"), maxLag = 7),
+    Some(acfOracleSql(7)))
+
+  /** Partial autocorrelation at lags 1..4 via the unrolled
+    * Durbin–Levinson recursion — the SAME generated arithmetic text
+    * runs on both engines over the (rounded) acf values, so the doubles
+    * are bit-identical by construction; only the acf inputs (already
+    * exact by the DECIMAL discipline) feed it.
+    */
+  val qTsPacf = Q(
+    "q_ts_pacf",
+    (s, dir) => DatetimeOps.partialAutocorrelation(
+      tables(s, dir).events, "ts", "value", Seq("event_type"), maxLag = 4),
+    Some {
+      val wideCols = (1 to 4).map(k =>
+        s"max(CASE WHEN lag = $k THEN acf END) AS a$k").mkString(", ")
+      val exprs = DatetimeOps.pacfExprs(4)
+      val arms = (1 to 4).map(k =>
+        s"SELECT event_type, $k AS lag, round(${exprs(k - 1)}, 4) AS pacf FROM wide")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH acf AS (${acfOracleSql(4)}),
+      wide AS (SELECT event_type, $wideCols FROM acf GROUP BY 1)
       $arms"""
     })
 
@@ -912,7 +937,7 @@ object TimeQueries {
       SELECT event_type, CAST(dow AS INT) AS dow, count(*) AS count
       FROM lab GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull, qTsDecompose, qTsAcf, qTsCusum,
+  def all: Seq[Q] = Seq(qDtExtract, qCalendarFlags, qDtArithmetic, qTsAggregatorFull, qTsDecompose, qTsAcf, qTsPacf, qTsCusum,
     qWindowAggregator, qLaggedTs, qDaypart, qTsAutodetect, qJsonExtract, qDtFormatConvert,
     qTsAnalyzer, qSessionization, qAsofJoin, qEwma, qIntervalJoin, qRolling24h,
     qForwardFill, qTsMultiformat, qFunnelSteps, qCohortRetention,

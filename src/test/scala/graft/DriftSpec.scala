@@ -175,6 +175,29 @@ class DriftSpec extends SparkSpec {
     assert(!cpFlat.getBoolean(3), s"stable series must not flag: $cpFlat")
   }
 
+  test("pacf cuts off after lag 1 on an AR(1) series") {
+    import graft.functions.DatetimeOps
+    val rnd = new scala.util.Random(7)
+    var x = 0.0
+    val rows = (0 until 240).map { d =>
+      x = 0.8 * x + rnd.nextGaussian()
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(d)
+      ("a", java.sql.Timestamp.valueOf(day.atTime(12, 0)), 100.0 + x)
+    }.toDF("k", "ts", "v")
+    val pacf = DatetimeOps.partialAutocorrelation(rows, "ts", "v", Seq("k"), maxLag = 4)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    // AR(1) with rho=0.8: pacf(1) ~ rho, pacf(k>=2) ~ 0 (within the
+    // ~1/sqrt(n) sample band)
+    assert(pacf(1) > 0.6, s"pacf(1) should approach rho=0.8: $pacf")
+    (2 to 4).foreach { k =>
+      assert(math.abs(pacf(k)) < 0.2, s"pacf($k) should cut off: $pacf")
+    }
+    // and the acf of the same series decays geometrically instead
+    val acf = DatetimeOps.autocorrelation(rows, "ts", "v", Seq("k"), maxLag = 4)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(acf(2) > 0.3, s"ar(1) acf(2) ~ rho^2 stays well above 0: $acf")
+  }
+
   test("seasonal decomposition recovers a planted weekly pattern") {
     import graft.functions.DatetimeOps
     // 8 weeks of daily points: level 100, planted day-of-period offsets
