@@ -95,6 +95,66 @@ object Association {
       s"stack(${pairs.size}, $stackArgs) as (attribute_1, attribute_2, corr)"))
   }
 
+  /** Categorical↔categorical association per column pair: mutual
+    * information, normalized MI (MI / √(H(a)·H(b))) and Cramér's V
+    * (bias-uncorrected χ² form) — the discrete complement of the
+    * Pearson/Spearman matrices. One joint-count aggregation per pair
+    * (contingency-table-sized state, never row-sized); marginals derive
+    * from the joint frame, so each pair costs one shuffle of its
+    * distinct (a, b) combinations. Per-cell terms pre-round to 8
+    * decimals and sum in DECIMAL, so the only cross-engine noise is the
+    * ln/libm ulp the PSI/JSD oracles already tolerate under the final
+    * 4-dp round.
+    */
+  def catAssociation(df0: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    require(cols.size >= 2, "need at least 2 columns")
+    val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+    def decSum(c: Column): Column =
+      sum(round(c, 8).cast(DecimalType(28, 8))).cast(DoubleType)
+    pairs.map { case (a, b) =>
+      val joint = df0.filter(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("__nab"))
+      val wa = Window.partitionBy(col("__a"))
+      val wb = Window.partitionBy(col("__b"))
+      val wn = Window.partitionBy()
+      // marginals / totals as windows over the CONTINGENCY frame (cells
+      // = |A|·|B| rows, bounded by cardinalities — never the data size)
+      val cells = joint
+        .withColumn("__na", sum(col("__nab")).over(wa))
+        .withColumn("__nb", sum(col("__nab")).over(wb))
+        .withColumn("__n", sum(col("__nab")).over(wn))
+        .withColumn("__ra", size(collect_set(col("__a")).over(wn)))
+        .withColumn("__rb", size(collect_set(col("__b")).over(wn)))
+      val n = col("__n").cast(DoubleType)
+      val pab = col("__nab") / n
+      val exp = col("__na").cast(DoubleType) * col("__nb") / n
+      // the contingency frame holds OBSERVED cells only, but χ² counts
+      // every (a, b) combination: an unobserved cell contributes
+      // (0 − E)²/E = E, and Σ_all E = N, so the zero-cell mass is
+      // exactly N − Σ_observed E — added in closed form instead of
+      // materializing the |A|·|B| dense grid
+      cells.agg(
+        decSum(pab * log(col("__nab") * n /
+          (col("__na").cast(DoubleType) * col("__nb")))).as("__mi"),
+        decSum((col("__nab") - exp) * (col("__nab") - exp) / exp).as("__chi2o"),
+        decSum(exp).as("__esum"),
+        max(col("__n")).as("__N"),
+        max(col("__ra")).as("__RA"),
+        max(col("__rb")).as("__RB"))
+        .withColumn("__chi2",
+          col("__chi2o") + (col("__N") - col("__esum")))
+        .select(
+          lit(a).as("attribute_1"), lit(b).as("attribute_2"),
+          round(col("__mi"), 4).as("mi"),
+          round(col("__chi2"), 4).as("chi2"),
+          round(sqrt(col("__chi2") /
+            (col("__N") * (least(col("__RA"), col("__RB")) - 1))), 4)
+            .as("cramers_v"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Broadcast a rank table when its distinct-value count is modest;
     * heavy-cardinality columns fall back to a shuffle join (the table is
     * still distinct-sized, never row-sized).

@@ -50,6 +50,47 @@ object AnalyticsQueries {
       $selects"""
     })
 
+  /** Categorical association (MI / χ² / Cramér's V) over the lineitem
+    * flag columns — per-cell terms pre-round to 8 dp and sum in DECIMAL,
+    * so only the ln/libm ulp (the PSI precedent) sits under the final
+    * 4-dp round.
+    */
+  val qCatAssociation = Q(
+    "q_cat_association",
+    (s, dir) => Association.catAssociation(tables(s, dir).lineitem,
+      Seq("l_quantity", "l_linestatus", "l_returnflag")),
+    Some {
+      val cols = Seq("l_quantity", "l_linestatus", "l_returnflag")
+      val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+      pairs.map { case (a, b) =>
+        val filt = s"$a IS NOT NULL AND $b IS NOT NULL"
+        s"""
+        SELECT '$a' AS attribute_1, '$b' AS attribute_2,
+          round(CAST(sum(CAST(round(
+            (nab / n) * ln(nab * n / (na * nb)), 8) AS DECIMAL(28,8))) AS DOUBLE), 4) AS mi,
+          round(chi2o + (nn - esum), 4) AS chi2,
+          round(sqrt((chi2o + (nn - esum))
+            / (nn * (least((SELECT count(DISTINCT $a) FROM lineitem WHERE $filt),
+                           (SELECT count(DISTINCT $b) FROM lineitem WHERE $filt)) - 1))), 4)
+            AS cramers_v
+        FROM (
+          SELECT *,
+            CAST(sum(CAST(round(
+              (nab - na * nb / n) * (nab - na * nb / n) / (na * nb / n), 8)
+              AS DECIMAL(28,8))) OVER () AS DOUBLE) AS chi2o,
+            CAST(sum(CAST(round(na * nb / n, 8) AS DECIMAL(28,8))) OVER () AS DOUBLE) AS esum,
+            CAST((SELECT count(*) FROM lineitem WHERE $filt) AS DOUBLE) AS nn
+          FROM (
+            SELECT CAST(count(*) AS DOUBLE) AS nab,
+                   CAST(sum(count(*)) OVER (PARTITION BY $a) AS DOUBLE) AS na,
+                   CAST(sum(count(*)) OVER (PARTITION BY $b) AS DOUBLE) AS nb,
+                   CAST(sum(count(*)) OVER () AS DOUBLE) AS n
+            FROM lineitem WHERE $filt
+            GROUP BY $a, $b))
+        GROUP BY chi2o, esum, nn"""
+      }.mkString(" UNION ALL ")
+    })
+
   private val driftCols = Seq("l_quantity", "l_extendedprice", "l_discount")
   private val splitDate = "TIMESTAMP '1997-07-01'"
 
@@ -365,6 +406,6 @@ object AnalyticsQueries {
                   UNION ALL SELECT c FROM tri)
       SELECT node, count(*) AS triangles FROM corners GROUP BY node"""))
 
-  def all: Seq[Q] = Seq(qCorrelation, qSpearman, qDrift, qStability, qIv, qIg, qFeatureStability,
+  def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qDrift, qStability, qIv, qIg, qFeatureStability,
     qPageRank, qTriangles)
 }

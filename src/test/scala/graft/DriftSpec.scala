@@ -175,6 +175,29 @@ class DriftSpec extends SparkSpec {
     assert(!cpFlat.getBoolean(3), s"stable series must not flag: $cpFlat")
   }
 
+  test("categorical association: perfect dependence, independence, and invariance") {
+    import graft.operators.Association
+    // x determines y (bijective) → V = 1 and MI = H(x) = ln(4);
+    // z is uniform and independent of both → V ≈ 0, MI ≈ 0 exactly
+    // (counts are perfectly balanced, so the estimates are exact zeros)
+    val d = (0 until 400).map { i =>
+      (s"x${i % 4}", s"y${(i % 4 + 1) % 4}", s"z${(i / 4) % 2}")
+    }.toDF("x", "y", "z")
+    val m = Association.catAssociation(d, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(4)))).toMap
+    val (miXY, vXY) = m(("x", "y"))
+    assert(vXY == 1.0, s"bijective pair must score V=1: $vXY")
+    assert(math.abs(miXY - math.log(4.0)) < 1e-4, s"MI should equal H = ln 4: $miXY")
+    val (miXZ, vXZ) = m(("x", "z"))
+    assert(miXZ == 0.0 && vXZ == 0.0, s"balanced independent pair: mi=$miXZ v=$vXZ")
+    // layout invariance
+    val m2 = Association.catAssociation(d.repartition(7), Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(4)))).toMap
+    assert(m2 == m)
+  }
+
   test("pacf cuts off after lag 1 on an AR(1) series") {
     import graft.functions.DatetimeOps
     val rnd = new scala.util.Random(7)
