@@ -45,6 +45,58 @@ object SketchStore {
           .as("distinct_estimate"))
   }
 
+  /** Mergeable moment "sketches" — the exact little sibling of the HLL
+    * store for mean/variance questions: each ingest batch reduces to
+    * (n, Σx, Σx²) per group in EXACT decimal arithmetic (a 4-dp value
+    * fits DECIMAL(18,4); its square is exact in DECIMAL(37,8)), the
+    * three-number rows are saved like any table, and any later rollup
+    * ("mean and stddev per source over all history") merges rows by
+    * addition — history never rescanned, and unlike a sketch the answer
+    * is exact to the last decimal.
+    */
+  def momentSketches(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(groupCols.nonEmpty, "sketch groups required")
+    val x = col(valueCol).cast(DecimalType(18, 4))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(col(valueCol)).as("n"),
+        sum(x).as("sum_x"),
+        sum(x * x).as("sum_x2"))
+  }
+
+  /** Merge saved moment rows (optionally regrouped on a coarser key) and
+    * derive mean / sample variance / stddev. The merge is pure addition
+    * of exact decimals; only the final mean/variance divisions are
+    * doubles, and each is a single deterministic expression — so the
+    * merged answer equals a from-scratch scan bit-for-bit.
+    */
+  def mergeMoments(
+      moments: DataFrame,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val merged =
+      if (groupCols.isEmpty)
+        moments.agg(sum(col("n")).as("n"), sum(col("sum_x")).as("sum_x"),
+          sum(col("sum_x2")).as("sum_x2"))
+      else
+        moments.groupBy(groupCols.map(col): _*)
+          .agg(sum(col("n")).as("n"), sum(col("sum_x")).as("sum_x"),
+            sum(col("sum_x2")).as("sum_x2"))
+    val n = col("n").cast(DoubleType)
+    val s = col("sum_x").cast(DoubleType)
+    val s2 = col("sum_x2").cast(DoubleType)
+    merged.select(
+      (groupCols.map(col) ++ Seq(
+        col("n"),
+        round(s / n, 4).as("mean"),
+        round((s2 - s * s / n) / (n - 1), 4).as("variance"),
+        round(sqrt((s2 - s * s / n) / (n - 1)), 4).as("stddev"))): _*)
+  }
+
   /** Overlap between two saved key sets by inclusion–exclusion:
     * |A∩B| ≈ est(A) + est(B) − est(A∪B). HLL can't intersect directly,
     * but its union is EXACT over sketch state, so the three operands

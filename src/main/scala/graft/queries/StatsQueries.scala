@@ -311,8 +311,44 @@ object StatsQueries {
         - (SELECT count(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus IN ('F', 'O', 'P'))
           AS intersection_estimate"""))
 
+  /** Incremental moments store end-to-end: per-(day, event_type) exact
+    * (n, Σx, Σx²) rows are built once, round-trip parquet, and the
+    * RE-READ rows merge to per-event-type mean/variance/stddev — the
+    * history-never-rescanned rollup. The oracle computes the same stats
+    * from raw rows with the identical decimal-sum-then-single-division
+    * arithmetic, so the merge path is proven exactly equal to a
+    * from-scratch scan.
+    */
+  val qMomentsStore = Q(
+    "q_moments_store",
+    (s, dir) => {
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft_q_moments_store_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      graft.operators.SketchStore.momentSketches(
+        tables(s, dir).events
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        Seq("day", "event_type"), "value")
+        .write.mode("overwrite").parquet(store)
+      graft.operators.SketchStore.mergeMoments(
+        s.read.parquet(store), Seq("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+        count(value) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value), 4) AS mean,
+        round((CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               - CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 * CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value))
+              / (count(value) - 1), 4) AS variance,
+        round(sqrt((CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               - CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 * CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value))
+              / (count(value) - 1)), 4) AS stddev
+      FROM events GROUP BY event_type"""))
+
   def all: Seq[Q] = Seq(qGlobalSummary, qMissingCounts, qNonzeroCounts, qMeasuresOfCounts,
     qCentralTendency, qMode, qUniqueCounts, qDispersion, qPercentiles, qShape, qCardinality,
     qReportFrequency, qReportEventRate, qReportCompDrift, qReportOutlier, qHllDistinct,
-    qHllIntersection)
+    qHllIntersection, qMomentsStore)
 }

@@ -52,6 +52,31 @@ class StatsSpec extends SparkSpec {
       s"estimating-regime intersection too far off: $inter vs 20000")
   }
 
+  test("moments store: any batch split merges to the identical exact stats") {
+    import graft.operators.SketchStore
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val d = (1 to 5000).map(i => (s"g${i % 3}", s"b${i % 7}", i * 0.01)).toDF("g", "batch", "v")
+    // merge of 7 per-batch sketch rows == direct single-pass stats,
+    // bit-for-bit (the decimal-merge claim)
+    val parts = SketchStore.momentSketches(d, Seq("g", "batch"), "v")
+    val merged = SketchStore.mergeMoments(parts, Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val direct = SketchStore.mergeMoments(
+      SketchStore.momentSketches(d.withColumn("batch", lit("all")), Seq("g", "batch"), "v"),
+      Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(merged == direct, s"merge-of-parts diverged:\n$merged\n$direct")
+    // and against the straightforward definition on one group
+    val g0 = (1 to 5000).filter(_ % 3 == 0).map(_ * 0.01)
+    val mean = g0.sum / g0.size
+    assert(math.abs(merged("g0")._2 - mean) < 1e-3)
+    // global (no regroup) rollup covers every row once
+    assert(SketchStore.mergeMoments(parts).first().getLong(0) == 5000L)
+  }
+
   test("hll sketch store: fixed-input estimates are pinned exactly") {
     // golden pin of the APPROXIMATE regime: these exact estimate values
     // are a property of the Datasketches HLL_4 implementation shipped
