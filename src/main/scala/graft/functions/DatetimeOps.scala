@@ -282,8 +282,11 @@ object DatetimeOps {
     val aggs = sum(col("__d2")).cast(DoubleType).as("__denom") +:
       (1 to maxLag).map(k => sum(col(s"__p$k")).cast(DoubleType).as(s"__n$k"))
     val sums = base.groupBy(series: _*).agg(aggs.head, aggs.tail: _*)
+    // a constant series has zero deviation mass — acf is undefined
+    // (null), not an ANSI DIVIDE_BY_ZERO that aborts every other series
     val stackArgs = (1 to maxLag)
-      .map(k => s"$k, round(__n$k / __denom, 4)").mkString(", ")
+      .map(k => s"$k, round(CASE WHEN __denom > 0 THEN __n$k / __denom END, 4)")
+      .mkString(", ")
     sums.selectExpr(seriesCols :+
       s"stack($maxLag, $stackArgs) as (lag, acf)": _*)
   }
@@ -389,8 +392,13 @@ object DatetimeOps {
       .filter(col("__rk") === 1)
       .select(series ++ Seq(
         col("day").as("changepoint_day"),
-        round(abs(col("__cusum")) / sqrt(col("__var")), 4).as("peak_stat"),
-        (abs(col("__cusum")) / sqrt(col("__var")) > threshold).as("shifted")): _*)
+        // zero-variance series: no scale to normalize by — null peak,
+        // unshifted (not an ANSI DIVIDE_BY_ZERO crash)
+        when(col("__var") > 0,
+          round(abs(col("__cusum")) / sqrt(col("__var")), 4)).as("peak_stat"),
+        when(col("__var") > 0,
+          abs(col("__cusum")) / sqrt(col("__var")) > threshold)
+          .otherwise(lit(false)).as("shifted")): _*)
   }
 
   /** ref: datetime.py:1721-1821 `aggregator` — groupBy formatted time

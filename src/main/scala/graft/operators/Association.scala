@@ -40,17 +40,30 @@ object Association {
     * data-sized window anywhere; the sorted frame holds DISTINCT values
     * only, and the driver sees one Long per partition.
     */
-  private def avgRankByValue(df: DataFrame, c: String): DataFrame = {
+  private def avgRankByValue(df: DataFrame, c: String): (DataFrame, Long) = {
     import org.apache.spark.sql.{Row => SRow}
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    // nulls never rank (and in a non-ANSI session a failed string→double
+    // cast arrives as null even past an upstream na.drop) — drop them
+    // here so pass 2 can't NPE on getDouble
     val counts = df.select(col(c).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
       .groupBy("__v").agg(count(lit(1)).as("__n"))
     val sorted = counts.orderBy(col("__v").asc)
     val rdd = sorted.rdd
-    val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
-      Iterator.single(i -> it.map(_.getLong(1)).sum)
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _)
+    // the sort feeds both the totals pass and the prefix pass — cache it
+    // (the packByBudget discipline; Bench/pipelines unpersist leftovers)
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one pass collects BOTH per-partition row-count sums (the prefix
+    // offsets) and distinct-value counts (the caller's broadcast
+    // decision — an RDD-backed frame never has CBO stats to consult)
+    val partStats = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var rows = 0L; var sumN = 0L
+      it.foreach { r => rows += 1; sumN += r.getLong(1) }
+      Iterator.single((i, sumN, rows))
+    }.collect().sortBy(_._1)
+    val offsets = partStats.map(_._2).scanLeft(0L)(_ + _)
+    val distinctCount = partStats.map(_._3).sum
     val ranked = rdd.mapPartitionsWithIndex { case (i, it) =>
       var running = offsets(i)
       it.map { r =>
@@ -60,8 +73,9 @@ object Association {
         SRow(r.getDouble(0), rank)
       }
     }
-    df.sparkSession.createDataFrame(ranked, StructType(Seq(
+    val frame = df.sparkSession.createDataFrame(ranked, StructType(Seq(
       StructField("__v", DoubleType), StructField("__rank", DoubleType))))
+    (frame, distinctCount)
   }
 
   /** Spearman rank correlations, long form [attribute_1, attribute_2,
@@ -77,12 +91,17 @@ object Association {
       cols: Seq[String],
       sampleCap: Option[Long] = None): DataFrame = {
     require(cols.size >= 2, "need at least 2 columns")
+    // cast FIRST, then drop listwise: a failed string→double cast must
+    // count as a null row, not slip past na.drop on its pre-cast value
     val df = QualityChecker.sampleCapped(df0, sampleCap)
-      .na.drop(cols).select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .na.drop(cols)
     val ranked = cols.foldLeft(df) { (d, c) =>
-      val ranks = avgRankByValue(df, c)
+      val (rankFrame, nDistinct) = avgRankByValue(df, c)
+      val ranks = rankFrame
         .withColumnRenamed("__v", c).withColumnRenamed("__rank", s"__rank_$c")
-      d.join(broadcastIfSmall(ranks), Seq(c))
+      val rhs = if (nDistinct <= 1000000L) broadcast(ranks) else ranks
+      d.join(rhs, Seq(c))
     }
     val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
     val exprs = pairs.map { case (a, b) =>
@@ -96,8 +115,8 @@ object Association {
   }
 
   /** Categorical↔categorical association per column pair: mutual
-    * information, normalized MI (MI / √(H(a)·H(b))) and Cramér's V
-    * (bias-uncorrected χ² form) — the discrete complement of the
+    * information and Cramér's V (bias-uncorrected χ² form) — the
+    * discrete complement of the
     * Pearson/Spearman matrices. One joint-count aggregation per pair
     * (contingency-table-sized state, never row-sized); marginals derive
     * from the joint frame, so each pair costs one shuffle of its
@@ -149,21 +168,13 @@ object Association {
           lit(a).as("attribute_1"), lit(b).as("attribute_2"),
           round(col("__mi"), 4).as("mi"),
           round(col("__chi2"), 4).as("chi2"),
-          round(sqrt(col("__chi2") /
-            (col("__N") * (least(col("__RA"), col("__RB")) - 1))), 4)
+          // a single-category column makes min(R,C)−1 = 0; V is then
+          // undefined (null), not a DIVIDE_BY_ZERO crash under ANSI
+          when(least(col("__RA"), col("__RB")) > 1,
+            round(sqrt(col("__chi2") /
+              (col("__N") * (least(col("__RA"), col("__RB")) - 1))), 4))
             .as("cramers_v"))
     }.reduce(_ unionByName _)
-  }
-
-  /** Broadcast a rank table when its distinct-value count is modest;
-    * heavy-cardinality columns fall back to a shuffle join (the table is
-    * still distinct-sized, never row-sized).
-    */
-  private def broadcastIfSmall(ranks: DataFrame,
-      maxBroadcast: Long = 1000000L): DataFrame = {
-    val est = ranks.queryExecution.optimizedPlan.stats.rowCount
-      .map(_.toLong).getOrElse(Long.MaxValue)
-    if (est <= maxBroadcast) broadcast(ranks) else ranks
   }
 
   /** ref: association_evaluator.py:253-424 `IV_calculation`.

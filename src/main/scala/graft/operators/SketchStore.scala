@@ -63,7 +63,10 @@ object SketchStore {
     val x = col(valueCol).cast(DecimalType(18, 4))
     df.groupBy(groupCols.map(col): _*)
       .agg(
-        count(col(valueCol)).as("n"),
+        // count the CAST value: a value the decimal cast nulls (possible
+        // in a non-ANSI session) must drop from n exactly as it drops
+        // from the sums, or the merged mean silently skews
+        count(x).as("n"),
         sum(x).as("sum_x"),
         sum(x * x).as("sum_x2"))
   }
@@ -93,8 +96,10 @@ object SketchStore {
       (groupCols.map(col) ++ Seq(
         col("n"),
         round(s / n, 4).as("mean"),
-        round((s2 - s * s / n) / (n - 1), 4).as("variance"),
-        round(sqrt((s2 - s * s / n) / (n - 1)), 4).as("stddev"))): _*)
+        // sample variance needs n ≥ 2 — a single-row group yields null,
+        // not an ANSI DIVIDE_BY_ZERO that kills the whole rollup
+        when(col("n") > 1, round((s2 - s * s / n) / (n - 1), 4)).as("variance"),
+        when(col("n") > 1, round(sqrt((s2 - s * s / n) / (n - 1)), 4)).as("stddev"))): _*)
   }
 
   /** Overlap between two saved key sets by inclusion–exclusion:
@@ -128,7 +133,9 @@ object SketchStore {
       max(when(col("__t") === "a", col("distinct_estimate"))).as("a_estimate"),
       max(when(col("__t") === "b", col("distinct_estimate"))).as("b_estimate"),
       max(when(col("__t") === "u", col("distinct_estimate"))).as("union_estimate"))
+      // in the estimating regime two near-disjoint sets can land a hair
+      // below zero — clamp; a negative cardinality is never the answer
       .withColumn("intersection_estimate",
-        col("a_estimate") + col("b_estimate") - col("union_estimate"))
+        greatest(col("a_estimate") + col("b_estimate") - col("union_estimate"), lit(0L)))
   }
 }

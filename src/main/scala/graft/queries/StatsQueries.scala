@@ -306,10 +306,11 @@ object StatsQueries {
          WHERE o_orderstatus IN ('O', 'P')) AS b_estimate,
         (SELECT count(DISTINCT o_orderpriority) FROM orders
          WHERE o_orderstatus IN ('F', 'O', 'P')) AS union_estimate,
-        (SELECT count(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus = 'F')
-        + (SELECT count(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus IN ('O', 'P'))
-        - (SELECT count(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus IN ('F', 'O', 'P'))
-          AS intersection_estimate"""))
+        greatest(
+          (SELECT count(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus = 'F')
+          + (SELECT count(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus IN ('O', 'P'))
+          - (SELECT count(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')),
+          0) AS intersection_estimate"""))
 
   /** Incremental moments store end-to-end: per-(day, event_type) exact
     * (n, Σx, Σx²) rows are built once, round-trip parquet, and the

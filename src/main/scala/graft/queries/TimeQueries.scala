@@ -594,7 +594,7 @@ object TimeQueries {
       s"CAST(sum(CAST(round(dev * g$k, 8) AS DECIMAL(28,8))) AS DOUBLE) AS n$k")
       .mkString(", ")
     val arms = (1 to maxLag).map(k =>
-      s"SELECT event_type, $k AS lag, round(n$k / denom, 4) AS acf FROM s")
+      s"SELECT event_type, $k AS lag, round(CASE WHEN denom > 0 THEN n$k / denom END, 4) AS acf FROM s")
       .mkString(" UNION ALL ")
     s"""
       WITH daily AS (
@@ -677,8 +677,8 @@ object TimeQueries {
               (PARTITION BY event_type ORDER BY abs(cusum) DESC, day ASC) AS rk
             FROM c)
       SELECT r.event_type, day AS changepoint_day,
-        round(abs(cusum) / sqrt(var), 4) AS peak_stat,
-        abs(cusum) / sqrt(var) > 5.0 AS shifted
+        CASE WHEN var > 0 THEN round(abs(cusum) / sqrt(var), 4) END AS peak_stat,
+        CASE WHEN var > 0 THEN abs(cusum) / sqrt(var) > 5.0 ELSE false END AS shifted
       FROM r JOIN v ON r.event_type = v.event_type WHERE rk = 1"""))
 
   val qEwma = Q(

@@ -198,6 +198,34 @@ class DriftSpec extends SparkSpec {
     assert(m2 == m)
   }
 
+  test("degenerate series survive under ANSI: constant acf/cusum, single-category V, n=1 moments") {
+    import graft.functions.DatetimeOps
+    import graft.operators.{Association, SketchStore}
+    // constant daily totals: zero deviation mass — acf/pacf undefined
+    // (null), cusum unshifted with null peak; under this build's default
+    // ANSI mode an unguarded 0/0 would THROW, so completing at all is
+    // the point of the test
+    val flat = (0 until 30).map { d =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(d)
+      ("f", java.sql.Timestamp.valueOf(day.atTime(12, 0)), 5.0)
+    }.toDF("k", "ts", "v")
+    val acf = DatetimeOps.autocorrelation(flat, "ts", "v", Seq("k"), maxLag = 3).collect()
+    assert(acf.length == 3 && acf.forall(_.isNullAt(2)), "constant-series acf must be null")
+    val cp = DatetimeOps.cusumChangepoints(flat, "ts", "v", Seq("k")).collect().head
+    assert(cp.isNullAt(2) && !cp.getBoolean(3), s"constant series: $cp")
+    // single-category column: min(R,C)-1 = 0 — V null, MI still defined (0)
+    val oneCat = (1 to 50).map(i => (s"x${i % 3}", "only")).toDF("x", "y")
+    val assoc = Association.catAssociation(oneCat, Seq("x", "y")).collect().head
+    assert(assoc.getDouble(2) == 0.0 && assoc.isNullAt(4), s"single-category pair: $assoc")
+    // single-row group: sample variance undefined — null, not a crash
+    val single = Seq(("g1", 1.0), ("g2", 2.0), ("g2", 4.0)).toDF("g", "v")
+    val m = SketchStore.mergeMoments(
+      SketchStore.momentSketches(single, Seq("g"), "v"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("g1").isNullAt(3) && m("g1").getDouble(2) == 1.0)
+    assert(m("g2").getDouble(3) == 2.0) // var of {2,4}
+  }
+
   test("pacf cuts off after lag 1 on an AR(1) series") {
     import graft.functions.DatetimeOps
     val rnd = new scala.util.Random(7)
@@ -227,7 +255,6 @@ class DriftSpec extends SparkSpec {
     // (zero-sum), no trend slope — so trend ≈ level, seasonal ≈ offsets
     val offsets = Array(6.0, -2.0, 3.0, -4.0, 1.0, -5.0, 1.0) // sums to 0
     val rows = (0 until 56).map { d =>
-      val day = java.sql.Timestamp.valueOf(f"2024-01-${1 + d % 28}%02d 12:00:00")
       // spread across two months to keep dates unique
       val ts = java.sql.Timestamp.valueOf(
         f"2024-0${1 + d / 28}%d-${1 + d % 28}%02d 12:00:00")
