@@ -177,6 +177,48 @@ object Association {
     }.reduce(_ unionByName _)
   }
 
+  /** Correlation ratio η (categorical → numeric): √(SS_between /
+    * SS_total) — the cat↔num cell completing the association family
+    * (Pearson/Spearman num↔num, MI/Cramér's V cat↔cat). Computed in the
+    * computational form SS_b = Σ_g S_g²/n_g − S²/N and SS_t = Σx² − S²/N
+    * from EXACT decimal group sums, so the only doubles are the
+    * deterministic per-group S_g²/n_g divisions (8-dp pre-rounded into a
+    * DECIMAL sum) and the final ratio. Group state is O(categories) per
+    * pair; η is undefined (null) when the numeric column is constant.
+    */
+  def correlationRatio(
+      df0: DataFrame,
+      catCols: Seq[String],
+      numCols: Seq[String],
+      sampleCap: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    require(catCols.nonEmpty && numCols.nonEmpty, "need both column lists")
+    val df = QualityChecker.sampleCapped(df0, sampleCap)
+    (for (c <- catCols; x <- numCols) yield {
+      val v = col(x).cast(DecimalType(18, 4))
+      val g = df.filter(col(c).isNotNull && col(x).isNotNull)
+        .groupBy(col(c))
+        .agg(count(lit(1)).as("__ng"), sum(v).as("__sg"), sum(v * v).as("__s2g"))
+      g.agg(
+        sum(col("__ng")).as("__n"),
+        sum(col("__sg")).as("__s"),
+        sum(col("__s2g")).as("__s2"),
+        sum(round(col("__sg").cast(DoubleType) * col("__sg").cast(DoubleType) /
+          col("__ng"), 8).cast(DecimalType(28, 8))).cast(DoubleType).as("__ssb_raw"))
+        .select(
+          lit(c).as("cat_attribute"), lit(x).as("num_attribute"),
+          {
+            val n = col("__n").cast(DoubleType)
+            val s = col("__s").cast(DoubleType)
+            val s2 = col("__s2").cast(DoubleType)
+            val sst = s2 - s * s / n
+            val ssb = col("__ssb_raw") - s * s / n
+            when(sst > 0, round(sqrt(greatest(ssb, lit(0.0)) / sst), 4))
+              .as("eta")
+          })
+    }).reduce(_ unionByName _)
+  }
+
   /** ref: association_evaluator.py:253-424 `IV_calculation`.
     * Per attribute value/bin: WOE = ln(nonevent_pct / event_pct), with a
     * +0.5-count smoothing fallback when either share is zero

@@ -91,6 +91,38 @@ object AnalyticsQueries {
       }.mkString(" UNION ALL ")
     })
 
+  /** Correlation ratio η for every (categorical, numeric) pair — exact
+    * decimal group sums, deterministic single divisions, greatest(ssb,0)
+    * guarding the tiny negative ssb float roundoff can produce.
+    */
+  val qCorrelationRatio = Q(
+    "q_correlation_ratio",
+    (s, dir) => Association.correlationRatio(tables(s, dir).lineitem,
+      Seq("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_discount")),
+    Some {
+      val pairs = for (c <- Seq("l_returnflag", "l_linestatus");
+                       x <- Seq("l_quantity", "l_discount")) yield (c, x)
+      pairs.map { case (c, x) =>
+        s"""
+        SELECT '$c' AS cat_attribute, '$x' AS num_attribute,
+          CASE WHEN (s2 - s * s / n) > 0 THEN
+            round(sqrt(greatest(ssb_raw - s * s / n, 0.0) / (s2 - s * s / n)), 4)
+          END AS eta
+        FROM (
+          SELECT CAST(sum(ng) AS DOUBLE) AS n,
+                 CAST(sum(sg) AS DOUBLE) AS s,
+                 CAST(sum(s2g) AS DOUBLE) AS s2,
+                 CAST(sum(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng, 8)
+                   AS DECIMAL(28,8))) AS DOUBLE) AS ssb_raw
+          FROM (
+            SELECT count(*) AS ng,
+                   sum(CAST($x AS DECIMAL(18,4))) AS sg,
+                   sum(CAST($x AS DECIMAL(18,4)) * CAST($x AS DECIMAL(18,4))) AS s2g
+            FROM lineitem WHERE $c IS NOT NULL AND $x IS NOT NULL
+            GROUP BY $c))"""
+      }.mkString(" UNION ALL ")
+    })
+
   private val driftCols = Seq("l_quantity", "l_extendedprice", "l_discount")
   private val splitDate = "TIMESTAMP '1997-07-01'"
 
@@ -406,6 +438,6 @@ object AnalyticsQueries {
                   UNION ALL SELECT c FROM tri)
       SELECT node, count(*) AS triangles FROM corners GROUP BY node"""))
 
-  def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qDrift, qStability, qIv, qIg, qFeatureStability,
+  def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
     qPageRank, qTriangles)
 }

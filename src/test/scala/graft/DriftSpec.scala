@@ -226,6 +226,21 @@ class DriftSpec extends SparkSpec {
     assert(m("g2").getDouble(3) == 2.0) // var of {2,4}
   }
 
+  test("correlation ratio: determined, independent, and constant-column cases") {
+    import graft.operators.Association
+    // y fully determined by the category → η = 1; z balanced and
+    // identical across categories → η = 0; constant w → η null
+    val d = (0 until 300).map { i =>
+      (s"c${i % 3}", (i % 3) * 10.0, (i % 5).toDouble, 7.0)
+    }.toDF("cat", "y", "z", "w")
+    val r = Association.correlationRatio(d, Seq("cat"), Seq("y", "z", "w"))
+      .collect().map(row => row.getString(1) ->
+        (if (row.isNullAt(2)) None else Some(row.getDouble(2)))).toMap
+    assert(r("y") == Some(1.0), s"determined: ${r("y")}")
+    assert(r("z") == Some(0.0), s"independent balanced: ${r("z")}")
+    assert(r("w") == None, s"constant numeric must be undefined: ${r("w")}")
+  }
+
   test("pacf cuts off after lag 1 on an AR(1) series") {
     import graft.functions.DatetimeOps
     val rnd = new scala.util.Random(7)
