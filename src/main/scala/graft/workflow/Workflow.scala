@@ -640,6 +640,25 @@ object Workflow {
         metrics += "IG_calculation" -> Association.igCalculation(df, cols,
           org.apache.spark.sql.functions.col(label) === event)
       }
+      ac.get("spearman_matrix").foreach { d =>
+        val cols = resolveCols(df, asConf(d).getOrElse("list_of_cols", null))
+          .filter(graft.core.ColumnRole.numericCols(df).contains)
+        if (cols.size >= 2)
+          metrics += "spearman_matrix" -> Association.spearmanMatrix(df, cols)
+      }
+      ac.get("cat_association").foreach { d =>
+        val cols = resolveCols(df, asConf(d).getOrElse("list_of_cols", null))
+        if (cols.size >= 2)
+          metrics += "cat_association" -> Association.catAssociation(df, cols)
+      }
+      ac.get("correlation_ratio").foreach { d =>
+        val dd = asConf(d)
+        val cats = resolveCols(df, dd.getOrElse("cat_cols", null))
+        val nums = resolveCols(df, dd.getOrElse("num_cols", null))
+          .filter(graft.core.ColumnRole.numericCols(df).contains)
+        if (cats.nonEmpty && nums.nonEmpty)
+          metrics += "correlation_ratio" -> Association.correlationRatio(df, cats, nums)
+      }
       timed("association_evaluator", metrics.toMap) { () }
     }
 

@@ -567,6 +567,13 @@ association_evaluator:
     list_of_cols: [o_orderpriority]
     label_col: o_orderstatus
     event_label: F
+  spearman_matrix:
+    list_of_cols: [o_orderkey, o_custkey, o_totalprice]
+  cat_association:
+    list_of_cols: [o_orderstatus, o_orderpriority]
+  correlation_ratio:
+    cat_cols: [o_orderstatus]
+    num_cols: [o_totalprice]
 drift_detector:
   source_path: "/root/testdata/sf0.001/orders.parquet"
   list_of_cols: [o_totalprice]
@@ -576,6 +583,10 @@ drift_detector:
     val assoc = byName("association_evaluator").metrics
     assert(assoc("correlation_matrix").count() == 3)
     assert(assoc("IV_calculation").count() == 1)
+    assert(assoc("spearman_matrix").count() == 3)
+    assert(assoc("cat_association").count() == 1)
+    val eta = assoc("correlation_ratio").collect().head
+    assert(eta.getString(0) == "o_orderstatus" && !eta.isNullAt(2))
     val drift = byName("drift_detector").metrics("drift_statistics").collect()(0)
     assert(drift.getDouble(drift.fieldIndex("PSI")) == 0.0) // source == target
   }
