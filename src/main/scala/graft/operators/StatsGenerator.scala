@@ -43,6 +43,82 @@ object StatsGenerator {
     if (cols.size <= chunkCols) run(cols)
     else cols.grouped(chunkCols).map(run).reduce(_ unionByName _)
 
+  /** Gini coefficient of a non-negative numeric column —
+    * G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over ascending 1-based ranks —
+    * the inequality measure a corpus pipeline reads as "how skewed is
+    * the per-source/doc token mass". Distributed exactly without a
+    * global row sort: a value-frequency aggregation, a RANGE sort of
+    * the DISTINCT values, and a two-phase prefix pass; a tie group's
+    * rank-weighted mass collapses to v·(n_v·start + n_v(n_v+1)/2) in
+    * closed form (equal values make the within-group order irrelevant),
+    * accumulated in DECIMAL so both engines agree to the last digit.
+    */
+  def giniCoefficient(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types.{DecimalType, StructField, StructType, StringType}
+    cols.map { c =>
+      val counts = df.select(col(c).cast(DecimalType(18, 4)).as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy("__v").agg(count(lit(1)).as("__n"))
+        .orderBy(col("__v").asc)
+      val rdd = counts.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val partCounts = rdd.mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single(i -> it.map(_.getLong(1)).sum)
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = partCounts.scanLeft(0L)(_ + _)
+      val terms = rdd.mapPartitionsWithIndex { case (i, it) =>
+        var start = offsets(i)
+        it.map { r =>
+          val v = r.getDecimal(0)
+          val n = r.getLong(1)
+          // Σ over the tie group of rank·x = v·(n·start + n(n+1)/2)
+          val rankMass = new java.math.BigDecimal(n).multiply(
+            new java.math.BigDecimal(start).add(
+              new java.math.BigDecimal(n + 1).divide(new java.math.BigDecimal(2))))
+          start += n
+          SRow(v.multiply(rankMass), v.multiply(new java.math.BigDecimal(n)), n)
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("__s1", DecimalType(38, 6)), StructField("__s", DecimalType(38, 6)),
+        StructField("__n", org.apache.spark.sql.types.LongType)))
+      df.sparkSession.createDataFrame(terms, schema)
+        .agg(sum(col("__s1")).as("__S1"), sum(col("__s")).as("__S"),
+          sum(col("__n")).as("__N"))
+        .select(
+          lit(c).as("attribute"),
+          when(col("__S").cast("double") > 0,
+            round(lit(2.0) * col("__S1").cast("double") /
+              (col("__N") * col("__S").cast("double")) -
+              (col("__N") + 1).cast("double") / col("__N"), 4))
+            .as("gini"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Herfindahl–Hirschman concentration of a weight column over a
+    * grouping (share² summed) plus the top share and group count — the
+    * "is one source dominating the mixture" check. Exact decimal group
+    * sums; the share squares pre-round at 8 dp into a DECIMAL sum.
+    */
+  def hhiConcentration(df: DataFrame, groupCol: String, weightCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = col(weightCol).cast(DecimalType(18, 4))
+    val g = df.filter(col(groupCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(groupCol)).agg(sum(w).as("__wg"))
+    val withTotal = g.withColumn("__wt",
+      sum(col("__wg")).over(Window.partitionBy()))
+    val share = col("__wg").cast(DoubleType) / col("__wt").cast(DoubleType)
+    withTotal.agg(
+      sum(round(share * share, 8).cast(DecimalType(28, 8))).cast(DoubleType).as("__hhi"),
+      max(share).as("__top"),
+      count(lit(1)).as("n_groups"))
+      .select(
+        round(col("__hhi"), 4).as("hhi"),
+        round(col("__top"), 4).as("top_share"),
+        col("n_groups"))
+  }
+
   /** ref: stats_generator.py:33-113 `global_summary` →
     * [metric, value] with row/column counts and per-role column counts.
     */

@@ -348,8 +348,58 @@ object StatsQueries {
               / (count(value) - 1)), 4) AS stddev
       FROM events GROUP BY event_type"""))
 
+  /** Corpus concentration diagnostics: the Gini coefficient of per-doc
+    * length mass plus the Herfindahl index / top share over sources —
+    * "is one source dominating the mixture". The Gini's tie-group
+    * closed form v·(n·start + n(n+1)/2) (engine, two-phase prefix over
+    * distinct values) sums to exactly the oracle's per-row Σ i·x₍ᵢ₎
+    * (row_number rank) because equal values make the within-tie order
+    * irrelevant — both accumulate in DECIMAL, so S1/S/N agree to the
+    * digit before the single closing division.
+    */
+  val qConcentration = Q(
+    "q_concentration",
+    (s, dir) => {
+      val d = tables(s, dir).documents
+      val gini = StatsGenerator.giniCoefficient(d, Seq("n_chars"))
+        .select(lit("gini_n_chars").as("metric"), col("gini").as("value"))
+      val hhi = StatsGenerator.hhiConcentration(d, "source", "n_chars")
+        .selectExpr("""stack(3,
+          'hhi_source', hhi,
+          'n_sources', cast(n_groups as double),
+          'top_share_source', top_share) as (metric, value)""")
+      gini.unionByName(hhi)
+    },
+    Some("""
+      SELECT 'gini_n_chars' AS metric,
+        round(2.0 * S1 / (N * S) - (N + 1.0) / N, 4) AS value
+      FROM (
+        SELECT CAST(sum(i * x) AS DOUBLE) AS S1,
+               CAST(sum(x) AS DOUBLE) AS S,
+               count(*) AS N
+        FROM (SELECT CAST(n_chars AS DECIMAL(18,4)) AS x,
+                     row_number() OVER (ORDER BY CAST(n_chars AS DECIMAL(18,4))) AS i
+              FROM documents WHERE n_chars IS NOT NULL))
+      UNION ALL
+      SELECT 'hhi_source',
+        round(CAST(sum(CAST(round(
+          (CAST(wg AS DOUBLE) / CAST(wt AS DOUBLE))
+            * (CAST(wg AS DOUBLE) / CAST(wt AS DOUBLE)), 8) AS DECIMAL(28,8))) AS DOUBLE), 4)
+      FROM (SELECT wg, sum(wg) OVER () AS wt FROM (
+              SELECT sum(CAST(n_chars AS DECIMAL(18,4))) AS wg FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY source))
+      UNION ALL
+      SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      UNION ALL
+      SELECT 'top_share_source',
+        round(max(CAST(wg AS DOUBLE) / CAST(wt AS DOUBLE)), 4)
+      FROM (SELECT wg, sum(wg) OVER () AS wt FROM (
+              SELECT sum(CAST(n_chars AS DECIMAL(18,4))) AS wg FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY source))"""))
+
   def all: Seq[Q] = Seq(qGlobalSummary, qMissingCounts, qNonzeroCounts, qMeasuresOfCounts,
     qCentralTendency, qMode, qUniqueCounts, qDispersion, qPercentiles, qShape, qCardinality,
     qReportFrequency, qReportEventRate, qReportCompDrift, qReportOutlier, qHllDistinct,
-    qHllIntersection, qMomentsStore)
+    qHllIntersection, qMomentsStore, qConcentration)
 }

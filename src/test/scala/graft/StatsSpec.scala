@@ -77,6 +77,33 @@ class StatsSpec extends SparkSpec {
     assert(SketchStore.mergeMoments(parts).first().getLong(0) == 5000L)
   }
 
+  test("gini and hhi: closed-form equality, single-holder, uniform cases") {
+    import graft.operators.StatsGenerator
+    import spark.implicits._
+    // perfect equality → gini 0
+    val eq = Seq.fill(100)(7.5).toDF("x")
+    assert(StatsGenerator.giniCoefficient(eq, Seq("x")).first().getDouble(1) == 0.0)
+    // one holder owns everything → gini (n−1)/n = 0.99 at n=100
+    val one = (Seq.fill(99)(0.0) :+ 500.0).toDF("x")
+    assert(StatsGenerator.giniCoefficient(one, Seq("x")).first().getDouble(1) == 0.99)
+    // uniform ladder 1..n → closed form (n−1)/(3n)... check against the
+    // direct formula instead of a constant: G = 2Σi·i/(n·Σi) − (n+1)/n
+    val n = 200
+    val ladder = (1 to n).map(_.toDouble).toDF("x")
+    val s1 = (1 to n).map(i => i.toLong * i).sum.toDouble
+    val s = (1 to n).sum.toDouble
+    val want = BigDecimal(2.0 * s1 / (n * s) - (n + 1.0) / n)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(StatsGenerator.giniCoefficient(ladder, Seq("x")).first().getDouble(1) == want)
+    // partition invariance of the prefix machinery
+    assert(StatsGenerator.giniCoefficient(ladder.repartition(13), Seq("x"))
+      .first().getDouble(1) == want)
+    // uniform shares over k groups → hhi = 1/k, top share 1/k
+    val g = (0 until 400).map(i => (s"s${i % 8}", 10.0)).toDF("src", "w")
+    val h = StatsGenerator.hhiConcentration(g, "src", "w").first()
+    assert(h.getDouble(0) == 0.125 && h.getDouble(1) == 0.125 && h.getLong(2) == 8L)
+  }
+
   test("hll sketch store: fixed-input estimates are pinned exactly") {
     // golden pin of the APPROXIMATE regime: these exact estimate values
     // are a property of the Datasketches HLL_4 implementation shipped
