@@ -453,6 +453,36 @@ object Workflow {
       }
     }
 
+    // ---- ts_diagnostics: the time-series diagnostic quartet over the
+    // frame's (ts, value) — seasonal decomposition, ACF/PACF, CUSUM —
+    // attached as stage metrics; the frame flows through unchanged.
+    conf.get("ts_diagnostics").foreach { v =>
+      val tc = asConf(v)
+      val tsCol = tc.getOrElse("ts_col", "ts").toString
+      val valCol = tc.getOrElse("value_col", "value").toString
+      val seriesCols = tc.get("series_cols").map(strings).getOrElse(Nil) match {
+        case Nil => Seq.empty[String]
+        case s   => s
+      }
+      require(seriesCols.nonEmpty, "ts_diagnostics needs series_cols")
+      val period = tc.getOrElse("period", 7).toString.toInt
+      val maxLag = tc.getOrElse("max_lag", 7).toString.toInt
+      import graft.functions.DatetimeOps
+      val metrics = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+      if (tc.getOrElse("decompose", true) == true)
+        metrics("seasonal_decompose") =
+          DatetimeOps.seasonalDecompose(df, tsCol, valCol, seriesCols, period)
+      if (tc.getOrElse("acf", true) == true)
+        metrics("acf") = DatetimeOps.autocorrelation(df, tsCol, valCol, seriesCols, maxLag)
+      if (tc.getOrElse("pacf", false) == true)
+        metrics("pacf") = DatetimeOps.partialAutocorrelation(df, tsCol, valCol,
+          seriesCols, math.min(maxLag, 5))
+      if (tc.getOrElse("cusum", true) == true)
+        metrics("cusum") = DatetimeOps.cusumChangepoints(df, tsCol, valCol, seriesCols,
+          tc.getOrElse("cusum_threshold", 5.0).toString.toDouble)
+      timed("ts_diagnostics", metrics.toMap) { () }
+    }
+
     // ---- build_ann_index: persist an IVF-PQ serving index (model +
     // salted inverted code lists) of the current frame's embedding
     // column, so later runs can probe it without re-reading this corpus.

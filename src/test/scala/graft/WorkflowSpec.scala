@@ -528,6 +528,28 @@ write_main:
     assert(iv == Set("relationship", "occupation"))
   }
 
+  test("workflow ts_diagnostics stage emits the diagnostic quartet as metrics") {
+    val yaml = """
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/events.parquet"
+    file_type: parquet
+ts_diagnostics:
+  ts_col: ts
+  value_col: value
+  series_cols: [event_type]
+  period: 7
+  max_lag: 3
+  pacf: true
+"""
+    val (through, stages) = Workflow.run(spark, yaml)
+    val m = stages.find(_.name == "ts_diagnostics").get.metrics
+    assert(m.keySet == Set("seasonal_decompose", "acf", "pacf", "cusum"))
+    assert(m("acf").select("lag").distinct().count() == 3)
+    assert(m("cusum").count() == m("cusum").select("event_type").distinct().count())
+    assert(through.columns.contains("value")) // frame flows through unchanged
+  }
+
   test("workflow write_main zorder_by produces a z-clustered, lossless output") {
     val out = java.nio.file.Files.createTempDirectory("wfz").toString
     val yaml = s"""
