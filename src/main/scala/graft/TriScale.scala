@@ -47,7 +47,12 @@ object TriScale {
     // IVF-PQ/serving-probe are cell cogroups — quadratic-within-cell
     // risk like semantic_dedup) and the z-order layout pass (range
     // exchange + sort must stay linear)
-    "q_pq_topk", "q_ann_index", "q_zorder_roundtrip")
+    "q_pq_topk", "q_ann_index", "q_zorder_roundtrip",
+    // round-13d: the heaviest new analytics shapes — spearman's
+    // per-column rank sort+join (n log n), the contingency windows, and
+    // the distinct-value prefix passes (gini / moments store)
+    "q_spearman_matrix", "q_cat_association", "q_moments_store",
+    "q_concentration")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -79,7 +84,11 @@ object TriScale {
     "q_dup_span_removal", "q_index_dedup",
     // round-13c: PQ rides the rotated-embedding tier, z-order the
     // orders tier
-    "q_pq_topk", "q_ann_index", "q_zorder_roundtrip")
+    "q_pq_topk", "q_ann_index", "q_zorder_roundtrip",
+    // round-13d: spearman/cat-association ride lineitem, moments the
+    // events tier, concentration the documents tier
+    "q_spearman_matrix", "q_cat_association", "q_moments_store",
+    "q_concentration")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for large-scale training-data pipelines: quality
@@ -33,6 +34,54 @@ object TextOps {
 
   /** Stable 128-bit document fingerprint over normalized text. */
   def fingerprint(text: Column): Column = md5(normalizeText(text).cast("binary"))
+
+  /** Zipf-law fit over the corpus vocabulary: OLS slope of ln(frequency)
+    * on ln(rank) for the top-`topV` terms (count desc, term asc — the
+    * deterministic tie-break). Natural text slopes toward −1; a corpus
+    * drifting far off is the classic symptom of boilerplate flooding or
+    * template spam, which makes this a cheap corpus-health gate. The
+    * vocabulary aggregation is token-bounded, the fit frame is exactly
+    * `topV` rows, and the regression sums pre-round at 8 dp into DECIMAL
+    * so the only cross-engine noise is the ln ulp under the final 4-dp
+    * round (the PSI tolerance). Output:
+    * (n_terms, slope, intercept, top_freq).
+    */
+  def zipfFit(df: DataFrame, textCol: String, topV: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    require(topV >= 2, "need at least 2 ranked terms")
+    val vocab = df
+      .select(explode(split(normalizeText(col(textCol)), " ")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("__w").asc)
+      .limit(topV)
+    val fit = vocab
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__f").desc, col("__w").asc)))
+      .select(log(col("__r").cast(DoubleType)).as("__x"),
+        log(col("__f").cast(DoubleType)).as("__y"))
+    def decSum(c: Column): Column =
+      sum(round(c, 8).cast(DecimalType(28, 8))).cast(DoubleType)
+    fit.agg(
+      count(lit(1)).as("n_terms"),
+      decSum(col("__x")).as("__sx"),
+      decSum(col("__y")).as("__sy"),
+      decSum(col("__x") * col("__y")).as("__sxy"),
+      decSum(col("__x") * col("__x")).as("__sxx"),
+      max(exp(col("__y"))).as("__topf"))
+      .select(
+        col("n_terms"),
+        // a 0/1-term vocabulary has no regression — null, not an ANSI
+        // 0/0 crash
+        when(col("n_terms") > 1,
+          round((col("n_terms") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("n_terms") * col("__sxx") - col("__sx") * col("__sx")), 4)).as("slope"),
+        when(col("n_terms") > 1,
+          round((col("__sy") - ((col("n_terms") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("n_terms") * col("__sxx") - col("__sx") * col("__sx"))) * col("__sx")) /
+            col("n_terms"), 4)).as("intercept"),
+        round(col("__topf"), 0).cast("long").as("top_freq"))
+  }
 
   private val punctRe = "[^\\p{L}\\p{N}\\s]"
   val defaultStopwords: Seq[String] = Seq(

@@ -1121,6 +1121,38 @@ semantic_dedup:
                AS perfect_queries
       FROM hit"""))
 
+  /** Zipf-law vocabulary fit — the corpus-health diagnostic (natural
+    * text slopes toward −1; template spam flattens it). Deterministic
+    * top-V ranking (count desc, term asc), 8-dp pre-rounded DECIMAL
+    * regression sums; only the ln/libm ulp (PSI precedent) sits under
+    * the 4-dp round.
+    */
+  val qZipfFit = Q(
+    "q_zipf_fit",
+    (s, dir) => TextOps.zipfFit(tables(s, dir).documents, "text", topV = 100),
+    Some("""
+      WITH w AS (
+        SELECT unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        FROM documents),
+      v AS (SELECT w, count(*) AS f FROM w WHERE length(w) > 0
+            GROUP BY w ORDER BY f DESC, w ASC LIMIT 100),
+      fit AS (SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, w ASC) AS DOUBLE)) AS x,
+                     ln(CAST(f AS DOUBLE)) AS y, f FROM v),
+      s AS (SELECT count(*) AS n,
+              CAST(sum(CAST(round(x, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+              CAST(sum(CAST(round(y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+              CAST(sum(CAST(round(x * y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+              CAST(sum(CAST(round(x * x, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+              max(f) AS topf
+            FROM fit)
+      SELECT n AS n_terms,
+        CASE WHEN n > 1 THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) END AS slope,
+        CASE WHEN n > 1 THEN
+          round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) END AS intercept,
+        CAST(topf AS BIGINT) AS top_freq
+      FROM s"""))
+
   val qStratifiedSample = Q(
     "q_stratified_sample",
     (s, dir) => Sampling.dataSample(tables(s, dir).customer,
@@ -2321,7 +2353,7 @@ semantic_dedup:
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
     qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
     qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
-    qDupSpans, qDupSpanRemoval, qAnnRecall,
+    qDupSpans, qDupSpanRemoval, qAnnRecall, qZipfFit,
     qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk,
     qMixtureSample, qMixtureTemperature, qFuzzyPairs, qNbClassifier,
     qHeavyHitters, qBigramLogprob, qJaroWinkler)

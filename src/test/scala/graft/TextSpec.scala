@@ -4,6 +4,28 @@ import graft.functions.{Dedup, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 class TextSpec extends SparkSpec {
+
+  test("zipf fit recovers a planted power-law slope; flat corpora flatten it") {
+    import graft.functions.TextOps
+    import spark.implicits._
+    // vocabulary with EXACT Zipf counts f(r) = round(4000 / r): OLS over
+    // ln-ln must come out near −1
+    val words = (1 to 60).map(r => s"w$r" -> math.max(1, math.round(4000.0 / r).toInt))
+    val docs = words.flatMap { case (w, f) => Seq.fill(f)(w) }
+      .grouped(200).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val fit = TextOps.zipfFit(docs, "text", topV = 60).first()
+    assert(fit.getLong(0) == 60)
+    val slope = fit.getDouble(1)
+    assert(math.abs(slope - (-1.0)) < 0.05, s"planted zipf slope: $slope")
+    assert(fit.getLong(3) == 4000L)
+    // a uniform vocabulary (every word equally frequent) has slope 0
+    val flat = (0 until 50).map(i => (i.toLong, (1 to 40).map(w => s"u$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val flatFit = TextOps.zipfFit(flat, "text", topV = 40).first()
+    assert(flatFit.getDouble(1) == 0.0, s"uniform corpus slope: ${flatFit.getDouble(1)}")
+  }
   import spark.implicits._
 
   test("token counts and normalization") {
