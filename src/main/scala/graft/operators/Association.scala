@@ -177,6 +177,51 @@ object Association {
     }.reduce(_ unionByName _)
   }
 
+  /** Theil's uncertainty coefficient U — the ASYMMETRIC cat↔cat measure
+    * (how much of x does knowing y explain, and vice versa):
+    * U(x|y) = (H(x) − H(x|y)) / H(x). Both entropies reduce to sums
+    * over the OBSERVED contingency cells via Σ_b n_ab = n_a:
+    * H(x) = Σ_cells −(n_ab/N)·ln(n_a/N) and
+    * H(x|y) = Σ_cells −(n_ab/N)·ln(n_ab/n_b) — so one joint-count
+    * aggregation per pair serves both directions, same as
+    * [[catAssociation]]. Terms pre-round at 8 dp into DECIMAL sums;
+    * a single-category x has H(x) = 0 and U(x|y) is null (not an ANSI
+    * division crash).
+    */
+  def theilsU(df0: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    require(cols.size >= 2, "need at least 2 columns")
+    val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+    def decSum(c: Column): Column =
+      sum(round(c, 8).cast(DecimalType(28, 8))).cast(DoubleType)
+    pairs.map { case (a, b) =>
+      val joint = df0.filter(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("__nab"))
+      val cells = joint
+        .withColumn("__na", sum(col("__nab")).over(Window.partitionBy(col("__a"))))
+        .withColumn("__nb", sum(col("__nab")).over(Window.partitionBy(col("__b"))))
+        .withColumn("__n", sum(col("__nab")).over(Window.partitionBy()))
+      val n = col("__n").cast(DoubleType)
+      val pab = col("__nab") / n
+      cells.agg(
+        decSum(-pab * log(col("__na").cast(DoubleType) / n)).as("__hx"),
+        decSum(-pab * log(col("__nb").cast(DoubleType) / n)).as("__hy"),
+        decSum(-pab * log(col("__nab") / col("__nb").cast(DoubleType)))
+          .as("__hx_given_y"),
+        decSum(-pab * log(col("__nab") / col("__na").cast(DoubleType)))
+          .as("__hy_given_x"))
+        .select(
+          lit(a).as("attribute_1"), lit(b).as("attribute_2"),
+          when(col("__hx") > 0,
+            round((col("__hx") - col("__hx_given_y")) / col("__hx"), 4))
+            .as("u_1_given_2"),
+          when(col("__hy") > 0,
+            round((col("__hy") - col("__hy_given_x")) / col("__hy"), 4))
+            .as("u_2_given_1"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Correlation ratio η (categorical → numeric): √(SS_between /
     * SS_total) — the cat↔num cell completing the association family
     * (Pearson/Spearman num↔num, MI/Cramér's V cat↔cat). Computed in the

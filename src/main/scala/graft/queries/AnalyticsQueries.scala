@@ -91,6 +91,38 @@ object AnalyticsQueries {
       }.mkString(" UNION ALL ")
     })
 
+  /** Theil's U both directions per pair — one contingency aggregation
+    * serves H(x), H(y), H(x|y), H(y|x) via the Σ_b n_ab = n_a identity;
+    * the ln/libm ulp rides under the 4-dp round as usual.
+    */
+  val qTheilsU = Q(
+    "q_theils_u",
+    (s, dir) => Association.theilsU(tables(s, dir).lineitem,
+      Seq("l_quantity", "l_linestatus", "l_returnflag")),
+    Some {
+      val cols = Seq("l_quantity", "l_linestatus", "l_returnflag")
+      val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+      pairs.map { case (a, b) =>
+        s"""
+        SELECT '$a' AS attribute_1, '$b' AS attribute_2,
+          CASE WHEN hx > 0 THEN round((hx - hxy) / hx, 4) END AS u_1_given_2,
+          CASE WHEN hy > 0 THEN round((hy - hyx) / hy, 4) END AS u_2_given_1
+        FROM (
+          SELECT
+            CAST(sum(CAST(round(-(nab / n) * ln(na / n), 8) AS DECIMAL(28,8))) AS DOUBLE) AS hx,
+            CAST(sum(CAST(round(-(nab / n) * ln(nb / n), 8) AS DECIMAL(28,8))) AS DOUBLE) AS hy,
+            CAST(sum(CAST(round(-(nab / n) * ln(nab / nb), 8) AS DECIMAL(28,8))) AS DOUBLE) AS hxy,
+            CAST(sum(CAST(round(-(nab / n) * ln(nab / na), 8) AS DECIMAL(28,8))) AS DOUBLE) AS hyx
+          FROM (
+            SELECT CAST(count(*) AS DOUBLE) AS nab,
+                   CAST(sum(count(*)) OVER (PARTITION BY $a) AS DOUBLE) AS na,
+                   CAST(sum(count(*)) OVER (PARTITION BY $b) AS DOUBLE) AS nb,
+                   CAST(sum(count(*)) OVER () AS DOUBLE) AS n
+            FROM lineitem WHERE $a IS NOT NULL AND $b IS NOT NULL
+            GROUP BY $a, $b))"""
+      }.mkString(" UNION ALL ")
+    })
+
   /** Correlation ratio η for every (categorical, numeric) pair — exact
     * decimal group sums, deterministic single divisions, greatest(ssb,0)
     * guarding the tiny negative ssb float roundoff can produce.
@@ -438,6 +470,6 @@ object AnalyticsQueries {
                   UNION ALL SELECT c FROM tri)
       SELECT node, count(*) AS triangles FROM corners GROUP BY node"""))
 
-  def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
+  def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qTheilsU, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
     qPageRank, qTriangles)
 }

@@ -226,6 +226,31 @@ class DriftSpec extends SparkSpec {
     assert(m("g2").getDouble(3) == 2.0) // var of {2,4}
   }
 
+  test("theil's u: asymmetric dependence, independence, single-category guard") {
+    import graft.operators.Association
+    // y determines x (each y value maps to one x) but x does NOT
+    // determine y (each x maps to two y's): U(x|y)=1, U(y|x)<1 — the
+    // asymmetry Cramér's V cannot express
+    val d = (0 until 240).map { i =>
+      val y = i % 6
+      (s"x${y / 2}", s"y$y", s"z${(i / 6) % 2}", "only")
+    }.toDF("x", "y", "z", "w")
+    val u = Association.theilsU(d, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    val (uXgivenY, uYgivenX) = u(("x", "y"))
+    assert(uXgivenY == 1.0, s"y determines x: $uXgivenY")
+    assert(uYgivenX > 0.4 && uYgivenX < 0.7, s"x half-determines y: $uYgivenX")
+    // balanced independent pair → exact zeros both ways
+    assert(u(("x", "z")) == ((0.0, 0.0)), s"independent: ${u(("x", "z"))}")
+    // single-category side: H = 0 → null, not a crash. Pairs order
+    // lexically, so the constant 'w' is attribute_1: U(w|x) is undefined
+    // (null) while U(x|w) = 0 (a constant explains nothing)
+    val g = Association.theilsU(d, Seq("x", "w")).collect().head
+    assert(g.getString(0) == "w" && g.isNullAt(2) && g.getDouble(3) == 0.0,
+      s"constant-column row: $g")
+  }
+
   test("correlation ratio: determined, independent, and constant-column cases") {
     import graft.operators.Association
     // y fully determined by the category → η = 1; z balanced and
