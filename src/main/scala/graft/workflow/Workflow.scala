@@ -453,6 +453,28 @@ object Workflow {
       }
     }
 
+    // ---- corpus_health: corpus-level distribution diagnostics — Zipf
+    // vocabulary fit, length-mass Gini, source concentration (HHI/top
+    // share) — attached as stage metrics; the frame flows through.
+    conf.get("corpus_health").foreach { v =>
+      val cc = asConf(v)
+      val textCol = cc.getOrElse("text_col", "text").toString
+      val metrics = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+      metrics("zipf_fit") = graft.functions.TextOps.zipfFit(df, textCol,
+        cc.getOrElse("top_v", 100).toString.toInt)
+      cc.get("length_col").foreach { lc =>
+        metrics("length_gini") =
+          graft.operators.StatsGenerator.giniCoefficient(df, Seq(lc.toString))
+      }
+      (cc.get("source_col"), cc.get("weight_col")) match {
+        case (Some(sc), Some(wc)) =>
+          metrics("source_concentration") = graft.operators.StatsGenerator
+            .hhiConcentration(df, sc.toString, wc.toString)
+        case _ => ()
+      }
+      timed("corpus_health", metrics.toMap) { () }
+    }
+
     // ---- ts_diagnostics: the time-series diagnostic quartet over the
     // frame's (ts, value) — seasonal decomposition, ACF/PACF, CUSUM —
     // attached as stage metrics; the frame flows through unchanged.

@@ -528,6 +528,27 @@ write_main:
     assert(iv == Set("relationship", "occupation"))
   }
 
+  test("workflow corpus_health stage emits zipf, gini, and concentration metrics") {
+    val yaml = """
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/documents.parquet"
+    file_type: parquet
+corpus_health:
+  text_col: text
+  top_v: 50
+  length_col: n_chars
+  source_col: source
+  weight_col: n_chars
+"""
+    val (_, stages) = Workflow.run(spark, yaml)
+    val m = stages.find(_.name == "corpus_health").get.metrics
+    assert(m.keySet == Set("zipf_fit", "length_gini", "source_concentration"))
+    assert(m("zipf_fit").first().getLong(0) > 0)
+    val hhi = m("source_concentration").first()
+    assert(hhi.getDouble(0) > 0 && hhi.getLong(2) > 0)
+  }
+
   test("workflow ts_diagnostics stage emits the diagnostic quartet as metrics") {
     val yaml = """
 input_dataset:
