@@ -398,8 +398,41 @@ object StatsQueries {
               SELECT sum(CAST(n_chars AS DECIMAL(18,4))) AS wg FROM documents
               WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY source))"""))
 
+  /** Benford first-digit conformity over price-like columns — leading
+    * digits extracted exactly in the integer domain (decimal × 10⁴ →
+    * BIGINT → first digit character, no log/floor boundary cases), so
+    * the digit histogram is hash-identical cross-engine and only the
+    * expected-share ln ulp rides under the 4-dp round.
+    */
+  val qBenford = Q(
+    "q_benford",
+    (s, dir) => StatsGenerator.benfordTest(tables(s, dir).lineitem,
+      Seq("l_extendedprice", "l_quantity")),
+    Some(Seq("l_extendedprice", "l_quantity").map { c =>
+      s"""
+      SELECT '$c' AS attribute, CAST(max(n) AS BIGINT) AS n,
+        CASE WHEN max(n) > 0 THEN round(CAST(sum(CAST(round(
+          n * (p - e) * (p - e) / e, 8) AS DECIMAL(28,8))) AS DOUBLE), 4) END AS chi2,
+        CASE WHEN max(n) > 0 THEN round(max(abs(p - e)), 4) END AS max_abs_dev
+      FROM (
+        SELECT d,
+          CASE WHEN n > 0 THEN CAST(cnt AS DOUBLE) / n ELSE 0.0 END AS p,
+          ln(1.0 + 1.0 / d) / ln(10.0) AS e, n
+        FROM (
+          SELECT dd.d, coalesce(o.cnt, 0) AS cnt,
+                 CAST(sum(coalesce(o.cnt, 0)) OVER () AS DOUBLE) AS n
+          FROM (SELECT unnest(range(1, 10)) AS d) dd
+          LEFT JOIN (
+            SELECT CAST(substr(CAST(CAST(abs(CAST($c AS DECIMAL(18,4))) * 10000
+                     AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d,
+                   count(*) AS cnt
+            FROM lineitem
+            WHERE $c IS NOT NULL AND abs(CAST($c AS DECIMAL(18,4))) > 0
+            GROUP BY 1) o ON dd.d = o.d))"""
+    }.mkString(" UNION ALL ")))
+
   def all: Seq[Q] = Seq(qGlobalSummary, qMissingCounts, qNonzeroCounts, qMeasuresOfCounts,
     qCentralTendency, qMode, qUniqueCounts, qDispersion, qPercentiles, qShape, qCardinality,
     qReportFrequency, qReportEventRate, qReportCompDrift, qReportOutlier, qHllDistinct,
-    qHllIntersection, qMomentsStore, qConcentration)
+    qHllIntersection, qMomentsStore, qConcentration, qBenford)
 }

@@ -334,6 +334,30 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowDuration) +: groupCols.map(col): _*)
       .agg(expr(s"hll_sketch_agg(`$valueCol`, $lgK)").as("sketch"))
 
+  /** Streaming ingest twin of
+    * [[graft.operators.SketchStore.momentSketches]]: per-window exact
+    * (n, Σx, Σx²) DECIMAL rows from an unbounded stream, watermark-
+    * bounded. The emitted rows are ordinary moment-store rows — append
+    * them to the same saved table and
+    * [[graft.operators.SketchStore.mergeMoments]] rolls them up exactly
+    * like batch-ingested ones (the merge is pure decimal addition, so
+    * stream-ingested history answers bit-identically).
+    */
+  def streamingMomentSketches(
+      stream: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      windowDuration: String = "1 hour",
+      groupCols: Seq[String] = Nil,
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = col(valueCol).cast(DecimalType(18, 4))
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration) +: groupCols.map(col): _*)
+      .agg(count(x).as("n"), sum(x).as("sum_x"), sum(x * x).as("sum_x2"))
+  }
+
   /** Streaming probe of a SAVED MinHash band index — the streaming twin
     * of [[graft.functions.Dedup.dedupAgainstIndexMd5]]. Completely
     * STATELESS: each arriving doc computes its full signature locally

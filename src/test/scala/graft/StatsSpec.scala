@@ -104,6 +104,29 @@ class StatsSpec extends SparkSpec {
     assert(h.getDouble(0) == 0.125 && h.getDouble(1) == 0.125 && h.getLong(2) == 8L)
   }
 
+  test("benford: conforming sample passes, uniform digits flagged, edge digits exact") {
+    import graft.operators.StatsGenerator
+    import spark.implicits._
+    // geometric progression x_k = 1.07^k covers ~decades uniformly in
+    // log space — the canonical Benford-conforming sequence
+    val conforming = (0 until 300).map(k => math.pow(1.07, k) % 1e6 + 0.01).toDF("x")
+    val c = StatsGenerator.benfordTest(conforming, Seq("x")).first()
+    assert(c.getLong(1) == 300 && c.getDouble(3) < 0.08,
+      s"log-uniform sample should conform (300-sample noise ~0.05): $c")
+    // uniform leading digits (100..999 uniform) wildly violate Benford
+    val uniform = (100 until 1000).map(_.toDouble).toDF("x")
+    val u = StatsGenerator.benfordTest(uniform, Seq("x")).first()
+    assert(u.getDouble(2) > 50, s"uniform digits must flag: $u")
+    // exact digit extraction: 0.0001 -> 1, 9999.9999 -> 9, negatives by
+    // magnitude, zeros excluded, empty column -> null stats not a crash
+    val edge = Seq(0.0001, 9999.9999, -0.0002, 0.0, -300.5).toDF("x")
+    val e = StatsGenerator.benfordTest(edge, Seq("x")).first()
+    assert(e.getLong(1) == 4, s"zeros excluded: $e")
+    val empty = Seq.empty[Double].toDF("x")
+    val z = StatsGenerator.benfordTest(empty, Seq("x")).first()
+    assert(z.getLong(1) == 0 && z.isNullAt(2) && z.isNullAt(3))
+  }
+
   test("hll sketch store: fixed-input estimates are pinned exactly") {
     // golden pin of the APPROXIMATE regime: these exact estimate values
     // are a property of the Datasketches HLL_4 implementation shipped

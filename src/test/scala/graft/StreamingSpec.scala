@@ -473,6 +473,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming moment sketches merge bit-identically to the batch store") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps
+    import graft.operators.SketchStore
+    val t = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val events = (0 until 600).map(i =>
+      (t(10 + (i % 2), (i / 2) % 60), s"g${i % 3}", i * 0.017))
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val out = StreamingOps.streamingMomentSketches(
+      input.toDF().toDF("ts", "g", "v"), "v", "ts",
+      windowDuration = "1 hour", groupCols = Seq("g"))
+    val q = out.writeStream.format("memory").queryName("mom_stream_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(events.take(300): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(300): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT g, n, sum_x, sum_x2 FROM mom_stream_out")
+      assert(streamed.count() == 6) // 2 hours × 3 groups
+      // rolling the stream-ingested rows up equals the batch store's
+      // from-scratch answer EXACTLY (decimal merge)
+      val viaStream = SketchStore.mergeMoments(streamed, Seq("g"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      val viaBatch = SketchStore.mergeMoments(
+        SketchStore.momentSketches(
+          events.toDF("ts", "g", "v").withColumn("b", lit(1)), Seq("g", "b"), "v"),
+        Seq("g"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(viaStream == viaBatch, s"\n$viaStream\n$viaBatch")
+    } finally q.stop()
+  }
+
   test("streaming HLL sketches union to the batch sketch-store estimate") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingOps
