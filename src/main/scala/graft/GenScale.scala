@@ -91,6 +91,24 @@ object GenScale {
       .repartition(64)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // supplier: keys offset per replica; names pass through a PER-REPLICA
+    // digit permutation (`translate`), so replicas are not 1-edit
+    // variants of each other and the fuzzy-pair density per name stays at
+    // the source tier's level — the documents letter-permutation argument
+    // (identical names would put every supplier in a 10-clone variant
+    // bucket: a denser workload, not a bigger one)
+    val sup = spark.read.parquet(s"$src/supplier.parquet")
+    val skOff = sup.agg(max("s_suppkey")).first().getLong(0) + 1
+    val digits = "0123456789"
+    (0 until factor).map { i =>
+        val shiftedD = digits.drop(i % digits.length) + digits.take(i % digits.length)
+        sup.withColumn("s_suppkey", col("s_suppkey") + lit(i * skOff))
+          .withColumn("s_name", translate(col("s_name"), digits, shiftedD))
+      }
+      .reduce(_ unionAll _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
     // embeddings: vec ids offset per replica; each replica's vectors go
     // through a PER-REPLICA dimension rotation — an orthogonal transform,
     // so norms and all WITHIN-replica cosines (and thus the source tier's

@@ -88,7 +88,14 @@ object TriScale {
     // round-13d: spearman/cat-association ride lineitem, moments the
     // events tier, concentration the documents tier
     "q_spearman_matrix", "q_cat_association", "q_moments_store",
-    "q_concentration")
+    "q_concentration",
+    // round-14: the last six pipelines capped at sf0.1 — the full text
+    // workflow and the md5 minhash family ride documents, changelog
+    // rides orders, cross-top-k rides the rotated embeddings, the
+    // iterative imputer rides lineitem, and fuzzy pairs rides the new
+    // digit-permuted supplier tier
+    "q_workflow_text", "q_minhash_neardup", "q_fuzzy_pairs",
+    "q_changelog_apply", "q_cross_topk", "q_iterative_deterministic")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -98,6 +105,14 @@ object TriScale {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE stays ON (coalescing/skew handling are the 100 TB story), but
+      // the coalesce floor drops from the 1m default: Spark's partition
+      // coalescing assumes cost ~ bytes, and our compute-dense, byte-light
+      // stages (text normalization regexes, posting-list buffers, HOF pair
+      // expansion) lose all 32-way parallelism when a few-hundred-KB
+      // shuffle coalesces to one task. At production partition sizes
+      // (tens of MB+) a 16k floor is byte-identical to the default.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.filter { case (n, _) => guarded.contains(n) }
@@ -110,11 +125,12 @@ object TriScale {
       dt
     }
     val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR").filter { d =>
-      val ok = Seq("lineitem", "documents", "orders", "events", "embeddings")
+      val ok = Seq("lineitem", "documents", "orders", "events", "embeddings",
+          "supplier")
         .forall(t => new java.io.File(d, s"$t.parquet").exists())
       if (!ok && new java.io.File(d).isDirectory)
         System.err.println(s"[triscale] $d is missing required tables " +
-          "(lineitem/documents/orders/events/embeddings — regenerate with GenScale); running 3 tiers only")
+          "(lineitem/documents/orders/events/embeddings/supplier — regenerate with GenScale); running 3 tiers only")
       ok
     }
     def dirsFor(name: String): Seq[String] =

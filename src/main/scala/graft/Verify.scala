@@ -18,6 +18,14 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS) — unreadable without this;
       // Tables converts the resulting longs back to timestamps.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE stays ON (coalescing/skew handling are the 100 TB story), but
+      // the coalesce floor drops from the 1m default: Spark's partition
+      // coalescing assumes cost ~ bytes, and our compute-dense, byte-light
+      // stages (text normalization regexes, posting-list buffers, HOF pair
+      // expansion) lose all 32-way parallelism when a few-hundred-KB
+      // shuffle coalesces to one task. At production partition sizes
+      // (tens of MB+) a 16k floor is byte-identical to the default.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

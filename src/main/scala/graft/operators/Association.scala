@@ -73,8 +73,15 @@ object Association {
         SRow(r.getDouble(0), rank)
       }
     }
+    // materialize the (distinct-value-sized) rank table eagerly, then
+    // release the cached sort — otherwise a spearmanMatrix over N
+    // columns leaks N cached sorts for the session's lifetime (the
+    // packByBudget discipline; the checkpointed result is owned by the
+    // caller and reaped by the ContextCleaner once unreferenced)
     val frame = df.sparkSession.createDataFrame(ranked, StructType(Seq(
       StructField("__v", DoubleType), StructField("__rank", DoubleType))))
+      .localCheckpoint(true)
+    rdd.unpersist(false)
     (frame, distinctCount)
   }
 
@@ -114,6 +121,30 @@ object Association {
       s"stack(${pairs.size}, $stackArgs) as (attribute_1, attribute_2, corr)"))
   }
 
+  /** The contingency-table measures derive marginals as windows over
+    * the joint-count frame — bounded by |A|·|B|, never the data size,
+    * but ONLY while the inputs are genuinely categorical. A
+    * high-cardinality column passed by mistake (an ID) would turn the
+    * grand-total `Window.partitionBy()` into a single-partition shuffle
+    * of a near-data-sized frame at 100× scale, so refuse it up front
+    * (the reference's own cardinality-skip idiom,
+    * transformers.py:689-692). One map-side-partial
+    * approx_count_distinct pass over all requested columns; the ~2% HLL
+    * error is irrelevant at guard granularity.
+    */
+  private def guardCardinality(df: DataFrame, cols: Seq[String], cap: Int): Unit = {
+    require(cap > 0, "maxCardinality must be positive")
+    val exprs = cols.map(c => approx_count_distinct(col(c)).as(c))
+    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val d = row.getLong(i)
+      require(d <= cap,
+        s"column '$c' has ~$d distinct values (maxCardinality=$cap): " +
+          "contingency-table association expects categorical columns — " +
+          "bin or bucket it first, or raise maxCardinality deliberately")
+    }
+  }
+
   /** Categorical↔categorical association per column pair: mutual
     * information and Cramér's V (bias-uncorrected χ² form) — the
     * discrete complement of the
@@ -125,9 +156,11 @@ object Association {
     * ln/libm ulp the PSI/JSD oracles already tolerate under the final
     * 4-dp round.
     */
-  def catAssociation(df0: DataFrame, cols: Seq[String]): DataFrame = {
+  def catAssociation(df0: DataFrame, cols: Seq[String],
+      maxCardinality: Int = 10000): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     require(cols.size >= 2, "need at least 2 columns")
+    guardCardinality(df0, cols, maxCardinality)
     val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
     def decSum(c: Column): Column =
       sum(round(c, 8).cast(DecimalType(28, 8))).cast(DoubleType)
@@ -188,9 +221,11 @@ object Association {
     * a single-category x has H(x) = 0 and U(x|y) is null (not an ANSI
     * division crash).
     */
-  def theilsU(df0: DataFrame, cols: Seq[String]): DataFrame = {
+  def theilsU(df0: DataFrame, cols: Seq[String],
+      maxCardinality: Int = 10000): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     require(cols.size >= 2, "need at least 2 columns")
+    guardCardinality(df0, cols, maxCardinality)
     val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
     def decSum(c: Column): Column =
       sum(round(c, 8).cast(DecimalType(28, 8))).cast(DoubleType)
@@ -241,9 +276,13 @@ object Association {
     val df = QualityChecker.sampleCapped(df0, sampleCap)
     (for (c <- catCols; x <- numCols) yield {
       val v = col(x).cast(DecimalType(18, 4))
+      // count the CAST value, not lit(1): in a non-ANSI session a value
+      // the decimal cast nulls (unparseable string, |x| >= 1e14) must
+      // drop from the count the same way it drops from __sg/__s2g, or
+      // the group mean silently deflates (the momentSketches discipline)
       val g = df.filter(col(c).isNotNull && col(x).isNotNull)
         .groupBy(col(c))
-        .agg(count(lit(1)).as("__ng"), sum(v).as("__sg"), sum(v * v).as("__s2g"))
+        .agg(count(v).as("__ng"), sum(v).as("__sg"), sum(v * v).as("__s2g"))
       g.agg(
         sum(col("__ng")).as("__n"),
         sum(col("__sg")).as("__s"),

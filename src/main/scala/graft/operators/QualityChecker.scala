@@ -357,7 +357,12 @@ object QualityChecker {
     * up to 50% contamination. Two exact-median fits (each the
     * shuffle-free histogram selection) + one counting aggregation; MAD=0
     * (constant-majority column) marks nothing, mirroring the guarded
-    * denominators elsewhere.
+    * denominators elsewhere. The narrow double projection is persisted
+    * for the duration of the call: the median fit, the MAD fit over the
+    * derived abs-deviation frame, and the final count all re-read the
+    * cached projection instead of rescanning the (possibly very wide)
+    * source three-plus times — cache footprint is cols.size doubles per
+    * row, spilled to disk if it doesn't fit.
     */
   def madOutliers(
       df: DataFrame,
@@ -369,21 +374,24 @@ object QualityChecker {
         .map(r => r.getString(0) ->
           (if (r.getLong(1) == 0L) Double.NaN else r.getSeq[Double](4).head))
         .toMap
-    val med = medians(df, cols)
-    val devs = df.select(cols.map(c =>
-      abs(col(c).cast("double") - med(c)).as(c)): _*)
-    val mad = medians(devs, cols)
-    val counts = df.agg(
-      count(lit(1)).as("__n"),
+    val proj = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val med = medians(proj, cols)
+      val devs = proj.select(cols.map(c => abs(col(c) - med(c)).as(c)): _*)
+      val mad = medians(devs, cols)
+      val counts = proj.agg(
+        count(lit(1)).as("__n"),
+        cols.map { c =>
+          val rz = abs(lit(0.6745) * (col(c) - med(c)) / mad(c))
+          sum(when(rz > threshold, 1L).otherwise(0L)).as(s"__o_$c")
+        }: _*).collect()(0)
       cols.map { c =>
-        val rz = abs(lit(0.6745) * (col(c).cast("double") - med(c)) / mad(c))
-        sum(when(rz > threshold, 1L).otherwise(0L)).as(s"__o_$c")
-      }: _*).collect()(0)
-    cols.map { c =>
-      val n = if (mad(c) == 0.0 || mad(c).isNaN) 0L
-        else counts.getAs[Long](s"__o_$c")
-      (c, med(c), mad(c), n)
-    }.toDF("attribute", "median", "mad", "n_outliers")
+        val n = if (mad(c) == 0.0 || mad(c).isNaN) 0L
+          else counts.getAs[Long](s"__o_$c")
+        (c, med(c), mad(c), n)
+      }.toDF("attribute", "median", "mad", "n_outliers")
+    } finally proj.unpersist(false)
   }
 
   /** Treatment: clamp to bounds ("value"), null them, or drop rows. */

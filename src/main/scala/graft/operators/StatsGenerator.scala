@@ -83,7 +83,11 @@ object StatsGenerator {
       val schema = StructType(Seq(
         StructField("__s1", DecimalType(38, 6)), StructField("__s", DecimalType(38, 6)),
         StructField("__n", org.apache.spark.sql.types.LongType)))
-      df.sparkSession.createDataFrame(terms, schema)
+      // materialize the one-row aggregate eagerly, then release the
+      // cached sort — a multi-column call otherwise leaks one cached
+      // sort per column for the session's lifetime (packByBudget
+      // discipline)
+      val out = df.sparkSession.createDataFrame(terms, schema)
         .agg(sum(col("__s1")).as("__S1"), sum(col("__s")).as("__S"),
           sum(col("__n")).as("__N"))
         .select(
@@ -93,6 +97,9 @@ object StatsGenerator {
               (col("__N") * col("__S").cast("double")) -
               (col("__N") + 1).cast("double") / col("__N"), 4))
             .as("gini"))
+        .localCheckpoint(true)
+      rdd.unpersist(false)
+      out
     }.reduce(_ unionByName _)
   }
 

@@ -251,6 +251,27 @@ class DriftSpec extends SparkSpec {
       s"constant-column row: $g")
   }
 
+  test("contingency association refuses high-cardinality columns") {
+    import graft.operators.Association
+    // an ID column passed by mistake would turn the contingency-frame
+    // marginal windows into a near-data-sized single-partition shuffle
+    // at scale — the guard must refuse it up front, and a deliberate
+    // maxCardinality raise must let the same call through
+    val d = (0 until 30000).map(i => (s"id_$i", s"g${i % 4}")).toDF("id", "g")
+    val e1 = intercept[IllegalArgumentException] {
+      Association.catAssociation(d, Seq("id", "g"))
+    }
+    assert(e1.getMessage.contains("maxCardinality"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Association.theilsU(d, Seq("id", "g"))
+    }
+    assert(e2.getMessage.contains("maxCardinality"), e2.getMessage)
+    // raising the cap is an explicit opt-in and still computes correctly
+    val ok = Association.catAssociation(d, Seq("id", "g"), maxCardinality = 50000)
+      .collect()
+    assert(ok.length == 1 && ok.head.getString(0) == "g")
+  }
+
   test("correlation ratio: determined, independent, and constant-column cases") {
     import graft.operators.Association
     // y fully determined by the category → η = 1; z balanced and

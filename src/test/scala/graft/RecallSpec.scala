@@ -69,6 +69,67 @@ class RecallSpec extends SparkSpec {
     assert((mh diff exact).isEmpty, s"minhash reported false pairs: ${(mh diff exact).take(5)}")
   }
 
+  test("bench-parameter recall floors: q_ann_recall/q_pq_recall configs can't regress silently") {
+    // q_ann_recall and q_pq_recall hash-match whatever recall the bench
+    // parameters MEASURE — a parameter or codepath change shipping a
+    // low-recall index would still produce a green oracle row. These
+    // floors pin the bench configs themselves (nprobe = 3 of 8,
+    // quantized 5-iter Lloyd, fitSample 10k — all deterministic paths,
+    // so the measured values are exact and reproducible): IVF@3 measures
+    // 0.6693 and IVF-PQ@3 0.1013 on the near-random sf0.001 fixture
+    // (PQ's honest worst case). A drop below the floors is a real
+    // regression, not noise.
+    val k = 3
+    val bruteCos = pairSet(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = k),
+      "vec_id", "neighbor_id")
+    val ann = pairSet(
+      Similarity.ivfTopK(emb, "vec_id", "embedding", k = k, cellCount = 8,
+        nprobe = 3, fitSample = 10000, lloydIters = 5, lloydQuantize = 4),
+      "vec_id", "neighbor_id")
+    val annRecall = (bruteCos intersect ann).size.toDouble / bruteCos.size
+    assert(annRecall >= 0.6, f"bench-config IVF recall@$k regressed: $annRecall%.3f")
+    val bruteL2 = pairSet(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = k, metric = "l2"),
+      "vec_id", "neighbor_id")
+    val pq = pairSet(
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", k = k, cellCount = 8,
+        nprobe = 3, m = 4, ksub = 16, fitSample = 10000, lloydIters = 5,
+        lloydQuantize = 4),
+      "vec_id", "neighbor_id")
+    val pqRecall = (bruteL2 intersect pq).size.toDouble / bruteL2.size
+    assert(pqRecall >= 0.08, f"bench-config IVF-PQ recall@$k regressed: $pqRecall%.3f")
+  }
+
+  test("bench-parameter IVF recall >= 0.8 on a clustered (structured) fixture") {
+    // the near-random fixture bounds the worst case; real embedding
+    // corpora are clustered, and there the bench nprobe must deliver —
+    // 16 well-separated centers, 32 members each, deterministic integer
+    // jitter. Every vector's true top-3 lives in its own cluster, so an
+    // IVF probe that keeps >= 0.8 recall here proves the cell routing is
+    // doing its job (losses are only cluster-straddling cells).
+    import spark.implicits._
+    val dim = 16
+    val clustered = (0 until 512).map { i =>
+      val c = i % 16
+      val v = Array.tabulate(dim) { d =>
+        val base = if (d == c) 10.0f else 0.0f
+        base + ((i * 31 + d * 17) % 7 - 3) * 0.05f
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val brute = pairSet(
+      Similarity.bruteForceTopK(clustered, "vec_id", "embedding", k = 3),
+      "vec_id", "neighbor_id")
+    val ann = pairSet(
+      Similarity.ivfTopK(clustered, "vec_id", "embedding", k = 3, cellCount = 8,
+        nprobe = 3, fitSample = 10000, lloydIters = 5, lloydQuantize = 4),
+      "vec_id", "neighbor_id")
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    assert(recall >= 0.8, f"bench-config IVF recall on clustered fixture: $recall%.3f")
+  }
+
   test("pq codes: complete, in-range, and invariant under partition layout") {
     val m = 4; val ksub = 16
     val codes = Similarity.pqEncode(emb, "vec_id", "embedding", m = m, ksub = ksub)
