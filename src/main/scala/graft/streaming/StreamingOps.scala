@@ -337,11 +337,15 @@ object StreamingOps {
   /** Streaming ingest twin of
     * [[graft.operators.SketchStore.momentSketches]]: per-window exact
     * (n, Σx, Σx²) DECIMAL rows from an unbounded stream, watermark-
-    * bounded. The emitted rows are ordinary moment-store rows — append
-    * them to the same saved table and
-    * [[graft.operators.SketchStore.mergeMoments]] rolls them up exactly
-    * like batch-ingested ones (the merge is pure decimal addition, so
-    * stream-ingested history answers bit-identically).
+    * bounded. The event-time window is emitted FLAT — `window_start` /
+    * `window_end` timestamp columns riding alongside `groupCols` — so
+    * the output is an ordinary moment-store table whose group key is
+    * (window_start, window_end, groupCols…): appendable as-is to a
+    * saved table whose batch rows were ingested with the same two
+    * window columns in their groupCols, and
+    * [[graft.operators.SketchStore.mergeMoments]] regroups any mix of
+    * the two onto a coarser key exactly (the merge is pure decimal
+    * addition, so stream-ingested history answers bit-identically).
     */
   def streamingMomentSketches(
       stream: DataFrame,
@@ -356,6 +360,9 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDuration) +: groupCols.map(col): _*)
       .agg(count(x).as("n"), sum(x).as("sum_x"), sum(x * x).as("sum_x2"))
+      .select(col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +:
+        groupCols.map(col) :+ col("n") :+ col("sum_x") :+ col("sum_x2"): _*)
   }
 
   /** Streaming probe of a SAVED MinHash band index — the streaming twin

@@ -546,11 +546,20 @@ object Workflow {
         case Some(md) =>
           val radius = md.toString.toDouble
           df = timed("ann_probe") {
+            import org.apache.spark.sql.functions.col
             val probeSide = graft.functions.Dedup.materialize(df)
+            // serving has no self-exclusion, so a probe frame whose id
+            // space overlaps the indexed corpus (e.g. the corpus probing
+            // its own freshly built index) would match every row to its
+            // OWN stored entry at the ADC floor and silently drop the
+            // whole frame. Retrieve k=2 and discard the self row first —
+            // the drop decision then rests on the nearest OTHER stored
+            // neighbor.
             val hit = graft.functions.Similarity.annAgainstIndex(
-              probeSide, idCol, vecCol, model, lists, k = 1, nprobe = nprobe)
-              .filter(org.apache.spark.sql.functions.col("adist") <= radius)
-              .select(org.apache.spark.sql.functions.col("query_id").as(idCol))
+              probeSide, idCol, vecCol, model, lists, k = 2, nprobe = nprobe)
+              .filter(col("neighbor_id") =!= col("query_id"))
+              .filter(col("adist") <= radius)
+              .select(col("query_id").as(idCol))
             probeSide.join(hit, Seq(idCol), "left_anti")
           }
         case None =>

@@ -491,6 +491,12 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(events.drop(300): _*)
       q.processAllAvailable()
+      // the window ships FLAT (window_start/window_end group columns),
+      // so the emitted schema is a plain moment-store table — no struct
+      // projection needed before appending to a saved table
+      val outCols = spark.table("mom_stream_out").columns.toSeq
+      assert(outCols == Seq("window_start", "window_end", "g", "n", "sum_x", "sum_x2"),
+        s"unexpected streaming moment-store schema: $outCols")
       val streamed = spark.sql("SELECT g, n, sum_x, sum_x2 FROM mom_stream_out")
       assert(streamed.count() == 6) // 2 hours × 3 groups
       // rolling the stream-ingested rows up equals the batch store's

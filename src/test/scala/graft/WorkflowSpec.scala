@@ -277,6 +277,52 @@ ann_probe: {index_path: "$dir/annidx", id_col: vec_id, vec_col: embedding,
     assert(topk.filter(col("query_id") === 200L).count() == 2)
   }
 
+  test("workflow ann_probe: probing a corpus against its own index doesn't self-drop") {
+    import graft.functions.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("wfself").toString
+    // distinct, well-separated vectors under unique ids — each row's only
+    // floor-distance entry in the index is ITSELF
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i % 8) 50.0f + 10f * i else 0.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    vecs.write.parquet(s"$dir/corpus")
+    Workflow.run(spark, s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/corpus"
+    file_type: parquet
+build_ann_index: {path: "$dir/annidx", id_col: vec_id, vec_col: embedding,
+  cell_count: 4, subspaces: 2, codebook_size: 4}
+""")
+    val model = spark.read.parquet(s"$dir/annidx/model")
+    val lists = spark.read.parquet(s"$dir/annidx/lists")
+    // radius that encloses every row's own stored entry: the old k=1
+    // probe would match each row to itself at the ADC floor and drop the
+    // ENTIRE frame
+    val probe = Similarity.annAgainstIndex(vecs, "vec_id", "embedding",
+      model, lists, k = 2, nprobe = 4)
+    val radius = probe.filter(col("query_id") === col("neighbor_id"))
+      .agg(org.apache.spark.sql.functions.max("adist")).head().getDouble(0) + 1.0
+    // the stage's drop rule replayed directly: a non-self top-2 neighbor
+    // inside the radius
+    val expectDrop = probe
+      .filter(col("neighbor_id") =!= col("query_id") && col("adist") <= radius)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    val (out, _) = Workflow.run(spark, s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/corpus"
+    file_type: parquet
+ann_probe: {index_path: "$dir/annidx", id_col: vec_id, vec_col: embedding,
+  max_dist: $radius, nprobe: 4}
+""")
+    val kept = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 12L).toSet.diff(expectDrop), s"kept=$kept dropped=$expectDrop")
+    assert(kept.nonEmpty,
+      "fixture degenerated: every row has a non-self neighbor at the floor")
+  }
+
   test("workflow: ts_preprocess, stratified sample, geo cluster stages") {
     val dir = java.nio.file.Files.createTempDirectory("wfx").toString
     val rnd = new scala.util.Random(5)
