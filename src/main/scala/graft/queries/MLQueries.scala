@@ -380,6 +380,117 @@ transformers:
       SELECT bin, o_orderpriority, count(*) AS n FROM t GROUP BY bin, o_orderpriority"""
     })
 
+  /** The reference's FULL configs.yaml composition end-to-end (ref
+    * config/configs.yaml:6-321 stage shape): ETL (delete/rename/recast)
+    * → stats_generator → quality_checker (duplicate treatment → nullRows
+    * → outlier value-clamp → MMM null imputation, in the runner's fixed
+    * order) → transformers (equal-range binning + label encoding) →
+    * association_evaluator + drift_detector (metric stages) →
+    * write_main, answered from the RE-READ saved parquet. The income
+    * fixture's dirty-data roles are planted deterministically on orders
+    * (nulls where o_orderkey % 13 = 0, exact-duplicate rows where
+    * % 101 = 0) and the oracle replays every treatment in SQL — bounds
+    * as the 2nd order statistic of {pctile, mean±3σ, IQR fence}, median
+    * fill, frequency-ranked label indices, min/max bin edges — so the
+    * final-dataset hash proves the whole configured composition, not
+    * just its pieces.
+    */
+  val qWorkflowFull = Q(
+    "q_workflow_full",
+    (s, dir) => {
+      val scratch = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"), "graft_q_workflow_full").toString
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val doctored = o.withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, lit(null)).otherwise(col("o_totalprice")))
+      doctored.unionByName(doctored.filter(col("o_orderkey") % 101 === 0))
+        .write.mode("overwrite").parquet(s"$scratch/in")
+      o.select("o_totalprice").write.mode("overwrite").parquet(s"$scratch/drift_src")
+      val yaml = s"""input_dataset:
+                    |  read_dataset:
+                    |    file_path: "$scratch/in"
+                    |    file_type: parquet
+                    |  delete_column: [o_orderdate]
+                    |  rename_column: {o_orderpriority: priority}
+                    |  recast_column: {o_custkey: double}
+                    |stats_generator:
+                    |  list_of_cols: [o_totalprice]
+                    |  metrics: [central_tendency]
+                    |quality_checker:
+                    |  duplicate_detection: {list_of_cols: all, treatment: true}
+                    |  nullRows_detection: {treatment: true, treatment_threshold: 0.75}
+                    |  outlier_detection: {list_of_cols: [o_totalprice], treatment: true,
+                    |    treatment_method: value}
+                    |  nullColumns_detection: {list_of_cols: [o_totalprice], treatment: true,
+                    |    treatment_method: MMM}
+                    |transformers:
+                    |  attribute_binning: {list_of_cols: [o_totalprice],
+                    |    method_type: equal_range, bin_size: 5}
+                    |  cat_to_num_unsupervised: {list_of_cols: [priority]}
+                    |association_evaluator:
+                    |  correlation_matrix: {list_of_cols: [o_totalprice, o_custkey]}
+                    |  IV_calculation: {list_of_cols: [priority], label_col: o_orderstatus,
+                    |    event_label: F}
+                    |drift_detector:
+                    |  source_path: "$scratch/drift_src"
+                    |  list_of_cols: [o_totalprice]
+                    |write_main:
+                    |  file_path: "$scratch/out"
+                    |""".stripMargin
+      graft.workflow.Workflow.run(s, yaml)
+      s.read.parquet(s"$scratch/out")
+        .groupBy(col("priority"), col("priority_index"),
+          col("o_totalprice_binned").as("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+            .as("total_price"))
+    },
+    Some {
+      val bin = binCaseSql("i.o_totalprice", "mm.lo", "mm.hi", 5)
+      s"""
+      WITH doctored AS (
+        SELECT o_orderkey, CAST(o_custkey AS DOUBLE) AS o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_totalprice END
+                 AS o_totalprice,
+               o_orderpriority AS priority
+        FROM orders),
+      uni AS (SELECT * FROM doctored
+              UNION ALL SELECT * FROM doctored WHERE o_orderkey % 101 = 0),
+      ded AS (SELECT DISTINCT * FROM uni),
+      b AS (SELECT quantile_cont(o_totalprice, 0.05) AS pl,
+                   quantile_cont(o_totalprice, 0.95) AS pu,
+                   quantile_cont(o_totalprice, 0.25) AS q1,
+                   quantile_cont(o_totalprice, 0.75) AS q3,
+                   avg(o_totalprice) AS m, stddev_samp(o_totalprice) AS sd
+            FROM ded),
+      cb AS (SELECT list_sort([pl, m - 3*sd, q1 - 1.5*(q3-q1)])[2] AS lo,
+                    list_sort([pu, m + 3*sd, q3 + 1.5*(q3-q1)])[2] AS hi
+             FROM b),
+      cl AS (SELECT d.* REPLACE (
+               CASE WHEN d.o_totalprice > cb.hi THEN cb.hi
+                    WHEN d.o_totalprice < cb.lo THEN cb.lo
+                    ELSE d.o_totalprice END AS o_totalprice)
+             FROM ded d, cb),
+      med AS (SELECT quantile_cont(o_totalprice, 0.5) AS v FROM cl),
+      imp AS (SELECT cl.* REPLACE (
+                coalesce(o_totalprice, (SELECT v FROM med)) AS o_totalprice)
+              FROM cl),
+      mm AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+                    CAST(max(o_totalprice) AS DOUBLE) AS hi FROM imp),
+      enc AS (SELECT priority,
+                CAST(row_number() OVER (ORDER BY cnt DESC, priority ASC) - 1 AS INT)
+                  AS priority_index
+              FROM (SELECT priority, count(*) AS cnt FROM imp
+                    WHERE priority IS NOT NULL GROUP BY priority)),
+      binned AS (SELECT i.*, $bin AS bin FROM imp i, mm)
+      SELECT b.priority, e.priority_index, b.bin,
+             count(*) AS n_rows,
+             round(CAST(sum(CAST(b.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_price
+      FROM binned b JOIN enc e USING (priority)
+      GROUP BY b.priority, e.priority_index, b.bin"""
+    })
+
   /** save_stats write+reread BARRIER oracle (ref workflow save_stats):
     * the workflow's stats_generator writes its metric frames to
     * save_stats_path; this query answers from the RE-READ parquet — not
@@ -912,7 +1023,7 @@ transformers:
 
   def all: Seq[Q] = Seq(qPcaLatent, qPca2Col, qAlsImpute, qAutoImputation,
     qMonotonicBinning, qBoxcox, qBoxcoxLambda, qMultimodal, qWorkflow,
-    qWorkflowSaveStats, qVarClus,
+    qWorkflowFull, qWorkflowSaveStats, qVarClus,
     qKnnImpute, qKnnDeterministic, qIterativeImputation, qIterDeterministic,
     qAlsDeterministic,
     qFeatureRec, qFeatureMapper, qImageFeatures, qVideoFeatures,

@@ -749,4 +749,43 @@ object StreamingOps {
         sink(windowedDriftMetrics(batch, sourceFreq, threshold))
       }
       .start()
+
+  /** Streaming twin of [[graft.sources.Ingest.writeZOrdered]]: a
+    * foreachBatch body that lays each micro-batch out in the SAME
+    * z-tile geometry and appends. The z-bins anchor on CALLER-PINNED
+    * per-column [min, max] ranges (domain knowledge or historical
+    * stats), not per-batch extrema — per-batch ranges would re-scale
+    * the space-filling curve every batch, so tiles from different
+    * appends would stop lining up and file skipping over the
+    * accumulated table would decay. With pinned anchors every appended
+    * file covers a compact range of one shared z-curve, so a filter on
+    * any z-column skips files across ALL batches exactly like the
+    * batch-written layout (out-of-range late values clamp to the edge
+    * bins, still valid tiles). Usage:
+    * {{{
+    * stream.writeStream
+    *   .foreachBatch(StreamingOps.streamingZOrderedWrite(path, zCols, mins, maxs, 8))
+    *   .start()
+    * }}}
+    */
+  def streamingZOrderedWrite(
+      path: String,
+      zCols: Seq[String],
+      mins: Seq[Double],
+      maxs: Seq[Double],
+      filesPerBatch: Int,
+      bits: Int = 16): (DataFrame, Long) => Unit = {
+    require(zCols.size >= 2, "z-ordering needs at least 2 columns")
+    require(zCols.size == mins.size && mins.size == maxs.size,
+      "need one pinned (min, max) per z-column")
+    require(filesPerBatch > 0, "need a positive per-batch file count")
+    (batch: DataFrame, _: Long) => {
+      val z = graft.sources.Ingest.zorderValue(zCols.map(col), mins, maxs, bits)
+      batch.withColumn("__z", z)
+        .repartitionByRange(filesPerBatch, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+        .write.mode("append").parquet(path)
+    }
+  }
 }

@@ -244,6 +244,41 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); model.unpersist(); lists.unpersist() }
   }
 
+  test("streaming z-ordered append keeps the batch layout's file skipping") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val dir = java.nio.file.Files.createTempDirectory("zstream").toString
+    val rows = (0 until 10000).map(i => (i / 100, i % 100, i.toLong))
+    val input = MemoryStream[(Int, Int, Long)]
+    val sink = StreamingOps.streamingZOrderedWrite(
+      s"$dir/z", Seq("x", "y"), mins = Seq(0.0, 0.0), maxs = Seq(99.0, 99.0),
+      filesPerBatch = 8)
+    val q = input.toDF().toDF("x", "y", "id")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      input.addData(rows.take(5000): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(5000): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val z = spark.read.parquet(s"$dir/z")
+    // lossless across both appended batches
+    assert(z.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 10000L).toSeq)
+    def filesHit(f: org.apache.spark.sql.Column): Long =
+      z.filter(f).select(input_file_name()).distinct().count()
+    val total = z.select(input_file_name()).distinct().count()
+    assert(total >= 8, s"expected at least 8 tile files, got $total")
+    // the pinned anchors keep every batch on the SAME z-curve, so the
+    // skipping invariants of the batch layout hold on the accumulated
+    // table (each batch contributes its own <=8 tiles; bounds are the
+    // batch spec's, scaled by the two appends)
+    assert(filesHit(col("y") < 25) <= total * 5 / 8,
+      s"y-slice should skip tiles, hit ${filesHit(col("y") < 25)} of $total")
+    assert(filesHit(col("x") < 25 && col("y") < 25) <= 6,
+      s"2-D box should read few tiles, hit ${filesHit(col("x") < 25 && col("y") < 25)} of $total")
+  }
+
   test("stream-static broadcast join enriches events in flight") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{broadcast, col}
