@@ -211,7 +211,16 @@ object Bench {
         // honestly-slow query (baseline > 2/3 synth) burn an immediate
         // full re-run on every honest round
         val immediateBaseline = baseline.getOrElse(name, effBaseline)
-        if (best > math.max(retryAbove, 1.5 * immediateBaseline)) tryAgain(0L)
+        // Sub-second rows far above their OWN floor also get one
+        // immediate retry: the absolute 1.0 s floor otherwise leaves
+        // exactly the cheap fixed-overhead rows (q_calendar_flags at
+        // 0.35 s vs a 0.135 floor) as the suite's only >2x artifacts,
+        // unretried because they cost too little to trip the floor. A
+        // 2.5x relative trigger costs at most one extra sub-second run
+        // per affected query per round.
+        if (best > math.max(retryAbove, 1.5 * immediateBaseline) ||
+            (baseline.contains(name) && best > 2.5 * immediateBaseline))
+          tryAgain(0L)
         var backoffMs = 5000L
         while (suspicious(best) && retries < 4) {
           tryAgain(backoffMs); backoffMs *= 2

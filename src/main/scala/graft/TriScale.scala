@@ -52,7 +52,11 @@ object TriScale {
     // per-column rank sort+join (n log n), the contingency windows, and
     // the distinct-value prefix passes (gini / moments store)
     "q_spearman_matrix", "q_cat_association", "q_moments_store",
-    "q_concentration")
+    "q_concentration",
+    // round-14: the full configs.yaml composition — the heaviest
+    // multi-stage query in the suite; its fit scans and treatments must
+    // grow linearly like their standalone rows
+    "q_workflow_full")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -95,7 +99,9 @@ object TriScale {
     // iterative imputer rides lineitem, and fuzzy pairs rides the new
     // digit-permuted supplier tier
     "q_workflow_text", "q_minhash_neardup", "q_fuzzy_pairs",
-    "q_changelog_apply", "q_cross_topk", "q_iterative_deterministic")
+    "q_changelog_apply", "q_cross_topk", "q_iterative_deterministic",
+    // round-14b: the full workflow composition rides the orders tier
+    "q_workflow_full")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
