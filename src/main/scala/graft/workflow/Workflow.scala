@@ -640,6 +640,15 @@ object Workflow {
           df = Transformers.normalization(df, strings(asConf(d)("list_of_cols"))))
         tc.get("cat_to_num_unsupervised").foreach(d =>
           df = Transformers.labelEncoding(df, strings(asConf(d)("list_of_cols"))))
+        // ref configs.yaml cat_to_num_transformer method_type: supervised
+        // (target encoding against a label/event pair)
+        tc.get("cat_to_num_supervised").foreach { d =>
+          val dd = asConf(d)
+          df = Transformers.catToNumTransformer(df,
+            strings(dd("list_of_cols")),
+            labelCol = Some(dd("label_col").toString),
+            eventLabel = dd.getOrElse("event_label", "1").toString)
+        }
         tc.get("outlier_categories").foreach { d =>
           val dd = asConf(d)
           df = Transformers.outlierCategories(df, strings(dd("list_of_cols")),

@@ -105,6 +105,36 @@ transformers:
     assert(df.agg(max(col("x"))).first().getDouble(0) < 3.5)
   }
 
+  test("workflow transformer stage: supervised cat_to_num (target encoding)") {
+    val dir = java.nio.file.Files.createTempDirectory("wfte").toString
+    // category a: 3/4 events; category b: 1/4 events
+    (0 until 200).map { i =>
+      val cat = if (i % 2 == 0) "a" else "b"
+      val label = if ((cat == "a" && i % 4 != 2) || (cat == "b" && i % 8 == 1)) "yes" else "no"
+      (i.toLong, cat, label)
+    }.toDF("id", "cat", "label").write.parquet(s"$dir/t")
+    val yaml = s"""
+input_dataset:
+  read_dataset:
+    file_path: "$dir/t"
+    file_type: parquet
+transformers:
+  cat_to_num_supervised:
+    list_of_cols: [cat]
+    label_col: label
+    event_label: "yes"
+"""
+    val (df, _) = Workflow.run(spark, yaml)
+    val enc = df.select("cat", "cat_encoded").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the stage must reproduce the direct operator's event rates
+    val direct = graft.operators.Transformers.targetEncoding(
+      spark.read.parquet(s"$dir/t"), Seq("cat"), col("label") === "yes")
+      .select("cat", "cat_encoded").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(enc == direct && enc("a") > enc("b"), s"enc=$enc direct=$direct")
+  }
+
   test("workflow geospatial stage: geohash, country join, flags") {
     val dir = java.nio.file.Files.createTempDirectory("wfg").toString
     Seq((1L, 39.1, -94.6), (2L, 48.85, 2.35))
