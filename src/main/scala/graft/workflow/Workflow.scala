@@ -183,8 +183,21 @@ object Workflow {
       timed("quality_checker") {
         qc.get("duplicate_detection").foreach { d =>
           val cols = resolveCols(df, asConf(d).getOrElse("list_of_cols", null))
-          if (asConf(d).getOrElse("treatment", false) == true)
+          if (asConf(d).getOrElse("treatment", false) == true) {
             df = QualityChecker.dropDuplicatesOn(df, cols)
+            // The dedup distinct is the one shuffle in this block, and
+            // every downstream FIT action (outlier bounds, MMM median,
+            // binning edges, label-encoding frequencies, association /
+            // drift metrics, write_main) re-plans the query — Spark SQL
+            // gives no shuffle reuse across actions — so without a
+            // lineage cut the distinct replays once per fit (measured
+            // ~5x on the full configs.yaml composition). Same
+            // materialize-not-persist rationale as near_dedup below.
+            if (qc.keys.exists(k => k != "duplicate_detection") ||
+                conf.keys.exists(Set("transformers", "association_evaluator",
+                  "drift_detector", "write_main")))
+              df = graft.functions.Dedup.materialize(df)
+          }
         }
         qc.get("nullRows_detection").foreach { d =>
           val thr = asConf(d).getOrElse("treatment_threshold", 0.8).toString.toDouble
