@@ -47,17 +47,20 @@ object FeatureRecommender {
       .withColumn("qw", col("qtf") * col("idf")))
 
     val docNorms = weighted.groupBy("id").agg(sqrt(sum(pow(col("w"), 2))).as("dnorm"))
-    // sum() is NULL when no query token is in the corpus vocabulary
-    // (empty join) — guard before getDouble or it NPEs
-    val qNormRow = qWeighted.agg(sum(pow(col("qw"), 2))).first()
-    val qNorm = math.sqrt(
-      if (qNormRow.isNullAt(0) || qNormRow.getDouble(0) <= 0) 1.0
-      else qNormRow.getDouble(0))
+    // the query norm stays IN the plan as a broadcast 1-row frame (a
+    // driver-side .first() here would re-execute the whole
+    // tokenize→tf→idf chain as a second full corpus pass — Spark SQL
+    // re-plans per action, no reuse across actions). sum() is NULL when
+    // no query token is in the corpus vocabulary (empty join) → norm 1.0.
+    val qSq = sum(pow(col("qw"), 2))
+    val qNormDf = broadcast(qWeighted.agg(
+      sqrt(coalesce(when(qSq > 0, qSq), lit(1.0))).as("qnorm")))
 
     weighted.join(qWeighted.select("token", "qw"), "token")
       .groupBy("id").agg(sum(col("w") * col("qw")).as("dot"))
       .join(docNorms, "id")
-      .withColumn("score", round(col("dot") / (col("dnorm") * lit(qNorm)), 4))
+      .crossJoin(qNormDf)
+      .withColumn("score", round(col("dot") / (col("dnorm") * col("qnorm")), 4))
       .join(corpus.select(col(idCol).as("id"), col(nameCol).as("name")), "id")
       .select("id", "name", "score")
       .orderBy(col("score").desc, col("id").asc)

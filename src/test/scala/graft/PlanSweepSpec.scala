@@ -29,8 +29,9 @@ class PlanSweepSpec extends SparkSpec {
     * asserted intentional in GeoSpec / the query's scaladoc.
     */
   private val bnljAllow = Set(
-    "q_geo_in_country_boxes", // tiny country-box dim side (GeoSpec asserts)
-    "q_embedding_quantize"    // crossJoin(broadcast(<1-row global min/max bounds>))
+    "q_geo_in_country_boxes",  // tiny country-box dim side (GeoSpec asserts)
+    "q_embedding_quantize",    // crossJoin(broadcast(<1-row global min/max bounds>))
+    "q_feature_recommender"    // crossJoin(broadcast(<1-row query-norm scalar>))
   )
 
   /** Queries allowed a partitionless Window over non-aggregated input:
