@@ -99,10 +99,16 @@ object Association {
       sampleCap: Option[Long] = None): DataFrame = {
     require(cols.size >= 2, "need at least 2 columns")
     // cast FIRST, then drop listwise: a failed string→double cast must
-    // count as a null row, not slip past na.drop on its pre-cast value
-    val df = QualityChecker.sampleCapped(df0, sampleCap)
-      .select(cols.map(c => col(c).cast("double").as(c)): _*)
-      .na.drop(cols)
+    // count as a null row, not slip past na.drop on its pre-cast value.
+    // Materialize the narrow listwise-complete projection: every
+    // column's rank aggregation AND the final rank-join action replays
+    // this frame (N+1 actions for N columns — Spark SQL re-plans per
+    // action), so without the cut the source scan+cast+drop runs N+1
+    // times. The checkpointed frame is O(rows × N doubles).
+    val df = graft.functions.Dedup.materialize(
+      QualityChecker.sampleCapped(df0, sampleCap)
+        .select(cols.map(c => col(c).cast("double").as(c)): _*)
+        .na.drop(cols))
     val ranked = cols.foldLeft(df) { (d, c) =>
       val (rankFrame, nDistinct) = avgRankByValue(df, c)
       val ranks = rankFrame
