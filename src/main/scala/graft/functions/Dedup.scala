@@ -872,6 +872,39 @@ object Dedup {
     labels
   }
 
+  /** Leakage-safe train/validation/test split: assign every row a split
+    * by hashing its duplicate-CLUSTER representative instead of its own
+    * id, so a near-duplicate group can never straddle the train/test
+    * boundary — the evaluation-contamination failure mode a naive
+    * row-hash split bakes in (a test document whose near-copy sits in
+    * train is measured as generalization but is memorization).
+    *
+    * `pairs` is the near-dup edge set ([key_1, key_2], e.g. from
+    * [[ngramJaccardPairs]] or the MinHash band candidates); singleton
+    * documents (no edge) represent themselves. The split itself is the
+    * deterministic md5-threshold assignment of
+    * [[graft.sources.Sampling.deterministicSplit]] — append-safe,
+    * engine-portable, reproducible at any scale. The cluster map is
+    * broadcast (the duplicate graph is tiny relative to the corpus);
+    * everything else is the map-only hash filter.
+    *
+    * Output: the input columns + `rep` (cluster representative, = own
+    * id for singletons) + `split`.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      weights: Seq[(String, Double)]): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+      .select(col("key").as(idCol), col("cluster"))
+    val withRep = df
+      .join(broadcast(clusters), Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+    graft.sources.Sampling.deterministicSplit(withRep, weights, Seq("rep"))
+  }
+
   /** Driver-side connected components for a capped edge set: union-find
     * with path compression, representative = smallest key per component
     * (identical contract to the distributed label propagation, but exact

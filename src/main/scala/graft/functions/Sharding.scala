@@ -112,4 +112,41 @@ object Sharding {
     rdd.unpersist(false)
     result
   }
+
+  /** RAG-style sliding-window chunking: each document's normalized
+    * token stream is cut into chunks of up to `chunkSize` tokens
+    * starting at every `stride` offset (overlap = chunkSize − stride),
+    * the retrieval-index preparation every embedding pipeline runs
+    * before encoding. Output per chunk: [id, chunk_id, n_tokens,
+    * chunk_hash (md5 of the space-joined tokens), first_token,
+    * last_token]. Entirely builtin expressions (split / sequence /
+    * slice / md5) — map-only, stays in whole-stage codegen, no shuffle,
+    * no driver state: the op a 100 TB corpus can run as a pure
+    * projection. Empty documents yield no chunks. Deterministic and
+    * engine-portable (the chunk set is a pure function of the text), so
+    * DuckDB replays it row-for-row.
+    */
+  def chunkWithOverlap(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(stride > 0 && stride <= chunkSize,
+      "stride must be in [1, chunkSize] — a larger stride drops tokens")
+    val norm = TextOps.normalizeText(col(textCol))
+    df.select(col(idCol).as("id"), split(norm, " ").as("__t"))
+      .filter(size(col("__t")) > 0 && length(element_at(col("__t"), 1)) > 0)
+      .select(col("id"), col("__t"),
+        explode(sequence(lit(0), size(col("__t")) - 1, lit(stride))).as("__s"))
+      .select(col("id"),
+        (col("__s") / stride).cast("long").as("chunk_id"),
+        slice(col("__t"), col("__s") + 1, lit(chunkSize)).as("__chunk"))
+      .select(col("id"), col("chunk_id"),
+        size(col("__chunk")).as("n_tokens"),
+        md5(concat_ws(" ", col("__chunk")).cast("binary")).as("chunk_hash"),
+        element_at(col("__chunk"), 1).as("first_token"),
+        element_at(col("__chunk"), -1).as("last_token"))
+  }
 }

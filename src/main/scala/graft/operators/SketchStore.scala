@@ -138,4 +138,77 @@ object SketchStore {
       .withColumn("intersection_estimate",
         greatest(col("a_estimate") + col("b_estimate") - col("union_estimate"), lit(0L)))
   }
+
+  /** Mergeable fixed-grid quantile sketch — the quantile member of the
+    * sketch store family (HLL for distinct, moments for mean/variance,
+    * this for percentiles). The grid anchors [lo, hi] are CALLER-PINNED
+    * (the streaming z-order idiom): every independently-built batch
+    * histograms onto the same `bins` cells, so stores merge by pure
+    * count addition and merged-then-queried equals built-once —
+    * history is never rescanned. Bin 0 catches v < lo and bin bins+1
+    * catches v ≥ hi, so no value is ever dropped by a mis-pinned grid.
+    * Unlike GK/KLL summaries the state is deterministic and
+    * engine-portable: the same IEEE-754 expression computes the cell in
+    * any engine, which is what makes the store DuckDB-replayable.
+    * Resolution: a quantile answers as its cell's RIGHT edge, so the
+    * error is ≤ (hi−lo)/bins — pick bins for the precision the
+    * question needs (state is O(groups · bins), kilobytes at 4096).
+    */
+  def quantileSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int): DataFrame = {
+    require(groupCols.nonEmpty, "sketch groups required")
+    require(bins > 0, "bins must be positive")
+    require(lo < hi, "need lo < hi grid anchors")
+    val v = col(valueCol).cast("double")
+    val cell = least(greatest(
+      floor((v - lit(lo)) / lit(hi - lo) * lit(bins)), lit(-1L)), lit(bins.toLong)) + 1L
+    df.filter(v.isNotNull)
+      .groupBy((groupCols.map(col) :+ cell.as("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge saved quantile-sketch rows (optionally regrouped on a coarser
+    * key): pure count addition on (group, bin).
+    */
+  def mergeQuantileSketches(
+      sketches: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    sketches.groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Answer quantiles from a (merged) store: per group and requested q,
+    * the right edge of the first cell whose cumulative count reaches
+    * ⌈q·n⌉. The cumulative window runs over the STORE — an O(groups ·
+    * bins) aggregate, never the data — so the partitionless total is
+    * bounded by construction. Output: [group…, q, est].
+    */
+  def sketchQuantiles(
+      store: DataFrame,
+      groupCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty, "sketch groups required")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val g = Window.partitionBy(groupCols.map(col): _*)
+    val cum = store
+      .withColumn("__cum", sum(col("cnt")).over(g.orderBy(col("bin"))))
+      .withColumn("__n", sum(col("cnt")).over(g))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+    cum.filter(col("__cum") >= ceil(col("q") * col("__n")))
+      .groupBy((groupCols.map(col) :+ col("q")): _*)
+      .agg(min(col("bin")).as("__qbin"))
+      .withColumn("est",
+        when(col("__qbin") <= 0, lit(lo))
+          .when(col("__qbin") >= bins + 1, lit(hi))
+          .otherwise(lit(lo) + lit(hi - lo) * col("__qbin") / lit(bins)))
+      .drop("__qbin")
+  }
 }

@@ -348,6 +348,57 @@ object StatsQueries {
               / (count(value) - 1)), 4) AS stddev
       FROM events GROUP BY event_type"""))
 
+  /** Incremental quantile store end-to-end: per-(batch-half, flag)
+    * fixed-grid histogram sketches round-trip parquet, the RE-READ rows
+    * merge to per-flag stores by count addition, and the merged store
+    * answers 4 quantiles — history never rescanned. The caller-pinned
+    * [900, 105000]×256 grid makes the state engine-portable, so the
+    * oracle histograms the raw rows ONCE per flag with the identical
+    * cell arithmetic and must land on the same cells and edges —
+    * proving merged-then-queried equals built-from-scratch.
+    */
+  val qQuantileStore = Q(
+    "q_quantile_store",
+    (s, dir) => {
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft_q_quantile_store_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      val li = tables(s, dir).lineitem
+        .withColumn("half", (col("l_orderkey") % 2).cast("int"))
+      graft.operators.SketchStore.quantileSketch(
+        li, Seq("half", "l_returnflag"), "l_extendedprice",
+        lo = 900.0, hi = 105000.0, bins = 256)
+        .write.mode("overwrite").parquet(store)
+      val merged = graft.operators.SketchStore.mergeQuantileSketches(
+        s.read.parquet(store), Seq("l_returnflag"))
+      graft.operators.SketchStore.sketchQuantiles(
+        merged, Seq("l_returnflag"),
+        lo = 900.0, hi = 105000.0, bins = 256,
+        qs = Seq(0.25, 0.5, 0.75, 0.95))
+    },
+    Some("""
+      WITH h AS (
+        SELECT l_returnflag,
+          CAST(least(greatest(floor(
+            (CAST(l_extendedprice AS DOUBLE) - 900.0) / 104100.0 * 256),
+            -1), 256) AS BIGINT) + 1 AS bin
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      st AS (SELECT l_returnflag, bin, count(*) AS cnt FROM h GROUP BY 1, 2),
+      c AS (SELECT l_returnflag, bin, cnt,
+              sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+              sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+            FROM st),
+      qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.95)),
+      sel AS (SELECT c.l_returnflag, CAST(qs.q AS DOUBLE) AS q,
+                     min(c.bin) AS qbin
+              FROM c JOIN qs ON c.cum >= ceil(CAST(qs.q AS DOUBLE) * c.n)
+              GROUP BY 1, 2)
+      SELECT l_returnflag, q,
+        CASE WHEN qbin <= 0 THEN 900.0
+             WHEN qbin >= 257 THEN 105000.0
+             ELSE 900.0 + 104100.0 * qbin / 256 END AS est
+      FROM sel"""))
+
   /** Corpus concentration diagnostics: the Gini coefficient of per-doc
     * length mass plus the Herfindahl index / top share over sources —
     * "is one source dominating the mixture". The Gini's tie-group
@@ -434,5 +485,5 @@ object StatsQueries {
   def all: Seq[Q] = Seq(qGlobalSummary, qMissingCounts, qNonzeroCounts, qMeasuresOfCounts,
     qCentralTendency, qMode, qUniqueCounts, qDispersion, qPercentiles, qShape, qCardinality,
     qReportFrequency, qReportEventRate, qReportCompDrift, qReportOutlier, qHllDistinct,
-    qHllIntersection, qMomentsStore, qConcentration, qBenford)
+    qHllIntersection, qMomentsStore, qQuantileStore, qConcentration, qBenford)
 }

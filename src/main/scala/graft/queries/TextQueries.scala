@@ -930,16 +930,12 @@ semantic_dedup:
     * over the deterministic n-gram-Jaccard candidate pairs; the oracle
     * computes the same components via a recursive transitive closure.
     */
-  val qDedupClusters = Q(
-    "q_dedup_clusters",
-    (s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(
-        tables(s, dir).documents, "text", "doc_id", blockCol = "lang",
-        n = 3, threshold = 0.5).select("key_1", "key_2")
-      Dedup.duplicateClusters(pairs)
-    },
-    Some(s"""
-      WITH RECURSIVE norm AS (
+  /** The shared recursive-transitive-closure CTE chain deriving `comp`
+    * [key, cluster] from the deterministic n-gram-Jaccard pairs —
+    * reused by q_dedup_clusters and q_leakage_split (prefix with
+    * `WITH RECURSIVE`).
+    */
+  private val dupClusterCtes = s"""norm AS (
         SELECT doc_id, lang, str_split($normSql, ' ') AS t FROM documents),
       sh AS (
         SELECT DISTINCT doc_id, lang,
@@ -967,8 +963,49 @@ semantic_dedup:
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
       comp AS (
-        SELECT a AS key, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+        SELECT a AS key, least(a, min(b)) AS cluster FROM reach GROUP BY a)"""
+
+  val qDedupClusters = Q(
+    "q_dedup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        tables(s, dir).documents, "text", "doc_id", blockCol = "lang",
+        n = 3, threshold = 0.5).select("key_1", "key_2")
+      Dedup.duplicateClusters(pairs)
+    },
+    Some(s"""
+      WITH RECURSIVE $dupClusterCtes
       SELECT key, cluster FROM comp"""))
+
+  /** Leakage-safe split: every document splits by the md5 hash of its
+    * duplicate-cluster REPRESENTATIVE (own id for singletons), so a
+    * near-dup group never straddles train/test. The oracle replays the
+    * full composition — recursive components, representative fallback,
+    * and the cumulative md5 thresholds — row for row.
+    */
+  val qLeakageSplit = Q(
+    "q_leakage_split",
+    (s, dir) => {
+      val d = tables(s, dir).documents
+      val pairs = Dedup.ngramJaccardPairs(
+        d, "text", "doc_id", blockCol = "lang",
+        n = 3, threshold = 0.5).select("key_1", "key_2")
+      Dedup.leakageSafeSplit(d, "doc_id", pairs,
+        Seq("train" -> 0.8, "test" -> 0.2))
+        .select("doc_id", "rep", "split")
+    },
+    Some {
+      val thrTrain = Sampling.hashThresholdHex(0.8)
+      s"""
+      WITH RECURSIVE $dupClusterCtes,
+      sel AS (
+        SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.key)
+      SELECT doc_id, rep,
+        CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 15) < '$thrTrain'
+             THEN 'train' ELSE 'test' END AS split
+      FROM sel"""
+    })
 
   /** Stratified sample (engine-RNG-specific → rows-only). */
   /** Gopher duplicate-2-gram character fraction — within-doc repetition
@@ -2056,6 +2093,73 @@ semantic_dedup:
                   ELSE (tok_offset + n_tokens - 1) // 512 END AS BIGINT) AS seq_last
       FROM o"""))
 
+  /** DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    * bag-of-ngrams models fit on the target split (lang = 'en') vs the
+    * raw pool, every raw-pool document scored by the summed
+    * log-likelihood ratio of its feature buckets. The oracle replays
+    * the md5 bucket assignment, the smoothed count models, and the
+    * per-document sums — feature counts are exact integers; only the
+    * final ln-ratio sum is a rounded double.
+    */
+  val qDsirWeights = Q(
+    "q_dsir_weights",
+    (s, dir) => graft.functions.ImportanceSampling.dsirScores(
+      tables(s, dir).documents, "text", "doc_id",
+      isTarget = col("lang") === "en", numBuckets = 8192)
+      .select(col("id").as("doc_id"), col("n_feats"),
+        round(col("score"), 4).as("score")),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, lang, str_split($normSql, ' ') AS t
+                    FROM documents),
+      uni AS (SELECT doc_id, lang, unnest(t) AS f FROM norm),
+      bi AS (SELECT doc_id, lang,
+               t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+             FROM norm, unnest(range(1, len(t))) AS u(i)),
+      f1 AS (SELECT * FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+             WHERE length(f) > 0),
+      fb AS (SELECT doc_id, lang,
+               ('0x' || substr(md5(f), 1, 15))::BIGINT % 8192 AS b FROM f1),
+      cnts AS (SELECT b,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+                 sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS nr
+               FROM fb GROUP BY b),
+      tot AS (SELECT sum(nt) AS t_n, sum(nr) AS r_n FROM cnts),
+      lam AS (SELECT b,
+                ln((CAST(nt AS DOUBLE) + 1.0) / (CAST(t_n AS DOUBLE) + 8192.0))
+              - ln((CAST(nr AS DOUBLE) + 1.0) / (CAST(r_n AS DOUBLE) + 8192.0))
+                AS lam
+              FROM cnts, tot)
+      SELECT fb.doc_id, count(*) AS n_feats, round(sum(lam.lam), 4) AS score
+      FROM fb JOIN lam USING (b)
+      WHERE fb.lang <> 'en'
+      GROUP BY fb.doc_id"""))
+
+  /** RAG-style sliding-window chunking (64-token chunks, stride 48 →
+    * 16-token overlap): per-chunk token counts, md5 content hash, and
+    * boundary tokens. Map-only builtin expressions — the oracle replays
+    * the identical slicing arithmetic, so every chunk boundary and hash
+    * must match bit-for-bit.
+    */
+  val qChunkOverlap = Q(
+    "q_chunk_overlap",
+    (s, dir) => Sharding.chunkWithOverlap(
+      tables(s, dir).documents, "text", "doc_id", chunkSize = 64, stride = 48)
+      .withColumnRenamed("id", "doc_id"),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+      t AS (SELECT doc_id, str_split(nt, ' ') AS t FROM norm WHERE length(nt) > 0),
+      s AS (SELECT doc_id, t, CAST(i AS BIGINT) AS s
+            FROM t, unnest(range(0, len(t), 48)) AS u(i)),
+      c AS (SELECT doc_id, s // 48 AS chunk_id,
+                   t[CAST(s + 1 AS INT):CAST(s AS INT) + 64] AS chunk
+            FROM s)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(len(chunk) AS INT) AS n_tokens,
+             md5(array_to_string(chunk, ' ')) AS chunk_hash,
+             chunk[1] AS first_token,
+             chunk[len(chunk)] AS last_token
+      FROM c"""))
+
   /** Corpus heavy hitters via the native Misra-Gries mergeable
     * aggregate: bounded state (k counters) however large the scan. The
     * documents vocabulary stays well under k, so the summary is in its
@@ -2344,7 +2448,7 @@ semantic_dedup:
 
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qIndexDedup, qMinhashEstimateError,
-    qSimhashDedup, qNgramJaccard, qDedupClusters,
+    qSimhashDedup, qNgramJaccard, qDedupClusters, qLeakageSplit,
     qSemanticDedup, qWorkflowSemantic,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qPqCodes, qPqTopK,
     qPqRecall, qAnnIndex, qEmbeddingDedup,
@@ -2354,7 +2458,7 @@ semantic_dedup:
     qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
     qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
     qDupSpans, qDupSpanRemoval, qAnnRecall, qZipfFit,
-    qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk,
+    qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk, qChunkOverlap, qDsirWeights,
     qMixtureSample, qMixtureTemperature, qFuzzyPairs, qNbClassifier,
     qHeavyHitters, qBigramLogprob, qJaroWinkler)
 }

@@ -455,4 +455,39 @@ class StatsSpec extends SparkSpec {
     assert(cd("b") == ((0.0, 0.3333, None)))
     assert(cd("z") == ((0.5, 0.0, Some(-100.0))))
   }
+
+  test("quantile sketch store: merge-of-parts equals built-once, edges clamp") {
+    import graft.operators.SketchStore
+    import spark.implicits._
+    val d = (1 to 1000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+      i.toDouble)).toDF("id", "g", "v")
+    val lo = 0.0; val hi = 1000.0; val bins = 1000
+    // two independently built batches merge to exactly the single build
+    val whole = SketchStore.quantileSketch(d, Seq("g"), "v", lo, hi, bins)
+    val parts = SketchStore.quantileSketch(d.filter(org.apache.spark.sql.functions.col("id") <= 500),
+        Seq("g"), "v", lo, hi, bins)
+      .unionByName(SketchStore.quantileSketch(d.filter(org.apache.spark.sql.functions.col("id") > 500),
+        Seq("g"), "v", lo, hi, bins))
+    val merged = SketchStore.mergeQuantileSketches(parts, Seq("g"))
+    val asMap = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(asMap(merged) == asMap(whole))
+    // quantiles answer from the merged store at grid resolution:
+    // group a = evens 2..1000 → median cell right-edge 500; p95 950
+    val qs = SketchStore.sketchQuantiles(merged, Seq("g"), lo, hi, bins,
+        Seq(0.5, 0.95))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // right-edge semantics: the 250th even value 500 sits in cell
+    // [500, 501) → 501; the 250th odd value 499 in [499, 500) → 500
+    assert(qs(("a", 0.5)) == 501.0 && qs(("b", 0.5)) == 500.0)
+    assert(math.abs(qs(("a", 0.95)) - 950.0) <= (hi - lo) / bins + 1e-9)
+    // out-of-grid values land in the clamp cells and answer lo/hi
+    val oob = Seq(("c", -50.0), ("c", -10.0), ("c", 2000.0)).toDF("g", "v")
+    val st = SketchStore.quantileSketch(oob, Seq("g"), "v", lo, hi, bins)
+    assert(st.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap ==
+      Map(0L -> 2L, (bins + 1).toLong -> 1L))
+    val qc = SketchStore.sketchQuantiles(st, Seq("g"), lo, hi, bins, Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(qc(0.5) == lo && qc(1.0) == hi)
+  }
 }

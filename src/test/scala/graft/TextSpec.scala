@@ -708,4 +708,79 @@ class TextSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(capped.count(!_._2) <= 4) // at most 2 dropped per 3-capped cell
   }
+
+  test("sliding-window chunking: boundaries, overlap, and empty docs") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "   "), // empty after normalization → no chunks
+      (4L, "single")).toDF("doc_id", "text")
+    val out = graft.functions.Sharding.chunkWithOverlap(d, "text", "doc_id",
+      chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getString(4), r.getString(5))).toMap
+    // doc 1: starts 0,3,6,9 → sizes 4,4,4,1; chunk i starts at token i*3+1
+    assert(out((1L, 0L)) == ((4, "t1", "t4")))
+    assert(out((1L, 1L)) == ((4, "t4", "t7"))) // 1-token overlap
+    assert(out((1L, 2L)) == ((4, "t7", "t10")))
+    assert(out((1L, 3L)) == ((1, "t10", "t10")))
+    assert(out((2L, 0L)) == ((3, "only", "tokens")))
+    assert(out((4L, 0L)) == ((1, "single", "single")))
+    assert(!out.keys.exists(_._1 == 3L))
+    assert(out.size == 6)
+    // every token of every doc is covered by at least one chunk
+    val covered = out.keys.filter(_._1 == 1L).flatMap { case (_, c) =>
+      val s = c.toInt * 3; s until math.min(s + 4, 10) }.toSet
+    assert(covered == (0 until 10).toSet)
+  }
+
+  test("DSIR scores rank target-like raw docs above off-domain ones") {
+    import graft.functions.ImportanceSampling
+    val target = (0 until 30).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon", true))
+    val likeTarget = (100 until 110).map(i =>
+      (i.toLong, "alpha beta gamma something", false))
+    val junk = (200 until 210).map(i =>
+      (i.toLong, "zzz qqq www xxx yyy", false))
+    val d = (target ++ likeTarget ++ junk).toDF("doc_id", "text", "is_t")
+    val scores = ImportanceSampling.dsirScores(d, "text", "doc_id",
+      isTarget = col("is_t"), numBuckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // only raw-pool docs are scored
+    assert(scores.keySet == ((100 until 110) ++ (200 until 210)).map(_.toLong).toSet)
+    val worstLike = (100 until 110).map(i => scores(i.toLong)).min
+    val bestJunk = (200 until 210).map(i => scores(i.toLong)).max
+    assert(worstLike > bestJunk,
+      s"target-like floor $worstLike must beat junk ceiling $bestJunk")
+    // gumbel-top-k is deterministic and favors high scores
+    val sel = ImportanceSampling.gumbelTopK(
+      ImportanceSampling.dsirScores(d, "text", "doc_id", col("is_t"), 1024),
+      "id", k = 8).collect().map(_.getLong(0)).toSet
+    val sel2 = ImportanceSampling.gumbelTopK(
+      ImportanceSampling.dsirScores(d.repartition(7), "text", "doc_id", col("is_t"), 1024),
+      "id", k = 8).collect().map(_.getLong(0)).toSet
+    assert(sel == sel2, "selection must be partition-invariant")
+    assert(sel.count(_ < 200) >= 6, s"selection should favor target-like docs: $sel")
+  }
+
+  test("leakage-safe split keeps duplicate clusters on one side") {
+    val d = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("key_1", "key_2")
+    val out = Dedup.leakageSafeSplit(d, "doc_id", pairs,
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out.size == 100)
+    // clustered docs share their representative's split
+    assert(Set(out(1L), out(2L), out(3L)).size == 1 && out(1L)._1 == 1L)
+    assert(out(10L) == out(11L) && out(10L)._1 == 10L)
+    // singletons represent themselves
+    assert(out(50L)._1 == 50L)
+    // no cluster representative maps to two splits
+    val byRep = out.values.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byRep.values.forall(_.size == 1))
+    // both splits are populated at 50/50
+    val splits = out.values.map(_._2).groupBy(identity).view.mapValues(_.size)
+    assert(splits("train") > 20 && splits("test") > 20)
+  }
 }
