@@ -1176,4 +1176,41 @@ object Dedup {
       .select(col("key_1"), col("key_2"), levenshtein(col("s1"), col("s2")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Cross-source shingle-overlap matrix: exact n-gram-set Jaccard
+    * between every pair of corpus sources — the "how much does crawl A
+    * repeat crawl B" diagnostic that decides whether two acquisitions
+    * are worth ingesting separately (doc-level near-dup asks the same
+    * question per document; this is the corpus-level roll-up).
+    *
+    * 100 TB posture: the distinct (source, shingle) projection is one
+    * corpus shuffle; the shingle self-join fans each shingle out to at
+    * most |sources|² pairs (sources are a handful, so even a shingle
+    * present everywhere contributes a bounded pair count — no skew cap
+    * needed, unlike doc-level LSH buckets); per-source set sizes are a
+    * |sources|-row broadcast.
+    */
+  def sourceOverlap(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      n: Int = 3): DataFrame = {
+    // three consumers (sizes + both self-join sides): cut lineage once
+    // instead of re-running the corpus-wide distinct per consumer
+    val sh = materialize(df.select(col(sourceCol).as("src"),
+        explode(TextOps.ngramsFromTokens(TextOps.tokens(col(textCol)), n)).as("g"))
+      .filter(length(col("g")) > 0)
+      .distinct())
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("src").as("source_a"), col("n_sh").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("src").as("source_b"), col("n_sh").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 4).as("jaccard"))
+  }
 }

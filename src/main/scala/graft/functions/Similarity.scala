@@ -1158,4 +1158,41 @@ object Similarity {
       .filter(col("rank") <= k)
       .withColumn("adist", round(col("adist"), 4))
   }
+
+  /** kNN label-noise audit (the confident-learning-style mislabel
+    * screen, Northcutt et al. 2021): for every labeled vector, the
+    * fraction of its k cosine-nearest neighbours carrying a DIFFERENT
+    * label — rows where most of the local neighbourhood disagrees are
+    * the mislabeling candidates a curation pass re-reviews before
+    * training. Neighbour search runs through ivfTopK, so the same call
+    * is exact (nprobe = cellCount) for audit-grade runs or approximate
+    * (small nprobe) at corpus scale; labels re-attach via two hash
+    * joins on the id — no collect, no pairwise blow-up beyond the IVF
+    * cell joins.
+    */
+  def labelNoiseKnn(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 5,
+      cellCount: Int = 0,
+      nprobe: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val nn = ivfTopK(df, idCol, vecCol, k = k, cellCount = cellCount,
+      nprobe = nprobe, seed = seed)
+    val labels = df.select(col(idCol).cast("long").as("__id"),
+      col(labelCol).as("__lbl"))
+    nn
+      .join(labels.select(col("__id"), col("__lbl").as("__own")),
+        col("vec_id") === col("__id")).drop("__id")
+      .join(labels.select(col("__id"), col("__lbl").as("__nbr")),
+        col("neighbor_id") === col("__id")).drop("__id")
+      .groupBy(col("vec_id"), col("__own").as("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("__nbr") =!= col("__own"), 1L).otherwise(0L)).as("n_disagree"))
+      .select(col("vec_id"), col("label"), col("n_neighbors"), col("n_disagree"),
+        round(col("n_disagree").cast("double") / col("n_neighbors").cast("double"), 4)
+          .as("disagree_frac"))
+  }
 }

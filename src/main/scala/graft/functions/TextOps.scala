@@ -505,4 +505,73 @@ object TextOps {
           .otherwise("tail"))
       .drop("__t")
   }
+
+  /** Per-document TF-IDF keyword extraction: the top-k terms of each
+    * document by tf·ln(N/df), ties broken lexicographically. The
+    * standard document-tagging / topic-labeling pass of corpus curation
+    * (reference surfaces TF-IDF only corpus-side, in the feature
+    * recommender — `feature_recommender/featrec_init.py:36-59`; this is
+    * the per-document dual).
+    *
+    * 100 TB posture: one corpus shuffle for (doc, term) term
+    * frequencies; document frequencies reduce the tf frame again by
+    * term (vocabulary-sized — heavy-tailed but far smaller than the
+    * corpus, and never collected: the df join stays a hash join unless
+    * AQE proves it broadcastable); the top-k window partitions by
+    * document, so no data-sized single partition anywhere. N comes from
+    * a scalar aggregate crossJoin'd as a broadcast 1-row frame.
+    */
+  def keywordTfidf(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      topK: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        explode(tokens(col(textCol))).as("keyword"))
+      .filter(length(col("keyword")) > 0)
+    val tf = toks.groupBy("id", "keyword").agg(count(lit(1)).as("tf"))
+    // tf already holds one row per distinct (doc, term): df is a plain
+    // second reduction, no countDistinct shuffle explosion
+    val dfreq = tf.groupBy("keyword").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).as("__n_docs"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("__score").desc, col("keyword").asc)
+    tf.join(dfreq, "keyword")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__score",
+        col("tf").cast("double") *
+          log(col("__n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("id"), col("keyword"), col("tf"), col("df"),
+        round(col("__score"), 4).as("score"), col("rank"))
+  }
+
+  /** Typed PII mention inventory with stable pseudonyms: every email /
+    * IPv4 / phone match as a row, pseudonymized by a deterministic
+    * md5-derived token — the consistent-pseudonymization pass that
+    * lets a scrubbed corpus keep entity co-reference (same address ↔
+    * same token) without the raw value. Extraction mirrors piiRedact's
+    * email → IP → phone sequencing (each pattern scans the text with
+    * the previous kinds already replaced, so a phone regex can never
+    * re-match the digits of an IP it overlaps). Map-only: three regex
+    * passes + explode, zero shuffle, zero driver state.
+    */
+  def piiMentions(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val noEmail = regexp_replace(col(textCol), emailRe, "[EMAIL]")
+    val noIp = regexp_replace(noEmail, ipRe, "[IP]")
+    def tagged(kind: String, arr: Column): Column =
+      transform(arr, m => struct(lit(kind).as("kind"), m.as("mention")))
+    val mentions = df
+      .select(col(idCol).cast("long").as("id"),
+        explode(concat(
+          tagged("email", regexp_extract_all(col(textCol), lit(emailRe), lit(0))),
+          tagged("ip", regexp_extract_all(noEmail, lit(ipRe), lit(0))),
+          tagged("phone", regexp_extract_all(noIp, lit(phoneRe), lit(0))))).as("m"))
+      .select(col("id"), col("m.kind").as("kind"), col("m.mention").as("mention"))
+    mentions.withColumn("pseudonym",
+      concat(lit("["), upper(col("kind")), lit("_"),
+        substring(md5(concat(col("kind"), lit(":"), col("mention"))), 1, 8),
+        lit("]")))
+  }
 }

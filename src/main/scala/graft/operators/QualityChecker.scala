@@ -419,4 +419,32 @@ object QualityChecker {
       }
     case m => throw new IllegalArgumentException(s"unknown outlier treatment: $m")
   }
+
+  /** k-anonymity audit over a quasi-identifier column set: the
+    * re-identification-risk profile a privacy review runs before a
+    * dataset ships (Sweeney 2002 — a record is k-anonymous when at
+    * least k rows share its quasi-identifier tuple). Returns the
+    * equivalence-class-size histogram: for each class size, how many
+    * classes and rows sit there, the row share, and whether that size
+    * violates the k floor.
+    *
+    * 100 TB posture: one hash-aggregate shuffle on the QI tuple, then a
+    * second aggregate over the (bounded, ≤ distinct-size-count) class
+    * frame; the total arrives as a broadcast 1-row crossJoin — no
+    * grand-total window, no collect. NULL QI values group as their own
+    * class (Spark and SQL GROUP BY agree on null grouping).
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String], k: Int = 5): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityAudit needs at least one quasi-identifier column")
+    val classes = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("class_size"))
+    val hist = classes.groupBy("class_size")
+      .agg(count(lit(1)).as("n_classes"))
+      .withColumn("n_rows", col("class_size") * col("n_classes"))
+    val total = hist.agg(sum("n_rows").as("__total"))
+    hist.crossJoin(broadcast(total))
+      .select(col("class_size"), col("n_classes"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__total").cast("double"), 4)
+          .as("pct_rows"),
+        (col("class_size") < k).as("below_k"))
+  }
 }

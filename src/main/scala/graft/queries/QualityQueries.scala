@@ -191,6 +191,28 @@ object QualityQueries {
         UNION ALL SELECT 'event_type' FROM m WHERE pe <= 0.5)
       SELECT c AS column_name, (SELECT n FROM m) AS n_rows FROM kept"""))
 
+  /** k-anonymity audit over the (c_mktsegment, c_nationkey)
+    * quasi-identifier pair: the equivalence-class-size histogram with
+    * row shares and the k = 5 violation flag. Pure integer set
+    * arithmetic until the rounded share, so the oracle replays it
+    * exactly.
+    */
+  val qKAnonymity = Q(
+    "q_k_anonymity",
+    (s, dir) => QualityChecker.kAnonymityAudit(tables(s, dir).customer,
+      Seq("c_mktsegment", "c_nationkey"), k = 5),
+    Some("""
+      WITH cls AS (SELECT c_mktsegment, c_nationkey, count(*) AS class_size
+                   FROM customer GROUP BY 1, 2),
+      h AS (SELECT class_size, count(*) AS n_classes,
+                   class_size * count(*) AS n_rows
+            FROM cls GROUP BY 1),
+      t AS (SELECT sum(n_rows) AS total FROM h)
+      SELECT class_size, n_classes, n_rows,
+        round(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 4) AS pct_rows,
+        class_size < 5 AS below_k
+      FROM h, t"""))
+
   def all: Seq[Q] = Seq(qDuplicates, qNullRows, qIdness, qBiasedness, qInvalidEntries,
-    qOutlierDetection, qImputationMMM, qMadOutliers, qNullTreatment)
+    qOutlierDetection, qImputationMMM, qMadOutliers, qNullTreatment, qKAnonymity)
 }

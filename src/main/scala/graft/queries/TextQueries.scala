@@ -2446,6 +2446,138 @@ semantic_dedup:
              CASE tt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
       FROM b"""))
 
+  /** Per-document TF-IDF keyword extraction: top-3 terms per document by
+    * tf·ln(N/df), ties lexicographic. The oracle refits the identical
+    * model — term frequencies, document frequencies, and the corpus size
+    * are exact integers; only the final score rounds (ln parity per the
+    * BM25/NB precedent).
+    */
+  val qKeywordTfidf = Q(
+    "q_keyword_tfidf",
+    (s, dir) => TextOps.keywordTfidf(tables(s, dir).documents, "text", "doc_id", topK = 3)
+      .withColumnRenamed("id", "doc_id"),
+    Some(s"""
+      WITH t AS (SELECT doc_id, unnest(str_split($normSql, ' ')) AS keyword
+                 FROM documents),
+      tf AS (SELECT doc_id, keyword, count(*) AS tf FROM t
+             WHERE length(keyword) > 0 GROUP BY 1, 2),
+      dfq AS (SELECT keyword, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      s AS (SELECT tf.doc_id, tf.keyword, tf.tf, dfq.df,
+              CAST(tf.tf AS DOUBLE) *
+                ln(CAST(n.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS score
+            FROM tf JOIN dfq USING (keyword), n),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY doc_id ORDER BY score DESC, keyword ASC) AS rank
+            FROM s)
+      SELECT doc_id, keyword, tf, df, round(score, 4) AS score,
+             CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 3"""))
+
+  /** Typed PII mention inventory + stable pseudonyms over the same
+    * injected-PII fixture as q_pii_redaction: every extracted mention is
+    * a row, and the md5-derived pseudonym replays byte-for-byte in the
+    * oracle (consistent pseudonymization — same value, same token).
+    */
+  val qPiiMentions = Q(
+    "q_pii_mentions",
+    (s, dir) => {
+      val d = tables(s, dir).documents
+      val injected = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" reach me at user"), col("doc_id").cast("string"), lit("@example.com")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit(" server 10.74."), (col("doc_id") % 256).cast("string"), lit(".15 up")))
+          .otherwise(concat(lit(" call +14155550"),
+            lpad((col("doc_id") % 100).cast("string"), 3, "0"))))
+      TextOps.piiMentions(
+        d.select(col("doc_id"), injected.as("__pii_text")), "__pii_text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some {
+      val (em, ip, ph) = (TextOps.emailRe, TextOps.ipRe, TextOps.phoneRe)
+      s"""
+      WITH inj AS (SELECT doc_id, text || CASE
+          WHEN doc_id % 3 = 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+          WHEN doc_id % 3 = 1 THEN ' server 10.74.' || CAST(doc_id % 256 AS VARCHAR) || '.15 up'
+          ELSE ' call +14155550' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') END AS t
+        FROM documents),
+      st AS (SELECT doc_id, t,
+          regexp_replace(t, '$em', '[EMAIL]', 'g') AS no_email FROM inj),
+      st2 AS (SELECT doc_id, t, no_email,
+          regexp_replace(no_email, '$ip', '[IP]', 'g') AS no_ip FROM st),
+      m AS (
+        SELECT doc_id, 'email' AS kind, unnest(regexp_extract_all(t, '$em')) AS mention FROM st2
+        UNION ALL
+        SELECT doc_id, 'ip', unnest(regexp_extract_all(no_email, '$ip')) FROM st2
+        UNION ALL
+        SELECT doc_id, 'phone', unnest(regexp_extract_all(no_ip, '$ph')) FROM st2)
+      SELECT doc_id, kind, mention,
+        '[' || upper(kind) || '_' || substr(md5(kind || ':' || mention), 1, 8) || ']'
+          AS pseudonym
+      FROM m"""
+    })
+
+  /** Cross-source exact 3-gram-set Jaccard matrix (corpus-level overlap
+    * diagnostic). Everything is integer set arithmetic until the final
+    * rounded ratio, so the oracle replays it exactly.
+    */
+  val qSourceOverlap = Q(
+    "q_source_overlap",
+    (s, dir) => Dedup.sourceOverlap(tables(s, dir).documents, "text", "source", n = 3),
+    Some(s"""
+      WITH norm AS (SELECT source, str_split($normSql, ' ') AS t FROM documents),
+      sh AS (SELECT DISTINCT source AS src,
+               array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS g
+             FROM norm, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+      sh1 AS (SELECT * FROM sh WHERE length(g) > 0),
+      sizes AS (SELECT src, count(*) AS n FROM sh1 GROUP BY src),
+      i AS (SELECT a.src AS source_a, b.src AS source_b, count(*) AS inter
+            FROM sh1 a JOIN sh1 b ON a.g = b.g AND a.src < b.src
+            GROUP BY 1, 2)
+      SELECT source_a, source_b, na.n AS n_a, nb.n AS n_b, inter,
+             round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      FROM i JOIN sizes na ON source_a = na.src
+             JOIN sizes nb ON source_b = nb.src"""))
+
+  /** kNN label-noise audit in the exact IVF regime (nprobe = cellCount,
+    * the q_ivf_exact_topk configuration): each vector's 5 cosine-nearest
+    * neighbours vote on its label, and the oracle recomputes the same
+    * brute-force top-5 plus the disagreement fraction.
+    */
+  val qLabelNoise = Q(
+    "q_label_noise",
+    (s, dir) => Similarity.labelNoiseKnn(tables(s, dir).embeddings,
+      "vec_id", "embedding", "label", k = 5, cellCount = 8, nprobe = 8),
+    Some("""
+      WITH e AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+            FROM e GROUP BY vec_id),
+      d AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                   sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dt
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+            GROUP BY a.vec_id, b.vec_id),
+      c AS (SELECT d.vec_id, d.neighbor_id, d.dt / (na.nrm * nb.nrm) AS cos
+            FROM d JOIN n na ON d.vec_id = na.vec_id
+                   JOIN n nb ON d.neighbor_id = nb.vec_id),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM c),
+      k AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= 5),
+      l AS (SELECT vec_id AS id, label FROM embeddings)
+      SELECT k.vec_id, lo.label AS label, count(*) AS n_neighbors,
+        CAST(sum(CASE WHEN ln.label <> lo.label THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_disagree,
+        round(CAST(sum(CASE WHEN ln.label <> lo.label THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 4) AS disagree_frac
+      FROM k JOIN l lo ON k.vec_id = lo.id
+             JOIN l ln ON k.neighbor_id = ln.id
+      GROUP BY 1, 2"""))
+
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qIndexDedup, qMinhashEstimateError,
     qSimhashDedup, qNgramJaccard, qDedupClusters, qLeakageSplit,
@@ -2460,5 +2592,6 @@ semantic_dedup:
     qDupSpans, qDupSpanRemoval, qAnnRecall, qZipfFit,
     qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk, qChunkOverlap, qDsirWeights,
     qMixtureSample, qMixtureTemperature, qFuzzyPairs, qNbClassifier,
-    qHeavyHitters, qBigramLogprob, qJaroWinkler)
+    qHeavyHitters, qBigramLogprob, qJaroWinkler,
+    qKeywordTfidf, qPiiMentions, qSourceOverlap, qLabelNoise)
 }

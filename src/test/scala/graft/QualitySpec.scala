@@ -252,4 +252,23 @@ class QualitySpec extends SparkSpec {
     val metrics = QualityChecker.outlierDetection(d, Seq("y")).collect()(0)
     assert(metrics.getInt(metrics.fieldIndex("excluded_due_to_skewness")) == 1)
   }
+
+  test("k-anonymity audit: class histogram, shares, and the k floor") {
+    // QI classes: (a,1)×4, (a,2)×1, (b,1)×1 → sizes {4:1 class, 1:2 classes}
+    val d = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 1), ("a", 2), ("b", 1))
+      .toDF("seg", "nat")
+    val h = QualityChecker.kAnonymityAudit(d, Seq("seg", "nat"), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(h(4L) == ((1L, 4L, 0.6667, false)))
+    assert(h(1L) == ((2L, 2L, 0.3333, true)))
+    // NULL QI values form their own class rather than exploding
+    val withNull = d.union(Seq((null.asInstanceOf[String], 9)).toDF("seg", "nat"))
+    val h2 = QualityChecker.kAnonymityAudit(withNull, Seq("seg", "nat"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h2(1L) == 3L)
+    intercept[IllegalArgumentException] {
+      QualityChecker.kAnonymityAudit(d, Seq.empty, k = 3)
+    }
+  }
 }

@@ -783,4 +783,71 @@ class TextSpec extends SparkSpec {
     val splits = out.values.map(_._2).groupBy(identity).view.mapValues(_.size)
     assert(splits("train") > 20 && splits("test") > 20)
   }
+
+  test("keyword tf-idf surfaces doc-specific terms over corpus-wide ones") {
+    // "shared" appears in every doc (idf = ln 1 = 0 → score 0);
+    // each doc's private term must outrank it despite lower tf
+    val d = Seq(
+      (1L, "shared shared shared alpha"),
+      (2L, "shared shared shared beta beta"),
+      (3L, "shared shared shared gamma")).toDF("doc_id", "text")
+    val kw = TextOps.keywordTfidf(d, "text", "doc_id", topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kw == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    // rank ties break lexicographically: two terms with equal tf and df
+    val tie = Seq((1L, "zz aa")).toDF("doc_id", "text")
+    val top = TextOps.keywordTfidf(tie, "text", "doc_id", topK = 2)
+      .orderBy("rank").collect().map(_.getString(1)).toSeq
+    assert(top == Seq("aa", "zz"))
+  }
+
+  test("pii mentions extract typed matches with stable pseudonyms") {
+    val d = Seq(
+      (1L, "mail a@b.com and a@b.com again, server 10.0.0.1"),
+      (2L, "mail a@b.com from another doc"),
+      (3L, "clean text")).toDF("doc_id", "text")
+    val m = TextOps.piiMentions(d, "text", "doc_id").collect()
+    // doc 1: two email mentions + one ip; doc 2: one email; doc 3: none
+    assert(m.count(_.getLong(0) == 1L) == 3)
+    assert(m.count(_.getLong(0) == 3L) == 0)
+    // consistent pseudonymization: the same mention gets the same token
+    // across rows AND documents; different kinds never collide
+    val byMention = m.groupBy(r => (r.getString(1), r.getString(2)))
+      .view.mapValues(_.map(_.getString(3)).toSet)
+    assert(byMention.values.forall(_.size == 1))
+    val emailTok = byMention(("email", "a@b.com")).head
+    assert(emailTok.startsWith("[EMAIL_") && emailTok.endsWith("]"))
+    assert(m.map(_.getString(3)).distinct.length ==
+      m.map(r => (r.getString(1), r.getString(2))).distinct.length)
+  }
+
+  test("source overlap computes exact pairwise shingle jaccard") {
+    val d = Seq(
+      (1L, "a b c d e", "s1"),   // shingles: "a b c","b c d","c d e"
+      (2L, "a b c x y", "s2"),   // shares "a b c" with s1
+      (3L, "p q r s t", "s3")).toDF("doc_id", "text", "source")
+    val o = Dedup.sourceOverlap(d, "text", "source", n = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // only the overlapping pair appears (inner join on shared shingles)
+    assert(o.keySet == Set(("s1", "s2")))
+    val (na, nb, inter, j) = o(("s1", "s2"))
+    assert(na == 3 && nb == 3 && inter == 1)
+    assert(math.abs(j - 1.0 / 5.0) < 1e-9)
+  }
+
+  test("label-noise knn flags the planted mislabeled vector") {
+    // two tight clusters in 2-d; vector 99 sits in cluster A but
+    // carries cluster B's label → 100% neighbourhood disagreement
+    val a = (0L until 6L).map(i => (i, Array(1.0f + i * 0.01f, 0.0f), 0))
+    val b = (10L until 16L).map(i => (i, Array(0.0f, 1.0f + i * 0.01f), 1))
+    val planted = Seq((99L, Array(1.0f, 0.05f), 1))
+    val d = (a ++ b ++ planted).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoiseKnn(d, "vec_id", "embedding", "label",
+      k = 3, cellCount = 2, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(99L) == 1.0, s"planted mislabel not flagged: ${out(99L)}")
+    // core cluster members agree with their neighbourhood
+    assert(out(1L) == 0.0 && out(11L) == 0.0)
+  }
 }
