@@ -1183,18 +1183,36 @@ object Dedup {
     * are worth ingesting separately (doc-level near-dup asks the same
     * question per document; this is the corpus-level roll-up).
     *
+    * Output contract: DENSE — every unordered source pair appears,
+    * zero-overlap pairs included (inter=0, jaccard=0.0), so a consumer
+    * can tell "no overlap" from "pair missing". Ordering within a pair
+    * is source_a < source_b lexicographically.
+    *
     * 100 TB posture: the distinct (source, shingle) projection is one
     * corpus shuffle; the shingle self-join fans each shingle out to at
-    * most |sources|² pairs (sources are a handful, so even a shingle
-    * present everywhere contributes a bounded pair count — no skew cap
-    * needed, unlike doc-level LSH buckets); per-source set sizes are a
-    * |sources|-row broadcast.
+    * most |sources|² pairs — bounded ONLY while sources are genuinely a
+    * handful, so a one-pass approx_count_distinct probe refuses a
+    * high-cardinality column (doc_id passed as the source by mistake
+    * would make a corpus-wide shingle quadratic) before any heavy work,
+    * the same guard idiom as Association.guardCardinality. Per-source
+    * set sizes are a |sources|-row broadcast; the dense pair frame is
+    * built by a double explode of the one-row collected source array —
+    * map-only, no cross join in the plan.
     */
   def sourceOverlap(
       df: DataFrame,
       textCol: String,
       sourceCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      maxSources: Int = 64): DataFrame = {
+    require(maxSources > 0, "maxSources must be positive")
+    val nSrc = df.agg(approx_count_distinct(col(sourceCol)).as("c"))
+      .collect()(0).getLong(0)
+    require(nSrc <= maxSources,
+      s"source column '$sourceCol' has ~$nSrc distinct values " +
+        s"(maxSources=$maxSources): sourceOverlap is quadratic in the " +
+        "source count — pass a corpus/crawl-level column, or raise " +
+        "maxSources deliberately for a known-bounded set")
     // three consumers (sizes + both self-join sides): cut lineage once
     // instead of re-running the corpus-wide distinct per consumer
     val sh = materialize(df.select(col(sourceCol).as("src"),
@@ -1206,9 +1224,20 @@ object Dedup {
       .join(sh.as("b"), col("a.g") === col("b.g") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.select(col("src").as("source_a"), col("n_sh").as("n_a"))), "source_a")
-      .join(broadcast(sizes.select(col("src").as("source_b"), col("n_sh").as("n_b"))), "source_b")
+    // dense pair skeleton: all unordered pairs from the (≤ maxSources)-row
+    // sizes frame, via a 1-row collect_list + double explode (map-only)
+    val pairs = sizes
+      .agg(sort_array(collect_list(struct(col("src"), col("n_sh")))).as("all"))
+      .select(explode(col("all")).as("a"), col("all"))
+      .select(col("a"), explode(col("all")).as("b"))
+      .filter(col("a.src") < col("b.src"))
+      .select(col("a.src").as("source_a"), col("b.src").as("source_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+    // broadcast the ≤|sources|²-row aggregated side (a left-outer join
+    // can only build on the right)
+    pairs
+      .join(broadcast(inter), Seq("source_a", "source_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("inter"),
         round(col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"), 4).as("jaccard"))

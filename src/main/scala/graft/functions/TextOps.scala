@@ -549,15 +549,25 @@ object TextOps {
 
   /** Typed PII mention inventory with stable pseudonyms: every email /
     * IPv4 / phone match as a row, pseudonymized by a deterministic
-    * md5-derived token — the consistent-pseudonymization pass that
+    * keyed-hash token — the consistent-pseudonymization pass that
     * lets a scrubbed corpus keep entity co-reference (same address ↔
-    * same token) without the raw value. Extraction mirrors piiRedact's
-    * email → IP → phone sequencing (each pattern scans the text with
-    * the previous kinds already replaced, so a phone regex can never
-    * re-match the digits of an IP it overlaps). Map-only: three regex
-    * passes + explode, zero shuffle, zero driver state.
+    * same token) without the raw value. The token is the first 16 hex
+    * chars (64 bits) of sha2-256 over `salt:kind:mention`: 64 bits keeps
+    * the birthday collision bound negligible at corpus scale (~10^9
+    * distinct mentions → ~10^-2 collision odds vs near-certain at the
+    * old 32-bit md5 prefix), and the caller-supplied per-corpus secret
+    * salt makes dictionary reversal of enumerable value spaces (10-digit
+    * phones, IPv4) infeasible without the key. An empty salt is allowed
+    * but linkage-prone: anyone can precompute sha2("":kind:value) over
+    * the enumerable space and reverse the tokens — always pass a secret
+    * salt for corpora leaving trust boundaries. Extraction mirrors
+    * piiRedact's email → IP → phone sequencing (each pattern scans the
+    * text with the previous kinds already replaced, so a phone regex can
+    * never re-match the digits of an IP it overlaps). Map-only: three
+    * regex passes + explode, zero shuffle, zero driver state.
     */
-  def piiMentions(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def piiMentions(df: DataFrame, textCol: String, idCol: String,
+                  salt: String = ""): DataFrame = {
     val noEmail = regexp_replace(col(textCol), emailRe, "[EMAIL]")
     val noIp = regexp_replace(noEmail, ipRe, "[IP]")
     def tagged(kind: String, arr: Column): Column =
@@ -571,7 +581,8 @@ object TextOps {
       .select(col("id"), col("m.kind").as("kind"), col("m.mention").as("mention"))
     mentions.withColumn("pseudonym",
       concat(lit("["), upper(col("kind")), lit("_"),
-        substring(md5(concat(col("kind"), lit(":"), col("mention"))), 1, 8),
+        substring(sha2(concat(lit(salt), lit(":"), col("kind"), lit(":"),
+          col("mention")), 256), 1, 16),
         lit("]")))
   }
 }

@@ -935,8 +935,8 @@ semantic_dedup:
     * reused by q_dedup_clusters and q_leakage_split (prefix with
     * `WITH RECURSIVE`).
     */
-  private val dupClusterCtes = s"""norm AS (
-        SELECT doc_id, lang, str_split($normSql, ' ') AS t FROM documents),
+  private def dupClusterCtes(from: String = "documents") = s"""norm AS (
+        SELECT doc_id, lang, str_split($normSql, ' ') AS t FROM $from),
       sh AS (
         SELECT DISTINCT doc_id, lang,
                array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
@@ -974,7 +974,7 @@ semantic_dedup:
       Dedup.duplicateClusters(pairs)
     },
     Some(s"""
-      WITH RECURSIVE $dupClusterCtes
+      WITH RECURSIVE ${dupClusterCtes()}
       SELECT key, cluster FROM comp"""))
 
   /** Leakage-safe split: every document splits by the md5 hash of its
@@ -997,10 +997,91 @@ semantic_dedup:
     Some {
       val thrTrain = Sampling.hashThresholdHex(0.8)
       s"""
-      WITH RECURSIVE $dupClusterCtes,
+      WITH RECURSIVE ${dupClusterCtes()},
       sel AS (
         SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS rep
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.key)
+      SELECT doc_id, rep,
+        CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 15) < '$thrTrain'
+             THEN 'train' ELSE 'test' END AS split
+      FROM sel"""
+    })
+
+  /** The curation_pipeline WORKFLOW stage end-to-end (DSIR importance
+    * selection → leakage-safe split), driven through the YAML runner:
+    * the oracle replays the whole composition — the hashed-bigram DSIR
+    * models, the deterministic Gumbel-top-k selection (1e-4-rounded key,
+    * id tiebreak), the recursive near-dup components over the SURVIVING
+    * subset, and the cumulative md5 split thresholds — row for row.
+    */
+  val qWorkflowCuration = Q(
+    "q_workflow_curation",
+    (s, dir) => {
+      val yaml =
+        s"""input_dataset:
+           |  read_dataset:
+           |    file_path: $dir/documents.parquet
+           |    file_type: parquet
+           |curation_pipeline:
+           |  text_col: text
+           |  id_col: doc_id
+           |  dsir_select:
+           |    target_col: lang
+           |    target_value: en
+           |    keep_k: 150
+           |    num_buckets: 8192
+           |  leakage_split:
+           |    block_col: lang
+           |    ngram: 3
+           |    threshold: 0.5
+           |    weights:
+           |      - "train:0.8"
+           |      - "test:0.2"
+           |  source_overlap:
+           |    source_col: source
+           |""".stripMargin
+      val (df, _) = graft.workflow.Workflow.run(s, yaml)
+      df.select("doc_id", "rep", "split")
+    },
+    Some {
+      val thrTrain = Sampling.hashThresholdHex(0.8)
+      s"""
+      WITH RECURSIVE
+      norm0 AS (SELECT doc_id, lang, str_split($normSql, ' ') AS t
+                FROM documents),
+      uni AS (SELECT doc_id, lang, unnest(t) AS f FROM norm0),
+      bi AS (SELECT doc_id, lang,
+               t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+             FROM norm0, unnest(range(1, len(t))) AS u(i)),
+      f1 AS (SELECT * FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+             WHERE length(f) > 0),
+      fb AS (SELECT doc_id, lang,
+               ('0x' || substr(md5(f), 1, 15))::BIGINT % 8192 AS b FROM f1),
+      cnts AS (SELECT b,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+                 sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS nr
+               FROM fb GROUP BY b),
+      tot AS (SELECT sum(nt) AS t_n, sum(nr) AS r_n FROM cnts),
+      lam AS (SELECT b,
+                ln((CAST(nt AS DOUBLE) + 1.0) / (CAST(t_n AS DOUBLE) + 8192.0))
+              - ln((CAST(nr AS DOUBLE) + 1.0) / (CAST(r_n AS DOUBLE) + 8192.0))
+                AS lam
+              FROM cnts, tot),
+      sc AS (SELECT fb.doc_id, sum(lam.lam) AS score
+             FROM fb JOIN lam USING (b)
+             WHERE fb.lang <> 'en' GROUP BY fb.doc_id),
+      gk AS (SELECT doc_id, round(score - ln(-ln(
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  + 0.5) / 1152921504606846976.0)), 4) AS gumbel_key
+             FROM sc),
+      picked AS (SELECT doc_id FROM gk
+                 ORDER BY gumbel_key DESC, doc_id ASC LIMIT 150),
+      kept AS (SELECT * FROM documents
+               WHERE lang = 'en' OR doc_id IN (SELECT doc_id FROM picked)),
+      ${dupClusterCtes("kept")},
+      sel AS (
+        SELECT k.doc_id, COALESCE(c.cluster, k.doc_id) AS rep
+        FROM kept k LEFT JOIN comp c ON k.doc_id = c.key)
       SELECT doc_id, rep,
         CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 15) < '$thrTrain'
              THEN 'train' ELSE 'test' END AS split
@@ -2476,8 +2557,10 @@ semantic_dedup:
 
   /** Typed PII mention inventory + stable pseudonyms over the same
     * injected-PII fixture as q_pii_redaction: every extracted mention is
-    * a row, and the md5-derived pseudonym replays byte-for-byte in the
-    * oracle (consistent pseudonymization — same value, same token).
+    * a row, and the keyed sha2-256 pseudonym (64-bit token, per-corpus
+    * secret salt) replays byte-for-byte in the oracle (consistent
+    * pseudonymization — same value, same token; DuckDB sha256 = Spark
+    * sha2(·, 256), both lowercase hex).
     */
   val qPiiMentions = Q(
     "q_pii_mentions",
@@ -2492,7 +2575,8 @@ semantic_dedup:
           .otherwise(concat(lit(" call +14155550"),
             lpad((col("doc_id") % 100).cast("string"), 3, "0"))))
       TextOps.piiMentions(
-        d.select(col("doc_id"), injected.as("__pii_text")), "__pii_text", "doc_id")
+        d.select(col("doc_id"), injected.as("__pii_text")), "__pii_text", "doc_id",
+        salt = "graft-demo-corpus-key")
         .withColumnRenamed("id", "doc_id")
     },
     Some {
@@ -2514,14 +2598,17 @@ semantic_dedup:
         UNION ALL
         SELECT doc_id, 'phone', unnest(regexp_extract_all(no_ip, '$ph')) FROM st2)
       SELECT doc_id, kind, mention,
-        '[' || upper(kind) || '_' || substr(md5(kind || ':' || mention), 1, 8) || ']'
-          AS pseudonym
+        '[' || upper(kind) || '_' ||
+          substr(sha256('graft-demo-corpus-key:' || kind || ':' || mention), 1, 16) ||
+          ']' AS pseudonym
       FROM m"""
     })
 
   /** Cross-source exact 3-gram-set Jaccard matrix (corpus-level overlap
-    * diagnostic). Everything is integer set arithmetic until the final
-    * rounded ratio, so the oracle replays it exactly.
+    * diagnostic). DENSE contract: every unordered source pair is a row,
+    * zero-overlap pairs included (inter=0, jaccard=0.0). Everything is
+    * integer set arithmetic until the final rounded ratio, so the oracle
+    * replays it exactly.
     */
   val qSourceOverlap = Q(
     "q_source_overlap",
@@ -2535,11 +2622,15 @@ semantic_dedup:
       sizes AS (SELECT src, count(*) AS n FROM sh1 GROUP BY src),
       i AS (SELECT a.src AS source_a, b.src AS source_b, count(*) AS inter
             FROM sh1 a JOIN sh1 b ON a.g = b.g AND a.src < b.src
-            GROUP BY 1, 2)
-      SELECT source_a, source_b, na.n AS n_a, nb.n AS n_b, inter,
-             round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
-      FROM i JOIN sizes na ON source_a = na.src
-             JOIN sizes nb ON source_b = nb.src"""))
+            GROUP BY 1, 2),
+      pairs AS (SELECT a.src AS source_a, b.src AS source_b,
+                       a.n AS n_a, b.n AS n_b
+                FROM sizes a JOIN sizes b ON a.src < b.src)
+      SELECT source_a, source_b, n_a, n_b,
+             coalesce(i.inter, 0) AS inter,
+             round(CAST(coalesce(i.inter, 0) AS DOUBLE) /
+                   (n_a + n_b - coalesce(i.inter, 0)), 4) AS jaccard
+      FROM pairs LEFT JOIN i USING (source_a, source_b)"""))
 
   /** kNN label-noise audit in the exact IVF regime (nprobe = cellCount,
     * the q_ivf_exact_topk configuration): each vector's 5 cosine-nearest
@@ -2580,7 +2671,7 @@ semantic_dedup:
 
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qIndexDedup, qMinhashEstimateError,
-    qSimhashDedup, qNgramJaccard, qDedupClusters, qLeakageSplit,
+    qSimhashDedup, qNgramJaccard, qDedupClusters, qLeakageSplit, qWorkflowCuration,
     qSemanticDedup, qWorkflowSemantic,
     qCosineTopK, qIvfExactTopK, qLshTopK, qIvfTopK, qPqCodes, qPqTopK,
     qPqRecall, qAnnIndex, qEmbeddingDedup,

@@ -466,6 +466,82 @@ object Workflow {
       }
     }
 
+    // ---- curation_pipeline: the LLM-pretraining curation trio as one
+    // configured block, composing AFTER text_pipeline the way a real
+    // data pipeline runs (filter/dedup first, then select toward the
+    // target domain, then split): DSIR importance selection keeps all
+    // target-domain docs plus the keep_k most target-like raw-pool docs
+    // (deterministic Gumbel-top-k — the md5-seeded uniform idiom, no
+    // RNG); leakage_split assigns train/test so a near-dup cluster never
+    // straddles the boundary; source_overlap attaches the dense
+    // cross-source Jaccard matrix as a stage metric.
+    conf.get("curation_pipeline").foreach { v =>
+      val cp = asConf(v)
+      import org.apache.spark.sql.functions.{col, lit, expr, round, log}
+      val textCol = cp.getOrElse("text_col", "text").toString
+      val idCol = cp.getOrElse("id_col", df.columns.head).toString
+      val metrics = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+      val t0 = System.nanoTime()
+      cp.get("dsir_select").foreach { dv =>
+        val dc = asConf(dv)
+        val targetCol = dc.getOrElse("target_col", "lang").toString
+        val targetValue = dc.getOrElse("target_value", "en").toString
+        val keepK = dc.getOrElse("keep_k", 1000).toString.toInt
+        val buckets = dc.getOrElse("num_buckets", 8192).toString.toInt
+        val isTarget = col(targetCol) === lit(targetValue)
+        // three consumers (target half, score fit, selected semi-join):
+        // materialize once so the upstream stage chain replays once
+        df = graft.functions.Dedup.materialize(df)
+        val scores = graft.functions.ImportanceSampling.dsirScores(
+          df, textCol, idCol, isTarget, numBuckets = buckets)
+        // deterministic Gumbel-top-k on the 1e-4-ROUNDED key: a cross-
+        // engine ln() ulp difference can't flip a rounded boundary, so
+        // the SELECTED SET is oracle-replayable (ties break on id).
+        // limit() plans as a distributed TakeOrdered, never a global sort.
+        graft.plans.GraftFunctions.register(spark)
+        val u = (expr("md5_prefix60(cast(cast(id as string) as binary))")
+          .cast("double") + lit(0.5)) / lit(math.pow(2.0, 60))
+        val picked = scores
+          .withColumn("gumbel_key", round(col("score") - log(-log(u)), 4))
+          .orderBy(col("gumbel_key").desc, col("id").asc)
+          .limit(keepK)
+          .select(col("id").as(idCol))
+        df = df.filter(isTarget)
+          .unionByName(df.join(picked, Seq(idCol), "left_semi"))
+      }
+      cp.get("leakage_split").foreach { lv =>
+        val lc = asConf(lv)
+        // the surviving frame feeds both the candidate-pair path and the
+        // split join (same rationale as text_pipeline's near_dedup)
+        df = graft.functions.Dedup.materialize(df)
+        val (src, blk) = lc.get("block_col").map(b => (df, b.toString)).getOrElse(
+          (df.withColumn("__block", lit(1)), "__block"))
+        val pairs = graft.functions.Dedup.ngramJaccardPairs(src, textCol, idCol,
+          blockCol = blk,
+          n = lc.getOrElse("ngram", 3).toString.toInt,
+          threshold = lc.getOrElse("threshold", 0.5).toString.toDouble)
+          .select(col("key_1"), col("key_2"))
+        // ordered "name:frac" list — split thresholds are CUMULATIVE, so
+        // the config must pin the order (a YAML mapping wouldn't)
+        val weights = lc.get("weights")
+          .map(strings(_).map { w =>
+            val Array(k, f) = w.split(':')
+            k.trim -> f.trim.toDouble
+          })
+          .getOrElse(Seq("train" -> 0.8, "test" -> 0.2))
+        df = graft.functions.Dedup.leakageSafeSplit(df, idCol, pairs, weights)
+      }
+      cp.get("source_overlap").foreach { ov =>
+        val oc = asConf(ov)
+        metrics("source_overlap") = graft.functions.Dedup.sourceOverlap(
+          df, textCol, oc.getOrElse("source_col", "source").toString,
+          n = oc.getOrElse("ngram", 3).toString.toInt,
+          maxSources = oc.getOrElse("max_sources", 64).toString.toInt)
+      }
+      results += StageResult("curation_pipeline",
+        (System.nanoTime() - t0) / 1e9, metrics.toMap)
+    }
+
     // ---- corpus_health: corpus-level distribution diagnostics — Zipf
     // vocabulary fit, length-mass Gini, source concentration (HHI/top
     // share) — attached as stage metrics; the frame flows through.

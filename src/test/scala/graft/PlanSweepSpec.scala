@@ -31,7 +31,9 @@ class PlanSweepSpec extends SparkSpec {
   private val bnljAllow = Set(
     "q_geo_in_country_boxes",  // tiny country-box dim side (GeoSpec asserts)
     "q_embedding_quantize",    // crossJoin(broadcast(<1-row global min/max bounds>))
-    "q_feature_recommender"    // crossJoin(broadcast(<1-row query-norm scalar>))
+    "q_feature_recommender",   // crossJoin(broadcast(<1-row query-norm scalar>))
+    "q_k_anonymity",           // crossJoin(broadcast(<1-row corpus-total scalar>)) — QualityChecker.kAnonymityAudit
+    "q_keyword_tfidf"          // crossJoin(broadcast(<1-row doc-count N scalar>)) — TextOps.keywordTfidf
   )
 
   /** Queries allowed a partitionless Window over non-aggregated input:

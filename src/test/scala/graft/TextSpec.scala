@@ -817,8 +817,16 @@ class TextSpec extends SparkSpec {
     assert(byMention.values.forall(_.size == 1))
     val emailTok = byMention(("email", "a@b.com")).head
     assert(emailTok.startsWith("[EMAIL_") && emailTok.endsWith("]"))
+    // 64-bit token: [KIND_ + 16 hex chars + ]
+    assert(emailTok.stripPrefix("[EMAIL_").stripSuffix("]")
+      .matches("[0-9a-f]{16}"))
     assert(m.map(_.getString(3)).distinct.length ==
       m.map(r => (r.getString(1), r.getString(2))).distinct.length)
+    // keyed: a different per-corpus salt yields different tokens, so an
+    // unsalted dictionary over enumerable values can't reverse them
+    val salted = TextOps.piiMentions(d, "text", "doc_id", salt = "k1").collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getString(3)).toMap
+    assert(salted(("email", "a@b.com")) != emailTok)
   }
 
   test("source overlap computes exact pairwise shingle jaccard") {
@@ -829,11 +837,28 @@ class TextSpec extends SparkSpec {
     val o = Dedup.sourceOverlap(d, "text", "source", n = 3).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
-    // only the overlapping pair appears (inner join on shared shingles)
-    assert(o.keySet == Set(("s1", "s2")))
+    // DENSE contract: every unordered pair appears, zero-overlap included
+    assert(o.keySet == Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
     val (na, nb, inter, j) = o(("s1", "s2"))
     assert(na == 3 && nb == 3 && inter == 1)
     assert(math.abs(j - 1.0 / 5.0) < 1e-9)
+    val (_, _, i13, j13) = o(("s1", "s3"))
+    assert(i13 == 0 && j13 == 0.0)
+  }
+
+  test("source overlap refuses a high-cardinality source column") {
+    // doc_id passed as the source by mistake: quadratic fan-out refused
+    val d = spark.range(200)
+      .selectExpr("id AS doc_id", "concat('w', id, ' a b c d') AS text",
+        "cast(id AS string) AS source")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.sourceOverlap(d, "text", "source", n = 3, maxSources = 64)
+    }
+    assert(e.getMessage.contains("maxSources"))
+    // the same frame passes with the cap raised deliberately
+    val ok = Dedup.sourceOverlap(d, "text", "source", n = 3, maxSources = 256)
+    assert(ok.columns.toSeq ==
+      Seq("source_a", "source_b", "n_a", "n_b", "inter", "jaccard"))
   }
 
   test("label-noise knn flags the planted mislabeled vector") {

@@ -625,6 +625,49 @@ corpus_health:
     assert(hhi.getDouble(0) > 0 && hhi.getLong(2) > 0)
   }
 
+  test("workflow curation_pipeline: dsir select, leakage split, overlap metric") {
+    val yaml = """
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/documents.parquet"
+    file_type: parquet
+curation_pipeline:
+  text_col: text
+  id_col: doc_id
+  dsir_select:
+    target_col: lang
+    target_value: en
+    keep_k: 20
+    num_buckets: 8192
+  leakage_split:
+    block_col: lang
+    ngram: 3
+    threshold: 0.5
+    weights:
+      - "train:0.8"
+      - "test:0.2"
+  source_overlap:
+    source_col: source
+"""
+    val (df, stages) = Workflow.run(spark, yaml)
+    val rows = df.select("doc_id", "lang", "rep", "split").collect()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val nTarget = docs.filter(org.apache.spark.sql.functions.col("lang") === "en").count()
+    // every target doc survives; exactly keep_k raw-pool docs are added
+    assert(rows.count(_.getAs[String]("lang") == "en") == nTarget)
+    assert(rows.count(_.getAs[String]("lang") != "en") == 20)
+    // split is cluster-consistent: one split per representative
+    val perRep = rows.groupBy(_.getAs[Long]("rep"))
+      .map { case (_, rs) => rs.map(_.getAs[String]("split")).toSet.size }
+    assert(perRep.forall(_ == 1))
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "test")))
+    // the overlap metric is the dense pairwise matrix over SURVIVING docs
+    val m = stages.find(_.name == "curation_pipeline").get.metrics
+    val ov = m("source_overlap")
+    val nSrc = df.select("source").distinct().count()
+    assert(ov.count() == nSrc * (nSrc - 1) / 2)
+  }
+
   test("workflow ts_diagnostics stage emits the diagnostic quartet as metrics") {
     val yaml = """
 input_dataset:
