@@ -490,8 +490,11 @@ object Workflow {
         val buckets = dc.getOrElse("num_buckets", 8192).toString.toInt
         val isTarget = col(targetCol) === lit(targetValue)
         // three consumers (target half, score fit, selected semi-join):
-        // materialize once so the upstream stage chain replays once
-        df = graft.functions.Dedup.materialize(df)
+        // materialize once so the upstream stage chain replays once;
+        // widen first so the DSIR feature explosion doesn't run on a
+        // single scan task when the input is one small parquet file
+        df = graft.functions.Dedup.materialize(
+          graft.functions.Dedup.widenForCompute(df))
         val scores = graft.functions.ImportanceSampling.dsirScores(
           df, textCol, idCol, isTarget, numBuckets = buckets)
         // deterministic Gumbel-top-k on the 1e-4-ROUNDED key: a cross-
