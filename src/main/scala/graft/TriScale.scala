@@ -56,7 +56,11 @@ object TriScale {
     // round-14: the full configs.yaml composition — the heaviest
     // multi-stage query in the suite; its fit scans and treatments must
     // grow linearly like their standalone rows
-    "q_workflow_full")
+    "q_workflow_full",
+    // round-15: the curation composition (DSIR selection → leakage split)
+    // — its DSIR feature explosion and subset pair join must grow
+    // linearly like q_dsir_weights / q_leakage_split standalone
+    "q_workflow_curation")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -101,7 +105,9 @@ object TriScale {
     "q_workflow_text", "q_minhash_neardup", "q_fuzzy_pairs",
     "q_changelog_apply", "q_cross_topk", "q_iterative_deterministic",
     // round-14b: the full workflow composition rides the orders tier
-    "q_workflow_full")
+    "q_workflow_full",
+    // round-15: the curation composition rides the documents tier
+    "q_workflow_curation")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -149,4 +149,34 @@ object Sharding {
         element_at(col("__chunk"), 1).as("first_token"),
         element_at(col("__chunk"), -1).as("last_token"))
   }
+
+  /** Deterministic corpus shuffle for training-shard writes: every row
+    * gets a `shard` (md5-bucket of its salted id) and a `shard_pos`
+    * (its rank within the shard under the hash order) — the reproducible
+    * pseudo-random global training order [shard, shard_pos] WITHOUT a
+    * global sort: assignment is a map-only hash, and the within-shard
+    * rank shuffles on shard and sorts one shard's rows per task (the
+    * same shape as a z-ordered write's range sort — external-sort
+    * linear at any scale). Salt gives epoch-distinct orders; identical
+    * inputs + salt reproduce bit-identically on any engine, partitioning
+    * or cluster layout.
+    */
+  def shuffledShards(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val h = expr(
+      s"md5_prefix60(cast(concat('$salt', ':', cast(`$idCol` as string)) as binary))")
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("shard_pos",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard"))
+            .orderBy(col("__h"), col(idCol))) - 1)
+      .drop("__h")
+  }
 }

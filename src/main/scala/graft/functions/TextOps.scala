@@ -585,4 +585,65 @@ object TextOps {
           col("mention")), 256), 1, 16),
         lit("]")))
   }
+
+  /** Encoding-health signals per document — the pre-tokenization hygiene
+    * pass of a crawl-ingest pipeline: replacement chars (U+FFFD — an
+    * upstream decoder already gave up), C0 control chars outside
+    * tab/newline/CR (binary contamination), and the classic
+    * UTF-8-bytes-decoded-as-Latin-1 mojibake digraphs (Ã or Â followed
+    * by a Latin-1 continuation character — how "é" becomes "Ã©").
+    * `clean` flags documents with zero signals. Map-only: three regex
+    * length-diffs, zero shuffle, zero driver state. Patterns use
+    * \\x{...} code-point escapes, valid in BOTH java.util.regex and RE2
+    * so the oracle replays them verbatim.
+    */
+  val replacementRe = "\\x{FFFD}"
+  val controlRe = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"
+  val mojibakeRe = "[\\x{00C3}\\x{00C2}][\\x{0080}-\\x{00BF}]"
+  def encodingQuality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    // occurrences of a w-char-wide pattern = (len - len(stripped)) / w
+    def countRe(re: String, w: Int): Column =
+      ((length(t) - length(regexp_replace(t, re, ""))) / w).cast("int")
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      countRe(replacementRe, 1).as("n_replacement"),
+      countRe(controlRe, 1).as("n_control"),
+      countRe(mojibakeRe, 2).as("n_mojibake"))
+      .withColumn("clean",
+        col("n_replacement") + col("n_control") + col("n_mojibake") === 0)
+  }
+
+  /** Vocabulary coverage curve: the top-V corpus tokens by frequency,
+    * each with its rank, share, and CUMULATIVE share of total token
+    * mass — the "what vocab size covers 95% of tokens" curve that sizes
+    * a tokenizer. Counts aggregate map-side to a vocab-bounded frame;
+    * the top-V cut is a distributed TakeOrdered (never a global sort of
+    * the vocabulary); rank and prefix sums are windows over the
+    * LIMIT-bounded V-row frame; the grand total is a 1-row broadcast
+    * scalar (the sanctioned crossJoin(broadcast(<1-row>)) idiom).
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, topV: Int = 100): DataFrame = {
+    require(topV > 0, "topV must be positive")
+    // widen a one-file scan so the tokenize/explode map stage (the row's
+    // dominant cost) runs at session parallelism, not on one scan task
+    val counts = Dedup.widenForCompute(df.select(col(textCol)))
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum(col("freq")).as("__total"))
+    val top = counts.orderBy(col("freq").desc, col("token").asc).limit(topV)
+    val w = Window.orderBy(col("freq").desc, col("token").asc)
+    top
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("share",
+        round(col("freq").cast("double") / col("__total").cast("double"), 6))
+      .withColumn("cum_share",
+        round(sum(col("freq")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("__total").cast("double"), 6))
+      .select(col("rank"), col("token"), col("freq"), col("share"), col("cum_share"))
+  }
 }

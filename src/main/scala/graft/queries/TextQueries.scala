@@ -2604,6 +2604,88 @@ semantic_dedup:
       FROM m"""
     })
 
+  /** Encoding-health signals over an injected-corruption fixture (the
+    * shipped corpus is clean ASCII, so the query plants one corruption
+    * class per doc_id residue — mojibake digraph / U+FFFD / C0 control —
+    * exactly like the q_pii_mentions injection pattern): counts and the
+    * clean flag replay exactly; the \\x{...} code-point regex classes
+    * are valid in both java.util.regex and RE2.
+    */
+  val qEncodingQuality = Q(
+    "q_encoding_quality",
+    (s, dir) => {
+      val d = tables(s, dir).documents
+      val injected = concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit(" caf\u00C3\u00A9 menu"))
+          .when(col("doc_id") % 4 === 1, lit(" bad\uFFFDbyte"))
+          .when(col("doc_id") % 4 === 2, lit(" ctl\u0001end"))
+          .otherwise(lit(" clean tail")))
+      TextOps.encodingQuality(
+        d.select(col("doc_id"), injected.as("__enc_text")), "__enc_text", "doc_id")
+    },
+    Some("""
+      WITH inj AS (SELECT doc_id, text || CASE
+          WHEN doc_id % 4 = 0 THEN ' caf' || chr(195) || chr(169) || ' menu'
+          WHEN doc_id % 4 = 1 THEN ' bad' || chr(65533) || 'byte'
+          WHEN doc_id % 4 = 2 THEN ' ctl' || chr(1) || 'end'
+          ELSE ' clean tail' END AS t
+        FROM documents),
+      m AS (SELECT doc_id, length(t) AS n_chars,
+        CAST(length(t) - length(regexp_replace(t, '\x{FFFD}', '', 'g')) AS INT)
+          AS n_replacement,
+        CAST(length(t) - length(regexp_replace(t,
+          '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g')) AS INT)
+          AS n_control,
+        CAST((length(t) - length(regexp_replace(t,
+          '[\x{00C3}\x{00C2}][\x{0080}-\x{00BF}]', '', 'g'))) / 2 AS INT)
+          AS n_mojibake
+        FROM inj)
+      SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake,
+             (n_replacement + n_control + n_mojibake = 0) AS clean
+      FROM m"""))
+
+  /** Deterministic shuffled-shard assignment (reproducible training
+    * order): md5-bucket shard + within-shard hash rank, bit-identical in
+    * the oracle (same 60-bit md5 prefix, same tiebreak).
+    */
+  val qShuffledShards = Q(
+    "q_shuffled_shards",
+    (s, dir) => Sharding.shuffledShards(
+      tables(s, dir).documents, "doc_id", nShards = 16, salt = "epoch0")
+      .select("doc_id", "shard", "shard_pos"),
+    Some("""
+      WITH h AS (SELECT doc_id,
+          ('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents)
+      SELECT doc_id, h % 16 AS shard,
+        CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS INT)
+          AS shard_pos
+      FROM h"""))
+
+  /** Vocabulary coverage curve: top-V tokens with rank / share /
+    * cumulative share — integer counts with two rounded ratios, ties
+    * lexicographic, so the oracle replays the whole curve.
+    */
+  val qVocabCoverage = Q(
+    "q_vocab_coverage",
+    (s, dir) => TextOps.vocabCoverage(tables(s, dir).documents, "text", topV = 50),
+    Some(s"""
+      WITH t AS (SELECT unnest(str_split($normSql, ' ')) AS token FROM documents),
+      c AS (SELECT token, count(*) AS freq FROM t
+            WHERE length(token) > 0 GROUP BY 1),
+      tot AS (SELECT sum(freq) AS total FROM c),
+      top AS (SELECT token, freq FROM c ORDER BY freq DESC, token ASC LIMIT 50),
+      r AS (SELECT *,
+              row_number() OVER (ORDER BY freq DESC, token ASC) AS rank,
+              sum(freq) OVER (ORDER BY freq DESC, token ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM top)
+      SELECT CAST(rank AS INT) AS rank, token, freq,
+             round(CAST(freq AS DOUBLE) / total, 6) AS share,
+             round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+      FROM r, tot"""))
+
   /** Cross-source exact 3-gram-set Jaccard matrix (corpus-level overlap
     * diagnostic). DENSE contract: every unordered source pair is a row,
     * zero-overlap pairs included (inter=0, jaccard=0.0). Everything is
@@ -2682,6 +2764,7 @@ semantic_dedup:
     qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
     qDupSpans, qDupSpanRemoval, qAnnRecall, qZipfFit,
     qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk, qChunkOverlap, qDsirWeights,
+    qEncodingQuality, qShuffledShards, qVocabCoverage,
     qMixtureSample, qMixtureTemperature, qFuzzyPairs, qNbClassifier,
     qHeavyHitters, qBigramLogprob, qJaroWinkler,
     qKeywordTfidf, qPiiMentions, qSourceOverlap, qLabelNoise)

@@ -33,7 +33,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_embedding_quantize",    // crossJoin(broadcast(<1-row global min/max bounds>))
     "q_feature_recommender",   // crossJoin(broadcast(<1-row query-norm scalar>))
     "q_k_anonymity",           // crossJoin(broadcast(<1-row corpus-total scalar>)) — QualityChecker.kAnonymityAudit
-    "q_keyword_tfidf"          // crossJoin(broadcast(<1-row doc-count N scalar>)) — TextOps.keywordTfidf
+    "q_keyword_tfidf",         // crossJoin(broadcast(<1-row doc-count N scalar>)) — TextOps.keywordTfidf
+    "q_vocab_coverage"         // crossJoin(broadcast(<1-row token-total scalar>)) — TextOps.vocabCoverage
   )
 
   /** Queries allowed a partitionless Window over non-aggregated input:

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dedup, Similarity, TextOps}
+import graft.functions.{Dedup, Sharding, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 class TextSpec extends SparkSpec {
@@ -827,6 +827,59 @@ class TextSpec extends SparkSpec {
     val salted = TextOps.piiMentions(d, "text", "doc_id", salt = "k1").collect()
       .map(r => (r.getString(1), r.getString(2)) -> r.getString(3)).toMap
     assert(salted(("email", "a@b.com")) != emailTok)
+  }
+
+  test("encoding quality counts replacement, control, and mojibake signals") {
+    val d = Seq(
+      (1L, "plain clean text"),
+      (2L, "cafÃ© and Â«quotedÂ»"), // 3 mojibake digraphs
+      (3L, "bad�byte�"),                                 // 2 replacement
+      (4L, "ctl\u0001and\u007Fdel"),                               // 2 control
+      (5L, "tabs\tand\nnewlines are fine")                         // \t \n NOT control
+    ).toDF("doc_id", "text")
+    val m = TextOps.encodingQuality(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getBoolean(5))).toMap
+    assert(m(1L) == ((0, 0, 0, true)))
+    assert(m(2L) == ((0, 0, 3, false)))
+    assert(m(3L) == ((2, 0, 0, false)))
+    assert(m(4L) == ((0, 2, 0, false)))
+    assert(m(5L) == ((0, 0, 0, true)))
+  }
+
+  test("vocab coverage curve is ranked and cumulative to 1") {
+    // freqs: a=3, b=2, c=1 → shares 0.5, 0.333333, 0.166667
+    val d = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val v = TextOps.vocabCoverage(d, "text", topV = 3)
+      .orderBy("rank").collect()
+    assert(v.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+    assert(v.map(_.getLong(2)).toSeq == Seq(3L, 2L, 1L))
+    assert(math.abs(v(0).getDouble(4) - 0.5) < 1e-9)
+    assert(math.abs(v(2).getDouble(4) - 1.0) < 1e-9)
+    // topV cuts the curve, cumulative share stays partial
+    val cut = TextOps.vocabCoverage(d, "text", topV = 2).collect()
+    assert(cut.length == 2 && cut.map(_.getString(1)).toSet == Set("a", "b"))
+  }
+
+  test("shuffled shards: deterministic, partition-invariant, dense ranks") {
+    val d = spark.range(500).selectExpr("id AS doc_id", "'x' AS text")
+    val a = Sharding.shuffledShards(d, "doc_id", nShards = 8, salt = "e0")
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // reproducible under a different partitioning
+    val b = Sharding.shuffledShards(d.repartition(7), "doc_id", 8, "e0")
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(a == b)
+    // shards in range; ranks dense 0..k-1 per shard
+    assert(a.values.forall { case (s, p) => s >= 0 && s < 8 && p >= 0 })
+    a.values.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).toSeq.sorted == (0 until g.size))
+    }
+    // a different salt reshuffles (epoch-distinct order)
+    val c = Sharding.shuffledShards(d, "doc_id", 8, "e1")
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.keys.count(k => a(k)._1 != c(k)) > 0)
   }
 
   test("source overlap computes exact pairwise shingle jaccard") {
