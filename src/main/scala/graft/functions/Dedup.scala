@@ -123,7 +123,9 @@ object Dedup {
         sequence(lit(0), size(toks) - w),
         i => struct(i.cast("int").as("pos"),
           concat_ws(" ", slice(toks, i + 1, lit(w))).as("gram"))))
-    val positions = df
+    // widen a narrow input: the window-gram explode is the dominant map
+    // stage and would otherwise run on one scan task (see widenForCompute)
+    val positions = widenForCompute(df)
       .select(col(keyCol).as("key"),
         split(TextOps.normalizeText(col(textCol)), " ").as("__toks"))
       .select(col("key"), explode(grams).as("g"))
@@ -209,7 +211,10 @@ object Dedup {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
     val carried = carry.map(col)
-    df.select(col(keyCol).as("key") +: carried :+
+    // widen a narrow input (one-file scan, 1-partition checkpoint) so
+    // the normalize→gram→explode map stage runs at session parallelism
+    // instead of on one task; no-op when the input is already wide
+    widenForCompute(df).select(col(keyCol).as("key") +: carried :+
         split(TextOps.normalizeText(col(textCol)), " ").as("__toks"): _*)
       .select(col("key") +: carried :+ explode(array_distinct(grams)).as("shingle"): _*)
       .filter(length(col("shingle")) > 0)
@@ -225,7 +230,7 @@ object Dedup {
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-    df.select(col(keyCol).as("key"),
+    widenForCompute(df).select(col(keyCol).as("key"),
         split(TextOps.normalizeText(col(textCol)), " ").as("__toks"))
       .select(col("key"), explode(grams).as("shingle"))
       .filter(length(col("shingle")) > 0)
