@@ -150,6 +150,39 @@ object Dedup {
       .select(col("key"), col("span_start"), col("span_end"))
   }
 
+  /** Per-document duplication profile (memorization-risk score): the
+    * fraction of each document's tokens covered by cross-document
+    * duplicated spans ([[duplicateSpans]] merged intervals) — the
+    * Lee-et-al. diagnostic that decides WHICH docs to span-scrub vs
+    * drop outright (a doc that is 90% duplicated spans is a near-dup
+    * the fingerprint missed; 5% is boilerplate to scrub). Every doc
+    * appears (zero-span docs report 0.0). Same scale shape as
+    * duplicateSpans plus one broadcast-sized join back onto the
+    * per-doc token counts.
+    */
+  def duplicationProfile(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      windowTokens: Int = 50,
+      minDocFreq: Int = 2): DataFrame = {
+    val spans = duplicateSpans(df, textCol, keyCol, windowTokens, minDocFreq)
+      .groupBy("key")
+      .agg(sum(col("span_end") - col("span_start")).as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+    val norm = TextOps.normalizeText(col(textCol))
+    val toks = df.select(col(keyCol).as("key"),
+      when(length(norm) === 0, 0)
+        .otherwise(size(split(norm, " "))).as("n_tokens"))
+    toks.join(spans, Seq("key"), "left")
+      .select(col("key"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).cast("int").as("n_spans"),
+        round(when(col("n_tokens") === 0, 0.0)
+          .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")), 4).as("dup_fraction"))
+  }
+
   /** Treatment for [[duplicateSpans]]: rebuild each document's
     * NORMALIZED text with the flagged token ranges removed (span indices
     * are positions in the normalized token stream, so the rebuild

@@ -600,17 +600,22 @@ object TextOps {
   val replacementRe = "\\x{FFFD}"
   val controlRe = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"
   val mojibakeRe = "[\\x{00C3}\\x{00C2}][\\x{0080}-\\x{00BF}]"
+
+  /** Occurrences of a `w`-char-wide pattern = (len − len(stripped)) / w —
+    * the codegen'd column form shared by the batch op and its streaming
+    * monitor twin.
+    */
+  def encodingSignal(t: Column, re: String, w: Int): Column =
+    ((length(t) - length(regexp_replace(t, re, ""))) / w).cast("int")
+
   def encodingQuality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
-    // occurrences of a w-char-wide pattern = (len - len(stripped)) / w
-    def countRe(re: String, w: Int): Column =
-      ((length(t) - length(regexp_replace(t, re, ""))) / w).cast("int")
     df.select(
       col(idCol),
       length(t).as("n_chars"),
-      countRe(replacementRe, 1).as("n_replacement"),
-      countRe(controlRe, 1).as("n_control"),
-      countRe(mojibakeRe, 2).as("n_mojibake"))
+      encodingSignal(t, replacementRe, 1).as("n_replacement"),
+      encodingSignal(t, controlRe, 1).as("n_control"),
+      encodingSignal(t, mojibakeRe, 2).as("n_mojibake"))
       .withColumn("clean",
         col("n_replacement") + col("n_control") + col("n_mojibake") === 0)
   }

@@ -1146,6 +1146,52 @@ semantic_dedup:
       SELECT doc_id AS key, min(pos) AS span_start, max(pos) + 8 AS span_end
       FROM sgrp GROUP BY doc_id, grp"""))
 
+  /** Per-doc duplication profile (memorization-risk diagnostic): the
+    * q_dup_spans merged intervals rolled up to a covered-token fraction
+    * per document, zero-span docs included at 0.0. Counts are exact
+    * integers; only the final fraction rounds.
+    */
+  val qDupProfile = Q(
+    "q_dup_profile",
+    (s, dir) => Dedup.duplicationProfile(
+      tables(s, dir).documents, "text", "doc_id", windowTokens = 8)
+      .withColumnRenamed("key", "doc_id"),
+    Some(s"""
+      WITH norm AS (
+        SELECT doc_id, str_split($normSql, ' ') AS t FROM documents),
+      g AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+              array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS gram
+            FROM norm, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)),
+      dfq AS (SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS d FROM g GROUP BY gram)
+              WHERE d >= 2),
+      dp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dfq)),
+      m AS (SELECT doc_id, pos,
+              max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+            FROM dp),
+      f AS (SELECT *, CASE WHEN run_end IS NULL OR pos > run_end THEN 1 ELSE 0 END AS nw
+            FROM m),
+      sgrp AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+               FROM f),
+      spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+                FROM sgrp GROUP BY doc_id, grp),
+      per_doc AS (SELECT doc_id, sum(span_end - span_start) AS dup_tokens,
+                         count(*) AS n_spans
+                  FROM spans GROUP BY doc_id),
+      toks AS (SELECT doc_id,
+                 CASE WHEN length($normSql) = 0 THEN 0
+                      ELSE len(str_split($normSql, ' ')) END AS n_tokens
+               FROM documents)
+      SELECT t.doc_id, CAST(t.n_tokens AS INT) AS n_tokens,
+             CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             CAST(coalesce(p.n_spans, 0) AS INT) AS n_spans,
+             round(CASE WHEN t.n_tokens = 0 THEN 0.0
+                   ELSE CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / t.n_tokens
+                   END, 4) AS dup_fraction
+      FROM toks t LEFT JOIN per_doc p USING (doc_id)"""))
+
   /** Treatment arm of [[qDupSpans]]: rebuild every document's normalized
     * text with the flagged cross-document token spans REMOVED (the
     * actual dedup apply step of the Lee et al. 2021 pipeline — flagging
@@ -2762,7 +2808,7 @@ semantic_dedup:
     qLineDedup, qTokenShards, qSourceQuality, qEmbeddingCentroid,
     qMinhashSignatures, qSimhashFingerprint, qEmbeddingQuantize, qUnigramLogprob,
     qLshBuckets, qStratifiedBalanced, qStratifiedPopulation, qDupNgramFraction,
-    qDupSpans, qDupSpanRemoval, qAnnRecall, qZipfFit,
+    qDupSpans, qDupSpanRemoval, qDupProfile, qAnnRecall, qZipfFit,
     qCcnetBuckets, qCrossTopK, qBm25TopK, qConcatChunk, qChunkOverlap, qDsirWeights,
     qEncodingQuality, qShuffledShards, qVocabCoverage,
     qMixtureSample, qMixtureTemperature, qFuzzyPairs, qNbClassifier,

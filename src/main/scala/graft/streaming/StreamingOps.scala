@@ -52,6 +52,40 @@ object StreamingOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Streaming encoding-health monitor — the windowed twin of
+    * [[graft.functions.TextOps.encodingQuality]]: per event-time window,
+    * document counts, corrupted-document counts per signal class
+    * (U+FFFD replacement chars / C0 controls / mojibake digraphs), and
+    * the total signal volume. The ingest-side alarm that a crawl source
+    * started emitting mis-decoded bytes. Map-only codegen'd signals +
+    * one windowed aggregation; the watermark bounds state.
+    */
+  def streamingEncodingMonitor(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    import graft.functions.TextOps._
+    val t = col(textCol)
+    stream.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        encodingSignal(t, replacementRe, 1).as("__r"),
+        encodingSignal(t, controlRe, 1).as("__c"),
+        encodingSignal(t, mojibakeRe, 2).as("__m"))
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("__r") > 0, 1)).as("docs_replacement"),
+        count(when(col("__c") > 0, 1)).as("docs_control"),
+        count(when(col("__m") > 0, 1)).as("docs_mojibake"),
+        sum(col("__r") + col("__c") + col("__m")).as("total_signals"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_docs"),
+        col("docs_replacement"), col("docs_control"), col("docs_mojibake"),
+        col("total_signals"))
+  }
+
   /** Streaming exact dedup: keep the first row per normalized-text
     * fingerprint, with the watermark bounding the dedup state (documents
     * arriving later than the watermark behind a seen duplicate pass

@@ -87,6 +87,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming encoding monitor flags corrupted docs per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = input.toDF().toDF("ts", "text")
+    val agg = StreamingOps.streamingEncodingMonitor(stream, "text", "ts", "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("enc_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "clean text"),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), "bad�byte�"),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:07:00"), "cafÃ© menu"),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:08:00"), "ctl\u0001end"))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT * FROM enc_out").collect()(0)
+      assert(r.getAs[Long]("n_docs") == 4)
+      assert(r.getAs[Long]("docs_replacement") == 1)
+      assert(r.getAs[Long]("docs_control") == 1)
+      assert(r.getAs[Long]("docs_mojibake") == 1)
+      assert(r.getAs[Long]("total_signals") == 4) // 2 repl + 1 ctl + 1 moji
+      // batch parity: the same docs through the batch op agree
+      import spark.implicits._
+      val batch = graft.functions.TextOps.encodingQuality(
+        Seq((1L, "clean text"), (2L, "bad�byte�"),
+          (3L, "cafÃ© menu"), (4L, "ctl\u0001end"))
+          .toDF("doc_id", "text"), "text", "doc_id")
+      val sums = batch.agg(
+        org.apache.spark.sql.functions.sum($"n_replacement" + $"n_control" + $"n_mojibake"))
+        .first().getLong(0)
+      assert(sums == 4)
+    } finally q.stop()
+  }
+
   test("streaming binned frequencies feed the drift q-side") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Double)]

@@ -829,6 +829,23 @@ class TextSpec extends SparkSpec {
     assert(salted(("email", "a@b.com")) != emailTok)
   }
 
+  test("duplication profile scores covered-token fraction per doc") {
+    val shared = "one two three four five six seven eight" // an 8-token window
+    val d = Seq(
+      (1L, shared + " unique tail here alpha"),   // 12 tokens, 8 covered
+      (2L, "prefix words " + shared),             // 10 tokens, 8 covered
+      (3L, "completely different content nothing shared at all ok")) // clean
+      .toDF("doc_id", "text")
+    val p = Dedup.duplicationProfile(d, "text", "doc_id", windowTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4))).toMap
+    assert(p(1L) == ((12, 8L, 1, 8.0 / 12)) ||
+      (p(1L)._1 == 12 && p(1L)._2 == 8L && math.abs(p(1L)._4 - 0.6667) < 1e-9))
+    assert(p(2L)._1 == 10 && p(2L)._2 == 8L && p(2L)._4 == 0.8)
+    // zero-span docs report 0.0, not a missing row
+    assert(p(3L)._2 == 0L && p(3L)._3 == 0 && p(3L)._4 == 0.0)
+  }
+
   test("encoding quality counts replacement, control, and mojibake signals") {
     val d = Seq(
       (1L, "plain clean text"),
