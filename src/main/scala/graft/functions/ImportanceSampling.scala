@@ -39,7 +39,10 @@ object ImportanceSampling {
       isTarget: Column,
       numBuckets: Int): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
-    val base = df.select(
+    // widen a narrow input so the normalize→unigram/bigram explode (the
+    // dominant map stage) runs at session parallelism, not on one scan
+    // task; no-op at real scale (see Dedup.widenForCompute)
+    val base = Dedup.widenForCompute(df).select(
       col(idCol).as("id"),
       coalesce(isTarget, lit(false)).as("__tgt"),
       split(TextOps.normalizeText(col(textCol)), " ").as("__t"))
