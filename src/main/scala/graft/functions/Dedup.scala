@@ -40,10 +40,29 @@ object Dedup {
     * one-task shingle stage). No-op at real scale — an input that already
     * has ≥ defaultParallelism partitions passes through unshuffled; this
     * never coalesces.
+    *
+    * The partition-count probe (`df.rdd.getNumPartitions`) forces
+    * physical-plan finalization, and under AQE that can EXECUTE upstream
+    * shuffle stages eagerly — so the probe is restricted to plans that
+    * are a narrow chain (project/filter/generate/union) over leaves,
+    * where materializing the RDD plans but never runs a stage. Anything
+    * else (an upstream aggregate/join/window/repartition) passes through
+    * unprobed: its output already comes out of a shuffle sized by
+    * `spark.sql.shuffle.partitions` / AQE, which IS the session
+    * parallelism story — widening it again would only add an exchange.
     */
   private[graft] def widenForCompute(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val narrowOverLeaves = df.queryExecution.analyzed.find {
+      case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
+           _: Union | _: LeafNode => false
+      case _ => true
+    }.isEmpty
+    if (!narrowOverLeaves) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
 
   /** Exact dedup on normalized-text hash: [fingerprint, dup_count,
@@ -170,7 +189,11 @@ object Dedup {
       .groupBy("key")
       .agg(sum(col("span_end") - col("span_start")).as("dup_tokens"),
         count(lit(1)).as("n_spans"))
-    val norm = TextOps.normalizeText(col(textCol))
+    // coalesce null text to '' BEFORE the length guard: split(null) is
+    // null and size(null) is null, which would leak null n_tokens /
+    // dup_fraction rows — the contract is "every doc appears, zero-span
+    // docs report 0.0", null-text docs included
+    val norm = coalesce(TextOps.normalizeText(col(textCol)), lit(""))
     val toks = df.select(col(keyCol).as("key"),
       when(length(norm) === 0, 0)
         .otherwise(size(split(norm, " "))).as("n_tokens"))
@@ -1247,7 +1270,15 @@ object Dedup {
     * are genuinely a handful, so a one-pass approx_count_distinct probe
     * refuses a high-cardinality column (doc_id passed as the source by
     * mistake would make the sets corpus-sized) before any heavy work —
-    * the same guard idiom as Association.guardCardinality. Per-source
+    * the same guard idiom as Association.guardCardinality. COST NOTE:
+    * the probe is an EAGER extra scan of the source column at
+    * DataFrame-construction time (projection-only, so parquet reads one
+    * column; it is the price of failing fast instead of detonating a
+    * quadratic plan mid-job). approx_count_distinct carries ~2% error,
+    * so estimates within ±5% of `maxSources` are re-checked with an
+    * exact count_distinct on the same single-column projection before
+    * accepting or refusing — the boundary never turns on sketch noise.
+    * Per-source
     * set sizes are a |sources|-row broadcast; the dense pair frame is
     * built by a double explode of the one-row collected source array —
     * map-only, no cross join in the plan.
@@ -1259,8 +1290,14 @@ object Dedup {
       n: Int = 3,
       maxSources: Int = 64): DataFrame = {
     require(maxSources > 0, "maxSources must be positive")
-    val nSrc = df.agg(approx_count_distinct(col(sourceCol)).as("c"))
+    val approx = df.agg(approx_count_distinct(col(sourceCol)).as("c"))
       .collect()(0).getLong(0)
+    // re-check the ±5% boundary band exactly: the sketch's ~2% error must
+    // not accept 65 true sources or refuse 63 right at the limit
+    val nSrc =
+      if (approx > maxSources * 0.95 && approx < maxSources * 1.05)
+        df.agg(countDistinct(col(sourceCol)).as("c")).collect()(0).getLong(0)
+      else approx
     require(nSrc <= maxSources,
       s"source column '$sourceCol' has ~$nSrc distinct values " +
         s"(maxSources=$maxSources): sourceOverlap is quadratic in the " +

@@ -168,8 +168,12 @@ object Sharding {
       salt: String = ""): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     graft.plans.GraftFunctions.register(df.sparkSession)
-    val h = expr(
-      s"md5_prefix60(cast(concat('$salt', ':', cast(`$idCol` as string)) as binary))")
+    // salt/idCol go through the Column API (lit + col), never string
+    // interpolation into expr(): a quote or backslash in the salt, or a
+    // backtick in the column name, must reach the hash as data — the same
+    // contract piiMentions already keeps.
+    val h = call_function("md5_prefix60",
+      concat(lit(salt), lit(":"), col(idCol).cast("string")).cast("binary"))
     df.withColumn("__h", h)
       .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
       .withColumn("shard_pos",

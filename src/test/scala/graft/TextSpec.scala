@@ -846,6 +846,19 @@ class TextSpec extends SparkSpec {
     assert(p(3L)._2 == 0L && p(3L)._3 == 0 && p(3L)._4 == 0.0)
   }
 
+  test("duplication profile: null-text docs report 0 tokens / 0.0 fraction") {
+    val d = Seq((1L, Option("one two three four five six seven eight nine")),
+      (2L, None: Option[String]), (3L, Option(""))).toDF("doc_id", "text")
+    val p = Dedup.duplicationProfile(d, "text", "doc_id", windowTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4))).toMap
+    // every doc appears with non-null zeros — null text must not leak
+    // null n_tokens/dup_fraction through split(null)
+    assert(p(2L) == ((0, 0L, 0, 0.0)))
+    assert(p(3L) == ((0, 0L, 0, 0.0)))
+    assert(p(1L)._1 == 9)
+  }
+
   test("encoding quality counts replacement, control, and mojibake signals") {
     val d = Seq(
       (1L, "plain clean text"),
@@ -897,6 +910,11 @@ class TextSpec extends SparkSpec {
     val c = Sharding.shuffledShards(d, "doc_id", 8, "e1")
       .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a.keys.count(k => a(k)._1 != c(k)) > 0)
+    // salt is data, not SQL: quotes/backslashes must hash, not parse
+    val q = Sharding.shuffledShards(d, "doc_id", 8, "o'\\brien")
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q.size == 500 && q.values.forall(s => s >= 0 && s < 8))
+    assert(a.keys.count(k => a(k)._1 != q(k)) > 0)
   }
 
   test("source overlap computes exact pairwise shingle jaccard") {
