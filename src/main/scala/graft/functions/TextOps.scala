@@ -96,7 +96,9 @@ object TextOps {
     val t = col(textCol)
     val words = tokenCount(t)
     val chars = length(t)
-    df.select(
+    // regex-dense, byte-light map stage: widen a one-file scan to session
+    // parallelism (no-op for already-wide inputs — see widenForCompute)
+    Dedup.widenForCompute(df).select(
       col(keyCol),
       chars.as("n_chars"),
       words.as("n_words"),

@@ -278,7 +278,10 @@ object Ingest {
       // try_cast: ANSI-safe castability probe (plain cast throws under ANSI)
       cat.map(c => count(when(col(c).isNotNull && expr(s"try_cast(`$c` as double)").isNull, 1))
         .as(s"uncast__$c"))
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // the partial aggregate does all the distinct-hashing + try_cast work:
+    // widen a one-file scan so it runs at session parallelism, not 1 task
+    val row = graft.functions.Dedup.widenForCompute(df)
+      .agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = row.getAs[Long]("__n")
     val threshold = math.min(dynamicFrac * n, staticCap.toDouble)
     val recs =
