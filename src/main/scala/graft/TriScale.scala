@@ -60,7 +60,11 @@ object TriScale {
     // round-15: the curation composition (DSIR selection → leakage split)
     // — its DSIR feature explosion and subset pair join must grow
     // linearly like q_dsir_weights / q_leakage_split standalone
-    "q_workflow_curation")
+    "q_workflow_curation",
+    // round-16: BPE train+encode — the corpus-sized word-frequency scan
+    // must stay the ONLY corpus-sized stage (the K merge rounds are
+    // vocab-sized and must not grow with the corpus)
+    "q_bpe_encode")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0

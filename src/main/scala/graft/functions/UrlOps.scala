@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + registrable-domain (eTLD+1) rollups — the
+  * first filter of every crawl-curation pipeline (CCNet / C4 lineage):
+  * before any text-level dedup runs, raw URLs collapse to canonical
+  * form (one page, one key) and documents roll up per registrable
+  * domain (the unit crawl policies act on: allowlists, per-domain
+  * caps, dup-rate cuts). Complements [[Dedup.sourceOverlap]]'s
+  * corpus-level view with the domain-level one.
+  *
+  * Everything here is a pure Column expression over Spark builtins
+  * (regexp / array ops — codegen'd, map-only, no shuffle, no UDF), so
+  * canonicalizing 100 TB of URLs is a projection; the rollup is one
+  * hash-groupBy with map-side partial aggregation. Deterministic and
+  * engine-portable — DuckDB replays every rule (see TextQueries'
+  * q_url_canonicalize oracle).
+  *
+  * Canonicalization rules (documented contract):
+  *  1. trim; strip the `#fragment`;
+  *  2. scheme and host lowercase (path/query case preserved);
+  *  3. leading `www.` dropped from the host;
+  *  4. default ports stripped (`:80` for http, `:443` for https);
+  *  5. tracking params dropped (`utm_*`, `fbclid`, `gclid`, `ref`);
+  *  6. remaining query params sorted byte-order and re-joined;
+  *  7. trailing slashes dropped from the path (root stays `/`).
+  */
+object UrlOps {
+
+  /** Snapshot SUBSET of the Mozilla Public Suffix List (publicsuffix
+    * .org, MPL-2.0) — the multi-label entries the eTLD+1 rule needs to
+    * get right. A production deployment swaps in the full list (a
+    * ~240 KB broadcast); the ALGORITHM (longest-suffix match, then one
+    * more label) is the real content here.
+    */
+  val publicSuffixes3: Seq[String] = Seq("s3.amazonaws.com", "blogspot.co.uk")
+  val publicSuffixes2: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "co.za", "com.tr", "com.ar", "github.io", "gitlab.io",
+    "blogspot.com")
+
+  private val trackingParam = "^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
+
+  private def schemeOf(noFrag: Column): Column =
+    lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  private def restOf(noFrag: Column): Column =
+    regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+
+  /** Canonical host: lowercase, `www.`-stripped, port-stripped. */
+  def hostOf(url: Column): Column = {
+    val rest = restOf(regexp_replace(trim(url), "#.*$", ""))
+    regexp_replace(
+      regexp_replace(lower(regexp_extract(rest, "^([^/?]*)", 1)), ":\\d+$", ""),
+      "^www\\.", "")
+  }
+
+  /** Full canonical URL per the 7 documented rules. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val scheme = schemeOf(noFrag)
+    val rest = restOf(noFrag)
+    val hostPort = regexp_extract(rest, "^([^/?]*)", 1)
+    val host = regexp_replace(
+      regexp_replace(lower(hostPort), ":\\d+$", ""), "^www\\.", "")
+    val port = regexp_extract(hostPort, ":(\\d+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val pathQ = regexp_replace(rest, "^[^/?]*", "")
+    val path = regexp_extract(pathQ, "^([^?]*)", 1)
+    val pathTrim = regexp_replace(path, "/+$", "")
+    val pathNorm = when(pathTrim === "", "/").otherwise(pathTrim)
+    val query = regexp_extract(pathQ, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => length(p) > 0 && !p.rlike(trackingParam))
+    val sortedQ = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      pathNorm,
+      when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
+  /** Registrable domain (eTLD+1): longest public-suffix match over the
+    * trailing labels, then one more label. A host that IS a public
+    * suffix (or has no extra label) passes through unchanged.
+    */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    // positive 1-based starts throughout (clamped), so short hosts never
+    // feed slice an out-of-range negative index
+    val lastK = (k: Int) =>
+      concat_ws(".", slice(labels, greatest(n - k + 1, lit(1)), lit(k)))
+    val sfxLen = when(n >= 3 && lastK(3).isin(publicSuffixes3: _*), 3)
+      .when(n >= 2 && lastK(2).isin(publicSuffixes2: _*), 2)
+      .otherwise(1)
+    when(n <= sfxLen, host)
+      .otherwise(concat_ws(".", slice(labels, n - sfxLen, sfxLen + 1)))
+  }
+
+  /** Per-domain curation rollup: document/host/token counts plus the
+    * exact-duplicate rate (1 − distinct fingerprints / docs) — the
+    * numbers a per-domain cap or dup-rate cut keys on. Map-only
+    * canonicalization into ONE hash-groupBy (count_distinct partials
+    * combine map-side); output is domain-cardinality-sized.
+    */
+  def domainRollup(df: DataFrame, urlCol: String, textCol: String): DataFrame = {
+    val host = hostOf(col(urlCol))
+    Dedup.widenForCompute(df)
+      .select(registrableDomain(host).as("domain"), host.as("host"),
+        TextOps.tokenCount(col(textCol)).as("__nt"),
+        TextOps.fingerprint(col(textCol)).as("__fp"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        sum(col("__nt")).as("n_tokens"),
+        countDistinct(col("__fp")).as("n_unique"),
+        round((count(lit(1)) - countDistinct(col("__fp"))).cast("double") /
+          count(lit(1)).cast("double"), 4).as("dup_rate"))
+  }
+}

@@ -77,7 +77,11 @@ object GraftFunctions {
           exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()),
       ("bounded_collect_long", classOf[BoundedCollectLongAgg],
         exprs => BoundedCollectLongAgg(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+          exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()),
+      ("bpe_encode", classOf[BpeEncodeExpr],
+        exprs => BpeEncodeExpr(exprs(0),
+          Option(exprs(1).eval()).map(_.toString).getOrElse(""),
+          exprs(2).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, _, b) =>

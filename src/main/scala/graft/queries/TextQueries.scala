@@ -2430,19 +2430,25 @@ semantic_dedup:
       FROM documents"""
 
   /** md5-rank + exclusive running token sum per source, joined against
-    * a `tgt(source, target)` CTE the caller supplies — keep while the
-    * PRIOR docs' tokens are below the target (first doc always kept).
+    * a `tgt(source, target)` CTE the caller supplies — CTE definitions
+    * ending in `keep` (the sampled set), for composition with further
+    * stages (shuffled shards in q_workflow_mixture).
     */
-  private def mixtureSelectSql(tgtCte: String): String =
-    s"""
-      WITH $tgtCte,
+  private def mixtureCtes(tgtCte: String): String =
+    s"""$tgtCte,
       d AS ($mixtureDocSql),
       r AS (SELECT d.doc_id, d.source, d.toks, t.target,
               COALESCE(SUM(d.toks) OVER (PARTITION BY d.source
                 ORDER BY d.h ASC, d.doc_id ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
-            FROM d JOIN tgt t USING (source))
-      SELECT doc_id, source, toks FROM r WHERE prev < target"""
+            FROM d JOIN tgt t USING (source)),
+      keep AS (SELECT doc_id, source, toks FROM r WHERE prev < target)"""
+
+  /** Keep while the PRIOR docs' tokens are below the target (first doc
+    * always kept).
+    */
+  private def mixtureSelectSql(tgtCte: String): String =
+    s"WITH ${mixtureCtes(tgtCte)} SELECT doc_id, source, toks FROM keep"
 
   private val mixtureBudget = 20000L
   private val mixtureWeights: Map[String, Double] =
@@ -2494,6 +2500,55 @@ semantic_dedup:
                 CAST(($mixtureBudget * w6) // (SELECT SUM(w6) FROM wgt) AS BIGINT)
                   AS target
               FROM wgt)""")))
+
+  /** The YAML `data_mixture` stage end-to-end ([[graft.workflow
+    * .Workflow]]): temperature targets → budgeted mixture sample →
+    * shuffled-shard assignment, one configured block. Full oracle: the
+    * targets, the kept set, AND the (shard, shard_pos) slots replay in
+    * DuckDB by composing the two proven chains.
+    */
+  val qWorkflowMixture = Q(
+    "q_workflow_mixture",
+    (s, dir) => {
+      val yaml =
+        s"""input_dataset:
+           |  read_dataset:
+           |    file_path: $dir/documents.parquet
+           |    file_type: parquet
+           |data_mixture:
+           |  text_col: text
+           |  id_col: doc_id
+           |  source_col: source
+           |  token_budget: $mixtureBudget
+           |  temperature: 0.5
+           |  shuffled_shards:
+           |    n_shards: 16
+           |    salt: epoch0
+           |""".stripMargin
+      val (out, _) = graft.workflow.Workflow.run(s, yaml)
+      out.select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("toks"), col("shard"), col("shard_pos"))
+    },
+    Some {
+      val ctes = mixtureCtes(s"""dd AS ($mixtureDocSql),
+      tot AS (SELECT source, SUM(toks) AS total FROM dd GROUP BY source),
+      wgt AS (SELECT source,
+                CAST(floor(sqrt(CAST(total AS DOUBLE)) * 1000000) AS BIGINT) AS w6
+              FROM tot),
+      tgt AS (SELECT source,
+                CAST(($mixtureBudget * w6) // (SELECT SUM(w6) FROM wgt) AS BIGINT)
+                  AS target
+              FROM wgt)""")
+      s"""
+      WITH $ctes,
+      sh AS (SELECT doc_id, source, toks,
+               ('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+             FROM keep)
+      SELECT doc_id, source, toks, h % 16 AS shard,
+        CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS INT)
+          AS shard_pos
+      FROM sh"""
+    })
 
   /** Okapi BM25 retrieval over the documents table for two fixed
     * queries — fully oracle-checked (tf, df, idf, length norm, and the
@@ -2797,6 +2852,211 @@ semantic_dedup:
              JOIN l ln ON k.neighbor_id = ln.id
       GROUP BY 1, 2"""))
 
+  /** K unrolled BPE training stages as DuckDB CTE definitions (append
+    * after `WITH`): wf (eligible-word frequencies) → w0 (char symbols +
+    * `</w>`, '|'-joined) → per round i: p_i (adjacent-pair weights), b_i
+    * (the single best pair, weight desc / lhs / rhs — the same total
+    * order the Spark trainer's TakeOrdered uses), w_i (the merge applied
+    * via a list_reduce fold, left-to-right non-overlapping, exactly the
+    * trainer's `aggregate` fold). Symbols never contain '|' (eligible
+    * words are `[a-z]+`, the marker is `</w>`), so the '|'-joined string
+    * form round-trips. When no pair reaches `minPairFreq`, b_i is empty
+    * and w_i passes syms through — mirroring the trainer's early stop.
+    */
+  private[queries] def bpeStagesSql(k: Int, minPairFreq: Int, maxWordLen: Int): String = {
+    val base = s"""
+      wf AS (
+        SELECT word, count(*) AS freq FROM (
+          SELECT unnest(str_split($normSql, ' ')) AS word FROM documents) u
+        WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= $maxWordLen
+        GROUP BY word),
+      w0 AS (SELECT word, freq,
+               array_to_string(str_split_regex(word, ''), '|') || '|</w>' AS syms
+             FROM wf)"""
+    val stages = (1 to k).map { i =>
+      val prev = s"w${i - 1}"
+      s"""
+      p$i AS (
+        SELECT sl[j] AS lhs, sl[j + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS w
+        FROM (SELECT freq, str_split(syms, '|') AS sl FROM $prev) t,
+             unnest(range(1, len(sl))) AS u(j)
+        GROUP BY 1, 2),
+      b$i AS (SELECT lhs, rhs, w FROM p$i WHERE w >= $minPairFreq
+              ORDER BY w DESC, lhs, rhs LIMIT 1),
+      w$i AS (SELECT word, freq,
+        CASE WHEN bb.lhs IS NULL THEN syms
+        ELSE list_reduce(str_split(syms, '|'), (acc, x) ->
+          CASE WHEN regexp_extract(acc, '([^|]*)$$', 1) = bb.lhs AND x = bb.rhs
+               THEN substr(acc, 1, length(acc) - length(bb.lhs)) || bb.lhs || bb.rhs
+               ELSE acc || '|' || x END) END AS syms
+        FROM $prev LEFT JOIN (SELECT lhs, rhs FROM b$i) bb ON TRUE)"""
+    }.mkString(",")
+    base + "," + stages
+  }
+
+  private val bpeK = 10
+
+  /** Distributed BPE tokenizer training ([[graft.functions.BpeTokenizer
+    * .bpeTrain]]): the learned merge table itself is the result — fully
+    * deterministic (weight desc / lhs / rhs tie-break), so DuckDB
+    * replays all K training rounds as unrolled CTE stages.
+    */
+  val qBpeVocab = Q(
+    "q_bpe_vocab",
+    (s, dir) => graft.functions.BpeTokenizer.bpeTrain(
+      tables(s, dir).documents, "text", numMerges = bpeK),
+    Some {
+      val finals = (1 to bpeK)
+        .map(i => s"SELECT $i AS rank, lhs, rhs, lhs || rhs AS merged, " +
+          s"w AS pair_count FROM b$i")
+        .mkString(" UNION ALL ")
+      s"WITH ${bpeStagesSql(bpeK, 2, 32)} SELECT * FROM ($finals)"
+    })
+
+  /** Train-then-encode: the merge table from [[qBpeVocab]]'s trainer
+    * applied by the native codegen'd `bpe_encode` expression (map-only,
+    * no shuffle). Verified to the token STRING level: md5 of each
+    * document's space-joined token stream must match DuckDB's replay.
+    * The oracle reuses the training chain's final word states — a word's
+    * symbols after K training rounds ARE its rank-order encode (the
+    * classic BPE train/encode equivalence) — and reassembles documents
+    * by position with ineligible words passing through verbatim.
+    */
+  val qBpeEncode = Q(
+    "q_bpe_encode",
+    (s, dir) => {
+      val docs = tables(s, dir).documents
+      val merges = graft.functions.BpeTokenizer.trainMerges(docs, "text", bpeK)
+      graft.functions.BpeTokenizer.bpeEncode(docs, "text", "doc_id", merges)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(concat_ws(" ", col("tokens")).cast("binary")).as("token_hash"))
+    },
+    Some(s"""
+      WITH ${bpeStagesSql(bpeK, 2, 32)},
+      enc AS (SELECT word, replace(syms, '|', ' ') AS tok_str,
+                     len(str_split(syms, '|')) AS n
+              FROM w$bpeK),
+      docw AS (SELECT doc_id, j, ws[j] AS word
+               FROM (SELECT doc_id, str_split($normSql, ' ') AS ws
+                     FROM documents) t,
+                    unnest(range(1, len(ws) + 1)) AS u(j)),
+      tok AS (SELECT d.doc_id, d.j,
+                     COALESCE(e.tok_str, d.word) AS tok_str,
+                     COALESCE(e.n, 1) AS n
+              FROM docw d LEFT JOIN enc e ON d.word = e.word)
+      SELECT doc_id, CAST(sum(n) AS INT) AS n_tokens,
+             md5(string_agg(tok_str, ' ' ORDER BY j)) AS token_hash
+      FROM tok GROUP BY doc_id"""))
+
+  /** Deterministic synthetic URL per document (testdata has no URL
+    * column): six variants cycling on doc_id, each exercising a
+    * canonicalization rule — mixed-case scheme/host, default ports,
+    * tracking params, unsorted query, trailing slashes, fragments, a
+    * multi-label public suffix, and a `github.io` private-registry
+    * suffix. Built identically on both engines.
+    */
+  private def synthUrlSpark = {
+    val m = pmod(col("doc_id"), lit(6))
+    when(m === 0, concat(lit("https://WWW."), col("source"),
+        lit(".Example.COM:443/a/b/?utm_source=feed&b=2&a=1#frag")))
+      .when(m === 1, concat(lit("http://"), col("source"),
+        lit(".example.com:80/path/")))
+      .when(m === 2, concat(lit("https://sub."), col("source"),
+        lit(".example.co.uk/x?id="), col("doc_id").cast("string"),
+        lit("&utm_campaign=z")))
+      .when(m === 3, concat(lit("HTTP://"), col("source"),
+        lit(".EXAMPLE.org//docs///page2/")))
+      .when(m === 4, concat(lit("https://"), col("source"),
+        lit(".example.net/q?b=1&a=2&fbclid=xyz")))
+      .otherwise(concat(lit("https://"), col("source"), lit(".github.io/repo")))
+  }
+
+  private val synthUrlSql = """CASE doc_id % 6
+      WHEN 0 THEN 'https://WWW.' || source || '.Example.COM:443/a/b/?utm_source=feed&b=2&a=1#frag'
+      WHEN 1 THEN 'http://' || source || '.example.com:80/path/'
+      WHEN 2 THEN 'https://sub.' || source || '.example.co.uk/x?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=z'
+      WHEN 3 THEN 'HTTP://' || source || '.EXAMPLE.org//docs///page2/'
+      WHEN 4 THEN 'https://' || source || '.example.net/q?b=1&a=2&fbclid=xyz'
+      ELSE 'https://' || source || '.github.io/repo' END"""
+
+  /** DuckDB replay of UrlOps' 7 canonicalization rules + the eTLD+1
+    * longest-suffix match, as CTE stages over `documents`. Final stage
+    * `u9` carries doc_id, source, text, url, url_canon, host, domain.
+    */
+  private def urlCanonCtes: String = {
+    val sfx3 = graft.functions.UrlOps.publicSuffixes3.map(s => s"'$s'").mkString(", ")
+    val sfx2 = graft.functions.UrlOps.publicSuffixes2.map(s => s"'$s'").mkString(", ")
+    s"""
+      uc AS (SELECT doc_id, source, text, $synthUrlSql AS url FROM documents),
+      u1 AS (SELECT *, regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM uc),
+      u2 AS (SELECT *,
+               lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM u1),
+      u3 AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+               regexp_replace(rest, '^[^/?]*', '') AS pathq FROM u2),
+      u4 AS (SELECT *,
+               regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$$', ''), '^www\\.', '') AS host,
+               regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+               regexp_extract(pathq, '^([^?]*)', 1) AS path,
+               regexp_extract(pathq, '\\?(.*)$$', 1) AS query FROM u3),
+      u5 AS (SELECT *,
+               CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
+                    ELSE regexp_replace(path, '/+$$', '') END AS pnorm,
+               array_to_string(list_sort(list_filter(str_split(query, '&'),
+                 p -> length(p) > 0 AND NOT regexp_matches(p,
+                   '^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$$'))), '&') AS sortedq FROM u4),
+      u6 AS (SELECT *, scheme || '://' || host ||
+               CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                     AND NOT (scheme = 'https' AND port = '443')
+                    THEN ':' || port ELSE '' END ||
+               pnorm ||
+               CASE WHEN sortedq <> '' THEN '?' || sortedq ELSE '' END AS url_canon FROM u5),
+      u7 AS (SELECT *, str_split(host, '.') AS labels,
+               len(str_split(host, '.')) AS nl FROM u6),
+      u8 AS (SELECT *, CASE
+               WHEN nl >= 3 AND array_to_string(labels[greatest(nl - 2, 1):nl], '.') IN ($sfx3) THEN 3
+               WHEN nl >= 2 AND array_to_string(labels[greatest(nl - 1, 1):nl], '.') IN ($sfx2) THEN 2
+               ELSE 1 END AS sfxlen FROM u7),
+      u9 AS (SELECT *, CASE WHEN nl <= sfxlen THEN host
+               ELSE array_to_string(labels[nl - sfxlen:nl], '.') END AS domain FROM u8)"""
+  }
+
+  /** URL canonicalization + eTLD+1 ([[graft.functions.UrlOps]]) over
+    * deterministic synthetic URLs — every rule replayed cell-exact by
+    * the DuckDB oracle.
+    */
+  val qUrlCanonicalize = Q(
+    "q_url_canonicalize",
+    (s, dir) => {
+      import graft.functions.UrlOps
+      val u = synthUrlSpark
+      tables(s, dir).documents.select(
+        col("doc_id"),
+        UrlOps.canonicalizeUrl(u).as("url_canon"),
+        UrlOps.hostOf(u).as("host"),
+        UrlOps.registrableDomain(UrlOps.hostOf(u)).as("domain"))
+    },
+    Some(s"WITH $urlCanonCtes SELECT doc_id, url_canon, host, domain FROM u9"))
+
+  /** Per-registrable-domain curation rollup ([[graft.functions.UrlOps
+    * .domainRollup]]): docs, hosts, tokens, exact-dup rate per domain —
+    * map-only canonicalization into one hash-groupBy.
+    */
+  val qDomainRollup = Q(
+    "q_domain_rollup",
+    (s, dir) => graft.functions.UrlOps.domainRollup(
+      tables(s, dir).documents.withColumn("url", synthUrlSpark), "url", "text"),
+    Some(s"""
+      WITH $urlCanonCtes
+      SELECT domain, count(*) AS n_docs,
+        count(DISTINCT host) AS n_hosts,
+        CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(str_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
+        count(DISTINCT md5($normSql)) AS n_unique,
+        round(CAST(count(*) - count(DISTINCT md5($normSql)) AS DOUBLE)
+          / count(*), 4) AS dup_rate
+      FROM u9 GROUP BY domain"""))
+
   def all: Seq[Q] = Seq(qTextStats, qTokenCounts, qLangId, qQualityScore, qFingerprint,
     qExactDedup, qMinhashDedup, qIndexDedup, qMinhashEstimateError,
     qSimhashDedup, qNgramJaccard, qDedupClusters, qLeakageSplit, qWorkflowCuration,
@@ -2813,5 +3073,6 @@ semantic_dedup:
     qEncodingQuality, qShuffledShards, qVocabCoverage,
     qMixtureSample, qMixtureTemperature, qFuzzyPairs, qNbClassifier,
     qHeavyHitters, qBigramLogprob, qJaroWinkler,
-    qKeywordTfidf, qPiiMentions, qSourceOverlap, qLabelNoise)
+    qKeywordTfidf, qPiiMentions, qSourceOverlap, qLabelNoise,
+    qBpeVocab, qBpeEncode, qUrlCanonicalize, qDomainRollup, qWorkflowMixture)
 }

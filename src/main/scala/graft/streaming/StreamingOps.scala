@@ -802,6 +802,113 @@ object StreamingOps {
     *   .start()
     * }}}
     */
+  /** Streaming duplication-rate monitor — the windowed twin of
+    * [[graft.functions.Dedup.dedupAgainstIndexMd5]] rolled up the way
+    * [[streamingEncodingMonitor]] rolls up encoding signals: per
+    * event-time window, how many arriving documents near-duplicate the
+    * SAVED MinHash band index (signature ≥ `threshold` match estimate
+    * against any stored doc). The ingest-side alarm that a crawl source
+    * started re-sending an already-ingested corpus.
+    *
+    * Shape: per-doc signatures compute locally (no shuffle, identical
+    * bits to the batch aggregate), candidates meet the static index in a
+    * stateless stream-static band equi-join, per-doc flags collapse via
+    * `dropDuplicatesWithinWatermark` (keys are unique per arrival, so
+    * "≥ 1 surviving match row" IS the doc flag), and one windowed
+    * aggregation over the union with the raw arrival stream produces
+    * (n_docs, n_dup_docs, dup_rate). Two chained stateful operators —
+    * the documented Spark multiple-stateful-operator pattern — with all
+    * state bounded by the watermark horizon.
+    */
+  def streamingDuplicationMonitor(
+      stream: DataFrame,
+      index: DataFrame,
+      textCol: String,
+      keyCol: String,
+      tsCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.7,
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.Dedup.validateIndex(index, shingleSize, numHashes, bands)
+    val rowsPerBand = numHashes / bands
+    val sigUdf = udf { text: String =>
+      graft.functions.Dedup.minhashSignatureMd5Local(text, shingleSize, numHashes)
+    }
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand).as("bucket"))
+    }
+    // tsCol passes through every projection UNTOUCHED (no alias/cast):
+    // event-time metadata must survive to the windowed aggregation
+    val wm = stream.withWatermark(tsCol, watermark)
+    val alls = wm.select(col(tsCol), lit(0).as("__dup"))
+    val fanned = wm
+      .withColumn("__sig", sigUdf(col(textCol)))
+      .filter(col("__sig").isNotNull)
+      .select(col(tsCol), col(keyCol).as("key"), col("__sig"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col(tsCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("key"), col("__sig").as("new_sig"))
+    val idx = index.select(col("band"), col("bucket"), col("sig").as("idx_sig"))
+    val dups = fanned.join(idx, Seq("band", "bucket"))
+      .withColumn("__est", graft.functions.Dedup
+        .sigMatchEstimate(col("new_sig"), col("idx_sig"), numHashes))
+      .filter(col("__est") >= threshold)
+      .select(col(tsCol), col("key"))
+      .dropDuplicatesWithinWatermark("key")
+      .select(col(tsCol), lit(1).as("__dup"))
+    alls.unionByName(dups)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(
+        count(when(col("__dup") === 0, 1)).as("n_docs"),
+        count(when(col("__dup") === 1, 1)).as("n_dup_docs"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_docs"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs").cast("double"), 4)
+          .as("dup_rate"))
+  }
+
+  final case class ShardSlot(id: Long, shard: Long, shard_pos: Long)
+
+  /** Streaming twin of [[graft.functions.Sharding.shuffledShards]]: the
+    * SHARD assignment is the identical salted md5 hash (bit-equal to the
+    * batch op for the same salt), computed per row with no state; the
+    * within-shard position comes from a per-shard counter in
+    * mapGroupsWithState — so every row still gets a unique, dense
+    * (shard, shard_pos) slot, in ARRIVAL order rather than the batch
+    * op's global hash order (a stream has no total order to sort by;
+    * what a shard writer needs is the unique dense slot). State: ONE
+    * long per shard — O(nShards), watermark-free.
+    */
+  def streamingShardAssigner(
+      ids: Dataset[Long],
+      nShards: Int,
+      salt: String = ""): Dataset[ShardSlot] = {
+    require(nShards > 0, "nShards must be positive")
+    import ids.sparkSession.implicits._
+    val n = nShards.toLong
+    def shardOf(id: Long): Long = {
+      val h = graft.functions.Similarity.md5Prefix60(s"$salt:$id")
+      ((h % n) + n) % n
+    }
+    ids.groupByKey(shardOf)
+      .flatMapGroupsWithState[Long, ShardSlot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (shard, rows, state: GroupState[Long]) =>
+          var next = state.getOption.getOrElse(0L)
+          val out = rows.map { id =>
+            val slot = ShardSlot(id, shard, next); next += 1; slot
+          }.toList
+          state.update(next)
+          out.iterator
+      }
+  }
+
   def streamingZOrderedWrite(
       path: String,
       zCols: Seq[String],

@@ -545,6 +545,41 @@ object Workflow {
         (System.nanoTime() - t0) / 1e9, metrics.toMap)
     }
 
+    // ---- data_mixture: the pretraining data-mix step as ONE configured
+    // stage, composing after curation the way a real pipeline ships:
+    // per-source token targets (explicit DoReMi weights, or XLM-R
+    // temperature weights derived from the corpus), the budgeted
+    // deterministic mixture sample, then the shuffled-shard assignment
+    // that fixes the reproducible training order for the shard write.
+    conf.get("data_mixture").foreach { v =>
+      val mc = asConf(v)
+      import org.apache.spark.sql.functions.col
+      val textCol = mc.getOrElse("text_col", "text").toString
+      val idCol = mc.getOrElse("id_col", df.columns.head).toString
+      val srcCol = mc.getOrElse("source_col", "source").toString
+      df = timed("data_mixture") {
+        val budget = mc.getOrElse("token_budget", 1000000L).toString.toLong
+        val toks = graft.functions.TextOps.tokenCount(col(textCol))
+        val targets = mc.get("weights") match {
+          case Some(w) => graft.sources.Sampling.mixtureTargets(
+            asConf(w).map { case (k, x) => k -> x.toString.toDouble }, budget)
+          case None => graft.sources.Sampling.temperatureTargets(
+            df, srcCol, toks, budget,
+            mc.getOrElse("temperature", 0.5).toString.toDouble)
+        }
+        var out = graft.sources.Sampling.mixtureSample(
+          df, srcCol, toks, Seq(idCol), targets,
+          prefilterMargin = mc.get("prefilter_margin").map(_.toString.toDouble))
+        mc.get("shuffled_shards").foreach { sv =>
+          val sc = asConf(sv)
+          out = graft.functions.Sharding.shuffledShards(out, idCol,
+            sc.getOrElse("n_shards", 16).toString.toInt,
+            sc.getOrElse("salt", "").toString)
+        }
+        out
+      }
+    }
+
     // ---- corpus_health: corpus-level distribution diagnostics — Zipf
     // vocabulary fit, length-mass Gini, source concentration (HHI/top
     // share) — attached as stage metrics; the frame flows through.

@@ -353,6 +353,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming duplication monitor: per-window dup rate matches batch flags") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (" alpha beta gamma delta epsilon zeta eta theta iota kappa" * 5).trim
+    val corpus = Seq(
+      (1L, base),
+      (2L, "the quick brown fox jumps over the lazy dog again and again and again"))
+      .toDF("doc_id", "text")
+    val index = graft.functions.Dedup.minhashIndexMd5(corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 16, bands = 4).cache()
+    val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val arrivals = Seq(
+      (10L, base + " perturbed", t(5)),                       // near-dup
+      (11L, "entirely novel content with zero shared shingle mass here ok", t(6)),
+      (12L, base, t(7)),                                      // exact dup
+      (13L, "another novel doc nothing shared with anything at all really", t(8)))
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingOps.streamingDuplicationMonitor(stream, index,
+      "text", "doc_id", "ts", shingleSize = 3, numHashes = 16, bands = 4,
+      threshold = 0.3, windowDuration = "1 hour", watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dupmon_out")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      q.processAllAvailable()
+      // a far-future arrival advances the watermark and closes 10:00
+      input.addData((99L, "window closer doc", java.sql.Timestamp.valueOf("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT * FROM dupmon_out WHERE n_docs > 0 ORDER BY window_start")
+        .collect()(0)
+      assert(r.getAs[Long]("n_docs") == 4)
+      assert(r.getAs[Long]("n_dup_docs") == 2)
+      assert(r.getAs[Double]("dup_rate") == 0.5)
+      // batch parity: the same docs through dedupAgainstIndexMd5 flag the
+      // same count
+      val batchDups = graft.functions.Dedup.dedupAgainstIndexMd5(
+          arrivals.map(a => (a._1, a._2)).toDF("doc_id", "text"), index,
+          "text", "doc_id", shingleSize = 3, numHashes = 16, bands = 4,
+          threshold = 0.3)
+        .filter(col("is_dup")).count()
+      assert(batchDups == 2)
+    } finally { q.stop(); index.unpersist() }
+  }
+
+  test("streaming shard assigner: batch-identical shards, dense arrival positions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val out = StreamingOps.streamingShardAssigner(input.toDS(), nShards = 8, salt = "e0")
+    val q = out.writeStream.format("memory").queryName("shards_out")
+      .outputMode("append").start()
+    try {
+      input.addData(0L until 50L: _*)
+      q.processAllAvailable()
+      input.addData(50L until 100L: _*) // counter state persists across batches
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM shards_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got.size == 100)
+      // shard assignment is bit-identical to the batch op (same salt)
+      val batch = graft.functions.Sharding.shuffledShards(
+          spark.range(100).toDF("doc_id"), "doc_id", nShards = 8, salt = "e0")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+      assert(got.view.mapValues(_._1).toMap == batch)
+      // positions dense 0..k-1 within every shard
+      got.values.groupBy(_._1).foreach { case (_, slots) =>
+        assert(slots.map(_._2).toSeq.sorted == (0L until slots.size))
+      }
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]

@@ -949,6 +949,111 @@ class TextSpec extends SparkSpec {
       Seq("source_a", "source_b", "n_a", "n_b", "inter", "jaccard"))
   }
 
+  test("bpe train matches an independent driver-side reference") {
+    import graft.functions.BpeTokenizer
+    // Independent reference BPE (Sennrich encode rule) over a word-freq
+    // map — re-derived here, not shared with the library code.
+    def refBpe(freqs: Map[String, Long], k: Int, minFreq: Long): Seq[(String, String, Long)] = {
+      var words: Seq[(Seq[String], Long)] =
+        freqs.map { case (w, f) => (w.map(_.toString).toSeq :+ "</w>", f) }.toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var continue = true
+      while (out.length < k && continue) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- words; Seq(x, y) <- syms.sliding(2))
+          counts((x, y)) = counts.getOrElse((x, y), 0L) + f
+        val eligible = counts.filter(_._2 >= minFreq)
+        if (eligible.isEmpty) continue = false
+        else {
+          val ((a, b), w) = eligible.minBy { case ((x, y), c) => (-c, x, y) }
+          out += ((a, b, w))
+          words = words.map { case (syms, f) =>
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (s <- syms) {
+              if (merged.nonEmpty && merged.last == a && s == b)
+                merged(merged.length - 1) = a + b
+              else merged += s
+            }
+            (merged.toSeq, f)
+          }
+        }
+      }
+      out.toSeq
+    }
+    // corpus with a clear merge gradient: "ababab", "abab", "cd cd", noise
+    val docs = Seq(
+      (1L, "abab abab ababab cd"),
+      (2L, "abab cd cd zq"),
+      (3L, "ababab abab cd xy"),
+      (4L, "Dropped! 42 tokens; abab")).toDF("doc_id", "text")
+    // eligible words only: "dropped!", "42", "tokens;" fail [a-z]+
+    val freqs = Map("abab" -> 5L, "ababab" -> 2L, "cd" -> 4L, "zq" -> 1L,
+      "xy" -> 1L)
+    val expected = refBpe(freqs, 6, 2L)
+    val got = BpeTokenizer.trainMerges(docs, "text", numMerges = 6)
+      .map(m => (m.lhs, m.rhs, m.pairCount))
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+    // partition invariance: a 7-way repartition learns the same table
+    val got7 = BpeTokenizer.trainMerges(docs.repartition(7), "text", 6)
+      .map(m => (m.lhs, m.rhs, m.pairCount))
+    assert(got7 == expected)
+  }
+
+  test("bpe encode applies merges in rank order; ineligible words pass through") {
+    import graft.functions.BpeTokenizer
+    import graft.functions.BpeTokenizer.BpeMerge
+    val merges = Seq(BpeMerge(1, "a", "b", 0L), BpeMerge(2, "ab", "ab", 0L),
+      BpeMerge(3, "c", "</w>", 0L))
+    val d = Seq((1L, "ababab abc"), (2L, "Mixed42 ab"), (3L, "c")).toDF("doc_id", "text")
+    val enc = BpeTokenizer.bpeEncode(d, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getInt(2))).toMap
+    // "ababab" → chars+</w> → ab ab ab </w> → abab ab </w> (left-to-right,
+    // non-overlapping) ; "abc" → ab c </w> → ab c</w>
+    assert(enc(1L)._1 == Seq("abab", "ab", "</w>", "ab", "c</w>"))
+    assert(enc(1L)._2 == 5)
+    // "mixed42" (normalized) fails [a-z]+ → single verbatim token
+    assert(enc(2L)._1 == Seq("mixed42", "ab", "</w>"))
+    assert(enc(3L)._1 == Seq("c</w>"))
+  }
+
+  test("url canonicalization applies all 7 documented rules") {
+    import graft.functions.UrlOps
+    val cases = Seq(
+      // fragment + default https port + www + unsorted/tracking params
+      (1L, "https://WWW.Example.COM:443/a/b/?utm_source=f&b=2&a=1#frag",
+        "https://example.com/a/b?a=1&b=2"),
+      // default http port + trailing slash
+      (2L, "http://host.example.com:80/path/", "http://host.example.com/path"),
+      // non-default port kept; root path normalizes to /
+      (3L, "https://example.org:8443", "https://example.org:8443/"),
+      // all params tracking → no query; case of path preserved
+      (4L, "http://A.B.example.net/Mixed/Case?gclid=1&ref=x&fbclid=2",
+        "http://a.b.example.net/Mixed/Case"),
+      // empty-segment params dropped, '&&' collapses
+      (5L, "https://e.io/p?b=1&&a=2", "https://e.io/p?a=2&b=1"))
+    val out = cases.toDF("id", "url", "expect")
+      .select(col("id"), UrlOps.canonicalizeUrl(col("url")).as("got"), col("expect"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    for ((id, got, expect) <- out) assert(got == expect, s"case $id")
+  }
+
+  test("registrable domain: longest public-suffix match wins") {
+    import graft.functions.UrlOps
+    val cases = Seq(
+      ("sub.deep.example.co.uk", "example.co.uk"), // 2-label suffix
+      ("a.example.com", "example.com"),            // 1-label suffix
+      ("user.github.io", "user.github.io"),        // private-registry suffix
+      ("b.user.github.io", "user.github.io"),
+      ("x.s3.amazonaws.com", "x.s3.amazonaws.com"), // 3-label suffix
+      ("co.uk", "co.uk"),                          // host IS a suffix
+      ("localhost", "localhost"))                  // single label
+    val out = cases.toDF("host", "expect")
+      .select(col("host"), UrlOps.registrableDomain(col("host")).as("got"), col("expect"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    for ((h, got, expect) <- out) assert(got == expect, s"host $h: got $got")
+  }
+
   test("label-noise knn flags the planted mislabeled vector") {
     // two tight clusters in 2-d; vector 99 sits in cluster A but
     // carries cluster B's label → 100% neighbourhood disagreement
