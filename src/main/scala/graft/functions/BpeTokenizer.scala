@@ -73,15 +73,30 @@ object BpeTokenizer {
 
   /** [[bpeTrain]] returning the driver-side merge list (rank order) —
     * the form [[bpeEncode]] folds into its plan.
+    *
+    * `mergesPerRound` is the 100 TB scale knob: sequential BPE costs one
+    * Spark job per merge (a 32k-merge production vocab = 32k rounds), so
+    * the batched mode selects up to `mergesPerRound` SYMBOL-DISJOINT
+    * pairs per round (greedy in the same weight-desc/lhs/rhs order; a
+    * pair is skipped when either symbol was touched by an earlier pick
+    * this round) and applies them in ONE fold pass — disjointness makes
+    * the batch's folds independent, so the pass is order-free and each
+    * recorded pair_count is its true pre-round weight. With
+    * `mergesPerRound = 1` this IS canonical sequential BPE (the oracle
+    * replays it exactly); larger values trade the classic parallel-BPE
+    * fidelity margin (later picks in a round ignore the counts-shift
+    * from earlier ones) for a ~`mergesPerRound`× cut in rounds.
     */
   def trainMerges(
       df: DataFrame,
       textCol: String,
       numMerges: Int,
       minPairFreq: Long = 2L,
-      maxWordLen: Int = 32): Seq[BpeMerge] = {
+      maxWordLen: Int = 32,
+      mergesPerRound: Int = 1): Seq[BpeMerge] = {
     require(numMerges >= 1, "numMerges must be positive")
     require(minPairFreq >= 1, "minPairFreq must be positive")
+    require(mergesPerRound >= 1, "mergesPerRound must be positive")
     val syms = col("syms")
     val chars = transform(sequence(lit(1), length(col("word"))),
       i => col("word").substr(i, lit(1)))
@@ -94,26 +109,47 @@ object BpeTokenizer {
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var done = false
     while (merges.length < numMerges && !done) {
-      val best = words.select(col("freq"), explode(pairsOf).as("p"))
+      // oversample 4x: disjointness filtering drops overlapping picks
+      val want = math.min(mergesPerRound, numMerges - merges.length)
+      val top = words.select(col("freq"), explode(pairsOf).as("p"))
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum(col("freq")).as("w"))
         .filter(col("w") >= minPairFreq)
         .orderBy(col("w").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1).collect()
-      if (best.isEmpty) done = true
+        .limit(if (want == 1) 1 else want * 4)
+        .collect()
+      if (top.isEmpty) done = true
       else {
-        val (a, b, w) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        val mergedSym = a + b
-        // left-to-right non-overlapping fold (see BpeEncodeExpr.applyMerge
-        // for why a forward fold is exact)
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val picked = top.iterator
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .filter { case (a, b, _) =>
+            if (used(a) || used(b)) false
+            else { used += a; used += b; true }
+          }
+          .take(want).toSeq
+        // ONE fold pass applies every pick: symbols are pairwise
+        // disjoint, so at most one branch matches at any position and
+        // the fold order is immaterial (left-to-right non-overlapping
+        // per pair — see BpeEncodeExpr.applyMerge for the fold proof)
+        val mergeHit = (acc: Column, x: Column) =>
+          picked.foldLeft(lit(null).cast("string")) { case (els, (a, b, _)) =>
+            when(element_at(acc, -1) === lit(a) && x === lit(b), lit(a + b))
+              .otherwise(els)
+          }
         val folded = aggregate(
           slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
           array(element_at(syms, 1)),
-          (acc, x) => when(element_at(acc, -1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(mergedSym))))
-            .otherwise(concat(acc, array(x))))
+          (acc, x) => {
+            val hit = mergeHit(acc, x)
+            when(hit.isNotNull,
+                concat(slice(acc, lit(1), size(acc) - 1), array(hit)))
+              .otherwise(concat(acc, array(x)))
+          })
         words = words.select(col("freq"), folded.as("syms")).localCheckpoint(true)
-        merges += BpeMerge(merges.length + 1, a, b, w)
+        picked.foreach { case (a, b, w) =>
+          merges += BpeMerge(merges.length + 1, a, b, w)
+        }
       }
     }
     merges.toSeq

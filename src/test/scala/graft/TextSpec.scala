@@ -999,6 +999,26 @@ class TextSpec extends SparkSpec {
     assert(got7 == expected)
   }
 
+  test("bpe batched rounds pick symbol-disjoint pairs in rank order") {
+    import graft.functions.BpeTokenizer
+    // all four pairs tie at w=3: (a,b) < (b,</w>) < (c,d) < (d,</w>) in
+    // (w desc, lhs, rhs) order; greedy disjointness must take (a,b),
+    // skip (b,</w>) [b used], take (c,d), skip (d,</w>) [d used]
+    val docs = Seq((1L, "ab ab ab cd cd cd")).toDF("doc_id", "text")
+    val got = BpeTokenizer.trainMerges(docs, "text", numMerges = 2,
+      mergesPerRound = 4)
+    assert(got.map(m => (m.lhs, m.rhs, m.pairCount)) ==
+      Seq(("a", "b", 3L), ("c", "d", 3L)))
+    // per-round picks never share a symbol
+    val syms = got.flatMap(m => Seq(m.lhs, m.rhs))
+    assert(syms.distinct.size == syms.size)
+    // the batch-applied states feed encode consistently
+    val enc = BpeTokenizer.bpeEncode(
+      Seq((1L, "abcd")).toDF("doc_id", "text"), "text", "doc_id", got)
+      .collect()(0).getSeq[String](1)
+    assert(enc == Seq("ab", "cd", "</w>"))
+  }
+
   test("bpe encode applies merges in rank order; ineligible words pass through") {
     import graft.functions.BpeTokenizer
     import graft.functions.BpeTokenizer.BpeMerge
