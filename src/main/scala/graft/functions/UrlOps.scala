@@ -102,6 +102,44 @@ object UrlOps {
       .otherwise(concat_ws(".", slice(labels, n - sfxLen, sfxLen + 1)))
   }
 
+  /** Exact URL dedup: one surviving row per CANONICAL url (first by
+    * key) — the page-identity pass that runs before any text-level
+    * dedup in a crawl pipeline (one page fetched through two tracking
+    * links is one page). Window partitioned by the canonical form —
+    * never a global sort; the canonicalization itself is the map-only
+    * projection above.
+    */
+  def urlDedup(df: DataFrame, urlCol: String, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(canonicalizeUrl(col(urlCol))).orderBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Per-domain document cap (the RefinedWeb/Gopher-style quota that
+    * stops one hub domain from dominating the corpus): keep at most
+    * `maxDocs` documents per registrable domain, chosen in the
+    * deterministic salted-hash order (epoch-reproducible, partition-
+    * invariant — the same md5 idiom as mixture sampling; ties break on
+    * key). Map-only canon + ONE window partitioned by domain.
+    */
+  def capPerDomain(
+      df: DataFrame,
+      urlCol: String,
+      keyCol: String,
+      maxDocs: Int,
+      salt: String = ""): DataFrame = {
+    require(maxDocs > 0, "maxDocs must be positive")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val h = call_function("md5_prefix60",
+      concat(lit(salt), lit(":"), col(keyCol).cast("string")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(registrableDomain(hostOf(col(urlCol))))
+      .orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxDocs).drop("__rn")
+  }
+
   /** Per-domain curation rollup: document/host/token counts plus the
     * exact-duplicate rate (1 − distinct fingerprints / docs) — the
     * numbers a per-domain cap or dup-rate cut keys on. Map-only

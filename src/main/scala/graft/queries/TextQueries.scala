@@ -2501,6 +2501,43 @@ semantic_dedup:
                   AS target
               FROM wgt)""")))
 
+  /** Exact URL dedup on the canonical form ([[graft.functions.UrlOps
+    * .urlDedup]]): the synthetic URLs collide exactly when (source,
+    * doc_id%6) collide for id-independent variants — the oracle replays
+    * the canonical key and the min-key survivor set.
+    */
+  val qUrlDedup = Q(
+    "q_url_dedup",
+    (s, dir) => graft.functions.UrlOps.urlDedup(
+      tables(s, dir).documents.withColumn("url", synthUrlSpark), "url", "doc_id")
+      .select(col("doc_id"), col("source")),
+    Some(s"""
+      WITH $urlCanonCtes,
+      r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rn
+            FROM u9)
+      SELECT doc_id, source FROM r WHERE rn = 1"""))
+
+  /** Per-domain document cap ([[graft.functions.UrlOps.capPerDomain]]):
+    * deterministic salted-hash quota per registrable domain — kept set
+    * replays bit-exact (same md5-prefix order idiom as the mixture
+    * oracles).
+    */
+  val qDomainCap = Q(
+    "q_domain_cap",
+    (s, dir) => graft.functions.UrlOps.capPerDomain(
+      tables(s, dir).documents.withColumn("url", synthUrlSpark), "url", "doc_id",
+      maxDocs = 40, salt = "cap0")
+      .select(col("doc_id"), col("source")),
+    Some(s"""
+      WITH $urlCanonCtes,
+      r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY domain
+                ORDER BY ('0x' || substr(md5('cap0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                         doc_id) AS rn
+            FROM u9)
+      SELECT doc_id, source FROM r WHERE rn <= 40"""))
+
   /** The YAML `data_mixture` stage end-to-end ([[graft.workflow
     * .Workflow]]): temperature targets → budgeted mixture sample →
     * shuffled-shard assignment, one configured block. Full oracle: the
@@ -2989,7 +3026,10 @@ semantic_dedup:
       .otherwise(concat(lit("https://"), col("source"), lit(".github.io/repo")))
   }
 
-  private val synthUrlSql = """CASE doc_id % 6
+  // def, not val: queries declared earlier in the object interpolate it
+  // through urlCanonCtes at THEIR init time (object vals initialize in
+  // declaration order — a val here would read as null from above)
+  private def synthUrlSql = """CASE doc_id % 6
       WHEN 0 THEN 'https://WWW.' || source || '.Example.COM:443/a/b/?utm_source=feed&b=2&a=1#frag'
       WHEN 1 THEN 'http://' || source || '.example.com:80/path/'
       WHEN 2 THEN 'https://sub.' || source || '.example.co.uk/x?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=z'
@@ -3092,5 +3132,6 @@ semantic_dedup:
     qMixtureSample, qMixtureTemperature, qFuzzyPairs, qNbClassifier,
     qHeavyHitters, qBigramLogprob, qJaroWinkler,
     qKeywordTfidf, qPiiMentions, qSourceOverlap, qLabelNoise,
-    qBpeVocab, qBpeEncode, qUrlCanonicalize, qDomainRollup, qWorkflowMixture)
+    qBpeVocab, qBpeEncode, qUrlCanonicalize, qDomainRollup, qWorkflowMixture,
+    qUrlDedup, qDomainCap)
 }

@@ -1074,6 +1074,28 @@ class TextSpec extends SparkSpec {
     for ((h, got, expect) <- out) assert(got == expect, s"host $h: got $got")
   }
 
+  test("url dedup keeps one row per canonical form; domain cap is quota'd and salted") {
+    import graft.functions.UrlOps
+    val d = Seq(
+      (1L, "https://WWW.a.com/x?b=2&a=1"),
+      (2L, "https://a.com:443/x/?a=1&b=2&utm_source=f"), // same canonical as 1
+      (3L, "https://a.com/y"),
+      (4L, "http://b.org/z"), (5L, "http://c.b.org/z"), (6L, "http://d.b.org/z"))
+      .toDF("doc_id", "url")
+    val kept = UrlOps.urlDedup(d, "url", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L)) // 2 collapses into 1 (min key)
+    // cap: b.org has 3 docs across hosts -> quota 2 keeps exactly 2,
+    // deterministically, partition-invariantly
+    val cap = UrlOps.capPerDomain(d, "url", "doc_id", maxDocs = 2, salt = "s0")
+      .collect().map(_.getLong(0)).toSet
+    val cap7 = UrlOps.capPerDomain(d.repartition(7), "url", "doc_id", 2, "s0")
+      .collect().map(_.getLong(0)).toSet
+    assert(cap == cap7)
+    // two domains (a.com x3 docs, b.org x3 docs across hosts), quota 2 each
+    assert(cap.count(Set(4L, 5L, 6L)) == 2 && cap.count(Set(1L, 2L, 3L)) == 2)
+  }
+
   test("label-noise knn flags the planted mislabeled vector") {
     // two tight clusters in 2-d; vector 99 sits in cluster A but
     // carries cluster B's label → 100% neighbourhood disagreement
