@@ -2538,6 +2538,58 @@ semantic_dedup:
             FROM u9)
       SELECT doc_id, source FROM r WHERE rn <= 40"""))
 
+  /** The synthetic URL as ONE-LINE Spark SQL (for YAML embedding via the
+    * expression_parser ETL step) — same strings as [[synthUrlSpark]] /
+    * [[synthUrlSql]].
+    */
+  private def synthUrlSparkSql: String =
+    "CASE CAST(doc_id % 6 AS INT) " +
+      "WHEN 0 THEN concat('https://WWW.', source, '.Example.COM:443/a/b/?utm_source=feed&b=2&a=1#frag') " +
+      "WHEN 1 THEN concat('http://', source, '.example.com:80/path/') " +
+      "WHEN 2 THEN concat('https://sub.', source, '.example.co.uk/x?id=', CAST(doc_id AS STRING), '&utm_campaign=z') " +
+      "WHEN 3 THEN concat('HTTP://', source, '.EXAMPLE.org//docs///page2/') " +
+      "WHEN 4 THEN concat('https://', source, '.example.net/q?b=1&a=2&fbclid=xyz') " +
+      "ELSE concat('https://', source, '.github.io/repo') END"
+
+  /** The YAML `url_curation` stage end-to-end ([[graft.workflow
+    * .Workflow]]): expression_parser synthesizes the url column, then
+    * canonical-form dedup and the per-domain quota run as one configured
+    * block. Full oracle: canonicalization, survivor set, and quota order
+    * all replay in DuckDB by composing the proven CTE chains.
+    */
+  val qWorkflowUrl = Q(
+    "q_workflow_url",
+    (s, dir) => {
+      val yaml =
+        s"""input_dataset:
+           |  read_dataset:
+           |    file_path: $dir/documents.parquet
+           |    file_type: parquet
+           |  expression_parser:
+           |    url: "$synthUrlSparkSql"
+           |url_curation:
+           |  url_col: url
+           |  id_col: doc_id
+           |  dedup: true
+           |  max_docs_per_domain: 40
+           |  salt: cap0
+           |  domain_rollup:
+           |    text_col: text
+           |""".stripMargin
+      val (out, _) = graft.workflow.Workflow.run(s, yaml)
+      out.select(col("doc_id"), col("source"), col("url_canon"), col("domain"))
+    },
+    Some(s"""
+      WITH $urlCanonCtes,
+      r1 AS (SELECT *, row_number() OVER (PARTITION BY url_canon
+               ORDER BY doc_id) AS rn1 FROM u9),
+      k1 AS (SELECT * FROM r1 WHERE rn1 = 1),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY domain
+               ORDER BY ('0x' || substr(md5('cap0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id) AS rn2
+             FROM k1)
+      SELECT doc_id, source, url_canon, domain FROM r2 WHERE rn2 <= 40"""))
+
   /** The YAML `data_mixture` stage end-to-end ([[graft.workflow
     * .Workflow]]): temperature targets → budgeted mixture sample →
     * shuffled-shard assignment, one configured block. Full oracle: the
@@ -3133,5 +3185,5 @@ semantic_dedup:
     qHeavyHitters, qBigramLogprob, qJaroWinkler,
     qKeywordTfidf, qPiiMentions, qSourceOverlap, qLabelNoise,
     qBpeVocab, qBpeEncode, qUrlCanonicalize, qDomainRollup, qWorkflowMixture,
-    qUrlDedup, qDomainCap)
+    qUrlDedup, qDomainCap, qWorkflowUrl)
 }

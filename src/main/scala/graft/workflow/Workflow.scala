@@ -71,6 +71,12 @@ object Workflow {
       df = Ingest.renameColumn(df, asConf(v).map { case (k, x) => k -> x.toString }))
     input.get("recast_column").foreach(v =>
       df = Ingest.recastColumn(df, asConf(v).map { case (k, x) => k -> x.toString }))
+    // expression_parser (ref data_ingest expression_parser): computed
+    // columns from Spark-SQL expression strings — name -> expr
+    input.get("expression_parser").foreach(v =>
+      asConf(v).foreach { case (name, e) =>
+        df = df.withColumn(name, org.apache.spark.sql.functions.expr(e.toString))
+      })
     // ts_preprocess (ref ts_auto_detection.py:622): detect string
     // timestamp columns from one sampling job and cast them; "auto"
     // probes every string column
@@ -542,6 +548,39 @@ object Workflow {
           maxSources = oc.getOrElse("max_sources", 64).toString.toInt)
       }
       results += StageResult("curation_pipeline",
+        (System.nanoTime() - t0) / 1e9, metrics.toMap)
+    }
+
+    // ---- url_curation: the crawl-side page-identity passes as ONE
+    // configured stage, running BEFORE any text-level dedup the way a
+    // real pipeline orders them: canonical-form URL dedup (one page,
+    // one row), then the per-registrable-domain document quota; the
+    // per-domain rollup attaches as a stage metric. Adds url_canon and
+    // domain columns to the frame.
+    conf.get("url_curation").foreach { v =>
+      val uc = asConf(v)
+      import org.apache.spark.sql.functions.col
+      val urlCol = uc.getOrElse("url_col", "url").toString
+      val idCol = uc.getOrElse("id_col", df.columns.head).toString
+      val metrics = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+      val t0 = System.nanoTime()
+      uc.get("domain_rollup").foreach { rc =>
+        val textCol = asConf(rc).getOrElse("text_col", "text").toString
+        metrics("domain_rollup") =
+          graft.functions.UrlOps.domainRollup(df, urlCol, textCol)
+      }
+      df = df
+        .withColumn("url_canon",
+          graft.functions.UrlOps.canonicalizeUrl(col(urlCol)))
+        .withColumn("domain", graft.functions.UrlOps.registrableDomain(
+          graft.functions.UrlOps.hostOf(col(urlCol))))
+      if (uc.getOrElse("dedup", true) == true)
+        df = graft.functions.UrlOps.urlDedup(df, urlCol, idCol)
+      uc.get("max_docs_per_domain").foreach { m =>
+        df = graft.functions.UrlOps.capPerDomain(df, urlCol, idCol,
+          m.toString.toInt, uc.getOrElse("salt", "").toString)
+      }
+      results += StageResult("url_curation",
         (System.nanoTime() - t0) / 1e9, metrics.toMap)
     }
 
