@@ -2590,6 +2590,39 @@ semantic_dedup:
              FROM k1)
       SELECT doc_id, source, url_canon, domain FROM r2 WHERE rn2 <= 40"""))
 
+  /** The YAML `tokenize` stage end-to-end: BPE train+apply through the
+    * workflow. Oracle: the q_bpe_encode replay (training chain's final
+    * word states + per-doc reassembly), counts only — token text is
+    * already string-verified by q_bpe_encode's hash.
+    */
+  val qWorkflowTokenize = Q(
+    "q_workflow_tokenize",
+    (s, dir) => {
+      val yaml =
+        s"""input_dataset:
+           |  read_dataset:
+           |    file_path: $dir/documents.parquet
+           |    file_type: parquet
+           |tokenize:
+           |  text_col: text
+           |  num_merges: $bpeK
+           |  keep_tokens: false
+           |""".stripMargin
+      val (out, _) = graft.workflow.Workflow.run(s, yaml)
+      out.select(col("doc_id"), col("n_tokens_bpe"))
+    },
+    Some(s"""
+      WITH ${bpeStagesSql(bpeK, 2, 32)},
+      enc AS (SELECT word, len(str_split(syms, '|')) AS n FROM w$bpeK),
+      docw AS (SELECT doc_id, ws[j] AS word
+               FROM (SELECT doc_id, str_split($normSql, ' ') AS ws
+                     FROM documents) t,
+                    unnest(range(1, len(ws) + 1)) AS u(j)),
+      tok AS (SELECT d.doc_id, COALESCE(e.n, 1) AS n
+              FROM docw d LEFT JOIN enc e ON d.word = e.word)
+      SELECT doc_id, CAST(sum(n) AS INT) AS n_tokens_bpe
+      FROM tok GROUP BY doc_id"""))
+
   /** The YAML `data_mixture` stage end-to-end ([[graft.workflow
     * .Workflow]]): temperature targets → budgeted mixture sample →
     * shuffled-shard assignment, one configured block. Full oracle: the
@@ -2983,7 +3016,10 @@ semantic_dedup:
     base + "," + stages
   }
 
-  private val bpeK = 10
+  // final val + literal = compile-time constant, inlined at use sites —
+  // queries declared EARLIER in the object (q_workflow_tokenize) read it
+  // during their init, where a plain val would still be 0
+  private final val bpeK = 10
 
   /** One BPE training per (session, scale dir): the merge table is a
     * pure function of the corpus, so q_bpe_vocab and q_bpe_encode share
@@ -3185,5 +3221,5 @@ semantic_dedup:
     qHeavyHitters, qBigramLogprob, qJaroWinkler,
     qKeywordTfidf, qPiiMentions, qSourceOverlap, qLabelNoise,
     qBpeVocab, qBpeEncode, qUrlCanonicalize, qDomainRollup, qWorkflowMixture,
-    qUrlDedup, qDomainCap, qWorkflowUrl)
+    qUrlDedup, qDomainCap, qWorkflowUrl, qWorkflowTokenize)
 }

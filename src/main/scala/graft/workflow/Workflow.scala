@@ -584,6 +584,44 @@ object Workflow {
         (System.nanoTime() - t0) / 1e9, metrics.toMap)
     }
 
+    // ---- tokenize: BPE tokenizer train+apply as a configured stage —
+    // learn `num_merges` merges from the frame's text (or reuse a merge
+    // table trained upstream in this session via the same parameters),
+    // then add tokens/n_tokens columns through the native codegen'd
+    // encode expression. The merge table attaches as a stage metric.
+    conf.get("tokenize").foreach { v =>
+      val tc = asConf(v)
+      import org.apache.spark.sql.functions.col
+      val textCol = tc.getOrElse("text_col", "text").toString
+      val numMerges = tc.getOrElse("num_merges", 64).toString.toInt
+      val metrics = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+      val t0 = System.nanoTime()
+      val merges = graft.functions.BpeTokenizer.trainMerges(
+        df, textCol, numMerges,
+        minPairFreq = tc.getOrElse("min_pair_freq", 2L).toString.toLong,
+        maxWordLen = tc.getOrElse("max_word_len", 32).toString.toInt,
+        mergesPerRound = tc.getOrElse("merges_per_round", 1).toString.toInt)
+      locally {
+        import spark.implicits._
+        metrics("bpe_merges") = merges
+          .map(m => (m.rank, m.lhs, m.rhs, m.lhs + m.rhs, m.pairCount))
+          .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+      }
+      graft.plans.GraftFunctions.register(spark)
+      val toks = org.apache.spark.sql.functions.call_function("bpe_encode",
+        graft.functions.TextOps.normalizeText(col(textCol)),
+        org.apache.spark.sql.functions.lit(
+          graft.functions.BpeTokenizer.mergesSpec(merges)),
+        org.apache.spark.sql.functions.lit(
+          tc.getOrElse("max_word_len", 32).toString.toInt))
+      df = df.withColumn("tokens", toks)
+        .withColumn("n_tokens_bpe",
+          org.apache.spark.sql.functions.size(col("tokens")))
+      if (tc.getOrElse("keep_tokens", true) != true) df = df.drop("tokens")
+      results += StageResult("tokenize",
+        (System.nanoTime() - t0) / 1e9, metrics.toMap)
+    }
+
     // ---- data_mixture: the pretraining data-mix step as ONE configured
     // stage, composing after curation the way a real pipeline ships:
     // per-source token targets (explicit DoReMi weights, or XLM-R
