@@ -111,7 +111,10 @@ object TriScale {
     // round-14b: the full workflow composition rides the orders tier
     "q_workflow_full",
     // round-15: the curation composition rides the documents tier
-    "q_workflow_curation")
+    "q_workflow_curation",
+    // round-16: BPE rides the sf1 documents tier too — the word-freq
+    // scan is its only corpus-sized stage and must prove the 4th decade
+    "q_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -909,6 +909,39 @@ object StreamingOps {
       }
   }
 
+  /** foreachBatch sink that lands each micro-batch as training shards:
+    * every row gets the SAME salted-md5 shard as the batch op
+    * ([[graft.functions.Sharding.shuffledShards]] — bit-identical for
+    * the same salt), and the batch is written partitioned by shard, so
+    * the on-disk layout accumulates per-shard file sets a training
+    * loader can consume directly. Map-only + one hash exchange per
+    * batch; no state, no global order (within-shard order is
+    * batch-arrival — the streaming analog of the batch op's hash rank;
+    * use [[streamingShardAssigner]] when dense per-shard positions
+    * matter).
+    *
+    * {{{
+    * stream.writeStream
+    *   .foreachBatch(StreamingOps.streamingShardedWrite(path, "doc_id", 64, "e0"))
+    *   .start()
+    * }}}
+    */
+  def streamingShardedWrite(
+      path: String,
+      idCol: String,
+      nShards: Int,
+      salt: String = ""): (DataFrame, Long) => Unit = {
+    require(nShards > 0, "nShards must be positive")
+    (batch: DataFrame, _: Long) => {
+      graft.plans.GraftFunctions.register(batch.sparkSession)
+      val h = call_function("md5_prefix60",
+        concat(lit(salt), lit(":"), col(idCol).cast("string")).cast("binary"))
+      batch.withColumn("shard", pmod(h, lit(nShards.toLong)))
+        .repartition(col("shard"))
+        .write.mode("append").partitionBy("shard").parquet(path)
+    }
+  }
+
   def streamingZOrderedWrite(
       path: String,
       zCols: Seq[String],

@@ -312,6 +312,33 @@ class StreamingSpec extends SparkSpec {
       s"2-D box should read few tiles, hit ${filesHit(col("x") < 25 && col("y") < 25)} of $total")
   }
 
+  test("streaming sharded write lands batch-identical shard partitions") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("shardstream").toString
+    val input = MemoryStream[Long]
+    val sink = StreamingOps.streamingShardedWrite(s"$dir/s", "doc_id", 8, "e0")
+    val q = input.toDF().toDF("doc_id").writeStream.foreachBatch(sink).start()
+    try {
+      input.addData(0L until 60L: _*)
+      q.processAllAvailable()
+      input.addData(60L until 120L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/s")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard").toLong).toMap
+    assert(got.size == 120) // lossless across appended batches
+    // shard assignment bit-identical to the batch op for the same salt
+    val batch = graft.functions.Sharding.shuffledShards(
+        spark.range(120).toDF("doc_id"), "doc_id", nShards = 8, salt = "e0")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    assert(got == batch)
+    // on-disk layout is one directory per shard
+    val dirs = new java.io.File(s"$dir/s").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.subsetOf((0 until 8).map(s => s"shard=$s").toSet))
+  }
+
   test("stream-static broadcast join enriches events in flight") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{broadcast, col}
