@@ -162,6 +162,34 @@ object BpeTokenizer {
   def mergesSpec(merges: Seq[BpeMerge]): String =
     merges.map(m => s"${m.lhs} ${m.rhs}").mkString("\n")
 
+  /** Piece vocabulary induced by a merge table: every merged piece, the
+    * 26 base characters, and the terminal marker — the vocabulary the
+    * greedy (WordPiece-inference-style) segmenter matches against.
+    */
+  def vocabFromMerges(merges: Seq[BpeMerge]): Seq[String] =
+    (merges.map(m => m.lhs + m.rhs) ++ ('a' to 'z').map(_.toString) :+ "</w>").distinct
+
+  /** Greedy longest-match segmentation against an explicit piece
+    * vocabulary (WordPiece/SentencePiece inference mode) via the native
+    * codegen'd [[graft.plans.GreedyPieceEncodeExpr]] — map-only, no
+    * shuffle. Output: keyCol, tokens, n_tokens.
+    */
+  def pieceEncode(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      vocab: Seq[String],
+      maxWordLen: Int = 32): DataFrame = {
+    require(vocab.nonEmpty, "piece vocabulary must be non-empty")
+    require(vocab.forall(p => p.nonEmpty && !p.contains("\n") && !p.contains(" ")),
+      "pieces must be non-empty and free of newlines/spaces")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val toks = call_function("piece_encode",
+      TextOps.normalizeText(col(textCol)), lit(vocab.mkString("\n")), lit(maxWordLen))
+    df.select(col(keyCol), toks.as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+
   /** Apply a trained merge table: tokens per document via the native
     * codegen'd [[graft.plans.BpeEncodeExpr]] — map-only, no shuffle, no
     * driver state beyond the few-KB merge constant in the plan.

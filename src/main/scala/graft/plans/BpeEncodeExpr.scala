@@ -118,3 +118,89 @@ case class BpeEncodeExpr(child: Expression, mergesSpec: String, maxWordLen: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Greedy longest-match piece segmentation — the WordPiece/SentencePiece
+  * INFERENCE rule over any supplied vocabulary (BPE-derived pieces, a
+  * frequency top-V, a shipped production vocab): per word, repeatedly
+  * take the longest vocabulary piece prefixing the remainder, falling
+  * back to a single character when nothing matches (total, deterministic
+  * — no unk collapse, so the output always round-trips to the input).
+  * Same word scheme as [[BpeEncodeExpr]]: eligible `[a-z]+` words get a
+  * terminal `</w>` before segmentation; everything else passes through
+  * as one verbatim token.
+  *
+  * Same shape economics too: a scalar codegen'd expression (map-only, no
+  * shuffle) with the vocabulary folded in as a plan constant and a
+  * bounded word memo; matching cost is O(len · maxPieceLen) per uncached
+  * word via a per-length hash probe, not a vocab scan.
+  *
+  * `vocabSpec` = newline-separated pieces via the
+  * `piece_encode(text, vocab, maxWordLen)` registry builder.
+  */
+case class GreedyPieceEncodeExpr(child: Expression, vocabSpec: String, maxWordLen: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "piece_encode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"piece_encode expects a string column, got ${child.dataType}")
+
+  @transient private lazy val vocab: Set[String] =
+    vocabSpec.split("\n").iterator.filter(_.nonEmpty).toSet
+  @transient private lazy val maxPieceLen: Int =
+    if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).max
+
+  @transient private lazy val cache = new ConcurrentHashMap[String, Array[UTF8String]]()
+  private val cacheCap = 1 << 16
+
+  private def eligible(w: String): Boolean =
+    w.nonEmpty && w.length <= maxWordLen && w.forall(c => c >= 'a' && c <= 'z')
+
+  private def encodeWord(w: String): Array[UTF8String] = {
+    val hit = cache.get(w)
+    if (hit != null) return hit
+    val toks =
+      if (!eligible(w)) Array(UTF8String.fromString(w))
+      else {
+        val s = w + "</w>"
+        val out = new scala.collection.mutable.ArrayBuffer[String](4)
+        var i = 0
+        while (i < s.length) {
+          var len = math.min(maxPieceLen, s.length - i)
+          while (len > 1 && !vocab.contains(s.substring(i, i + len))) len -= 1
+          // len == 1 is the unconditional single-char fallback: it keeps
+          // segmentation total (and lossless) even for a vocabulary
+          // missing some character
+          out += s.substring(i, i + len)
+          i += len
+        }
+        out.toArray.map(UTF8String.fromString)
+      }
+    if (cache.size < cacheCap) cache.put(w, toks)
+    toks
+  }
+
+  /** Instance entry point shared by eval and the generated code. */
+  def encodeText(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](words.length * 2)
+    var i = 0
+    while (i < words.length) { out ++= encodeWord(words(i)); i += 1 }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encodeText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("piece", this, classOf[GreedyPieceEncodeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encodeText($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -81,6 +81,10 @@ object GraftFunctions {
       ("bpe_encode", classOf[BpeEncodeExpr],
         exprs => BpeEncodeExpr(exprs(0),
           Option(exprs(1).eval()).map(_.toString).getOrElse(""),
+          exprs(2).eval().asInstanceOf[Number].intValue())),
+      ("piece_encode", classOf[GreedyPieceEncodeExpr],
+        exprs => GreedyPieceEncodeExpr(exprs(0),
+          Option(exprs(1).eval()).map(_.toString).getOrElse(""),
           exprs(2).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): Unit =

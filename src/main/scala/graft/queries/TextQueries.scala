@@ -3091,6 +3091,69 @@ semantic_dedup:
              md5(string_agg(tok_str, ' ' ORDER BY j)) AS token_hash
       FROM tok GROUP BY doc_id"""))
 
+  /** Greedy longest-match piece segmentation (WordPiece/SentencePiece
+    * INFERENCE mode) over the BPE-induced vocabulary — the second
+    * tokenizer family, verified to the token-string level like
+    * q_bpe_encode. The oracle derives the same vocabulary from the
+    * training chain (merged pieces ∪ a–z ∪ `</w>`) and unrolls the
+    * greedy loop as `steps` CTE stages: per stage, the longest
+    * vocabulary piece prefixing the remainder (picked via a
+    * length-prefixed list max) is consumed, single-char fallback —
+    * exactly [[graft.plans.GreedyPieceEncodeExpr]]'s rule. 36 stages
+    * cover maxWordLen 32 + the 4-char marker (progress ≥ 1 char/stage).
+    */
+  val qPieceEncode = Q(
+    "q_piece_encode",
+    (s, dir) => {
+      val docs = tables(s, dir).documents
+      val vocab = graft.functions.BpeTokenizer.vocabFromMerges(trainedBpeMerges(s, dir))
+      graft.functions.BpeTokenizer.pieceEncode(docs, "text", "doc_id", vocab)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(concat_ws(" ", col("tokens")).cast("binary")).as("token_hash"))
+    },
+    Some {
+      val steps = 36
+      val chars = ('a' to 'z').map(c => s"'$c'").mkString(", ")
+      val mergedUnion = (1 to bpeK)
+        .map(i => s"SELECT lhs || rhs AS m FROM b$i").mkString(" UNION ALL ")
+      val stages = (1 to steps).map { i =>
+        s"""
+      g$i AS (
+        SELECT word, substr(rem, length(best) + 1) AS rem,
+          CASE WHEN best = '' THEN out
+               WHEN out = '' THEN best
+               ELSE out || ' ' || best END AS out
+        FROM (
+          SELECT word, rem, out,
+            CASE WHEN rem = '' THEN ''
+                 ELSE COALESCE(
+                   substr(list_aggregate(list_transform(
+                     list_filter(vv.v, p -> starts_with(rem, p)),
+                     c -> lpad(CAST(length(c) AS VARCHAR), 2, '0') || c), 'max'), 3),
+                   substr(rem, 1, 1)) END AS best
+          FROM g${i - 1}, voc vv) t)"""
+      }.mkString(",")
+      s"""
+      WITH ${bpeStagesSql(bpeK, 2, 32)},
+      voc AS MATERIALIZED (SELECT list_distinct(list_concat(
+                (SELECT list(m) FROM ($mergedUnion)),
+                [$chars, '</w>'])) AS v),
+      g0 AS (SELECT word, word || '</w>' AS rem, '' AS out FROM wf),$stages,
+      enc AS (SELECT word, out AS tok_str, len(str_split(out, ' ')) AS n
+              FROM g$steps),
+      docw AS (SELECT doc_id, j, ws[j] AS word
+               FROM (SELECT doc_id, str_split($normSql, ' ') AS ws
+                     FROM documents) t,
+                    unnest(range(1, len(ws) + 1)) AS u(j)),
+      tok AS (SELECT d.doc_id, d.j,
+                     COALESCE(e.tok_str, d.word) AS tok_str,
+                     COALESCE(e.n, 1) AS n
+              FROM docw d LEFT JOIN enc e ON d.word = e.word)
+      SELECT doc_id, CAST(sum(n) AS INT) AS n_tokens,
+             md5(string_agg(tok_str, ' ' ORDER BY j)) AS token_hash
+      FROM tok GROUP BY doc_id"""
+    })
+
   /** Deterministic synthetic URL per document (testdata has no URL
     * column): six variants cycling on doc_id, each exercising a
     * canonicalization rule — mixed-case scheme/host, default ports,
@@ -3221,5 +3284,5 @@ semantic_dedup:
     qHeavyHitters, qBigramLogprob, qJaroWinkler,
     qKeywordTfidf, qPiiMentions, qSourceOverlap, qLabelNoise,
     qBpeVocab, qBpeEncode, qUrlCanonicalize, qDomainRollup, qWorkflowMixture,
-    qUrlDedup, qDomainCap, qWorkflowUrl, qWorkflowTokenize)
+    qUrlDedup, qDomainCap, qWorkflowUrl, qWorkflowTokenize, qPieceEncode)
 }

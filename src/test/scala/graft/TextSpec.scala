@@ -1019,6 +1019,21 @@ class TextSpec extends SparkSpec {
     assert(enc == Seq("ab", "cd", "</w>"))
   }
 
+  test("greedy piece encode takes the longest match with single-char fallback") {
+    import graft.functions.BpeTokenizer
+    // vocab has overlapping pieces: greedy must take "abc" over "ab"/"a";
+    // 'x','y' are missing from the vocab -> single-char fallback
+    val vocab = Seq("abc", "ab", "a", "b", "c", "d</w>", "</w>")
+    val d = Seq((1L, "abcd"), (2L, "abcab"), (3L, "xy"), (4L, "Mix3 abc"))
+      .toDF("doc_id", "text")
+    val enc = BpeTokenizer.pieceEncode(d, "text", "doc_id", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(enc(1L) == Seq("abc", "d</w>"))       // longest at both cuts
+    assert(enc(2L) == Seq("abc", "ab", "</w>"))  // greedy, not optimal
+    assert(enc(3L) == Seq("x", "y", "</w>"))     // fallback chars
+    assert(enc(4L) == Seq("mix3", "abc", "</w>")) // ineligible word verbatim
+  }
+
   test("bpe encode applies merges in rank order; ineligible words pass through") {
     import graft.functions.BpeTokenizer
     import graft.functions.BpeTokenizer.BpeMerge
