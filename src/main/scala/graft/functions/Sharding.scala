@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -148,6 +148,38 @@ object Sharding {
         md5(concat_ws(" ", col("__chunk")).cast("binary")).as("chunk_hash"),
         element_at(col("__chunk"), 1).as("first_token"),
         element_at(col("__chunk"), -1).as("last_token"))
+  }
+
+  /** Packing-efficiency report for a fixed training sequence length:
+    * ONE row comparing the two standard strategies — doc-boundary
+    * packing (each document padded up to its own ⌈tokens/seqLen⌉
+    * sequences; waste = padding) vs concat-and-chunk packing (one
+    * global stream, ⌈total/seqLen⌉ sequences, near-zero waste but
+    * cross-doc attention bleed). The number that decides which packing
+    * a pretraining run uses at a given seqLen. Single aggregation with
+    * map-side partials — no shuffle beyond the 1-row combine; null/
+    * negative weights count as 0 (same contract as [[packByBudget]]).
+    */
+  def packingEfficiency(
+      df: DataFrame, weightCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = greatest(coalesce(col(weightCol).cast("long"), lit(0L)), lit(0L))
+    val seqsOf = (t: Column) => ceil(t.cast("double") / seqLen).cast("long")
+    // coalesce: sum over an EMPTY frame is null — the report contract is
+    // zeros, not a null row
+    df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(w), lit(0L)).as("total_tokens"),
+        coalesce(sum(seqsOf(w)), lit(0L)).as("padded_seqs"))
+      .select(col("n_docs"), col("total_tokens"), col("padded_seqs"),
+        round(when(col("padded_seqs") === 0, 0.0)
+          .otherwise(lit(1.0) - col("total_tokens").cast("double") /
+            (col("padded_seqs") * seqLen).cast("double")), 4).as("padded_waste"),
+        seqsOf(col("total_tokens")).as("concat_seqs"),
+        round(when(col("total_tokens") === 0, 0.0)
+          .otherwise(lit(1.0) - col("total_tokens").cast("double") /
+            (seqsOf(col("total_tokens")) * seqLen).cast("double")), 4)
+          .as("concat_waste"))
   }
 
   /** Deterministic corpus shuffle for training-shard writes: every row

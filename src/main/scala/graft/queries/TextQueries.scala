@@ -3154,6 +3154,37 @@ semantic_dedup:
       FROM tok GROUP BY doc_id"""
     })
 
+  /** Packing-efficiency report at seqLen 256 over whitespace token
+    * counts ([[graft.functions.Sharding.packingEfficiency]]): integer
+    * counts + two rounded ratios — fully oracle-replayable.
+    */
+  val qPackingEfficiency = Q(
+    "q_packing_efficiency",
+    (s, dir) => {
+      val d = tables(s, dir).documents
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      graft.functions.Sharding.packingEfficiency(d, "n_tokens", seqLen = 256L)
+    },
+    Some(s"""
+      WITH d AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(str_split_regex(trim(text), '\\s+')) END AS t
+                 FROM documents),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(t) AS BIGINT) AS total_tokens,
+                   CAST(sum(CAST(ceil(CAST(t AS DOUBLE) / 256) AS BIGINT)) AS BIGINT)
+                     AS padded_seqs
+            FROM d)
+      SELECT n_docs, total_tokens, padded_seqs,
+        round(CASE WHEN padded_seqs = 0 THEN 0.0
+          ELSE 1.0 - CAST(total_tokens AS DOUBLE) / (padded_seqs * 256) END, 4)
+          AS padded_waste,
+        CAST(ceil(CAST(total_tokens AS DOUBLE) / 256) AS BIGINT) AS concat_seqs,
+        round(CASE WHEN total_tokens = 0 THEN 0.0
+          ELSE 1.0 - CAST(total_tokens AS DOUBLE)
+            / (CAST(ceil(CAST(total_tokens AS DOUBLE) / 256) AS BIGINT) * 256) END, 4)
+          AS concat_waste
+      FROM a"""))
+
   /** Deterministic synthetic URL per document (testdata has no URL
     * column): six variants cycling on doc_id, each exercising a
     * canonicalization rule — mixed-case scheme/host, default ports,
@@ -3284,5 +3315,6 @@ semantic_dedup:
     qHeavyHitters, qBigramLogprob, qJaroWinkler,
     qKeywordTfidf, qPiiMentions, qSourceOverlap, qLabelNoise,
     qBpeVocab, qBpeEncode, qUrlCanonicalize, qDomainRollup, qWorkflowMixture,
-    qUrlDedup, qDomainCap, qWorkflowUrl, qWorkflowTokenize, qPieceEncode)
+    qUrlDedup, qDomainCap, qWorkflowUrl, qWorkflowTokenize, qPieceEncode,
+    qPackingEfficiency)
 }

@@ -891,6 +891,22 @@ class TextSpec extends SparkSpec {
     assert(cut.length == 2 && cut.map(_.getString(1)).toSet == Set("a", "b"))
   }
 
+  test("packing efficiency compares padded vs concat waste") {
+    // docs of 10, 250, 300 tokens at seqLen 256:
+    // padded: ceil(10/256)+ceil(250/256)+ceil(300/256) = 1+1+2 = 4 seqs
+    //   waste = 1 - 560/(4*256) = 0.4531
+    // concat: ceil(560/256) = 3 seqs, waste = 1 - 560/768 = 0.2708
+    val d = Seq(10L, 250L, 300L).toDF("n_tokens")
+    val r = Sharding.packingEfficiency(d, "n_tokens", 256L).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 560L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 0.4531)
+    assert(r.getLong(4) == 3L && r.getDouble(5) == 0.2708)
+    // null weights count 0; empty frame reports zero waste, not NaN
+    val e = Sharding.packingEfficiency(
+      Seq.empty[Option[Long]].toDF("n_tokens"), "n_tokens", 256L).collect()(0)
+    assert(e.getLong(0) == 0 && e.getDouble(3) == 0.0 && e.getDouble(5) == 0.0)
+  }
+
   test("shuffled shards: deterministic, partition-invariant, dense ranks") {
     val d = spark.range(500).selectExpr("id AS doc_id", "'x' AS text")
     val a = Sharding.shuffledShards(d, "doc_id", nShards = 8, salt = "e0")
