@@ -183,9 +183,15 @@ object BpeTokenizer {
     require(vocab.nonEmpty, "piece vocabulary must be non-empty")
     require(vocab.forall(p => p.nonEmpty && !p.contains("\n") && !p.contains(" ")),
       "pieces must be non-empty and free of newlines/spaces")
+    // The segmenter appends the literal word-end marker "</w>" to every
+    // word before matching; a user vocabulary that lacks it (anything not
+    // produced by vocabFromMerges) would otherwise emit "<","/","w",">"
+    // as four single-char fallbacks per word. Guarantee it here, exactly
+    // as vocabFromMerges does.
+    val fullVocab = if (vocab.contains("</w>")) vocab else vocab :+ "</w>"
     graft.plans.GraftFunctions.register(df.sparkSession)
     val toks = call_function("piece_encode",
-      TextOps.normalizeText(col(textCol)), lit(vocab.mkString("\n")), lit(maxWordLen))
+      TextOps.normalizeText(col(textCol)), lit(fullVocab.mkString("\n")), lit(maxWordLen))
     df.select(col(keyCol), toks.as("tokens"))
       .withColumn("n_tokens", size(col("tokens")))
   }

@@ -44,8 +44,15 @@ object UrlOps {
 
   private val trackingParam = "^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
 
-  private def schemeOf(noFrag: Column): Column =
-    lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+  /** Scheme, lowercased; a scheme-less URL (`example.com/x`, common in
+    * crawl metadata) defaults to `http` so its canonical form is
+    * well-formed AND collides with the explicit `http://` form of the
+    * same page — the whole point of canonicalization.
+    */
+  private def schemeOf(noFrag: Column): Column = {
+    val s = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    when(s === "", "http").otherwise(s)
+  }
 
   private def restOf(noFrag: Column): Column =
     regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")

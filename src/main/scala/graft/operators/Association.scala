@@ -167,33 +167,44 @@ object Association {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     require(cols.size >= 2, "need at least 2 columns")
     guardCardinality(df0, cols, maxCardinality)
-    val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+    val pairs = (for (a <- cols; b <- cols if a < b) yield (a, b)).toIndexedSeq
     def decSum(c: Column): Column =
       sum(round(c, 8).cast(DecimalType(28, 8))).cast(DoubleType)
-    pairs.map { case (a, b) =>
-      val joint = df0.filter(col(a).isNotNull && col(b).isNotNull)
-        .groupBy(col(a).as("__a"), col(b).as("__b"))
-        .agg(count(lit(1)).as("__nab"))
-      val wa = Window.partitionBy(col("__a"))
-      val wb = Window.partitionBy(col("__b"))
-      val wn = Window.partitionBy()
-      // marginals / totals as windows over the CONTINGENCY frame (cells
-      // = |A|·|B| rows, bounded by cardinalities — never the data size)
-      val cells = joint
-        .withColumn("__na", sum(col("__nab")).over(wa))
-        .withColumn("__nb", sum(col("__nab")).over(wb))
-        .withColumn("__n", sum(col("__nab")).over(wn))
-        .withColumn("__ra", size(collect_set(col("__a")).over(wn)))
-        .withColumn("__rb", size(collect_set(col("__b")).over(wn)))
-      val n = col("__n").cast(DoubleType)
-      val pab = col("__nab") / n
-      val exp = col("__na").cast(DoubleType) * col("__nb") / n
-      // the contingency frame holds OBSERVED cells only, but χ² counts
-      // every (a, b) combination: an unobserved cell contributes
-      // (0 − E)²/E = E, and Σ_all E = N, so the zero-cell mass is
-      // exactly N − Σ_observed E — added in closed form instead of
-      // materializing the |A|·|B| dense grid
-      cells.agg(
+    // ONE corpus pass for ALL pairs (the same melt as theilsU): explode
+    // each row into its P pair cells, one groupBy builds every
+    // contingency table at once — shuffle state is map-side-combined
+    // cell partials, never row-sized. Marginals / totals / distinct
+    // counts are windows over the cells frame keyed by pair id (cells =
+    // Σ|A|·|B| rows, bounded by cardinalities — never the data size).
+    val pairStructs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("p"),
+        col(a).cast("string").as("va"), col(b).cast("string").as("vb"))
+    }
+    val joint = df0
+      .select(explode(array(pairStructs: _*)).as("__e"))
+      .select(col("__e.p").as("__p"), col("__e.va").as("__a"), col("__e.vb").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__p"), col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__nab"))
+    val wa = Window.partitionBy(col("__p"), col("__a"))
+    val wb = Window.partitionBy(col("__p"), col("__b"))
+    val wn = Window.partitionBy(col("__p"))
+    val cells = joint
+      .withColumn("__na", sum(col("__nab")).over(wa))
+      .withColumn("__nb", sum(col("__nab")).over(wb))
+      .withColumn("__n", sum(col("__nab")).over(wn))
+      .withColumn("__ra", size(collect_set(col("__a")).over(wn)))
+      .withColumn("__rb", size(collect_set(col("__b")).over(wn)))
+    val n = col("__n").cast(DoubleType)
+    val pab = col("__nab") / n
+    val exp = col("__na").cast(DoubleType) * col("__nb") / n
+    // the contingency frame holds OBSERVED cells only, but χ² counts
+    // every (a, b) combination: an unobserved cell contributes
+    // (0 − E)²/E = E, and Σ_all E = N, so the zero-cell mass is
+    // exactly N − Σ_observed E — added in closed form instead of
+    // materializing the |A|·|B| dense grid
+    val agg = cells.groupBy(col("__p"))
+      .agg(
         decSum(pab * log(col("__nab") * n /
           (col("__na").cast(DoubleType) * col("__nb")))).as("__mi"),
         decSum((col("__nab") - exp) * (col("__nab") - exp) / exp).as("__chi2o"),
@@ -201,19 +212,24 @@ object Association {
         max(col("__n")).as("__N"),
         max(col("__ra")).as("__RA"),
         max(col("__rb")).as("__RB"))
-        .withColumn("__chi2",
-          col("__chi2o") + (col("__N") - col("__esum")))
-        .select(
-          lit(a).as("attribute_1"), lit(b).as("attribute_2"),
-          round(col("__mi"), 4).as("mi"),
-          round(col("__chi2"), 4).as("chi2"),
-          // a single-category column makes min(R,C)−1 = 0; V is then
-          // undefined (null), not a DIVIDE_BY_ZERO crash under ANSI
-          when(least(col("__RA"), col("__RB")) > 1,
-            round(sqrt(col("__chi2") /
-              (col("__N") * (least(col("__RA"), col("__RB")) - 1))), 4))
-            .as("cramers_v"))
-    }.reduce(_ unionByName _)
+      .withColumn("__chi2", col("__chi2o") + (col("__N") - col("__esum")))
+    // literal pair list LEFT join: a pair with zero co-observed rows
+    // still yields its (all-null) row — P rows, auto-broadcast
+    import df0.sparkSession.implicits._
+    val pairsDf = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("__p", "attribute_1", "attribute_2")
+    pairsDf.join(agg, Seq("__p"), "left")
+      .select(
+        col("attribute_1"), col("attribute_2"),
+        round(col("__mi"), 4).as("mi"),
+        round(col("__chi2"), 4).as("chi2"),
+        // a single-category column makes min(R,C)−1 = 0; V is then
+        // undefined (null), not a DIVIDE_BY_ZERO crash under ANSI
+        when(least(col("__RA"), col("__RB")) > 1,
+          round(sqrt(col("__chi2") /
+            (col("__N") * (least(col("__RA"), col("__RB")) - 1))), 4))
+          .as("cramers_v"))
   }
 
   /** Theil's uncertainty coefficient U — the ASYMMETRIC cat↔cat measure
@@ -232,35 +248,58 @@ object Association {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     require(cols.size >= 2, "need at least 2 columns")
     guardCardinality(df0, cols, maxCardinality)
-    val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+    val pairs = (for (a <- cols; b <- cols if a < b) yield (a, b)).toIndexedSeq
     def decSum(c: Column): Column =
       sum(round(c, 8).cast(DecimalType(28, 8))).cast(DoubleType)
-    pairs.map { case (a, b) =>
-      val joint = df0.filter(col(a).isNotNull && col(b).isNotNull)
-        .groupBy(col(a).as("__a"), col(b).as("__b"))
-        .agg(count(lit(1)).as("__nab"))
-      val cells = joint
-        .withColumn("__na", sum(col("__nab")).over(Window.partitionBy(col("__a"))))
-        .withColumn("__nb", sum(col("__nab")).over(Window.partitionBy(col("__b"))))
-        .withColumn("__n", sum(col("__nab")).over(Window.partitionBy()))
-      val n = col("__n").cast(DoubleType)
-      val pab = col("__nab") / n
-      cells.agg(
+    // ONE corpus pass for ALL pairs (the mode/melt idiom): each row
+    // explodes into its P pair cells and a single groupBy builds every
+    // contingency table at once — the shuffle carries only map-side-
+    // combined cell partials (≤ cells × partitions), never row-sized
+    // state. The previous one-groupBy-per-pair form cost P corpus scans.
+    // Values group by their canonical string form — injective within a
+    // column (one type), which is all a contingency count needs.
+    val pairStructs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("p"),
+        col(a).cast("string").as("va"), col(b).cast("string").as("vb"))
+    }
+    val joint = df0
+      .select(explode(array(pairStructs: _*)).as("__e"))
+      .select(col("__e.p").as("__p"), col("__e.va").as("__a"), col("__e.vb").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__p"), col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__nab"))
+    val cells = joint
+      .withColumn("__na",
+        sum(col("__nab")).over(Window.partitionBy(col("__p"), col("__a"))))
+      .withColumn("__nb",
+        sum(col("__nab")).over(Window.partitionBy(col("__p"), col("__b"))))
+      .withColumn("__n", sum(col("__nab")).over(Window.partitionBy(col("__p"))))
+    val n = col("__n").cast(DoubleType)
+    val pab = col("__nab") / n
+    val us = cells.groupBy(col("__p"))
+      .agg(
         decSum(-pab * log(col("__na").cast(DoubleType) / n)).as("__hx"),
         decSum(-pab * log(col("__nb").cast(DoubleType) / n)).as("__hy"),
         decSum(-pab * log(col("__nab") / col("__nb").cast(DoubleType)))
           .as("__hx_given_y"),
         decSum(-pab * log(col("__nab") / col("__na").cast(DoubleType)))
           .as("__hy_given_x"))
-        .select(
-          lit(a).as("attribute_1"), lit(b).as("attribute_2"),
-          when(col("__hx") > 0,
-            round((col("__hx") - col("__hx_given_y")) / col("__hx"), 4))
-            .as("u_1_given_2"),
-          when(col("__hy") > 0,
-            round((col("__hy") - col("__hy_given_x")) / col("__hy"), 4))
-            .as("u_2_given_1"))
-    }.reduce(_ unionByName _)
+    // LEFT join from the literal pair list so a pair with zero
+    // co-observed rows still yields its row (null U, as the per-pair
+    // empty-frame agg used to) — the frame is P rows, auto-broadcast.
+    import df0.sparkSession.implicits._
+    val pairsDf = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("__p", "attribute_1", "attribute_2")
+    pairsDf.join(us, Seq("__p"), "left")
+      .select(
+        col("attribute_1"), col("attribute_2"),
+        when(col("__hx") > 0,
+          round((col("__hx") - col("__hx_given_y")) / col("__hx"), 4))
+          .as("u_1_given_2"),
+        when(col("__hy") > 0,
+          round((col("__hy") - col("__hy_given_x")) / col("__hy"), 4))
+          .as("u_2_given_1"))
   }
 
   /** Correlation ratio η (categorical → numeric): √(SS_between /
@@ -280,33 +319,50 @@ object Association {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     require(catCols.nonEmpty && numCols.nonEmpty, "need both column lists")
     val df = QualityChecker.sampleCapped(df0, sampleCap)
-    (for (c <- catCols; x <- numCols) yield {
-      val v = col(x).cast(DecimalType(18, 4))
-      // count the CAST value, not lit(1): in a non-ANSI session a value
-      // the decimal cast nulls (unparseable string, |x| >= 1e14) must
-      // drop from the count the same way it drops from __sg/__s2g, or
-      // the group mean silently deflates (the momentSketches discipline)
-      val g = df.filter(col(c).isNotNull && col(x).isNotNull)
-        .groupBy(col(c))
-        .agg(count(v).as("__ng"), sum(v).as("__sg"), sum(v * v).as("__s2g"))
-      g.agg(
-        sum(col("__ng")).as("__n"),
-        sum(col("__sg")).as("__s"),
-        sum(col("__s2g")).as("__s2"),
-        sum(round(col("__sg").cast(DoubleType) * col("__sg").cast(DoubleType) /
-          col("__ng"), 8).cast(DecimalType(28, 8))).cast(DoubleType).as("__ssb_raw"))
-        .select(
-          lit(c).as("cat_attribute"), lit(x).as("num_attribute"),
-          {
-            val n = col("__n").cast(DoubleType)
-            val s = col("__s").cast(DoubleType)
-            val s2 = col("__s2").cast(DoubleType)
-            val sst = s2 - s * s / n
-            val ssb = col("__ssb_raw") - s * s / n
-            when(sst > 0, round(sqrt(greatest(ssb, lit(0.0)) / sst), 4))
-              .as("eta")
-          })
-    }).reduce(_ unionByName _)
+    val pairs = (for (c <- catCols; x <- numCols) yield (c, x)).toIndexedSeq
+    // ONE corpus pass for ALL (cat, num) pairs (the theilsU melt): the
+    // numeric leg casts to the shared DECIMAL(18,4) type up front, so
+    // every pair cell fits one homogeneous exploded struct; the single
+    // groupBy shuffles map-side-combined per-(pair, category) partials.
+    // Filtering on the CAST value (__v nonnull), not the raw one: a value
+    // the decimal cast nulls in a non-ANSI session (unparseable string,
+    // |x| >= 1e14) must drop from the count the same way it drops from
+    // __sg/__s2g, or the group mean silently deflates (the
+    // momentSketches discipline) — a cast-null row contributed nothing
+    // to any aggregate in the per-pair form either.
+    val pairStructs = pairs.zipWithIndex.map { case ((c, x), i) =>
+      struct(lit(i).as("p"), col(c).cast("string").as("vc"),
+        col(x).cast(DecimalType(18, 4)).as("vx"))
+    }
+    val g = df
+      .select(explode(array(pairStructs: _*)).as("__e"))
+      .select(col("__e.p").as("__p"), col("__e.vc").as("__c"), col("__e.vx").as("__v"))
+      .filter(col("__c").isNotNull && col("__v").isNotNull)
+      .groupBy(col("__p"), col("__c"))
+      .agg(count(col("__v")).as("__ng"), sum(col("__v")).as("__sg"),
+        sum(col("__v") * col("__v")).as("__s2g"))
+    val agg = g.groupBy(col("__p")).agg(
+      sum(col("__ng")).as("__n"),
+      sum(col("__sg")).as("__s"),
+      sum(col("__s2g")).as("__s2"),
+      sum(round(col("__sg").cast(DoubleType) * col("__sg").cast(DoubleType) /
+        col("__ng"), 8).cast(DecimalType(28, 8))).cast(DoubleType).as("__ssb_raw"))
+    import df0.sparkSession.implicits._
+    val pairsDf = pairs.zipWithIndex
+      .map { case ((c, x), i) => (i, c, x) }
+      .toDF("__p", "cat_attribute", "num_attribute")
+    pairsDf.join(agg, Seq("__p"), "left")
+      .select(
+        col("cat_attribute"), col("num_attribute"),
+        {
+          val n = col("__n").cast(DoubleType)
+          val s = col("__s").cast(DoubleType)
+          val s2 = col("__s2").cast(DoubleType)
+          val sst = s2 - s * s / n
+          val ssb = col("__ssb_raw") - s * s / n
+          when(sst > 0, round(sqrt(greatest(ssb, lit(0.0)) / sst), 4))
+            .as("eta")
+        })
   }
 
   /** ref: association_evaluator.py:253-424 `IV_calculation`.

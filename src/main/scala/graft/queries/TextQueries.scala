@@ -2543,12 +2543,13 @@ semantic_dedup:
     * [[synthUrlSql]].
     */
   private def synthUrlSparkSql: String =
-    "CASE CAST(doc_id % 6 AS INT) " +
+    "CASE CAST(doc_id % 7 AS INT) " +
       "WHEN 0 THEN concat('https://WWW.', source, '.Example.COM:443/a/b/?utm_source=feed&b=2&a=1#frag') " +
       "WHEN 1 THEN concat('http://', source, '.example.com:80/path/') " +
       "WHEN 2 THEN concat('https://sub.', source, '.example.co.uk/x?id=', CAST(doc_id AS STRING), '&utm_campaign=z') " +
       "WHEN 3 THEN concat('HTTP://', source, '.EXAMPLE.org//docs///page2/') " +
       "WHEN 4 THEN concat('https://', source, '.example.net/q?b=1&a=2&fbclid=xyz') " +
+      "WHEN 5 THEN concat(source, '.example.com/path/') " +
       "ELSE concat('https://', source, '.github.io/repo') END"
 
   /** The YAML `url_curation` stage end-to-end ([[graft.workflow
@@ -3186,14 +3187,16 @@ semantic_dedup:
       FROM a"""))
 
   /** Deterministic synthetic URL per document (testdata has no URL
-    * column): six variants cycling on doc_id, each exercising a
+    * column): seven variants cycling on doc_id, each exercising a
     * canonicalization rule — mixed-case scheme/host, default ports,
     * tracking params, unsorted query, trailing slashes, fragments, a
-    * multi-label public suffix, and a `github.io` private-registry
-    * suffix. Built identically on both engines.
+    * multi-label public suffix, a `github.io` private-registry suffix,
+    * and a scheme-less crawl-metadata form (defaults to http and
+    * collides with the explicit-http variant of the same page). Built
+    * identically on both engines.
     */
   private def synthUrlSpark = {
-    val m = pmod(col("doc_id"), lit(6))
+    val m = pmod(col("doc_id"), lit(7))
     when(m === 0, concat(lit("https://WWW."), col("source"),
         lit(".Example.COM:443/a/b/?utm_source=feed&b=2&a=1#frag")))
       .when(m === 1, concat(lit("http://"), col("source"),
@@ -3205,18 +3208,22 @@ semantic_dedup:
         lit(".EXAMPLE.org//docs///page2/")))
       .when(m === 4, concat(lit("https://"), col("source"),
         lit(".example.net/q?b=1&a=2&fbclid=xyz")))
+      // scheme-less (crawl-metadata form): must canonicalize to the SAME
+      // key as the explicit http:// form of this page (m === 1)
+      .when(m === 5, concat(col("source"), lit(".example.com/path/")))
       .otherwise(concat(lit("https://"), col("source"), lit(".github.io/repo")))
   }
 
   // def, not val: queries declared earlier in the object interpolate it
   // through urlCanonCtes at THEIR init time (object vals initialize in
   // declaration order — a val here would read as null from above)
-  private def synthUrlSql = """CASE doc_id % 6
+  private def synthUrlSql = """CASE doc_id % 7
       WHEN 0 THEN 'https://WWW.' || source || '.Example.COM:443/a/b/?utm_source=feed&b=2&a=1#frag'
       WHEN 1 THEN 'http://' || source || '.example.com:80/path/'
       WHEN 2 THEN 'https://sub.' || source || '.example.co.uk/x?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=z'
       WHEN 3 THEN 'HTTP://' || source || '.EXAMPLE.org//docs///page2/'
       WHEN 4 THEN 'https://' || source || '.example.net/q?b=1&a=2&fbclid=xyz'
+      WHEN 5 THEN source || '.example.com/path/'
       ELSE 'https://' || source || '.github.io/repo' END"""
 
   /** DuckDB replay of UrlOps' 7 canonicalization rules + the eTLD+1
@@ -3230,7 +3237,9 @@ semantic_dedup:
       uc AS (SELECT doc_id, source, text, $synthUrlSql AS url FROM documents),
       u1 AS (SELECT *, regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM uc),
       u2 AS (SELECT *,
-               lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               CASE WHEN lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = ''
+                    THEN 'http'
+                    ELSE lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) END AS scheme,
                regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM u1),
       u3 AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
                regexp_replace(rest, '^[^/?]*', '') AS pathq FROM u2),

@@ -859,7 +859,14 @@ object StreamingOps {
         .sigMatchEstimate(col("new_sig"), col("idx_sig"), numHashes))
       .filter(col("__est") >= threshold)
       .select(col(tsCol), col("key"))
-      .dropDuplicatesWithinWatermark("key")
+      // Collapse on (key, ts) — one dup flag PER ARRIVAL, not per key:
+      // the alarm scenario is a crawl source re-sending an already-
+      // ingested corpus, i.e. the SAME key arriving repeatedly inside
+      // the watermark horizon. Deduping on key alone dropped the flags
+      // of every re-arrival, undercounting n_dup_docs exactly when the
+      // alarm should fire; (key, ts) still collapses the multiple BAND
+      // matches a single arrival fans out to.
+      .dropDuplicatesWithinWatermark("key", tsCol)
       .select(col(tsCol), lit(1).as("__dup"))
     alls.unionByName(dups)
       .groupBy(window(col(tsCol), windowDuration))

@@ -394,7 +394,11 @@ class StreamingSpec extends SparkSpec {
       (10L, base + " perturbed", t(5)),                       // near-dup
       (11L, "entirely novel content with zero shared shingle mass here ok", t(6)),
       (12L, base, t(7)),                                      // exact dup
-      (13L, "another novel doc nothing shared with anything at all really", t(8)))
+      (13L, "another novel doc nothing shared with anything at all really", t(8)),
+      // the alarm scenario: the SAME doc re-sent within the watermark —
+      // each arrival must contribute its own dup flag (dedup is on
+      // (key, ts), not key alone)
+      (12L, base, t(9)))
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
     val stream = input.toDF().toDF("doc_id", "text", "ts")
     val out = StreamingOps.streamingDuplicationMonitor(stream, index,
@@ -410,17 +414,17 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val r = spark.sql("SELECT * FROM dupmon_out WHERE n_docs > 0 ORDER BY window_start")
         .collect()(0)
-      assert(r.getAs[Long]("n_docs") == 4)
-      assert(r.getAs[Long]("n_dup_docs") == 2)
-      assert(r.getAs[Double]("dup_rate") == 0.5)
-      // batch parity: the same docs through dedupAgainstIndexMd5 flag the
-      // same count
+      assert(r.getAs[Long]("n_docs") == 5)
+      assert(r.getAs[Long]("n_dup_docs") == 3)
+      assert(r.getAs[Double]("dup_rate") == 0.6)
+      // batch parity: the same arrivals (per-row, re-arrival included)
+      // through dedupAgainstIndexMd5 flag the same count
       val batchDups = graft.functions.Dedup.dedupAgainstIndexMd5(
           arrivals.map(a => (a._1, a._2)).toDF("doc_id", "text"), index,
           "text", "doc_id", shingleSize = 3, numHashes = 16, bands = 4,
           threshold = 0.3)
         .filter(col("is_dup")).count()
-      assert(batchDups == 2)
+      assert(batchDups == 3)
     } finally { q.stop(); index.unpersist() }
   }
 

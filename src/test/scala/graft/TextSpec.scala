@@ -1048,6 +1048,13 @@ class TextSpec extends SparkSpec {
     assert(enc(2L) == Seq("abc", "ab", "</w>"))  // greedy, not optimal
     assert(enc(3L) == Seq("x", "y", "</w>"))     // fallback chars
     assert(enc(4L) == Seq("mix3", "abc", "</w>")) // ineligible word verbatim
+    // a non-BPE-derived vocab missing "</w>" gets it auto-appended: the
+    // marker must come out as ONE token, never "<","/","w",">" fallbacks
+    val noMarker = BpeTokenizer.pieceEncode(
+        Seq((1L, "abc")).toDF("doc_id", "text"), "text", "doc_id",
+        Seq("abc", "a", "b", "c"))
+      .collect()(0).getSeq[String](1)
+    assert(noMarker == Seq("abc", "</w>"))
   }
 
   test("bpe encode applies merges in rank order; ineligible words pass through") {
@@ -1082,7 +1089,11 @@ class TextSpec extends SparkSpec {
       (4L, "http://A.B.example.net/Mixed/Case?gclid=1&ref=x&fbclid=2",
         "http://a.b.example.net/Mixed/Case"),
       // empty-segment params dropped, '&&' collapses
-      (5L, "https://e.io/p?b=1&&a=2", "https://e.io/p?a=2&b=1"))
+      (5L, "https://e.io/p?b=1&&a=2", "https://e.io/p?a=2&b=1"),
+      // scheme-less crawl form: defaults to http, COLLIDES with the
+      // explicit http:// form of the same page (case 2)
+      (6L, "host.example.com:80/path/", "http://host.example.com/path"),
+      (7L, "www.example.com", "http://example.com/"))
     val out = cases.toDF("id", "url", "expect")
       .select(col("id"), UrlOps.canonicalizeUrl(col("url")).as("got"), col("expect"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
