@@ -74,10 +74,18 @@ object Dedup {
       .agg(count(lit(1)).as("dup_count"), min(col(keyCol)).as("representative"))
       .filter(col("dup_count") > 1)
 
-  /** Keep one row per exact-duplicate group (first by key). */
+  /** Keep one row per exact-duplicate group (first by key). ONE
+    * `min_by` hash aggregation keyed by the fingerprint — O(1) state
+    * per group with map-side partial combine (a boilerplate page
+    * duplicated millions of times pre-collapses inside each task),
+    * where the former row_number window sorted every partition by
+    * (fingerprint, key) just to pick row 1.
+    */
   def exactDedup(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
-    val w = Window.partitionBy(TextOps.fingerprint(col(textCol))).orderBy(col(keyCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns.toSeq
+    df.groupBy(TextOps.fingerprint(col(textCol)).as("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(keyCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** Corpus-level line deduplication (the boilerplate-removal pass of

@@ -112,15 +112,19 @@ object UrlOps {
   /** Exact URL dedup: one surviving row per CANONICAL url (first by
     * key) — the page-identity pass that runs before any text-level
     * dedup in a crawl pipeline (one page fetched through two tracking
-    * links is one page). Window partitioned by the canonical form —
-    * never a global sort; the canonicalization itself is the map-only
-    * projection above.
+    * links is one page). ONE `min_by` hash aggregation keyed by the
+    * canonical form: O(1) state per canonical group, map-side partial
+    * combine (a hyper-duplicated page pre-collapses inside each task
+    * before the shuffle) — unlike the former row_number window, which
+    * sorted every partition by (canonical, key) just to pick row 1.
+    * With duplicate keys inside one canonical group the survivor among
+    * the tied rows is arbitrary (keys are document ids — unique).
     */
   def urlDedup(df: DataFrame, urlCol: String, keyCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(canonicalizeUrl(col(urlCol))).orderBy(col(keyCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns.toSeq
+    df.groupBy(canonicalizeUrl(col(urlCol)).as("__canon"))
+      .agg(min_by(struct(cols.map(col): _*), col(keyCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** Per-domain document cap (the RefinedWeb/Gopher-style quota that
@@ -128,7 +132,20 @@ object UrlOps {
     * `maxDocs` documents per registrable domain, chosen in the
     * deterministic salted-hash order (epoch-reproducible, partition-
     * invariant — the same md5 idiom as mixture sampling; ties break on
-    * key). Map-only canon + ONE window partitioned by domain.
+    * key). Hub-domain-safe: a `row_number().over(partitionBy(domain))`
+    * quota would sort every domain's FULL partition — one hub domain at
+    * 100 TB is an unsplittable multi-billion-row sort — so the quota
+    * threshold comes from [[graft.plans.BoundedTopKLongAgg]] instead
+    * (per-domain k-smallest-hash heap, O(maxDocs) state, map-side
+    * partials also capped), and rows keep by comparing their hash to
+    * the domain's threshold. The only window left ranks boundary TIES
+    * within (domain, hash) — partitions sized by 60-bit-hash collision
+    * multiplicity (≈1 for unique keys), never by domain size. The
+    * domain-stats join is a plain equi-join: AQE can broadcast a small
+    * stats frame or skew-split a hub domain, neither of which a window
+    * sort allows. Keys are hashed via their canonical string form
+    * (null renders as ""); duplicate keys tie-break arbitrarily within
+    * their hash cell.
     */
   def capPerDomain(
       df: DataFrame,
@@ -138,13 +155,39 @@ object UrlOps {
       salt: String = ""): DataFrame = {
     require(maxDocs > 0, "maxDocs must be positive")
     graft.plans.GraftFunctions.register(df.sparkSession)
+    val keyStr = coalesce(col(keyCol).cast("string"), lit(""))
     val h = call_function("md5_prefix60",
-      concat(lit(salt), lit(":"), col(keyCol).cast("string")).cast("binary"))
+      concat(lit(salt), lit(":"), keyStr).cast("binary"))
+    val withH = df
+      .withColumn("__dom", registrableDomain(hostOf(col(urlCol))))
+      .withColumn("__h", h)
+    // per-domain threshold: the maxDocs-th smallest hash (null = the
+    // domain is under quota and keeps everything), plus the threshold's
+    // multiplicity within the top-k (how many boundary rows may keep)
+    val stats = withH.groupBy(col("__dom"))
+      .agg(call_function("bounded_topk_long", col("__h"), lit(maxDocs)).as("__top"))
+      .select(col("__dom"),
+        when(size(col("__top")) < maxDocs, lit(null).cast("long"))
+          .otherwise(element_at(col("__top"), -1)).as("__thr"),
+        size(filter(col("__top"),
+          x => x === element_at(col("__top"), -1))).as("__m"))
+    val joined = withH.join(stats, Seq("__dom"), "left")
+    // keep = under-quota domain, hash strictly under the threshold, or a
+    // boundary tie ranked within its (domain, hash) cell. The only sort
+    // in the plan is the tie window partitioned by (domain, HASH):
+    // partitions are 60-bit-collision-multiplicity sized (≈1 for unique
+    // keys) — never domain-sized, so a hub domain cannot pin a sort.
+    // (A two-branch clear ∪ ties union avoids windowing the clear rows
+    // but costs a second scan+join pass — measured strictly slower.)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(registrableDomain(hostOf(col(urlCol))))
-      .orderBy(h.asc, col(keyCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxDocs).drop("__rn")
+      .partitionBy(col("__dom"), col("__h")).orderBy(col(keyCol).asc)
+    joined
+      .withColumn("__rn",
+        when(col("__thr").isNotNull && col("__h") === col("__thr"),
+          row_number().over(w)))
+      .filter(col("__thr").isNull || col("__h") < col("__thr") ||
+        (col("__h") === col("__thr") && col("__rn") <= col("__m")))
+      .drop("__dom", "__h", "__thr", "__m", "__rn")
   }
 
   /** Per-domain curation rollup: document/host/token counts plus the

@@ -105,3 +105,84 @@ case class BoundedCollectLongAgg(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
 }
+
+/** The k SMALLEST long values of a group, with multiplicity, as a
+  * sorted ascending array — the bounded per-key heap the per-domain
+  * quota needs at 100 TB. A `row_number().over(partitionBy(domain))`
+  * quota sorts EVERY domain's full partition (a hub domain = one
+  * unsplittable multi-billion-row sort); this aggregate's buffer is a
+  * size-k max-heap, map-side partials are ALSO capped at k, so a hub
+  * domain ships at most k longs per task regardless of its row count.
+  * Null children are skipped (callers make the ranking key total).
+  * Unlike [[BoundedCollectLongAgg]], an over-cap group is NOT dropped —
+  * its k smallest survive; `size(result) < k` ⟺ the group's true
+  * non-null count was < k (an under-quota group).
+  */
+case class BoundedTopKLongAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.PriorityQueue[Long]] {
+
+  require(k >= 1, "bounded_topk_long needs k >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bounded_topk_long needs a BIGINT child, got ${child.dataType.sql}")
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bounded_topk_long"
+
+  // max-heap: the head is the LARGEST of the kept k — the one a smaller
+  // arrival evicts
+  override def createAggregationBuffer(): mutable.PriorityQueue[Long] =
+    mutable.PriorityQueue.empty[Long](Ordering.Long)
+
+  private def push(heap: mutable.PriorityQueue[Long], v: Long): Unit =
+    if (heap.size < k) heap += v
+    else if (v < heap.head) { heap.dequeue(); heap += v }
+
+  override def update(
+      heap: mutable.PriorityQueue[Long], input: InternalRow): mutable.PriorityQueue[Long] = {
+    val v = child.eval(input)
+    if (v != null) push(heap, v.asInstanceOf[Long])
+    heap
+  }
+
+  override def merge(
+      heap: mutable.PriorityQueue[Long],
+      other: mutable.PriorityQueue[Long]): mutable.PriorityQueue[Long] = {
+    other.foreach(push(heap, _))
+    heap
+  }
+
+  override def eval(heap: mutable.PriorityQueue[Long]): Any =
+    new GenericArrayData(heap.toArray.sorted)
+
+  override def serialize(heap: mutable.PriorityQueue[Long]): Array[Byte] = {
+    val items = heap.toArray
+    val bb = java.nio.ByteBuffer.allocate(4 + items.length * 8)
+    bb.putInt(items.length)
+    items.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val heap = createAggregationBuffer()
+    var i = 0
+    while (i < n) { heap += bb.getLong(); i += 1 }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopKLongAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopKLongAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}

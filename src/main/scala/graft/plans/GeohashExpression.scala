@@ -78,6 +78,9 @@ object GraftFunctions {
       ("bounded_collect_long", classOf[BoundedCollectLongAgg],
         exprs => BoundedCollectLongAgg(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()),
+      ("bounded_topk_long", classOf[BoundedTopKLongAgg],
+        exprs => BoundedTopKLongAgg(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()),
       ("bpe_encode", classOf[BpeEncodeExpr],
         exprs => BpeEncodeExpr(exprs(0),
           Option(exprs(1).eval()).map(_.toString).getOrElse(""),

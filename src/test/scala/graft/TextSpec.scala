@@ -1138,6 +1138,33 @@ class TextSpec extends SparkSpec {
     assert(cap.count(Set(4L, 5L, 6L)) == 2 && cap.count(Set(1L, 2L, 3L)) == 2)
   }
 
+  test("domain cap is hub-domain-safe: bounded heap, keep set exact in hash order") {
+    import graft.functions.UrlOps
+    // one hub domain ≫ the others: the quota must come from the bounded
+    // per-domain top-k heap, not a full per-domain window sort
+    val hub = (1L to 400L).map(i => (i, s"https://hub.example/p$i"))
+    val small = Seq((1001L, "https://tiny.org/a"), (1002L, "https://tiny.org/b"))
+    val d = (hub ++ small).toDF("doc_id", "url")
+    val capped = UrlOps.capPerDomain(d.repartition(13), "url", "doc_id",
+      maxDocs = 5, salt = "s1")
+    val got = capped.collect().map(_.getLong(0)).toSet
+    // exact expectation: the 5 hub docs smallest by (md5_prefix60, key) —
+    // the same deterministic order the row_number form (and the DuckDB
+    // oracle) defines — plus the whole under-quota domain
+    val expectHub = hub.map(_._1)
+      .sortBy(id => (graft.functions.Similarity.md5Prefix60(s"s1:$id"), id))
+      .take(5).toSet
+    assert(got == expectHub ++ Set(1001L, 1002L))
+    assert(capped.columns.toSeq == Seq("doc_id", "url")) // helpers dropped
+    // the physical plan carries the bounded heap aggregate; the only
+    // window partitions by (domain, hash) — never by domain alone
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_topk_long"))
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("__h#")),
+      s"every window must partition by (domain, hash), got: $specs")
+  }
+
   test("label-noise knn flags the planted mislabeled vector") {
     // two tight clusters in 2-d; vector 99 sits in cluster A but
     // carries cluster B's label → 100% neighbourhood disagreement
