@@ -29,18 +29,41 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  /** Snapshot SUBSET of the Mozilla Public Suffix List (publicsuffix
-    * .org, MPL-2.0) — the multi-label entries the eTLD+1 rule needs to
-    * get right. A production deployment swaps in the full list (a
-    * ~240 KB broadcast); the ALGORITHM (longest-suffix match, then one
-    * more label) is the real content here.
+  /** Bundled snapshot of the Mozilla Public Suffix List (publicsuffix
+    * .org, MPL-2.0) multi-label entries, loaded from the
+    * `public_suffix_snapshot.dat` classpath resource (~450 entries; a
+    * production deployment drops the full current list into the same
+    * file). The literal subset below is the fallback when the resource
+    * is absent (e.g. a repackaged jar). Wildcard (`*.ck`) and exception
+    * (`!www.ck`) PSL rules are out of scope; the ALGORITHM
+    * (longest-suffix match, then one more label) is unchanged by list
+    * size — the suffix literals ride the plan as an `isin`, which
+    * Catalyst converts to a hashed InSet above 10 entries, so matching
+    * stays O(1) per row at any list size.
     */
-  val publicSuffixes3: Seq[String] = Seq("s3.amazonaws.com", "blogspot.co.uk")
-  val publicSuffixes2: Seq[String] = Seq(
+  private def loadSnapshot(): Seq[String] = try {
+    val in = getClass.getResourceAsStream("/public_suffix_snapshot.dat")
+    if (in == null) Nil
+    else try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList
+    finally in.close()
+  } catch { case _: Throwable => Nil }
+
+  private val fallback3 = Seq("s3.amazonaws.com", "blogspot.co.uk")
+  private val fallback2 = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
     "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
     "co.kr", "co.za", "com.tr", "com.ar", "github.io", "gitlab.io",
     "blogspot.com")
+  private val snapshot: Seq[String] = loadSnapshot()
+  val publicSuffixes3: Seq[String] = {
+    val s = snapshot.filter(_.count(_ == '.') == 2)
+    if (s.nonEmpty) s.distinct else fallback3
+  }
+  val publicSuffixes2: Seq[String] = {
+    val s = snapshot.filter(_.count(_ == '.') == 1)
+    if (s.nonEmpty) s.distinct else fallback2
+  }
 
   private val trackingParam = "^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
 

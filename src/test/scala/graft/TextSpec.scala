@@ -1109,6 +1109,11 @@ class TextSpec extends SparkSpec {
       ("b.user.github.io", "user.github.io"),
       ("x.s3.amazonaws.com", "x.s3.amazonaws.com"), // 3-label suffix
       ("co.uk", "co.uk"),                          // host IS a suffix
+      // snapshot-resource entries beyond the literal fallback: co.nz
+      // (and friends) used to miscollapse to the bare suffix
+      ("shop.example.co.nz", "example.co.nz"),
+      ("a.b.gob.mx", "b.gob.mx"),
+      ("docs.readthedocs.io", "docs.readthedocs.io"), // private registry
       ("localhost", "localhost"))                  // single label
     val out = cases.toDF("host", "expect")
       .select(col("host"), UrlOps.registrableDomain(col("host")).as("got"), col("expect"))
