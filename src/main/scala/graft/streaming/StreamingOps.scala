@@ -949,6 +949,68 @@ object StreamingOps {
     }
   }
 
+  /** foreachBatch sink twin of the batch url_curation stage
+    * ([[graft.functions.UrlOps.urlDedup]] +
+    * [[graft.functions.UrlOps.capPerDomain]]): each micro-batch is
+    * page-identity deduped within itself, anti-joined against the
+    * canonical urls ALREADY LANDED at `path` (the written output IS the
+    * accumulated state — no driver-side map, restart-safe for free),
+    * then quota'd per registrable domain against the accumulated
+    * per-domain counts before appending. Within one batch the quota
+    * consumes rows in the batch op's salted-hash order (bit-identical
+    * keep set to capPerDomain when everything arrives in one batch);
+    * across batches it consumes in ARRIVAL order — a stream cannot know
+    * the global hash order, and what a curation sink needs is "never
+    * more than maxDocs per domain, never the same page twice". The
+    * per-batch window partitions by domain over BATCH-sized (not
+    * corpus-sized) frames; a production deployment compacts `path` or
+    * keeps a (url_canon, domain) index table instead of re-reading the
+    * full output per batch.
+    *
+    * {{{
+    * stream.writeStream
+    *   .foreachBatch(StreamingOps.streamingUrlCuratedWrite(path, "url", "doc_id", 100, "e0"))
+    *   .start()
+    * }}}
+    */
+  def streamingUrlCuratedWrite(
+      path: String,
+      urlCol: String,
+      keyCol: String,
+      maxDocsPerDomain: Int,
+      salt: String = ""): (DataFrame, Long) => Unit = {
+    require(maxDocsPerDomain > 0, "maxDocsPerDomain must be positive")
+    (batch0: DataFrame, _: Long) => {
+      val spark = batch0.sparkSession
+      graft.plans.GraftFunctions.register(spark)
+      import graft.functions.UrlOps
+      val batch = UrlOps.urlDedup(batch0, urlCol, keyCol)
+        .withColumn("url_canon", UrlOps.canonicalizeUrl(col(urlCol)))
+        .withColumn("domain",
+          UrlOps.registrableDomain(UrlOps.hostOf(col(urlCol))))
+      val existing = try spark.read.parquet(path).select("url_canon", "domain")
+      catch { case _: Throwable => // first batch: nothing landed yet
+        import spark.implicits._
+        Seq.empty[(String, String)].toDF("url_canon", "domain")
+      }
+      val fresh = batch.join(
+        existing.select("url_canon").distinct(), Seq("url_canon"), "left_anti")
+      val have = existing.groupBy("domain").agg(count(lit(1)).as("__have"))
+      val h = call_function("md5_prefix60",
+        concat(lit(salt), lit(":"),
+          coalesce(col(keyCol).cast("string"), lit(""))).cast("binary"))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain")).orderBy(h.asc, col(keyCol).asc)
+      fresh.join(have, Seq("domain"), "left")
+        .withColumn("__room",
+          lit(maxDocsPerDomain.toLong) - coalesce(col("__have"), lit(0L)))
+        .withColumn("__rn", row_number().over(wd))
+        .filter(col("__rn") <= col("__room"))
+        .drop("__have", "__room", "__rn")
+        .write.mode("append").parquet(path)
+    }
+  }
+
   def streamingZOrderedWrite(
       path: String,
       zCols: Seq[String],

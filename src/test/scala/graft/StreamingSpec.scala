@@ -339,6 +339,59 @@ class StreamingSpec extends SparkSpec {
     assert(dirs.nonEmpty && dirs.subsetOf((0 until 8).map(s => s"shard=$s").toSet))
   }
 
+  test("streaming url curation dedups pages and enforces the domain quota") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.functions.UrlOps
+    def urls(ids: Seq[Long]): Seq[(Long, String)] = ids.map { i =>
+      // 3 hub pages cycle + unique pages: hub.example gets many docs,
+      // tiny.org two; tracking params make distinct raw urls collide
+      if (i % 2 == 0) (i, s"https://hub.example/p${i % 6}?utm_source=s$i")
+      else if (i < 20) (i, s"https://hub.example/q$i")
+      else (i, s"http://tiny.org/r$i")
+    }
+    // single-batch parity: keep set == batch urlDedup + capPerDomain
+    val oneDir = java.nio.file.Files.createTempDirectory("urlcur1").toString
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = in1.toDF().toDF("doc_id", "url").writeStream
+      .foreachBatch(StreamingOps.streamingUrlCuratedWrite(s"$oneDir/c", "url", "doc_id", 4, "e0"))
+      .start()
+    try { in1.addData(urls(0L until 24L): _*); q1.processAllAvailable() }
+    finally q1.stop()
+    val gotOne = spark.read.parquet(s"$oneDir/c")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val batchKeep = UrlOps.capPerDomain(
+        UrlOps.urlDedup(urls(0L until 24L).toDF("doc_id", "url"), "url", "doc_id"),
+        "url", "doc_id", maxDocs = 4, salt = "e0")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(gotOne == batchKeep)
+    // multi-batch: accumulated state holds — no canonical dup ever lands
+    // twice, per-domain count never exceeds the quota, earlier arrivals
+    // are never evicted
+    val dir = java.nio.file.Files.createTempDirectory("urlcur2").toString
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = in2.toDF().toDF("doc_id", "url").writeStream
+      .foreachBatch(StreamingOps.streamingUrlCuratedWrite(s"$dir/c", "url", "doc_id", 4, "e0"))
+      .start()
+    try {
+      in2.addData(urls(0L until 12L): _*)
+      q2.processAllAvailable()
+      val afterB1 = spark.read.parquet(s"$dir/c")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      in2.addData(urls(12L until 40L): _*) // re-sends of hub pages + new docs
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/c")
+        .select(col("doc_id"), col("url_canon"), col("domain")).collect()
+      val canons = rows.map(_.getString(1))
+      assert(canons.distinct.length == canons.length, "a page landed twice")
+      val perDom = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+      assert(perDom.values.forall(_ <= 4), s"quota exceeded: $perDom")
+      assert(perDom("tiny.org") == 4) // batch 2 filled tiny.org's quota
+      val finalIds = rows.map(_.getAs[Long]("doc_id")).toSet
+      assert(afterB1.subsetOf(finalIds), "an earlier arrival was evicted")
+    } finally q2.stop()
+  }
+
   test("stream-static broadcast join enriches events in flight") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{broadcast, col}
