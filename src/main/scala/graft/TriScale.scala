@@ -64,7 +64,14 @@ object TriScale {
     // round-16: BPE train+encode — the corpus-sized word-frequency scan
     // must stay the ONLY corpus-sized stage (the K merge rounds are
     // vocab-sized and must not grow with the corpus)
-    "q_bpe_encode")
+    "q_bpe_encode",
+    // round-17: the URL-curation family (q_domain_cap's bounded-heap
+    // quota is the one with the skew question), the three round-16
+    // workflow stages, and the unigram trainer (its EM rounds are
+    // vocab-sized and must not grow with the corpus, like BPE)
+    "q_url_dedup", "q_domain_rollup", "q_domain_cap",
+    "q_workflow_mixture", "q_workflow_url", "q_workflow_tokenize",
+    "q_unigram_vocab")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -114,7 +121,12 @@ object TriScale {
     "q_workflow_curation",
     // round-16: BPE rides the sf1 documents tier too — the word-freq
     // scan is its only corpus-sized stage and must prove the 4th decade
-    "q_bpe_encode")
+    "q_bpe_encode",
+    // round-17: the URL family, workflow stages, and unigram trainer
+    // all ride the documents tier
+    "q_url_dedup", "q_domain_rollup", "q_domain_cap",
+    "q_workflow_mixture", "q_workflow_url", "q_workflow_tokenize",
+    "q_unigram_vocab")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -88,7 +88,10 @@ object GraftFunctions {
       ("piece_encode", classOf[GreedyPieceEncodeExpr],
         exprs => GreedyPieceEncodeExpr(exprs(0),
           Option(exprs(1).eval()).map(_.toString).getOrElse(""),
-          exprs(2).eval().asInstanceOf[Number].intValue())))
+          exprs(2).eval().asInstanceOf[Number].intValue())),
+      ("unigram_viterbi", classOf[UnigramViterbiExpr],
+        exprs => UnigramViterbiExpr(exprs(0),
+          Option(exprs(1).eval()).map(_.toString).getOrElse(""))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, _, b) =>

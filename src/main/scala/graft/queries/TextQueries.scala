@@ -3155,6 +3155,111 @@ semantic_dedup:
       FROM tok GROUP BY doc_id"""
     })
 
+  /** DuckDB replay of the unigram-LM trainer
+    * ([[graft.functions.UnigramTokenizer.trainUnigram]]): the seed
+    * substring count, then per round an UNROLLED Viterbi DP (one CTE
+    * per word position, candidates as unioned joins against the
+    * previous model, argmax by (score DESC, prev ASC) row_number — the
+    * expression's exact tie rule), an unrolled backtrace emitting the
+    * best-path pieces, frequency-weighted counts, and the
+    * (count desc, piece asc) prune + 6-dp log-prob re-estimate. Every
+    * DP score is the same chain of double additions both engines build
+    * from shared inputs, so the argmax — and the learned vocabulary —
+    * replays cell-exactly (the bpeStagesSql idiom).
+    */
+  private[queries] def unigramStagesSql(
+      rounds: Int, vocabSize: Int, maxPieceLen: Int, maxWordLen: Int,
+      minSeedCount: Int, seedSize: Int): String = {
+    val W = maxWordLen
+    val L = maxPieceLen
+    val base = s"""
+      uwf AS MATERIALIZED (
+        SELECT word, count(*) AS freq FROM (
+          SELECT unnest(str_split($normSql, ' ')) AS word FROM documents) u
+        WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= $W
+        GROUP BY word),
+      uss AS MATERIALIZED (
+        SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM uwf, unnest(range(1, length(word) + 1)) AS u(i),
+             unnest(range(1, $L + 1)) AS v(l)
+        WHERE i + l <= length(word) + 1
+        GROUP BY 1),
+      uv0 AS MATERIALIZED (SELECT piece, cnt FROM uss
+              WHERE cnt >= $minSeedCount OR length(piece) = 1
+              ORDER BY cnt DESC, piece LIMIT $seedSize),
+      ul0 AS MATERIALIZED (SELECT piece, round(ln(CAST(cnt AS DOUBLE) /
+                (SELECT CAST(sum(cnt) AS DOUBLE) FROM uv0)), 6) AS logp
+              FROM uv0)"""
+    val roundsSql = (1 to rounds).map { r =>
+      val lp = s"ul${r - 1}"
+      val dps = (1 to W).map { i =>
+        val cands = (math.max(0, i - L) until i).map { j =>
+          val src =
+            if (j == 0) "(SELECT word, freq, CAST(0 AS DOUBLE) AS score FROM uwf)"
+            else s"(SELECT word, freq, score FROM ud${r}_$j)"
+          s"""SELECT d.word, d.freq, $i AS pos, d.score + v.logp AS score,
+                 v.piece AS piece, $j AS prev
+              FROM $src d JOIN $lp v
+                ON v.piece = substr(d.word, ${j + 1}, ${i - j})
+              WHERE length(d.word) >= $i"""
+        }.mkString(" UNION ALL ")
+        s"""
+      ud${r}_$i AS MATERIALIZED (
+        SELECT word, freq, pos, score, piece, prev FROM (
+          SELECT *, row_number() OVER (PARTITION BY word
+            ORDER BY score DESC, prev ASC) AS rn
+          FROM ($cands) cand) t
+        WHERE rn = 1)"""
+      }.mkString(",")
+      val dpall =
+        s"""
+      uda$r AS MATERIALIZED (${(1 to W).map(i => s"SELECT * FROM ud${r}_$i").mkString(" UNION ALL ")})"""
+      val paths = (0 until W).map { t =>
+        if (t == 0) s"""
+      up${r}_0 AS MATERIALIZED (
+        SELECT d.word, d.freq, d.piece, d.prev FROM uda$r d
+        JOIN uwf w ON w.word = d.word AND d.pos = length(w.word))"""
+        else s"""
+      up${r}_$t AS MATERIALIZED (
+        SELECT d.word, d.freq, d.piece, d.prev FROM up${r}_${t - 1} p
+        JOIN uda$r d ON d.word = p.word AND d.pos = p.prev
+        WHERE p.prev > 0)"""
+      }.mkString(",")
+      val pieces = (0 until W)
+        .map(t => s"SELECT freq, piece FROM up${r}_$t").mkString(" UNION ALL ")
+      s"""$dps,$dpall,$paths,
+      uc$r AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+               FROM ($pieces) GROUP BY 1),
+      uv$r AS MATERIALIZED (SELECT piece, cnt FROM uc$r
+               ORDER BY cnt DESC, piece LIMIT $vocabSize),
+      ul$r AS MATERIALIZED (SELECT piece, round(ln(CAST(cnt AS DOUBLE) /
+                 (SELECT CAST(sum(cnt) AS DOUBLE) FROM uv$r)), 6) AS logp
+               FROM uv$r)"""
+    }.mkString(",")
+    base + "," + roundsSql
+  }
+
+  private final val uniRounds = 2
+  private final val uniVocab = 40
+
+  /** Unigram-LM (SentencePiece-style Viterbi-EM) tokenizer training
+    * ([[graft.functions.UnigramTokenizer]]): the learned piece
+    * vocabulary with counts and log-probs — seed, both EM rounds, prune
+    * and re-estimate all replayed by the DuckDB oracle.
+    */
+  val qUnigramVocab = Q(
+    "q_unigram_vocab",
+    (s, dir) => graft.functions.UnigramTokenizer.unigramTrain(
+      tables(s, dir).documents, "text", vocabSize = uniVocab,
+      rounds = uniRounds, maxPieceLen = 4, maxWordLen = 10,
+      minSeedCount = 3L, seedSize = 300),
+    Some(s"""
+      WITH ${unigramStagesSql(uniRounds, uniVocab, 4, 10, 3, 300)}
+      SELECT CAST(row_number() OVER (ORDER BY v.cnt DESC, v.piece) AS BIGINT) AS rank,
+             v.piece, v.cnt AS n, l.logp
+      FROM uv$uniRounds v JOIN ul$uniRounds l USING (piece)"""))
+
   /** Packing-efficiency report at seqLen 256 over whitespace token
     * counts ([[graft.functions.Sharding.packingEfficiency]]): integer
     * counts + two rounded ratios — fully oracle-replayable.
@@ -3325,5 +3430,5 @@ semantic_dedup:
     qKeywordTfidf, qPiiMentions, qSourceOverlap, qLabelNoise,
     qBpeVocab, qBpeEncode, qUrlCanonicalize, qDomainRollup, qWorkflowMixture,
     qUrlDedup, qDomainCap, qWorkflowUrl, qWorkflowTokenize, qPieceEncode,
-    qPackingEfficiency)
+    qUnigramVocab, qPackingEfficiency)
 }

@@ -1075,6 +1075,49 @@ class TextSpec extends SparkSpec {
     assert(enc(3L)._1 == Seq("c</w>"))
   }
 
+  test("unigram viterbi segments by max probability with the longest-piece tie rule") {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    graft.plans.GraftFunctions.register(spark)
+    def seg(word: String, spec: String): Option[Seq[String]] = {
+      val r = Seq(word).toDF("w")
+        .select(call_function("unigram_viterbi", col("w"), lit(spec)))
+        .collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getSeq[String](0))
+    }
+    // max-prob: [ab] at -1.5 beats [a, b] at -2.0
+    assert(seg("ab", "a -1.0\nb -1.0\nab -1.5") == Some(Seq("ab")))
+    // exact tie ([ab] = [a, b] = -2.0): smallest j wins = longest final piece
+    assert(seg("ab", "a -1.0\nb -1.0\nab -2.0") == Some(Seq("ab")))
+    // cheaper split wins when the long piece is expensive
+    assert(seg("ab", "a -1.0\nb -1.0\nab -2.5") == Some(Seq("a", "b")))
+    // no covering segmentation -> null (trainer skips the word)
+    assert(seg("ax", "a -1.0") == None)
+    assert(seg("abab", "a -1.0\nb -1.0\nab -1.5") == Some(Seq("ab", "ab")))
+  }
+
+  test("unigram trainer is deterministic and self-consistent") {
+    import graft.functions.UnigramTokenizer
+    val docs = (1L to 60L).map { i =>
+      (i, if (i % 3 == 0) "banana bandana" else if (i % 3 == 1) "ban ana nab" else "anna ban banana")
+    }.toDF("doc_id", "text")
+    val v1 = UnigramTokenizer.trainUnigram(docs, "text", vocabSize = 12,
+      rounds = 2, maxPieceLen = 3, maxWordLen = 8, minSeedCount = 2L, seedSize = 50)
+    val v2 = UnigramTokenizer.trainUnigram(docs.repartition(7), "text", vocabSize = 12,
+      rounds = 2, maxPieceLen = 3, maxWordLen = 8, minSeedCount = 2L, seedSize = 50)
+    assert(v1 == v2, "training must be partition-invariant")
+    assert(v1.nonEmpty && v1.size <= 12)
+    // rank order is (count desc, piece asc); log-probs renormalize over
+    // the kept mass at 6 dp
+    assert(v1.map(p => (-p.n, p.piece)) == v1.map(p => (-p.n, p.piece)).sorted)
+    val total = v1.map(_.n).sum.toDouble
+    v1.foreach { p =>
+      val want = BigDecimal(math.log(p.n / total))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(p.logp == want, s"logp mismatch for ${p.piece}")
+    }
+    assert(v1.map(_.rank) == (1L to v1.size.toLong))
+  }
+
   test("url canonicalization applies all 7 documented rules") {
     import graft.functions.UrlOps
     val cases = Seq(
