@@ -40,49 +40,80 @@ object Association {
     * data-sized window anywhere; the sorted frame holds DISTINCT values
     * only, and the driver sees one Long per partition.
     */
-  private def avgRankByValue(df: DataFrame, c: String): (DataFrame, Long) = {
+  private def avgRanksMelted(
+      df: DataFrame, cols: Seq[String]): (DataFrame, Map[Int, Long]) = {
     import org.apache.spark.sql.{Row => SRow}
-    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
-    // nulls never rank (and in a non-ANSI session a failed string→double
-    // cast arrives as null even past an upstream na.drop) — drop them
-    // here so pass 2 can't NPE on getDouble
-    val counts = df.select(col(c).cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
-      .groupBy("__v").agg(count(lit(1)).as("__n"))
-    val sorted = counts.orderBy(col("__v").asc)
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    val melted = df.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("ci"), col(c).as("v"))
+      }: _*)).as("__e"))
+      .select(col("__e.ci").as("ci"), col("__e.v").as("v"))
+      // nulls never rank (and in a non-ANSI session a failed
+      // string→double cast arrives as null even past an upstream
+      // na.drop) — drop them so pass 2 can't NPE on getDouble
+      .filter(col("v").isNotNull)
+    val counts = melted.groupBy("ci", "v").agg(count(lit(1)).as("n"))
+    // ONE range sort orders every column's distinct values at once —
+    // (ci, v) ranges keep each column's block contiguous across the
+    // partition sequence, so the two-phase prefix sum below runs per
+    // column inside the same pass (vs the previous one-sort-one-collect
+    // PER COLUMN, whose N sequential job barriers dominated wall time)
+    val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    val sorted = counts
+      .repartitionByRange(parts, col("ci").asc, col("v").asc)
+      .sortWithinPartitions(col("ci").asc, col("v").asc)
     val rdd = sorted.rdd
     // the sort feeds both the totals pass and the prefix pass — cache it
     // (the packByBudget discipline; Bench/pipelines unpersist leftovers)
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one pass collects BOTH per-partition row-count sums (the prefix
-    // offsets) and distinct-value counts (the caller's broadcast
-    // decision — an RDD-backed frame never has CBO stats to consult)
-    val partStats = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var rows = 0L; var sumN = 0L
-      it.foreach { r => rows += 1; sumN += r.getLong(1) }
-      Iterator.single((i, sumN, rows))
+    // one pass collects BOTH per-(partition, column) row-count sums (the
+    // prefix offsets) and distinct-value counts (the caller's broadcast
+    // decision — an RDD-backed frame never has CBO stats to consult).
+    // Driver sees O(partitions × columns) longs, never data.
+    val partStats = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Long)]
+      it.foreach { r =>
+        val ci = r.getInt(0)
+        val (s, rows) = m.getOrElse(ci, (0L, 0L))
+        m(ci) = (s + r.getLong(2), rows + 1)
+      }
+      Iterator.single((pi, m.toSeq))
     }.collect().sortBy(_._1)
-    val offsets = partStats.map(_._2).scanLeft(0L)(_ + _)
-    val distinctCount = partStats.map(_._3).sum
-    val ranked = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var running = offsets(i)
+    val offsets = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    locally {
+      val running = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+      partStats.foreach { case (pi, stats) =>
+        stats.foreach { case (ci, (s, _)) =>
+          offsets((pi, ci)) = running(ci)
+          running(ci) += s
+        }
+      }
+    }
+    val distinct: Map[Int, Long] = partStats.iterator
+      .flatMap(_._2.iterator.map { case (ci, (_, rows)) => ci -> rows })
+      .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+    val bcOffsets = df.sparkSession.sparkContext.broadcast(offsets.toMap)
+    val ranked = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      val off = bcOffsets.value
+      val running = scala.collection.mutable.Map.empty[Int, Long]
       it.map { r =>
-        val n = r.getLong(1)
-        val rank = running + (n + 1) / 2.0
-        running += n
-        SRow(r.getDouble(0), rank)
+        val ci = r.getInt(0)
+        val n = r.getLong(2)
+        val cur = running.getOrElse(ci, off.getOrElse((pi, ci), 0L))
+        val rank = cur + (n + 1) / 2.0
+        running(ci) = cur + n
+        SRow(ci, r.getDouble(1), rank)
       }
     }
     // materialize the (distinct-value-sized) rank table eagerly, then
-    // release the cached sort — otherwise a spearmanMatrix over N
-    // columns leaks N cached sorts for the session's lifetime (the
-    // packByBudget discipline; the checkpointed result is owned by the
+    // release the cached sort (the checkpointed result is owned by the
     // caller and reaped by the ContextCleaner once unreferenced)
     val frame = df.sparkSession.createDataFrame(ranked, StructType(Seq(
-      StructField("__v", DoubleType), StructField("__rank", DoubleType))))
+      StructField("ci", IntegerType), StructField("__v", DoubleType),
+      StructField("__rank", DoubleType))))
       .localCheckpoint(true)
     rdd.unpersist(false)
-    (frame, distinctCount)
+    (frame, distinct)
   }
 
   /** Spearman rank correlations, long form [attribute_1, attribute_2,
@@ -100,20 +131,19 @@ object Association {
     require(cols.size >= 2, "need at least 2 columns")
     // cast FIRST, then drop listwise: a failed string→double cast must
     // count as a null row, not slip past na.drop on its pre-cast value.
-    // Materialize the narrow listwise-complete projection: every
-    // column's rank aggregation AND the final rank-join action replays
-    // this frame (N+1 actions for N columns — Spark SQL re-plans per
-    // action), so without the cut the source scan+cast+drop runs N+1
-    // times. The checkpointed frame is O(rows × N doubles).
-    val df = graft.functions.Dedup.materialize(
-      QualityChecker.sampleCapped(df0, sampleCap)
-        .select(cols.map(c => col(c).cast("double").as(c)): _*)
-        .na.drop(cols))
-    val ranked = cols.foldLeft(df) { (d, c) =>
-      val (rankFrame, nDistinct) = avgRankByValue(df, c)
-      val ranks = rankFrame
-        .withColumnRenamed("__v", c).withColumnRenamed("__rank", s"__rank_$c")
-      val rhs = if (nDistinct <= 1000000L) broadcast(ranks) else ranks
+    // No materialize barrier: with the melted one-pass rank build the
+    // source replays exactly twice (the rank-count pass and the final
+    // rank-join action) — a pruned columnar re-scan is cheaper than the
+    // r13-era checkpoint write+read that paid for N+1 replays.
+    val df = QualityChecker.sampleCapped(df0, sampleCap)
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .na.drop(cols)
+    val (ranksAll, distinct) = avgRanksMelted(df, cols)
+    val ranked = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val ranks = ranksAll.filter(col("ci") === i)
+        .select(col("__v").as(c), col("__rank").as(s"__rank_$c"))
+      val rhs =
+        if (distinct.getOrElse(i, 0L) <= 1000000L) broadcast(ranks) else ranks
       d.join(rhs, Seq(c))
     }
     val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
