@@ -106,6 +106,44 @@ object UnigramTokenizer {
     }
   }
 
+  /** Max-probability (Viterbi) segmentation of full documents under a
+    * trained unigram model — the inference counterpart of
+    * [[trainUnigram]] (greedy inference lives in
+    * `BpeTokenizer.pieceEncode`). Map-only, no shuffle: the model folds
+    * into the plan as a constant and every eligible word (same
+    * `[a-z]+`, length ≤ maxWordLen scheme as training) segments via
+    * [[graft.plans.UnigramViterbiExpr]]; ineligible or unsegmentable
+    * words pass through as one verbatim token, so the stream always
+    * round-trips. Output: keyCol, tokens, n_tokens.
+    */
+  /** The token-array Column under a trained model — callers must have
+    * registered [[graft.plans.GraftFunctions]] on the session.
+    */
+  def unigramTokens(
+      textCol: org.apache.spark.sql.Column,
+      vocab: Seq[UnigramPiece],
+      maxWordLen: Int = 10): org.apache.spark.sql.Column = {
+    require(vocab.nonEmpty, "unigram vocabulary must be non-empty")
+    val spec = vocab.map(p => s"${p.piece} ${p.logp}").mkString("\n")
+    flatten(transform(
+      split(TextOps.normalizeText(textCol), " "),
+      w => when(w.rlike("^[a-z]+$") && length(w) <= maxWordLen,
+          coalesce(call_function("unigram_viterbi", w, lit(spec)), array(w)))
+        .otherwise(array(w))))
+  }
+
+  def unigramEncode(
+      df: DataFrame,
+      textCol: String,
+      keyCol: String,
+      vocab: Seq[UnigramPiece],
+      maxWordLen: Int = 10): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(keyCol),
+        unigramTokens(col(textCol), vocab, maxWordLen).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+
   /** [[trainUnigram]] as a DataFrame [rank, piece, n, logp] — the
     * queries()/oracle surface.
     */

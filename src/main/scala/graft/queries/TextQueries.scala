@@ -3243,6 +3243,21 @@ semantic_dedup:
   private final val uniRounds = 2
   private final val uniVocab = 40
 
+  /** One unigram training per (session, scale dir): the vocabulary is a
+    * pure function of the corpus, so q_unigram_vocab and
+    * q_unigram_encode share one fit — the bpeMergesMemo idiom (honest-
+    * bench caveat: the first row to run pays the cold train).
+    */
+  private val unigramMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[graft.functions.UnigramTokenizer.UnigramPiece]]()
+  private def trainedUnigram(s: org.apache.spark.sql.SparkSession, dir: String) =
+    unigramMemo.computeIfAbsent(dir, _ =>
+      graft.functions.UnigramTokenizer.trainUnigram(
+        tables(s, dir).documents, "text", vocabSize = uniVocab,
+        rounds = uniRounds, maxPieceLen = 4, maxWordLen = 10,
+        minSeedCount = 3L, seedSize = 300))
+
   /** Unigram-LM (SentencePiece-style Viterbi-EM) tokenizer training
     * ([[graft.functions.UnigramTokenizer]]): the learned piece
     * vocabulary with counts and log-probs — seed, both EM rounds, prune
@@ -3250,15 +3265,100 @@ semantic_dedup:
     */
   val qUnigramVocab = Q(
     "q_unigram_vocab",
-    (s, dir) => graft.functions.UnigramTokenizer.unigramTrain(
-      tables(s, dir).documents, "text", vocabSize = uniVocab,
-      rounds = uniRounds, maxPieceLen = 4, maxWordLen = 10,
-      minSeedCount = 3L, seedSize = 300),
+    (s, dir) => {
+      import s.implicits._
+      trainedUnigram(s, dir)
+        .map(p => (p.rank, p.piece, p.n, p.logp))
+        .toDF("rank", "piece", "n", "logp")
+    },
     Some(s"""
       WITH ${unigramStagesSql(uniRounds, uniVocab, 4, 10, 3, 300)}
       SELECT CAST(row_number() OVER (ORDER BY v.cnt DESC, v.piece) AS BIGINT) AS rank,
              v.piece, v.cnt AS n, l.logp
       FROM uv$uniRounds v JOIN ul$uniRounds l USING (piece)"""))
+
+  /** Train-then-encode under the FINAL unigram model: max-probability
+    * per-word segmentation via the native `unigram_viterbi` expression
+    * (map-only). Verified to the token STRING level like q_bpe_encode:
+    * the oracle unrolls ONE extra Viterbi-DP round under the final
+    * model (rounds+1's paths; its count/prune CTEs are dead code) and
+    * reassembles each document's token stream for the md5 compare.
+    */
+  val qUnigramEncode = Q(
+    "q_unigram_encode",
+    (s, dir) => graft.functions.UnigramTokenizer.unigramEncode(
+        tables(s, dir).documents, "text", "doc_id", trainedUnigram(s, dir),
+        maxWordLen = 10)
+      .select(col("doc_id"), col("n_tokens"),
+        md5(concat_ws(" ", col("tokens")).cast("binary")).as("token_hash")),
+    Some {
+      val r = uniRounds + 1
+      val pieces = (0 until 10)
+        .map(t => s"SELECT word, piece, prev FROM up${r}_$t")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH ${unigramStagesSql(r, uniVocab, 4, 10, 3, 300)},
+      uenc AS MATERIALIZED (
+        SELECT word, string_agg(piece, ' ' ORDER BY prev) AS tok_str,
+               count(*) AS n
+        FROM ($pieces) GROUP BY word),
+      udocw AS (SELECT doc_id, j, ws[j] AS word
+                FROM (SELECT doc_id, str_split($normSql, ' ') AS ws
+                      FROM documents) t,
+                     unnest(range(1, len(ws) + 1)) AS u(j)),
+      utok AS (SELECT d.doc_id, d.j,
+                      COALESCE(e.tok_str, d.word) AS tok_str,
+                      COALESCE(e.n, 1) AS n
+               FROM udocw d LEFT JOIN uenc e ON d.word = e.word)
+      SELECT doc_id, CAST(sum(n) AS INT) AS n_tokens,
+             md5(string_agg(tok_str, ' ' ORDER BY j)) AS token_hash
+      FROM utok GROUP BY doc_id"""
+    })
+
+  /** The YAML `tokenize` stage in `algo: unigram` mode end-to-end:
+    * unigram train + Viterbi encode through the workflow. Oracle: the
+    * q_unigram_encode replay, counts only (token text is already
+    * string-verified by q_unigram_encode's hash).
+    */
+  val qWorkflowUnigram = Q(
+    "q_workflow_unigram",
+    (s, dir) => {
+      val yaml =
+        s"""input_dataset:
+           |  read_dataset:
+           |    file_path: $dir/documents.parquet
+           |    file_type: parquet
+           |tokenize:
+           |  algo: unigram
+           |  text_col: text
+           |  vocab_size: $uniVocab
+           |  rounds: $uniRounds
+           |  max_piece_len: 4
+           |  max_word_len: 10
+           |  min_seed_count: 3
+           |  seed_size: 300
+           |  keep_tokens: false
+           |""".stripMargin
+      val (out, _) = graft.workflow.Workflow.run(s, yaml)
+      out.select(col("doc_id"), col("n_tokens_unigram"))
+    },
+    Some {
+      val r = uniRounds + 1
+      val pieces = (0 until 10)
+        .map(t => s"SELECT word, piece FROM up${r}_$t")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH ${unigramStagesSql(r, uniVocab, 4, 10, 3, 300)},
+      uenc AS MATERIALIZED (
+        SELECT word, count(*) AS n FROM ($pieces) GROUP BY word),
+      udocw AS (SELECT doc_id, ws[j] AS word
+                FROM (SELECT doc_id, str_split($normSql, ' ') AS ws
+                      FROM documents) t,
+                     unnest(range(1, len(ws) + 1)) AS u(j))
+      SELECT d.doc_id, CAST(sum(COALESCE(e.n, 1)) AS INT) AS n_tokens_unigram
+      FROM udocw d LEFT JOIN uenc e ON d.word = e.word
+      GROUP BY d.doc_id"""
+    })
 
   /** Packing-efficiency report at seqLen 256 over whitespace token
     * counts ([[graft.functions.Sharding.packingEfficiency]]): integer
@@ -3430,5 +3530,5 @@ semantic_dedup:
     qKeywordTfidf, qPiiMentions, qSourceOverlap, qLabelNoise,
     qBpeVocab, qBpeEncode, qUrlCanonicalize, qDomainRollup, qWorkflowMixture,
     qUrlDedup, qDomainCap, qWorkflowUrl, qWorkflowTokenize, qPieceEncode,
-    qUnigramVocab, qPackingEfficiency)
+    qUnigramVocab, qUnigramEncode, qWorkflowUnigram, qPackingEfficiency)
 }

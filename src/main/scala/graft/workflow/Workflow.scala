@@ -593,31 +593,57 @@ object Workflow {
       val tc = asConf(v)
       import org.apache.spark.sql.functions.col
       val textCol = tc.getOrElse("text_col", "text").toString
-      val numMerges = tc.getOrElse("num_merges", 64).toString.toInt
       val metrics = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
       val t0 = System.nanoTime()
-      val merges = graft.functions.BpeTokenizer.trainMerges(
-        df, textCol, numMerges,
-        minPairFreq = tc.getOrElse("min_pair_freq", 2L).toString.toLong,
-        maxWordLen = tc.getOrElse("max_word_len", 32).toString.toInt,
-        mergesPerRound = tc.getOrElse("merges_per_round", 1).toString.toInt)
-      locally {
-        import spark.implicits._
-        metrics("bpe_merges") = merges
-          .map(m => (m.rank, m.lhs, m.rhs, m.lhs + m.rhs, m.pairCount))
-          .toDF("rank", "lhs", "rhs", "merged", "pair_count")
-      }
       graft.plans.GraftFunctions.register(spark)
-      val toks = org.apache.spark.sql.functions.call_function("bpe_encode",
-        graft.functions.TextOps.normalizeText(col(textCol)),
-        org.apache.spark.sql.functions.lit(
-          graft.functions.BpeTokenizer.mergesSpec(merges)),
-        org.apache.spark.sql.functions.lit(
-          tc.getOrElse("max_word_len", 32).toString.toInt))
-      df = df.withColumn("tokens", toks)
-        .withColumn("n_tokens_bpe",
-          org.apache.spark.sql.functions.size(col("tokens")))
-      if (tc.getOrElse("keep_tokens", true) != true) df = df.drop("tokens")
+      tc.getOrElse("algo", "bpe").toString match {
+        case "unigram" =>
+          // unigram-LM (SentencePiece Viterbi-EM) train + encode
+          val vocab = graft.functions.UnigramTokenizer.trainUnigram(
+            df, textCol,
+            vocabSize = tc.getOrElse("vocab_size", 64).toString.toInt,
+            rounds = tc.getOrElse("rounds", 2).toString.toInt,
+            maxPieceLen = tc.getOrElse("max_piece_len", 4).toString.toInt,
+            maxWordLen = tc.getOrElse("max_word_len", 10).toString.toInt,
+            minSeedCount = tc.getOrElse("min_seed_count", 3L).toString.toLong,
+            seedSize = tc.getOrElse("seed_size", 300).toString.toInt)
+          locally {
+            import spark.implicits._
+            metrics("unigram_vocab") = vocab
+              .map(p => (p.rank, p.piece, p.n, p.logp))
+              .toDF("rank", "piece", "n", "logp")
+          }
+          val toks = graft.functions.UnigramTokenizer.unigramTokens(
+            col(textCol), vocab,
+            maxWordLen = tc.getOrElse("max_word_len", 10).toString.toInt)
+          df = df.withColumn("tokens", toks)
+            .withColumn("n_tokens_unigram",
+              org.apache.spark.sql.functions.size(col("tokens")))
+          if (tc.getOrElse("keep_tokens", true) != true) df = df.drop("tokens")
+        case _ =>
+          val numMerges = tc.getOrElse("num_merges", 64).toString.toInt
+          val merges = graft.functions.BpeTokenizer.trainMerges(
+            df, textCol, numMerges,
+            minPairFreq = tc.getOrElse("min_pair_freq", 2L).toString.toLong,
+            maxWordLen = tc.getOrElse("max_word_len", 32).toString.toInt,
+            mergesPerRound = tc.getOrElse("merges_per_round", 1).toString.toInt)
+          locally {
+            import spark.implicits._
+            metrics("bpe_merges") = merges
+              .map(m => (m.rank, m.lhs, m.rhs, m.lhs + m.rhs, m.pairCount))
+              .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+          }
+          val toks = org.apache.spark.sql.functions.call_function("bpe_encode",
+            graft.functions.TextOps.normalizeText(col(textCol)),
+            org.apache.spark.sql.functions.lit(
+              graft.functions.BpeTokenizer.mergesSpec(merges)),
+            org.apache.spark.sql.functions.lit(
+              tc.getOrElse("max_word_len", 32).toString.toInt))
+          df = df.withColumn("tokens", toks)
+            .withColumn("n_tokens_bpe",
+              org.apache.spark.sql.functions.size(col("tokens")))
+          if (tc.getOrElse("keep_tokens", true) != true) df = df.drop("tokens")
+      }
       results += StageResult("tokenize",
         (System.nanoTime() - t0) / 1e9, metrics.toMap)
     }
