@@ -116,42 +116,51 @@ object StatsGenerator {
     */
   def benfordTest(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    cols.map { c =>
-      val iv = abs(col(c)).cast(DecimalType(18, 4)) * lit(10000)
-      val digit = substring(iv.cast("long").cast("string"), 1, 1).cast("int")
-      val obs = df
-        .filter(col(c).isNotNull && abs(col(c)).cast(DecimalType(18, 4)) > 0)
-        .select(digit.as("__d"))
-        .groupBy("__d").agg(count(lit(1)).as("__cnt"))
-      // the non-zero row count comes from one tiny driver action (the
-      // 9-digit frame would otherwise need a grand-total window whose
-      // Range-leaf side reads as data-sized to the mechanical plan gate)
-      val total: Long = obs.agg(sum(col("__cnt"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r                  => r.getLong(0)
-      }
-      val digits = df.sparkSession.range(1, 10)
-        .select(col("id").cast("int").as("__d"))
-      val joined = digits.join(obs, Seq("__d"), "left")
-        .withColumn("__cnt", coalesce(col("__cnt"), lit(0L)))
-        .withColumn("__n", lit(total))
-      // an empty column makes total = 0: the share must not divide
-      // (ANSI 0/0 throws inside the aggregate, before any outer guard)
-      val p = when(col("__n") > 0,
-        col("__cnt").cast(DoubleType) / col("__n").cast(DoubleType))
-        .otherwise(lit(0.0))
-      val e = log(lit(1.0) + lit(1.0) / col("__d")) / log(lit(10.0))
-      joined.agg(
+    // ONE corpus pass for ALL columns (the theilsU melt): each row
+    // explodes into its per-column leading digit, a single groupBy
+    // builds every digit histogram (map-side-combined, ≤ 9 cells per
+    // column per task). Totals are windows over the DENSE literal
+    // (column, digit) grid — 9·C rows, never data-sized, no per-column
+    // driver action. The previous form cost 2 corpus scans + 1 driver
+    // round trip per column.
+    val pairStructs = cols.zipWithIndex.map { case (c, i) =>
+      val dec = abs(col(c)).cast(DecimalType(18, 4))
+      struct(lit(i).as("ci"),
+        when(col(c).isNotNull && dec > 0,
+          substring((dec * lit(10000)).cast("long").cast("string"), 1, 1)
+            .cast("int")).as("d"))
+    }
+    val obs = df.select(explode(array(pairStructs: _*)).as("__e"))
+      .select(col("__e.ci").as("__ci"), col("__e.d").as("__d"))
+      .filter(col("__d").isNotNull)
+      .groupBy("__ci", "__d").agg(count(lit(1)).as("__cnt"))
+    import df.sparkSession.implicits._
+    val grid = cols.indices.flatMap(i => (1 to 9).map(d => (i, d)))
+      .toDF("__ci", "__d")
+    val joined = grid.join(obs, Seq("__ci", "__d"), "left")
+      .withColumn("__cnt", coalesce(col("__cnt"), lit(0L)))
+      .withColumn("__n",
+        sum(col("__cnt")).over(Window.partitionBy(col("__ci"))))
+    // an empty column makes total = 0: the share must not divide
+    // (ANSI 0/0 throws inside the aggregate, before any outer guard)
+    val p = when(col("__n") > 0,
+      col("__cnt").cast(DoubleType) / col("__n").cast(DoubleType))
+      .otherwise(lit(0.0))
+    val e = log(lit(1.0) + lit(1.0) / col("__d")) / log(lit(10.0))
+    val agg = joined.groupBy(col("__ci"))
+      .agg(
         max(col("__n")).as("n"),
         sum(round(
           col("__n").cast(DoubleType) * (p - e) * (p - e) / e, 8)
           .cast(DecimalType(28, 8))).cast(DoubleType).as("__chi2"),
         max(abs(p - e)).as("__maxdev"))
-        .select(
-          lit(c).as("attribute"), col("n"),
-          when(col("n") > 0, round(col("__chi2"), 4)).as("chi2"),
-          when(col("n") > 0, round(col("__maxdev"), 4)).as("max_abs_dev"))
-    }.reduce(_ unionByName _)
+    val names = cols.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__ci", "attribute")
+    names.join(agg, Seq("__ci"), "left")
+      .select(
+        col("attribute"), col("n"),
+        when(col("n") > 0, round(col("__chi2"), 4)).as("chi2"),
+        when(col("n") > 0, round(col("__maxdev"), 4)).as("max_abs_dev"))
   }
 
   /** Herfindahl–Hirschman concentration of a weight column over a

@@ -418,10 +418,18 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val input = MemoryStream[(Long, String)]
     val stream = input.toDF().toDF("doc_id", "text")
+    graft.plans.GraftFunctions.register(spark)
+    val uniVocab = Seq(
+      graft.functions.UnigramTokenizer.UnigramPiece(1L, "pii", 3L, -1.0),
+      graft.functions.UnigramTokenizer.UnigramPiece(2L, "no", 2L, -1.2))
     val out = graft.sources.Sampling.deterministicSample(
         stream, 1.0, Seq("doc_id"))
       .withColumn("text", graft.functions.TextOps.piiRedact(col("text")))
       .withColumn("n_tokens", graft.functions.TextOps.tokenCount(col("text")))
+      // the unigram Viterbi token column is a pure projection too — the
+      // trained model folds into the streaming plan as a constant
+      .withColumn("n_pieces", org.apache.spark.sql.functions.size(
+        graft.functions.UnigramTokenizer.unigramTokens(col("text"), uniVocab)))
     val q = out.writeStream.format("memory").queryName("textops_out")
       .outputMode("append").start()
     try {
@@ -430,6 +438,10 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.sql("SELECT doc_id, text, n_tokens FROM textops_out")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(rows(1L) == "write to [EMAIL] now" && rows(2L) == "no pii")
+      val pieces = spark.sql("SELECT doc_id, n_pieces FROM textops_out")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // "no pii" normalizes to words [no, pii] -> pieces [no] [pii] = 2
+      assert(pieces(2L) == 2)
     } finally q.stop()
   }
 
