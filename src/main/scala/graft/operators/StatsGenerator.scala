@@ -55,52 +55,80 @@ object StatsGenerator {
     */
   def giniCoefficient(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.{Row => SRow}
-    import org.apache.spark.sql.types.{DecimalType, StructField, StructType, StringType}
-    cols.map { c =>
-      val counts = df.select(col(c).cast(DecimalType(18, 4)).as("__v"))
-        .filter(col("__v").isNotNull)
-        .groupBy("__v").agg(count(lit(1)).as("__n"))
-        .orderBy(col("__v").asc)
-      val rdd = counts.rdd
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val partCounts = rdd.mapPartitionsWithIndex { case (i, it) =>
-        Iterator.single(i -> it.map(_.getLong(1)).sum)
-      }.collect().sortBy(_._1).map(_._2)
-      val offsets = partCounts.scanLeft(0L)(_ + _)
-      val terms = rdd.mapPartitionsWithIndex { case (i, it) =>
-        var start = offsets(i)
-        it.map { r =>
-          val v = r.getDecimal(0)
-          val n = r.getLong(1)
-          // Σ over the tie group of rank·x = v·(n·start + n(n+1)/2)
-          val rankMass = new java.math.BigDecimal(n).multiply(
-            new java.math.BigDecimal(start).add(
-              new java.math.BigDecimal(n + 1).divide(new java.math.BigDecimal(2))))
-          start += n
-          SRow(v.multiply(rankMass), v.multiply(new java.math.BigDecimal(n)), n)
+    import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
+    // ALL columns in ONE pass (the avgRanksMelted idiom): a single
+    // melted value-frequency aggregation, one (column, value) RANGE
+    // sort — each column's block stays contiguous across the partition
+    // sequence — and the two-phase prefix runs per column inside the
+    // same pass. The previous form cost one sort job + one driver
+    // collect + one checkpoint PER column.
+    val melted = df.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("ci"), col(c).cast(DecimalType(18, 4)).as("v"))
+      }: _*)).as("__e"))
+      .select(col("__e.ci").as("ci"), col("__e.v").as("v"))
+      .filter(col("v").isNotNull)
+    val counts = melted.groupBy("ci", "v").agg(count(lit(1)).as("n"))
+    val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    val sorted = counts
+      .repartitionByRange(parts, col("ci").asc, col("v").asc)
+      .sortWithinPartitions(col("ci").asc, col("v").asc)
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partStats = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+      it.foreach { r => m(r.getInt(0)) = m.getOrElse(r.getInt(0), 0L) + r.getLong(2) }
+      Iterator.single((pi, m.toSeq))
+    }.collect().sortBy(_._1)
+    val offsets = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    locally {
+      val running = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+      partStats.foreach { case (pi, stats) =>
+        stats.foreach { case (ci, s) =>
+          offsets((pi, ci)) = running(ci); running(ci) += s
         }
       }
-      val schema = StructType(Seq(
-        StructField("__s1", DecimalType(38, 6)), StructField("__s", DecimalType(38, 6)),
-        StructField("__n", org.apache.spark.sql.types.LongType)))
-      // materialize the one-row aggregate eagerly, then release the
-      // cached sort — a multi-column call otherwise leaks one cached
-      // sort per column for the session's lifetime (packByBudget
-      // discipline)
-      val out = df.sparkSession.createDataFrame(terms, schema)
-        .agg(sum(col("__s1")).as("__S1"), sum(col("__s")).as("__S"),
-          sum(col("__n")).as("__N"))
-        .select(
-          lit(c).as("attribute"),
-          when(col("__S").cast("double") > 0,
-            round(lit(2.0) * col("__S1").cast("double") /
-              (col("__N") * col("__S").cast("double")) -
-              (col("__N") + 1).cast("double") / col("__N"), 4))
-            .as("gini"))
-        .localCheckpoint(true)
-      rdd.unpersist(false)
-      out
-    }.reduce(_ unionByName _)
+    }
+    val bcOffsets = df.sparkSession.sparkContext.broadcast(offsets.toMap)
+    val terms = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      val off = bcOffsets.value
+      val running = scala.collection.mutable.Map.empty[Int, Long]
+      it.map { r =>
+        val ci = r.getInt(0)
+        val v = r.getDecimal(1)
+        val n = r.getLong(2)
+        val start = running.getOrElse(ci, off.getOrElse((pi, ci), 0L))
+        // Σ over the tie group of rank·x = v·(n·start + n(n+1)/2)
+        val rankMass = new java.math.BigDecimal(n).multiply(
+          new java.math.BigDecimal(start).add(
+            new java.math.BigDecimal(n + 1).divide(new java.math.BigDecimal(2))))
+        running(ci) = start + n
+        SRow(ci, v.multiply(rankMass), v.multiply(new java.math.BigDecimal(n)), n)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("__ci", IntegerType),
+      StructField("__s1", DecimalType(38, 6)), StructField("__s", DecimalType(38, 6)),
+      StructField("__n", org.apache.spark.sql.types.LongType)))
+    import df.sparkSession.implicits._
+    val names = cols.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__ci", "attribute")
+    // materialize the (columns-sized) aggregate eagerly, then release
+    // the cached sort (packByBudget discipline)
+    val agg = df.sparkSession.createDataFrame(terms, schema)
+      .groupBy(col("__ci"))
+      .agg(sum(col("__s1")).as("__S1"), sum(col("__s")).as("__S"),
+        sum(col("__n")).as("__N"))
+    val out = names.join(agg, Seq("__ci"), "left")
+      .select(
+        col("attribute"),
+        when(col("__S").cast("double") > 0,
+          round(lit(2.0) * col("__S1").cast("double") /
+            (col("__N") * col("__S").cast("double")) -
+            (col("__N") + 1).cast("double") / col("__N"), 4))
+          .as("gini"))
+      .localCheckpoint(true)
+    rdd.unpersist(false)
+    out
   }
 
   /** Benford first-digit conformity test — the classic fabricated-data /
