@@ -34,4 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // deep iterative lineages (ALS) serialize recursively; the JDK default
   // 512k-1m thread stack intermittently overflows under concurrent suites
   "-Xss8m",
+  // The 234-query bench suite emits thousands of whole-stage-codegen
+  // classes in one JVM; the JDK default 240m code cache fills mid-suite
+  // and the JIT silently stops compiling, decaying every later query
+  // (the cross-round drift as the suite grew). Reserved ≠ committed:
+  // the larger reservation costs nothing until used.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )
