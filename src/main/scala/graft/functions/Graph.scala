@@ -115,6 +115,69 @@ object Graph {
     out
   }
 
+  /** Fixed-iteration HITS (Kleinberg) over DIRECTED (src, dst) edges —
+    * the hubs-and-authorities companion to [[pageRank]] in web-corpus
+    * curation: authorities are pages good hubs point at, hubs are pages
+    * that point at good authorities. Duplicate edges carry multiplicity
+    * (weighted multigraph), matching pageRank's contract.
+    *
+    * Each sweep: auth(v) = Σ_{u→v} hub(u), normalized; then
+    * hub(u) = Σ_{u→v} auth(v), normalized. Normalization divides by the
+    * step MAX rather than the textbook L2 norm: every per-step norm is a
+    * positive scalar, and the update is linear in the score vector, so
+    * the max-normalized iterate equals the L2 iterate up to one positive
+    * scalar per vector — identical rankings, and (unlike an L2 sum of
+    * squares) the max of already-computed doubles is exact, keeping the
+    * whole run replayable by an external engine at 9-decimal rounding
+    * (q_hits unrolls the same sweeps as SQL CTEs, the q_pagerank trick).
+    *
+    * Scale: per half-sweep one edge-frame join + one dst/src aggregate —
+    * the same 2-shuffle sweep shape as pageRank. The raw-score frame is
+    * node-sized and localCheckpoint-ed BEFORE its max is collected, so
+    * the scalar collect reads checkpoint blocks instead of replaying the
+    * edge join, and plan depth stays constant across sweeps (no
+    * re-analysis blow-up). Nodes with no in-edges hold authority 0;
+    * no out-edges, hub 0.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist()
+    val nodes = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node"))).distinct().persist()
+    nodes.count()
+
+    // one half-sweep: raw scores from the edge join, checkpointed
+    // node-sized, then divided by their exact collected max
+    def halfSweep(scores: DataFrame, scoreCol: String, joinKey: String,
+        outKey: String, outCol: String): DataFrame = {
+      val raw = nodes.join(
+          e0.join(scores.withColumnRenamed("node", joinKey), Seq(joinKey))
+            .groupBy(col(outKey).as("node"))
+            .agg(sum(col(scoreCol)).as("r")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("r"), lit(0.0)).as("r"))
+        .localCheckpoint()
+      val m = raw.agg(max(col("r"))).collect()(0).getDouble(0)
+      val denom = if (m > 0.0) m else 1.0
+      raw.select(col("node"), (col("r") / lit(denom)).as(outCol))
+    }
+
+    var hub = nodes.withColumn("hub", lit(1.0))
+    var auth = nodes.withColumn("auth", lit(0.0))
+    for (_ <- 1 to iterations) {
+      auth = halfSweep(hub, "hub", "src", "dst", "auth")
+      hub = halfSweep(auth, "auth", "dst", "src", "hub")
+    }
+    val out = auth.join(hub, Seq("node")).localCheckpoint()
+    e0.unpersist(false); nodes.unpersist(false)
+    out
+  }
+
   /** Degree orientation (Cohen / Schank-Wagner, the public standard):
     * each canonical undirected edge (lo, hi) is directed from its
     * smaller endpoint to its larger endpoint under the total order

@@ -470,6 +470,57 @@ object AnalyticsQueries {
                   UNION ALL SELECT c FROM tri)
       SELECT node, count(*) AS triangles FROM corners GROUP BY node"""))
 
+  /** Fixed-iteration HITS over the DIRECTED customer→supplier purchase
+    * graph (buyers are hubs, suppliers are authorities). Max-normalized
+    * per half-sweep (scalar-equivalent to the L2 textbook form — see
+    * [[graft.functions.Graph.hits]]); the oracle unrolls the SAME five
+    * sweeps as CTEs, so every score matches at 9 decimals.
+    */
+  val qHits = Q(
+    "q_hits",
+    (s, dir) => {
+      val t = tables(s, dir)
+      val edges = t.lineitem.filter(col("l_orderkey") % 10 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"))
+      graft.functions.Graph.hits(edges, iterations = 5)
+        .select(col("node"), round(col("auth"), 9).as("auth"),
+          round(col("hub"), 9).as("hub"))
+    },
+    Some {
+      // one half-sweep: raw in-score sums over the edges, then divide by
+      // the step max (guarded like the engine: max<=0 -> divide by 1)
+      def half(out: String, prev: String, prevCol: String,
+          joinKey: String, outKey: String, outCol: String): String =
+        s"""${out}r AS MATERIALIZED (
+           SELECT nodes.node, COALESCE(s.s, CAST(0 AS DOUBLE)) AS r
+           FROM nodes LEFT JOIN (
+             SELECT e.$outKey AS node, sum(p.$prevCol) AS s
+             FROM e JOIN $prev p ON e.$joinKey = p.node
+             GROUP BY e.$outKey) s ON nodes.node = s.node),
+        $out AS MATERIALIZED (
+           SELECT r.node,
+             r.r / (CASE WHEN m.m > 0 THEN m.m ELSE CAST(1 AS DOUBLE) END)
+               AS $outCol
+           FROM ${out}r r, (SELECT max(r) AS m FROM ${out}r) m)"""
+      val sweeps = (1 to 5).map { i =>
+        half(s"a$i", if (i == 1) "h0" else s"h${i - 1}", "hub", "src", "dst", "auth") +
+          ",\n" + half(s"h$i", s"a$i", "auth", "dst", "src", "hub")
+      }.mkString(",\n")
+      s"""
+      WITH e AS MATERIALIZED (
+        SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_orderkey % 10 = 0),
+      nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      h0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes),
+      $sweeps
+      SELECT a5.node, round(a5.auth, 9) AS auth, round(h5.hub, 9) AS hub
+      FROM a5 JOIN h5 ON a5.node = h5.node"""
+    })
+
   def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qTheilsU, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
-    qPageRank, qTriangles)
+    qPageRank, qTriangles, qHits)
 }

@@ -270,6 +270,31 @@ class PropertiesSpec extends SparkSpec {
     assert((1L to 8L).map(r).distinct.size == 1)
   }
 
+  test("hits: directed star separates hubs from authorities exactly") {
+    // all spokes point AT the center: center is the unique authority,
+    // spokes are the (symmetric, therefore equal) hubs
+    val edges = (1L to 6L).map(s => (s, 0L)).toDF("src", "dst")
+    val r = graft.functions.Graph.hits(edges, iterations = 3)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+    val byNode = r.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byNode(0L) == ((1.0, 0.0)), s"center ${byNode(0L)}") // max-normalized authority, no out-edges
+    (1L to 6L).foreach { s =>
+      assert(byNode(s) == ((0.0, 1.0)), s"spoke $s ${byNode(s)}")
+    }
+    // add a second, smaller authority: spokes 1..6 -> 0 plus 1..3 -> 7;
+    // hubs covering both authorities must outrank single-authority hubs,
+    // and the smaller authority stays strictly between 0 and the max
+    val edges2 = ((1L to 6L).map(s => (s, 0L)) ++ (1L to 3L).map(s => (s, 7L)))
+      .toDF("src", "dst")
+    val r2 = graft.functions.Graph.hits(edges2, iterations = 5)
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(r2(0L)._1 == 1.0, "big authority is the max")
+    assert(r2(7L)._1 > 0.0 && r2(7L)._1 < 1.0, s"small authority ${r2(7L)._1}")
+    // hubs pointing at BOTH authorities outrank hubs seeing one
+    assert(r2(1L)._2 == 1.0 && r2(4L)._2 < 1.0,
+      s"two-authority hub ${r2(1L)._2} vs one-authority hub ${r2(4L)._2}")
+  }
+
   test("misra-gries: exact when distinct <= k, error-bounded beyond") {
     // exact regime: distinct = 10 <= k = 16 → counts equal groupBy truth,
     // and the result is partition-layout invariant
