@@ -121,59 +121,79 @@ object Graph {
     * that point at good authorities. Duplicate edges carry multiplicity
     * (weighted multigraph), matching pageRank's contract.
     *
-    * Each sweep: auth(v) = Σ_{u→v} hub(u), normalized; then
-    * hub(u) = Σ_{u→v} auth(v), normalized. Normalization divides by the
-    * step MAX rather than the textbook L2 norm: every per-step norm is a
-    * positive scalar, and the update is linear in the score vector, so
-    * the max-normalized iterate equals the L2 iterate up to one positive
-    * scalar per vector — identical rankings, and (unlike an L2 sum of
-    * squares) the max of already-computed doubles is exact, keeping the
+    * Each sweep: auth(v) = Σ_{u→v} hub(u); hub(u) = Σ_{u→v} auth(v).
+    * Both updates are LINEAR in the score vector, so any positive
+    * per-step normalization constant just rescales everything after it —
+    * the textbook per-step L2 norm, a per-step max norm, and normalizing
+    * only occasionally all yield the SAME final vector up to one positive
+    * scalar (identical rankings). This implementation divides each
+    * vector by its exact MAX only at `rescaleEvery`-sweep barriers and
+    * after the final sweep: the barrier bounds double magnitude (raw
+    * scores grow like (d_in·d_out)^sweeps between barriers) while the
+    * intermediate sweeps stay one lazy plan, and (unlike an L2 sum of
+    * squares) a max of already-computed doubles is exact, keeping the
     * whole run replayable by an external engine at 9-decimal rounding
-    * (q_hits unrolls the same sweeps as SQL CTEs, the q_pagerank trick).
+    * (q_hits unrolls the same sweeps AND the same rescale schedule as
+    * SQL CTEs, the q_pagerank trick).
     *
     * Scale: per half-sweep one edge-frame join + one dst/src aggregate —
-    * the same 2-shuffle sweep shape as pageRank. The raw-score frame is
-    * node-sized and localCheckpoint-ed BEFORE its max is collected, so
-    * the scalar collect reads checkpoint blocks instead of replaying the
-    * edge join, and plan depth stays constant across sweeps (no
-    * re-analysis blow-up). Nodes with no in-edges hold authority 0;
-    * no out-edges, hub 0.
+    * the same 2-shuffle sweep shape as pageRank. At each barrier the
+    * node-sized score frame localCheckpoints BEFORE its max is
+    * collected, so the scalar collect reads checkpoint blocks instead of
+    * replaying the edge joins, and plan depth stays bounded by the
+    * barrier interval. Nodes with no in-edges hold authority 0; no
+    * out-edges, hub 0.
     */
   def hits(
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5,
+      rescaleEvery: Int = 2): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
+    require(rescaleEvery >= 1, "rescaleEvery must be >= 1")
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).persist()
     val nodes = e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node"))).distinct().persist()
     nodes.count()
 
-    // one half-sweep: raw scores from the edge join, checkpointed
-    // node-sized, then divided by their exact collected max
+    // one lazy half-sweep: raw in/out-score sums over the edge frame.
+    // The frame holds only nodes that RECEIVED contributions — a node
+    // with score 0 contributes nothing to the next sweep, so zero rows
+    // are never carried between sweeps (fewer node-sized joins); the
+    // final output zero-fills once from the node table.
     def halfSweep(scores: DataFrame, scoreCol: String, joinKey: String,
-        outKey: String, outCol: String): DataFrame = {
-      val raw = nodes.join(
-          e0.join(scores.withColumnRenamed("node", joinKey), Seq(joinKey))
-            .groupBy(col(outKey).as("node"))
-            .agg(sum(col(scoreCol)).as("r")),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col("r"), lit(0.0)).as("r"))
-        .localCheckpoint()
-      val m = raw.agg(max(col("r"))).collect()(0).getDouble(0)
-      val denom = if (m > 0.0) m else 1.0
-      raw.select(col("node"), (col("r") / lit(denom)).as(outCol))
+        outKey: String, outCol: String): DataFrame =
+      e0.join(scores.withColumnRenamed("node", joinKey), Seq(joinKey))
+        .groupBy(col(outKey).as("node"))
+        .agg(sum(col(scoreCol)).as(outCol))
+
+    // barrier: checkpoint the node-sized vector, divide by its exact max
+    // (an all-zero or empty frame divides by 1 — scores are nonnegative,
+    // so absent zero rows never change the max)
+    def rescale(df: DataFrame, c: String): DataFrame = {
+      val ck = df.localCheckpoint()
+      val row = ck.agg(max(col(c))).collect()(0)
+      val m = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      ck.select(col("node"), (col(c) / lit(if (m > 0.0) m else 1.0)).as(c))
     }
 
     var hub = nodes.withColumn("hub", lit(1.0))
-    var auth = nodes.withColumn("auth", lit(0.0))
-    for (_ <- 1 to iterations) {
+    var auth: DataFrame = null // assigned in sweep 1 before any read
+    for (it <- 1 to iterations) {
+      val barrier = it % rescaleEvery == 0 || it == iterations
       auth = halfSweep(hub, "hub", "src", "dst", "auth")
+      if (barrier) auth = rescale(auth, "auth")
       hub = halfSweep(auth, "auth", "dst", "src", "hub")
+      if (barrier) hub = rescale(hub, "hub")
     }
-    val out = auth.join(hub, Seq("node")).localCheckpoint()
+    val out = nodes
+      .join(auth, Seq("node"), "left")
+      .join(hub, Seq("node"), "left")
+      .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth"),
+        coalesce(col("hub"), lit(0.0)).as("hub"))
+      .localCheckpoint()
     e0.unpersist(false); nodes.unpersist(false)
     out
   }

@@ -489,24 +489,38 @@ object AnalyticsQueries {
           round(col("hub"), 9).as("hub"))
     },
     Some {
-      // one half-sweep: raw in-score sums over the edges, then divide by
-      // the step max (guarded like the engine: max<=0 -> divide by 1)
+      // one half-sweep: raw in/out-score sums over the edges; at rescale
+      // barriers (sweep % 2 == 0 or the last sweep, the engine's
+      // schedule) divide by the step max (guarded like the engine:
+      // max<=0 -> divide by 1)
       def half(out: String, prev: String, prevCol: String,
-          joinKey: String, outKey: String, outCol: String): String =
-        s"""${out}r AS MATERIALIZED (
-           SELECT nodes.node, COALESCE(s.s, CAST(0 AS DOUBLE)) AS r
-           FROM nodes LEFT JOIN (
-             SELECT e.$outKey AS node, sum(p.$prevCol) AS s
-             FROM e JOIN $prev p ON e.$joinKey = p.node
-             GROUP BY e.$outKey) s ON nodes.node = s.node),
-        $out AS MATERIALIZED (
-           SELECT r.node,
-             r.r / (CASE WHEN m.m > 0 THEN m.m ELSE CAST(1 AS DOUBLE) END)
-               AS $outCol
-           FROM ${out}r r, (SELECT max(r) AS m FROM ${out}r) m)"""
-      val sweeps = (1 to 5).map { i =>
-        half(s"a$i", if (i == 1) "h0" else s"h${i - 1}", "hub", "src", "dst", "auth") +
-          ",\n" + half(s"h$i", s"a$i", "auth", "dst", "src", "hub")
+          joinKey: String, outKey: String, outCol: String,
+          barrier: Boolean): String = {
+        val raw =
+          s"""${out}r AS MATERIALIZED (
+             SELECT nodes.node, COALESCE(s.s, CAST(0 AS DOUBLE)) AS r
+             FROM nodes LEFT JOIN (
+               SELECT e.$outKey AS node, sum(p.$prevCol) AS s
+               FROM e JOIN $prev p ON e.$joinKey = p.node
+               GROUP BY e.$outKey) s ON nodes.node = s.node)"""
+        val scaled =
+          if (barrier)
+            s"""$out AS MATERIALIZED (
+               SELECT r.node,
+                 r.r / (CASE WHEN m.m > 0 THEN m.m ELSE CAST(1 AS DOUBLE) END)
+                   AS $outCol
+               FROM ${out}r r, (SELECT max(r) AS m FROM ${out}r) m)"""
+          else
+            s"""$out AS MATERIALIZED (
+               SELECT node, r AS $outCol FROM ${out}r)"""
+        raw + ",\n" + scaled
+      }
+      val iters = 5
+      val sweeps = (1 to iters).map { i =>
+        val barrier = i % 2 == 0 || i == iters
+        half(s"a$i", if (i == 1) "h0" else s"h${i - 1}", "hub", "src", "dst",
+          "auth", barrier) +
+          ",\n" + half(s"h$i", s"a$i", "auth", "dst", "src", "hub", barrier)
       }.mkString(",\n")
       s"""
       WITH e AS MATERIALIZED (
