@@ -71,7 +71,10 @@ object TriScale {
     // vocab-sized and must not grow with the corpus, like BPE)
     "q_url_dedup", "q_domain_rollup", "q_domain_cap",
     "q_workflow_mixture", "q_workflow_url", "q_workflow_tokenize",
-    "q_unigram_vocab", "q_unigram_encode")
+    "q_unigram_vocab", "q_unigram_encode",
+    // round-17b: HITS — same per-sweep join+agg shape as pagerank; its
+    // barrier rescales must stay node-sized as the graph grows
+    "q_hits")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -126,7 +129,10 @@ object TriScale {
     // all ride the documents tier
     "q_url_dedup", "q_domain_rollup", "q_domain_cap",
     "q_workflow_mixture", "q_workflow_url", "q_workflow_tokenize",
-    "q_unigram_vocab", "q_unigram_encode")
+    "q_unigram_vocab", "q_unigram_encode",
+    // round-17b: HITS rides the sf1 orders tier like pagerank (shared
+    // suppliers give 10x-degree authority hubs)
+    "q_hits")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

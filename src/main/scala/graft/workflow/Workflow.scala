@@ -818,6 +818,11 @@ object Workflow {
           iterations = pc.getOrElse("iterations", 5).toString.toInt,
           damping = pc.getOrElse("damping", 0.85).toString.toDouble)
       }
+      gm.get("hits").foreach { hv =>
+        val hc = asConf(hv)
+        metrics("hits") = graft.functions.Graph.hits(edges, src, dst,
+          iterations = hc.getOrElse("iterations", 5).toString.toInt)
+      }
       if (gm.getOrElse("triangle_counts", false) == true)
         metrics("triangle_counts") =
           graft.functions.Graph.triangleCounts(edges, src, dst)

@@ -816,6 +816,8 @@ graph_metrics:
   dst_col: l_partkey
   pagerank:
     iterations: 3
+  hits:
+    iterations: 2
   triangle_counts: true
 """
     val (df, stages) = Workflow.run(spark, yaml)
@@ -827,6 +829,11 @@ graph_metrics:
     // nodes leak a little mass, never add any)
     val total = pr.agg(sum(col("rank"))).first().getDouble(0)
     assert(total > 0 && total <= 1.0 + 1e-9)
+    val ht = gm.metrics("hits")
+    assert(ht.columns.toSeq == Seq("node", "auth", "hub"))
+    // max-normalized: both score vectors top out at exactly 1
+    assert(ht.agg(max(col("auth")), max(col("hub"))).first() ==
+      org.apache.spark.sql.Row(1.0, 1.0))
     assert(gm.metrics("triangle_counts").columns.contains("triangles"))
     // the data frame itself flows through the stage unchanged
     assert(df.columns.toSeq == Seq("l_suppkey", "l_partkey"))
