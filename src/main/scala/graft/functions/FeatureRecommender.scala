@@ -149,8 +149,11 @@ object FeatureRecommender {
       col(descCol).as("desc"),
       concat_ws(" ", col(nameCol), col(descCol)).as("__text"))
     val n = base.count().toDouble
+    // same materialize-once rationale as search(): idf, doc norms, and
+    // the per-query dots all replay this frame's corpus tokenize otherwise
     val tf = tokens(base, "id", "__text")
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val idf = tf.groupBy("token")
       .agg(countDistinct(col("id")).as("df"))
       .withColumn("idf", log(lit(n + 1) / (col("df") + 1)) + 1)

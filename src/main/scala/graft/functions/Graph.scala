@@ -59,14 +59,9 @@ object Graph {
     // edges silently vanish from the join instead of erroring
     require(saltDegreeThreshold <= 0 || saltFactor >= 1,
       s"saltFactor must be >= 1 when salting is enabled, got $saltFactor")
-    // persisted: every sweep re-reads all three — without the cache the
-    // edge projection and the deg/nodes shuffles replay ~2× per
-    // iteration from the source scan
-    val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .persist()
+    val (e0, nodes) = edgeNodeFrames(edges, srcCol, dstCol)
+    // deg persisted like e0/nodes: every sweep re-reads all three
     val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
-    val nodes = e0.select(col("src").as("node"))
-      .unionByName(e0.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()
     val base = lit(1.0) - lit(damping)
     val salted = saltDegreeThreshold > 0
@@ -152,10 +147,7 @@ object Graph {
       rescaleEvery: Int = 2): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(rescaleEvery >= 1, "rescaleEvery must be >= 1")
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).persist()
-    val nodes = e0.select(col("src").as("node"))
-      .unionByName(e0.select(col("dst").as("node"))).distinct().persist()
+    val (e0, nodes) = edgeNodeFrames(edges, srcCol, dstCol)
     nodes.count()
 
     // one lazy half-sweep: raw in/out-score sums over the edge frame.
@@ -196,6 +188,21 @@ object Graph {
       .localCheckpoint()
     e0.unpersist(false); nodes.unpersist(false)
     out
+  }
+
+  /** Shared centrality preamble: long-typed (src, dst) edge projection
+    * and the distinct node table, both persisted — every sweep of
+    * pageRank/HITS re-reads them, and without the cache the projection
+    * and node shuffles replay per iteration from the source scan.
+    * Callers unpersist both when done.
+    */
+  private def edgeNodeFrames(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist()
+    val nodes = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node"))).distinct().persist()
+    (e0, nodes)
   }
 
   /** Degree orientation (Cohen / Schank-Wagner, the public standard):

@@ -484,7 +484,10 @@ object AnalyticsQueries {
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + lit(10000000L)).as("dst"))
-      graft.functions.Graph.hits(edges, iterations = 5)
+      // rescaleEvery pinned: the oracle below hardcodes the same
+      // i % 2 == 0 barrier schedule — a retuned engine default must not
+      // silently diverge the replay
+      graft.functions.Graph.hits(edges, iterations = 5, rescaleEvery = 2)
         .select(col("node"), round(col("auth"), 9).as("auth"),
           round(col("hub"), 9).as("hub"))
     },
