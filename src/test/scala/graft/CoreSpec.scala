@@ -111,4 +111,24 @@ class CoreSpec extends SparkSpec {
     assert(sess.groupBy("user_id").agg(max(col("session_idx")))
       .as[(String, Long)].collect().toMap == Map("0" -> 2L, "1" -> 2L))
   }
+
+  // Contract of the relation memo: /root/testdata tables (immutable by
+  // contract) resolve once per session and return the SAME frame object;
+  // any other dir resolves fresh per call, so the write-then-reread
+  // pattern on temp dirs keeps seeing the latest file.
+  test("Tables memoizes only the immutable testdata tree") {
+    val a = Tables(spark, "/root/testdata/sf0.001").nation
+    val b = Tables(spark, "/root/testdata/sf0.001").nation
+    assert(a eq b, "testdata relation must be memoized per (session, dir, name)")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo").toString
+    spark.range(3).select(col("id").as("n_nationkey"))
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    assert(Tables(spark, dir).nation.count() == 3)
+    // rewrite in the same session: a fresh resolution must see 5 rows
+    spark.range(5).select(col("id").as("n_nationkey"))
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    assert(Tables(spark, dir).nation.count() == 5,
+      "non-testdata dirs must re-resolve on every access")
+  }
 }
