@@ -295,6 +295,20 @@ class PropertiesSpec extends SparkSpec {
       s"two-authority hub ${r2(1L)._2} vs one-authority hub ${r2(4L)._2}")
   }
 
+  test("hits: uniform edge-multiplicity scaling cancels in normalization") {
+    // duplicating the whole edge multiset doubles every raw sum AND the
+    // step max — powers of two divide exactly, so normalized scores are
+    // bit-identical (the weighted-multigraph contract)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 3L), (3L, 5L))
+      .toDF("src", "dst")
+    val doubled = edges.unionAll(edges)
+    def scores(e: org.apache.spark.sql.DataFrame) =
+      graft.functions.Graph.hits(e, iterations = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+    assert(scores(edges) == scores(doubled))
+  }
+
   test("misra-gries: exact when distinct <= k, error-bounded beyond") {
     // exact regime: distinct = 10 <= k = 16 → counts equal groupBy truth,
     // and the result is partition-layout invariant
