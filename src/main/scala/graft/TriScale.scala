@@ -73,8 +73,9 @@ object TriScale {
     "q_workflow_mixture", "q_workflow_url", "q_workflow_tokenize",
     "q_unigram_vocab", "q_unigram_encode",
     // round-17b: HITS — same per-sweep join+agg shape as pagerank; its
-    // barrier rescales must stay node-sized as the graph grows
-    "q_hits")
+    // barrier rescales must stay node-sized as the graph grows — and
+    // k-core, whose per-round degree agg + shrink must stay linear
+    "q_hits", "q_kcore")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -131,8 +132,9 @@ object TriScale {
     "q_workflow_mixture", "q_workflow_url", "q_workflow_tokenize",
     "q_unigram_vocab", "q_unigram_encode",
     // round-17b: HITS rides the sf1 orders tier like pagerank (shared
-    // suppliers give 10x-degree authority hubs)
-    "q_hits")
+    // suppliers give 10x-degree authority hubs); k-core rides the same
+    // tier (10x-degree hubs must still peel in bounded rounds)
+    "q_hits", "q_kcore")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -205,6 +205,57 @@ object Graph {
     (e0, nodes)
   }
 
+  /** Fixed-round k-core peeling over an undirected simple graph — the
+    * dense-subgraph signal web/social curation uses to separate tightly
+    * linked cores from peripheral tails (spam farms and boilerplate
+    * rings peel away; genuine hubs survive). Edges canonicalize to
+    * (lo < hi) distinct pairs; each synchronous round drops every node
+    * whose current degree is below `k` and the edges touching it. A
+    * FIXED `rounds` count (not a convergence test) keeps the result a
+    * pure function of the edges, exactly replayable by an external
+    * engine (q_kcore unrolls the same rounds as MATERIALIZED CTEs —
+    * the pageRank/HITS idiom); when peeling has converged within
+    * `rounds` (typical — each round removes whole peripheral layers)
+    * the output IS the true k-core.
+    *
+    * Returns (node, core_degree): the surviving subgraph's nodes with
+    * their degree inside it — all exact integers.
+    *
+    * Scale: each round is one degree aggregate (map-side combined) plus
+    * two node-sized semi-join filters (AQE broadcasts the alive set
+    * when small); the edge frame only shrinks. localCheckpoint every
+    * other round bounds plan depth, same as the other iterative graph
+    * ops.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      k: Int = 2,
+      rounds: Int = 5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "need at least one peel round")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    def degrees(g: DataFrame): DataFrame =
+      g.select(col("lo").as("node"))
+        .unionAll(g.select(col("hi").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    for (r <- 1 to rounds) {
+      val alive = degrees(e).filter(col("deg") >= k).select("node")
+      e = e
+        .join(alive.withColumnRenamed("node", "lo"), Seq("lo"))
+        .join(alive.withColumnRenamed("node", "hi"), Seq("hi"))
+        .select(col("lo"), col("hi"))
+      if (r % 2 == 0 || r == rounds) e = e.localCheckpoint()
+    }
+    degrees(e).withColumnRenamed("deg", "core_degree")
+  }
+
   /** Degree orientation (Cohen / Schank-Wagner, the public standard):
     * each canonical undirected edge (lo, hi) is directed from its
     * smaller endpoint to its larger endpoint under the total order

@@ -538,6 +538,51 @@ object AnalyticsQueries {
       FROM a5 JOIN h5 ON a5.node = h5.node"""
     })
 
+  /** Fixed-round k-core peeling over the supplier co-occurrence graph
+    * (the q_triangle_count edge set): 5 synchronous rounds dropping
+    * degree-< k nodes and their edges, exact integers. The oracle
+    * unrolls the SAME rounds as MATERIALIZED CTEs.
+    */
+  val qKCore = Q(
+    "q_kcore",
+    (s, dir) => {
+      val li = tables(s, dir).lineitem.filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+      // k and rounds pinned beside the oracle that hardcodes them
+      graft.functions.Graph.kCore(pairs, k = 3, rounds = 5)
+    },
+    Some {
+      val k = 3
+      def round(r: Int): String = {
+        val prev = if (r == 1) "e0" else s"e${r - 1}"
+        s"""a$r AS MATERIALIZED (
+           SELECT node FROM (
+             SELECT node, count(*) AS deg FROM (
+               SELECT lo AS node FROM $prev
+               UNION ALL SELECT hi FROM $prev) GROUP BY node)
+           WHERE deg >= $k),
+        e$r AS MATERIALIZED (
+           SELECT e.lo, e.hi FROM $prev e
+           JOIN a$r x ON e.lo = x.node
+           JOIN a$r y ON e.hi = y.node)"""
+      }
+      val rounds = (1 to 5).map(round).mkString(",\n")
+      s"""
+      WITH li AS MATERIALIZED (
+        SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        WHERE l_orderkey % 20 = 0),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT x.sk AS lo, y.sk AS hi
+        FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+      $rounds
+      SELECT node, count(*) AS core_degree FROM (
+        SELECT lo AS node FROM e5 UNION ALL SELECT hi FROM e5)
+      GROUP BY node"""
+    })
+
   def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qTheilsU, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
-    qPageRank, qTriangles, qHits)
+    qPageRank, qTriangles, qHits, qKCore)
 }

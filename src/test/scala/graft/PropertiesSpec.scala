@@ -309,6 +309,23 @@ class PropertiesSpec extends SparkSpec {
     assert(scores(edges) == scores(doubled))
   }
 
+  test("k-core peeling keeps the clique, sheds the tail") {
+    // 4-clique (1..4, degree 3 each) with a chain tail 4-5-6-7: at k=3
+    // the tail peels (7 first, then 6, then 5 — within 5 rounds) and the
+    // clique survives with exact in-core degree 3
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val tail = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (clique ++ tail).toDF("src", "dst")
+    val core = graft.functions.Graph.kCore(edges, k = 3, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $core")
+    // k=1 keeps everything (every node has an edge); degrees exact
+    val all = graft.functions.Graph.kCore(edges, k = 1, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L,
+      5L -> 2L, 6L -> 2L, 7L -> 1L), s"got $all")
+  }
+
   test("misra-gries: exact when distinct <= k, error-bounded beyond") {
     // exact regime: distinct = 10 <= k = 16 → counts equal groupBy truth,
     // and the result is partition-layout invariant
