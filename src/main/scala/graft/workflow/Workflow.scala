@@ -823,6 +823,12 @@ object Workflow {
         metrics("hits") = graft.functions.Graph.hits(edges, src, dst,
           iterations = hc.getOrElse("iterations", 5).toString.toInt)
       }
+      gm.get("k_core").foreach { kv =>
+        val kc = asConf(kv)
+        metrics("k_core") = graft.functions.Graph.kCore(edges, src, dst,
+          k = kc.getOrElse("k", 2).toString.toInt,
+          rounds = kc.getOrElse("rounds", 5).toString.toInt)
+      }
       if (gm.getOrElse("triangle_counts", false) == true)
         metrics("triangle_counts") =
           graft.functions.Graph.triangleCounts(edges, src, dst)

@@ -818,6 +818,9 @@ graph_metrics:
     iterations: 3
   hits:
     iterations: 2
+  k_core:
+    k: 2
+    rounds: 3
   triangle_counts: true
 """
     val (df, stages) = Workflow.run(spark, yaml)
@@ -834,6 +837,10 @@ graph_metrics:
     // max-normalized: both score vectors top out at exactly 1
     assert(ht.agg(max(col("auth")), max(col("hub"))).first() ==
       org.apache.spark.sql.Row(1.0, 1.0))
+    val kc = gm.metrics("k_core")
+    assert(kc.columns.toSeq == Seq("node", "core_degree"))
+    // peeling only removes: every survivor keeps a positive in-core degree
+    assert(kc.agg(min(col("core_degree"))).first().getLong(0) >= 1L)
     assert(gm.metrics("triangle_counts").columns.contains("triangles"))
     // the data frame itself flows through the stage unchanged
     assert(df.columns.toSeq == Seq("l_suppkey", "l_partkey"))
