@@ -74,19 +74,36 @@ object Dedup {
       .agg(count(lit(1)).as("dup_count"), min(col(keyCol)).as("representative"))
       .filter(col("dup_count") > 1)
 
-  /** Keep one row per exact-duplicate group (first by key). ONE
-    * `min_by` hash aggregation keyed by the fingerprint — O(1) state
-    * per group with map-side partial combine (a boilerplate page
-    * duplicated millions of times pre-collapses inside each task),
-    * where the former row_number window sorted every partition by
-    * (fingerprint, key) just to pick row 1.
+  /** Keep one row per group (smallest key wins): ONE `min_by` hash
+    * aggregation keyed by `groupExpr` — O(1) state per group with
+    * map-side partial combine (a boilerplate page duplicated millions
+    * of times pre-collapses inside each task), where a row_number
+    * window would sort every partition just to pick row 1. Shared by
+    * [[exactDedup]] and `UrlOps.urlDedup`.
+    *
+    * The ordering is a (isNull, key) struct rather than the bare key:
+    * `min_by` SKIPS rows whose ordering value is null, so a group whose
+    * every key is null would otherwise collapse to one fabricated
+    * all-null row — the struct is never null, keeps a real row, and
+    * prefers non-null keys (matching the oracle's min_by semantics).
+    * Columns round-trip through the struct by field POSITION
+    * (`getField`), so names containing dots survive.
     */
-  def exactDedup(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+  private[graft] def firstByKey(df: DataFrame, groupExpr: Column,
+      keyCol: String): DataFrame = {
     val cols = df.columns.toSeq
-    df.groupBy(TextOps.fingerprint(col(textCol)).as("__fp"))
-      .agg(min_by(struct(cols.map(col): _*), col(keyCol)).as("__r"))
-      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+    val quoted = cols.map(c => col(s"`$c`"))
+    val ord = struct(col(s"`$keyCol`").isNull.cast("int"), col(s"`$keyCol`"))
+    df.groupBy(groupExpr)
+      .agg(min_by(struct(quoted: _*), ord).as("__r"))
+      .select(cols.map(c => col("__r").getField(c).as(c)): _*)
   }
+
+  /** Keep one row per exact-duplicate group (first by key) via
+    * [[firstByKey]] keyed on the normalized-text fingerprint.
+    */
+  def exactDedup(df: DataFrame, textCol: String, keyCol: String): DataFrame =
+    firstByKey(df, TextOps.fingerprint(col(textCol)).as("__fp"), keyCol)
 
   /** Corpus-level line deduplication (the boilerplate-removal pass of
     * public LLM pipelines — repeated footers/nav-bars/disclaimers are

@@ -143,12 +143,9 @@ object UrlOps {
     * With duplicate keys inside one canonical group the survivor among
     * the tied rows is arbitrary (keys are document ids — unique).
     */
-  def urlDedup(df: DataFrame, urlCol: String, keyCol: String): DataFrame = {
-    val cols = df.columns.toSeq
-    df.groupBy(canonicalizeUrl(col(urlCol)).as("__canon"))
-      .agg(min_by(struct(cols.map(col): _*), col(keyCol)).as("__r"))
-      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
-  }
+  def urlDedup(df: DataFrame, urlCol: String, keyCol: String): DataFrame =
+    graft.functions.Dedup.firstByKey(df,
+      canonicalizeUrl(col(urlCol)).as("__canon"), keyCol)
 
   /** Per-domain document cap (the RefinedWeb/Gopher-style quota that
     * stops one hub domain from dominating the corpus): keep at most
@@ -181,8 +178,14 @@ object UrlOps {
     val keyStr = coalesce(col(keyCol).cast("string"), lit(""))
     val h = call_function("md5_prefix60",
       concat(lit(salt), lit(":"), keyStr).cast("binary"))
+    // null/unparseable-URL rows cap as ONE group: the quota join is a
+    // plain (null-unsafe) equi-join, so a null __dom would never match
+    // its stats row and the whole group would silently read as
+    // under-quota — coalesce to a sentinel no real registrable domain
+    // can collide with ("" is not a valid hostname character)
     val withH = df
-      .withColumn("__dom", registrableDomain(hostOf(col(urlCol))))
+      .withColumn("__dom",
+        coalesce(registrableDomain(hostOf(col(urlCol))), lit("")))
       .withColumn("__h", h)
     // per-domain threshold: the maxDocs-th smallest hash (null = the
     // domain is under quota and keeps everything), plus the threshold's

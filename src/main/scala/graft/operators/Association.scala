@@ -131,13 +131,26 @@ object Association {
     require(cols.size >= 2, "need at least 2 columns")
     // cast FIRST, then drop listwise: a failed string→double cast must
     // count as a null row, not slip past na.drop on its pre-cast value.
-    // No materialize barrier: with the melted one-pass rank build the
-    // source replays exactly twice (the rank-count pass and the final
-    // rank-join action) — a pruned columnar re-scan is cheaper than the
-    // r13-era checkpoint write+read that paid for N+1 replays.
-    val df = QualityChecker.sampleCapped(df0, sampleCap)
+    // No materialize barrier on deterministic inputs: with the melted
+    // one-pass rank build the source replays exactly twice (the
+    // rank-count pass and the final rank-join action) — a pruned
+    // columnar re-scan is cheaper than the r13-era checkpoint
+    // write+read that paid for N+1 replays. A NONDETERMINISTIC input
+    // (sampleCapped's Bernoulli sample, a rand() column) must still
+    // pin one barrier: the two replays could otherwise select
+    // different row sets, and rows absent from the rank table silently
+    // drop out of the inner rank join (the exactPercentiles rule).
+    val projected = QualityChecker.sampleCapped(df0, sampleCap)
       .select(cols.map(c => col(c).cast("double").as(c)): _*)
       .na.drop(cols)
+    val nondetInput = {
+      val plan = projected.queryExecution.optimizedPlan
+      plan.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
+        case p => p.expressions.exists(e => !e.deterministic)
+      }
+    }
+    val df = if (nondetInput) projected.localCheckpoint(true) else projected
     val (ranksAll, distinct) = avgRanksMelted(df, cols)
     val ranked = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       val ranks = ranksAll.filter(col("ci") === i)
@@ -206,6 +219,12 @@ object Association {
     // cell partials, never row-sized. Marginals / totals / distinct
     // counts are windows over the cells frame keyed by pair id (cells =
     // Σ|A|·|B| rows, bounded by cardinalities — never the data size).
+    // Categories group by their STRING form (the exploded struct needs
+    // one homogeneous type, and it is what the oracle groups by too);
+    // the one divergence from native grouping is a double-typed
+    // categorical holding both 0.0 and -0.0, which split into two
+    // textual categories — accepted: categorical columns are strings in
+    // practice, and cross-engine agreement beats that corner.
     val pairStructs = pairs.zipWithIndex.map { case ((a, b), i) =>
       struct(lit(i).as("p"),
         col(a).cast("string").as("va"), col(b).cast("string").as("vb"))

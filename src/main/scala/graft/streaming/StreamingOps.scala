@@ -988,11 +988,20 @@ object StreamingOps {
         .withColumn("url_canon", UrlOps.canonicalizeUrl(col(urlCol)))
         .withColumn("domain",
           UrlOps.registrableDomain(UrlOps.hostOf(col(urlCol))))
-      val existing = try spark.read.parquet(path).select("url_canon", "domain")
-      catch { case _: Throwable => // first batch: nothing landed yet
-        import spark.implicits._
-        Seq.empty[(String, String)].toDF("url_canon", "domain")
+      // Only the missing-path first batch may start from empty state: a
+      // transient read failure (FS hiccup, corrupt footer) must FAIL the
+      // batch and let the stream retry — swallowing it would silently
+      // reset dedup + quota history and re-land already-landed pages.
+      val pathExists = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
       }
+      val existing =
+        if (pathExists) spark.read.parquet(path).select("url_canon", "domain")
+        else {
+          import spark.implicits._
+          Seq.empty[(String, String)].toDF("url_canon", "domain")
+        }
       val fresh = batch.join(
         existing.select("url_canon").distinct(), Seq("url_canon"), "left_anti")
       val have = existing.groupBy("domain").agg(count(lit(1)).as("__have"))

@@ -596,7 +596,12 @@ object Workflow {
       val metrics = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
       val t0 = System.nanoTime()
       graft.plans.GraftFunctions.register(spark)
-      tc.getOrElse("algo", "bpe").toString match {
+      val algo = tc.getOrElse("algo", "bpe").toString
+      // fail fast on a typo'd algo: a silent fall-through to BPE would
+      // ship the wrong tokenizer with no signal
+      require(algo == "bpe" || algo == "unigram",
+        s"tokenize.algo must be 'bpe' or 'unigram', got '$algo'")
+      algo match {
         case "unigram" =>
           // unigram-LM (SentencePiece Viterbi-EM) train + encode
           val vocab = graft.functions.UnigramTokenizer.trainUnigram(

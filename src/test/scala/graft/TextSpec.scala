@@ -1186,6 +1186,35 @@ class TextSpec extends SparkSpec {
     assert(cap.count(Set(4L, 5L, 6L)) == 2 && cap.count(Set(1L, 2L, 3L)) == 2)
   }
 
+  test("url edge cases: null-url rows still quota as one group; all-null keys keep a real row") {
+    import graft.functions.UrlOps
+    // 6 null-URL rows at quota 2: the null domain must cap like any
+    // other group (the quota join is null-unsafe, so a null __dom would
+    // otherwise never match its stats row and keep everything)
+    val d = ((1L to 6L).map(i => (i, null: String)) :+ ((7L, "https://a.com/x")))
+      .toDF("doc_id", "url")
+    val capped = UrlOps.capPerDomain(d, "url", "doc_id", maxDocs = 2, salt = "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(capped.count(_ <= 6L) == 2, s"null-domain group must cap at 2: $capped")
+    assert(capped.contains(7L))
+    // an exact-dup group whose EVERY key is null keeps one REAL row
+    // (min_by on a bare null key would fabricate an all-null row)
+    val dup = Seq((null: java.lang.Long, "same text", "m1"),
+      (null: java.lang.Long, "same text", "m2"),
+      (java.lang.Long.valueOf(9L), "other", "m3"))
+      .toDF("doc_id", "text", "marker")
+    val ded = graft.functions.Dedup.exactDedup(dup, "text", "doc_id")
+      .collect().map(r => (r.get(0), r.getString(1), r.getString(2)))
+    assert(ded.length == 2)
+    val nullRow = ded.find(_._1 == null).get
+    assert(nullRow._2 == "same text" && (nullRow._3 == "m1" || nullRow._3 == "m2"),
+      s"all-null-key group must keep a real member: $nullRow")
+    // dotted column names survive the struct round-trip
+    val dotted = Seq((1L, "t", "x"), (2L, "t", "y")).toDF("doc_id", "text", "a.b")
+    val dd = graft.functions.Dedup.exactDedup(dotted, "text", "doc_id").collect()
+    assert(dd.length == 1 && dd(0).getString(2) == "x")
+  }
+
   test("domain cap is hub-domain-safe: bounded heap, keep set exact in hash order") {
     import graft.functions.UrlOps
     // one hub domain ≫ the others: the quota must come from the bounded
