@@ -86,8 +86,9 @@ object Dedup {
     * every key is null would otherwise collapse to one fabricated
     * all-null row — the struct is never null, keeps a real row, and
     * prefers non-null keys (matching the oracle's min_by semantics).
-    * Columns round-trip through the struct by field POSITION
-    * (`getField`), so names containing dots survive.
+    * Columns round-trip through the struct by literal field NAME
+    * (`getField` takes the whole string as one unparsed field name),
+    * so names containing dots survive.
     */
   private[graft] def firstByKey(df: DataFrame, groupExpr: Column,
       keyCol: String): DataFrame = {

@@ -235,26 +235,37 @@ object Graph {
       rounds: Int = 5): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "need at least one peel round")
-    var e = edges
-      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
-      .filter(col("lo") =!= col("hi"))
-      .distinct()
-      .localCheckpoint()
-    def degrees(g: DataFrame): DataFrame =
-      g.select(col("lo").as("node"))
-        .unionAll(g.select(col("hi").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
     for (r <- 1 to rounds) {
-      val alive = degrees(e).filter(col("deg") >= k).select("node")
+      val alive = undirectedDegrees(e).filter(col("deg") >= k).select("node")
       e = e
         .join(alive.withColumnRenamed("node", "lo"), Seq("lo"))
         .join(alive.withColumnRenamed("node", "hi"), Seq("hi"))
         .select(col("lo"), col("hi"))
       if (r % 2 == 0 || r == rounds) e = e.localCheckpoint()
     }
-    degrees(e).withColumnRenamed("deg", "core_degree")
+    undirectedDegrees(e).withColumnRenamed("deg", "core_degree")
   }
+
+  /** Canonical simple-graph form shared by [[kCore]] and
+    * [[triangleCounts]]: long-typed (lo < hi) distinct pairs, self-loops
+    * dropped.
+    */
+  private def canonicalUndirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+
+  /** Per-node degree of a canonical (lo, hi) edge frame — one
+    * map-combined aggregate over both endpoints.
+    */
+  private def undirectedDegrees(e: DataFrame): DataFrame =
+    e.select(col("lo").as("node"))
+      .unionAll(e.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
 
   /** Degree orientation (Cohen / Schank-Wagner, the public standard):
     * each canonical undirected edge (lo, hi) is directed from its
@@ -298,11 +309,7 @@ object Graph {
     * it when small.
     */
   def triangleCounts(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val e = edges
-      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
-      .filter(col("lo") =!= col("hi"))
-      .distinct()
+    val e = canonicalUndirected(edges, srcCol, dstCol)
     val f = orientByDegree(e)
     val tri = f.as("e1")
       .join(f.as("e2"),

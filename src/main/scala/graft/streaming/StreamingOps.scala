@@ -988,20 +988,29 @@ object StreamingOps {
         .withColumn("url_canon", UrlOps.canonicalizeUrl(col(urlCol)))
         .withColumn("domain",
           UrlOps.registrableDomain(UrlOps.hostOf(col(urlCol))))
-      // Only the missing-path first batch may start from empty state: a
-      // transient read failure (FS hiccup, corrupt footer) must FAIL the
-      // batch and let the stream retry — swallowing it would silently
-      // reset dedup + quota history and re-land already-landed pages.
+      // Only genuinely-empty state may start from empty: a transient
+      // read failure (FS hiccup, corrupt footer) must FAIL the batch
+      // and let the stream retry — swallowing it would silently reset
+      // dedup + quota history and re-land already-landed pages. The
+      // read carries an EXPLICIT schema so an existing-but-empty
+      // directory (an aborted first write leaves the mkdir behind)
+      // reads back as empty state instead of failing schema inference
+      // forever; a missing path starts empty too.
+      val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("url_canon",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("domain",
+          org.apache.spark.sql.types.StringType)))
       val pathExists = {
         val p = new org.apache.hadoop.fs.Path(path)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
       }
       val existing =
-        if (pathExists) spark.read.parquet(path).select("url_canon", "domain")
-        else {
-          import spark.implicits._
-          Seq.empty[(String, String)].toDF("url_canon", "domain")
-        }
+        if (pathExists)
+          spark.read.schema(stateSchema).parquet(path)
+            .select("url_canon", "domain")
+        else spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
       val fresh = batch.join(
         existing.select("url_canon").distinct(), Seq("url_canon"), "left_anti")
       val have = existing.groupBy("domain").agg(count(lit(1)).as("__have"))
