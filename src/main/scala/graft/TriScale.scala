@@ -156,6 +156,11 @@ object TriScale {
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.filter { case (n, _) => guarded.contains(n) }
     def runOnce(name: String, dir: String): Double = {
+      // cold-path honesty: the tokenizer fit memos would otherwise let
+      // whichever vocab/encode twin runs second time a driver-side memo
+      // hit (~15 ms flat at every tier) instead of the training the
+      // growth gate exists to guard
+      graft.queries.TextQueries.clearTokenizerMemos()
       val t0 = System.nanoTime()
       queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9

@@ -173,15 +173,24 @@ object Tables {
   private def resolve(spark: SparkSession, dir: String, name: String,
       load: () => DataFrame): DataFrame = {
     if (!dir.startsWith(memoRoot)) return load()
-    memo.synchronized {
-      // identityHashCode can recur after a session is GC'd; the stored
-      // session reference disambiguates (eq miss → reload, never a stale
-      // cross-session frame)
-      val key = s"${System.identityHashCode(spark)}|$dir|$name"
-      val hit = memo.get(key)
-      if (hit != null && (hit._1 eq spark)) hit._2
-      else { val df = load(); memo.put(key, (spark, df)); df }
+    // identityHashCode can recur after a session is GC'd; the stored
+    // session reference disambiguates (eq miss → reload, never a stale
+    // cross-session frame)
+    val key = s"${System.identityHashCode(spark)}|$dir|$name"
+    val hit = memo.synchronized {
+      val h = memo.get(key)
+      if (h != null && (h._1 eq spark)) h._2 else null
     }
+    if (hit != null) return hit
+    // load OUTSIDE the lock — the 15-70 ms driver-side listing must not
+    // serialize concurrent t() calls across sessions on a cold miss. Two
+    // racing loaders of the same immutable table both produce correct
+    // frames; the racy put just lets one win. (Weak session refs buy
+    // nothing here: the memoized DataFrame pins its SparkSession through
+    // its QueryExecution anyway — the LRU cap is the eviction bound.)
+    val df = load()
+    memo.synchronized { memo.put(key, (spark, df)) }
+    df
   }
 }
 

@@ -93,8 +93,11 @@ object Dedup {
   private[graft] def firstByKey(df: DataFrame, groupExpr: Column,
       keyCol: String): DataFrame = {
     val cols = df.columns.toSeq
-    val quoted = cols.map(c => col(s"`$c`"))
-    val ord = struct(col(s"`$keyCol`").isNull.cast("int"), col(s"`$keyCol`"))
+    // backticks inside a quoted identifier must be doubled, else a name
+    // containing one breaks the parse the quoting was added to survive
+    def q(c: String) = col("`" + c.replace("`", "``") + "`")
+    val quoted = cols.map(q)
+    val ord = struct(q(keyCol).isNull.cast("int"), q(keyCol))
     df.groupBy(groupExpr)
       .agg(min_by(struct(quoted: _*), ord).as("__r"))
       .select(cols.map(c => col("__r").getField(c).as(c)): _*)

@@ -3251,6 +3251,18 @@ semantic_dedup:
   private val unigramMemo =
     new java.util.concurrent.ConcurrentHashMap[String,
       Seq[graft.functions.UnigramTokenizer.UnigramPiece]]()
+
+  /** Drop the tokenizer fit memos (BPE merges + unigram pieces) so a
+    * growth-gate harness can time the COLD train path per tier —
+    * without this, whichever of the vocab/encode twins runs second
+    * measures a driver-side memo hit instead of the EM/merge training
+    * the gate claims to guard. Bench keeps the memos (the shared-fit
+    * caveat is documented and floored); TriScale clears per timed run.
+    */
+  private[graft] def clearTokenizerMemos(): Unit = {
+    bpeMergesMemo.clear()
+    unigramMemo.clear()
+  }
   private def trainedUnigram(s: org.apache.spark.sql.SparkSession, dir: String) =
     unigramMemo.computeIfAbsent(dir, _ =>
       graft.functions.UnigramTokenizer.trainUnigram(

@@ -984,10 +984,17 @@ object StreamingOps {
       val spark = batch0.sparkSession
       graft.plans.GraftFunctions.register(spark)
       import graft.functions.UrlOps
+      // null/unparseable URLs coalesce to the same "" sentinel the batch
+      // capPerDomain uses: the anti-join and quota join below are plain
+      // (null-unsafe) equi-joins, so a null url_canon/domain would never
+      // match landed state — the null-URL group would dodge dedup forever
+      // and draw a fresh maxDocs allowance every micro-batch
       val batch = UrlOps.urlDedup(batch0, urlCol, keyCol)
-        .withColumn("url_canon", UrlOps.canonicalizeUrl(col(urlCol)))
+        .withColumn("url_canon",
+          coalesce(UrlOps.canonicalizeUrl(col(urlCol)), lit("")))
         .withColumn("domain",
-          UrlOps.registrableDomain(UrlOps.hostOf(col(urlCol))))
+          coalesce(UrlOps.registrableDomain(UrlOps.hostOf(col(urlCol))),
+            lit("")))
       // Only genuinely-empty state may start from empty: a transient
       // read failure (FS hiccup, corrupt footer) must FAIL the batch
       // and let the stream retry — swallowing it would silently reset

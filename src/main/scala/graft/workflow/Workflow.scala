@@ -816,20 +816,33 @@ object Workflow {
       }
       val src = gm.getOrElse("src_col", "src").toString
       val dst = gm.getOrElse("dst_col", "dst").toString
+      // fail fast on typo'd sub-config keys (the tokenize.algo
+      // discipline): a misspelled knob must error, not silently run
+      // with the pinned default
+      def knownKeys(arm: String, c: Map[String, Any], allowed: Set[String]): Unit = {
+        val unknown = c.keySet -- allowed
+        require(unknown.isEmpty,
+          s"graph_metrics.$arm: unknown key(s) ${unknown.mkString(", ")} " +
+            s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})")
+      }
       val metrics = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
       gm.get("pagerank").foreach { pv =>
         val pc = asConf(pv)
+        knownKeys("pagerank", pc, Set("iterations", "damping"))
         metrics("pagerank") = graft.functions.Graph.pageRank(edges, src, dst,
           iterations = pc.getOrElse("iterations", 5).toString.toInt,
           damping = pc.getOrElse("damping", 0.85).toString.toDouble)
       }
       gm.get("hits").foreach { hv =>
         val hc = asConf(hv)
+        knownKeys("hits", hc, Set("iterations", "rescale_every"))
         metrics("hits") = graft.functions.Graph.hits(edges, src, dst,
-          iterations = hc.getOrElse("iterations", 5).toString.toInt)
+          iterations = hc.getOrElse("iterations", 5).toString.toInt,
+          rescaleEvery = hc.getOrElse("rescale_every", 2).toString.toInt)
       }
       gm.get("k_core").foreach { kv =>
         val kc = asConf(kv)
+        knownKeys("k_core", kc, Set("k", "rounds"))
         metrics("k_core") = graft.functions.Graph.kCore(edges, src, dst,
           k = kc.getOrElse("k", 2).toString.toInt,
           rounds = kc.getOrElse("rounds", 5).toString.toInt)

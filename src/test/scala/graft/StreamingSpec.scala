@@ -392,6 +392,37 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming url curation holds null-url state across batches") {
+    // null/unparseable urls canonicalize to null; the state joins are
+    // plain equi-joins, so without the "" sentinel coalesce the null
+    // group would dodge the cross-batch dedup anti-join forever and
+    // draw a fresh quota allowance every micro-batch
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("urlcurnull").toString
+    val in = MemoryStream[(Long, String)]
+    def rows(ids: Seq[Long]): Seq[(Long, String)] =
+      ids.map(i => (i, if (i % 2 == 0) null else s"http://ok.example/p$i"))
+    val q = in.toDF().toDF("doc_id", "url").writeStream
+      .foreachBatch(StreamingOps.streamingUrlCuratedWrite(s"$dir/c", "url", "doc_id", 3, "e0"))
+      .start()
+    try {
+      in.addData(rows(0L until 8L): _*)
+      q.processAllAvailable()
+      in.addData(rows(8L until 16L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(s"$dir/c")
+      .select(col("doc_id"), col("url_canon"), col("domain")).collect()
+    // all null urls share canonical "" — exactly one may ever land, and
+    // batch 2's resend must be deduped against batch 1's landed state
+    assert(landed.count(_.getString(1) == "") == 1,
+      "null-url group landed more than once across batches")
+    // quota holds per accumulated domain, sentinel group included
+    val perDom = landed.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(perDom.values.forall(_ <= 3), s"quota exceeded across batches: $perDom")
+  }
+
   test("stream-static broadcast join enriches events in flight") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{broadcast, col}

@@ -1213,6 +1213,11 @@ class TextSpec extends SparkSpec {
     val dotted = Seq((1L, "t", "x"), (2L, "t", "y")).toDF("doc_id", "text", "a.b")
     val dd = graft.functions.Dedup.exactDedup(dotted, "text", "doc_id").collect()
     assert(dd.length == 1 && dd(0).getString(2) == "x")
+    // ...and so do names containing a backtick (identifier-quoting must
+    // double embedded backticks, not just wrap the name)
+    val ticked = Seq((1L, "t", "x"), (2L, "t", "y")).toDF("doc_id", "text", "a`b")
+    val td = graft.functions.Dedup.exactDedup(ticked, "text", "doc_id").collect()
+    assert(td.length == 1 && td(0).getString(2) == "x")
   }
 
   test("domain cap is hub-domain-safe: bounded heap, keep set exact in hash order") {

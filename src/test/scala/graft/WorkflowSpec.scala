@@ -846,6 +846,42 @@ graph_metrics:
     assert(df.columns.toSeq == Seq("l_suppkey", "l_partkey"))
   }
 
+  test("workflow graph_metrics rejects typo'd sub-config keys and plumbs rescale_every") {
+    def yamlWith(hits: String) = s"""
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/lineitem.parquet"
+    file_type: parquet
+  select_column: [l_suppkey, l_partkey]
+graph_metrics:
+  src_col: l_suppkey
+  dst_col: l_partkey
+  hits:
+$hits
+"""
+    // a misspelled knob must fail fast, not silently run the default
+    val err = intercept[IllegalArgumentException] {
+      Workflow.run(spark, yamlWith("    iterations: 2\n    rescale_evry: 1"))
+    }
+    assert(err.getMessage.contains("rescale_evry"))
+    // rescale_every reaches Graph.hits: rescaling every sweep vs only at
+    // the end yields the same ranking but different sweep-2 raw maxima;
+    // both runs stay max-normalized at 1 so compare full score vectors
+    def scores(re: Int) = {
+      val (_, st) = Workflow.run(spark,
+        yamlWith(s"    iterations: 3\n    rescale_every: $re"))
+      st.find(_.name == "graph_metrics").get.metrics("hits")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    }
+    val everySweep = scores(1)
+    val direct = graft.functions.Graph.hits(
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select(col("l_suppkey"), col("l_partkey")),
+        "l_suppkey", "l_partkey", iterations = 3, rescaleEvery = 1)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(everySweep == direct, "rescale_every did not reach Graph.hits")
+  }
+
   test("workflow bm25_retrieval stage ranks configured queries") {
     val yaml = """
 input_dataset:
