@@ -75,7 +75,11 @@ object TriScale {
     // round-17b: HITS — same per-sweep join+agg shape as pagerank; its
     // barrier rescales must stay node-sized as the graph grows — and
     // k-core, whose per-round degree agg + shrink must stay linear
-    "q_hits", "q_kcore")
+    "q_hits", "q_kcore",
+    // round-18: connected components — per-round edge join + min agg
+    // plus a node-sized pointer-jump self-join, both of which must stay
+    // linear in edges/nodes
+    "q_connected_components")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -134,7 +138,10 @@ object TriScale {
     // round-17b: HITS rides the sf1 orders tier like pagerank (shared
     // suppliers give 10x-degree authority hubs); k-core rides the same
     // tier (10x-degree hubs must still peel in bounded rounds)
-    "q_hits", "q_kcore")
+    "q_hits", "q_kcore",
+    // round-18: components ride the same orders tier (hub suppliers fuse
+    // most of the bipartite graph — the jump join must stay node-sized)
+    "q_connected_components")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -129,7 +129,11 @@ object Graph {
     * squares) a max of already-computed doubles is exact, keeping the
     * whole run replayable by an external engine at 9-decimal rounding
     * (q_hits unrolls the same sweeps AND the same rescale schedule as
-    * SQL CTEs, the q_pagerank trick).
+    * SQL CTEs, the q_pagerank trick). Within a barrier the hub
+    * half-sweep consumes the RAW auth vector and both maxima are
+    * fetched in ONE union-agg job — the same final vectors by
+    * linearity, half the driver round-trips of scaling auth before
+    * the hub sweep.
     *
     * Scale: per half-sweep one edge-frame join + one dst/src aggregate —
     * the same 2-shuffle sweep shape as pageRank. At each barrier the
@@ -161,24 +165,35 @@ object Graph {
         .groupBy(col(outKey).as("node"))
         .agg(sum(col(scoreCol)).as(outCol))
 
-    // barrier: checkpoint the node-sized vector, divide by its exact max
-    // (an all-zero or empty frame divides by 1 — scores are nonnegative,
-    // so absent zero rows never change the max)
-    def rescale(df: DataFrame, c: String): DataFrame = {
-      val ck = df.localCheckpoint()
-      val row = ck.agg(max(col(c))).collect()(0)
-      val m = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-      ck.select(col("node"), (col(c) / lit(if (m > 0.0) m else 1.0)).as(c))
-    }
+    // barrier: both node-sized vectors checkpoint, then ONE union-agg
+    // job fetches both step maxima (r17 verdict: two separate max
+    // collects per barrier doubled the driver round-trips). The hub
+    // half-sweep at a barrier therefore consumes the RAW checkpointed
+    // auth — scaling auth first then hub is the same final hub up to
+    // its own max division (linearity), but the fp rounding differs,
+    // so the oracle replays THIS schedule. An all-zero or empty frame
+    // divides by 1 — scores are nonnegative, so absent zero rows never
+    // change the max.
+    def scaleBy(df: DataFrame, c: String, m: Double): DataFrame =
+      df.select(col("node"), (col(c) / lit(if (m > 0.0) m else 1.0)).as(c))
 
     var hub = nodes.withColumn("hub", lit(1.0))
     var auth: DataFrame = null // assigned in sweep 1 before any read
     for (it <- 1 to iterations) {
       val barrier = it % rescaleEvery == 0 || it == iterations
       auth = halfSweep(hub, "hub", "src", "dst", "auth")
-      if (barrier) auth = rescale(auth, "auth")
+      if (barrier) auth = auth.localCheckpoint()
       hub = halfSweep(auth, "auth", "dst", "src", "hub")
-      if (barrier) hub = rescale(hub, "hub")
+      if (barrier) {
+        hub = hub.localCheckpoint()
+        // Union concatenates child partitions in order: row 0 is the
+        // auth max, row 1 the hub max — one action for both scalars
+        val rows = auth.agg(max(col("auth")).as("m"))
+          .unionByName(hub.agg(max(col("hub")).as("m"))).collect()
+        def m(i: Int) = if (rows(i).isNullAt(0)) 0.0 else rows(i).getDouble(0)
+        auth = scaleBy(auth, "auth", m(0))
+        hub = scaleBy(hub, "hub", m(1))
+      }
     }
     val out = nodes
       .join(auth, Seq("node"), "left")
@@ -245,6 +260,71 @@ object Graph {
       if (r % 2 == 0 || r == rounds) e = e.localCheckpoint()
     }
     undirectedDegrees(e).withColumnRenamed("deg", "core_degree")
+  }
+
+  /** Fixed-round connected components over an undirected simple graph —
+    * the corpus-level cluster labeling web/dedup pipelines key on (the
+    * general form of [[graft.functions.Dedup]]'s capped duplicate-
+    * cluster propagation, usable on ANY edge frame: host link graphs,
+    * co-purchase graphs, near-dup candidate graphs). Each round is one
+    * synchronous min-label PROPAGATION over the symmetric adjacency
+    * (label(v) := min(label(v), min of neighbor labels)) followed by one
+    * pointer JUMP (label(v) := label(label(v))): propagation moves a
+    * component's minimum id one hop per round, the jump doubles the
+    * distance already covered, so `rounds` rounds cover diameters far
+    * beyond `rounds` (≈2^rounds on paths). A FIXED round count (not a
+    * convergence test) keeps the result a pure function of the edges,
+    * exactly replayable by an external engine (q_connected_components
+    * unrolls the same rounds as MATERIALIZED CTEs — the pageRank/HITS/
+    * kCore idiom); when propagation has converged within `rounds`
+    * (typical — web-graph effective diameters are small) the label IS
+    * the component's minimum node id.
+    *
+    * Returns (node, comp) for every node with at least one edge —
+    * exact integers.
+    *
+    * Scale: propagation is one edge-frame join + one map-side-combined
+    * min aggregate (the canonical 2-shuffle sweep); the jump is a
+    * node-sized self-join AQE can broadcast when the label frame is
+    * small. All iterative state is node-sized; localCheckpoint every
+    * other round bounds plan depth like the other iterative graph ops.
+    * The jump is what makes a 100 TB web graph tractable: plain
+    * propagation needs diameter rounds, propagate+jump O(log diameter).
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+    // symmetric adjacency, materialized once — every round re-reads it
+    val adj = e.select(col("lo").as("u"), col("hi").as("v"))
+      .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+      .localCheckpoint()
+    var lbl = adj.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+    for (r <- 1 to rounds) {
+      // propagate: comp(v) := min(comp(v), min over neighbors' comp).
+      // Every node has degree >= 1 here, so the left join always
+      // matches; the coalesce mirrors the oracle's guard exactly.
+      val nbr = adj
+        .join(lbl.select(col("node").as("v"), col("comp").as("nc")), Seq("v"))
+        .groupBy(col("u").as("node")).agg(min(col("nc")).as("nbr"))
+      val prop = lbl.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // jump: comp(v) := comp(comp(v)) — comp is always an existing
+      // node id (a min over node ids), and labels only decrease, so
+      // the looked-up label can only improve the bound
+      lbl = prop.as("l")
+        .join(prop.select(col("node").as("p"), col("comp").as("pc")).as("pp"),
+          col("l.comp") === col("pp.p"), "left")
+        .select(col("l.node").as("node"),
+          coalesce(col("pc"), col("l.comp")).as("comp"))
+      if (r % 2 == 0 || r == rounds) lbl = lbl.localCheckpoint()
+    }
+    lbl
   }
 
   /** Canonical simple-graph form shared by [[kCore]] and

@@ -495,7 +495,11 @@ object AnalyticsQueries {
       // one half-sweep: raw in/out-score sums over the edges; at rescale
       // barriers (sweep % 2 == 0 or the last sweep, the engine's
       // schedule) divide by the step max (guarded like the engine:
-      // max<=0 -> divide by 1)
+      // max<=0 -> divide by 1). The hub half-sweep reads the RAW auth
+      // CTE (a{i}r, column r) — the engine fetches both barrier maxima
+      // in one job, so auth is only scaled AFTER the hub sweep consumed
+      // it; same vectors by linearity, but the fp rounding is this
+      // exact schedule's
       def half(out: String, prev: String, prevCol: String,
           joinKey: String, outKey: String, outCol: String,
           barrier: Boolean): String = {
@@ -523,7 +527,7 @@ object AnalyticsQueries {
         val barrier = i % 2 == 0 || i == iters
         half(s"a$i", if (i == 1) "h0" else s"h${i - 1}", "hub", "src", "dst",
           "auth", barrier) +
-          ",\n" + half(s"h$i", s"a$i", "auth", "dst", "src", "hub", barrier)
+          ",\n" + half(s"h$i", s"a${i}r", "r", "dst", "src", "hub", barrier)
       }.mkString(",\n")
       s"""
       WITH e AS MATERIALIZED (
@@ -583,6 +587,54 @@ object AnalyticsQueries {
       GROUP BY node"""
     })
 
+  /** Fixed-round connected components over the sparsified
+    * customer↔supplier purchase graph — min-label propagation with
+    * pointer jumping ([[graft.functions.Graph.connectedComponents]]);
+    * the oracle unrolls the SAME propagate+jump rounds as MATERIALIZED
+    * CTEs. Exact integer labels.
+    */
+  val qComponents = Q(
+    "q_connected_components",
+    (s, dir) => {
+      val t = tables(s, dir)
+      val edges = t.lineitem.filter(col("l_orderkey") % 40 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"))
+      // rounds pinned beside the oracle that hardcodes them
+      graft.functions.Graph.connectedComponents(edges, rounds = 5)
+    },
+    Some {
+      def round(r: Int): String = {
+        val prev = if (r == 1) "l0" else s"l${r - 1}"
+        s"""n$r AS MATERIALIZED (
+           SELECT a.u AS node, min(l.comp) AS nbr
+           FROM adj a JOIN $prev l ON l.node = a.v GROUP BY a.u),
+        p$r AS MATERIALIZED (
+           SELECT l.node, least(l.comp, coalesce(n.nbr, l.comp)) AS comp
+           FROM $prev l LEFT JOIN n$r n ON n.node = l.node),
+        l$r AS MATERIALIZED (
+           SELECT p.node, coalesce(q.comp, p.comp) AS comp
+           FROM p$r p LEFT JOIN p$r q ON q.node = p.comp)"""
+      }
+      val rounds = (1 to 5).map(round).mkString(",\n")
+      s"""
+      WITH raw AS MATERIALIZED (
+        SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_orderkey % 40 = 0),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        FROM raw WHERE src <> dst),
+      adj AS MATERIALIZED (
+        SELECT lo AS u, hi AS v FROM e0
+        UNION ALL SELECT hi, lo FROM e0),
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT u AS node, u AS comp FROM adj),
+      $rounds
+      SELECT node, comp FROM l5"""
+    })
+
   def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qTheilsU, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
-    qPageRank, qTriangles, qHits, qKCore)
+    qPageRank, qTriangles, qHits, qKCore, qComponents)
 }

@@ -847,6 +847,13 @@ object Workflow {
           k = kc.getOrElse("k", 2).toString.toInt,
           rounds = kc.getOrElse("rounds", 5).toString.toInt)
       }
+      gm.get("connected_components").foreach { cv =>
+        val cc = asConf(cv)
+        knownKeys("connected_components", cc, Set("rounds"))
+        metrics("connected_components") =
+          graft.functions.Graph.connectedComponents(edges, src, dst,
+            rounds = cc.getOrElse("rounds", 5).toString.toInt)
+      }
       if (gm.getOrElse("triangle_counts", false) == true)
         metrics("triangle_counts") =
           graft.functions.Graph.triangleCounts(edges, src, dst)

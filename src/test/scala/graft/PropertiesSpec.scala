@@ -326,6 +326,45 @@ class PropertiesSpec extends SparkSpec {
       5L -> 2L, 6L -> 2L, 7L -> 1L), s"got $all")
   }
 
+  test("connected components equal union-find truth on random graphs") {
+    // 26 nodes, 60 random edges: rounds = 5 converges even on a full
+    // path (propagate+jump covers distance 2^(r+1)-2), so the fixed-
+    // round output must BE the true min-id component labeling
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)).suchThat(p => p._1 != p._2))
+    for (edges <- samples(edgeGen, 3) if edges.nonEmpty) {
+      val got = graft.functions.Graph
+        .connectedComponents(edges.toDF("src", "dst"), rounds = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver union-find with union-by-min: find() IS the component min
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val truth = nodes.map(n => n -> find(n)).toMap
+      assert(got == truth, "fixed-round labels diverge from union-find")
+    }
+  }
+
+  test("connected components: path graph converges exponentially in rounds") {
+    // 0-1-2-...-25: after r rounds every label has moved 2^(r+1)-2 ids
+    // down, so 4 rounds label the whole path 0 and 2 rounds must NOT
+    // (distance 6 < 25) — pins the pointer-jump actually jumping
+    val path = (0L until 25L).map(i => (i, i + 1)).toDF("src", "dst")
+    val conv = graft.functions.Graph.connectedComponents(path, rounds = 4)
+      .collect().map(_.getLong(1)).distinct
+    assert(conv.toSeq == Seq(0L), s"4 rounds must converge a 26-path: $conv")
+    val partial = graft.functions.Graph.connectedComponents(path, rounds = 2)
+      .collect().map(_.getLong(1)).distinct
+    assert(partial.length > 1, "2 rounds cannot cover distance 25 — jump overshoot?")
+  }
+
   test("misra-gries: exact when distinct <= k, error-bounded beyond") {
     // exact regime: distinct = 10 <= k = 16 → counts equal groupBy truth,
     // and the result is partition-layout invariant

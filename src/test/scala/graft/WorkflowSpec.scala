@@ -821,6 +821,8 @@ graph_metrics:
   k_core:
     k: 2
     rounds: 3
+  connected_components:
+    rounds: 4
   triangle_counts: true
 """
     val (df, stages) = Workflow.run(spark, yaml)
@@ -841,6 +843,10 @@ graph_metrics:
     assert(kc.columns.toSeq == Seq("node", "core_degree"))
     // peeling only removes: every survivor keeps a positive in-core degree
     assert(kc.agg(min(col("core_degree"))).first().getLong(0) >= 1L)
+    val cc = gm.metrics("connected_components")
+    assert(cc.columns.toSeq == Seq("node", "comp"))
+    // labels are min-ids: never above the node's own id
+    assert(cc.filter(col("comp") > col("node")).count() == 0)
     assert(gm.metrics("triangle_counts").columns.contains("triangles"))
     // the data frame itself flows through the stage unchanged
     assert(df.columns.toSeq == Seq("l_suppkey", "l_partkey"))
