@@ -30,16 +30,20 @@ import org.apache.spark.sql.functions._
 object UrlOps {
 
   /** Bundled snapshot of the Mozilla Public Suffix List (publicsuffix
-    * .org, MPL-2.0) multi-label entries, loaded from the
-    * `public_suffix_snapshot.dat` classpath resource (~450 entries; a
-    * production deployment drops the full current list into the same
-    * file). The literal subset below is the fallback when the resource
-    * is absent (e.g. a repackaged jar). Wildcard (`*.ck`) and exception
-    * (`!www.ck`) PSL rules are out of scope; the ALGORITHM
-    * (longest-suffix match, then one more label) is unchanged by list
-    * size — the suffix literals ride the plan as an `isin`, which
-    * Catalyst converts to a hashed InSet above 10 entries, so matching
-    * stays O(1) per row at any list size.
+    * .org, MPL-2.0), loaded from the `public_suffix_snapshot.dat`
+    * classpath resource (a SUBSET — a production deployment drops the
+    * full current list into the same file). All three PSL rule kinds
+    * are honored: exact multi-label suffixes (`co.uk`), wildcard rules
+    * (`*.ck` — any single label in place of the `*` is part of the
+    * suffix), and exception rules (`!www.ck` — the host is registrable
+    * despite a covering wildcard; per the PSL algorithm the prevailing
+    * suffix is the exception minus its leftmost label). The literal
+    * subsets below are the fallback when the resource is absent (e.g.
+    * a repackaged jar). The ALGORITHM (exception first, then longest
+    * match, then one more label) is unchanged by list size — the
+    * suffix literals ride the plan as an `isin`, which Catalyst
+    * converts to a hashed InSet above 10 entries, so matching stays
+    * O(1) per row at any list size.
     */
   private def loadSnapshot(): Seq[String] = try {
     val in = getClass.getResourceAsStream("/public_suffix_snapshot.dat")
@@ -55,15 +59,29 @@ object UrlOps {
     "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
     "co.kr", "co.za", "com.tr", "com.ar", "github.io", "gitlab.io",
     "blogspot.com")
+  private val fallbackW1 = Seq("ck", "mm")
+  private val fallbackW2 = Seq("kawasaki.jp")
+  private val fallbackE2 = Seq("www.ck")
+  private val fallbackE3 = Seq("city.kawasaki.jp")
   private val snapshot: Seq[String] = loadSnapshot()
-  val publicSuffixes3: Seq[String] = {
-    val s = snapshot.filter(_.count(_ == '.') == 2)
-    if (s.nonEmpty) s.distinct else fallback3
-  }
-  val publicSuffixes2: Seq[String] = {
-    val s = snapshot.filter(_.count(_ == '.') == 1)
-    if (s.nonEmpty) s.distinct else fallback2
-  }
+  private def dots(s: String) = s.count(_ == '.')
+  private def pick(raw: Seq[String], fb: Seq[String]): Seq[String] =
+    if (snapshot.nonEmpty) raw.distinct else fb
+  // exact rules by label count
+  private val exact = snapshot.filterNot(l => l.startsWith("*.") || l.startsWith("!"))
+  val publicSuffixes3: Seq[String] = pick(exact.filter(dots(_) == 2), fallback3)
+  val publicSuffixes2: Seq[String] = pick(exact.filter(dots(_) == 1), fallback2)
+  // wildcard rule BASES (`*.ck` → "ck"): any host label in front of the
+  // base is itself part of the public suffix
+  private val wildBases =
+    snapshot.filter(_.startsWith("*.")).map(_.stripPrefix("*."))
+  val wildcardBases1: Seq[String] = pick(wildBases.filter(dots(_) == 0), fallbackW1)
+  val wildcardBases2: Seq[String] = pick(wildBases.filter(dots(_) == 1), fallbackW2)
+  // exception rule HOSTS (`!www.ck` → "www.ck"): registrable despite a
+  // covering wildcard; the prevailing suffix drops the leftmost label
+  private val excHosts = snapshot.filter(_.startsWith("!")).map(_.stripPrefix("!"))
+  val exceptionHosts2: Seq[String] = pick(excHosts.filter(dots(_) == 1), fallbackE2)
+  val exceptionHosts3: Seq[String] = pick(excHosts.filter(dots(_) == 2), fallbackE3)
 
   private val trackingParam = "^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
 
@@ -114,9 +132,13 @@ object UrlOps {
       when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
   }
 
-  /** Registrable domain (eTLD+1): longest public-suffix match over the
-    * trailing labels, then one more label. A host that IS a public
-    * suffix (or has no extra label) passes through unchanged.
+  /** Registrable domain (eTLD+1) per the PSL algorithm: exception
+    * rules prevail (the suffix is the exception minus its leftmost
+    * label, so `www.ck` is registrable under `*.ck`), then the longest
+    * matching rule — exact suffixes and wildcard rules (`*.ck` puts
+    * one arbitrary label inside the suffix) at their respective
+    * lengths — then one more label. A host that IS a public suffix (or
+    * has no extra label) passes through unchanged.
     */
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.")
@@ -125,9 +147,17 @@ object UrlOps {
     // feed slice an out-of-range negative index
     val lastK = (k: Int) =>
       concat_ws(".", slice(labels, greatest(n - k + 1, lit(1)), lit(k)))
-    val sfxLen = when(n >= 3 && lastK(3).isin(publicSuffixes3: _*), 3)
-      .when(n >= 2 && lastK(2).isin(publicSuffixes2: _*), 2)
-      .otherwise(1)
+    // an empty rule list must read as no-match, not an empty isin
+    def inSet(c: Column, xs: Seq[String]): Column =
+      if (xs.isEmpty) lit(false) else c.isin(xs: _*)
+    val sfxLen =
+      when(n >= 3 && inSet(lastK(3), exceptionHosts3), 2)
+        .when(n >= 2 && inSet(lastK(2), exceptionHosts2), 1)
+        .when(n >= 3 && (inSet(lastK(3), publicSuffixes3) ||
+          inSet(lastK(2), wildcardBases2)), 3)
+        .when(n >= 2 && (inSet(lastK(2), publicSuffixes2) ||
+          inSet(lastK(1), wildcardBases1)), 2)
+        .otherwise(1)
     when(n <= sfxLen, host)
       .otherwise(concat_ws(".", slice(labels, n - sfxLen, sfxLen + 1)))
   }

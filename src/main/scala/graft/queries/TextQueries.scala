@@ -3448,8 +3448,14 @@ semantic_dedup:
     * `u9` carries doc_id, source, text, url, url_canon, host, domain.
     */
   private def urlCanonCtes: String = {
-    val sfx3 = graft.functions.UrlOps.publicSuffixes3.map(s => s"'$s'").mkString(", ")
-    val sfx2 = graft.functions.UrlOps.publicSuffixes2.map(s => s"'$s'").mkString(", ")
+    import graft.functions.UrlOps
+    // empty rule list → no match (an empty SQL IN () won't parse)
+    def inSql(expr: String, xs: Seq[String]): String =
+      if (xs.isEmpty) "FALSE"
+      else s"$expr IN (${xs.map(s => s"'$s'").mkString(", ")})"
+    val last3 = "array_to_string(labels[greatest(nl - 2, 1):nl], '.')"
+    val last2 = "array_to_string(labels[greatest(nl - 1, 1):nl], '.')"
+    val last1 = "labels[nl]"
     s"""
       uc AS (SELECT doc_id, source, text, $synthUrlSql AS url FROM documents),
       u1 AS (SELECT *, regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM uc),
@@ -3480,8 +3486,12 @@ semantic_dedup:
       u7 AS (SELECT *, str_split(host, '.') AS labels,
                len(str_split(host, '.')) AS nl FROM u6),
       u8 AS (SELECT *, CASE
-               WHEN nl >= 3 AND array_to_string(labels[greatest(nl - 2, 1):nl], '.') IN ($sfx3) THEN 3
-               WHEN nl >= 2 AND array_to_string(labels[greatest(nl - 1, 1):nl], '.') IN ($sfx2) THEN 2
+               WHEN nl >= 3 AND ${inSql(last3, UrlOps.exceptionHosts3)} THEN 2
+               WHEN nl >= 2 AND ${inSql(last2, UrlOps.exceptionHosts2)} THEN 1
+               WHEN nl >= 3 AND (${inSql(last3, UrlOps.publicSuffixes3)}
+                 OR ${inSql(last2, UrlOps.wildcardBases2)}) THEN 3
+               WHEN nl >= 2 AND (${inSql(last2, UrlOps.publicSuffixes2)}
+                 OR ${inSql(last1, UrlOps.wildcardBases1)}) THEN 2
                ELSE 1 END AS sfxlen FROM u7),
       u9 AS (SELECT *, CASE WHEN nl <= sfxlen THEN host
                ELSE array_to_string(labels[nl - sfxlen:nl], '.') END AS domain FROM u8)"""

@@ -1157,7 +1157,19 @@ class TextSpec extends SparkSpec {
       ("shop.example.co.nz", "example.co.nz"),
       ("a.b.gob.mx", "b.gob.mx"),
       ("docs.readthedocs.io", "docs.readthedocs.io"), // private registry
-      ("localhost", "localhost"))                  // single label
+      ("localhost", "localhost"),                  // single label
+      // wildcard zone *.ck: any label under ck is itself a suffix
+      ("foo.bar.ck", "foo.bar.ck"),                // bar.ck is a suffix → +1
+      ("bar.ck", "bar.ck"),                        // IS a suffix → pass-through
+      ("a.b.foo.ck", "b.foo.ck"),
+      // exception !www.ck: registrable despite the wildcard
+      ("www.ck", "www.ck"),
+      ("a.www.ck", "www.ck"),
+      // 2-label wildcard base *.kawasaki.jp and its !city exception
+      ("x.pref.kawasaki.jp", "x.pref.kawasaki.jp"),
+      ("deep.x.pref.kawasaki.jp", "x.pref.kawasaki.jp"),
+      ("city.kawasaki.jp", "city.kawasaki.jp"),
+      ("sub.city.kawasaki.jp", "city.kawasaki.jp"))
     val out = cases.toDF("host", "expect")
       .select(col("host"), UrlOps.registrableDomain(col("host")).as("got"), col("expect"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
