@@ -880,6 +880,46 @@ object StreamingOps {
           .as("dup_rate"))
   }
 
+  final case class DegreeUpdate(node: Long, degree: Long, at_core_threshold: Boolean)
+
+  /** Streaming twin of the graph family's degree aggregate (the shared
+    * first stage of [[graft.functions.Graph.kCore]] peeling and the
+    * centrality preambles): edges arrive as (src, dst) rows and each
+    * arrival increments BOTH endpoints' cumulative multigraph degree
+    * (self-loops and null endpoints dropped, mirroring the batch
+    * canonical form's filter). State: ONE long per node — O(nodes),
+    * watermark-free — via mapGroupsWithState; each micro-batch emits
+    * one update per touched node with a `k`-threshold flag. degree >= k
+    * is the NECESSARY condition for k-core membership, so the flag is
+    * a streaming early-warning feeding the periodic batch peel (which
+    * alone decides true membership — peeling needs the synchronous
+    * rounds over the full edge frame), exactly how a crawl pipeline
+    * pairs a cheap in-flight monitor with a scheduled batch job.
+    * Unlike the batch canonical form this counts edge MULTIPLICITY
+    * (a stream cannot dedup unboundedly many past edges in O(1) state;
+    * feed pre-deduped edges when simple-graph degrees are required).
+    */
+  def streamingDegreeMonitor(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int): Dataset[DegreeUpdate] = {
+    require(k >= 1, "k must be >= 1")
+    import edges.sparkSession.implicits._
+    val ends = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d")) // also drops null endpoints (null predicate)
+      .select(explode(array(col("s"), col("d"))).as("node"))
+      .as[Long]
+    ends.groupByKey(identity)
+      .mapGroupsWithState[Long, DegreeUpdate](GroupStateTimeout.NoTimeout()) {
+        case (node, rows, state: GroupState[Long]) =>
+          val d = state.getOption.getOrElse(0L) + rows.size
+          state.update(d)
+          DegreeUpdate(node, d, d >= k)
+      }
+  }
+
   final case class ShardSlot(id: Long, shard: Long, shard_pos: Long)
 
   /** Streaming twin of [[graft.functions.Sharding.shuffledShards]]: the

@@ -326,6 +326,35 @@ class PropertiesSpec extends SparkSpec {
       5L -> 2L, 6L -> 2L, 7L -> 1L), s"got $all")
   }
 
+  test("unigram encode(train(corpus)) tokens re-concatenate to the normalized text") {
+    // lossless-cover property: for every document, joining the emitted
+    // token stream reproduces the normalized text minus spaces — a
+    // Viterbi DP that silently drops a pruned piece mid-path (or
+    // returns a partial cover) breaks this where no vocab-level oracle
+    // row would notice
+    import graft.functions.{TextOps, UnigramTokenizer}
+    val wordGen = Gen.choose(1, 9)
+      .flatMap(n => Gen.listOfN(n, Gen.choose('a', 'f')).map(_.mkString))
+    val docGen = Gen.choose(1, 12)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    for (docs <- samples(Gen.listOfN(25, docGen), 2)) {
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val vocab = UnigramTokenizer.trainUnigram(df, "text", vocabSize = 40,
+        rounds = 2, maxPieceLen = 3, maxWordLen = 10,
+        minSeedCount = 1L, seedSize = 200)
+      val bad = UnigramTokenizer.unigramEncode(df, "text", "doc_id", vocab)
+        .select(col("doc_id"), array_join(col("tokens"), "").as("joined"))
+        .join(df.select(col("doc_id"),
+          regexp_replace(TextOps.normalizeText(col("text")), " ", "")
+            .as("expect")), Seq("doc_id"))
+        .filter(col("joined") =!= col("expect"))
+        .collect()
+      assert(bad.isEmpty,
+        s"non-covering segmentation: ${bad.take(3).mkString("; ")}")
+    }
+  }
+
   test("connected components equal union-find truth on random graphs") {
     // 26 nodes, 60 random edges: rounds = 5 converges even on a full
     // path (propagate+jump covers distance 2^(r+1)-2), so the fixed-

@@ -392,6 +392,41 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming degree monitor accumulates batch-identical degrees across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val in = MemoryStream[(Long, Long)]
+    val out = StreamingOps.streamingDegreeMonitor(
+      in.toDF().toDF("src", "dst"), "src", "dst", k = 3)
+    val q = out.toDF().writeStream.format("memory").queryName("deg_out")
+      .outputMode("update").start()
+    // batch 1: star around 7 + an isolated pair + a self-loop (dropped)
+    val b1 = Seq((7L, 1L), (7L, 2L), (2L, 7L), (5L, 6L), (9L, 9L))
+    // batch 2: re-sent edge (multiplicity counts) + new node into the star
+    val b2 = Seq((7L, 1L), (3L, 7L))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = spark.sql(
+        "SELECT node, degree, at_core_threshold FROM deg_out")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(afterB1(7L) == ((3L, true)), s"hub after b1: ${afterB1(7L)}")
+      assert(afterB1(5L) == ((1L, false)) && !afterB1.contains(9L))
+      in.addData(b2: _*); q.processAllAvailable()
+      // LAST update per node = cumulative multigraph degree, equal to the
+      // batch aggregate over b1 ++ b2 (self-loops dropped, both endpoints)
+      val rows = spark.sql(
+        "SELECT node, degree, at_core_threshold FROM deg_out").collect()
+      val last = rows.groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => (r.getLong(1), r.getBoolean(2))).maxBy(_._1)).toMap
+      val truth = (b1 ++ b2).filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e._1, e._2)).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      assert(last.view.mapValues(_._1).toMap == truth,
+        s"stream $last vs batch truth $truth")
+      last.foreach { case (n, (d, flag)) => assert(flag == (d >= 3), s"flag at $n") }
+    } finally q.stop()
+  }
+
   test("streaming url curation holds null-url state across batches") {
     // null/unparseable urls canonicalize to null; the state joins are
     // plain equi-joins, so without the "" sentinel coalesce the null
