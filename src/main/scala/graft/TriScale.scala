@@ -78,8 +78,12 @@ object TriScale {
     "q_hits", "q_kcore",
     // round-18: connected components — per-round edge join + min agg
     // plus a node-sized pointer-jump self-join, both of which must stay
-    // linear in edges/nodes
-    "q_connected_components")
+    // linear in edges/nodes — and exact truncated harmonic centrality,
+    // whose layered pair frame must stay near-linear at radius 2 on the
+    // sparsified bipartite graph (3 tiers only: the exact-ball form is
+    // the verification sibling; harmonicCentralityApprox carries the
+    // node-sized-state scale claim)
+    "q_connected_components", "q_harmonic_centrality")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0

@@ -327,6 +327,124 @@ object Graph {
     lbl
   }
 
+  /** Exact truncated harmonic centrality over an undirected simple
+    * graph: h(v) = Σ_{u ∈ B_r(v), u≠v} 1/d(v,u) up to `radius` hops —
+    * the centrality CommonCrawl publishes per host (there computed by
+    * HyperBall; [[harmonicCentralityApprox]] is that scale path). This
+    * exact form is the VERIFICATION sibling: layered multi-source BFS
+    * as (node, peer) pair frames — each round one adjacency join + one
+    * anti-join against the already-reached set, every layer counted
+    * exactly. The harmonic sum folds the per-layer counts in fixed
+    * d-order (c1/1 + c2/2 + …), so the doubles are identical on any
+    * engine — q_harmonic_centrality unrolls the same BFS rounds as
+    * MATERIALIZED CTEs.
+    *
+    * Returns (node, reached, harmonic): peers within `radius` hops and
+    * the truncated harmonic sum, rounded to 9 decimals.
+    *
+    * Scale: the pair frame holds Σ|B_r(v)| rows — linear in edges on
+    * bounded-degree graphs but QUADRATIC once hub balls cover the
+    * graph, which is exactly why the radius is capped and the HLL
+    * approximation exists: use this for small radii / verification,
+    * [[harmonicCentralityApprox]] (node-sized state) for production
+    * web-scale runs.
+    */
+  def harmonicCentrality(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      radius: Int = 3): DataFrame = {
+    require(radius >= 1 && radius <= 6,
+      "radius must be in [1, 6] — the exact ball frame grows with sum |B_r(v)|; " +
+        "use harmonicCentralityApprox beyond")
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+    val adj = e.select(col("lo").as("u"), col("hi").as("v"))
+      .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+      .localCheckpoint()
+    val nodes = adj.select(col("u").as("node")).distinct()
+    val base = nodes.select(col("node"), col("node").as("peer")).localCheckpoint()
+    // reached = base ∪ checkpointed frontiers: the union plan stays
+    // shallow (its leaves are checkpoint blocks), no re-checkpoint needed
+    var reached = base
+    var frontier = base
+    val layerCounts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (d <- 1 to radius) {
+      val cand = frontier
+        .join(adj.withColumnRenamed("u", "peer"), Seq("peer"))
+        .select(col("node"), col("v").as("peer")).distinct()
+      frontier = cand.join(reached, Seq("node", "peer"), "left_anti")
+        .localCheckpoint()
+      reached = reached.unionAll(frontier)
+      layerCounts +=
+        frontier.groupBy("node").agg(count(lit(1)).as("cnt")).withColumn("d", lit(d))
+    }
+    // fixed-order fold c1/1 + c2/2 + … — bit-identical on any engine
+    val hExpr = (1 to radius)
+      .map(k => coalesce(max(when(col("d") === k, col("cnt"))), lit(0L))
+        .cast("double") / lit(k.toDouble))
+      .reduce(_ + _)
+    val perNode = layerCounts.reduce(_ unionAll _)
+      .groupBy("node")
+      .agg(sum(col("cnt")).as("reached"), round(hExpr, 9).as("harmonic"))
+    nodes.join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("reached"), lit(0L)).as("reached"),
+        coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
+  }
+
+  /** HyperBall-approximated harmonic centrality (Boldi–Rosa–Vigna,
+    * "HyperBall: beyond the billion" — the public algorithm behind
+    * CommonCrawl's host-level harmonic ranks): every node carries ONE
+    * mergeable HLL sketch of its ball; each sweep unions neighbor
+    * sketches (one edge join + one `hll_union_agg`, map-side combined)
+    * and adds (|B_d| − |B_{d−1}|)/d to the running harmonic sum. State
+    * is node-sized at ANY radius — 2^lgK registers per node — which is
+    * what makes radius-10 sweeps over a 100 TB web graph tractable
+    * where [[harmonicCentrality]]'s exact pair frame explodes.
+    * Deterministic: Datasketches HLL hashing/merging has no RNG, and
+    * register max is order-free — same edges, same output (gated
+    * against the exact form on small graphs in spec, where sparse-mode
+    * HLL counts are exact).
+    *
+    * Returns (node, ball_est, harmonic) — `ball_est` the HLL estimate
+    * of |B_radius(v)| (self included), harmonic rounded to 6 decimals.
+    */
+  def harmonicCentralityApprox(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      radius: Int = 4,
+      lgK: Int = 12): DataFrame = {
+    require(radius >= 1, "need at least one sweep")
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+    val adj = e.select(col("lo").as("u"), col("hi").as("v"))
+      .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+      .localCheckpoint()
+    var cur = adj.select(col("u").as("node"))
+      .groupBy("node").agg(expr(s"hll_sketch_agg(node, $lgK)").as("sk"))
+      .select(col("node"), col("sk"), lit(0.0).as("h"),
+        expr("hll_sketch_estimate(sk)").as("prev"))
+      .localCheckpoint()
+    for (d <- 1 to radius) {
+      val contrib = adj
+        .join(cur.select(col("node").as("u"), col("sk")), Seq("u"))
+        .groupBy(col("v").as("node"))
+        .agg(expr("hll_union_agg(sk)").as("nsk"))
+      cur = cur.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          when(col("nsk").isNull, col("sk"))
+            .otherwise(expr("hll_union(sk, nsk)")).as("sk"),
+          col("h"), col("prev"))
+        .select(col("node"), col("sk"),
+          (col("h") +
+            greatest(expr("hll_sketch_estimate(sk)") - col("prev"), lit(0L))
+              .cast("double") / lit(d.toDouble)).as("h"),
+          expr("hll_sketch_estimate(sk)").as("prev"))
+        .localCheckpoint()
+    }
+    cur.select(col("node"), col("prev").as("ball_est"),
+      round(col("h"), 6).as("harmonic"))
+  }
+
   /** Canonical simple-graph form shared by [[kCore]] and
     * [[triangleCounts]]: long-typed (lo < hi) distinct pairs, self-loops
     * dropped.

@@ -635,6 +635,57 @@ object AnalyticsQueries {
       SELECT node, comp FROM l5"""
     })
 
+  /** Exact truncated harmonic centrality (radius 2) over the sparsified
+    * customer↔supplier graph — layered multi-source BFS with exact
+    * per-layer counts and a fixed-order harmonic fold
+    * ([[graft.functions.Graph.harmonicCentrality]]; the HyperBall
+    * approximation is its spec-gated scale sibling). The oracle unrolls
+    * the SAME BFS layers as CTEs (frontier = candidates EXCEPT reached).
+    */
+  val qHarmonic = Q(
+    "q_harmonic_centrality",
+    (s, dir) => {
+      val t = tables(s, dir)
+      val edges = t.lineitem.filter(col("l_orderkey") % 50 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"))
+      // radius pinned beside the oracle that hardcodes both layers
+      graft.functions.Graph.harmonicCentrality(edges, radius = 2)
+    },
+    Some("""
+      WITH raw AS MATERIALIZED (
+        SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_orderkey % 50 = 0),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        FROM raw WHERE src <> dst),
+      adj AS MATERIALIZED (
+        SELECT lo AS u, hi AS v FROM e0 UNION ALL SELECT hi, lo FROM e0),
+      nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM adj),
+      b0 AS MATERIALIZED (SELECT node, node AS peer FROM nodes),
+      f1 AS MATERIALIZED (
+        SELECT DISTINCT f.node, a.v AS peer FROM b0 f JOIN adj a ON a.u = f.peer
+        EXCEPT SELECT node, peer FROM b0),
+      r1 AS MATERIALIZED (
+        SELECT node, peer FROM b0 UNION ALL SELECT node, peer FROM f1),
+      f2 AS MATERIALIZED (
+        SELECT DISTINCT f.node, a.v AS peer FROM f1 f JOIN adj a ON a.u = f.peer
+        EXCEPT SELECT node, peer FROM r1),
+      lc AS MATERIALIZED (
+        SELECT node, 1 AS d, count(*) AS cnt FROM f1 GROUP BY node
+        UNION ALL SELECT node, 2, count(*) FROM f2 GROUP BY node)
+      SELECT n.node,
+        CAST(coalesce(s.reached, 0) AS BIGINT) AS reached,
+        coalesce(s.harmonic, CAST(0 AS DOUBLE)) AS harmonic
+      FROM nodes n LEFT JOIN (
+        SELECT node, sum(cnt) AS reached,
+          round(CAST(coalesce(max(CASE WHEN d = 1 THEN cnt END), 0) AS DOUBLE) / 1.0
+              + CAST(coalesce(max(CASE WHEN d = 2 THEN cnt END), 0) AS DOUBLE) / 2.0, 9)
+            AS harmonic
+        FROM lc GROUP BY node) s ON s.node = n.node"""))
+
   def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qTheilsU, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
-    qPageRank, qTriangles, qHits, qKCore, qComponents)
+    qPageRank, qTriangles, qHits, qKCore, qComponents, qHarmonic)
 }

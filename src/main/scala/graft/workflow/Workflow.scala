@@ -854,6 +854,16 @@ object Workflow {
           graft.functions.Graph.connectedComponents(edges, src, dst,
             rounds = cc.getOrElse("rounds", 5).toString.toInt)
       }
+      gm.get("harmonic").foreach { hv =>
+        val hc = asConf(hv)
+        knownKeys("harmonic", hc, Set("radius", "approx", "lg_k"))
+        val radius = hc.getOrElse("radius", 3).toString.toInt
+        metrics("harmonic") =
+          if (hc.getOrElse("approx", false).toString.toBoolean)
+            graft.functions.Graph.harmonicCentralityApprox(edges, src, dst,
+              radius = radius, lgK = hc.getOrElse("lg_k", 12).toString.toInt)
+          else graft.functions.Graph.harmonicCentrality(edges, src, dst, radius)
+      }
       if (gm.getOrElse("triangle_counts", false) == true)
         metrics("triangle_counts") =
           graft.functions.Graph.triangleCounts(edges, src, dst)

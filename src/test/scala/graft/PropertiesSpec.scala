@@ -394,6 +394,34 @@ class PropertiesSpec extends SparkSpec {
     assert(partial.length > 1, "2 rounds cannot cover distance 25 — jump overshoot?")
   }
 
+  test("harmonic centrality: exact on a path, HyperBall matches exact on random graphs") {
+    import graft.functions.Graph
+    // path 1-2-3-4-5, radius 2: h(3) = 2/1 + 2/2 = 3, h(1) = 1/1 + 1/2
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val h = Graph.harmonicCentrality(path, radius = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(h(3L) == ((4L, 3.0)), s"center ${h(3L)}")
+    assert(h(1L) == ((2L, 1.5)) && h(5L) == ((2L, 1.5)), s"ends ${h(1L)}")
+    assert(h(2L) == ((3L, 2.5)), s"near-end ${h(2L)}")
+    // HyperBall twin: on small graphs sparse-mode HLL counts are exact,
+    // so ball estimates — and therefore the harmonic sums — must agree
+    // with the exact BFS at every node
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)).suchThat(p => p._1 != p._2))
+    for (edges <- samples(edgeGen, 2) if edges.nonEmpty) {
+      val df = edges.toDF("src", "dst")
+      val exact = Graph.harmonicCentrality(df, radius = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val approx = Graph.harmonicCentralityApprox(df, radius = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(exact.keySet == approx.keySet)
+      exact.foreach { case (n, ex) =>
+        assert(math.abs(approx(n) - ex) < 1e-6,
+          s"node $n: exact $ex vs hyperball ${approx(n)}")
+      }
+    }
+  }
+
   test("misra-gries: exact when distinct <= k, error-bounded beyond") {
     // exact regime: distinct = 10 <= k = 16 → counts equal groupBy truth,
     // and the result is partition-layout invariant
