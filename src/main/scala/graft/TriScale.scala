@@ -83,7 +83,11 @@ object TriScale {
     // sparsified bipartite graph (3 tiers only: the exact-ball form is
     // the verification sibling; harmonicCentralityApprox carries the
     // node-sized-state scale claim)
-    "q_connected_components", "q_harmonic_centrality")
+    "q_connected_components", "q_harmonic_centrality",
+    // round-18: LPA — per-round (node, label) count aggregate must stay
+    // map-side-combined (one combiner row per distinct neighbor label,
+    // never per edge) as hubs grow
+    "q_label_propagation")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -144,8 +148,10 @@ object TriScale {
     // tier (10x-degree hubs must still peel in bounded rounds)
     "q_hits", "q_kcore",
     // round-18: components ride the same orders tier (hub suppliers fuse
-    // most of the bipartite graph — the jump join must stay node-sized)
-    "q_connected_components")
+    // most of the bipartite graph — the jump join must stay node-sized);
+    // LPA rides the co-occurrence tier like k-core (10x-degree hubs must
+    // pre-aggregate their per-label counts map-side)
+    "q_connected_components", "q_label_propagation")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -327,6 +327,55 @@ object Graph {
     lbl
   }
 
+  /** Fixed-round label-propagation communities (Raghavan et al. 2007 —
+    * the standard near-linear community baseline web curation uses to
+    * group hosts before per-community quotas): labels start as node
+    * ids; each SYNCHRONOUS round every node adopts the most frequent
+    * label among its neighbors, ties broken by SMALLEST label — fully
+    * deterministic, no RNG, replayable as unrolled SQL
+    * (q_label_propagation mirrors each round's count + arg-min CTEs).
+    * Unlike [[connectedComponents]] (which fuses everything reachable)
+    * LPA respects density boundaries: a sparse bridge between two
+    * dense clusters rarely flips either side's majority.
+    *
+    * Returns (node, label) after `rounds` rounds. Fixed rounds, not
+    * convergence: LPA on a fixed schedule is a pure function of the
+    * edges (classic LPA stops at stability, which is order-dependent —
+    * the synchronous fixed-round form is the deterministic variant).
+    *
+    * Scale: per round one edge-frame join + one (node, label) count
+    * aggregate (map-side combined) + one node-sized arg-min aggregate —
+    * 2 shuffles, state O(nodes); localCheckpoint every other round
+    * bounds plan depth like the other iterative ops. Skew: a hub's
+    * per-label counts pre-aggregate map-side, so hot nodes cost one
+    * combiner row per distinct neighbor label, not one per edge.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+    val adj = e.select(col("lo").as("u"), col("hi").as("v"))
+      .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+      .localCheckpoint()
+    var lbl = adj.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (r <- 1 to rounds) {
+      val counts = adj
+        .join(lbl.select(col("node").as("v"), col("label").as("nl")), Seq("v"))
+        .groupBy(col("u").as("node"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+      // arg-min over (-count, label): max count, then smallest label —
+      // every node has a neighbor here, so the aggregate is total
+      lbl = counts.groupBy("node")
+        .agg(min_by(col("nl"), struct((-col("c")).as("nc"), col("nl"))).as("label"))
+      if (r % 2 == 0 || r == rounds) lbl = lbl.localCheckpoint()
+    }
+    lbl
+  }
+
   /** Exact truncated harmonic centrality over an undirected simple
     * graph: h(v) = Σ_{u ∈ B_r(v), u≠v} 1/d(v,u) up to `radius` hops —
     * the centrality CommonCrawl publishes per host (there computed by

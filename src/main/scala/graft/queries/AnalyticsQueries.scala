@@ -686,6 +686,52 @@ object AnalyticsQueries {
             AS harmonic
         FROM lc GROUP BY node) s ON s.node = n.node"""))
 
+  /** Fixed-round label-propagation communities over the supplier
+    * co-occurrence graph (the q_kcore edge set) — synchronous LPA,
+    * majority label with smallest-label ties
+    * ([[graft.functions.Graph.labelPropagation]]); the oracle replays
+    * each round as a count CTE + a max-count/min-label pair. Exact
+    * integer labels.
+    */
+  val qLabelProp = Q(
+    "q_label_propagation",
+    (s, dir) => {
+      val li = tables(s, dir).lineitem.filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+      // rounds pinned beside the oracle that hardcodes them
+      graft.functions.Graph.labelPropagation(pairs, rounds = 3)
+    },
+    Some {
+      def round(r: Int): String = {
+        val prev = if (r == 1) "l0" else s"l${r - 1}"
+        s"""c$r AS MATERIALIZED (
+           SELECT a.u AS node, l.label AS nl, count(*) AS c
+           FROM adj a JOIN $prev l ON l.node = a.v GROUP BY a.u, l.label),
+        m$r AS MATERIALIZED (
+           SELECT node, max(c) AS mc FROM c$r GROUP BY node),
+        l$r AS MATERIALIZED (
+           SELECT c.node, min(c.nl) AS label
+           FROM c$r c JOIN m$r m ON m.node = c.node AND c.c = m.mc
+           GROUP BY c.node)"""
+      }
+      val rounds = (1 to 3).map(round).mkString(",\n")
+      s"""
+      WITH li AS MATERIALIZED (
+        SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        WHERE l_orderkey % 20 = 0),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT x.sk AS lo, y.sk AS hi
+        FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+      adj AS MATERIALIZED (
+        SELECT lo AS u, hi AS v FROM e0 UNION ALL SELECT hi, lo FROM e0),
+      l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM adj),
+      $rounds
+      SELECT node, label FROM l3"""
+    })
+
   def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qTheilsU, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
-    qPageRank, qTriangles, qHits, qKCore, qComponents, qHarmonic)
+    qPageRank, qTriangles, qHits, qKCore, qComponents, qHarmonic, qLabelProp)
 }

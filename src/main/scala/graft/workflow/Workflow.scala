@@ -854,6 +854,13 @@ object Workflow {
           graft.functions.Graph.connectedComponents(edges, src, dst,
             rounds = cc.getOrElse("rounds", 5).toString.toInt)
       }
+      gm.get("label_propagation").foreach { lv =>
+        val lc = asConf(lv)
+        knownKeys("label_propagation", lc, Set("rounds"))
+        metrics("label_propagation") =
+          graft.functions.Graph.labelPropagation(edges, src, dst,
+            rounds = lc.getOrElse("rounds", 4).toString.toInt)
+      }
       gm.get("harmonic").foreach { hv =>
         val hc = asConf(hv)
         knownKeys("harmonic", hc, Set("radius", "approx", "lg_k"))

@@ -394,6 +394,22 @@ class PropertiesSpec extends SparkSpec {
     assert(partial.length > 1, "2 rounds cannot cover distance 25 — jump overshoot?")
   }
 
+  test("label propagation separates bridged cliques that components would fuse") {
+    import graft.functions.Graph
+    // two triangles joined by one bridge: LPA's majority rule keeps two
+    // communities (hand-traced through 3 synchronous min-tie rounds),
+    // while connected components fuses everything reachable
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val lp = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L),
+      s"got $lp")
+    val cc = Graph.connectedComponents(edges)
+      .collect().map(_.getLong(1)).distinct
+    assert(cc.toSeq == Seq(1L), "components must fuse the bridge")
+  }
+
   test("harmonic centrality: exact on a path, HyperBall matches exact on random graphs") {
     import graft.functions.Graph
     // path 1-2-3-4-5, radius 2: h(3) = 2/1 + 2/2 = 3, h(1) = 1/1 + 1/2

@@ -823,6 +823,8 @@ graph_metrics:
     rounds: 3
   connected_components:
     rounds: 4
+  harmonic:
+    radius: 2
   triangle_counts: true
 """
     val (df, stages) = Workflow.run(spark, yaml)
@@ -847,6 +849,11 @@ graph_metrics:
     assert(cc.columns.toSeq == Seq("node", "comp"))
     // labels are min-ids: never above the node's own id
     assert(cc.filter(col("comp") > col("node")).count() == 0)
+    val hm = gm.metrics("harmonic")
+    assert(hm.columns.toSeq == Seq("node", "reached", "harmonic"))
+    // every node has an edge, so a radius-2 ball reaches at least one
+    // peer: harmonic strictly positive everywhere
+    assert(hm.filter(col("harmonic") <= 0.0).count() == 0)
     assert(gm.metrics("triangle_counts").columns.contains("triangles"))
     // the data frame itself flows through the stage unchanged
     assert(df.columns.toSeq == Seq("l_suppkey", "l_partkey"))
