@@ -593,47 +593,82 @@ object AnalyticsQueries {
     * the oracle unrolls the SAME propagate+jump rounds as MATERIALIZED
     * CTEs. Exact integer labels.
     */
+  /** Shared CC oracle: the l_orderkey % 40 customer↔supplier edge set
+    * through 5 unrolled propagate+jump rounds — the SAME SQL verifies
+    * both the direct op (q_connected_components) and the YAML
+    * graph_metrics stage (q_workflow_graph), which must be
+    * hash-identical by construction.
+    */
+  private def ccOracleSql: String = {
+    def round(r: Int): String = {
+      val prev = if (r == 1) "l0" else s"l${r - 1}"
+      s"""n$r AS MATERIALIZED (
+         SELECT a.u AS node, min(l.comp) AS nbr
+         FROM adj a JOIN $prev l ON l.node = a.v GROUP BY a.u),
+      p$r AS MATERIALIZED (
+         SELECT l.node, least(l.comp, coalesce(n.nbr, l.comp)) AS comp
+         FROM $prev l LEFT JOIN n$r n ON n.node = l.node),
+      l$r AS MATERIALIZED (
+         SELECT p.node, coalesce(q.comp, p.comp) AS comp
+         FROM p$r p LEFT JOIN p$r q ON q.node = p.comp)"""
+    }
+    val rounds = (1 to 5).map(round).mkString(",\n")
+    s"""
+    WITH raw AS MATERIALIZED (
+      SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_orderkey % 40 = 0),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+      FROM raw WHERE src <> dst),
+    adj AS MATERIALIZED (
+      SELECT lo AS u, hi AS v FROM e0
+      UNION ALL SELECT hi, lo FROM e0),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, u AS comp FROM adj),
+    $rounds
+    SELECT node, comp FROM l5"""
+  }
+
+  private def ccEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val t = tables(s, dir)
+    t.lineitem.filter(col("l_orderkey") % 40 === 0)
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(10000000L)).as("dst"))
+  }
+
   val qComponents = Q(
     "q_connected_components",
+    // rounds pinned beside the oracle that hardcodes them
+    (s, dir) => graft.functions.Graph.connectedComponents(ccEdges(s, dir), rounds = 5),
+    Some(ccOracleSql))
+
+  /** The graph_metrics YAML stage end-to-end: edges land in a scratch
+    * parquet, the workflow reads them via edges_path and runs the
+    * connected_components arm — the stage's output must hash-match the
+    * SAME DuckDB oracle as the direct op, proving the YAML plumbing
+    * (config parse, edge load, arm dispatch) changes nothing.
+    */
+  val qWorkflowGraph = Q(
+    "q_workflow_graph",
     (s, dir) => {
-      val t = tables(s, dir)
-      val edges = t.lineitem.filter(col("l_orderkey") % 40 === 0)
-        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + lit(10000000L)).as("dst"))
-      // rounds pinned beside the oracle that hardcodes them
-      graft.functions.Graph.connectedComponents(edges, rounds = 5)
+      val scratch = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"), "graft_q_workflow_graph").toString
+      ccEdges(s, dir).write.mode("overwrite").parquet(s"$scratch/edges")
+      val yaml = s"""input_dataset:
+                    |  read_dataset:
+                    |    file_path: "$scratch/edges"
+                    |    file_type: parquet
+                    |graph_metrics:
+                    |  edges_path: "$scratch/edges"
+                    |  connected_components:
+                    |    rounds: 5
+                    |""".stripMargin
+      val (_, stages) = graft.workflow.Workflow.run(s, yaml)
+      stages.find(_.name == "graph_metrics").get.metrics("connected_components")
     },
-    Some {
-      def round(r: Int): String = {
-        val prev = if (r == 1) "l0" else s"l${r - 1}"
-        s"""n$r AS MATERIALIZED (
-           SELECT a.u AS node, min(l.comp) AS nbr
-           FROM adj a JOIN $prev l ON l.node = a.v GROUP BY a.u),
-        p$r AS MATERIALIZED (
-           SELECT l.node, least(l.comp, coalesce(n.nbr, l.comp)) AS comp
-           FROM $prev l LEFT JOIN n$r n ON n.node = l.node),
-        l$r AS MATERIALIZED (
-           SELECT p.node, coalesce(q.comp, p.comp) AS comp
-           FROM p$r p LEFT JOIN p$r q ON q.node = p.comp)"""
-      }
-      val rounds = (1 to 5).map(round).mkString(",\n")
-      s"""
-      WITH raw AS MATERIALIZED (
-        SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE l_orderkey % 40 = 0),
-      e0 AS MATERIALIZED (
-        SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
-        FROM raw WHERE src <> dst),
-      adj AS MATERIALIZED (
-        SELECT lo AS u, hi AS v FROM e0
-        UNION ALL SELECT hi, lo FROM e0),
-      l0 AS MATERIALIZED (
-        SELECT DISTINCT u AS node, u AS comp FROM adj),
-      $rounds
-      SELECT node, comp FROM l5"""
-    })
+    Some(ccOracleSql))
 
   /** Exact truncated harmonic centrality (radius 2) over the sparsified
     * customer↔supplier graph — layered multi-source BFS with exact
@@ -733,5 +768,6 @@ object AnalyticsQueries {
     })
 
   def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qTheilsU, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
-    qPageRank, qTriangles, qHits, qKCore, qComponents, qHarmonic, qLabelProp)
+    qPageRank, qTriangles, qHits, qKCore, qComponents, qHarmonic, qLabelProp,
+    qWorkflowGraph)
 }
