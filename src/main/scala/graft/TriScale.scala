@@ -87,7 +87,11 @@ object TriScale {
     // round-18: LPA — per-round (node, label) count aggregate must stay
     // map-side-combined (one combiner row per distinct neighbor label,
     // never per edge) as hubs grow
-    "q_label_propagation")
+    "q_label_propagation",
+    // round-18: degree-capped random walks — the per-step equi-join must
+    // stay O(walks) with the bounded-heap candidate table absorbing hub
+    // degrees
+    "q_random_walks")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -151,7 +155,7 @@ object TriScale {
     // most of the bipartite graph — the jump join must stay node-sized);
     // LPA rides the co-occurrence tier like k-core (10x-degree hubs must
     // pre-aggregate their per-label counts map-side)
-    "q_connected_components", "q_label_propagation")
+    "q_connected_components", "q_label_propagation", "q_random_walks")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

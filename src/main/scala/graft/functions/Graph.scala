@@ -376,6 +376,83 @@ object Graph {
     lbl
   }
 
+  /** Deterministic degree-capped random walks — the DeepWalk/node2vec
+    * corpus-generation step (walks become skip-gram training sequences
+    * for graph embeddings), with GraphSAGE-style neighbor capping. No
+    * RNG anywhere: each node's neighbor candidate set is the
+    * `maxNeighbors` smallest by salted md5 (the mergeable
+    * `bounded_topk_long` heap — O(K) state per node, hub-safe), and
+    * step t of walk w from start s picks candidate index
+    * md5("walk:salt:s:w:t") mod |candidates| — epoch-reproducible,
+    * partition-invariant, and replayed hash-for-hash by DuckDB
+    * (q_random_walks), the mixture-sampling md5 idiom.
+    *
+    * Returns (start, walk, step, node), step 0..walkLength; walks run
+    * on the symmetric adjacency so they never strand (every node seen
+    * has degree >= 1).
+    *
+    * Scale: the capped neighbor table is built once (one bounded-heap
+    * aggregate + one membership-filter pass over the edges, then
+    * <= K-element arrays per node — collect_list is capped by
+    * construction); each step is then ONE node-sized equi-join +
+    * element_at — per-step cost O(walks), independent of degree. A hub
+    * with 10^8 edges costs one O(K) heap, never a fan-out: the same
+    * reasoning as capPerDomain. Ties under md5 collision (~2^-60 per
+    * pair) break arbitrarily, like the other hash-order ops.
+    */
+  def randomWalks(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      walkLength: Int = 3,
+      walksPerNode: Int = 1,
+      maxNeighbors: Int = 32,
+      salt: String = ""): DataFrame = {
+    require(walkLength >= 1, "need at least one step")
+    require(walksPerNode >= 1, "need at least one walk per node")
+    require(maxNeighbors >= 1, "need at least one candidate neighbor")
+    graft.plans.GraftFunctions.register(edges.sparkSession)
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+    val adj = e.select(col("lo").as("u"), col("hi").as("v"))
+      .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+    val nh = call_function("md5_prefix60",
+      concat(lit("nbr:"), lit(salt), lit(":"), col("u").cast("string"),
+        lit(":"), col("v").cast("string")).cast("binary"))
+    val adjH = adj.withColumn("__h", nh)
+    val top = adjH.groupBy("u")
+      .agg(call_function("bounded_topk_long", col("__h"), lit(maxNeighbors))
+        .as("__top"))
+    // capped ranked candidates as one <=K array per node, h-sorted so
+    // array index == hash rank (v tie-break mirrors the oracle's)
+    val nbrs = adjH.join(top, Seq("u"))
+      .filter(array_contains(col("__top"), col("__h")))
+      .groupBy("u")
+      .agg(sort_array(collect_list(struct(col("__h"), col("v")))).as("nbrs"))
+      .localCheckpoint()
+    var frontier = nbrs.select(col("u").as("start"))
+      .select(col("start"),
+        explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("walk"))
+      .select(col("start"), col("walk"), col("start").as("node"))
+    val steps = scala.collection.mutable.ArrayBuffer(
+      frontier.withColumn("step", lit(0)))
+    for (t <- 1 to walkLength) {
+      val wh = call_function("md5_prefix60",
+        concat(lit("walk:"), lit(salt), lit(":"), col("start").cast("string"),
+          lit(":"), col("walk").cast("string"), lit(":"), lit(t.toString))
+          .cast("binary"))
+      frontier = frontier
+        .join(nbrs.withColumnRenamed("u", "node"), Seq("node"))
+        .select(col("start"), col("walk"),
+          element_at(col("nbrs"),
+            (pmod(wh, size(col("nbrs")).cast("long")) + 1L).cast("int"))
+            .getField("v").as("node"))
+      if (t % 2 == 0) frontier = frontier.localCheckpoint()
+      steps += frontier.withColumn("step", lit(t))
+    }
+    steps.reduce(_ unionAll _)
+      .select(col("start"), col("walk"), col("step"), col("node"))
+  }
+
   /** Exact truncated harmonic centrality over an undirected simple
     * graph: h(v) = Σ_{u ∈ B_r(v), u≠v} 1/d(v,u) up to `radius` hops —
     * the centrality CommonCrawl publishes per host (there computed by

@@ -861,6 +861,16 @@ object Workflow {
           graft.functions.Graph.labelPropagation(edges, src, dst,
             rounds = lc.getOrElse("rounds", 4).toString.toInt)
       }
+      gm.get("random_walks").foreach { wv =>
+        val wc = asConf(wv)
+        knownKeys("random_walks", wc,
+          Set("length", "walks_per_node", "max_neighbors", "salt"))
+        metrics("random_walks") = graft.functions.Graph.randomWalks(edges, src, dst,
+          walkLength = wc.getOrElse("length", 3).toString.toInt,
+          walksPerNode = wc.getOrElse("walks_per_node", 1).toString.toInt,
+          maxNeighbors = wc.getOrElse("max_neighbors", 32).toString.toInt,
+          salt = wc.getOrElse("salt", "").toString)
+      }
       gm.get("harmonic").foreach { hv =>
         val hc = asConf(hv)
         knownKeys("harmonic", hc, Set("radius", "approx", "lg_k"))

@@ -410,6 +410,54 @@ class PropertiesSpec extends SparkSpec {
     assert(cc.toSeq == Seq(1L), "components must fuse the bridge")
   }
 
+  test("random walks are valid paths, partition-invariant, and cap-respecting") {
+    import graft.functions.Graph
+    val edgeGen = Gen.listOfN(50,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)).suchThat(p => p._1 != p._2))
+    for (edges <- samples(edgeGen, 2) if edges.nonEmpty) {
+      val df = edges.toDF("src", "dst")
+      val walks = Graph.randomWalks(df, walkLength = 3, walksPerNode = 2,
+        maxNeighbors = 4, salt = "t")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      // every walk emits exactly walkLength+1 positions starting at its node
+      val byWalk = walks.groupBy(w => (w._1, w._2))
+      byWalk.foreach { case ((s, _), rows) =>
+        assert(rows.length == 4 && rows.find(_._3 == 0).get._4 == s)
+      }
+      // every consecutive (step t-1 -> t) pair is a real undirected edge
+      val undirected = edges.flatMap(e => Seq(e, e.swap)).toSet
+      byWalk.foreach { case (_, rows) =>
+        val path = rows.sortBy(_._3).map(_._4).toSeq
+        path.sliding(2).foreach { case Seq(a, b) =>
+          assert(undirected.contains((a, b)), s"non-edge hop $a -> $b in $path")
+        }
+      }
+      // partition-invariance: a different physical layout yields the
+      // identical walk set (hash-indexed selection has no order inputs)
+      val re = Graph.randomWalks(df.repartition(7), walkLength = 3,
+        walksPerNode = 2, maxNeighbors = 4, salt = "t")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      assert(walks.sorted.toSeq == re.sorted.toSeq)
+      // maxNeighbors = 1: every step from a node goes to its single
+      // min-hash candidate — walks through the same node always agree
+      val capped = Graph.randomWalks(df, walkLength = 2, walksPerNode = 1,
+        maxNeighbors = 1, salt = "t")
+        .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+      val hops = capped.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      hops.foreach { case (_, path) =>
+        path.sliding(2).foreach { case Seq(a, b) =>
+          // b is a's unique candidate: any other walk stepping from a
+          // must also go to b
+          hops.values.foreach { other =>
+            other.sliding(2).foreach { case Seq(x, y) =>
+              if (x == a) assert(y == b, s"cap-1 divergence at $a: $b vs $y")
+            }
+          }
+        }
+      }
+    }
+  }
+
   test("harmonic centrality: exact on a path, HyperBall matches exact on random graphs") {
     import graft.functions.Graph
     // path 1-2-3-4-5, radius 2: h(3) = 2/1 + 2/2 = 3, h(1) = 1/1 + 1/2
