@@ -453,6 +453,30 @@ object Graph {
       .select(col("start"), col("walk"), col("step"), col("node"))
   }
 
+  /** Skip-gram training pairs from a walk frame (the DeepWalk step after
+    * [[randomWalks]]): every ordered (center, context) pair of nodes
+    * within `window` steps of each other on the same walk, aggregated
+    * with multiplicities — the exact input word2vec-style embedding
+    * trainers consume. One self-equi-join on (start, walk) — walk
+    * frames are walkLength-bounded per key, so the join fan-out is
+    * O(walkLength²) per walk, a constant — plus one map-side-combined
+    * count aggregate.
+    */
+  def skipGramPairs(
+      walks: DataFrame,
+      window: Int = 2): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val a = walks.select(col("start"), col("walk"),
+      col("step").as("s1"), col("node").as("center"))
+    val b = walks.select(col("start"), col("walk"),
+      col("step").as("s2"), col("node").as("context"))
+    a.join(b, Seq("start", "walk"))
+      .filter(col("s1") =!= col("s2") &&
+        abs(col("s1") - col("s2")) <= window)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Exact truncated harmonic centrality over an undirected simple
     * graph: h(v) = Σ_{u ∈ B_r(v), u≠v} 1/d(v,u) up to `radius` hops —
     * the centrality CommonCrawl publishes per host (there computed by

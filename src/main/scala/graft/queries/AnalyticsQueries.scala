@@ -774,61 +774,88 @@ object AnalyticsQueries {
     * a walk-step hash. The oracle regenerates every hash with DuckDB's
     * md5 and replays all 3 steps — exact integers end to end.
     */
+  private def walkEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = tables(s, dir).lineitem.filter(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+  }
+
+  /** Shared walk-oracle CTE chain: the q_kcore edge set through the
+    * capped-candidate build and all 3 hash-indexed steps, ending in a
+    * `walks` CTE — consumed by q_random_walks directly and by
+    * q_skipgram_pairs through the window self-join.
+    */
+  private def walkOracleCtes: String = {
+    def h60(expr: String): String =
+      s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+    def step(t: Int): String = {
+      val prev = if (t == 1) "f0" else s"f${t - 1}"
+      val wh = h60(s"'walk:e0:' || CAST(f.start AS VARCHAR) || ':' || " +
+        s"CAST(f.walk AS VARCHAR) || ':$t'")
+      s"""f$t AS MATERIALIZED (
+         SELECT f.start, f.walk, c.v AS node
+         FROM $prev f
+         JOIN ks ON ks.u = f.node
+         JOIN cap c ON c.u = f.node AND c.r = ($wh % ks.k) + 1)"""
+    }
+    val steps = (1 to 3).map(step).mkString(",\n")
+    val unions = (0 to 3)
+      .map(t => s"SELECT start, walk, $t AS step, node FROM f$t")
+      .mkString("\n        UNION ALL ")
+    s"""li AS MATERIALIZED (
+      SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+      WHERE l_orderkey % 20 = 0),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT x.sk AS lo, y.sk AS hi
+      FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+    adj AS MATERIALIZED (
+      SELECT lo AS u, hi AS v FROM e0 UNION ALL SELECT hi, lo FROM e0),
+    adjh AS MATERIALIZED (
+      SELECT u, v, ${h60("'nbr:e0:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)")} AS h
+      FROM adj),
+    cap AS MATERIALIZED (
+      SELECT u, v, r FROM (
+        SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY h, v) AS r
+        FROM adjh)
+      WHERE r <= 8),
+    ks AS MATERIALIZED (SELECT u, max(r) AS k FROM cap GROUP BY u),
+    f0 AS MATERIALIZED (
+      SELECT n.u AS start, CAST(t.w AS BIGINT) AS walk, n.u AS node
+      FROM (SELECT DISTINCT u FROM adj) n, (VALUES (0), (1)) t(w)),
+    $steps,
+    walks AS MATERIALIZED (
+      $unions)"""
+  }
+
   val qRandomWalks = Q(
     "q_random_walks",
-    (s, dir) => {
-      val li = tables(s, dir).lineitem.filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      val pairs = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("src"), col("y.sk").as("dst"))
-      // knobs pinned beside the oracle that hardcodes them
-      graft.functions.Graph.randomWalks(pairs, walkLength = 3,
-        walksPerNode = 2, maxNeighbors = 8, salt = "e0")
-    },
-    Some {
-      def h60(expr: String): String =
-        s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
-      def step(t: Int): String = {
-        val prev = if (t == 1) "f0" else s"f${t - 1}"
-        val wh = h60(s"'walk:e0:' || CAST(f.start AS VARCHAR) || ':' || " +
-          s"CAST(f.walk AS VARCHAR) || ':$t'")
-        s"""f$t AS MATERIALIZED (
-           SELECT f.start, f.walk, c.v AS node
-           FROM $prev f
-           JOIN ks ON ks.u = f.node
-           JOIN cap c ON c.u = f.node AND c.r = ($wh % ks.k) + 1)"""
-      }
-      val steps = (1 to 3).map(step).mkString(",\n")
-      val unions = (0 to 3)
-        .map(t => s"SELECT start, walk, $t AS step, node FROM f$t")
-        .mkString("\n      UNION ALL ")
-      s"""
-      WITH li AS MATERIALIZED (
-        SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
-        WHERE l_orderkey % 20 = 0),
-      e0 AS MATERIALIZED (
-        SELECT DISTINCT x.sk AS lo, y.sk AS hi
-        FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
-      adj AS MATERIALIZED (
-        SELECT lo AS u, hi AS v FROM e0 UNION ALL SELECT hi, lo FROM e0),
-      adjh AS MATERIALIZED (
-        SELECT u, v, ${h60("'nbr:e0:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)")} AS h
-        FROM adj),
-      cap AS MATERIALIZED (
-        SELECT u, v, r FROM (
-          SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY h, v) AS r
-          FROM adjh)
-        WHERE r <= 8),
-      ks AS MATERIALIZED (SELECT u, max(r) AS k FROM cap GROUP BY u),
-      f0 AS MATERIALIZED (
-        SELECT n.u AS start, CAST(t.w AS BIGINT) AS walk, n.u AS node
-        FROM (SELECT DISTINCT u FROM adj) n, (VALUES (0), (1)) t(w)),
-      $steps
-      $unions"""
-    })
+    // knobs pinned beside the oracle that hardcodes them
+    (s, dir) => graft.functions.Graph.randomWalks(walkEdges(s, dir),
+      walkLength = 3, walksPerNode = 2, maxNeighbors = 8, salt = "e0"),
+    Some(s"WITH $walkOracleCtes SELECT start, walk, step, node FROM walks"))
+
+  /** Skip-gram (center, context) pair extraction from the q_random_walks
+    * frame ([[graft.functions.Graph.skipGramPairs]], window 2) — the
+    * word2vec-style training input; the oracle self-joins the shared
+    * walks CTE.
+    */
+  val qSkipgramPairs = Q(
+    "q_skipgram_pairs",
+    (s, dir) => graft.functions.Graph.skipGramPairs(
+      graft.functions.Graph.randomWalks(walkEdges(s, dir),
+        walkLength = 3, walksPerNode = 2, maxNeighbors = 8, salt = "e0"),
+      window = 2),
+    Some(s"""
+      WITH $walkOracleCtes
+      SELECT a.node AS center, b.node AS context, count(*) AS n
+      FROM walks a JOIN walks b
+        ON a.start = b.start AND a.walk = b.walk
+        AND a.step <> b.step AND abs(a.step - b.step) <= 2
+      GROUP BY a.node, b.node"""))
 
   def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qTheilsU, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
     qPageRank, qTriangles, qHits, qKCore, qComponents, qHarmonic, qLabelProp,
-    qWorkflowGraph, qRandomWalks)
+    qWorkflowGraph, qRandomWalks, qSkipgramPairs)
 }
