@@ -100,6 +100,34 @@ class SkewSpec extends SparkSpec {
     assert(pairs.contains((100L, 101L)), s"near-dup pair lost: $pairs")
   }
 
+  test("random-walk candidate tables absorb hub degrees at O(maxNeighbors)") {
+    import graft.functions.Graph
+    import spark.implicits._
+    // star: hub 0 with 400 leaves. The capped candidate table must hold
+    // <= maxNeighbors entries for the hub (the bounded heap, never a
+    // degree-sized sort), every leaf's single candidate is the hub, and
+    // all 401 walks complete their full length — each step from the hub
+    // picks among the same 8 hash-chosen leaves, so no walk strands or
+    // fans out.
+    val star = (1L to 400L).map(i => (0L, i)).toDF("src", "dst")
+    val walks = Graph.randomWalks(star, walkLength = 4, walksPerNode = 1,
+      maxNeighbors = 8, salt = "skew")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    val byStart = walks.groupBy(_._1)
+    assert(byStart.size == 401 && byStart.values.forall(_.length == 5),
+      "every node walks the full length")
+    // leaves alternate leaf -> hub -> (capped leaf) -> hub -> ...: every
+    // odd step from a leaf start is the hub, and every hub departure
+    // lands in ONE fixed 8-leaf candidate set
+    val hubDepartures = byStart.values.flatMap { rows =>
+      rows.sortBy(_._2).map(_._3).toSeq.sliding(2).collect {
+        case Seq(0L, next) => next
+      }
+    }.toSet
+    assert(hubDepartures.size <= 8,
+      s"hub must step into its <=8 capped candidates, saw ${hubDepartures.size}")
+  }
+
   test("degree orientation bounds triangle wedge fan-out on a hub graph") {
     import graft.functions.Graph
     // power-law-ish star: hub 0 with 500 leaves. Under id-order
