@@ -825,6 +825,13 @@ graph_metrics:
     rounds: 4
   harmonic:
     radius: 2
+  label_propagation:
+    rounds: 3
+  random_walks:
+    length: 3
+    walks_per_node: 2
+    max_neighbors: 8
+    salt: wf
   triangle_counts: true
 """
     val (df, stages) = Workflow.run(spark, yaml)
@@ -854,6 +861,15 @@ graph_metrics:
     // every node has an edge, so a radius-2 ball reaches at least one
     // peer: harmonic strictly positive everywhere
     assert(hm.filter(col("harmonic") <= 0.0).count() == 0)
+    val lp = gm.metrics("label_propagation")
+    assert(lp.columns.toSeq == Seq("node", "label"))
+    // adopted labels are always some node's id
+    val nodeSet = lp.select("node")
+    assert(lp.select(col("label").as("node")).except(nodeSet).count() == 0)
+    val rw = gm.metrics("random_walks")
+    assert(rw.columns.toSeq == Seq("start", "walk", "step", "node"))
+    // 2 walks per node, each emitting steps 0..3
+    assert(rw.count() == nodeSet.count() * 2 * 4)
     assert(gm.metrics("triangle_counts").columns.contains("triangles"))
     // the data frame itself flows through the stage unchanged
     assert(df.columns.toSeq == Seq("l_suppkey", "l_partkey"))
