@@ -91,7 +91,11 @@ object TriScale {
     // round-18: degree-capped random walks — the per-step equi-join must
     // stay O(walks) with the bounded-heap candidate table absorbing hub
     // degrees
-    "q_random_walks")
+    "q_random_walks",
+    // round-18: WordPiece — BPE's growth contract (the word-frequency
+    // scan is the only corpus-sized stage; the likelihood-scored rounds
+    // are vocab-sized), measured cold via clearTokenizerMemos
+    "q_wordpiece_vocab", "q_wordpiece_encode")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -155,7 +159,10 @@ object TriScale {
     // most of the bipartite graph — the jump join must stay node-sized);
     // LPA rides the co-occurrence tier like k-core (10x-degree hubs must
     // pre-aggregate their per-label counts map-side)
-    "q_connected_components", "q_label_propagation", "q_random_walks")
+    "q_connected_components", "q_label_propagation", "q_random_walks",
+    // round-18: WordPiece rides the sf1 documents tier like BPE — the
+    // 4th decade proves the merge rounds stay vocab-sized
+    "q_wordpiece_encode")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

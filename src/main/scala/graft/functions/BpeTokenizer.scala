@@ -54,6 +54,44 @@ object BpeTokenizer {
       .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= maxWordLen)
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
+  /** Initial symbol state of `word`: its characters plus the `</w>`
+    * terminal marker. Shared by the BPE and WordPiece trainers.
+    */
+  private[graft] def charSyms: Column = {
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    concat(chars, array(lit("</w>")))
+  }
+
+  /** Adjacent symbol pairs of a symbol array (empty below 2 symbols). */
+  private[graft] def adjacentPairs(syms: Column): Column =
+    when(size(syms) < 2, array().cast("array<struct<lhs:string,rhs:string>>"))
+      .otherwise(transform(sequence(lit(1), size(syms) - 1),
+        j => struct(element_at(syms, j).as("lhs"), element_at(syms, j + 1).as("rhs"))))
+
+  /** Apply a batch of pairwise symbol-disjoint merges to a symbol array
+    * in ONE left-to-right non-overlapping fold (a freshly merged symbol
+    * is strictly longer than any `lhs` in the batch, so a forward fold
+    * is exact — see [[graft.plans.BpeEncodeExpr]].applyMerge for the
+    * proof). Shared by the BPE and WordPiece trainers.
+    */
+  private[graft] def foldMerges(syms: Column, picked: Seq[(String, String)]): Column = {
+    val mergeHit = (acc: Column, x: Column) =>
+      picked.foldLeft(lit(null).cast("string")) { case (els, (a, b)) =>
+        when(element_at(acc, -1) === lit(a) && x === lit(b), lit(a + b))
+          .otherwise(els)
+      }
+    aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      array(element_at(syms, 1)),
+      (acc, x) => {
+        val hit = mergeHit(acc, x)
+        when(hit.isNotNull,
+            concat(slice(acc, lit(1), size(acc) - 1), array(hit)))
+          .otherwise(concat(acc, array(x)))
+      })
+  }
+
   /** Train `numMerges` merges; returns the merge table
     * (rank, lhs, rhs, merged, pair_count) ordered by rank. Stops early
     * when no remaining pair reaches `minPairFreq`.
@@ -98,14 +136,10 @@ object BpeTokenizer {
     require(minPairFreq >= 1, "minPairFreq must be positive")
     require(mergesPerRound >= 1, "mergesPerRound must be positive")
     val syms = col("syms")
-    val chars = transform(sequence(lit(1), length(col("word"))),
-      i => col("word").substr(i, lit(1)))
     var words = wordFrequencies(df, textCol, maxWordLen)
-      .select(col("freq"), concat(chars, array(lit("</w>"))).as("syms"))
+      .select(col("freq"), charSyms.as("syms"))
       .localCheckpoint(true) // the one corpus-sized stage ends here
-    val pairsOf = when(size(syms) < 2, array().cast("array<struct<lhs:string,rhs:string>>"))
-      .otherwise(transform(sequence(lit(1), size(syms) - 1),
-        j => struct(element_at(syms, j).as("lhs"), element_at(syms, j + 1).as("rhs"))))
+    val pairsOf = adjacentPairs(syms)
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var done = false
     while (merges.length < numMerges && !done) {
@@ -130,22 +164,8 @@ object BpeTokenizer {
           .take(want).toSeq
         // ONE fold pass applies every pick: symbols are pairwise
         // disjoint, so at most one branch matches at any position and
-        // the fold order is immaterial (left-to-right non-overlapping
-        // per pair — see BpeEncodeExpr.applyMerge for the fold proof)
-        val mergeHit = (acc: Column, x: Column) =>
-          picked.foldLeft(lit(null).cast("string")) { case (els, (a, b, _)) =>
-            when(element_at(acc, -1) === lit(a) && x === lit(b), lit(a + b))
-              .otherwise(els)
-          }
-        val folded = aggregate(
-          slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
-          array(element_at(syms, 1)),
-          (acc, x) => {
-            val hit = mergeHit(acc, x)
-            when(hit.isNotNull,
-                concat(slice(acc, lit(1), size(acc) - 1), array(hit)))
-              .otherwise(concat(acc, array(x)))
-          })
+        // the fold order is immaterial
+        val folded = foldMerges(syms, picked.map { case (a, b, _) => (a, b) })
         words = words.select(col("freq"), folded.as("syms")).localCheckpoint(true)
         picked.foreach { case (a, b, w) =>
           merges += BpeMerge(merges.length + 1, a, b, w)

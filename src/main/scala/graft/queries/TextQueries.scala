@@ -3017,10 +3017,63 @@ semantic_dedup:
     base + "," + stages
   }
 
+  /** DuckDB replay of the WordPiece trainer
+    * ([[graft.functions.WordPieceTokenizer.trainMerges]]): the
+    * bpeStagesSql chain with a likelihood-scored pick — per round i,
+    * p_i (pair weights) and s_i (symbol weights) feed b_i, which ranks
+    * by `CAST(w AS DOUBLE) / (CAST(lsc AS DOUBLE) * CAST(rsc AS
+    * DOUBLE))` — exact BIGINTs through one IEEE multiply and one IEEE
+    * divide, bit-identical in both engines — with the same (lhs, rhs)
+    * tie-break; w_i applies the pick with the identical list_reduce
+    * fold.
+    */
+  private[queries] def wpStagesSql(k: Int, minPairFreq: Int, maxWordLen: Int): String = {
+    val base = s"""
+      wf AS (
+        SELECT word, count(*) AS freq FROM (
+          SELECT unnest(str_split($normSql, ' ')) AS word FROM documents) u
+        WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= $maxWordLen
+        GROUP BY word),
+      w0 AS (SELECT word, freq,
+               array_to_string(str_split_regex(word, ''), '|') || '|</w>' AS syms
+             FROM wf)"""
+    val stages = (1 to k).map { i =>
+      val prev = s"w${i - 1}"
+      // every stage is MATERIALIZED: each round references the previous
+      // word state ~4× (pairs, symbol weights ×2, the fold), so inlined
+      // CTEs would re-expand the chain ~4^k times — DuckDB exhausts file
+      // descriptors re-scanning the corpus before round 10
+      s"""
+      p$i AS MATERIALIZED (
+        SELECT sl[j] AS lhs, sl[j + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS w
+        FROM (SELECT freq, str_split(syms, '|') AS sl FROM $prev) t,
+             unnest(range(1, len(sl))) AS u(j)
+        GROUP BY 1, 2),
+      s$i AS MATERIALIZED (
+        SELECT sym, CAST(sum(freq) AS BIGINT) AS sc
+        FROM (SELECT freq, unnest(str_split(syms, '|')) AS sym FROM $prev) t
+        GROUP BY 1),
+      b$i AS MATERIALIZED (SELECT p.lhs, p.rhs, p.w,
+                     CAST(p.w AS DOUBLE) / (CAST(l.sc AS DOUBLE) * CAST(r.sc AS DOUBLE)) AS score
+              FROM p$i p JOIN s$i l ON p.lhs = l.sym JOIN s$i r ON p.rhs = r.sym
+              WHERE p.w >= $minPairFreq
+              ORDER BY score DESC, p.lhs, p.rhs LIMIT 1),
+      w$i AS MATERIALIZED (SELECT word, freq,
+        CASE WHEN bb.lhs IS NULL THEN syms
+        ELSE list_reduce(str_split(syms, '|'), (acc, x) ->
+          CASE WHEN regexp_extract(acc, '([^|]*)$$', 1) = bb.lhs AND x = bb.rhs
+               THEN substr(acc, 1, length(acc) - length(bb.lhs)) || bb.lhs || bb.rhs
+               ELSE acc || '|' || x END) END AS syms
+        FROM $prev LEFT JOIN (SELECT lhs, rhs FROM b$i) bb ON TRUE)"""
+    }.mkString(",")
+    base + "," + stages
+  }
+
   // final val + literal = compile-time constant, inlined at use sites —
   // queries declared EARLIER in the object (q_workflow_tokenize) read it
   // during their init, where a plain val would still be 0
   private final val bpeK = 10
+  private final val wpK = 10
 
   /** One BPE training per (session, scale dir): the merge table is a
     * pure function of the corpus, so q_bpe_vocab and q_bpe_encode share
@@ -3155,6 +3208,164 @@ semantic_dedup:
       FROM tok GROUP BY doc_id"""
     })
 
+  /** One WordPiece training per (session, scale dir) — the
+    * bpeMergesMemo idiom; cleared by [[clearTokenizerMemos]] so growth
+    * gates time the cold train.
+    */
+  private val wordPieceMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[graft.functions.WordPieceTokenizer.WpMerge]]()
+  private def trainedWordPiece(s: org.apache.spark.sql.SparkSession, dir: String) =
+    wordPieceMemo.computeIfAbsent(dir, _ =>
+      graft.functions.WordPieceTokenizer.trainMerges(
+        tables(s, dir).documents, "text", numMerges = wpK))
+
+  /** WordPiece tokenizer training ([[graft.functions.WordPieceTokenizer
+    * .trainMerges]]) — the THIRD tokenizer family: BPE's merge loop
+    * scored by unigram-likelihood gain `pc / (lsc·rsc)` (Schuster &
+    * Nakajima 2012 / BERT). Fully deterministic: the score is exact
+    * BIGINTs through one IEEE multiply + divide (bit-identical across
+    * engines), ties break (lhs, rhs) — so DuckDB replays all K rounds
+    * as unrolled CTE stages and the raw DOUBLE score hash-matches.
+    */
+  val qWordpieceVocab = Q(
+    "q_wordpiece_vocab",
+    (s, dir) => {
+      import s.implicits._
+      trainedWordPiece(s, dir)
+        .map(m => (m.rank, m.lhs, m.rhs, m.lhs + m.rhs, m.pairCount, m.score))
+        .toDF("rank", "lhs", "rhs", "merged", "pair_count", "score")
+    },
+    Some {
+      val finals = (1 to wpK)
+        .map(i => s"SELECT $i AS rank, lhs, rhs, lhs || rhs AS merged, " +
+          s"w AS pair_count, score FROM b$i")
+        .mkString(" UNION ALL ")
+      s"WITH ${wpStagesSql(wpK, 2, 32)} SELECT * FROM ($finals)"
+    })
+
+  /** Train-then-encode for WordPiece: greedy longest-match segmentation
+    * (canonical WordPiece inference) over the likelihood-trained
+    * vocabulary, via the native codegen'd `piece_encode` expression —
+    * map-only, no shuffle. Verified to the token STRING level: the
+    * oracle derives the same vocabulary from the wp training chain and
+    * unrolls the greedy loop exactly as q_piece_encode does (36 stages
+    * cover maxWordLen 32 + the 4-char marker).
+    */
+  val qWordpieceEncode = Q(
+    "q_wordpiece_encode",
+    (s, dir) => {
+      val docs = tables(s, dir).documents
+      graft.functions.WordPieceTokenizer.wordPieceEncode(
+          docs, "text", "doc_id", trainedWordPiece(s, dir))
+        .select(col("doc_id"), col("n_tokens"),
+          md5(concat_ws(" ", col("tokens")).cast("binary")).as("token_hash"))
+    },
+    Some {
+      val steps = 36
+      val chars = ('a' to 'z').map(c => s"'$c'").mkString(", ")
+      val mergedUnion = (1 to wpK)
+        .map(i => s"SELECT lhs || rhs AS m FROM b$i").mkString(" UNION ALL ")
+      val stages = (1 to steps).map { i =>
+        s"""
+      g$i AS (
+        SELECT word, substr(rem, length(best) + 1) AS rem,
+          CASE WHEN best = '' THEN out
+               WHEN out = '' THEN best
+               ELSE out || ' ' || best END AS out
+        FROM (
+          SELECT word, rem, out,
+            CASE WHEN rem = '' THEN ''
+                 ELSE COALESCE(
+                   substr(list_aggregate(list_transform(
+                     list_filter(vv.v, p -> starts_with(rem, p)),
+                     c -> lpad(CAST(length(c) AS VARCHAR), 2, '0') || c), 'max'), 3),
+                   substr(rem, 1, 1)) END AS best
+          FROM g${i - 1}, voc vv) t)"""
+      }.mkString(",")
+      s"""
+      WITH ${wpStagesSql(wpK, 2, 32)},
+      voc AS MATERIALIZED (SELECT list_distinct(list_concat(
+                (SELECT list(m) FROM ($mergedUnion)),
+                [$chars, '</w>'])) AS v),
+      g0 AS (SELECT word, word || '</w>' AS rem, '' AS out FROM wf),$stages,
+      enc AS (SELECT word, out AS tok_str, len(str_split(out, ' ')) AS n
+              FROM g$steps),
+      docw AS (SELECT doc_id, j, ws[j] AS word
+               FROM (SELECT doc_id, str_split($normSql, ' ') AS ws
+                     FROM documents) t,
+                    unnest(range(1, len(ws) + 1)) AS u(j)),
+      tok AS (SELECT d.doc_id, d.j,
+                     COALESCE(e.tok_str, d.word) AS tok_str,
+                     COALESCE(e.n, 1) AS n
+              FROM docw d LEFT JOIN enc e ON d.word = e.word)
+      SELECT doc_id, CAST(sum(n) AS INT) AS n_tokens,
+             md5(string_agg(tok_str, ' ' ORDER BY j)) AS token_hash
+      FROM tok GROUP BY doc_id"""
+    })
+
+  /** The YAML `tokenize` stage in `algo: wordpiece` mode end-to-end:
+    * likelihood-scored merge training + greedy longest-match encode
+    * through the workflow. Oracle: the q_wordpiece_encode greedy
+    * replay, counts only (token text is already string-verified by
+    * q_wordpiece_encode's hash).
+    */
+  val qWorkflowWordpiece = Q(
+    "q_workflow_wordpiece",
+    (s, dir) => {
+      val yaml =
+        s"""input_dataset:
+           |  read_dataset:
+           |    file_path: $dir/documents.parquet
+           |    file_type: parquet
+           |tokenize:
+           |  algo: wordpiece
+           |  text_col: text
+           |  num_merges: $wpK
+           |  min_pair_freq: 2
+           |  max_word_len: 32
+           |  keep_tokens: false
+           |""".stripMargin
+      val (out, _) = graft.workflow.Workflow.run(s, yaml)
+      out.select(col("doc_id"), col("n_tokens_wordpiece"))
+    },
+    Some {
+      val steps = 36
+      val chars = ('a' to 'z').map(c => s"'$c'").mkString(", ")
+      val mergedUnion = (1 to wpK)
+        .map(i => s"SELECT lhs || rhs AS m FROM b$i").mkString(" UNION ALL ")
+      val stages = (1 to steps).map { i =>
+        s"""
+      g$i AS (
+        SELECT word, substr(rem, length(best) + 1) AS rem,
+          CASE WHEN best = '' THEN nt
+               ELSE nt + 1 END AS nt
+        FROM (
+          SELECT word, rem, nt,
+            CASE WHEN rem = '' THEN ''
+                 ELSE COALESCE(
+                   substr(list_aggregate(list_transform(
+                     list_filter(vv.v, p -> starts_with(rem, p)),
+                     c -> lpad(CAST(length(c) AS VARCHAR), 2, '0') || c), 'max'), 3),
+                   substr(rem, 1, 1)) END AS best
+          FROM g${i - 1}, voc vv) t)"""
+      }.mkString(",")
+      s"""
+      WITH ${wpStagesSql(wpK, 2, 32)},
+      voc AS MATERIALIZED (SELECT list_distinct(list_concat(
+                (SELECT list(m) FROM ($mergedUnion)),
+                [$chars, '</w>'])) AS v),
+      g0 AS (SELECT word, word || '</w>' AS rem, 0 AS nt FROM wf),$stages,
+      enc AS (SELECT word, nt AS n FROM g$steps),
+      docw AS (SELECT doc_id, ws[j] AS word
+               FROM (SELECT doc_id, str_split($normSql, ' ') AS ws
+                     FROM documents) t,
+                    unnest(range(1, len(ws) + 1)) AS u(j))
+      SELECT d.doc_id, CAST(sum(COALESCE(e.n, 1)) AS INT) AS n_tokens_wordpiece
+      FROM docw d LEFT JOIN enc e ON d.word = e.word
+      GROUP BY d.doc_id"""
+    })
+
   /** DuckDB replay of the unigram-LM trainer
     * ([[graft.functions.UnigramTokenizer.trainUnigram]]): the seed
     * substring count, then per round an UNROLLED Viterbi DP (one CTE
@@ -3262,6 +3473,7 @@ semantic_dedup:
   private[graft] def clearTokenizerMemos(): Unit = {
     bpeMergesMemo.clear()
     unigramMemo.clear()
+    wordPieceMemo.clear()
   }
   private def trainedUnigram(s: org.apache.spark.sql.SparkSession, dir: String) =
     unigramMemo.computeIfAbsent(dir, _ =>
@@ -3552,5 +3764,6 @@ semantic_dedup:
     qKeywordTfidf, qPiiMentions, qSourceOverlap, qLabelNoise,
     qBpeVocab, qBpeEncode, qUrlCanonicalize, qDomainRollup, qWorkflowMixture,
     qUrlDedup, qDomainCap, qWorkflowUrl, qWorkflowTokenize, qPieceEncode,
-    qUnigramVocab, qUnigramEncode, qWorkflowUnigram, qPackingEfficiency)
+    qUnigramVocab, qUnigramEncode, qWorkflowUnigram, qPackingEfficiency,
+    qWordpieceVocab, qWordpieceEncode, qWorkflowWordpiece)
 }

@@ -599,9 +599,35 @@ object Workflow {
       val algo = tc.getOrElse("algo", "bpe").toString
       // fail fast on a typo'd algo: a silent fall-through to BPE would
       // ship the wrong tokenizer with no signal
-      require(algo == "bpe" || algo == "unigram",
-        s"tokenize.algo must be 'bpe' or 'unigram', got '$algo'")
+      require(algo == "bpe" || algo == "unigram" || algo == "wordpiece",
+        s"tokenize.algo must be 'bpe', 'unigram' or 'wordpiece', got '$algo'")
       algo match {
+        case "wordpiece" =>
+          // likelihood-scored merges (Schuster & Nakajima 2012) + greedy
+          // longest-match inference over the induced piece vocabulary
+          val maxWordLen = tc.getOrElse("max_word_len", 32).toString.toInt
+          val merges = graft.functions.WordPieceTokenizer.trainMerges(
+            df, textCol,
+            numMerges = tc.getOrElse("num_merges", 64).toString.toInt,
+            minPairFreq = tc.getOrElse("min_pair_freq", 2L).toString.toLong,
+            maxWordLen = maxWordLen)
+          locally {
+            import spark.implicits._
+            metrics("wordpiece_merges") = merges
+              .map(m => (m.rank, m.lhs, m.rhs, m.lhs + m.rhs, m.pairCount, m.score))
+              .toDF("rank", "lhs", "rhs", "merged", "pair_count", "score")
+          }
+          // same greedy segmenter pieceEncode wraps, as a column so the
+          // stage stays map-only with every input column carried through
+          val vocab = graft.functions.WordPieceTokenizer.vocabFromMerges(merges)
+          val toks = org.apache.spark.sql.functions.call_function("piece_encode",
+            graft.functions.TextOps.normalizeText(col(textCol)),
+            org.apache.spark.sql.functions.lit(vocab.mkString("\n")),
+            org.apache.spark.sql.functions.lit(maxWordLen))
+          df = df.withColumn("tokens", toks)
+            .withColumn("n_tokens_wordpiece",
+              org.apache.spark.sql.functions.size(col("tokens")))
+          if (tc.getOrElse("keep_tokens", true) != true) df = df.drop("tokens")
         case "unigram" =>
           // unigram-LM (SentencePiece Viterbi-EM) train + encode
           val vocab = graft.functions.UnigramTokenizer.trainUnigram(

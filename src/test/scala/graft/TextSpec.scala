@@ -1075,6 +1075,88 @@ class TextSpec extends SparkSpec {
     assert(enc(3L)._1 == Seq("c</w>"))
   }
 
+  test("wordpiece train matches an independent likelihood-scored reference") {
+    import graft.functions.WordPieceTokenizer
+    // Independent reference: BPE merge loop, pick maximizes
+    // pc/(count(lhs)*count(rhs)) with (score desc, lhs, rhs) order —
+    // re-derived here, not shared with the library code.
+    def refWp(freqs: Map[String, Long], k: Int, minFreq: Long)
+        : Seq[(String, String, Long, Double)] = {
+      var words: Seq[(Seq[String], Long)] =
+        freqs.map { case (w, f) => (w.map(_.toString).toSeq :+ "</w>", f) }.toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Double)]
+      var continue = true
+      while (out.length < k && continue) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        val sc = scala.collection.mutable.Map.empty[String, Long]
+        for ((syms, f) <- words) {
+          for (s <- syms) sc(s) = sc.getOrElse(s, 0L) + f
+          for (Seq(x, y) <- syms.sliding(2))
+            pc((x, y)) = pc.getOrElse((x, y), 0L) + f
+        }
+        val eligible = pc.filter(_._2 >= minFreq).map { case ((x, y), c) =>
+          ((x, y), c, c.toDouble / (sc(x).toDouble * sc(y).toDouble))
+        }
+        if (eligible.isEmpty) continue = false
+        else {
+          val ((a, b), w, s) =
+            eligible.minBy { case ((x, y), _, sco) => (-sco, x, y) }
+          out += ((a, b, w, s))
+          words = words.map { case (syms, f) =>
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (sym <- syms) {
+              if (merged.nonEmpty && merged.last == a && sym == b)
+                merged(merged.length - 1) = a + b
+              else merged += sym
+            }
+            (merged.toSeq, f)
+          }
+        }
+      }
+      out.toSeq
+    }
+    // "qu" is rare but cohesive (q only ever precedes u); "ab" is
+    // frequent but both symbols are common — likelihood must prefer the
+    // cohesive pair where raw BPE would take the frequent one
+    val docs = Seq(
+      (1L, "quiz quit abab abba"),
+      (2L, "quad abab baba"),
+      (3L, "aqua abba abab Skip42")).toDF("doc_id", "text")
+    val freqs = Map("quiz" -> 1L, "quit" -> 1L, "quad" -> 1L, "aqua" -> 1L,
+      "abab" -> 3L, "abba" -> 2L, "baba" -> 1L)
+    val expected = refWp(freqs, 5, 2L)
+    val got = WordPieceTokenizer.trainMerges(docs, "text", numMerges = 5)
+      .map(m => (m.lhs, m.rhs, m.pairCount, m.score))
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+    // the first pick is the cohesive (q,u), not the frequent (a,b) —
+    // the defining WordPiece-vs-BPE behavior
+    assert(got.head._1 == "q" && got.head._2 == "u")
+    // partition invariance: a 7-way repartition learns the same table
+    val got7 = WordPieceTokenizer.trainMerges(docs.repartition(7), "text", 5)
+      .map(m => (m.lhs, m.rhs, m.pairCount, m.score))
+    assert(got7 == expected)
+  }
+
+  test("wordpiece encode re-concatenates to the normalized words") {
+    import graft.functions.WordPieceTokenizer
+    val docs = Seq(
+      (1L, "quiz quit quad aqua"),
+      (2L, "abab abba baba Skip42"),
+      (3L, "zq")).toDF("doc_id", "text")
+    val merges = WordPieceTokenizer.trainMerges(docs, "text", numMerges = 4)
+    val enc = WordPieceTokenizer.wordPieceEncode(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // every document's token stream, with "</w>" mapped back to a word
+    // boundary, re-forms its normalized text — no piece is lost/invented
+    // (the ineligible "skip42" passes through verbatim as the last word)
+    for ((id, text) <- Seq(1L -> "quiz quit quad aqua",
+        2L -> "abab abba baba skip42", 3L -> "zq")) {
+      val rebuilt = enc(id).mkString("").replace("</w>", " ").trim
+        .replaceAll("\\s+", " ")
+      assert(rebuilt == text, s"doc $id: $rebuilt != $text")
+    }
+  }
+
   test("unigram viterbi segments by max probability with the longest-piece tie rule") {
     import org.apache.spark.sql.functions.{call_function, lit}
     graft.plans.GraftFunctions.register(spark)

@@ -911,6 +911,42 @@ $hits
     assert(everySweep == direct, "rescale_every did not reach Graph.hits")
   }
 
+  test("workflow tokenize algo=wordpiece trains, encodes, and rejects typos") {
+    def yamlWith(algo: String) = s"""
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/documents.parquet"
+    file_type: parquet
+tokenize:
+  algo: $algo
+  text_col: text
+  num_merges: 4
+"""
+    // a misspelled algo must fail fast, not silently fall through to BPE
+    val err = intercept[IllegalArgumentException] {
+      Workflow.run(spark, yamlWith("wordpeice"))
+    }
+    assert(err.getMessage.contains("wordpeice"))
+    val (out, stages) = Workflow.run(spark, yamlWith("wordpiece"))
+    assert(out.columns.contains("tokens") && out.columns.contains("n_tokens_wordpiece"))
+    val st = stages.find(_.name == "tokenize").get
+    val merges = st.metrics("wordpiece_merges").collect()
+    assert(merges.length == 4)
+    // the stage's encode agrees with the library path end-to-end
+    val lib = graft.functions.WordPieceTokenizer.trainMerges(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "text", numMerges = 4)
+    assert(merges.map(r => (r.getString(1), r.getString(2))).toSeq ==
+      lib.map(m => (m.lhs, m.rhs)))
+    val direct = graft.functions.WordPieceTokenizer.wordPieceEncode(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "text", "doc_id", lib)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val viaStage = out.select(col("doc_id"), col("n_tokens_wordpiece"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaStage == direct)
+  }
+
   test("workflow bm25_retrieval stage ranks configured queries") {
     val yaml = """
 input_dataset:
