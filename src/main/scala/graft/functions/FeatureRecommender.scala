@@ -39,10 +39,15 @@ object FeatureRecommender {
     val tf = tokens(corpus, idCol, descCol)
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+    // tf is unique on (id, token), so count(*) per token IS the document
+    // frequency — no countDistinct expand. The idf frame is
+    // dictionary-vocabulary-sized (this operator's contract is a feature
+    // registry / data dictionary, not a web corpus), so it broadcasts:
+    // the corpus-token-sized weighted join never shuffles.
     val idf = tf.groupBy("token")
-      .agg(countDistinct(col("id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .withColumn("idf", log(lit(n + 1) / (col("df") + 1)) + 1)
-    val weighted = tf.join(idf, "token")
+    val weighted = tf.join(broadcast(idf), "token")
       .withColumn("w", col("tf") * col("idf"))
 
     val queryTokens = TextOps
@@ -52,7 +57,6 @@ object FeatureRecommender {
     val qWeighted = broadcast(qDf.join(idf, Seq("token"), "inner")
       .withColumn("qw", col("qtf") * col("idf")))
 
-    val docNorms = weighted.groupBy("id").agg(sqrt(sum(pow(col("w"), 2))).as("dnorm"))
     // the query norm stays IN the plan as a broadcast 1-row frame (a
     // driver-side .first() here would re-execute the whole
     // tokenize→tf→idf chain as a second full corpus pass — Spark SQL
@@ -62,9 +66,14 @@ object FeatureRecommender {
     val qNormDf = broadcast(qWeighted.agg(
       sqrt(coalesce(when(qSq > 0, qSq), lit(1.0))).as("qnorm")))
 
-    weighted.join(qWeighted.select("token", "qw"), "token")
-      .groupBy("id").agg(sum(col("w") * col("qw")).as("dot"))
-      .join(docNorms, "id")
+    // ONE pass over the corpus-token frame computes the doc norm AND the
+    // query dot product together (a broadcast left join attaches qw; a
+    // doc with no query token sums to NULL and is dropped, exactly the
+    // rows the former inner-join dots pass excluded)
+    weighted.join(broadcast(qWeighted.select("token", "qw")), Seq("token"), "left")
+      .groupBy("id").agg(sqrt(sum(pow(col("w"), 2))).as("dnorm"),
+        sum(col("w") * col("qw")).as("dot"))
+      .filter(col("dot").isNotNull)
       .crossJoin(qNormDf)
       .withColumn("score", round(col("dot") / (col("dnorm") * col("qnorm")), 4))
       .join(corpus.select(col(idCol).as("id"), col(nameCol).as("name")), "id")
@@ -154,12 +163,13 @@ object FeatureRecommender {
     val tf = tokens(base, "id", "__text")
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+    // same df-via-count(*) + broadcast-idf rationale as search(): tf is
+    // unique on (id, token) and the vocabulary is dictionary-sized
     val idf = tf.groupBy("token")
-      .agg(countDistinct(col("id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .withColumn("idf", log(lit(n + 1) / (col("df") + 1)) + 1)
-    val weighted = tf.join(idf, "token")
+    val weighted = tf.join(broadcast(idf), "token")
       .withColumn("w", col("tf") * col("idf"))
-    val docNorms = weighted.groupBy("id").agg(sqrt(sum(pow(col("w"), 2))).as("dnorm"))
 
     val qRows = buildingCorpus.zipWithIndex.flatMap { case (q, qi) =>
       TextOps.normalizeTextString(q).split(" ").filter(_.length > 1)
@@ -172,10 +182,27 @@ object FeatureRecommender {
     val qNorms = qWeighted.groupBy("qid", "qtext")
       .agg(sqrt(sum(pow(col("qw"), 2))).as("qnorm"))
 
-    weighted.join(qWeighted.select("qid", "token", "qw"), "token")
-      .groupBy("qid", "id").agg(sum(col("w") * col("qw")).as("dot"))
+    // pivot the query weights to one column per building-corpus entry so
+    // the doc norm AND every query's dot product come out of ONE pass
+    // over the corpus-token frame (|buildingCorpus| is a driver-side
+    // list — tens of entries, never data-sized)
+    val qis = buildingCorpus.indices
+    val qPivot = broadcast(qWeighted.groupBy("token")
+      .agg(sum(when(col("qid") === 0, col("qw"))).as("qw0"),
+        qis.drop(1).map(qi =>
+          sum(when(col("qid") === qi, col("qw"))).as(s"qw$qi")): _*))
+    val dotAggs = sqrt(sum(pow(col("w"), 2))).as("dnorm") +:
+      qis.map(qi => sum(col("w") * col(s"qw$qi")).as(s"dot$qi"))
+    val perDoc = weighted.join(qPivot, Seq("token"), "left")
+      .groupBy("id").agg(dotAggs.head, dotAggs.tail: _*)
+    // unpivot to (id, dnorm, qid, dot); a doc with no overlap with a
+    // query sums to NULL — exactly the rows the former per-query
+    // inner-join dots pass excluded
+    val stackExpr = s"stack(${qis.size}, " +
+      qis.map(qi => s"$qi, dot$qi").mkString(", ") + ") AS (qid, dot)"
+    perDoc.select(col("id"), col("dnorm"), expr(stackExpr))
+      .filter(col("dot").isNotNull)
       .join(broadcast(qNorms), "qid")
-      .join(docNorms, "id")
       .withColumn("score", round(col("dot") / (col("dnorm") * col("qnorm")), 4))
       .filter(col("score") >= threshold)
       .join(base.select("id", "name", "desc"), "id")
