@@ -418,7 +418,12 @@ object Graph {
     val nh = call_function("md5_prefix60",
       concat(lit("nbr:"), lit(salt), lit(":"), col("u").cast("string"),
         lit(":"), col("v").cast("string")).cast("binary"))
-    val adjH = adj.withColumn("__h", nh)
+    // materialized once: both the bounded-heap candidate agg and the
+    // membership-filter join read this frame, and each would otherwise
+    // replay the canonicalize-distinct + union + hash over the full
+    // edge frame (the other graph ops checkpoint adj for the same
+    // reason)
+    val adjH = adj.withColumn("__h", nh).localCheckpoint()
     val top = adjH.groupBy("u")
       .agg(call_function("bounded_topk_long", col("__h"), lit(maxNeighbors))
         .as("__top"))

@@ -64,24 +64,33 @@ object UrlOps {
   private val fallbackE2 = Seq("www.ck")
   private val fallbackE3 = Seq("city.kawasaki.jp")
   private val snapshot: Seq[String] = loadSnapshot()
-  private def dots(s: String) = s.count(_ == '.')
-  private def pick(raw: Seq[String], fb: Seq[String]): Seq[String] =
-    if (snapshot.nonEmpty) raw.distinct else fb
-  // exact rules by label count
-  private val exact = snapshot.filterNot(l => l.startsWith("*.") || l.startsWith("!"))
-  val publicSuffixes3: Seq[String] = pick(exact.filter(dots(_) == 2), fallback3)
-  val publicSuffixes2: Seq[String] = pick(exact.filter(dots(_) == 1), fallback2)
+  private def labelsOf(s: String) = s.count(_ == '.') + 1
+  private def byLen(raw: Seq[String], fb: Map[Int, Seq[String]]): Map[Int, Seq[String]] =
+    if (snapshot.nonEmpty) raw.distinct.groupBy(labelsOf) else fb
+  // rule tables keyed by label count — the matcher's when-chain is
+  // GENERATED from the lengths present, so a 4-label exact rule
+  // (a.prod.fastly.net) or a 3-label wildcard base (*.map.fastly.net)
+  // in the snapshot just works; no fixed-depth clause list to outgrow
+  val exactByLen: Map[Int, Seq[String]] = byLen(
+    snapshot.filterNot(l => l.startsWith("*.") || l.startsWith("!")),
+    Map(3 -> fallback3, 2 -> fallback2))
   // wildcard rule BASES (`*.ck` → "ck"): any host label in front of the
   // base is itself part of the public suffix
-  private val wildBases =
-    snapshot.filter(_.startsWith("*.")).map(_.stripPrefix("*."))
-  val wildcardBases1: Seq[String] = pick(wildBases.filter(dots(_) == 0), fallbackW1)
-  val wildcardBases2: Seq[String] = pick(wildBases.filter(dots(_) == 1), fallbackW2)
+  val wildcardByLen: Map[Int, Seq[String]] = byLen(
+    snapshot.filter(_.startsWith("*.")).map(_.stripPrefix("*.")),
+    Map(1 -> fallbackW1, 2 -> fallbackW2))
   // exception rule HOSTS (`!www.ck` → "www.ck"): registrable despite a
   // covering wildcard; the prevailing suffix drops the leftmost label
-  private val excHosts = snapshot.filter(_.startsWith("!")).map(_.stripPrefix("!"))
-  val exceptionHosts2: Seq[String] = pick(excHosts.filter(dots(_) == 1), fallbackE2)
-  val exceptionHosts3: Seq[String] = pick(excHosts.filter(dots(_) == 2), fallbackE3)
+  val exceptionByLen: Map[Int, Seq[String]] = byLen(
+    snapshot.filter(_.startsWith("!")).map(_.stripPrefix("!")),
+    Map(2 -> fallbackE2, 3 -> fallbackE3))
+  // named views kept for the oracle generators / specs
+  def publicSuffixes3: Seq[String] = exactByLen.getOrElse(3, Nil)
+  def publicSuffixes2: Seq[String] = exactByLen.getOrElse(2, Nil)
+  def wildcardBases1: Seq[String] = wildcardByLen.getOrElse(1, Nil)
+  def wildcardBases2: Seq[String] = wildcardByLen.getOrElse(2, Nil)
+  def exceptionHosts2: Seq[String] = exceptionByLen.getOrElse(2, Nil)
+  def exceptionHosts3: Seq[String] = exceptionByLen.getOrElse(3, Nil)
 
   private val trackingParam = "^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
 
@@ -150,14 +159,25 @@ object UrlOps {
     // an empty rule list must read as no-match, not an empty isin
     def inSet(c: Column, xs: Seq[String]): Column =
       if (xs.isEmpty) lit(false) else c.isin(xs: _*)
-    val sfxLen =
-      when(n >= 3 && inSet(lastK(3), exceptionHosts3), 2)
-        .when(n >= 2 && inSet(lastK(2), exceptionHosts2), 1)
-        .when(n >= 3 && (inSet(lastK(3), publicSuffixes3) ||
-          inSet(lastK(2), wildcardBases2)), 3)
-        .when(n >= 2 && (inSet(lastK(2), publicSuffixes2) ||
-          inSet(lastK(1), wildcardBases1)), 2)
-        .otherwise(1)
+    // the when-chain is generated from the rule lengths the snapshot
+    // actually contains: exceptions first (they prevail regardless of
+    // suffix length, longest first), then suffix matches longest-first —
+    // an exact rule of k labels or a wildcard base of k-1 labels both
+    // make the last k labels the public suffix
+    val excWhens = exceptionByLen.keys.toSeq.sorted.reverse.map { k =>
+      (n >= k && inSet(lastK(k), exceptionByLen(k)), k - 1)
+    }
+    val sfxLens = (exactByLen.keys ++ wildcardByLen.keys.map(_ + 1))
+      .toSeq.distinct.sorted.reverse
+    val sfxWhens = sfxLens.map { k =>
+      (n >= k && (inSet(lastK(k), exactByLen.getOrElse(k, Nil)) ||
+        inSet(lastK(k - 1), wildcardByLen.getOrElse(k - 1, Nil))), k)
+    }
+    val sfxLen = (excWhens ++ sfxWhens)
+      .foldLeft(Option.empty[Column]) { case (acc, (cond, v)) =>
+        Some(acc.fold(when(cond, v))(_.when(cond, v)))
+      }
+      .fold(lit(1))(_.otherwise(1))
     when(n <= sfxLen, host)
       .otherwise(concat_ws(".", slice(labels, n - sfxLen, sfxLen + 1)))
   }

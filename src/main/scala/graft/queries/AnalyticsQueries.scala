@@ -653,8 +653,12 @@ object AnalyticsQueries {
   val qWorkflowGraph = Q(
     "q_workflow_graph",
     (s, dir) => {
-      val scratch = new java.io.File(
-        System.getProperty("java.io.tmpdir", "/tmp"), "graft_q_workflow_graph").toString
+      // per-invocation scratch dir: a fixed shared path would let a
+      // concurrent harness (bench + verify, or two users) overwrite the
+      // edges while this run's lazily-evaluated metrics frame still
+      // reads them
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q_workflow_graph").toString
       ccEdges(s, dir).write.mode("overwrite").parquet(s"$scratch/edges")
       val yaml = s"""input_dataset:
                     |  read_dataset:

@@ -3665,9 +3665,25 @@ semantic_dedup:
     def inSql(expr: String, xs: Seq[String]): String =
       if (xs.isEmpty) "FALSE"
       else s"$expr IN (${xs.map(s => s"'$s'").mkString(", ")})"
-    val last3 = "array_to_string(labels[greatest(nl - 2, 1):nl], '.')"
-    val last2 = "array_to_string(labels[greatest(nl - 1, 1):nl], '.')"
-    val last1 = "labels[nl]"
+    def lastKSql(k: Int) =
+      if (k == 1) "labels[nl]"
+      else s"array_to_string(labels[greatest(nl - ${k - 1}, 1):nl], '.')"
+    // mirror of UrlOps.registrableDomain's GENERATED when-chain: the
+    // clauses come from the rule lengths the snapshot contains —
+    // exceptions first (longest first), then suffix matches longest-first
+    val sfxCaseSql = {
+      import graft.functions.UrlOps
+      val excWhens = UrlOps.exceptionByLen.keys.toSeq.sorted.reverse.map { k =>
+        s"WHEN nl >= $k AND ${inSql(lastKSql(k), UrlOps.exceptionByLen(k))} THEN ${k - 1}"
+      }
+      val sfxLens = (UrlOps.exactByLen.keys ++ UrlOps.wildcardByLen.keys.map(_ + 1))
+        .toSeq.distinct.sorted.reverse
+      val sfxWhens = sfxLens.map { k =>
+        s"WHEN nl >= $k AND (${inSql(lastKSql(k), UrlOps.exactByLen.getOrElse(k, Nil))} " +
+          s"OR ${inSql(lastKSql(k - 1), UrlOps.wildcardByLen.getOrElse(k - 1, Nil))}) THEN $k"
+      }
+      (excWhens ++ sfxWhens).mkString("\n               ")
+    }
     s"""
       uc AS (SELECT doc_id, source, text, $synthUrlSql AS url FROM documents),
       u1 AS (SELECT *, regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM uc),
@@ -3697,14 +3713,7 @@ semantic_dedup:
                CASE WHEN sortedq <> '' THEN '?' || sortedq ELSE '' END AS url_canon FROM u5),
       u7 AS (SELECT *, str_split(host, '.') AS labels,
                len(str_split(host, '.')) AS nl FROM u6),
-      u8 AS (SELECT *, CASE
-               WHEN nl >= 3 AND ${inSql(last3, UrlOps.exceptionHosts3)} THEN 2
-               WHEN nl >= 2 AND ${inSql(last2, UrlOps.exceptionHosts2)} THEN 1
-               WHEN nl >= 3 AND (${inSql(last3, UrlOps.publicSuffixes3)}
-                 OR ${inSql(last2, UrlOps.wildcardBases2)}) THEN 3
-               WHEN nl >= 2 AND (${inSql(last2, UrlOps.publicSuffixes2)}
-                 OR ${inSql(last1, UrlOps.wildcardBases1)}) THEN 2
-               ELSE 1 END AS sfxlen FROM u7),
+      u8 AS (SELECT *, CASE $sfxCaseSql ELSE 1 END AS sfxlen FROM u7),
       u9 AS (SELECT *, CASE WHEN nl <= sfxlen THEN host
                ELSE array_to_string(labels[nl - sfxlen:nl], '.') END AS domain FROM u8)"""
   }

@@ -847,10 +847,17 @@ object Workflow {
       // with the pinned default
       def knownKeys(arm: String, c: Map[String, Any], allowed: Set[String]): Unit = {
         val unknown = c.keySet -- allowed
+        val where = if (arm.isEmpty) "graph_metrics" else s"graph_metrics.$arm"
         require(unknown.isEmpty,
-          s"graph_metrics.$arm: unknown key(s) ${unknown.mkString(", ")} " +
+          s"$where: unknown key(s) ${unknown.mkString(", ")} " +
             s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})")
       }
+      // the same discipline one level up: a typo'd ARM name (e.g.
+      // 'lable_propagation') must error, not ship a pipeline silently
+      // missing its metric
+      knownKeys("", gm, Set("edges_path", "src_col", "dst_col",
+        "pagerank", "hits", "k_core", "connected_components",
+        "label_propagation", "random_walks", "harmonic", "triangle_counts"))
       val metrics = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
       gm.get("pagerank").foreach { pv =>
         val pc = asConf(pv)

@@ -1251,7 +1251,15 @@ class TextSpec extends SparkSpec {
       ("x.pref.kawasaki.jp", "x.pref.kawasaki.jp"),
       ("deep.x.pref.kawasaki.jp", "x.pref.kawasaki.jp"),
       ("city.kawasaki.jp", "city.kawasaki.jp"),
-      ("sub.city.kawasaki.jp", "city.kawasaki.jp"))
+      ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
+      // Fastly zones (regression: bare fastly.net was dropped when the
+      // private registries grew — customer sites live under the product
+      // zones, and plain fastly.net hosts are ordinary .net domains)
+      ("site-a.map.fastly.net", "site-a.map.fastly.net"), // *.map wildcard: IS a suffix
+      ("x.site-a.map.fastly.net", "x.site-a.map.fastly.net"), // suffix + 1
+      ("customer.a.ssl.fastly.net", "customer.a.ssl.fastly.net"), // 4-label exact + 1
+      ("deep.customer.a.ssl.fastly.net", "customer.a.ssl.fastly.net"),
+      ("www.fastly.net", "fastly.net"))                   // NOT a suffix
     val out = cases.toDF("host", "expect")
       .select(col("host"), UrlOps.registrableDomain(col("host")).as("got"), col("expect"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
