@@ -139,4 +139,64 @@ object ModelStore {
       .drop("__n")
     Drift.metricsFromFrequencies(p, q, threshold)
   }
+
+  // ---- tokenizer fit tables: train once on the big corpus, save the
+  //      vocab-sized model, encode anywhere (including a streaming
+  //      micro-batch or another cluster) without refitting — the same
+  //      contract as the binning/boxcox tables above. Rank order IS the
+  //      model for merge-based tokenizers, so loads re-sort by rank.
+
+  def saveBpeMerges(
+      spark: SparkSession,
+      merges: Seq[graft.functions.BpeTokenizer.BpeMerge],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.lhs, m.rhs, m.pairCount))
+      .toDF("rank", "lhs", "rhs", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadBpeMerges(
+      spark: SparkSession, path: String): Seq[graft.functions.BpeTokenizer.BpeMerge] =
+    spark.read.parquet(path).collect()
+      .map(r => graft.functions.BpeTokenizer.BpeMerge(
+        r.getAs[Int]("rank"), r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[Long]("pair_count")))
+      .sortBy(_.rank).toSeq
+
+  def saveWordPieceMerges(
+      spark: SparkSession,
+      merges: Seq[graft.functions.WordPieceTokenizer.WpMerge],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.lhs, m.rhs, m.pairCount, m.score))
+      .toDF("rank", "lhs", "rhs", "pair_count", "score")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadWordPieceMerges(
+      spark: SparkSession, path: String): Seq[graft.functions.WordPieceTokenizer.WpMerge] =
+    spark.read.parquet(path).collect()
+      .map(r => graft.functions.WordPieceTokenizer.WpMerge(
+        r.getAs[Int]("rank"), r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[Long]("pair_count"), r.getAs[Double]("score")))
+      .sortBy(_.rank).toSeq
+
+  def saveUnigramVocab(
+      spark: SparkSession,
+      pieces: Seq[graft.functions.UnigramTokenizer.UnigramPiece],
+      path: String): Unit = {
+    import spark.implicits._
+    pieces.map(p => (p.rank, p.piece, p.n, p.logp))
+      .toDF("rank", "piece", "n", "logp")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadUnigramVocab(
+      spark: SparkSession, path: String): Seq[graft.functions.UnigramTokenizer.UnigramPiece] =
+    spark.read.parquet(path).collect()
+      .map(r => graft.functions.UnigramTokenizer.UnigramPiece(
+        r.getAs[Long]("rank"), r.getAs[String]("piece"),
+        r.getAs[Long]("n"), r.getAs[Double]("logp")))
+      .sortBy(_.rank).toSeq
 }

@@ -93,6 +93,40 @@ object StreamingOps {
     * is Dedup.exactDedup; at scale the state store holds one fingerprint
     * per distinct doc inside the watermark horizon, not the corpus.
     */
+  /** Streaming token-budget monitor over a PRE-TRAINED tokenizer: each
+    * micro-batch encodes with the broadcast piece vocabulary via the
+    * map-only greedy segmenter (no shuffle, no refit — the model comes
+    * from a batch train saved through ModelStore.loadBpeMerges /
+    * loadWordPieceMerges), and windowed aggregates track the corpus
+    * token budget as it accumulates — the number every pretraining
+    * ingestion dashboard watches. Batch twin: the same piece_encode +
+    * window aggregation over the static frame.
+    */
+  def streamingTokenBudgetMonitor(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      vocab: Seq[String],
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours",
+      maxWordLen: Int = 32): DataFrame = {
+    require(vocab.nonEmpty, "piece vocabulary must be non-empty")
+    graft.plans.GraftFunctions.register(stream.sparkSession)
+    val fullVocab = if (vocab.contains("</w>")) vocab else vocab :+ "</w>"
+    val toks = call_function("piece_encode",
+      graft.functions.TextOps.normalizeText(col(textCol)),
+      lit(fullVocab.mkString("\n")), lit(maxWordLen))
+    stream.withWatermark(tsCol, watermark)
+      .select(col(tsCol), size(toks).as("__n"))
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n").cast("long")).as("n_tokens"),
+        max(col("__n").cast("long")).as("max_doc_tokens"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_docs"), col("n_tokens"), col("max_doc_tokens"))
+  }
+
   def streamingExactDedup(
       stream: DataFrame,
       textCol: String,

@@ -120,6 +120,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming token-budget monitor serves a saved tokenizer model") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // train in batch, persist, serve the loaded model on the stream —
+    // the production contract the ModelStore tokenizer tables exist for
+    val corpus = Seq((1L, "quiz quit quad aqua"), (2L, "abab abba baba aqua"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("toksrv").toString
+    graft.operators.ModelStore.saveWordPieceMerges(spark,
+      graft.functions.WordPieceTokenizer.trainMerges(corpus, "text", numMerges = 3), dir)
+    val vocab = graft.functions.WordPieceTokenizer.vocabFromMerges(
+      graft.operators.ModelStore.loadWordPieceMerges(spark, dir))
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = input.toDF().toDF("ts", "text")
+    val agg = StreamingOps.streamingTokenBudgetMonitor(
+      stream, "text", "ts", vocab, "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("tok_out")
+      .outputMode("complete").start()
+    try {
+      val docs = Seq(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "quiz abab zz"),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), "aqua quit"),
+        (java.sql.Timestamp.valueOf("2024-01-01 11:10:00"), "baba Caps42"))
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM tok_out ORDER BY window_start").collect()
+      assert(rows.length == 2) // two hourly windows
+      // batch parity: identical encode + the same hourly rollup over the
+      // static frame must agree window-for-window
+      val perDoc = graft.functions.BpeTokenizer.pieceEncode(
+          docs.toDF("ts", "text"), "text", "ts", vocab)
+        .collect().map(r => (r.getTimestamp(0), r.getInt(2))).toSeq
+      val byHour = perDoc.groupBy(_._1.toLocalDateTime.getHour)
+        .map { case (h, xs) =>
+          h -> (xs.size.toLong, xs.map(_._2.toLong).sum, xs.map(_._2.toLong).max)
+        }
+      for (r <- rows) {
+        val h = r.getAs[java.sql.Timestamp]("window_start").toLocalDateTime.getHour
+        val (nDocs, nToks, maxToks) = byHour(h)
+        assert(r.getAs[Long]("n_docs") == nDocs)
+        assert(r.getAs[Long]("n_tokens") == nToks)
+        assert(r.getAs[Long]("max_doc_tokens") == maxToks)
+      }
+    } finally q.stop()
+  }
+
   test("streaming binned frequencies feed the drift q-side") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Double)]

@@ -1157,6 +1157,40 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer models round-trip through ModelStore and encode identically") {
+    import graft.functions.{BpeTokenizer, UnigramTokenizer, WordPieceTokenizer}
+    import graft.operators.ModelStore
+    val docs = Seq(
+      (1L, "quiz quit quad aqua abab"),
+      (2L, "abab abba baba quiz aqua"),
+      (3L, "quad abba abab quit baba")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tokmodels").toString
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+
+    val bpe = BpeTokenizer.trainMerges(docs, "text", numMerges = 5)
+    ModelStore.saveBpeMerges(spark, bpe, s"$dir/bpe")
+    assert(ModelStore.loadBpeMerges(spark, s"$dir/bpe") == bpe)
+    assert(hashes(BpeTokenizer.bpeEncode(docs, "text", "doc_id",
+        ModelStore.loadBpeMerges(spark, s"$dir/bpe"))) ==
+      hashes(BpeTokenizer.bpeEncode(docs, "text", "doc_id", bpe)))
+
+    val wp = WordPieceTokenizer.trainMerges(docs, "text", numMerges = 5)
+    ModelStore.saveWordPieceMerges(spark, wp, s"$dir/wp")
+    assert(ModelStore.loadWordPieceMerges(spark, s"$dir/wp") == wp)
+    assert(hashes(WordPieceTokenizer.wordPieceEncode(docs, "text", "doc_id",
+        ModelStore.loadWordPieceMerges(spark, s"$dir/wp"))) ==
+      hashes(WordPieceTokenizer.wordPieceEncode(docs, "text", "doc_id", wp)))
+
+    val uni = UnigramTokenizer.trainUnigram(docs, "text", vocabSize = 16,
+      rounds = 1, maxPieceLen = 3, maxWordLen = 8, minSeedCount = 2L, seedSize = 60)
+    ModelStore.saveUnigramVocab(spark, uni, s"$dir/uni")
+    assert(ModelStore.loadUnigramVocab(spark, s"$dir/uni") == uni)
+    assert(hashes(UnigramTokenizer.unigramEncode(docs, "text", "doc_id",
+        ModelStore.loadUnigramVocab(spark, s"$dir/uni"), maxWordLen = 8)) ==
+      hashes(UnigramTokenizer.unigramEncode(docs, "text", "doc_id", uni, maxWordLen = 8)))
+  }
+
   test("unigram viterbi segments by max probability with the longest-piece tie rule") {
     import org.apache.spark.sql.functions.{call_function, lit}
     graft.plans.GraftFunctions.register(spark)
