@@ -355,6 +355,38 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("wordpiece encode(train(corpus)) covers the text and keeps word boundaries") {
+    // the WordPiece twin of the unigram lossless-cover property: joined
+    // tokens minus the "</w>" markers reproduce the normalized text
+    // minus spaces, and the MARKER COUNT equals the word count — a
+    // greedy segmenter that eats across a boundary (or a fold that
+    // merges through "</w>" incorrectly) breaks one of the two where no
+    // vocab-level oracle row would notice
+    import graft.functions.{TextOps, WordPieceTokenizer}
+    val wordGen = Gen.choose(1, 9)
+      .flatMap(n => Gen.listOfN(n, Gen.choose('a', 'f')).map(_.mkString))
+    val docGen = Gen.choose(1, 12)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    for (docs <- samples(Gen.listOfN(25, docGen), 2)) {
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val merges = WordPieceTokenizer.trainMerges(df, "text", numMerges = 8)
+      val norm = regexp_replace(TextOps.normalizeText(col("text")), " ", "")
+      val words = size(split(TextOps.normalizeText(col("text")), " "))
+      val bad = WordPieceTokenizer.wordPieceEncode(df, "text", "doc_id", merges)
+        .select(col("doc_id"),
+          regexp_replace(array_join(col("tokens"), ""), "</w>", "").as("joined"),
+          size(org.apache.spark.sql.functions.filter(col("tokens"),
+            t => t.endsWith("</w>"))).as("n_marks"))
+        .join(df.select(col("doc_id"), norm.as("expect"), words.as("n_words")),
+          Seq("doc_id"))
+        .filter(col("joined") =!= col("expect") || col("n_marks") =!= col("n_words"))
+        .collect()
+      assert(bad.isEmpty,
+        s"cover/boundary violation: ${bad.take(3).mkString("; ")}")
+    }
+  }
+
   test("connected components equal union-find truth on random graphs") {
     // 26 nodes, 60 random edges: rounds = 5 converges even on a full
     // path (propagate+jump covers distance 2^(r+1)-2), so the fixed-
