@@ -95,7 +95,10 @@ object TriScale {
     // round-18: WordPiece — BPE's growth contract (the word-frequency
     // scan is the only corpus-sized stage; the likelihood-scored rounds
     // are vocab-sized), measured cold via clearTokenizerMemos
-    "q_wordpiece_vocab", "q_wordpiece_encode")
+    "q_wordpiece_vocab", "q_wordpiece_encode",
+    // round-18b: Louvain — per-round community-weight + neighbor-count
+    // aggregates must stay map-side-combined like LPA's
+    "q_louvain_communities")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -162,7 +165,10 @@ object TriScale {
     "q_connected_components", "q_label_propagation", "q_random_walks",
     // round-18: WordPiece rides the sf1 documents tier like BPE — the
     // 4th decade proves the merge rounds stay vocab-sized
-    "q_wordpiece_encode")
+    "q_wordpiece_encode",
+    // round-18b: Louvain rides the co-occurrence tier like LPA (hub
+    // communities must pre-aggregate their member weights map-side)
+    "q_louvain_communities")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

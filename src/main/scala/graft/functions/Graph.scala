@@ -376,6 +376,89 @@ object Graph {
     lbl
   }
 
+  /** Deterministic one-level Louvain: synchronous fixed-round modularity
+    * communities (Blondel et al. 2008, the parallel synchronous variant
+    * distributed implementations use) — the QUALITY-aware member of the
+    * community family: [[connectedComponents]] fuses everything
+    * reachable, [[labelPropagation]] follows raw neighbor majorities,
+    * Louvain moves a node only when the move improves modularity, so
+    * dense cores separate from their sparse periphery.
+    *
+    * Per synchronous round, from the round-start assignment: node i may
+    * move to a neighbor community C maximizing the modularity gain,
+    * which on a simple unit-weight graph reduces to maximizing
+    * `kiin(i,C) − k_i·Σtot'(C)/(2m)`. Scaling by 2m gives the EXACT
+    * INTEGER score `2m·kiin(i,C) − k_i·Σtot'(C)` (Σtot'(C) excludes i
+    * itself when C is i's current community), so the argmax — ties:
+    * staying wins, then smallest community id — is a pure function of
+    * the edges, replayable as unrolled SQL (q_louvain_communities).
+    * |score| < 4m·k_max: BIGINT-safe while m·k_max < 2^61 (any real
+    * host graph). Fixed rounds, not convergence — sequential Louvain's
+    * stop-at-stability is visit-order-dependent, exactly what an
+    * external replay cannot express.
+    *
+    * Oscillation guard: fully synchronous moves let two adjacent nodes
+    * swap into each other's community forever (hand-traceable on two
+    * bridged triangles). The standard distributed remedy applies —
+    * only HALF the nodes move per round, alternating by node-id parity
+    * (the half-graph move restriction of published distributed/GPU
+    * Louvain implementations); the other half keep their assignment.
+    * Two rounds therefore make one full sweep.
+    *
+    * Returns (node, community) for every node with at least one edge.
+    *
+    * Scale: per round one community-weight aggregate (node-sized), one
+    * edge join + (node, community) count (map-side combined — a hub
+    * costs one combiner row per distinct neighbor community, never one
+    * per edge), and one node-sized argmax aggregate. The adjacency and
+    * degree frames materialize once; iterative state is node-sized with
+    * the usual every-other-round checkpoint.
+    */
+  def louvainCommunities(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+    val adj = e.select(col("lo").as("u"), col("hi").as("v"))
+      .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+      .localCheckpoint()
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("k")).localCheckpoint()
+    val m = e.count()
+    var comm = deg.select(col("u").as("node"), col("u").as("c"))
+    for (r <- 1 to rounds) {
+      val sumtot = comm
+        .join(deg.select(col("u").as("node"), col("k")), Seq("node"))
+        .groupBy("c").agg(sum(col("k")).as("st"))
+      val kiin = adj
+        .join(comm.select(col("node").as("v"), col("c").as("cv")), Seq("v"))
+        .groupBy(col("u"), col("cv")).agg(count(lit(1)).as("kin"))
+      // the node's OWN community is always a candidate (kin 0 when no
+      // neighbor shares it); max() collapses the duplicate when one does
+      val cand = kiin.unionByName(
+          comm.select(col("node").as("u"), col("c").as("cv"), lit(0L).as("kin")))
+        .groupBy("u", "cv").agg(max(col("kin")).as("kin"))
+      val scored = cand
+        .filter(pmod(col("u"), lit(2)) === lit(r % 2)) // this round's half
+        .join(sumtot.select(col("c").as("cv"), col("st")), Seq("cv"))
+        .join(deg, Seq("u"))
+        .join(comm.select(col("node").as("u"), col("c").as("a")), Seq("u"))
+        .withColumn("stx",
+          col("st") - when(col("cv") === col("a"), col("k")).otherwise(lit(0L)))
+        .withColumn("score", lit(2L * m) * col("kin") - col("k") * col("stx"))
+      val moved = scored.groupBy("u")
+        .agg(min_by(col("cv"), struct((-col("score")).as("ns"),
+          when(col("cv") === col("a"), 0).otherwise(1).as("pref"),
+          col("cv").as("cc"))).as("c"))
+        .select(col("u").as("node"), col("c"))
+      comm = moved.unionByName(
+        comm.filter(pmod(col("node"), lit(2)) =!= lit(r % 2)))
+      if (r % 2 == 0 || r == rounds) comm = comm.localCheckpoint()
+    }
+    comm.select(col("node"), col("c").as("community"))
+  }
+
   /** Deterministic degree-capped random walks — the DeepWalk/node2vec
     * corpus-generation step (walks become skip-gram training sequences
     * for graph embeddings), with GraphSAGE-style neighbor capping. No

@@ -771,6 +771,76 @@ object AnalyticsQueries {
       SELECT node, label FROM l3"""
     })
 
+  /** Deterministic one-level Louvain over the supplier co-occurrence
+    * graph ([[graft.functions.Graph.louvainCommunities]]): synchronous
+    * fixed-round modularity moves with the exact-integer score
+    * `2m·kiin − k·Σtot'` — no float grid anywhere, so the oracle
+    * replays each round's community weights, neighbor-community counts,
+    * scored candidates, and the (score desc, stay-first, smallest-id)
+    * argmax as unrolled CTEs.
+    */
+  val qLouvain = Q(
+    "q_louvain_communities",
+    (s, dir) => {
+      val li = tables(s, dir).lineitem.filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+      // rounds pinned beside the oracle that hardcodes them
+      graft.functions.Graph.louvainCommunities(pairs, rounds = 3)
+    },
+    Some {
+      def round(r: Int): String = {
+        val prev = s"lv${r - 1}"
+        s"""lvs$r AS MATERIALIZED (
+           SELECT l.c AS c, CAST(sum(d.k) AS BIGINT) AS st
+           FROM $prev l JOIN lvdeg d ON d.node = l.node GROUP BY l.c),
+        lvk$r AS MATERIALIZED (
+           SELECT a.u AS u, l.c AS cv, CAST(count(*) AS BIGINT) AS kin
+           FROM adj a JOIN $prev l ON l.node = a.v GROUP BY 1, 2),
+        lvt$r AS MATERIALIZED (
+           SELECT u, cv, CAST(max(kin) AS BIGINT) AS kin FROM (
+             SELECT u, cv, kin FROM lvk$r
+             UNION ALL SELECT node AS u, c AS cv, 0 AS kin FROM $prev)
+           GROUP BY 1, 2),
+        lvx$r AS MATERIALIZED (
+           SELECT t.u, t.cv,
+             2 * mm.m * t.kin -
+               d.k * (s.st - CASE WHEN t.cv = o.c THEN d.k ELSE 0 END) AS score,
+             o.c AS own
+           FROM lvt$r t
+           JOIN lvs$r s ON s.c = t.cv
+           JOIN lvdeg d ON d.node = t.u
+           JOIN $prev o ON o.node = t.u
+           CROSS JOIN mm
+           WHERE t.u % 2 = ${r % 2}),
+        lv$r AS MATERIALIZED (
+           SELECT u AS node, cv AS c FROM (
+             SELECT u, cv, row_number() OVER (PARTITION BY u
+               ORDER BY score DESC, CASE WHEN cv = own THEN 0 ELSE 1 END, cv) AS rn
+             FROM lvx$r) t WHERE rn = 1
+           UNION ALL
+           SELECT node, c FROM $prev WHERE node % 2 <> ${r % 2})"""
+      }
+      val rounds = (1 to 3).map(round).mkString(",\n")
+      s"""
+      WITH li AS MATERIALIZED (
+        SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        WHERE l_orderkey % 20 = 0),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT x.sk AS lo, y.sk AS hi
+        FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+      adj AS MATERIALIZED (
+        SELECT lo AS u, hi AS v FROM e0 UNION ALL SELECT hi, lo FROM e0),
+      mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+      lvdeg AS MATERIALIZED (
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS k FROM adj GROUP BY u),
+      lv0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS c FROM adj),
+      $rounds
+      SELECT node, c AS community FROM lv3"""
+    })
+
   /** Deterministic degree-capped random walks over the supplier
     * co-occurrence graph ([[graft.functions.Graph.randomWalks]] — the
     * DeepWalk corpus-generation step): candidate sets are the 8
@@ -861,5 +931,5 @@ object AnalyticsQueries {
 
   def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qTheilsU, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
     qPageRank, qTriangles, qHits, qKCore, qComponents, qHarmonic, qLabelProp,
-    qWorkflowGraph, qRandomWalks, qSkipgramPairs)
+    qWorkflowGraph, qRandomWalks, qSkipgramPairs, qLouvain)
 }

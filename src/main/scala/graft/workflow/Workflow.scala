@@ -857,7 +857,8 @@ object Workflow {
       // missing its metric
       knownKeys("", gm, Set("edges_path", "src_col", "dst_col",
         "pagerank", "hits", "k_core", "connected_components",
-        "label_propagation", "random_walks", "harmonic", "triangle_counts"))
+        "label_propagation", "louvain", "random_walks", "harmonic",
+        "triangle_counts"))
       val metrics = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
       gm.get("pagerank").foreach { pv =>
         val pc = asConf(pv)
@@ -893,6 +894,13 @@ object Workflow {
         metrics("label_propagation") =
           graft.functions.Graph.labelPropagation(edges, src, dst,
             rounds = lc.getOrElse("rounds", 4).toString.toInt)
+      }
+      gm.get("louvain").foreach { lv =>
+        val lc = asConf(lv)
+        knownKeys("louvain", lc, Set("rounds"))
+        metrics("louvain") =
+          graft.functions.Graph.louvainCommunities(edges, src, dst,
+            rounds = lc.getOrElse("rounds", 3).toString.toInt)
       }
       gm.get("random_walks").foreach { wv =>
         val wc = asConf(wv)

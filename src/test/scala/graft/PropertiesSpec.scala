@@ -442,6 +442,61 @@ class PropertiesSpec extends SparkSpec {
     assert(cc.toSeq == Seq(1L), "components must fuse the bridge")
   }
 
+  test("louvain matches an independent synchronous-modularity reference") {
+    import graft.functions.Graph
+    // Independent reference: exact-integer modularity score
+    // 2m·kiin − k·Σtot' with (score desc, stay-first, smallest-id)
+    // argmax, half-graph parity-alternating moves — re-derived here,
+    // not shared with the library code.
+    def refLouvain(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct
+      val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val m = es.size.toLong
+      val k = adj.view.mapValues(_.size.toLong).toMap
+      var comm: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+      for (r <- 1 to rounds) {
+        val sumtot = comm.toSeq.groupBy(_._2).view
+          .mapValues(_.map(p => k(p._1)).sum).toMap.withDefaultValue(0L)
+        comm = comm.map { case (u, a) =>
+          if (math.floorMod(u, 2L) != (r % 2).toLong) u -> a
+          else {
+            val kiin = adj(u).groupBy(comm).view.mapValues(_.size.toLong).toMap
+            val best = (kiin.keySet + a).toSeq.minBy { c =>
+              val st = sumtot(c) - (if (c == a) k(u) else 0L)
+              val score = 2L * m * kiin.getOrElse(c, 0L) - k(u) * st
+              (-score, if (c == a) 0 else 1, c)
+            }
+            u -> best
+          }
+        }
+      }
+      comm
+    }
+    // two triangles + bridge: Louvain keeps two communities where
+    // connected components fuses everything (traced by hand through the
+    // three parity-alternating rounds)
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val got = Graph.louvainCommunities(tri.toDF("src", "dst"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refLouvain(tri, 3), s"got $got")
+    assert(got.values.toSet.size == 2, s"bridge must not fuse: $got")
+    // random graphs: fixed-round output equals the reference's, and a
+    // 7-way repartition changes nothing (partition invariance)
+    val edgeGen = Gen.listOfN(50,
+      Gen.zip(Gen.choose(0L, 17L), Gen.choose(0L, 17L)).suchThat(p => p._1 != p._2))
+    for (edges <- samples(edgeGen, 3) if edges.nonEmpty) {
+      val df = edges.toDF("src", "dst")
+      val out = Graph.louvainCommunities(df, rounds = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == refLouvain(edges, 4), "diverges from reference")
+      val out7 = Graph.louvainCommunities(df.repartition(7), rounds = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out7 == out, "not partition-invariant")
+    }
+  }
+
   test("random walks are valid paths, partition-invariant, and cap-respecting") {
     import graft.functions.Graph
     val edgeGen = Gen.listOfN(50,

@@ -827,6 +827,8 @@ graph_metrics:
     radius: 2
   label_propagation:
     rounds: 3
+  louvain:
+    rounds: 4
   random_walks:
     length: 3
     walks_per_node: 2
@@ -866,6 +868,17 @@ graph_metrics:
     // adopted labels are always some node's id
     val nodeSet = lp.select("node")
     assert(lp.select(col("label").as("node")).except(nodeSet).count() == 0)
+    val lv = gm.metrics("louvain")
+    assert(lv.columns.toSeq == Seq("node", "community"))
+    // communities are always some node's id, and the half-graph moves
+    // agree with the direct library call
+    assert(lv.select(col("community").as("node")).except(nodeSet).count() == 0)
+    val direct = graft.functions.Graph.louvainCommunities(
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select(col("l_suppkey"), col("l_partkey")),
+        "l_suppkey", "l_partkey", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == direct)
     val rw = gm.metrics("random_walks")
     assert(rw.columns.toSeq == Seq("start", "walk", "step", "node"))
     // 2 walks per node, each emitting steps 0..3
