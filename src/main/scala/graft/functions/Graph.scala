@@ -459,6 +459,55 @@ object Graph {
     comm.select(col("node"), col("c").as("community"))
   }
 
+  /** Modularity of a community assignment (Newman & Girvan 2004) over a
+    * simple unit-weight graph: Q = Σ_C [ e_in(C)/m − (Σtot(C)/2m)² ].
+    * The aggregates (m, e_in, ΣΣtot²) are exact BIGINTs; the ratio is
+    * then a fixed chain of IEEE double ops — `(4·m·e_in − st2) /
+    * (4·m·m)` with every input cast to double first — identical in both
+    * engines at any scale (no BIGINT-overflow path), the
+    * [[WordPieceTokenizer]] determinism idiom.
+    * The quality yardstick for comparing community ops: components
+    * maximize coverage but not separation, LPA follows majorities,
+    * Louvain climbs exactly this number.
+    *
+    * Returns one row: (m, intra_edges, q). Nodes missing from `comm`
+    * form singleton communities implicitly (they contribute their
+    * degree² term and no intra edges) — handled by coalescing to the
+    * node id.
+    *
+    * Scale: one edge-frame join against the node-sized assignment for
+    * intra-edge counting + one node-sized Σtot aggregate; both
+    * map-side combined.
+    */
+  def modularity(
+      edges: DataFrame,
+      comm: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      nodeCol: String = "node",
+      commCol: String = "community"): DataFrame = {
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+    val adj = e.select(col("lo").as("u"), col("hi").as("v"))
+      .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+    val cm = comm.select(col(nodeCol).as("n"), col(commCol).as("cc"))
+    val deg = adj.groupBy(col("u").as("n")).agg(count(lit(1)).as("k"))
+    val labeled = deg.join(cm, Seq("n"), "left")
+      .select(col("n"), coalesce(col("cc"), col("n")).as("cc"), col("k"))
+    val intra = e
+      .join(labeled.select(col("n").as("lo"), col("cc").as("clo")), Seq("lo"))
+      .join(labeled.select(col("n").as("hi"), col("cc").as("chi")), Seq("hi"))
+      .filter(col("clo") === col("chi"))
+      .agg(count(lit(1)).as("ein"))
+    val st2 = labeled.groupBy("cc").agg(sum(col("k")).as("st"))
+      .agg(sum(col("st") * col("st")).as("st2"))
+    val mDf = e.agg(count(lit(1)).as("m"))
+    val md = col("m").cast("double")
+    mDf.crossJoin(intra).crossJoin(st2)
+      .select(col("m"), col("ein").as("intra_edges"),
+        round((lit(4.0d) * md * col("ein").cast("double") - col("st2").cast("double")) /
+          (lit(4.0d) * md * md), 9).as("q"))
+  }
+
   /** Deterministic degree-capped random walks — the DeepWalk/node2vec
     * corpus-generation step (walks become skip-gram training sequences
     * for graph embeddings), with GraphSAGE-style neighbor capping. No

@@ -779,18 +779,18 @@ object AnalyticsQueries {
     * scored candidates, and the (score desc, stay-first, smallest-id)
     * argmax as unrolled CTEs.
     */
-  val qLouvain = Q(
-    "q_louvain_communities",
-    (s, dir) => {
-      val li = tables(s, dir).lineitem.filter(col("l_orderkey") % 20 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      val pairs = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("src"), col("y.sk").as("dst"))
-      // rounds pinned beside the oracle that hardcodes them
-      graft.functions.Graph.louvainCommunities(pairs, rounds = 3)
-    },
-    Some {
+  private def louvainEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = tables(s, dir).lineitem.filter(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+  }
+
+  /** Shared louvain-oracle CTE chain (li → e0/adj/mm/lvdeg → lv0 → all
+    * unrolled parity-alternating rounds, ending in lv<rounds>).
+    */
+  private def louvainCtesSql(nRounds: Int): String = {
       def round(r: Int): String = {
         val prev = s"lv${r - 1}"
         s"""lvs$r AS MATERIALIZED (
@@ -823,9 +823,8 @@ object AnalyticsQueries {
            UNION ALL
            SELECT node, c FROM $prev WHERE node % 2 <> ${r % 2})"""
       }
-      val rounds = (1 to 3).map(round).mkString(",\n")
-      s"""
-      WITH li AS MATERIALIZED (
+      val rounds = (1 to nRounds).map(round).mkString(",\n")
+      s"""li AS MATERIALIZED (
         SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
         WHERE l_orderkey % 20 = 0),
       e0 AS MATERIALIZED (
@@ -837,9 +836,52 @@ object AnalyticsQueries {
       lvdeg AS MATERIALIZED (
         SELECT u AS node, CAST(count(*) AS BIGINT) AS k FROM adj GROUP BY u),
       lv0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS c FROM adj),
-      $rounds
-      SELECT node, c AS community FROM lv3"""
-    })
+      $rounds"""
+  }
+
+  /** Deterministic one-level Louvain over the supplier co-occurrence
+    * graph ([[graft.functions.Graph.louvainCommunities]]): synchronous
+    * fixed-round modularity moves with the exact-integer score
+    * `2m·kiin − k·Σtot'`, half-graph parity alternation — no float grid
+    * anywhere, so the oracle replays every round as unrolled CTEs.
+    */
+  val qLouvain = Q(
+    "q_louvain_communities",
+    // rounds pinned beside the oracle that hardcodes them
+    (s, dir) => graft.functions.Graph.louvainCommunities(
+      louvainEdges(s, dir), rounds = 3),
+    Some(s"""
+      WITH ${louvainCtesSql(3)}
+      SELECT node, c AS community FROM lv3"""))
+
+  /** Modularity of the q_louvain_communities assignment
+    * ([[graft.functions.Graph.modularity]]) — exact BIGINT aggregates
+    * (m, intra edges, ΣΣtot²) and a fixed IEEE double chain for the
+    * ratio, so the single output row hash-matches the replay of the
+    * same louvain chain plus three aggregate CTEs.
+    */
+  val qModularity = Q(
+    "q_modularity",
+    (s, dir) => {
+      val pairs = louvainEdges(s, dir)
+      graft.functions.Graph.modularity(pairs,
+        graft.functions.Graph.louvainCommunities(pairs, rounds = 3))
+    },
+    Some(s"""
+      WITH ${louvainCtesSql(3)},
+      ein AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS ein
+        FROM e0 JOIN lv3 a ON a.node = e0.lo JOIN lv3 b ON b.node = e0.hi
+        WHERE a.c = b.c),
+      st2 AS MATERIALIZED (
+        SELECT CAST(sum(st * st) AS BIGINT) AS st2 FROM (
+          SELECT CAST(sum(d.k) AS BIGINT) AS st
+          FROM lv3 l JOIN lvdeg d ON d.node = l.node GROUP BY l.c) t)
+      SELECT mm.m AS m, ein.ein AS intra_edges,
+        round((4.0 * CAST(mm.m AS DOUBLE) * CAST(ein.ein AS DOUBLE)
+               - CAST(st2.st2 AS DOUBLE))
+              / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)), 9) AS q
+      FROM mm CROSS JOIN ein CROSS JOIN st2"""))
 
   /** Deterministic degree-capped random walks over the supplier
     * co-occurrence graph ([[graft.functions.Graph.randomWalks]] — the
@@ -931,5 +973,5 @@ object AnalyticsQueries {
 
   def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qTheilsU, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
     qPageRank, qTriangles, qHits, qKCore, qComponents, qHarmonic, qLabelProp,
-    qWorkflowGraph, qRandomWalks, qSkipgramPairs, qLouvain)
+    qWorkflowGraph, qRandomWalks, qSkipgramPairs, qLouvain, qModularity)
 }

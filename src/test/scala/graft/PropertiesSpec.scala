@@ -497,6 +497,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("modularity is exact and ranks louvain above the one-community fuse") {
+    import graft.functions.Graph
+    // two 4-cliques + one bridge; m = 13. Hand-computed:
+    //  - true 2-community split: e_in = 12, Σtot² = 13² + 13² = 338
+    //    q = (4·13·12 − 338)/(4·169) = (624 − 338)/676 = 0.423076923
+    //  - everything in ONE community: e_in = 13, Σtot² = 26² = 676
+    //    q = (676 − 676)/676 = 0
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val k4b = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val edges = (k4a ++ k4b :+ (4L, 5L)).toDF("src", "dst")
+    import spark.implicits._
+    val split = (1L to 8L).map(n => (n, if (n <= 4) 1L else 5L)).toDF("node", "community")
+    val qSplit = Graph.modularity(edges, split).collect()(0)
+    assert(qSplit.getLong(0) == 13L && qSplit.getLong(1) == 12L)
+    assert(qSplit.getDouble(2) == 0.423076923, s"got ${qSplit.getDouble(2)}")
+    val fused = (1L to 8L).map(n => (n, 1L)).toDF("node", "community")
+    assert(Graph.modularity(edges, fused).collect()(0).getDouble(2) == 0.0)
+    // louvain finds the split (or better) — its modularity must beat the fuse
+    val louvain = Graph.louvainCommunities(edges, rounds = 4)
+    val qLv = Graph.modularity(edges, louvain).collect()(0).getDouble(2)
+    assert(qLv >= 0.42, s"louvain modularity $qLv below the clique split")
+    // a node missing from the assignment is an implicit singleton
+    val partial = Seq((1L, 1L)).toDF("node", "community")
+    val qPart = Graph.modularity(edges, partial).collect()(0)
+    assert(qPart.getLong(1) == 0L) // no intra edges among singletons
+  }
+
   test("random walks are valid paths, partition-invariant, and cap-respecting") {
     import graft.functions.Graph
     val edgeGen = Gen.listOfN(50,
