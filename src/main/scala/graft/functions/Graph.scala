@@ -508,6 +508,63 @@ object Graph {
           (lit(4.0d) * md * md), 9).as("q"))
   }
 
+  /** One-row structural profile of an edge frame — the corpus-graph
+    * health check a link-graph pipeline runs before ranking it: size,
+    * degree stats, degree assortativity (Newman 2002 — positive: hubs
+    * link hubs; negative: hub-and-spoke), total triangles, and the
+    * global clustering coefficient (3·triangles / wedges).
+    *
+    * Determinism: every aggregate (Σk, Σk², Σk³, Σ deg(u)·deg(v) over
+    * the symmetric adjacency, wedges, triangles) is an exact BIGINT;
+    * each ratio is then a fixed chain of IEEE double ops, identical in
+    * both engines — no BIGINT-overflow path. Assortativity over the
+    * 2m adjacency rows reduces to (2m·Σxy − (Σk²)²)/(2m·Σk³ − (Σk²)²),
+    * NULL on degree-regular graphs (zero variance).
+    *
+    * Scale: two map-side-combined aggregates over node-sized frames +
+    * one adjacency join against broadcast-able degrees + the
+    * degree-oriented triangle count ([[triangleCounts]]) — nothing
+    * holds more than O(nodes) state.
+    */
+  def graphSummary(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    val adj = e.select(col("lo").as("u"), col("hi").as("v"))
+      .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("k")).localCheckpoint()
+    val degStats = deg.agg(
+      count(lit(1)).as("nodes"),
+      max(col("k")).as("max_degree"),
+      sum(col("k")).as("sk"),
+      sum(col("k") * col("k")).as("sk2"),
+      sum(col("k") * col("k") * col("k")).as("sk3"),
+      // k(k−1) is always even: the integer division is exact (`div`
+      // keeps it in BIGINT — Column./ would silently go double)
+      sum(expr("k * (k - 1) div 2")).as("wedges"))
+    val sxy = adj
+      .join(deg.select(col("u"), col("k").as("kx")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("k").as("ky")), Seq("v"))
+      .agg(sum(col("kx") * col("ky")).as("sxy"))
+    val tri = e.select(col("lo").as("src"), col("hi").as("dst"))
+    val triangles = triangleCounts(tri)
+      .agg(coalesce(expr("sum(triangles) div 3"), lit(0L)).as("tri"))
+    val mDf = e.agg(count(lit(1)).as("m"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val num = d(col("sk")) * d(col("sxy")) - d(col("sk2")) * d(col("sk2"))
+    val den = d(col("sk")) * d(col("sk3")) - d(col("sk2")) * d(col("sk2"))
+    mDf.crossJoin(degStats).crossJoin(sxy).crossJoin(triangles)
+      .select(col("nodes"), col("m").as("edges"), col("max_degree"),
+        round(d(col("sk")) / d(col("nodes")), 9).as("avg_degree"),
+        round(when(den === 0.0d, lit(null).cast("double"))
+          .otherwise(num / den), 9).as("assortativity"),
+        col("tri").as("triangles"),
+        round(when(col("wedges") === 0L, lit(null).cast("double"))
+          .otherwise(lit(3.0d) * d(col("tri")) / d(col("wedges"))), 9)
+          .as("clustering"))
+  }
+
   /** Deterministic degree-capped random walks — the DeepWalk/node2vec
     * corpus-generation step (walks become skip-gram training sequences
     * for graph embeddings), with GraphSAGE-style neighbor capping. No

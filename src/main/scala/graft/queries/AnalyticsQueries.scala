@@ -883,6 +883,54 @@ object AnalyticsQueries {
               / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)), 9) AS q
       FROM mm CROSS JOIN ein CROSS JOIN st2"""))
 
+  /** One-row structural profile of the co-occurrence graph
+    * ([[graft.functions.Graph.graphSummary]]): size, degree stats,
+    * degree assortativity, triangles, global clustering — exact BIGINT
+    * aggregates, IEEE double ratios, so the single row hash-matches.
+    */
+  val qGraphSummary = Q(
+    "q_graph_summary",
+    (s, dir) => graft.functions.Graph.graphSummary(louvainEdges(s, dir)),
+    Some("""
+      WITH li AS MATERIALIZED (
+        SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        WHERE l_orderkey % 20 = 0),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT x.sk AS lo, y.sk AS hi
+        FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+      adj AS MATERIALIZED (
+        SELECT lo AS u, hi AS v FROM e0 UNION ALL SELECT hi, lo FROM e0),
+      deg AS MATERIALIZED (
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS k FROM adj GROUP BY u),
+      ds AS (SELECT CAST(count(*) AS BIGINT) AS nodes,
+                    CAST(max(k) AS BIGINT) AS max_degree,
+                    CAST(sum(k) AS BIGINT) AS sk,
+                    CAST(sum(k * k) AS BIGINT) AS sk2,
+                    CAST(sum(k * k * k) AS BIGINT) AS sk3,
+                    CAST(sum(k * (k - 1) // 2) AS BIGINT) AS wedges
+             FROM deg),
+      sxy AS (SELECT CAST(sum(dx.k * dy.k) AS BIGINT) AS sxy
+              FROM adj a JOIN deg dx ON dx.node = a.u
+                         JOIN deg dy ON dy.node = a.v),
+      tri AS (SELECT CAST(count(*) AS BIGINT) AS tri
+              FROM e0 ab JOIN e0 bc ON ab.hi = bc.lo
+                         JOIN e0 ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+      mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0)
+      SELECT ds.nodes, mm.m AS edges, ds.max_degree,
+        round(CAST(sk AS DOUBLE) / CAST(nodes AS DOUBLE), 9) AS avg_degree,
+        round(CASE WHEN CAST(sk AS DOUBLE) * CAST(sk3 AS DOUBLE)
+                        - CAST(sk2 AS DOUBLE) * CAST(sk2 AS DOUBLE) = 0 THEN NULL
+          ELSE (CAST(sk AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sk2 AS DOUBLE) * CAST(sk2 AS DOUBLE))
+             / (CAST(sk AS DOUBLE) * CAST(sk3 AS DOUBLE)
+                - CAST(sk2 AS DOUBLE) * CAST(sk2 AS DOUBLE)) END, 9)
+          AS assortativity,
+        tri.tri AS triangles,
+        round(CASE WHEN wedges = 0 THEN NULL
+          ELSE 3.0 * CAST(tri AS DOUBLE) / CAST(wedges AS DOUBLE) END, 9)
+          AS clustering
+      FROM ds CROSS JOIN mm CROSS JOIN sxy CROSS JOIN tri"""))
+
   /** Deterministic degree-capped random walks over the supplier
     * co-occurrence graph ([[graft.functions.Graph.randomWalks]] — the
     * DeepWalk corpus-generation step): candidate sets are the 8
@@ -973,5 +1021,6 @@ object AnalyticsQueries {
 
   def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qTheilsU, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
     qPageRank, qTriangles, qHits, qKCore, qComponents, qHarmonic, qLabelProp,
-    qWorkflowGraph, qRandomWalks, qSkipgramPairs, qLouvain, qModularity)
+    qWorkflowGraph, qRandomWalks, qSkipgramPairs, qLouvain, qModularity,
+    qGraphSummary)
 }

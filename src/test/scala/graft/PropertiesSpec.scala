@@ -524,6 +524,29 @@ class PropertiesSpec extends SparkSpec {
     assert(qPart.getLong(1) == 0L) // no intra edges among singletons
   }
 
+  test("graph summary matches hand-computed profile values") {
+    import graft.functions.Graph
+    // triangle 1-2-3 plus pendant 3-4: n=4, m=4, degrees (2,2,3,1)
+    //  Σk=8, Σk²=18, Σk³=44, wedges=1+1+3+0=5, triangles=1
+    //  Σxy over adj: edges (1,2):2·2 (2,3):2·3 (1,3):2·3 (3,4):3·1,
+    //  each twice → 2·(4+6+6+3)=38
+    //  assortativity = (8·38 − 18²)/(8·44 − 18²) = (304−324)/(352−324)
+    //                = −20/28 = −0.714285714
+    //  clustering = 3·1/5 = 0.6; avg_degree = 8/4 = 2.0
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.graphSummary(edges).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == -0.714285714, s"assortativity ${r.getDouble(4)}")
+    assert(r.getLong(5) == 1L)
+    assert(r.getDouble(6) == 0.6)
+    // degree-regular graph (a square): zero degree variance → NULL
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val s2 = Graph.graphSummary(square).collect()(0)
+    assert(s2.isNullAt(4), "regular graph must yield NULL assortativity")
+    assert(s2.getLong(5) == 0L && s2.getDouble(6) == 0.0)
+  }
+
   test("random walks are valid paths, partition-invariant, and cap-respecting") {
     import graft.functions.Graph
     val edgeGen = Gen.listOfN(50,
