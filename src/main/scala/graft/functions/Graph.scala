@@ -420,7 +420,10 @@ object Graph {
       dstCol: String = "dst",
       rounds: Int = 4): DataFrame = {
     require(rounds >= 1, "need at least one round")
-    val e = canonicalUndirected(edges, srcCol, dstCol)
+    // checkpoint the canonical frame FIRST: the adjacency union reads it
+    // twice and m a third time — each would replay the canonicalize-
+    // distinct (a self-join shuffle for co-occurrence inputs) otherwise
+    val e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
     val adj = e.select(col("lo").as("u"), col("hi").as("v"))
       .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
       .localCheckpoint()
@@ -472,8 +475,12 @@ object Graph {
     *
     * Returns one row: (m, intra_edges, q). Nodes missing from `comm`
     * form singleton communities implicitly (they contribute their
-    * degree² term and no intra edges) — handled by coalescing to the
-    * node id.
+    * degree² term and no intra edges) — labeled in a TAGGED space
+    * (tag 1 + node id) disjoint from real labels (tag 0 + community),
+    * because coalescing to the bare node id would collide whenever a
+    * missing node's id equals a surviving community label — and
+    * Louvain labels ARE node ids, so that collision is the common
+    * case, not a corner.
     *
     * Scale: one edge-frame join against the node-sized assignment for
     * intra-edge counting + one node-sized Σtot aggregate; both
@@ -486,13 +493,18 @@ object Graph {
       dstCol: String = "dst",
       nodeCol: String = "node",
       commCol: String = "community"): DataFrame = {
-    val e = canonicalUndirected(edges, srcCol, dstCol)
+    // materialized once: the adjacency union, intra join, and edge
+    // count would each replay the canonicalize-distinct otherwise
+    val e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
     val adj = e.select(col("lo").as("u"), col("hi").as("v"))
       .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
     val cm = comm.select(col(nodeCol).as("n"), col(commCol).as("cc"))
     val deg = adj.groupBy(col("u").as("n")).agg(count(lit(1)).as("k"))
     val labeled = deg.join(cm, Seq("n"), "left")
-      .select(col("n"), coalesce(col("cc"), col("n")).as("cc"), col("k"))
+      .select(col("n"),
+        when(col("cc").isNotNull, struct(lit(0).as("t"), col("cc").as("id")))
+          .otherwise(struct(lit(1).as("t"), col("n").as("id"))).as("cc"),
+        col("k"))
     val intra = e
       .join(labeled.select(col("n").as("lo"), col("cc").as("clo")), Seq("lo"))
       .join(labeled.select(col("n").as("hi"), col("cc").as("chi")), Seq("hi"))

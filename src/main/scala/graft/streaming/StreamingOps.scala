@@ -111,6 +111,11 @@ object StreamingOps {
       watermark: String = "2 hours",
       maxWordLen: Int = 32): DataFrame = {
     require(vocab.nonEmpty, "piece vocabulary must be non-empty")
+    // same guard as BpeTokenizer.pieceEncode: the vocab ships as a
+    // newline-joined plan literal, so a piece with a space or embedded
+    // newline would silently shred into bogus pieces on the stream
+    require(vocab.forall(p => p.nonEmpty && !p.contains("\n") && !p.contains(" ")),
+      "pieces must be non-empty and free of newlines/spaces")
     graft.plans.GraftFunctions.register(stream.sparkSession)
     val fullVocab = if (vocab.contains("</w>")) vocab else vocab :+ "</w>"
     val toks = call_function("piece_encode",

@@ -900,7 +900,7 @@ object Workflow {
         knownKeys("louvain", lc, Set("rounds"))
         metrics("louvain") =
           graft.functions.Graph.louvainCommunities(edges, src, dst,
-            rounds = lc.getOrElse("rounds", 3).toString.toInt)
+            rounds = lc.getOrElse("rounds", 4).toString.toInt)
       }
       gm.get("random_walks").foreach { wv =>
         val wc = asConf(wv)

@@ -34,7 +34,9 @@ class PlanSweepSpec extends SparkSpec {
     "q_feature_recommender",   // crossJoin(broadcast(<1-row query-norm scalar>))
     "q_k_anonymity",           // crossJoin(broadcast(<1-row corpus-total scalar>)) — QualityChecker.kAnonymityAudit
     "q_keyword_tfidf",         // crossJoin(broadcast(<1-row doc-count N scalar>)) — TextOps.keywordTfidf
-    "q_vocab_coverage"         // crossJoin(broadcast(<1-row token-total scalar>)) — TextOps.vocabCoverage
+    "q_vocab_coverage",        // crossJoin(broadcast(<1-row token-total scalar>)) — TextOps.vocabCoverage
+    "q_modularity",            // crossJoin of THREE 1-row aggregates (m, e_in, Σtot²) — Graph.modularity
+    "q_graph_summary"          // crossJoin of 1-row aggregate profile frames — Graph.graphSummary
   )
 
   /** Queries allowed a partitionless Window over non-aggregated input:

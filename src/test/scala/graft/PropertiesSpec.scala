@@ -522,6 +522,16 @@ class PropertiesSpec extends SparkSpec {
     val partial = Seq((1L, 1L)).toDF("node", "community")
     val qPart = Graph.modularity(edges, partial).collect()(0)
     assert(qPart.getLong(1) == 0L) // no intra edges among singletons
+    // singleton labels live in a tagged space: a missing node whose id
+    // EQUALS a live community label must NOT merge into it. Path
+    // 1-2-3, comm {2->1, 3->1}, node 1 absent: ein=1 (only 2-3),
+    // Σtot² = 3² + 1² = 10, q = (4·2·1 − 10)/16 = −0.125 — the
+    // id-coalescing bug folded node 1 into community 1 and read 0.0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val collide = Seq((2L, 1L), (3L, 1L)).toDF("node", "community")
+    val qc = Graph.modularity(path, collide).collect()(0)
+    assert(qc.getLong(1) == 1L, s"intra ${qc.getLong(1)}")
+    assert(qc.getDouble(2) == -0.125, s"q ${qc.getDouble(2)}")
   }
 
   test("graph summary matches hand-computed profile values") {
