@@ -195,6 +195,7 @@ object TriScale {
       // hit (~15 ms flat at every tier) instead of the training the
       // growth gate exists to guard
       graft.queries.TextQueries.clearTokenizerMemos()
+      graft.queries.AnalyticsQueries.clearGraphMemos()
       val t0 = System.nanoTime()
       queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9

@@ -420,14 +420,16 @@ object Graph {
       dstCol: String = "dst",
       rounds: Int = 4): DataFrame = {
     require(rounds >= 1, "need at least one round")
-    // checkpoint the canonical frame FIRST: the adjacency union reads it
-    // twice and m a third time — each would replay the canonicalize-
-    // distinct (a self-join shuffle for co-occurrence inputs) otherwise
+    // checkpoint ONLY the canonical frame: the adjacency union and the
+    // degree aggregate derive from its in-memory blocks with one cheap
+    // map each (a second/third eager checkpoint here measured as pure
+    // scheduling overhead at bench scale), while every consumer —
+    // adj ×2, m — would otherwise replay the canonicalize-distinct
+    // (a self-join shuffle for co-occurrence inputs)
     val e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
     val adj = e.select(col("lo").as("u"), col("hi").as("v"))
       .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
-      .localCheckpoint()
-    val deg = adj.groupBy("u").agg(count(lit(1)).as("k")).localCheckpoint()
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("k"))
     val m = e.count()
     var comm = deg.select(col("u").as("node"), col("u").as("c"))
     for (r <- 1 to rounds) {

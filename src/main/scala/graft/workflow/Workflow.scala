@@ -858,7 +858,7 @@ object Workflow {
       knownKeys("", gm, Set("edges_path", "src_col", "dst_col",
         "pagerank", "hits", "k_core", "connected_components",
         "label_propagation", "louvain", "random_walks", "harmonic",
-        "triangle_counts"))
+        "triangle_counts", "summary"))
       val metrics = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
       gm.get("pagerank").foreach { pv =>
         val pc = asConf(pv)
@@ -925,6 +925,9 @@ object Workflow {
       if (gm.getOrElse("triangle_counts", false) == true)
         metrics("triangle_counts") =
           graft.functions.Graph.triangleCounts(edges, src, dst)
+      if (gm.getOrElse("summary", false) == true)
+        metrics("summary") =
+          graft.functions.Graph.graphSummary(edges, src, dst)
       timed("graph_metrics", metrics.toMap) { () }
     }
 

@@ -835,6 +835,7 @@ graph_metrics:
     max_neighbors: 8
     salt: wf
   triangle_counts: true
+  summary: true
 """
     val (df, stages) = Workflow.run(spark, yaml)
     val gm = stages.find(_.name == "graph_metrics").get
@@ -884,6 +885,10 @@ graph_metrics:
     // 2 walks per node, each emitting steps 0..3
     assert(rw.count() == nodeSet.count() * 2 * 4)
     assert(gm.metrics("triangle_counts").columns.contains("triangles"))
+    val gs = gm.metrics("summary").collect()(0)
+    // one-row profile; node/edge counts agree with the other arms' frames
+    assert(gs.getAs[Long]("nodes") == nodeSet.count())
+    assert(gs.getAs[Double]("avg_degree") > 0.0)
     // the data frame itself flows through the stage unchanged
     assert(df.columns.toSeq == Seq("l_suppkey", "l_partkey"))
   }
