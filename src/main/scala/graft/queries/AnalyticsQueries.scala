@@ -849,13 +849,19 @@ object AnalyticsQueries {
     * a node-sized checkpointed frame).
     */
   private val louvainMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
-  // session-keyed: a checkpointed frame dies with its SparkSession, so a
-  // dir-only key would hand a later session another session's dead blocks
-  private def louvainFitted(s: org.apache.spark.sql.SparkSession, dir: String) =
-    louvainMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
+  // the memo holds the COLLECTED node-sized assignment (a pure function
+  // of the dir's edges), not a checkpointed frame: a bench harness's
+  // per-query unpersist hygiene frees checkpoint blocks between queries,
+  // and a truncated-lineage frame cannot be recomputed — the driver rows
+  // survive any cache sweep and any session
+  private def louvainFitted(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val rows = louvainMemo.computeIfAbsent(dir, _ =>
       graft.functions.Graph.louvainCommunities(louvainEdges(s, dir), rounds = 3)
-        .localCheckpoint())
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+    import s.implicits._
+    rows.toSeq.toDF("node", "community")
+  }
   /** Growth-gate hook (the clearTokenizerMemos contract): TriScale must
     * time the cold fit per tier, not a memo hit.
     */
