@@ -579,6 +579,33 @@ object Graph {
           .as("clustering"))
   }
 
+  /** Log2-binned degree histogram — the power-law check a pipeline runs
+    * before choosing its skew strategy (hub salting, bounded heaps):
+    * straight-line log-log counts mean heavy hubs exist at every scale.
+    * Bin = ⌊log2(degree)⌋ computed EXACTLY as the binary-string length
+    * minus one (`bin(k)` in both engines) — no libm log2 whose ulp
+    * could flip a power-of-two boundary differently per engine.
+    *
+    * Returns (bin, lo_degree = 2^bin, n_nodes, min_degree, max_degree)
+    * per occupied bin, bin ascending. One degree aggregate + one
+    * bin-sized aggregate — map-side combined, node-sized state.
+    */
+  def degreeHistogram(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+    val adj = e.select(col("lo").as("u"), col("hi").as("v"))
+      .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+    adj.groupBy("u").agg(count(lit(1)).as("k"))
+      .withColumn("bin", (length(bin(col("k"))) - 1).cast("int"))
+      .groupBy("bin").agg(count(lit(1)).as("n_nodes"),
+        min(col("k")).as("min_degree"), max(col("k")).as("max_degree"))
+      .select(col("bin"), expr("shiftleft(CAST(1 AS BIGINT), bin)").as("lo_degree"),
+        col("n_nodes"), col("min_degree"), col("max_degree"))
+      .orderBy("bin")
+  }
+
   /** Deterministic degree-capped random walks — the DeepWalk/node2vec
     * corpus-generation step (walks become skip-gram training sequences
     * for graph embeddings), with GraphSAGE-style neighbor capping. No

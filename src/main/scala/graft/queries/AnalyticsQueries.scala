@@ -955,6 +955,30 @@ object AnalyticsQueries {
           AS clustering
       FROM ds CROSS JOIN mm CROSS JOIN sxy CROSS JOIN tri"""))
 
+  /** Log2-binned degree histogram of the co-occurrence graph
+    * ([[graft.functions.Graph.degreeHistogram]]): the power-law check —
+    * bins are exact (binary-string length, no libm log2), counts exact
+    * integers, so every row hash-matches.
+    */
+  val qDegreeHistogram = Q(
+    "q_degree_histogram",
+    (s, dir) => graft.functions.Graph.degreeHistogram(louvainEdges(s, dir)),
+    Some("""
+      WITH li AS MATERIALIZED (
+        SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        WHERE l_orderkey % 40 = 0),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT x.sk AS lo, y.sk AS hi
+        FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+      adj AS (SELECT lo AS u, hi AS v FROM e0 UNION ALL SELECT hi, lo FROM e0),
+      deg AS (SELECT u, CAST(count(*) AS BIGINT) AS k FROM adj GROUP BY u),
+      binned AS (SELECT k, CAST(length(bin(k)) - 1 AS INT) AS bin FROM deg)
+      SELECT bin, CAST(1 AS BIGINT) << bin AS lo_degree,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(min(k) AS BIGINT) AS min_degree,
+             CAST(max(k) AS BIGINT) AS max_degree
+      FROM binned GROUP BY bin ORDER BY bin"""))
+
   /** Deterministic degree-capped random walks over the supplier
     * co-occurrence graph ([[graft.functions.Graph.randomWalks]] — the
     * DeepWalk corpus-generation step): candidate sets are the 8
@@ -1046,5 +1070,5 @@ object AnalyticsQueries {
   def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qTheilsU, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
     qPageRank, qTriangles, qHits, qKCore, qComponents, qHarmonic, qLabelProp,
     qWorkflowGraph, qRandomWalks, qSkipgramPairs, qLouvain, qModularity,
-    qGraphSummary)
+    qGraphSummary, qDegreeHistogram)
 }

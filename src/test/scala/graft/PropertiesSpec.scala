@@ -557,6 +557,20 @@ class PropertiesSpec extends SparkSpec {
     assert(s2.getLong(5) == 0L && s2.getDouble(6) == 0.0)
   }
 
+  test("degree histogram bins exactly at power-of-two boundaries") {
+    import graft.functions.Graph
+    // star: center 0 has degree 6 (bin 2: 100..111), leaves degree 1
+    // (bin 0); add edge 1-2 so leaves 1,2 get degree 2 (bin 1: 10..11)
+    val star = ((1L to 6L).map(l => (0L, l)) :+ (1L, 2L)).toDF("src", "dst")
+    val rows = Graph.degreeHistogram(star).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows(0) == ((1L, 4L, 1L, 1L)), s"bin0 ${rows.get(0)}") // 4 leaves of degree 1
+    assert(rows(1) == ((2L, 2L, 2L, 2L)), s"bin1 ${rows.get(1)}") // leaves 1,2
+    assert(rows(2) == ((4L, 1L, 6L, 6L)), s"bin2 ${rows.get(2)}") // the hub
+    assert(rows.size == 3)
+  }
+
   test("random walks are valid paths, partition-invariant, and cap-respecting") {
     import graft.functions.Graph
     val edgeGen = Gen.listOfN(50,
