@@ -154,6 +154,14 @@ object FeatureRecommender {
     val spark = attrs.sparkSession
     import spark.implicits._
     require(buildingCorpus.nonEmpty, "need at least one building-corpus entry")
+    // the pivot below builds one aggregate column + one stack() slot per
+    // corpus entry — fine for the driver-side lists the reference passes
+    // (tens of entries), pathological to COMPILE at hundreds; fail loudly
+    // instead of handing Catalyst a thousand-column aggregate
+    require(buildingCorpus.size <= 256,
+      s"buildingCorpus has ${buildingCorpus.size} entries; the pivoted " +
+        "single-pass plan generates one column per entry and is meant for " +
+        "driver-side lists (<= 256) — split the corpus into batches")
     val base = attrs.select(col(idCol).as("id"), col(nameCol).as("name"),
       col(descCol).as("desc"),
       concat_ws(" ", col(nameCol), col(descCol)).as("__text"))

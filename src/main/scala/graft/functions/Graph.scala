@@ -43,6 +43,16 @@ object Graph {
     * aggregate); only the partial-sum order changes, which double
     * summation already doesn't guarantee.
     */
+  /** `weightCol` (opt-in, "" = unit weights): textbook weighted
+    * PageRank — each sweep distributes rank proportionally to edge
+    * weight, `rank·w/wout(u)` with `wout(u) = Σ out-edge weights`
+    * (host link graphs carry link counts; multiplicity-as-weight is
+    * the same contract the unweighted form documents for duplicate
+    * edges, expressed as one weighted row instead of w parallel rows).
+    * Weights cast to double; non-positive total out-weight at a node
+    * divides to ±inf/NaN like any 0-degree artifact would — supply
+    * positive weights.
+    */
   def pageRank(
       edges: DataFrame,
       srcCol: String = "src",
@@ -52,16 +62,22 @@ object Graph {
       checkpointEvery: Int = 2,
       broadcastRanks: Boolean = false,
       saltDegreeThreshold: Int = 0,
-      saltFactor: Int = 16): DataFrame = {
+      saltFactor: Int = 16,
+      weightCol: String = ""): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     // saltFactor <= 0 would salt hub edges with pmod(hash, 0) = null and
     // replicate their rank rows via sequence(0, -1) = empty — the hub's
     // edges silently vanish from the join instead of erroring
     require(saltDegreeThreshold <= 0 || saltFactor >= 1,
       s"saltFactor must be >= 1 when salting is enabled, got $saltFactor")
-    val (e0, nodes) = edgeNodeFrames(edges, srcCol, dstCol)
+    val weighted = weightCol.nonEmpty
+    val (e0, nodes) = edgeNodeFrames(
+      if (weighted) edges.withColumn("__w", col(weightCol).cast("double"))
+      else edges, srcCol, dstCol,
+      extraCols = if (weighted) Seq("__w") else Nil)
     // deg persisted like e0/nodes: every sweep re-reads all three
-    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    val deg = (if (weighted) e0.groupBy("src").agg(sum(col("__w")).as("outdeg"))
+               else e0.groupBy("src").agg(count(lit(1)).as("outdeg"))).persist()
     val n = nodes.count()
     val base = lit(1.0) - lit(damping)
     val salted = saltDegreeThreshold > 0
@@ -94,7 +110,9 @@ object Graph {
       val contribs = e
         .join(maybeBc(rankSalted), Seq("src", "__salt"))
         .join(maybeBc(deg), "src")
-        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+        .select(col("dst").as("node"),
+          (if (weighted) col("rank") * col("__w") / col("outdeg")
+           else col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum("c").as("s"))
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
@@ -107,6 +125,82 @@ object Graph {
     val out = ranks.localCheckpoint()
     if (salted) e.unpersist(false)
     e0.unpersist(false); deg.unpersist(false); nodes.unpersist(false)
+    out
+  }
+
+  /** Personalized PageRank from a seed set — the quality-expansion
+    * trick public corpus curation popularized (rank the whole host
+    * graph by proximity to a trusted allowlist; pages random-surfers
+    * starting at the seeds keep reaching score high): the same
+    * 2-shuffle synchronous sweep as [[pageRank]], but ALL teleport
+    * mass returns to the seeds instead of spreading uniformly —
+    * r_t(v) = (1−d)·s(v) + d·Σ_in r_{t−1}(u)·w/wout(u), with
+    * s(v) = 1/|S| on seeds and 0 elsewhere, r_0 = s. Deterministic
+    * fixed iterations; replayable as unrolled SQL (q_ppr).
+    *
+    * `seeds` is a DataFrame (one column of node ids — seed sets can be
+    * data-sized; ids absent from the graph are ignored), `weightCol`
+    * the optional edge-weight column with [[pageRank]]'s semantics.
+    *
+    * Returns (node, rank) over all graph nodes; non-seed nodes
+    * unreachable from the seeds hold rank 0.
+    *
+    * Scale: identical posture to [[pageRank]] — per sweep one edge
+    * join + one map-side-combined dst aggregate, node-sized state,
+    * lineage truncated every `checkpointEvery` sweeps; the seed
+    * indicator is one node-sized join (AQE broadcasts small seed
+    * sets). Dangling mass is dropped, not redistributed, matching
+    * [[pageRank]]'s documented contract.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 4,
+      damping: Double = 0.85,
+      checkpointEvery: Int = 2,
+      weightCol: String = ""): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(seeds.columns.length == 1,
+      s"seeds must have exactly one node-id column, got ${seeds.columns.length}")
+    val weighted = weightCol.nonEmpty
+    val (e0, nodes) = edgeNodeFrames(
+      if (weighted) edges.withColumn("__w", col(weightCol).cast("double"))
+      else edges, srcCol, dstCol,
+      extraCols = if (weighted) Seq("__w") else Nil)
+    val deg = (if (weighted) e0.groupBy("src").agg(sum(col("__w")).as("outdeg"))
+               else e0.groupBy("src").agg(count(lit(1)).as("outdeg"))).persist()
+    // effective seed set: ids present in the graph, deduplicated —
+    // node-sized at most, persisted because every sweep re-adds the
+    // teleport mass
+    val seedSet = seeds.select(col(seeds.columns.head).cast("long").as("node"))
+      .distinct().join(nodes, Seq("node"), "left_semi").persist()
+    val nSeeds = seedSet.count()
+    require(nSeeds >= 1, "no seed id is present in the graph")
+    val seedMass = lit(1.0) / lit(nSeeds.toDouble)
+    val base = seedSet.withColumn("mass", seedMass)
+    var ranks = nodes.join(base, Seq("node"), "left")
+      .select(col("node"), coalesce(col("mass"), lit(0.0)).as("rank"))
+    for (it <- 1 to iterations) {
+      val contribs = e0
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          (if (weighted) col("rank") * col("__w") / col("outdeg")
+           else col("rank") / col("outdeg")).as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .join(base, Seq("node"), "left")
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) * coalesce(col("mass"), lit(0.0)) +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0)
+        ranks = ranks.localCheckpoint()
+    }
+    val out = ranks.localCheckpoint()
+    e0.unpersist(false); deg.unpersist(false); nodes.unpersist(false)
+    seedSet.unpersist(false)
     out
   }
 
@@ -212,9 +306,9 @@ object Graph {
     * Callers unpersist both when done.
     */
   private def edgeNodeFrames(edges: DataFrame, srcCol: String,
-      dstCol: String): (DataFrame, DataFrame) = {
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).persist()
+      dstCol: String, extraCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src") +:
+      col(dstCol).cast("long").as("dst") +: extraCols.map(col): _*).persist()
     val nodes = e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node"))).distinct().persist()
     (e0, nodes)
@@ -414,23 +508,51 @@ object Graph {
     * degree frames materialize once; iterative state is node-sized with
     * the usual every-other-round checkpoint.
     */
+  /** `weightCol` (opt-in, "" = unit weights on distinct pairs): the
+    * textbook WEIGHTED gain — kiin, degrees, Σtot and m all become
+    * sums of edge weight. Weights are cast to BIGINT (integer weights —
+    * link counts, co-occurrence multiplicities — keep the exact-integer
+    * gain `2m·kiin − k·Σtot'` exact; parallel weighted rows sum). The
+    * unit path is the weighted path at w = 1: identical values, same
+    * oracle.
+    */
   def louvainCommunities(
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      rounds: Int = 4): DataFrame = {
+      rounds: Int = 4,
+      weightCol: String = ""): DataFrame = {
     require(rounds >= 1, "need at least one round")
-    // checkpoint ONLY the canonical frame: the adjacency union and the
-    // degree aggregate derive from its in-memory blocks with one cheap
-    // map each (a second/third eager checkpoint here measured as pure
-    // scheduling overhead at bench scale), while every consumer —
-    // adj ×2, m — would otherwise replay the canonicalize-distinct
-    // (a self-join shuffle for co-occurrence inputs)
-    val e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
-    val adj = e.select(col("lo").as("u"), col("hi").as("v"))
-      .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
-    val deg = adj.groupBy("u").agg(count(lit(1)).as("k"))
-    val m = e.count()
+    louvainSweeps(canonicalWeighted(edges, srcCol, dstCol, weightCol), rounds)
+      .select(col("node"), col("c").as("community"))
+  }
+
+  /** The synchronous half-graph Louvain sweep loop over a CANONICAL
+    * weighted frame (lo <= hi, w BIGINT; self-loops allowed — they
+    * arise from [[louvainRefine]]'s coarsening, where an intra-community
+    * edge becomes a super-node self-loop). Degree convention A_ii = 2w:
+    * a self-loop adds 2w to its node's weighted degree and w to m —
+    * exactly the accounting that makes coarse-graph modularity equal
+    * fine-graph modularity of the composed assignment. kiin (over the
+    * non-self adjacency) excludes self-loops: a node's self-loop moves
+    * with it, so it cancels from every gain comparison.
+    *
+    * Checkpoints ONLY the canonical frame up front: the adjacency union
+    * and the degree aggregate derive from its blocks with one cheap map
+    * each, while every consumer — adj ×2, m — would otherwise replay
+    * the canonicalize shuffle. Iterative state is node-sized with the
+    * every-other-round checkpoint.
+    */
+  private def louvainSweeps(wedges: DataFrame, rounds: Int): DataFrame = {
+    val e = wedges.localCheckpoint()
+    val ns = e.filter(col("lo") =!= col("hi"))
+    val adj = ns.select(col("lo").as("u"), col("hi").as("v"), col("w"))
+      .unionAll(ns.select(col("hi").as("u"), col("lo").as("v"), col("w")))
+    val deg = adj.select(col("u"), col("w"))
+      .unionAll(e.filter(col("lo") === col("hi"))
+        .select(col("lo").as("u"), (col("w") * lit(2L)).as("w")))
+      .groupBy("u").agg(sum(col("w")).as("k"))
+    val m = e.agg(coalesce(sum(col("w")), lit(0L))).collect()(0).getLong(0)
     var comm = deg.select(col("u").as("node"), col("u").as("c"))
     for (r <- 1 to rounds) {
       val sumtot = comm
@@ -438,7 +560,7 @@ object Graph {
         .groupBy("c").agg(sum(col("k")).as("st"))
       val kiin = adj
         .join(comm.select(col("node").as("v"), col("c").as("cv")), Seq("v"))
-        .groupBy(col("u"), col("cv")).agg(count(lit(1)).as("kin"))
+        .groupBy(col("u"), col("cv")).agg(sum(col("w")).as("kin"))
       // the node's OWN community is always a candidate (kin 0 when no
       // neighbor shares it); max() collapses the duplicate when one does
       val cand = kiin.unionByName(
@@ -461,11 +583,90 @@ object Graph {
         comm.filter(pmod(col("node"), lit(2)) =!= lit(r % 2)))
       if (r % 2 == 0 || r == rounds) comm = comm.localCheckpoint()
     }
-    comm.select(col("node"), col("c").as("community"))
+    comm
+  }
+
+  /** One Louvain COARSEN + re-optimize level (Blondel et al.'s phase 2
+    * then phase 1 again): collapse each community of `assignment` to a
+    * super-node — inter-community edge weights sum, intra-community
+    * weight becomes the super-node's self-loop — and run `rounds` more
+    * synchronous sweeps on the community graph, returning the REFINED
+    * assignment composed back onto the original nodes (node →
+    * level-2 community). This is the step that makes real Louvain
+    * multi-level: one-level moves merge adjacent singletons; the
+    * coarse pass merges whole communities a single node-move could
+    * never justify.
+    *
+    * Community labels must be integral (Louvain labels are node ids);
+    * nodes absent from `assignment` or edge-less are dropped, matching
+    * [[louvainCommunities]]'s every-node-has-an-edge contract.
+    *
+    * Scale: the coarsen is two node-sized label joins + one
+    * map-side-combined (community, community) weight aggregate — the
+    * coarse frame is community-sized, so every later sweep runs on a
+    * graph that only shrinks; the level-1 assignment checkpoints once
+    * (it is read by the coarsen and the final composition).
+    */
+  def louvainRefine(
+      edges: DataFrame,
+      assignment: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      nodeCol: String = "node",
+      commCol: String = "community",
+      rounds: Int = 4,
+      weightCol: String = ""): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    refineCanonical(canonicalWeighted(edges, srcCol, dstCol, weightCol),
+      assignment.select(col(nodeCol).cast("long").as("node"),
+        col(commCol).cast("long").as("c")), rounds)
+      .select(col("node"), col("c").as("community"))
+  }
+
+  private def refineCanonical(wedges: DataFrame, assign: DataFrame,
+      rounds: Int): DataFrame = {
+    val a = assign.localCheckpoint()
+    val coarse = wedges
+      .join(a.select(col("node").as("lo"), col("c").as("clo")), Seq("lo"))
+      .join(a.select(col("node").as("hi"), col("c").as("chi")), Seq("hi"))
+      .select(least(col("clo"), col("chi")).as("lo"),
+        greatest(col("clo"), col("chi")).as("hi"), col("w"))
+      .groupBy("lo", "hi").agg(sum(col("w")).as("w"))
+    val nxt = louvainSweeps(coarse, rounds)
+      .select(col("node").as("__c1"), col("c").as("__c2"))
+    // total: every community holds >= 1 edge-bearing node, so its id
+    // appears in the coarse graph (possibly only via its self-loop)
+    a.join(nxt, col("c") === col("__c1"))
+      .select(col("node"), col("__c2").as("c"))
+  }
+
+  /** Multi-level Louvain — the real Blondel loop with a FIXED level
+    * count: level 1 is [[louvainCommunities]]' synchronous one-level
+    * fit, each further level is [[louvainRefine]]'s coarsen +
+    * re-optimize. Fixed levels × fixed rounds keeps the result a pure
+    * function of the edges, replayable as unrolled SQL (q_louvain_l2).
+    * Returns (node, community) on the ORIGINAL node ids.
+    */
+  def louvainMultiLevel(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      levels: Int = 2,
+      roundsPerLevel: Int = 4,
+      weightCol: String = ""): DataFrame = {
+    require(levels >= 1, "need at least one level")
+    val wedges = canonicalWeighted(edges, srcCol, dstCol, weightCol)
+      .localCheckpoint()
+    var assign = louvainSweeps(wedges, roundsPerLevel)
+    for (_ <- 2 to levels)
+      assign = refineCanonical(wedges, assign, roundsPerLevel)
+    assign.select(col("node"), col("c").as("community"))
   }
 
   /** Modularity of a community assignment (Newman & Girvan 2004) over a
-    * simple unit-weight graph: Q = Σ_C [ e_in(C)/m − (Σtot(C)/2m)² ].
+    * simple graph — unit-weight by default, weighted via `weightCol`:
+    * Q = Σ_C [ e_in(C)/m − (Σtot(C)/2m)² ] with e_in/Σtot/m as
+    * (weighted) sums.
     * The aggregates (m, e_in, ΣΣtot²) are exact BIGINTs; the ratio is
     * then a fixed chain of IEEE double ops — `(4·m·e_in − st2) /
     * (4·m·m)` with every input cast to double first — identical in both
@@ -494,27 +695,39 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       nodeCol: String = "node",
-      commCol: String = "community"): DataFrame = {
+      commCol: String = "community",
+      weightCol: String = ""): DataFrame = {
     // materialized once: the adjacency union, intra join, and edge
-    // count would each replay the canonicalize-distinct otherwise
-    val e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
-    val adj = e.select(col("lo").as("u"), col("hi").as("v"))
-      .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+    // count would each replay the canonicalize shuffle otherwise.
+    // `weightCol` generalizes every aggregate to weighted sums (m =
+    // total weight, intra_edges = intra weight, Σtot = weighted
+    // degrees) — integer weights, so the BIGINT exactness holds; the
+    // unit path is w = 1, value-identical to the former count form
+    val e = canonicalWeighted(edges, srcCol, dstCol, weightCol).localCheckpoint()
+    val adj = e.select(col("lo").as("u"), col("hi").as("v"), col("w"))
+      .unionAll(e.select(col("hi").as("u"), col("lo").as("v"), col("w")))
     val cm = comm.select(col(nodeCol).as("n"), col(commCol).as("cc"))
-    val deg = adj.groupBy(col("u").as("n")).agg(count(lit(1)).as("k"))
+    val deg = adj.groupBy(col("u").as("n")).agg(sum(col("w")).as("k"))
+    // both struct branches cast the id to STRING: the user's community
+    // label can be any type (Louvain emits longs, a hand-built
+    // assignment may carry string labels) and the node id is a long —
+    // without a common canonical type the when/otherwise coercion fails.
+    // The cast is injective per branch and the tag keeps the two label
+    // spaces disjoint, so equality/grouping semantics are unchanged.
     val labeled = deg.join(cm, Seq("n"), "left")
       .select(col("n"),
-        when(col("cc").isNotNull, struct(lit(0).as("t"), col("cc").as("id")))
-          .otherwise(struct(lit(1).as("t"), col("n").as("id"))).as("cc"),
+        when(col("cc").isNotNull,
+          struct(lit(0).as("t"), col("cc").cast("string").as("id")))
+          .otherwise(struct(lit(1).as("t"), col("n").cast("string").as("id"))).as("cc"),
         col("k"))
     val intra = e
       .join(labeled.select(col("n").as("lo"), col("cc").as("clo")), Seq("lo"))
       .join(labeled.select(col("n").as("hi"), col("cc").as("chi")), Seq("hi"))
       .filter(col("clo") === col("chi"))
-      .agg(count(lit(1)).as("ein"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("ein"))
     val st2 = labeled.groupBy("cc").agg(sum(col("k")).as("st"))
       .agg(sum(col("st") * col("st")).as("st2"))
-    val mDf = e.agg(count(lit(1)).as("m"))
+    val mDf = e.agg(coalesce(sum(col("w")), lit(0L)).as("m"))
     val md = col("m").cast("double")
     mDf.crossJoin(intra).crossJoin(st2)
       .select(col("m"), col("ein").as("intra_edges"),
@@ -842,6 +1055,24 @@ object Graph {
       .filter(col("lo") =!= col("hi"))
       .distinct()
 
+  /** Canonical WEIGHTED simple-graph form: (lo < hi, w BIGINT),
+    * self-loops dropped. Empty `weightCol` = unit weight per distinct
+    * pair (exactly [[canonicalUndirected]] + w = 1, so the unweighted
+    * ops are the weighted ops at w = 1); otherwise weights cast to
+    * BIGINT and parallel rows SUM (multiplicity-as-weight) — integer
+    * weights keep every downstream gain/modularity aggregate exact.
+    */
+  private def canonicalWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String): DataFrame =
+    if (weightCol.isEmpty)
+      canonicalUndirected(edges, srcCol, dstCol).withColumn("w", lit(1L))
+    else
+      edges.select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+          greatest(col(srcCol), col(dstCol)).cast("long").as("hi"),
+          col(weightCol).cast("long").as("w"))
+        .filter(col("lo") =!= col("hi"))
+        .groupBy("lo", "hi").agg(sum(col("w")).as("w"))
+
   /** Per-node degree of a canonical (lo, hi) edge frame — one
     * map-combined aggregate over both endpoints.
     */
@@ -892,8 +1123,15 @@ object Graph {
     * it when small.
     */
   def triangleCounts(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val e = canonicalUndirected(edges, srcCol, dstCol)
-    val f = orientByDegree(e)
+    // materialize BOTH stages: the canonical frame feeds the degree
+    // aggregate plus two degree-attach joins, and the oriented frame is
+    // self-joined THREE times (e1/e2/e3) — without the checkpoints the
+    // optimizer re-derives the full upstream (source scan → canonical
+    // distinct → degree joins) once per instance (r19: the sf0.1 plan
+    // carried 60 parquet scans and zero exchange reuse; 2 node/edge-sized
+    // checkpoints cut it to one scan each and ~40% of the wall)
+    val e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    val f = orientByDegree(e).localCheckpoint()
     val tri = f.as("e1")
       .join(f.as("e2"),
         col("e1.u") === col("e2.u") &&

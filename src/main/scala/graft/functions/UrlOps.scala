@@ -29,10 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  /** Bundled snapshot of the Mozilla Public Suffix List (publicsuffix
-    * .org, MPL-2.0), loaded from the `public_suffix_snapshot.dat`
-    * classpath resource (a SUBSET — a production deployment drops the
-    * full current list into the same file). All three PSL rule kinds
+  /** Bundled FULL snapshot of the Mozilla Public Suffix List
+    * (publicsuffix.org, MPL-2.0; ~9.5k rules incl. the private
+    * registries), loaded from the `public_suffix_snapshot.dat`
+    * classpath resource — refreshing that one file with a newer list
+    * is the whole upgrade path. All three PSL rule kinds
     * are honored: exact multi-label suffixes (`co.uk`), wildcard rules
     * (`*.ck` — any single label in place of the `*` is part of the
     * suffix), and exception rules (`!www.ck` — the host is registrable

@@ -660,6 +660,15 @@ object AnalyticsQueries {
       val scratch = java.nio.file.Files
         .createTempDirectory("graft_q_workflow_graph").toString
       ccEdges(s, dir).write.mode("overwrite").parquet(s"$scratch/edges")
+      // the metrics frame below reads these files lazily, so the
+      // earliest safe delete is JVM exit: register the tree (parents
+      // before children — deleteOnExit runs in reverse order) so
+      // repeated bench/verify runs don't accumulate scratch dumps
+      locally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(scratch))
+          .iterator().asScala.foreach(_.toFile.deleteOnExit())
+      }
       val yaml = s"""input_dataset:
                     |  read_dataset:
                     |    file_path: "$scratch/edges"
@@ -817,14 +826,17 @@ object AnalyticsQueries {
            JOIN lvdeg d ON d.node = t.u
            JOIN $prev o ON o.node = t.u
            CROSS JOIN mm
-           WHERE t.u % 2 = ${r % 2}),
+           -- sign-stable parity: DuckDB's % is sign-preserving (negative
+           -- odd ids give -1), the engine uses pmod — normalize here so
+           -- the two agree even on graphs with negative node ids
+           WHERE ((t.u % 2) + 2) % 2 = ${r % 2}),
         lv$r AS MATERIALIZED (
            SELECT u AS node, cv AS c FROM (
              SELECT u, cv, row_number() OVER (PARTITION BY u
                ORDER BY score DESC, CASE WHEN cv = own THEN 0 ELSE 1 END, cv) AS rn
              FROM lvx$r) t WHERE rn = 1
            UNION ALL
-           SELECT node, c FROM $prev WHERE node % 2 <> ${r % 2})"""
+           SELECT node, c FROM $prev WHERE ((node % 2) + 2) % 2 <> ${r % 2})"""
       }
       val rounds = (1 to nRounds).map(round).mkString(",\n")
       s"""li AS MATERIALIZED (
@@ -1067,8 +1079,230 @@ object AnalyticsQueries {
         AND a.step <> b.step AND abs(a.step - b.step) <= 2
       GROUP BY a.node, b.node"""))
 
+  // ------------- r19: weighted graph family, PPR, multi-level Louvain
+
+  /** Weighted-sweep oracle chain mirroring
+    * [[graft.functions.Graph]]'s `louvainSweeps` over a canonical
+    * weighted frame `$ce` (lo, hi, w — self-loops allowed): `${p}adj`
+    * (non-self symmetric adjacency), `${p}deg` (weighted degree,
+    * A_ii = 2w), `${p}m` (total weight), `${p}0` (singleton init) and
+    * one parity-alternating round per CTE group. All BIGINT-exact;
+    * parity sign-stable (DuckDB `%` is sign-preserving, the engine
+    * uses pmod).
+    */
+  private def louvainWeightedCtesSql(ce: String, p: String, nRounds: Int): String = {
+    def round(r: Int): String = {
+      val prev = s"$p${r - 1}"
+      s"""${p}s$r AS MATERIALIZED (
+         SELECT l.c AS c, CAST(sum(d.k) AS BIGINT) AS st
+         FROM $prev l JOIN ${p}deg d ON d.u = l.node GROUP BY l.c),
+      ${p}k$r AS MATERIALIZED (
+         SELECT a.u AS u, l.c AS cv, CAST(sum(a.w) AS BIGINT) AS kin
+         FROM ${p}adj a JOIN $prev l ON l.node = a.v GROUP BY 1, 2),
+      ${p}t$r AS MATERIALIZED (
+         SELECT u, cv, CAST(max(kin) AS BIGINT) AS kin FROM (
+           SELECT u, cv, kin FROM ${p}k$r
+           UNION ALL SELECT node AS u, c AS cv, 0 AS kin FROM $prev)
+         GROUP BY 1, 2),
+      ${p}x$r AS MATERIALIZED (
+         SELECT t.u, t.cv,
+           2 * ${p}m.m * t.kin -
+             d.k * (s.st - CASE WHEN t.cv = o.c THEN d.k ELSE 0 END) AS score,
+           o.c AS own
+         FROM ${p}t$r t
+         JOIN ${p}s$r s ON s.c = t.cv
+         JOIN ${p}deg d ON d.u = t.u
+         JOIN $prev o ON o.node = t.u
+         CROSS JOIN ${p}m
+         WHERE ((t.u % 2) + 2) % 2 = ${r % 2}),
+      $p$r AS MATERIALIZED (
+         SELECT u AS node, cv AS c FROM (
+           SELECT u, cv, row_number() OVER (PARTITION BY u
+             ORDER BY score DESC, CASE WHEN cv = own THEN 0 ELSE 1 END, cv) AS rn
+           FROM ${p}x$r) t WHERE rn = 1
+         UNION ALL
+         SELECT node, c FROM $prev WHERE ((node % 2) + 2) % 2 <> ${r % 2})"""
+    }
+    val rounds = (1 to nRounds).map(round).mkString(",\n")
+    s"""${p}adj AS MATERIALIZED (
+      SELECT lo AS u, hi AS v, w FROM $ce WHERE lo <> hi
+      UNION ALL SELECT hi, lo, w FROM $ce WHERE lo <> hi),
+    ${p}deg AS MATERIALIZED (
+      SELECT u, CAST(sum(w) AS BIGINT) AS k FROM (
+        SELECT u, w FROM ${p}adj
+        UNION ALL SELECT lo AS u, 2 * w AS w FROM $ce WHERE lo = hi) t
+      GROUP BY u),
+    ${p}m AS MATERIALIZED (
+      SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS m FROM $ce),
+    ${p}0 AS MATERIALIZED (SELECT u AS node, u AS c FROM ${p}deg),
+    $rounds"""
+  }
+
+  /** Weighted PageRank ([[graft.functions.Graph.pageRank]] with
+    * `weightCol`) over the symmetric customer↔supplier purchase graph,
+    * edge weight = line-item quantity (integral doubles, so the
+    * per-node out-weight sums are exact and the oracle's replay of
+    * rank·w/wout matches at the 9-decimal grid like q_pagerank).
+    */
+  val qPageRankWeighted = Q(
+    "q_pagerank_weighted",
+    (s, dir) => {
+      val t = tables(s, dir)
+      val edges = t.lineitem.filter(col("l_orderkey") % 25 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"),
+          col("l_quantity").cast("double").as("w"))
+      val und = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      graft.functions.Graph.pageRank(und, iterations = 3, weightCol = "w")
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+    },
+    Some {
+      def sweep(i: Int, prev: String): String =
+        s"""r$i AS (
+           SELECT nodes.node,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0 AS DOUBLE)) AS rank
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN (
+             SELECT und.dst AS node, sum(p.rank * und.w / deg.outdeg) AS s
+             FROM und JOIN $prev p ON und.src = p.node
+                      JOIN deg ON und.src = deg.src
+             GROUP BY und.dst) s ON nodes.node = s.node)"""
+      val sweeps = (1 to 3).map(i => sweep(i, if (i == 1) "r0" else s"r${i - 1}"))
+        .mkString(",\n")
+      s"""
+      WITH e AS (SELECT o_custkey AS src, l_suppkey + 10000000 AS dst,
+                        CAST(l_quantity AS DOUBLE) AS w
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 WHERE l_orderkey % 25 = 0),
+      und AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+      deg AS (SELECT src, sum(w) AS outdeg FROM und GROUP BY src),
+      nodes AS (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM und UNION ALL SELECT dst FROM und)),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+             FROM nodes CROSS JOIN nn),
+      $sweeps
+      SELECT node, round(rank, 9) AS rank FROM r3"""
+    })
+
+  /** Personalized PageRank from a seed set
+    * ([[graft.functions.Graph.personalizedPageRank]]) — teleport mass
+    * restricted to every-10th supplier (the trusted-allowlist curation
+    * trick: rank the whole purchase graph by proximity to the seeds).
+    * The oracle replays r_0 = s and all 4 sweeps of
+    * r_t = (1−d)·s + d·Σ rank/outdeg as CTEs.
+    */
+  val qPpr = Q(
+    "q_ppr",
+    (s, dir) => {
+      val t = tables(s, dir)
+      val edges = t.lineitem.filter(col("l_orderkey") % 25 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"))
+      val und = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t.supplier.filter(col("s_suppkey") % 10 === 0)
+        .select((col("s_suppkey") + lit(10000000L)).as("node"))
+      graft.functions.Graph.personalizedPageRank(und, seeds, iterations = 4)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+    },
+    Some {
+      val seedMass =
+        "CASE WHEN sd.node IS NOT NULL THEN CAST(1 AS DOUBLE) / ns.n ELSE CAST(0 AS DOUBLE) END"
+      def sweep(i: Int, prev: String): String =
+        s"""r$i AS (
+           SELECT nodes.node,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * $seedMass
+               + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0 AS DOUBLE)) AS rank
+           FROM nodes CROSS JOIN ns
+           LEFT JOIN seeds sd ON nodes.node = sd.node
+           LEFT JOIN (
+             SELECT und.dst AS node, sum(p.rank / deg.outdeg) AS s
+             FROM und JOIN $prev p ON und.src = p.node
+                      JOIN deg ON und.src = deg.src
+             GROUP BY und.dst) s ON nodes.node = s.node)"""
+      val sweeps = (1 to 4).map(i => sweep(i, if (i == 1) "r0" else s"r${i - 1}"))
+        .mkString(",\n")
+      s"""
+      WITH e AS (SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 WHERE l_orderkey % 25 = 0),
+      und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      deg AS (SELECT src, count(*) AS outdeg FROM und GROUP BY src),
+      nodes AS (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM und UNION ALL SELECT dst FROM und)),
+      seeds AS (SELECT DISTINCT s.node
+                FROM (SELECT s_suppkey + 10000000 AS node FROM supplier
+                      WHERE s_suppkey % 10 = 0) s
+                JOIN nodes ON nodes.node = s.node),
+      ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+      r0 AS (SELECT nodes.node, $seedMass AS rank
+             FROM nodes CROSS JOIN ns
+             LEFT JOIN seeds sd ON nodes.node = sd.node),
+      $sweeps
+      SELECT node, round(rank, 9) AS rank FROM r4"""
+    })
+
+  /** WEIGHTED one-level Louvain ([[graft.functions.Graph
+    * .louvainCommunities]] with `weightCol`) over the supplier
+    * co-occurrence graph with shared-order multiplicity as the edge
+    * weight — the textbook weighted gain, exact BIGINTs end to end, so
+    * the oracle replays both rounds cell-exact.
+    */
+  val qLouvainWeighted = Q(
+    "q_louvain_weighted",
+    (s, dir) => {
+      val li = tables(s, dir).lineitem.filter(col("l_orderkey") % 60 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("src"), col("y.sk").as("dst"), lit(1L).as("w"))
+      // canonicalization SUMS parallel weighted rows: w = the number of
+      // orders the pair shares — multiplicity-as-weight
+      graft.functions.Graph.louvainCommunities(pairs, rounds = 2, weightCol = "w")
+    },
+    Some(s"""
+      WITH li2 AS MATERIALIZED (
+        SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        WHERE l_orderkey % 60 = 0),
+      ce AS MATERIALIZED (
+        SELECT x.sk AS lo, y.sk AS hi, CAST(count(*) AS BIGINT) AS w
+        FROM li2 x JOIN li2 y ON x.ok = y.ok AND x.sk < y.sk GROUP BY 1, 2),
+      ${louvainWeightedCtesSql("ce", "wv", 2)}
+      SELECT node, c AS community FROM wv2"""))
+
+  /** TWO-level Louvain (coarsen + re-optimize,
+    * [[graft.functions.Graph.louvainRefine]]): the level-1 fit is the
+    * SAME memoized 3-round assignment as q_louvain_communities; its
+    * communities collapse to super-nodes (inter-community weights sum,
+    * intra weight becomes a self-loop) and 2 more weighted rounds run
+    * on the community graph. Equivalent to
+    * `louvainMultiLevel(levels = 2)` at these round counts. The oracle
+    * replays the full chain: 3 unit rounds → coarsen → 2 weighted
+    * rounds → compose.
+    */
+  val qLouvainL2 = Q(
+    "q_louvain_l2",
+    (s, dir) => graft.functions.Graph.louvainRefine(
+      louvainEdges(s, dir), louvainFitted(s, dir), rounds = 2),
+    Some(s"""
+      WITH ${louvainCtesSql(3)},
+      ce2 AS MATERIALIZED (
+        SELECT least(a.c, b.c) AS lo, greatest(a.c, b.c) AS hi,
+               CAST(count(*) AS BIGINT) AS w
+        FROM e0 JOIN lv3 a ON a.node = e0.lo JOIN lv3 b ON b.node = e0.hi
+        GROUP BY 1, 2),
+      ${louvainWeightedCtesSql("ce2", "mv", 2)}
+      SELECT l.node, m.c AS community
+      FROM lv3 l JOIN mv2 m ON m.node = l.c"""))
+
   def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qTheilsU, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
     qPageRank, qTriangles, qHits, qKCore, qComponents, qHarmonic, qLabelProp,
     qWorkflowGraph, qRandomWalks, qSkipgramPairs, qLouvain, qModularity,
-    qGraphSummary, qDegreeHistogram)
+    qGraphSummary, qDegreeHistogram,
+    qPageRankWeighted, qPpr, qLouvainWeighted, qLouvainL2)
 }

@@ -856,16 +856,38 @@ object Workflow {
       // 'lable_propagation') must error, not ship a pipeline silently
       // missing its metric
       knownKeys("", gm, Set("edges_path", "src_col", "dst_col",
-        "pagerank", "hits", "k_core", "connected_components",
-        "label_propagation", "louvain", "random_walks", "harmonic",
-        "triangle_counts", "summary"))
+        "pagerank", "personalized_pagerank", "hits", "k_core",
+        "connected_components", "label_propagation", "louvain",
+        "random_walks", "harmonic", "triangle_counts", "summary"))
       val metrics = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
       gm.get("pagerank").foreach { pv =>
         val pc = asConf(pv)
-        knownKeys("pagerank", pc, Set("iterations", "damping"))
+        knownKeys("pagerank", pc, Set("iterations", "damping", "weight_col"))
         metrics("pagerank") = graft.functions.Graph.pageRank(edges, src, dst,
           iterations = pc.getOrElse("iterations", 5).toString.toInt,
-          damping = pc.getOrElse("damping", 0.85).toString.toDouble)
+          damping = pc.getOrElse("damping", 0.85).toString.toDouble,
+          weightCol = pc.getOrElse("weight_col", "").toString)
+      }
+      gm.get("personalized_pagerank").foreach { pv =>
+        val pc = asConf(pv)
+        knownKeys("personalized_pagerank", pc,
+          Set("seeds", "seeds_path", "iterations", "damping", "weight_col"))
+        // seeds: an inline YAML id list (the curation allowlist case) or
+        // a parquet of ids (data-sized seed sets) — exactly one
+        val seedFrame = (pc.get("seeds"), pc.get("seeds_path")) match {
+          case (Some(xs: java.util.List[_]), None) =>
+            import scala.jdk.CollectionConverters._
+            import spark.implicits._
+            xs.asScala.map(_.toString.toLong).toSeq.toDF("node")
+          case (None, Some(p)) => spark.read.parquet(p.toString)
+          case _ => throw new IllegalArgumentException(
+            "personalized_pagerank needs exactly one of seeds / seeds_path")
+        }
+        metrics("personalized_pagerank") =
+          graft.functions.Graph.personalizedPageRank(edges, seedFrame, src, dst,
+            iterations = pc.getOrElse("iterations", 4).toString.toInt,
+            damping = pc.getOrElse("damping", 0.85).toString.toDouble,
+            weightCol = pc.getOrElse("weight_col", "").toString)
       }
       gm.get("hits").foreach { hv =>
         val hc = asConf(hv)

@@ -532,6 +532,192 @@ class PropertiesSpec extends SparkSpec {
     val qc = Graph.modularity(path, collide).collect()(0)
     assert(qc.getLong(1) == 1L, s"intra ${qc.getLong(1)}")
     assert(qc.getDouble(2) == -0.125, s"q ${qc.getDouble(2)}")
+    // non-integer community labels must not break the tagged-singleton
+    // coercion (r18 ADVICE): string labels score identically to their
+    // long twins
+    val strSplit = (1L to 8L).map(n => (n, if (n <= 4) "a" else "b"))
+      .toDF("node", "community")
+    assert(Graph.modularity(edges, strSplit).collect()(0).getDouble(2)
+      == 0.423076923, "string labels diverge")
+  }
+
+  test("LPA labels come from the rounds-hop neighborhood") {
+    import graft.functions.Graph
+    // a node's label after r synchronous rounds can only have traveled
+    // <= r hops: it must be the id of a node within r hops of it in the
+    // symmetric adjacency (catches any off-by-one in the per-round
+    // neighbor aggregate that a fixed oracle row can't)
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 21L), Gen.choose(0L, 21L)).suchThat(p => p._1 != p._2))
+    for ((edges, rounds) <- samples(edgeGen, 3).zip(Seq(1, 2, 3)) if edges.nonEmpty) {
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def ball(n: Long, r: Int): Set[Long] = {
+        var reached = Set(n)
+        var frontier = Set(n)
+        for (_ <- 1 to r) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- reached
+          reached ++= frontier
+        }
+        reached
+      }
+      val lp = Graph.labelPropagation(edges.toDF("src", "dst"), rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      lp.foreach { case (n, l) =>
+        assert(ball(n, rounds).contains(l),
+          s"label $l of node $n is outside its $rounds-hop ball")
+      }
+    }
+  }
+
+  test("weighted graph ops at w=1 equal their unweighted forms") {
+    import graft.functions.Graph
+    val edgeGen = Gen.listOfN(50,
+      Gen.zip(Gen.choose(0L, 17L), Gen.choose(0L, 17L)).suchThat(p => p._1 != p._2))
+    for (raw <- samples(edgeGen, 2) if raw.nonEmpty) {
+      // simple graph: the unweighted path dedups parallel edges while
+      // the weighted path SUMS them into multiplicity weights, so the
+      // w=1 equivalence only holds on distinct canonical pairs
+      val edges = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val df = edges.toDF("src", "dst")
+      val dfw = df.withColumn("w", lit(1L))
+      // louvain + modularity are exact integers: equality is bitwise
+      val lv = Graph.louvainCommunities(df, rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val lvw = Graph.louvainCommunities(dfw, rounds = 3, weightCol = "w")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(lv == lvw, "weighted louvain at w=1 diverges")
+      val comm = Graph.louvainCommunities(df, rounds = 3)
+      val q0 = Graph.modularity(df, comm).collect()(0).getDouble(2)
+      val q1 = Graph.modularity(dfw, comm, weightCol = "w").collect()(0).getDouble(2)
+      assert(q0 == q1, s"weighted modularity at w=1: $q1 != $q0")
+      // pagerank contributions divide by sum(1.0) instead of count —
+      // same value for integral counts, so ranks agree exactly
+      val pr = Graph.pageRank(df, iterations = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val prw = Graph.pageRank(dfw.withColumn("w", lit(1.0)), iterations = 3,
+        weightCol = "w")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      pr.foreach { case (n, v) =>
+        assert(math.abs(prw(n) - v) < 1e-15, s"weighted pagerank at w=1: node $n")
+      }
+    }
+  }
+
+  test("weighted louvain matches an independent weighted reference") {
+    import graft.functions.Graph
+    // multigraph: duplicate pairs become multiplicity weights; the
+    // reference re-derives the weighted gain (kiin/k/Σtot/m all weight
+    // sums) independently of the library code
+    def refLouvainW(wedges: Map[(Long, Long), Long], rounds: Int): Map[Long, Long] = {
+      val adj = wedges.toSeq.flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+        .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3)).toMap
+      val m = wedges.values.sum
+      val k = adj.view.mapValues(_.map(_._2).sum).toMap
+      var comm: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+      for (r <- 1 to rounds) {
+        val sumtot = comm.toSeq.groupBy(_._2).view
+          .mapValues(_.map(p => k(p._1)).sum).toMap.withDefaultValue(0L)
+        comm = comm.map { case (u, a) =>
+          if (math.floorMod(u, 2L) != (r % 2).toLong) u -> a
+          else {
+            // neighbor weight per COMMUNITY (not per neighbor id)
+            val kiin = adj(u).groupBy(t => comm(t._1)).view
+              .mapValues(_.map(_._2).sum).toMap
+            val best = (kiin.keySet + a).toSeq.minBy { c =>
+              val st = sumtot(c) - (if (c == a) k(u) else 0L)
+              val score = 2L * m * kiin.getOrElse(c, 0L) - k(u) * st
+              (-score, if (c == a) 0 else 1, c)
+            }
+            u -> best
+          }
+        }
+      }
+      comm
+    }
+    val edgeGen = Gen.listOfN(70,
+      Gen.zip(Gen.choose(0L, 13L), Gen.choose(0L, 13L)).suchThat(p => p._1 != p._2))
+    for (edges <- samples(edgeGen, 3) if edges.nonEmpty) {
+      val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val wmap = canon.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val df = canon.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+      val out = Graph.louvainCommunities(df, rounds = 4, weightCol = "w")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == refLouvainW(wmap, 4), "diverges from weighted reference")
+      // weighted modularity of the result must match the exact formula
+      val wdf = wmap.toSeq.map { case ((a, b), w) => (a, b, w) }.toDF("src", "dst", "w")
+      val comm = out.toSeq.toDF("node", "community")
+      val got = Graph.modularity(wdf, comm, weightCol = "w").collect()(0)
+      val mm = wmap.values.sum
+      val ein = wmap.collect { case ((a, b), w) if out(a) == out(b) => w }.sum
+      val kk = wmap.toSeq.flatMap { case ((a, b), w) => Seq(a -> w, b -> w) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val st2 = out.toSeq.groupBy(_._2).view
+        .mapValues(_.map(p => kk(p._1)).sum).values.map(s => s * s).sum
+      val qRef = BigDecimal((4.0 * mm * ein - st2.toDouble) / (4.0 * mm * mm))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got.getLong(0) == mm && got.getLong(1) == ein &&
+        got.getDouble(2) == qRef, s"weighted modularity $got vs ($mm, $ein, $qRef)")
+    }
+  }
+
+  test("personalized pagerank: all-nodes seeds reduce to pagerank; mass conserves") {
+    import graft.functions.Graph
+    val edgeGen = Gen.listOfN(50,
+      Gen.zip(Gen.choose(0L, 17L), Gen.choose(0L, 17L)).suchThat(p => p._1 != p._2))
+    for (edges <- samples(edgeGen, 2) if edges.nonEmpty) {
+      // symmetric so no mass dangles
+      val df = edges.flatMap(e => Seq(e, e.swap)).toDF("src", "dst")
+      val allNodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("node")
+      val pr = Graph.pageRank(df, iterations = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val ppr = Graph.personalizedPageRank(df, allNodes, iterations = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // (1−d)/N vs (1−d)·(1/N) differ by one fp op — tolerance, not bits
+      pr.foreach { case (n, v) =>
+        assert(math.abs(ppr(n) - v) < 1e-12, s"all-seed PPR diverges at $n")
+      }
+      // restricted seeds: total mass stays 1 on a symmetric graph
+      // (Σr_t = (1−d) + d·Σr_{t−1}, Σr_0 = 1), seeds outrank distant
+      // non-seeds on average
+      val seedIds = allNodes.collect().map(_.getLong(0)).sorted.take(2)
+      val seeds = seedIds.toSeq.toDF("node")
+      val rp = Graph.personalizedPageRank(df, seeds, iterations = 6)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(math.abs(rp.values.sum - 1.0) < 1e-9, s"mass ${rp.values.sum}")
+      assert(seedIds.map(rp).sum > 0, "seed mass vanished")
+    }
+  }
+
+  test("louvain refine: level 2 keeps or improves modularity, composition is consistent") {
+    import graft.functions.Graph
+    // chain of 5 triangles bridged in a line: one-level synchronous
+    // louvain under-converges at 2 rounds (parity halves merge pairwise),
+    // the coarsen + re-optimize level merges whole communities — the
+    // multi-level claim, asserted via the modularity yardstick
+    val tris = (0 until 5).flatMap { t =>
+      val b = 3L * t
+      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+    }
+    val bridges = (0 until 4).map(t => (3L * t + 2, 3L * t + 3))
+    val edges = (tris ++ bridges).toDF("src", "dst")
+    val l1 = Graph.louvainCommunities(edges, rounds = 2).localCheckpoint()
+    val l2 = Graph.louvainRefine(edges, l1, rounds = 2)
+    val q1 = Graph.modularity(edges, l1).collect()(0).getDouble(2)
+    val q2 = Graph.modularity(edges, l2).collect()(0).getDouble(2)
+    assert(q2 >= q1, s"refine lost modularity: $q2 < $q1")
+    // composition: every level-2 community is a union of whole level-1
+    // communities (a node can only move WITH its super-node)
+    val a1 = l1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a1.keySet == a2.keySet, "refine changed the node set")
+    a1.groupBy(_._2).values.foreach { grp =>
+      assert(grp.keys.map(a2).toSet.size == 1, "level-1 community split by refine")
+    }
+    // louvainMultiLevel(levels = 2) IS fit + refine at equal rounds
+    val ml = Graph.louvainMultiLevel(edges, levels = 2, roundsPerLevel = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ml == a2, "multiLevel(2) != fit + refine")
   }
 
   test("graph summary matches hand-computed profile values") {

@@ -187,4 +187,39 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(offR == plain)
   }
+
+  test("weighted pagerank salting and weighted louvain stay hub-safe") {
+    import graft.functions.Graph
+    // the same power-law fixture with per-edge weights: hub salting must
+    // preserve WEIGHTED ranks (the salt join carries the weight column),
+    // and weighted louvain over a hub multigraph must stay
+    // partition-invariant (its per-(node, community) kiin aggregate is
+    // map-side combined — a hub costs one combiner row per neighbor
+    // community, never one per weighted edge)
+    val edges = ((1L to 400L).map(i => (0L, i, 1.0 + (i % 7))) ++
+      (1L to 400L).filter(_ % 10 == 0).map(i => (i, 0L, 2.0)) ++
+      (1L to 399L).map(i => (i, i + 1, 1.0 + (i % 3))))
+      .toDF("src", "dst", "w")
+    val plain = Graph.pageRank(edges, iterations = 4, weightCol = "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val salted = Graph.pageRank(edges, iterations = 4,
+      saltDegreeThreshold = 100, saltFactor = 8, weightCol = "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(plain.keySet == salted.keySet)
+    val worst = plain.map { case (k, v) => math.abs(v - salted(k)) }.max
+    assert(worst < 1e-12, s"weighted salted ranks diverged by $worst")
+    // weights shift mass: the weighted ranks must differ from unweighted
+    // (weights are non-uniform by construction)
+    val unw = Graph.pageRank(edges, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(plain.exists { case (k, v) => math.abs(v - unw(k)) > 1e-9 })
+    // weighted louvain on a star multigraph (hub 0, spoke weights 1..5):
+    // identical assignment under a 13-way repartition
+    val star = (1L to 200L).map(i => (0L, i, 1L + (i % 5))).toDF("src", "dst", "w")
+    val a = Graph.louvainCommunities(star, rounds = 4, weightCol = "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graph.louvainCommunities(star.repartition(13), rounds = 4, weightCol = "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b, "weighted louvain not partition-invariant on the star")
+  }
 }

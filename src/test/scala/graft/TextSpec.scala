@@ -1288,12 +1288,26 @@ class TextSpec extends SparkSpec {
       ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
       // Fastly zones (regression: bare fastly.net was dropped when the
       // private registries grew — customer sites live under the product
-      // zones, and plain fastly.net hosts are ordinary .net domains)
-      ("site-a.map.fastly.net", "site-a.map.fastly.net"), // *.map wildcard: IS a suffix
-      ("x.site-a.map.fastly.net", "x.site-a.map.fastly.net"), // suffix + 1
+      // zones, and plain fastly.net hosts are ordinary .net domains).
+      // The full PSL lists map.fastly.net as an EXACT rule (the former
+      // bundled subset carried the older *.map wildcard form)
+      ("site-a.map.fastly.net", "site-a.map.fastly.net"), // exact suffix + 1
+      ("x.site-a.map.fastly.net", "site-a.map.fastly.net"),
       ("customer.a.ssl.fastly.net", "customer.a.ssl.fastly.net"), // 4-label exact + 1
       ("deep.customer.a.ssl.fastly.net", "customer.a.ssl.fastly.net"),
-      ("www.fastly.net", "fastly.net"))                   // NOT a suffix
+      ("www.fastly.net", "fastly.net"),                   // NOT a suffix
+      // zones ABSENT from the former 547-rule subset, present only in
+      // the full PSL snapshot (r18 verdict item #3): these used to
+      // miscollapse to the bare ccTLD+1
+      ("shop.example.com.gh", "example.com.gh"),
+      ("a.b.gov.pl", "b.gov.pl"),
+      // full-list 5-label exact rule and 4-label wildcard base
+      ("x.s3.dualstack.ap-northeast-1.amazonaws.com",
+        "x.s3.dualstack.ap-northeast-1.amazonaws.com"),
+      ("vm1.zone.compute.amazonaws.com.cn", "vm1.zone.compute.amazonaws.com.cn"),
+      // IDN rule straight from the snapshot (UTF-8 labels ride the
+      // InSet like any other string)
+      ("example.公司.cn", "example.公司.cn"))
     val out = cases.toDF("host", "expect")
       .select(col("host"), UrlOps.registrableDomain(col("host")).as("got"), col("expect"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))

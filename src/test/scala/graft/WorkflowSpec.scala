@@ -816,6 +816,9 @@ graph_metrics:
   dst_col: l_partkey
   pagerank:
     iterations: 3
+  personalized_pagerank:
+    seeds: [1, 2, 3]
+    iterations: 3
   hits:
     iterations: 2
   k_core:
@@ -846,6 +849,20 @@ graph_metrics:
     // nodes leak a little mass, never add any)
     val total = pr.agg(sum(col("rank"))).first().getDouble(0)
     assert(total > 0 && total <= 1.0 + 1e-9)
+    val ppr = gm.metrics("personalized_pagerank")
+    assert(ppr.columns.toSeq == Seq("node", "rank"))
+    // teleport mass restricted to the YAML seed list: parity with the
+    // direct library call over the same edges + an inline seed frame
+    locally {
+      import spark.implicits._
+      val directPpr = graft.functions.Graph.personalizedPageRank(
+          spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+            .select(col("l_suppkey"), col("l_partkey")),
+          Seq(1L, 2L, 3L).toDF("node"), "l_suppkey", "l_partkey", iterations = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(ppr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        == directPpr, "workflow PPR arm diverges from the direct call")
+    }
     val ht = gm.metrics("hits")
     assert(ht.columns.toSeq == Seq("node", "auth", "hub"))
     // max-normalized: both score vectors top out at exactly 1
