@@ -98,7 +98,14 @@ object TriScale {
     "q_wordpiece_vocab", "q_wordpiece_encode",
     // round-18b: Louvain — per-round community-weight + neighbor-count
     // aggregates must stay map-side-combined like LPA's
-    "q_louvain_communities")
+    "q_louvain_communities",
+    // round-19: the weighted/seeded family — weighted pagerank's
+    // per-sweep join carries the weight column (same 2-shuffle shape),
+    // PPR adds one node-sized seed join per sweep, weighted louvain's
+    // kiin becomes a weight sum (still map-side-combined), and the l2
+    // refine's coarsen + community-graph rounds must stay
+    // community-sized as the base graph grows
+    "q_pagerank_weighted", "q_ppr", "q_louvain_weighted", "q_louvain_l2")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -168,7 +175,11 @@ object TriScale {
     "q_wordpiece_encode",
     // round-18b: Louvain rides the co-occurrence tier like LPA (hub
     // communities must pre-aggregate their member weights map-side)
-    "q_louvain_communities")
+    "q_louvain_communities",
+    // round-19: weighted pagerank + PPR ride the sf1 orders tier like
+    // pagerank/HITS (10x-degree hubs, weight column along for the
+    // ride); the weighted/l2 louvains ride the co-occurrence tier
+    "q_pagerank_weighted", "q_ppr", "q_louvain_weighted", "q_louvain_l2")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

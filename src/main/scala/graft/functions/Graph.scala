@@ -1123,15 +1123,16 @@ object Graph {
     * it when small.
     */
   def triangleCounts(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    // materialize BOTH stages: the canonical frame feeds the degree
-    // aggregate plus two degree-attach joins, and the oriented frame is
-    // self-joined THREE times (e1/e2/e3) — without the checkpoints the
-    // optimizer re-derives the full upstream (source scan → canonical
-    // distinct → degree joins) once per instance (r19: the sf0.1 plan
-    // carried 60 parquet scans and zero exchange reuse; 2 node/edge-sized
-    // checkpoints cut it to one scan each and ~40% of the wall)
-    val e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
-    val f = orientByDegree(e).localCheckpoint()
+    // deliberately ONE lazy plan, no eager materialization: the static
+    // explain shows the oriented frame's upstream repeated per self-join
+    // instance (60 scans at the bench fixture), but at runtime AQE's
+    // exchange reuse collapses the identical subplans to one execution —
+    // A/B-measured r19: lazy 1.70-1.76 s vs localCheckpoint'ed e+f
+    // 2.45 s at sf0.1 (the two eager node/edge-sized materializations
+    // cost more than they save, and shuffle bytes CONFIRM the reuse:
+    // 1.1 MiB lazy vs 3.2 MiB checkpointed)
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+    val f = orientByDegree(e)
     val tri = f.as("e1")
       .join(f.as("e2"),
         col("e1.u") === col("e2.u") &&

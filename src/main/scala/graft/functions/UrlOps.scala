@@ -153,32 +153,17 @@ object UrlOps {
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
-    // positive 1-based starts throughout (clamped), so short hosts never
-    // feed slice an out-of-range negative index
-    val lastK = (k: Int) =>
-      concat_ws(".", slice(labels, greatest(n - k + 1, lit(1)), lit(k)))
-    // an empty rule list must read as no-match, not an empty isin
-    def inSet(c: Column, xs: Seq[String]): Column =
-      if (xs.isEmpty) lit(false) else c.isin(xs: _*)
-    // the when-chain is generated from the rule lengths the snapshot
-    // actually contains: exceptions first (they prevail regardless of
-    // suffix length, longest first), then suffix matches longest-first —
-    // an exact rule of k labels or a wildcard base of k-1 labels both
-    // make the last k labels the public suffix
-    val excWhens = exceptionByLen.keys.toSeq.sorted.reverse.map { k =>
-      (n >= k && inSet(lastK(k), exceptionByLen(k)), k - 1)
-    }
-    val sfxLens = (exactByLen.keys ++ wildcardByLen.keys.map(_ + 1))
-      .toSeq.distinct.sorted.reverse
-    val sfxWhens = sfxLens.map { k =>
-      (n >= k && (inSet(lastK(k), exactByLen.getOrElse(k, Nil)) ||
-        inSet(lastK(k - 1), wildcardByLen.getOrElse(k - 1, Nil))), k)
-    }
-    val sfxLen = (excWhens ++ sfxWhens)
-      .foldLeft(Option.empty[Column]) { case (acc, (cond, v)) =>
-        Some(acc.fold(when(cond, v))(_.when(cond, v)))
-      }
-      .fold(lit(1))(_.otherwise(1))
+    // the suffix-length lookup is a NATIVE expression holding the rule
+    // tables as JVM-shared hash sets (graft.plans.PslSuffixLenExpr) —
+    // the former generated when-chain embedded the full ~9.5k-rule
+    // snapshot as isin literals in every plan, and re-analyzing that
+    // tree cost more than evaluating it (q_workflow_url 5.26 s vs its
+    // 1.26 s pre-full-list floor, steal 0%). The DuckDB oracle still
+    // replays the same algorithm from the same rule tables as generated
+    // IN lists (TextQueries.urlCanonCtes) — one rule source, two forms.
+    import org.apache.spark.sql.GraftColumnBridge
+    val sfxLen = GraftColumnBridge.column(
+      graft.plans.PslSuffixLenExpr(GraftColumnBridge.expression(host)))
     when(n <= sfxLen, host)
       .otherwise(concat_ws(".", slice(labels, n - sfxLen, sfxLen + 1)))
   }

@@ -91,7 +91,9 @@ object GraftFunctions {
           exprs(2).eval().asInstanceOf[Number].intValue())),
       ("unigram_viterbi", classOf[UnigramViterbiExpr],
         exprs => UnigramViterbiExpr(exprs(0),
-          Option(exprs(1).eval()).map(_.toString).getOrElse(""))))
+          Option(exprs(1).eval()).map(_.toString).getOrElse(""))),
+      ("psl_suffix_len", classOf[PslSuffixLenExpr],
+        exprs => PslSuffixLenExpr(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, _, b) =>

@@ -919,10 +919,16 @@ object Workflow {
       }
       gm.get("louvain").foreach { lv =>
         val lc = asConf(lv)
-        knownKeys("louvain", lc, Set("rounds"))
+        knownKeys("louvain", lc, Set("rounds", "weight_col", "levels"))
+        val rounds = lc.getOrElse("rounds", 4).toString.toInt
+        val wc = lc.getOrElse("weight_col", "").toString
+        val levels = lc.getOrElse("levels", 1).toString.toInt
         metrics("louvain") =
-          graft.functions.Graph.louvainCommunities(edges, src, dst,
-            rounds = lc.getOrElse("rounds", 4).toString.toInt)
+          if (levels <= 1)
+            graft.functions.Graph.louvainCommunities(edges, src, dst,
+              rounds = rounds, weightCol = wc)
+          else graft.functions.Graph.louvainMultiLevel(edges, src, dst,
+            levels = levels, roundsPerLevel = rounds, weightCol = wc)
       }
       gm.get("random_walks").foreach { wv =>
         val wc = asConf(wv)

@@ -946,6 +946,33 @@ $hits
     assert(everySweep == direct, "rescale_every did not reach Graph.hits")
   }
 
+  test("workflow louvain arm plumbs weight_col and levels") {
+    val yaml = """
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/lineitem.parquet"
+    file_type: parquet
+  select_column: [l_suppkey, l_partkey, l_quantity]
+graph_metrics:
+  src_col: l_suppkey
+  dst_col: l_partkey
+  louvain:
+    rounds: 3
+    weight_col: l_quantity
+    levels: 2
+"""
+    val (_, stages) = Workflow.run(spark, yaml)
+    val lv = stages.find(_.name == "graph_metrics").get.metrics("louvain")
+    val direct = graft.functions.Graph.louvainMultiLevel(
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select(col("l_suppkey"), col("l_partkey"), col("l_quantity")),
+        "l_suppkey", "l_partkey", levels = 2, roundsPerLevel = 3,
+        weightCol = "l_quantity")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == direct,
+      "workflow multi-level weighted louvain diverges from the direct call")
+  }
+
   test("workflow tokenize algo=wordpiece trains, encodes, and rejects typos") {
     def yamlWith(algo: String) = s"""
 input_dataset:
