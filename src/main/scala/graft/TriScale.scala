@@ -105,7 +105,11 @@ object TriScale {
     // kiin becomes a weight sum (still map-side-combined), and the l2
     // refine's coarsen + community-graph rounds must stay
     // community-sized as the base graph grows
-    "q_pagerank_weighted", "q_ppr", "q_louvain_weighted", "q_louvain_l2")
+    "q_pagerank_weighted", "q_ppr", "q_louvain_weighted", "q_louvain_l2",
+    // round-19b: the community audit (louvain fit + edge-label roll-up)
+    // and the exact neighborhood function (the q_harmonic pair-frame
+    // shape — 3 tiers only, the HyperANF approx carries the scale claim)
+    "q_community_profile", "q_effective_diameter")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0

@@ -735,6 +735,67 @@ object Graph {
           (lit(4.0d) * md * md), 9).as("q"))
   }
 
+  /** Per-community structural profile — the audit a curation pipeline
+    * runs AFTER community detection, before acting on communities
+    * (per-community quotas, dropping spam clusters, sampling budgets):
+    * size, internal weight, boundary weight, volume, and conductance
+    * φ(C) = boundary / min(vol(C), 2m − vol(C)) — low conductance =
+    * well-separated cluster, high = fragment. All aggregates are exact
+    * BIGINTs (integer weights); conductance is one fixed IEEE division
+    * rounded to 9 decimals — cell-exact on any engine
+    * (q_community_profile). NULL when the denominator is 0 (a community
+    * holding every edge end).
+    *
+    * Nodes missing from `comm` are dropped with their edges (profile
+    * the assignment you have; [[modularity]] is the scorer that
+    * accounts for unassigned singletons).
+    *
+    * Scale: one edge join against the node-sized assignment + two
+    * map-side-combined aggregates (edge-level then community-level);
+    * community count bounds the output. No windows, no per-community
+    * state beyond O(1).
+    */
+  def communityProfile(
+      edges: DataFrame,
+      comm: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      nodeCol: String = "node",
+      commCol: String = "community",
+      weightCol: String = ""): DataFrame = {
+    val e = canonicalWeighted(edges, srcCol, dstCol, weightCol).localCheckpoint()
+    val cm = comm.select(col(nodeCol).cast("long").as("n"),
+      col(commCol).cast("long").as("cc"))
+    val labeled = e
+      .join(cm.select(col("n").as("lo"), col("cc").as("clo")), Seq("lo"))
+      .join(cm.select(col("n").as("hi"), col("cc").as("chi")), Seq("hi"))
+    // per-edge contribution rows: internal edges add w to their one
+    // community; boundary edges add w to BOTH sides' boundary
+    val contrib = labeled
+      .select(col("clo").as("c"),
+        when(col("clo") === col("chi"), col("w")).otherwise(lit(0L)).as("iw"),
+        when(col("clo") =!= col("chi"), col("w")).otherwise(lit(0L)).as("bw"))
+      .unionAll(labeled.filter(col("clo") =!= col("chi"))
+        .select(col("chi").as("c"), lit(0L).as("iw"), col("w").as("bw")))
+    val per = contrib.groupBy("c")
+      .agg(sum(col("iw")).as("internal_w"), sum(col("bw")).as("boundary_w"))
+    // node counts over edge-bearing assigned nodes (the graph the
+    // profile describes), and the global 2m for the conductance cut
+    val nodes = e.select(col("lo").as("n")).unionAll(e.select(col("hi").as("n")))
+      .distinct().join(cm, Seq("n"))
+      .groupBy(col("cc").as("c")).agg(count(lit(1)).as("n_nodes"))
+    val mDf = labeled.agg(coalesce(sum(col("w")), lit(0L)).as("__m"))
+    val vol = col("internal_w") * 2 + col("boundary_w")
+    val volC = vol.cast("double")
+    val other = (col("__m") * 2 - vol).cast("double")
+    nodes.join(per, Seq("c")).crossJoin(mDf)
+      .select(col("c").as("community"), col("n_nodes"),
+        col("internal_w"), col("boundary_w"), vol.as("volume"),
+        round(when(least(volC, other) === 0.0d, lit(null).cast("double"))
+          .otherwise(col("boundary_w").cast("double") / least(volC, other)), 9)
+          .as("conductance"))
+  }
+
   /** One-row structural profile of an edge frame — the corpus-graph
     * health check a link-graph pipeline runs before ranking it: size,
     * degree stats, degree assortativity (Newman 2002 — positive: hubs
@@ -987,6 +1048,118 @@ object Graph {
     nodes.join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("reached"), lit(0L)).as("reached"),
         coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
+  }
+
+  /** Exact neighborhood function N(d) = Σ_v |B_d(v)| for d = 0..radius
+    * — the distance-distribution summary behind the "effective
+    * diameter" every web-graph paper reports (HyperANF's target
+    * quantity, Boldi–Rosa–Vigna): how much of the graph is within d
+    * hops, and the smallest d covering `quantile` of all reachable
+    * pairs. This exact form shares [[harmonicCentrality]]'s layered
+    * multi-source BFS (and its radius cap — the pair frame is the
+    * scale limit); [[neighborhoodFunctionApprox]] is the HyperANF
+    * node-sized-state scale path, spec-gated against this one.
+    *
+    * Returns (d, nf, coverage, effective) for d = 0..radius: the exact
+    * pair count, coverage = nf/N(radius) (one IEEE division of exact
+    * BIGINTs, rounded to 9), and effective = whether d is the SMALLEST
+    * depth with unrounded coverage ≥ quantile — all replayable
+    * (q_effective_diameter).
+    */
+  def neighborhoodFunction(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      radius: Int = 3,
+      quantile: Double = 0.9): DataFrame = {
+    require(radius >= 1 && radius <= 6,
+      "radius must be in [1, 6] — the exact pair frame grows with sum |B_r(v)|; " +
+        "use neighborhoodFunctionApprox beyond")
+    require(quantile > 0.0 && quantile <= 1.0, "quantile must be in (0, 1]")
+    val spark = edges.sparkSession
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+    val adj = e.select(col("lo").as("u"), col("hi").as("v"))
+      .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+      .localCheckpoint()
+    val base = adj.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("peer")).localCheckpoint()
+    var reached = base
+    var frontier = base
+    // cumulative exact totals; radius+1 scalar counts (radius <= 6)
+    val totals = scala.collection.mutable.ArrayBuffer(base.count())
+    for (_ <- 1 to radius) {
+      val cand = frontier
+        .join(adj.withColumnRenamed("u", "peer"), Seq("peer"))
+        .select(col("node"), col("v").as("peer")).distinct()
+      frontier = cand.join(reached, Seq("node", "peer"), "left_anti")
+        .localCheckpoint()
+      reached = reached.unionAll(frontier)
+      totals += totals.last + frontier.count()
+    }
+    val nfMax = totals.last
+    // unrounded coverage decides the effective flag (exact-long division
+    // is the same IEEE double on any engine); the reported column rounds
+    val cov = totals.map(_.toDouble / nfMax.toDouble)
+    val effD = cov.indexWhere(_ >= quantile)
+    import spark.implicits._
+    totals.toSeq.zipWithIndex.map { case (v, d) =>
+      (d, v, BigDecimal(cov(d)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        d == effD)
+    }.toDF("d", "nf", "coverage", "effective")
+  }
+
+  /** HyperANF neighborhood function (Boldi–Rosa–Vigna): N(d) as the sum
+    * of per-node HyperLogLog ball estimates — node-sized state at any
+    * radius, the form that actually runs on a 100 TB web graph. Same
+    * sweep loop as [[harmonicCentralityApprox]]; one scalar sum per
+    * sweep. Returns (d, nf_est, coverage, effective) with
+    * [[neighborhoodFunction]]'s semantics over the estimates
+    * (spec-gated: on small graphs sparse-mode HLL is exact, so the two
+    * forms must agree).
+    */
+  def neighborhoodFunctionApprox(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      radius: Int = 8,
+      lgK: Int = 12,
+      quantile: Double = 0.9): DataFrame = {
+    require(radius >= 1, "need at least one sweep")
+    require(quantile > 0.0 && quantile <= 1.0, "quantile must be in (0, 1]")
+    val spark = edges.sparkSession
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+    val adj = e.select(col("lo").as("u"), col("hi").as("v"))
+      .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+      .localCheckpoint()
+    var cur = adj.select(col("u").as("node"))
+      .groupBy("node").agg(expr(s"hll_sketch_agg(node, $lgK)").as("sk"))
+      .localCheckpoint()
+    // Spark's hll_sketch_estimate returns BIGINT (rounded estimate) —
+    // sum as long, report as double
+    def total(): Double = cur
+      .agg(sum(expr("hll_sketch_estimate(sk)")).as("t"))
+      .collect()(0).getLong(0).toDouble
+    val totals = scala.collection.mutable.ArrayBuffer(total())
+    for (_ <- 1 to radius) {
+      val contrib = adj
+        .join(cur.select(col("node").as("u"), col("sk")), Seq("u"))
+        .groupBy(col("v").as("node"))
+        .agg(expr("hll_union_agg(sk)").as("nsk"))
+      cur = cur.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          when(col("nsk").isNull, col("sk"))
+            .otherwise(expr("hll_union(sk, nsk)")).as("sk"))
+        .localCheckpoint()
+      totals += total()
+    }
+    val nfMax = totals.last
+    val cov = totals.map(_ / nfMax)
+    val effD = cov.indexWhere(_ >= quantile)
+    import spark.implicits._
+    totals.toSeq.zipWithIndex.map { case (v, d) =>
+      (d, v, BigDecimal(cov(d)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        d == effD)
+    }.toDF("d", "nf_est", "coverage", "effective")
   }
 
   /** HyperBall-approximated harmonic centrality (Boldi–Rosa–Vigna,

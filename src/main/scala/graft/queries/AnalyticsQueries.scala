@@ -1300,9 +1300,98 @@ object AnalyticsQueries {
       SELECT l.node, m.c AS community
       FROM lv3 l JOIN mv2 m ON m.node = l.c"""))
 
+  /** Per-community structural profile of the q_louvain_communities
+    * assignment ([[graft.functions.Graph.communityProfile]]): size,
+    * internal/boundary weight, volume, conductance — the audit a
+    * curation pipeline runs before per-community quotas. Exact BIGINTs
+    * + one IEEE division, so every row hash-matches the replay of the
+    * louvain chain plus the contribution roll-up.
+    */
+  val qCommunityProfile = Q(
+    "q_community_profile",
+    (s, dir) => graft.functions.Graph.communityProfile(
+      louvainEdges(s, dir), louvainFitted(s, dir)),
+    Some(s"""
+      WITH ${louvainCtesSql(3)},
+      lab AS MATERIALIZED (
+        SELECT e0.lo, e0.hi, a.c AS clo, b.c AS chi
+        FROM e0 JOIN lv3 a ON a.node = e0.lo JOIN lv3 b ON b.node = e0.hi),
+      contrib AS (
+        SELECT clo AS c,
+               CASE WHEN clo = chi THEN 1 ELSE 0 END AS iw,
+               CASE WHEN clo <> chi THEN 1 ELSE 0 END AS bw FROM lab
+        UNION ALL SELECT chi, 0, 1 FROM lab WHERE clo <> chi),
+      per AS (SELECT c, CAST(sum(iw) AS BIGINT) AS internal_w,
+                     CAST(sum(bw) AS BIGINT) AS boundary_w
+              FROM contrib GROUP BY c),
+      nn2 AS (SELECT c, CAST(count(*) AS BIGINT) AS n_nodes FROM lv3 GROUP BY c),
+      mm2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM lab)
+      SELECT nn2.c AS community, nn2.n_nodes, per.internal_w, per.boundary_w,
+        per.internal_w * 2 + per.boundary_w AS volume,
+        round(CASE WHEN least(CAST(per.internal_w * 2 + per.boundary_w AS DOUBLE),
+                     CAST(mm2.m2 * 2 - (per.internal_w * 2 + per.boundary_w) AS DOUBLE)) = 0
+               THEN NULL
+               ELSE CAST(per.boundary_w AS DOUBLE) /
+                 least(CAST(per.internal_w * 2 + per.boundary_w AS DOUBLE),
+                       CAST(mm2.m2 * 2 - (per.internal_w * 2 + per.boundary_w) AS DOUBLE))
+               END, 9) AS conductance
+      FROM nn2 JOIN per ON per.c = nn2.c CROSS JOIN mm2"""))
+
+  /** Exact neighborhood function + effective diameter
+    * ([[graft.functions.Graph.neighborhoodFunction]]) over the
+    * q_harmonic bipartite fixture: N(d) pair totals for d = 0..2,
+    * coverage fractions, and the smallest-d-covering-90% flag — the
+    * HyperANF target quantity, exact and fully replayed (the approx
+    * HyperANF form is spec-gated against this one).
+    */
+  val qEffectiveDiameter = Q(
+    "q_effective_diameter",
+    (s, dir) => {
+      val t = tables(s, dir)
+      val edges = t.lineitem.filter(col("l_orderkey") % 50 === 0)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"))
+      // radius/quantile pinned beside the oracle that hardcodes them
+      graft.functions.Graph.neighborhoodFunction(edges, radius = 2, quantile = 0.9)
+    },
+    Some("""
+      WITH raw AS MATERIALIZED (
+        SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_orderkey % 50 = 0),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        FROM raw WHERE src <> dst),
+      adj AS MATERIALIZED (
+        SELECT lo AS u, hi AS v FROM e0 UNION ALL SELECT hi, lo FROM e0),
+      nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM adj),
+      b0 AS MATERIALIZED (SELECT node, node AS peer FROM nodes),
+      f1 AS MATERIALIZED (
+        SELECT DISTINCT f.node, a.v AS peer FROM b0 f JOIN adj a ON a.u = f.peer
+        EXCEPT SELECT node, peer FROM b0),
+      r1 AS MATERIALIZED (
+        SELECT node, peer FROM b0 UNION ALL SELECT node, peer FROM f1),
+      f2 AS MATERIALIZED (
+        SELECT DISTINCT f.node, a.v AS peer FROM f1 f JOIN adj a ON a.u = f.peer
+        EXCEPT SELECT node, peer FROM r1),
+      tot AS (
+        SELECT 0 AS d, (SELECT count(*) FROM b0) AS nf
+        UNION ALL SELECT 1, (SELECT count(*) FROM b0) + (SELECT count(*) FROM f1)
+        UNION ALL SELECT 2, (SELECT count(*) FROM b0) + (SELECT count(*) FROM f1)
+                            + (SELECT count(*) FROM f2)),
+      mx AS (SELECT CAST(max(nf) AS BIGINT) AS m FROM tot),
+      eff AS (SELECT min(d) AS ed FROM tot CROSS JOIN mx
+              WHERE CAST(nf AS DOUBLE) / CAST(m AS DOUBLE) >= 0.9)
+      SELECT t.d, CAST(t.nf AS BIGINT) AS nf,
+        round(CAST(t.nf AS DOUBLE) / CAST(mx.m AS DOUBLE), 9) AS coverage,
+        t.d = eff.ed AS effective
+      FROM tot t CROSS JOIN mx CROSS JOIN eff"""))
+
   def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qTheilsU, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
     qPageRank, qTriangles, qHits, qKCore, qComponents, qHarmonic, qLabelProp,
     qWorkflowGraph, qRandomWalks, qSkipgramPairs, qLouvain, qModularity,
     qGraphSummary, qDegreeHistogram,
-    qPageRankWeighted, qPpr, qLouvainWeighted, qLouvainL2)
+    qPageRankWeighted, qPpr, qLouvainWeighted, qLouvainL2,
+    qCommunityProfile, qEffectiveDiameter)
 }

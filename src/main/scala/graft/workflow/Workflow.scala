@@ -858,6 +858,7 @@ object Workflow {
       knownKeys("", gm, Set("edges_path", "src_col", "dst_col",
         "pagerank", "personalized_pagerank", "hits", "k_core",
         "connected_components", "label_propagation", "louvain",
+        "community_profile", "neighborhood",
         "random_walks", "harmonic", "triangle_counts", "summary"))
       val metrics = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
       gm.get("pagerank").foreach { pv =>
@@ -929,6 +930,29 @@ object Workflow {
               rounds = rounds, weightCol = wc)
           else graft.functions.Graph.louvainMultiLevel(edges, src, dst,
             levels = levels, roundsPerLevel = rounds, weightCol = wc)
+      }
+      gm.get("community_profile").foreach { cv =>
+        val cc = asConf(cv)
+        knownKeys("community_profile", cc, Set("rounds", "weight_col"))
+        val wc = cc.getOrElse("weight_col", "").toString
+        val assign = graft.functions.Graph.louvainCommunities(edges, src, dst,
+          rounds = cc.getOrElse("rounds", 4).toString.toInt, weightCol = wc)
+        metrics("community_profile") =
+          graft.functions.Graph.communityProfile(edges, assign, src, dst,
+            weightCol = wc)
+      }
+      gm.get("neighborhood").foreach { nv =>
+        val nc = asConf(nv)
+        knownKeys("neighborhood", nc, Set("radius", "quantile", "approx", "lg_k"))
+        val radius = nc.getOrElse("radius", 3).toString.toInt
+        val quantile = nc.getOrElse("quantile", 0.9).toString.toDouble
+        metrics("neighborhood") =
+          if (nc.getOrElse("approx", false).toString.toBoolean)
+            graft.functions.Graph.neighborhoodFunctionApprox(edges, src, dst,
+              radius = radius, lgK = nc.getOrElse("lg_k", 12).toString.toInt,
+              quantile = quantile)
+          else graft.functions.Graph.neighborhoodFunction(edges, src, dst,
+            radius, quantile)
       }
       gm.get("random_walks").foreach { wv =>
         val wc = asConf(wv)

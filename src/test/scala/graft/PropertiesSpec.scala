@@ -720,6 +720,63 @@ class PropertiesSpec extends SparkSpec {
     assert(ml == a2, "multiLevel(2) != fit + refine")
   }
 
+  test("community profile: hand-computed conductance on the bridged cliques") {
+    import graft.functions.Graph
+    // two 4-cliques + one bridge (m = 13), split assignment: each side
+    // has 4 nodes, 6 internal edges, 1 boundary edge, volume 13;
+    // conductance = 1 / min(13, 26 − 13) = 0.076923077
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val k4b = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val edges = (k4a ++ k4b :+ (4L, 5L)).toDF("src", "dst")
+    val split = (1L to 8L).map(n => (n, if (n <= 4) 1L else 5L)).toDF("node", "community")
+    val rows = Graph.communityProfile(edges, split).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows.keySet == Set(1L, 5L))
+    rows.values.foreach { v =>
+      assert(v == ((4L, 6L, 1L, 13L, 0.076923077)), s"got $v")
+    }
+    // one community holding the whole graph: no boundary, cut
+    // denominator 0 → NULL conductance
+    val fused = (1L to 8L).map(n => (n, 1L)).toDF("node", "community")
+    val f = Graph.communityProfile(edges, fused).collect()(0)
+    assert(f.getLong(3) == 0L && f.isNullAt(5))
+    // weighted: doubling every weight doubles the integer columns and
+    // leaves conductance unchanged (scale invariance)
+    val w2 = edges.withColumn("w", lit(2L))
+    val rw = Graph.communityProfile(w2, split, weightCol = "w").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(5)))).toMap
+    rw.values.foreach { v => assert(v == ((12L, 2L, 0.076923077)), s"got $v") }
+  }
+
+  test("neighborhood function: exact on a path, HyperANF matches exact on random graphs") {
+    import graft.functions.Graph
+    // path 1-2-3-4-5: N(0) = 5, N(1) = 5 + 8 = 13 (4 edges × 2),
+    // N(2) = 13 + 6 = 19 (three nodes gain 2 peers at distance 2)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val nf = Graph.neighborhoodFunction(path, radius = 2, quantile = 0.9)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(nf(0) == ((5L, false)) && nf(1) == ((13L, false)) && nf(2) == ((19L, true)),
+      s"got $nf")
+    // the effective flag marks the SMALLEST qualifying depth: at
+    // quantile 0.5, N(1)/N(2) = 13/19 ≈ 0.68 already qualifies
+    val nf5 = Graph.neighborhoodFunction(path, radius = 2, quantile = 0.5)
+      .collect().map(r => r.getInt(0) -> r.getBoolean(3)).toMap
+    assert(nf5 == Map(0 -> false, 1 -> true, 2 -> false), s"got $nf5")
+    // HyperANF twin: sparse-mode HLL is exact on small graphs, so the
+    // estimated totals and the effective flag must agree with the BFS
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)).suchThat(p => p._1 != p._2))
+    for (edges <- samples(edgeGen, 2) if edges.nonEmpty) {
+      val df = edges.toDF("src", "dst")
+      val exact = Graph.neighborhoodFunction(df, radius = 3)
+        .collect().map(r => (r.getInt(0), r.getLong(1).toDouble, r.getBoolean(3))).toSet
+      val approx = Graph.neighborhoodFunctionApprox(df, radius = 3)
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getBoolean(3))).toSet
+      assert(approx == exact, s"HyperANF diverges: $approx vs $exact")
+    }
+  }
+
   test("graph summary matches hand-computed profile values") {
     import graft.functions.Graph
     // triangle 1-2-3 plus pendant 3-4: n=4, m=4, degrees (2,2,3,1)

@@ -832,6 +832,11 @@ graph_metrics:
     rounds: 3
   louvain:
     rounds: 4
+  community_profile:
+    rounds: 4
+  neighborhood:
+    radius: 2
+    quantile: 0.9
   random_walks:
     length: 3
     walks_per_node: 2
@@ -897,6 +902,16 @@ graph_metrics:
         "l_suppkey", "l_partkey", rounds = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == direct)
+    val cp = gm.metrics("community_profile")
+    assert(cp.columns.toSeq == Seq("community", "n_nodes", "internal_w",
+      "boundary_w", "volume", "conductance"))
+    // node counts roll up to the node set; volumes sum to 2m
+    assert(cp.agg(sum(col("n_nodes"))).first().getLong(0) == nodeSet.count())
+    val nb = gm.metrics("neighborhood")
+    assert(nb.columns.toSeq == Seq("d", "nf", "coverage", "effective"))
+    // radius-2 run: 3 rows, exactly one effective depth, coverage ends at 1
+    assert(nb.count() == 3 && nb.filter(col("effective")).count() == 1)
+    assert(nb.orderBy(col("d").desc).first().getDouble(2) == 1.0)
     val rw = gm.metrics("random_walks")
     assert(rw.columns.toSeq == Seq("start", "walk", "step", "node"))
     // 2 walks per node, each emitting steps 0..3
