@@ -36,7 +36,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_keyword_tfidf",         // crossJoin(broadcast(<1-row doc-count N scalar>)) — TextOps.keywordTfidf
     "q_vocab_coverage",        // crossJoin(broadcast(<1-row token-total scalar>)) — TextOps.vocabCoverage
     "q_modularity",            // crossJoin of THREE 1-row aggregates (m, e_in, Σtot²) — Graph.modularity
-    "q_graph_summary"          // crossJoin of 1-row aggregate profile frames — Graph.graphSummary
+    "q_graph_summary",         // crossJoin of 1-row aggregate profile frames — Graph.graphSummary
+    "q_community_profile"      // crossJoin(<1-row total-weight 2m scalar>) — Graph.communityProfile
   )
 
   /** Queries allowed a partitionless Window over non-aggregated input:
