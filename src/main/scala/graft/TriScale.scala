@@ -109,7 +109,10 @@ object TriScale {
     // round-19b: the community audit (louvain fit + edge-label roll-up)
     // and the exact neighborhood function (the q_harmonic pair-frame
     // shape — 3 tiers only, the HyperANF approx carries the scale claim)
-    "q_community_profile", "q_effective_diameter")
+    "q_community_profile", "q_effective_diameter",
+    // round-19b: the capped membership→graph projection — per-group
+    // pair fan-out must stay <= cap² as groups grow (the whole point)
+    "q_bipartite_projection")
   private val sfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
   private val ratioGate = 30.0
@@ -183,7 +186,10 @@ object TriScale {
     // round-19: weighted pagerank + PPR ride the sf1 orders tier like
     // pagerank/HITS (10x-degree hubs, weight column along for the
     // ride); the weighted/l2 louvains ride the co-occurrence tier
-    "q_pagerank_weighted", "q_ppr", "q_louvain_weighted", "q_louvain_l2")
+    "q_pagerank_weighted", "q_ppr", "q_louvain_weighted", "q_louvain_l2",
+    // round-19b: the capped projection rides the sf1 lineitem tier —
+    // shared suppliers give 10x-size groups the cap must absorb
+    "q_bipartite_projection")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -880,6 +880,55 @@ object Graph {
       .orderBy("bin")
   }
 
+  /** Capped bipartite co-occurrence projection — the step that turns
+    * membership data (order→item, doc→entity, user→host) into the
+    * weighted graph every op in this file consumes: rights sharing a
+    * left become (lo < hi, w) pairs, w = number of shared lefts. The
+    * raw form (self-join on the left key) is QUADRATIC per group — one
+    * 10^6-member hub group emits 10^12 pairs — so each group contributes
+    * pairs only among its `maxPerGroup` smallest-salted-md5 rights (the
+    * [[randomWalks]] bounded-heap idiom: `bounded_topk_long`, O(cap)
+    * state per left, epoch-reproducible, partition-invariant, replayed
+    * hash-for-hash by DuckDB — q_bipartite_projection). Pair fan-out is
+    * ≤ cap(cap−1)/2 per left at ANY group size; the output weight
+    * counts shared lefts within the capped view.
+    *
+    * Feed the result straight to [[louvainCommunities]]/[[pageRank]]
+    * with `weightCol = "w"` — multiplicity-as-weight.
+    *
+    * Scale: one distinct + one bounded-heap aggregate + one membership
+    * filter + one l-keyed self-join whose per-key side is ≤ cap rows,
+    * then a map-side-combined pair count. Ties under md5 collision
+    * (~2^-60 per pair) break arbitrarily, like the other hash-order ops.
+    */
+  def projectBipartite(
+      edges: DataFrame,
+      leftCol: String = "left",
+      rightCol: String = "right",
+      maxPerGroup: Int = 64,
+      salt: String = ""): DataFrame = {
+    require(maxPerGroup >= 2, "need at least two rights per group to form a pair")
+    graft.plans.GraftFunctions.register(edges.sparkSession)
+    val e0 = edges.select(col(leftCol).cast("long").as("l"),
+      col(rightCol).cast("long").as("r")).distinct()
+    val h = call_function("md5_prefix60",
+      concat(lit("proj:"), lit(salt), lit(":"), col("l").cast("string"),
+        lit(":"), col("r").cast("string")).cast("binary"))
+    // materialized once: the heap aggregate and the membership filter
+    // both read it (the randomWalks adjH reasoning)
+    val eh = e0.withColumn("__h", h).localCheckpoint()
+    val top = eh.groupBy("l")
+      .agg(call_function("bounded_topk_long", col("__h"), lit(maxPerGroup))
+        .as("__top"))
+    val kept = eh.join(top, Seq("l"))
+      .filter(array_contains(col("__top"), col("__h")))
+      .select(col("l"), col("r"))
+    kept.as("a").join(kept.as("b"),
+        col("a.l") === col("b.l") && col("a.r") < col("b.r"))
+      .groupBy(col("a.r").as("lo"), col("b.r").as("hi"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   /** Deterministic degree-capped random walks — the DeepWalk/node2vec
     * corpus-generation step (walks become skip-gram training sequences
     * for graph embeddings), with GraphSAGE-style neighbor capping. No

@@ -1388,10 +1388,46 @@ object AnalyticsQueries {
         t.d = eff.ed AS effective
       FROM tot t CROSS JOIN mx CROSS JOIN eff"""))
 
+  /** Capped bipartite co-occurrence projection
+    * ([[graft.functions.Graph.projectBipartite]]): order→supplier
+    * membership becomes the weighted supplier co-occurrence graph, each
+    * order contributing pairs only among its 8 smallest-salted-md5
+    * suppliers — the hub-safe form of the raw self-join every
+    * co-occurrence fixture uses. The oracle regenerates every hash with
+    * DuckDB's md5 and replays the rank cut and pair count exactly.
+    */
+  val qBipartiteProjection = Q(
+    "q_bipartite_projection",
+    // cap/salt pinned beside the oracle that hardcodes them
+    (s, dir) => graft.functions.Graph.projectBipartite(
+      tables(s, dir).lineitem.filter(col("l_orderkey") % 30 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")),
+      "ok", "sk", maxPerGroup = 8, salt = "bp"),
+    Some {
+      def h60(expr: String): String =
+        s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+      s"""
+      WITH mem AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS l, l_suppkey AS r FROM lineitem
+        WHERE l_orderkey % 30 = 0),
+      memh AS MATERIALIZED (
+        SELECT l, r,
+          ${h60("'proj:bp:' || CAST(l AS VARCHAR) || ':' || CAST(r AS VARCHAR)")} AS h
+        FROM mem),
+      kept AS MATERIALIZED (
+        SELECT l, r FROM (
+          SELECT l, r, row_number() OVER (PARTITION BY l ORDER BY h, r) AS rn
+          FROM memh)
+        WHERE rn <= 8)
+      SELECT a.r AS lo, b.r AS hi, CAST(count(*) AS BIGINT) AS w
+      FROM kept a JOIN kept b ON a.l = b.l AND a.r < b.r
+      GROUP BY 1, 2"""
+    })
+
   def all: Seq[Q] = Seq(qCorrelation, qSpearman, qCatAssociation, qTheilsU, qCorrelationRatio, qDrift, qStability, qIv, qIg, qFeatureStability,
     qPageRank, qTriangles, qHits, qKCore, qComponents, qHarmonic, qLabelProp,
     qWorkflowGraph, qRandomWalks, qSkipgramPairs, qLouvain, qModularity,
     qGraphSummary, qDegreeHistogram,
     qPageRankWeighted, qPpr, qLouvainWeighted, qLouvainL2,
-    qCommunityProfile, qEffectiveDiameter)
+    qCommunityProfile, qEffectiveDiameter, qBipartiteProjection)
 }

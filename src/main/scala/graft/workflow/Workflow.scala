@@ -836,12 +836,12 @@ object Workflow {
     // drift_detector pattern); the frame flows through unchanged.
     conf.get("graph_metrics").foreach { v =>
       val gm = asConf(v)
-      val edges = gm.get("edges_path") match {
+      val rawEdges = gm.get("edges_path") match {
         case Some(p) => spark.read.parquet(p.toString)
         case None    => df
       }
-      val src = gm.getOrElse("src_col", "src").toString
-      val dst = gm.getOrElse("dst_col", "dst").toString
+      val rawSrc = gm.getOrElse("src_col", "src").toString
+      val rawDst = gm.getOrElse("dst_col", "dst").toString
       // fail fast on typo'd sub-config keys (the tokenize.algo
       // discipline): a misspelled knob must error, not silently run
       // with the pinned default
@@ -856,11 +856,28 @@ object Workflow {
       // 'lable_propagation') must error, not ship a pipeline silently
       // missing its metric
       knownKeys("", gm, Set("edges_path", "src_col", "dst_col",
+        "project_bipartite",
         "pagerank", "personalized_pagerank", "hits", "k_core",
         "connected_components", "label_propagation", "louvain",
         "community_profile", "neighborhood",
         "random_walks", "harmonic", "triangle_counts", "summary"))
       val metrics = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+      // project_bipartite turns MEMBERSHIP rows (src_col = left group,
+      // dst_col = right member) into the weighted co-occurrence graph,
+      // and every later arm runs ON THE PROJECTION (lo/hi/w) — the
+      // membership→graph→metrics pipeline as one YAML stage
+      val (edges, src, dst) = gm.get("project_bipartite") match {
+        case Some(pv) =>
+          val pc = asConf(pv)
+          knownKeys("project_bipartite", pc, Set("max_per_group", "salt"))
+          val proj = graft.functions.Graph.projectBipartite(
+            rawEdges, rawSrc, rawDst,
+            maxPerGroup = pc.getOrElse("max_per_group", 64).toString.toInt,
+            salt = pc.getOrElse("salt", "").toString)
+          metrics("project_bipartite") = proj
+          (proj, "lo", "hi")
+        case None => (rawEdges, rawSrc, rawDst)
+      }
       gm.get("pagerank").foreach { pv =>
         val pc = asConf(pv)
         knownKeys("pagerank", pc, Set("iterations", "damping", "weight_col"))

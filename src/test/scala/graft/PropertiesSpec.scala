@@ -720,6 +720,26 @@ class PropertiesSpec extends SparkSpec {
     assert(ml == a2, "multiLevel(2) != fit + refine")
   }
 
+  test("bipartite projection with a non-binding cap equals the exact projection") {
+    import graft.functions.Graph
+    // random membership rows; cap >= any group size, so the salted-hash
+    // cut keeps everything and the output must equal the brute
+    // projection with exact shared-left multiplicities
+    val memGen = Gen.listOfN(80,
+      Gen.zip(Gen.choose(0L, 11L), Gen.choose(100L, 115L)))
+    for (mem <- samples(memGen, 3) if mem.nonEmpty) {
+      val distinctMem = mem.distinct
+      val expected = distinctMem.groupBy(_._1).values.flatMap { grp =>
+        val rs = grp.map(_._2).distinct.sorted
+        for (i <- rs.indices; j <- (i + 1) until rs.size) yield (rs(i), rs(j))
+      }.groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }.toSet
+      val got = Graph.projectBipartite(mem.toDF("l", "r"), "l", "r",
+          maxPerGroup = 64, salt = "p")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got == expected, "capped projection diverges from exact at non-binding cap")
+    }
+  }
+
   test("community profile: hand-computed conductance on the bridged cliques") {
     import graft.functions.Graph
     // two 4-cliques + one bridge (m = 13), split assignment: each side

@@ -222,4 +222,24 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(a == b, "weighted louvain not partition-invariant on the star")
   }
+
+  test("bipartite projection caps a hub group at cap-choose-2 pairs") {
+    import graft.functions.Graph
+    // one hub group with 500 members + 50 small groups of 3: the raw
+    // self-join would emit 124,750 hub pairs; the capped projection
+    // emits exactly C(8,2) = 28 from the hub, chosen by salted hash —
+    // deterministically, partition-invariantly
+    val hub = (1L to 500L).map(r => (0L, r))
+    val smalls = (1L to 50L).flatMap(g => (0L to 2L).map(i => (g, 1000 + g * 3 + i)))
+    val mem = (hub ++ smalls).toDF("l", "r")
+    val proj = Graph.projectBipartite(mem, "l", "r", maxPerGroup = 8, salt = "s")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // hub pairs: both endpoints <= 500
+    assert(proj.count(p => p._1 <= 500 && p._2 <= 500) == 28)
+    // each small group contributes C(3,2) = 3 pairs at weight 1
+    assert(proj.count(p => p._1 > 1000) == 150)
+    val re = Graph.projectBipartite(mem.repartition(11), "l", "r", 8, "s")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(proj.sorted.toSeq == re.sorted.toSeq, "not partition-invariant")
+  }
 }

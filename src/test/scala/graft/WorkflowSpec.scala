@@ -988,6 +988,48 @@ graph_metrics:
       "workflow multi-level weighted louvain diverges from the direct call")
   }
 
+  test("workflow project_bipartite feeds downstream arms the projected graph") {
+    val yaml = """
+input_dataset:
+  read_dataset:
+    file_path: "/root/testdata/sf0.001/lineitem.parquet"
+    file_type: parquet
+  select_column: [l_orderkey, l_suppkey]
+graph_metrics:
+  src_col: l_orderkey
+  dst_col: l_suppkey
+  project_bipartite:
+    max_per_group: 4
+    salt: wf
+  louvain:
+    rounds: 3
+    weight_col: w
+  summary: true
+"""
+    val (_, stages) = Workflow.run(spark, yaml)
+    val gm = stages.find(_.name == "graph_metrics").get
+    val mem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val directProj = graft.functions.Graph.projectBipartite(
+      mem, "l_orderkey", "l_suppkey", maxPerGroup = 4, salt = "wf")
+    val proj = gm.metrics("project_bipartite")
+    assert(proj.columns.toSeq == Seq("lo", "hi", "w"))
+    assert(proj.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      == directProj.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq)
+    // downstream arms consumed the PROJECTION, not the membership rows
+    val lv = gm.metrics("louvain")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val directLv = graft.functions.Graph.louvainCommunities(
+        directProj, "lo", "hi", rounds = 3, weightCol = "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv == directLv, "louvain did not run on the projection")
+    // the one-row summary describes the projected graph (supplier
+    // nodes), not the bipartite membership frame
+    val nodes = directProj.select(col("lo").as("n"))
+      .unionByName(directProj.select(col("hi").as("n"))).distinct().count()
+    assert(gm.metrics("summary").collect()(0).getAs[Long]("nodes") == nodes)
+  }
+
   test("workflow tokenize algo=wordpiece trains, encodes, and rejects typos") {
     def yamlWith(algo: String) = s"""
 input_dataset:
