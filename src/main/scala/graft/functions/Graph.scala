@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Plan-audit probe (plans/r20): when set, receives each iterative
+    * op's final PRE-checkpoint frame, whose plan shows the last sweep's
+    * true shape (Exchange count, join strategy) that the eager
+    * localCheckpoint otherwise truncates from the returned frame.
+    * Never set outside graft.Explain.
+    */
+  private[graft] var planProbe: DataFrame => Unit = null
+  private def probe(df: DataFrame): DataFrame = {
+    val p = planProbe
+    if (p != null) p(df)
+    df
+  }
+
   /** Fixed-iteration PageRank over (src, dst) edges, treated as a
     * weighted multigraph (duplicate edges carry multiplicity).
     * Deterministic: uniform init 1/N, `iterations` synchronous sweeps,
@@ -75,19 +88,32 @@ object Graph {
       if (weighted) edges.withColumn("__w", col(weightCol).cast("double"))
       else edges, srcCol, dstCol,
       extraCols = if (weighted) Seq("__w") else Nil)
-    // deg persisted like e0/nodes: every sweep re-reads all three
-    val deg = (if (weighted) e0.groupBy("src").agg(sum(col("__w")).as("outdeg"))
-               else e0.groupBy("src").agg(count(lit(1)).as("outdeg"))).persist()
+    val deg = if (weighted) e0.groupBy("src").agg(sum(col("__w")).as("outdeg"))
+              else e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val n = nodes.count()
     val base = lit(1.0) - lit(damping)
     val salted = saltDegreeThreshold > 0
     // hub set is static across sweeps: mark it once, broadcast (the
-    // whole point is that very few sources clear the threshold)
-    val hubs = deg.filter(col("outdeg") >= saltDegreeThreshold)
+    // whole point is that very few sources clear the threshold). The
+    // threshold is a FAN-OUT knob, so hubs are detected by EDGE COUNT
+    // even when weighted — a million-edge hub with small weights must
+    // still salt, a modest-degree node with large weights must not.
+    val hubs = (if (weighted)
+        e0.groupBy("src").agg(count(lit(1)).as("__ec"))
+          .filter(col("__ec") >= saltDegreeThreshold)
+      else deg.filter(col("outdeg") >= saltDegreeThreshold))
       .select(col("src"), lit(true).as("__hub"))
+    // The per-sweep operand, built ONCE (guide §2.4): outdeg is static,
+    // so it is fused onto the edge rows up front instead of re-joining
+    // the degree table every sweep (one broadcast/shuffle build fewer
+    // per sweep; the rank join itself is AQE-broadcast at bench scale
+    // and co-partitioned at cluster scale, so the edge frame itself
+    // never re-exchanges — measured: an explicit repartition(src) here
+    // only ADDED an upfront edge shuffle, see OPTIMIZATION_r20.md).
     val e =
-      if (!salted) e0.withColumn("__salt", lit(0))
-      else e0.join(broadcast(hubs), Seq("src"), "left")
+      if (!salted)
+        e0.join(deg, "src").persist()
+      else e0.join(deg, "src").join(broadcast(hubs), Seq("src"), "left")
         .withColumn("__salt",
           when(col("__hub"), pmod(hash(col("dst")), lit(saltFactor))).otherwise(lit(0)))
         .drop("__hub").persist()
@@ -97,34 +123,38 @@ object Graph {
     // test graph the reused shuffle exchanges measured ~25% FASTER, so
     // the default stays false
     def maybeBc(df: DataFrame): DataFrame = if (broadcastRanks) broadcast(df) else df
+    // static zero seed: one 0.0 row per node folded into each sweep's
+    // contribution sum replaces the former per-sweep `nodes ⟕ contribs`
+    // join (one join + sort fewer per sweep; adding 0.0 to a double sum
+    // is value-identical to the coalesce(s, 0.0) it replaces, and a
+    // node with no in-edges still gets its row from the seed)
+    val zeroSeed = nodes.select(col("node"), lit(0.0).as("c"))
     var ranks = nodes.withColumn("rank", lit(1.0) / lit(n.toDouble))
     for (it <- 1 to iterations) {
       val rankSrc = ranks.withColumnRenamed("node", "src")
       val rankSalted =
-        if (!salted) rankSrc.withColumn("__salt", lit(0))
+        if (!salted) rankSrc
         else rankSrc.join(broadcast(hubs), Seq("src"), "left")
           .withColumn("__salt", explode(
             when(col("__hub"), sequence(lit(0), lit(saltFactor - 1)))
               .otherwise(array(lit(0)))))
           .drop("__hub")
-      val contribs = e
-        .join(maybeBc(rankSalted), Seq("src", "__salt"))
-        .join(maybeBc(deg), "src")
+      ranks = e
+        .join(maybeBc(rankSalted), if (salted) Seq("src", "__salt") else Seq("src"))
         .select(col("dst").as("node"),
           (if (weighted) col("rank") * col("__w") / col("outdeg")
            else col("rank") / col("outdeg")).as("c"))
+        .unionByName(zeroSeed)
         .groupBy("node").agg(sum("c").as("s"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (base / lit(n.toDouble) +
-            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+          (base / lit(n.toDouble) + lit(damping) * col("s")).as("rank"))
       if (checkpointEvery > 0 && it % checkpointEvery == 0)
         ranks = ranks.localCheckpoint()
     }
     // materialize before releasing the cached inputs the plan reads
-    val out = ranks.localCheckpoint()
-    if (salted) e.unpersist(false)
-    e0.unpersist(false); deg.unpersist(false); nodes.unpersist(false)
+    val out = probe(ranks).localCheckpoint()
+    e.unpersist(false)
+    e0.unpersist(false); nodes.unpersist(false)
     out
   }
 
@@ -169,8 +199,12 @@ object Graph {
       if (weighted) edges.withColumn("__w", col(weightCol).cast("double"))
       else edges, srcCol, dstCol,
       extraCols = if (weighted) Seq("__w") else Nil)
-    val deg = (if (weighted) e0.groupBy("src").agg(sum(col("__w")).as("outdeg"))
-               else e0.groupBy("src").agg(count(lit(1)).as("outdeg"))).persist()
+    val deg = if (weighted) e0.groupBy("src").agg(sum(col("__w")).as("outdeg"))
+              else e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // The per-sweep operand, built ONCE (guide §2.4, the pageRank
+    // reasoning): static outdeg fused onto the edge rows — no per-sweep
+    // deg join.
+    val e = e0.join(deg, "src").persist()
     // effective seed set: ids present in the graph, deduplicated —
     // node-sized at most, persisted because every sweep re-adds the
     // teleport mass
@@ -180,27 +214,32 @@ object Graph {
     require(nSeeds >= 1, "no seed id is present in the graph")
     val seedMass = lit(1.0) / lit(nSeeds.toDouble)
     val base = seedSet.withColumn("mass", seedMass)
-    var ranks = nodes.join(base, Seq("node"), "left")
-      .select(col("node"), coalesce(col("mass"), lit(0.0)).as("rank"))
+    // static (zero-contribution, teleport-mass) seed row per node: folded
+    // into each sweep's aggregate it replaces BOTH per-sweep node-sized
+    // joins (`nodes ⟕ contribs ⟕ base`) — summing one mass row plus 0.0
+    // rows is value-identical to the coalesce chain it replaces
+    val seedZero = nodes.join(base, Seq("node"), "left")
+      .select(col("node"), lit(0.0).as("c"),
+        coalesce(col("mass"), lit(0.0)).as("m")).persist()
+    var ranks = seedZero.select(col("node"), col("m").as("rank"))
     for (it <- 1 to iterations) {
-      val contribs = e0
+      ranks = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, "src")
         .select(col("dst").as("node"),
           (if (weighted) col("rank") * col("__w") / col("outdeg")
-           else col("rank") / col("outdeg")).as("c"))
-        .groupBy("node").agg(sum("c").as("s"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .join(base, Seq("node"), "left")
+           else col("rank") / col("outdeg")).as("c"),
+          lit(0.0).as("m"))
+        .unionByName(seedZero)
+        .groupBy("node").agg(sum("c").as("s"), sum("m").as("mm"))
         .select(col("node"),
-          ((lit(1.0) - lit(damping)) * coalesce(col("mass"), lit(0.0)) +
-            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+          ((lit(1.0) - lit(damping)) * col("mm") +
+            lit(damping) * col("s")).as("rank"))
       if (checkpointEvery > 0 && it % checkpointEvery == 0)
         ranks = ranks.localCheckpoint()
     }
-    val out = ranks.localCheckpoint()
-    e0.unpersist(false); deg.unpersist(false); nodes.unpersist(false)
-    seedSet.unpersist(false)
+    val out = probe(ranks).localCheckpoint()
+    e.unpersist(false); e0.unpersist(false); nodes.unpersist(false)
+    seedSet.unpersist(false); seedZero.unpersist(false)
     out
   }
 
@@ -399,15 +438,16 @@ object Graph {
     var lbl = adj.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
     for (r <- 1 to rounds) {
-      // propagate: comp(v) := min(comp(v), min over neighbors' comp).
-      // Every node has degree >= 1 here, so the left join always
-      // matches; the coalesce mirrors the oracle's guard exactly.
-      val nbr = adj
+      // propagate: comp(v) := min(comp(v), min over neighbors' comp) —
+      // one aggregate over (neighbor labels ∪ own label): folding the
+      // node's own label into the min replaces the former separate
+      // neighbor-min aggregate + node-sized left join (exact integer
+      // min, so least/coalesce and the fold are the same value)
+      val prop = adj
         .join(lbl.select(col("node").as("v"), col("comp").as("nc")), Seq("v"))
-        .groupBy(col("u").as("node")).agg(min(col("nc")).as("nbr"))
-      val prop = lbl.join(nbr, Seq("node"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .select(col("u").as("node"), col("nc"))
+        .unionByName(lbl.select(col("node"), col("comp").as("nc")))
+        .groupBy("node").agg(min(col("nc")).as("comp"))
       // jump: comp(v) := comp(comp(v)) — comp is always an existing
       // node id (a min over node ids), and labels only decrease, so
       // the looked-up label can only improve the bound
@@ -416,7 +456,8 @@ object Graph {
           col("l.comp") === col("pp.p"), "left")
         .select(col("l.node").as("node"),
           coalesce(col("pc"), col("l.comp")).as("comp"))
-      if (r % 2 == 0 || r == rounds) lbl = lbl.localCheckpoint()
+      if (r == rounds) lbl = probe(lbl).localCheckpoint()
+      else if (r % 2 == 0) lbl = lbl.localCheckpoint()
     }
     lbl
   }
@@ -548,26 +589,38 @@ object Graph {
     val ns = e.filter(col("lo") =!= col("hi"))
     val adj = ns.select(col("lo").as("u"), col("hi").as("v"), col("w"))
       .unionAll(ns.select(col("hi").as("u"), col("lo").as("v"), col("w")))
+    // deg is STATIC but read twice per round (sumtot + scored): without
+    // the checkpoint each read replays the edge-sized union + aggregate
+    // from e's blocks — node-sized once materialized
     val deg = adj.select(col("u"), col("w"))
       .unionAll(e.filter(col("lo") === col("hi"))
         .select(col("lo").as("u"), (col("w") * lit(2L)).as("w")))
       .groupBy("u").agg(sum(col("w")).as("k"))
+      .localCheckpoint()
+    // Only THIS round's parity half of the nodes is scored, so the
+    // former post-aggregate parity filter is pushed all the way into
+    // the static adjacency: each round's edge join and (u, cv)
+    // aggregate read half the edge frame (same rows survive — the
+    // filter commutes with the group-by on its key)
+    val adjHalf = Array(0, 1).map(p =>
+      adj.filter(pmod(col("u"), lit(2)) === lit(p)))
     val m = e.agg(coalesce(sum(col("w")), lit(0L))).collect()(0).getLong(0)
     var comm = deg.select(col("u").as("node"), col("u").as("c"))
     for (r <- 1 to rounds) {
+      val par = r % 2
       val sumtot = comm
         .join(deg.select(col("u").as("node"), col("k")), Seq("node"))
         .groupBy("c").agg(sum(col("k")).as("st"))
-      val kiin = adj
+      val kiin = adjHalf(par)
         .join(comm.select(col("node").as("v"), col("c").as("cv")), Seq("v"))
         .groupBy(col("u"), col("cv")).agg(sum(col("w")).as("kin"))
       // the node's OWN community is always a candidate (kin 0 when no
       // neighbor shares it); max() collapses the duplicate when one does
       val cand = kiin.unionByName(
-          comm.select(col("node").as("u"), col("c").as("cv"), lit(0L).as("kin")))
+          comm.filter(pmod(col("node"), lit(2)) === lit(par))
+            .select(col("node").as("u"), col("c").as("cv"), lit(0L).as("kin")))
         .groupBy("u", "cv").agg(max(col("kin")).as("kin"))
       val scored = cand
-        .filter(pmod(col("u"), lit(2)) === lit(r % 2)) // this round's half
         .join(sumtot.select(col("c").as("cv"), col("st")), Seq("cv"))
         .join(deg, Seq("u"))
         .join(comm.select(col("node").as("u"), col("c").as("a")), Seq("u"))
@@ -580,8 +633,9 @@ object Graph {
           col("cv").as("cc"))).as("c"))
         .select(col("u").as("node"), col("c"))
       comm = moved.unionByName(
-        comm.filter(pmod(col("node"), lit(2)) =!= lit(r % 2)))
-      if (r % 2 == 0 || r == rounds) comm = comm.localCheckpoint()
+        comm.filter(pmod(col("node"), lit(2)) =!= lit(par)))
+      if (r == rounds) comm = probe(comm).localCheckpoint()
+      else if (r % 2 == 0) comm = comm.localCheckpoint()
     }
     comm
   }
@@ -835,8 +889,9 @@ object Graph {
       .join(deg.select(col("u"), col("k").as("kx")), Seq("u"))
       .join(deg.select(col("u").as("v"), col("k").as("ky")), Seq("v"))
       .agg(sum(col("kx") * col("ky")).as("sxy"))
-    val tri = e.select(col("lo").as("src"), col("hi").as("dst"))
-    val triangles = triangleCounts(tri)
+    // e is already canonical + checkpointed: skip triangleCounts' second
+    // canonicalize distinct (an edge-sized exchange over the same rows)
+    val triangles = triangleCountsCanonical(e)
       .agg(coalesce(expr("sum(triangles) div 3"), lit(0L)).as("tri"))
     val mDf = e.agg(count(lit(1)).as("m"))
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
@@ -1024,9 +1079,13 @@ object Graph {
       walks: DataFrame,
       window: Int = 2): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val a = walks.select(col("start"), col("walk"),
+    // materialize the walk frame once: both self-join sides scan it, and
+    // a lazily-built walk union (odd steps are un-checkpointed plans)
+    // would otherwise replay its step joins once per side
+    val w = walks.localCheckpoint()
+    val a = w.select(col("start"), col("walk"),
       col("step").as("s1"), col("node").as("center"))
-    val b = walks.select(col("start"), col("walk"),
+    val b = w.select(col("start"), col("walk"),
       col("step").as("s2"), col("node").as("context"))
     a.join(b, Seq("start", "walk"))
       .filter(col("s1") =!= col("s2") &&
@@ -1077,10 +1136,18 @@ object Graph {
     var frontier = base
     val layerCounts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (d <- 1 to radius) {
+      // new-layer pairs in ONE aggregate: candidate rows tagged 1 and
+      // already-reached rows tagged 0 share one (node, peer) min — a
+      // group whose min is 1 was never reached before, exactly the
+      // former distinct-then-anti-join result with one exchange instead
+      // of a distinct exchange plus a pair-sized anti join
       val cand = frontier
         .join(adj.withColumnRenamed("u", "peer"), Seq("peer"))
-        .select(col("node"), col("v").as("peer")).distinct()
-      frontier = cand.join(reached, Seq("node", "peer"), "left_anti")
+        .select(col("node"), col("v").as("peer"), lit(1).as("__new"))
+      frontier = cand
+        .unionByName(reached.select(col("node"), col("peer"), lit(0).as("__new")))
+        .groupBy("node", "peer").agg(min(col("__new")).as("__new"))
+        .filter(col("__new") === 1).select("node", "peer")
         .localCheckpoint()
       reached = reached.unionAll(frontier)
       layerCounts +=
@@ -1137,10 +1204,15 @@ object Graph {
     // cumulative exact totals; radius+1 scalar counts (radius <= 6)
     val totals = scala.collection.mutable.ArrayBuffer(base.count())
     for (_ <- 1 to radius) {
+      // one-aggregate frontier (tag-min replaces distinct + anti join —
+      // the harmonicCentrality reasoning)
       val cand = frontier
         .join(adj.withColumnRenamed("u", "peer"), Seq("peer"))
-        .select(col("node"), col("v").as("peer")).distinct()
-      frontier = cand.join(reached, Seq("node", "peer"), "left_anti")
+        .select(col("node"), col("v").as("peer"), lit(1).as("__new"))
+      frontier = cand
+        .unionByName(reached.select(col("node"), col("peer"), lit(0).as("__new")))
+        .groupBy("node", "peer").agg(min(col("__new")).as("__new"))
+        .filter(col("__new") === 1).select("node", "peer")
         .localCheckpoint()
       reached = reached.unionAll(frontier)
       totals += totals.last + frontier.count()
@@ -1344,7 +1416,14 @@ object Graph {
     * attachment is two joins against an O(V) aggregate; AQE broadcasts
     * it when small.
     */
-  def triangleCounts(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+  def triangleCounts(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    triangleCountsCanonical(canonicalUndirected(edges, srcCol, dstCol))
+
+  /** [[triangleCounts]] over an ALREADY-canonical (lo < hi, distinct)
+    * frame — lets callers that hold one (graphSummary's checkpointed e)
+    * skip a second canonicalize distinct (an edge-sized exchange).
+    */
+  private[graft] def triangleCountsCanonical(e: DataFrame): DataFrame = {
     // deliberately ONE lazy plan, no eager materialization: the static
     // explain shows the oriented frame's upstream repeated per self-join
     // instance (60 scans at the bench fixture), but at runtime AQE's
@@ -1353,7 +1432,6 @@ object Graph {
     // 2.45 s at sf0.1 (the two eager node/edge-sized materializations
     // cost more than they save, and shuffle bytes CONFIRM the reuse:
     // 1.1 MiB lazy vs 3.2 MiB checkpointed)
-    val e = canonicalUndirected(edges, srcCol, dstCol)
     val f = orientByDegree(e)
     val tri = f.as("e1")
       .join(f.as("e2"),

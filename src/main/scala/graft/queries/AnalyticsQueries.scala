@@ -666,8 +666,9 @@ object AnalyticsQueries {
       // repeated bench/verify runs don't accumulate scratch dumps
       locally {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(scratch))
-          .iterator().asScala.foreach(_.toFile.deleteOnExit())
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(scratch))
+        try walk.iterator().asScala.foreach(_.toFile.deleteOnExit())
+        finally walk.close() // the stream holds directory handles until GC
       }
       val yaml = s"""input_dataset:
                     |  read_dataset:
