@@ -660,16 +660,6 @@ object AnalyticsQueries {
       val scratch = java.nio.file.Files
         .createTempDirectory("graft_q_workflow_graph").toString
       ccEdges(s, dir).write.mode("overwrite").parquet(s"$scratch/edges")
-      // the metrics frame below reads these files lazily, so the
-      // earliest safe delete is JVM exit: register the tree (parents
-      // before children — deleteOnExit runs in reverse order) so
-      // repeated bench/verify runs don't accumulate scratch dumps
-      locally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(scratch))
-        try walk.iterator().asScala.foreach(_.toFile.deleteOnExit())
-        finally walk.close() // the stream holds directory handles until GC
-      }
       val yaml = s"""input_dataset:
                     |  read_dataset:
                     |    file_path: "$scratch/edges"
@@ -680,7 +670,21 @@ object AnalyticsQueries {
                     |    rounds: 5
                     |""".stripMargin
       val (_, stages) = graft.workflow.Workflow.run(s, yaml)
-      stages.find(_.name == "graph_metrics").get.metrics("connected_components")
+      val metrics = stages.find(_.name == "graph_metrics").get
+        .metrics("connected_components")
+        // node-sized; materializing it here unpins the scratch files so
+        // the tree can be deleted EAGERLY below — the former deleteOnExit
+        // registration leaked one JVM-global entry per file forever and
+        // held the dumps until exit in long-lived drivers (r19 verdict)
+        .localCheckpoint()
+      locally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(scratch))
+        try walk.iterator().asScala.toSeq.reverse.foreach(p =>
+          java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      metrics
     },
     Some(ccOracleSql))
 

@@ -1214,4 +1214,18 @@ report_preprocessing:
     // the stats tables are still there alongside the charts
     assert(rp.metrics.contains("global_summary"))
   }
+
+  test("q_workflow_graph deletes its scratch tree eagerly (no deleteOnExit leak)") {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    def scratchDirs() = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_q_workflow_graph"))
+      .map(_.getName).toSet
+    val before = scratchDirs()
+    val df = graft.SparkEntry.queries("q_workflow_graph")(spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0) // the checkpointed metrics survive the delete
+    // the per-invocation scratch dir must be GONE once the query
+    // returns — not parked until JVM exit (r19 verdict item 4)
+    assert(scratchDirs() == before,
+      s"scratch dirs left behind: ${scratchDirs() -- before}")
+  }
 }
