@@ -36,12 +36,14 @@ object Graph {
     * aggregates contributions on dst — the canonical 2-shuffle
     * iteration. `checkpointEvery` truncates lineage (iterative plans
     * grow linearly deep; localCheckpoint keeps the optimizer from
-    * re-analyzing the whole history each sweep). It defaults ON every
-    * other sweep: the truncated rank frame is node-sized (tiny next to
-    * the edges), while letting the plan nest measured 1.6-2.4× slower
-    * even at 5 iterations (driver re-analysis + lost exchange reuse
-    * grow with depth; `ck=2` 2.2 s vs `ck=0` 3.5-6.9 s at sf0.1). Pass
-    * 0 to keep the whole run one lazy plan.
+    * re-analyzing the whole history each sweep). It defaults to every
+    * THIRD sweep: the truncated rank frame is node-sized (tiny next to
+    * the edges), letting the plan nest measured 1.6-2.4× slower even at
+    * 5 iterations (`ck=2` 2.2 s vs `ck=0` 3.5-6.9 s at sf0.1, r12); the
+    * r20 leaner sweeps (fused outdeg, union-seeded aggregate) tilt the
+    * balance one notch lazier (`ck=3` ~7.5 s vs `ck=2` ~8.6 s for the
+    * 3-query pagerank family, median of 5). Pass 0 to keep the whole
+    * run one lazy plan.
     * Dangling nodes (no out-edges) simply contribute nothing — supply
     * symmetric edges if mass conservation matters.
     */
@@ -72,7 +74,7 @@ object Graph {
       dstCol: String = "dst",
       iterations: Int = 5,
       damping: Double = 0.85,
-      checkpointEvery: Int = 2,
+      checkpointEvery: Int = 3,
       broadcastRanks: Boolean = false,
       saltDegreeThreshold: Int = 0,
       saltFactor: Int = 16,
@@ -189,7 +191,7 @@ object Graph {
       dstCol: String = "dst",
       iterations: Int = 4,
       damping: Double = 0.85,
-      checkpointEvery: Int = 2,
+      checkpointEvery: Int = 3,
       weightCol: String = ""): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(seeds.columns.length == 1,
