@@ -73,7 +73,16 @@ object ImportanceSampling {
       smoothing: Double = 1.0): DataFrame = {
     require(numBuckets > 0, "numBuckets must be positive")
     require(smoothing > 0, "smoothing must be positive")
-    val feats = features(df, textCol, idCol, isTarget, numBuckets)
+    // Two consumers read the feature stream (the bucket-count fit and
+    // the score join), and their first exchanges differ (hash(b) vs the
+    // post-join hash(id)), so exchange reuse never kicks in — without
+    // materialization the normalize→gram→md5 explosion (the op's
+    // dominant map stage) runs TWICE. The stream is narrow ((long,
+    // bool, long) rows ≈ corpus token count ×2), far cheaper to store
+    // once than to re-hash; lineage-truncating localCheckpoint, same
+    // rationale as Dedup.materialize.
+    val feats = Dedup.materialize(
+      features(df, textCol, idCol, isTarget, numBuckets))
     val counts = feats.groupBy("b").agg(
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("nt"),
       sum(when(!col("__tgt"), 1L).otherwise(0L)).as("nr"))
