@@ -1852,8 +1852,13 @@ semantic_dedup:
         .withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" perturbed suffix token")))
       val corpus = d.unionByName(perturbed).select("doc_id", "text")
-      val sh = Dedup.shingles(corpus, "text", "doc_id", 3)
-      val sigM = Dedup.minhashSignaturesMd5(sh, 16)
+      // three consumers each for the shingle stream (signature fit,
+      // both sides of the exact-Jaccard join) and the signature frame
+      // (banding, both sig-array attach sides): materialize each once
+      // so the normalize->gram explode and the 16-way min aggregate run
+      // once instead of per consumer (plan had 4 Generate + 8 scans)
+      val sh = Dedup.materialize(Dedup.shingles(corpus, "text", "doc_id", 3))
+      val sigM = Dedup.materialize(Dedup.minhashSignaturesMd5(sh, 16))
       val cand = Dedup.md5BandCandidates(sigM, 16, 4, 200)
       val sigArr = sigM.select(col("key"),
         array((0 until 16).map(i => col(s"sig_$i")): _*).as("sig"))
