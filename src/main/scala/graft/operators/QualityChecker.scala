@@ -279,21 +279,25 @@ object QualityChecker {
     // histogram selection — both avoid the boxed value→count map that
     // degenerates on near-unique columns (l_extendedprice-shaped data).
     val qPoints = Seq(pctileBounds._1, pctileBounds._2, 0.25, 0.75)
-    val quantiles: Map[String, Seq[Double]] =
-      if (approx)
-        cols.zip(df.stat.approxQuantile(cols.toArray, qPoints.toArray, 0.01))
-          .map { case (c, qs) => c -> qs.toSeq }.toMap
-      else
-        StatsGenerator.exactPercentiles(df, cols, qPoints).collect().map { r =>
-          r.getString(0) ->
-            (if (r.isNullAt(4)) null else r.getSeq[Double](4).toSeq)
-        }.toMap
     val exprs = cols.flatMap { c =>
       Seq(
         avg(col(c)).as(s"mean__$c"),
         stddev_samp(col(c)).as(s"sd__$c"))
     }
-    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    // exact path: the mean/sd aggregates ride the percentile selection's
+    // scan (0) — one fewer full scan + job (expressions unchanged)
+    val (quantiles: Map[String, Seq[Double]], row) =
+      if (approx) (
+        cols.zip(df.stat.approxQuantile(cols.toArray, qPoints.toArray, 0.01))
+          .map { case (c, qs) => c -> qs.toSeq }.toMap,
+        df.agg(exprs.head, exprs.tail: _*).collect()(0))
+      else {
+        val (pct, r0) = StatsGenerator.exactPercentilesWith(df, cols, qPoints, exprs)
+        (pct.collect().map { r =>
+          r.getString(0) ->
+            (if (r.isNullAt(4)) null else r.getSeq[Double](4).toSeq)
+        }.toMap, r0)
+      }
     cols.map { c =>
       val ps = quantiles(c)
       def g(p: String) = row.getAs[Double](s"${p}__$c")

@@ -331,12 +331,14 @@ object StatsGenerator {
     * joined with the single-shuffle melt-based mode computation.
     */
   def centralTendency(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val means = chunked(cols) { cs =>
-      longForm(agg1(df, cs.map(c => NumExpr.dmean(col(c)).as(s"mean__$c"))), cs, Seq("mean"))
-    }
     // exact median via histogram selection (near-unique columns would
-    // degenerate the percentile aggregate's value→count map)
-    val medians = exactPercentiles(df, cols, Seq(0.5))
+    // degenerate the percentile aggregate's value→count map); the means
+    // ride the selection's scan (0) — one fewer full scan + job
+    val (pct, r0) = exactPercentilesWith(df, cols, Seq(0.5),
+      cols.map(c => NumExpr.dmean(col(c)).as(s"mean__$c")))
+    val means = longForm(
+      oneRowFrame(df, r0, cols.map(c => s"mean__$c")), cols, Seq("mean"))
+    val medians = pct
       .select(col("attribute"), element_at(col("qs"), 1).as("median"))
     val modes = modeComputation(df, cols)
       .withColumnRenamed("mode_count", "mode_rows")
@@ -380,20 +382,24 @@ object StatsGenerator {
     * degenerates on near-unique columns).
     */
   def measuresOfDispersion(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val iqr = exactPercentiles(df, cols, Seq(0.25, 0.75))
+    // the moment aggregates ride the quartile selection's scan (0) —
+    // one fewer full scan + job (expressions unchanged)
+    val momentExprs = cols.flatMap { c =>
+      val sd = stddev_samp(col(c))
+      Seq(
+        round(sd, 4).as(s"stddev__$c"),
+        round(var_samp(col(c)), 4).as(s"variance__$c"),
+        round(sd / NumExpr.dmean(col(c)), 4).as(s"cov__$c"),
+        (max(col(c)) - min(col(c))).cast(DoubleType).as(s"range__$c"))
+    }
+    val (pct, r0) = exactPercentilesWith(df, cols, Seq(0.25, 0.75), momentExprs)
+    val iqr = pct
       .select(col("attribute"),
         round(element_at(col("qs"), 2) - element_at(col("qs"), 1), 4).as("IQR"))
-    val moments = chunked(cols) { cs =>
-      val exprs = cs.flatMap { c =>
-        val sd = stddev_samp(col(c))
-        Seq(
-          round(sd, 4).as(s"stddev__$c"),
-          round(var_samp(col(c)), 4).as(s"variance__$c"),
-          round(sd / NumExpr.dmean(col(c)), 4).as(s"cov__$c"),
-          (max(col(c)) - min(col(c))).cast(DoubleType).as(s"range__$c"))
-      }
-      longForm(agg1(df, exprs), cs, Seq("stddev", "variance", "cov", "range"))
-    }
+    val moments = longForm(
+      oneRowFrame(df, r0,
+        cols.flatMap(c => Seq("stddev", "variance", "cov", "range").map(m => s"${m}__$c"))),
+      cols, Seq("stddev", "variance", "cov", "range"))
     moments.join(iqr, Seq("attribute"), "full_outer")
       .select(col("attribute"), col("stddev"), col("variance"), col("cov"),
         col("IQR"), col("range"))
@@ -430,7 +436,28 @@ object StatsGenerator {
     * jobs eagerly (fit-style); the returned frame is a local relation.
     */
   def exactPercentiles(df: DataFrame, cols: Seq[String], ps: Seq[Double],
-      buckets: Int = 8192, collectCap: Int = 1 << 16): DataFrame = {
+      buckets: Int = 8192, collectCap: Int = 1 << 16): DataFrame =
+    exactPercentilesWith(df, cols, ps, Nil, buckets, collectCap)._1
+
+  /** [[exactPercentiles]] with caller aggregates FUSED onto scan (0):
+    * `extraAggs` evaluate over the RAW input columns (exactly what a
+    * separate `df.agg(...)` would see — the double-cast/NaN-null
+    * projection applies only to the percentile columns, which live under
+    * internal `__ep__` aliases) in the same job as the n/min/max pass,
+    * and the combined one-row result returns next to the percentile
+    * frame (read extras by their alias via `Row.getAs`). Callers that
+    * previously ran a standalone fit aggregate beside the percentile fit
+    * (central tendency's means, dispersion's moments, outlier bounds'
+    * mean/sd) save one full input scan and one driver round-trip each —
+    * these fits are sequential-job-bound, not byte-bound, at any scale.
+    * Contract: extras may reference only the percentile columns `cols`
+    * (the raw passthrough carries exactly those, keeping the scan
+    * explicitly pruned on wide tables).
+    */
+  private[operators] def exactPercentilesWith(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double], extraAggs: Seq[Column],
+      buckets: Int = 8192, collectCap: Int = 1 << 16)
+      : (DataFrame, org.apache.spark.sql.Row) = {
     val spark = df.sparkSession
     import spark.implicits._
     val nc = cols.size
@@ -442,10 +469,16 @@ object StatsGenerator {
     // NaN is excluded like null (Spark's max() would otherwise return NaN
     // as the column max, making every bucket width NaN and sending all
     // values to bucket 0 — silently wrong quantiles)
-    val projected = df.select(cols.map { c =>
+    // internal __ep__ aliases keep the cast columns name-disjoint from
+    // the raw passthrough columns extraAggs reference; positions 0..nc-1
+    // stay the cast columns (the histogram scans index rows positionally)
+    val castCols = cols.map { c =>
       val cc = col(c).cast(DoubleType)
-      when(isnan(cc), lit(null)).otherwise(cc).as(c)
-    }: _*)
+      when(isnan(cc), lit(null)).otherwise(cc).as(s"__ep__$c")
+    }
+    val projected =
+      if (extraAggs.isEmpty) df.select(castCols: _*)
+      else df.select(castCols ++ cols.map(col): _*)
     // the multi-scan selection assumes every scan sees IDENTICAL rows; a
     // nondeterministic input (seeded sample, rand() column) can produce a
     // different row set per job once partition layout shifts (AQE,
@@ -460,13 +493,18 @@ object StatsGenerator {
         case p => p.expressions.exists(e => !e.deterministic)
       }
     }
-    val doubleCols = if (nondetInput) projected.localCheckpoint(true) else projected
-    // (0) n / min / max per column in one scalar aggregation over the
-    // SAME frame every later scan reads
-    val r0 = agg1(doubleCols, cols.flatMap(c => Seq(
-      count(col(c)).as(s"n__$c"),
-      min(col(c)).as(s"mn__$c"),
-      max(col(c)).as(s"mx__$c")))).collect()(0)
+    val combined = if (nondetInput) projected.localCheckpoint(true) else projected
+    // the positional mapPartitions scans read ONLY the nc cast columns
+    // (the select prunes the raw passthroughs when extras are present)
+    val doubleCols =
+      if (extraAggs.isEmpty) combined
+      else combined.select(cols.map(c => col(s"__ep__$c")): _*)
+    // (0) n / min / max per column (+ caller extras, fused) in one scalar
+    // aggregation over the SAME frame every later scan reads
+    val r0 = agg1(combined, cols.flatMap(c => Seq(
+      count(col(s"__ep__$c")).as(s"n__$c"),
+      min(col(s"__ep__$c")).as(s"mn__$c"),
+      max(col(s"__ep__$c")).as(s"mx__$c"))) ++ extraAggs).collect()(0)
     val nArr = Array.tabulate(nc)(j => r0.getLong(3 * j))
     val mnArr = Array.tabulate(nc)(j => if (r0.isNullAt(3 * j + 1)) Double.NaN else r0.getDouble(3 * j + 1))
     val mxArr = Array.tabulate(nc)(j => if (r0.isNullAt(3 * j + 2)) Double.NaN else r0.getDouble(3 * j + 2))
@@ -622,7 +660,20 @@ object StatsGenerator {
           (c, n, Some(mnArr(j)), Some(mxArr(j)), Some(qs))
         }
       }
-    out.toDF("attribute", "n", "vmin", "vmax", "qs")
+    (out.toDF("attribute", "n", "vmin", "vmax", "qs"), r0)
+  }
+
+  /** One-row local frame carrying the named fields of an aggregate Row —
+    * lets [[exactPercentilesWith]] callers feed their fused extras
+    * through the existing [[longForm]] reshape unchanged.
+    */
+  private[operators] def oneRowFrame(
+      df: DataFrame, row: org.apache.spark.sql.Row, names: Seq[String]): DataFrame = {
+    val idx = names.map(row.fieldIndex)
+    val schema = StructType(idx.map(i => row.schema(i)))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(idx.map(row.get): _*)),
+      schema)
   }
 
   /** ref: stats_generator.py:832-916 `measures_of_percentiles` — min, the
