@@ -459,7 +459,7 @@ object Graph {
         .select(col("l.node").as("node"),
           coalesce(col("pc"), col("l.comp")).as("comp"))
       if (r == rounds) lbl = probe(lbl).localCheckpoint()
-      else if (r % 2 == 0) lbl = lbl.localCheckpoint()
+      else if (r % 3 == 0) lbl = lbl.localCheckpoint()
     }
     lbl
   }
@@ -508,7 +508,8 @@ object Graph {
       // every node has a neighbor here, so the aggregate is total
       lbl = counts.groupBy("node")
         .agg(min_by(col("nl"), struct((-col("c")).as("nc"), col("nl"))).as("label"))
-      if (r % 2 == 0 || r == rounds) lbl = lbl.localCheckpoint()
+      if (r == rounds) lbl = probe(lbl).localCheckpoint()
+      else if (r % 3 == 0) lbl = lbl.localCheckpoint()
     }
     lbl
   }
