@@ -458,7 +458,7 @@ object StatsGenerator {
     * (the raw passthrough carries exactly those, keeping the scan
     * explicitly pruned on wide tables).
     */
-  private[operators] def exactPercentilesWith(df: DataFrame, cols: Seq[String],
+  private[graft] def exactPercentilesWith(df: DataFrame, cols: Seq[String],
       ps: Seq[Double], extraAggs: Seq[Column],
       buckets: Int = 8192, collectCap: Int = 1 << 16)
       : (DataFrame, org.apache.spark.sql.Row) = {
@@ -671,7 +671,7 @@ object StatsGenerator {
     * lets [[exactPercentilesWith]] callers feed their fused extras
     * through the existing [[longForm]] reshape unchanged.
     */
-  private[operators] def oneRowFrame(
+  private[graft] def oneRowFrame(
       df: DataFrame, row: org.apache.spark.sql.Row, names: Seq[String]): DataFrame = {
     val idx = names.map(row.fieldIndex)
     val schema = StructType(idx.map(i => row.schema(i)))

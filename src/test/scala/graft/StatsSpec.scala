@@ -228,6 +228,35 @@ class StatsSpec extends SparkSpec {
     assert(out("allnull").getLong(1) == 0L && out("allnull").isNullAt(4))
   }
 
+  test("fused extras on the percentile scan equal a standalone aggregate") {
+    import org.apache.spark.sql.functions.{avg, col, count => fcount, stddev_samp, sum}
+    // mixed nulls + a second column so the fused scan carries raw
+    // passthroughs next to the __ep__ cast columns
+    val vals: Seq[(java.lang.Double, java.lang.Double)] =
+      (1 to 500).map(i => (java.lang.Double.valueOf(i.toDouble),
+        java.lang.Double.valueOf((i % 7).toDouble))) ++
+        Seq((null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(3.0)))
+    val d = vals.toDF("x", "y")
+    val extras = Seq(
+      avg(col("x")).as("m__x"), stddev_samp(col("x")).as("s__x"),
+      sum(col("y")).as("t__y"), fcount(col("y")).as("n__y_raw"))
+    val (pct, row) = StatsGenerator.exactPercentilesWith(
+      d, Seq("x", "y"), Seq(0.25, 0.5, 0.75), extras)
+    // extras match the standalone aggregate bit-for-bit on this fixture
+    val want = d.agg(extras.head, extras.tail: _*).collect()(0)
+    Seq("m__x", "s__x", "t__y").foreach { c =>
+      assert(row.getDouble(row.fieldIndex(c)) == want.getDouble(want.fieldIndex(c)),
+        s"$c fused != standalone")
+    }
+    assert(row.getLong(row.fieldIndex("n__y_raw")) == 501L)
+    // the percentile frame is unchanged by the fused extras
+    val plain = StatsGenerator.exactPercentiles(d, Seq("x", "y"), Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](4)).toMap
+    pct.collect().foreach { r =>
+      assert(r.getSeq[Double](4) == plain(r.getString(0)), s"${r.getString(0)} qs drifted")
+    }
+  }
+
   test("approx cardinality (HLL) stays within 5% of exact") {
     val d = (1 to 20000).map(i => (i % 5000).toLong).toDF("x")
     val exact = StatsGenerator.uniqueCount(d, Seq("x")).collect()(0).getLong(1)
