@@ -459,7 +459,7 @@ object Graph {
         .select(col("l.node").as("node"),
           coalesce(col("pc"), col("l.comp")).as("comp"))
       if (r == rounds) lbl = probe(lbl).localCheckpoint()
-      else if (r % 3 == 0) lbl = lbl.localCheckpoint()
+      else if (r % 2 == 0) lbl = lbl.localCheckpoint()
     }
     lbl
   }
