@@ -287,7 +287,6 @@ object Graph {
     require(iterations >= 1, "need at least one iteration")
     require(rescaleEvery >= 1, "rescaleEvery must be >= 1")
     val (e0, nodes) = edgeNodeFrames(edges, srcCol, dstCol)
-    nodes.count()
 
     // one lazy half-sweep: raw in/out-score sums over the edge frame.
     // The frame holds only nodes that RECEIVED contributions — a node
@@ -316,10 +315,21 @@ object Graph {
     var auth: DataFrame = null // assigned in sweep 1 before any read
     for (it <- 1 to iterations) {
       val barrier = it % rescaleEvery == 0 || it == iterations
-      auth = halfSweep(hub, "hub", "src", "dst", "auth")
-      if (barrier) auth = auth.localCheckpoint()
+      // sweep 1 consumes the all-ones hub: Σ_{u→v} 1.0 is the (weighted)
+      // in-degree — sum of identical 1.0 terms = count exactly, in any
+      // order, so skipping the join is bit-identical to joining the seed
+      auth =
+        if (it == 1)
+          e0.groupBy(col("dst").as("node")).agg(sum(lit(1.0)).as("auth"))
+        else halfSweep(hub, "hub", "src", "dst", "auth")
+      // LAZY checkpoint: the hub checkpoint below computes auth's
+      // partitions in the same job and saves them as it goes — one eager
+      // action per barrier instead of two (values unchanged; the max
+      // collect and scaleBy still read the saved blocks)
+      if (barrier) auth = auth.localCheckpoint(false)
       hub = halfSweep(auth, "auth", "dst", "src", "hub")
       if (barrier) {
+        if (it == iterations) hub = probe(hub)
         hub = hub.localCheckpoint()
         // Union concatenates child partitions in order: row 0 is the
         // auth max, row 1 the hub max — one action for both scalars
@@ -330,11 +340,16 @@ object Graph {
         hub = scaleBy(hub, "hub", m(1))
       }
     }
+    // zero-fill via union-seeded aggregate (the pageRank trick): one
+    // exchange over node-sized rows instead of two left joins. Adding
+    // 0.0 seeds to a double is exact, and a node absent from a score
+    // frame gets exactly its seed row — same values as the coalesce form.
     val out = nodes
-      .join(auth, Seq("node"), "left")
-      .join(hub, Seq("node"), "left")
-      .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth"),
-        coalesce(col("hub"), lit(0.0)).as("hub"))
+      .select(col("node"), lit(0.0).as("auth"), lit(0.0).as("hub"))
+      .unionByName(auth.select(col("node"), col("auth"), lit(0.0).as("hub")))
+      .unionByName(hub.select(col("node"), lit(0.0).as("auth"), col("hub")))
+      .groupBy("node")
+      .agg(sum("auth").as("auth"), sum("hub").as("hub"))
       .localCheckpoint()
     e0.unpersist(false); nodes.unpersist(false)
     out
